@@ -1,0 +1,38 @@
+"""Format dispatch for tile payloads (the ``fmt`` column).
+
+Mirrors the reference's decode boundary (rasterio ``MemoryFile`` in
+``gridfia/external/fia_client.py:560-562``) as plain functions used by the
+``DecoderActor`` stage. ``meta`` is the parsed caption dict — lossy formats
+read their dequantization scale from it and write it on encode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gridfia_ray.codecs import png16, raw
+
+FORMATS = ("raw-f32", "zlib-f32", "png")
+
+
+def decode_tile(buf: bytes, fmt: str, h: int, w: int, meta: dict | None = None) -> np.ndarray:
+    if fmt == "raw-f32":
+        return raw.decode_raw_f32(buf, h, w)
+    if fmt == "zlib-f32":
+        return raw.decode_zlib_f32(buf, h, w)
+    if fmt == "png":
+        meta = meta or {}
+        return png16.decode_png16(buf, meta.get("scale_vmin", 0.0), meta.get("scale_vmax", 0.0))
+    raise ValueError(f"unknown tile format {fmt!r}")
+
+
+def encode_tile(arr: np.ndarray, fmt: str) -> tuple[bytes, dict]:
+    """Returns (payload, caption_meta_updates)."""
+    if fmt == "raw-f32":
+        return raw.encode_raw_f32(arr), {}
+    if fmt == "zlib-f32":
+        return raw.encode_zlib_f32(arr), {}
+    if fmt == "png":
+        buf, vmin, vmax = png16.encode_png16(arr)
+        return buf, {"scale_vmin": vmin, "scale_vmax": vmax}
+    raise ValueError(f"unknown tile format {fmt!r}")

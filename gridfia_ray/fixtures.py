@@ -1,0 +1,437 @@
+"""Deterministic synthetic fixtures: tile corpus + independent oracles.
+
+Re-expresses the reference's seeded test cube (``tests/conftest.py:62-139``
+in /root/reference — 5 archetypal species patterns + derived total layer,
+``np.random.seed(42)``, CRS ``ESRI:102039``, transform
+``[-2000000, 30, 0, -900000, 0, -30]``) as the driver's ``input_hint``
+tile table:
+
+    tiles(image_id, bytes, w, h, fmt, caption, phash)
+
+and, next to it, *independently computed* oracle tables that DuckDB can
+query (FIXTURES.md §5):
+
+  * ``pixels.parquet``       — long (species_code, y, x, biomass) of the
+    exact pre-encoding pixel values (float64 of the float32 values, so
+    SQL double math sees bit-identical inputs);
+  * ``zones.parquet``        — polygon side table (WKB);
+  * ``pixel_zones.parquet``  — pixel→zone membership computed with
+    rectangle / half-plane logic (NOT the engine's ray-casting PIP, so
+    the spatial join is verified against independent geometry code);
+  * ``plots.parquet``        — seeded point samples for kNN;
+  * ``tiles_dup.parquet``    — tiles + injected exact duplicates (dedup
+    oracle) + near-duplicates (phash Hamming neighbors).
+
+Everything is seeded and bit-stable across runs and parallelism levels.
+Fixtures are cached under /tmp and built atomically (tmp dir + rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from gridfia_ray.codecs.phash import average_phash64
+from gridfia_ray.codecs.registry import encode_tile
+from gridfia_ray.geo import wkb
+from gridfia_ray.geo.affine import tile_transform
+
+GEN_VERSION = 3
+SEED = 42
+CRS = "ESRI:102039"
+ORIGIN_X = -2_000_000.0
+ORIGIN_Y = -900_000.0
+PX = 30.0  # meters per pixel, north-up (y pixel size = -30)
+TOTAL_CODE = "0000"
+
+FIXTURE_ROOT = os.environ.get("GRIDFIA_RAY_FIXTURES", "/tmp/gridfia_ray_fixtures")
+
+
+@dataclass(frozen=True)
+class Scale:
+    name: str
+    grid: int  # tiles per side
+    tile: int  # pixels per tile side
+    n_species: int  # individual species (total layer added on top)
+    fmt: str = "raw-f32"
+
+
+SCALES = {
+    "t1": Scale("t1", grid=4, tile=64, n_species=5),
+    "t1png": Scale("t1png", grid=4, tile=64, n_species=5, fmt="png"),
+    "t2": Scale("t2", grid=8, tile=64, n_species=9),
+    "bench": Scale("bench", grid=32, tile=128, n_species=16),
+    "bench-large": Scale("bench-large", grid=48, tile=128, n_species=24),
+}
+
+# species catalog: (code, name) — first five mirror the reference archetypes
+_CATALOG = [
+    ("0131", "Dominant Oak"),
+    ("0110", "Common Pine"),
+    ("0316", "Rare Maple"),
+    ("0371", "Edge Birch"),
+    ("0541", "Scattered Ash"),
+] + [(f"{900 + i:04d}", f"Synthetic Species {i}") for i in range(1, 60)]
+
+# group fixture for SpeciesGroupProportion (cf. reference
+# cfg/species/southern_yellow_pine_config.yaml:60-67)
+GROUP_NAME = "pine"
+GROUP_CODES = ("0110", "0541")
+
+
+def base_transform() -> list:
+    return [ORIGIN_X, PX, 0.0, ORIGIN_Y, 0.0, -PX]
+
+
+def species_list(scale: Scale) -> list[tuple[str, str]]:
+    return _CATALOG[: scale.n_species]
+
+
+def build_cube(scale: Scale) -> tuple[np.ndarray, list[tuple[str, str]]]:
+    """(S+1, H, W) float32 cube, layer 0 = derived total (code '0000')."""
+    rng = np.random.RandomState(SEED)
+    n = scale.grid * scale.tile
+    sp = species_list(scale)
+    layers = np.zeros((len(sp) + 1, n, n), dtype=np.float32)
+    for i, (code, _name) in enumerate(sp):
+        r = rng.rand(n, n).astype(np.float32)
+        if code == "0131":  # widespread dominant
+            a = r * 50.0
+            a[a < 10] = 0.0
+        elif code == "0110":  # patchy common
+            a = r * 30.0
+            a[a < 15] = 0.0
+        elif code == "0316":  # rare: one interior patch
+            a = np.zeros((n, n), dtype=np.float32)
+            s0, s1 = int(n * 0.15), int(n * 0.35)
+            a[s0:s1, s0:s1] = r[s0:s1, s0:s1] * 20.0
+        elif code == "0371":  # border bands only
+            a = np.zeros((n, n), dtype=np.float32)
+            band = max(1, n // 10)
+            a[:band, :] = r[:band, :] * 25.0
+            a[-band:, :] = r[-band:, :] * 25.0
+        elif code == "0541":  # scattered sparse
+            a = r * 15.0
+            a[a < 12] = 0.0
+        else:  # synthetic: varied density/intensity by index
+            k = int(code) - 900
+            a = r * (10.0 + (k % 7) * 6.0)
+            a[a < (3.0 + (k % 5) * 2.5)] = 0.0
+        layers[i + 1] = a
+    layers[0] = layers[1:].sum(axis=0)
+    return layers, [(TOTAL_CODE, "Total Biomass")] + sp
+
+
+def _tile_rows(scale: Scale, cube: np.ndarray, catalog: list[tuple[str, str]]):
+    g, t = scale.grid, scale.tile
+    base = base_transform()
+    for si, (code, name) in enumerate(catalog):
+        for tr in range(g):
+            for tc in range(g):
+                arr = cube[si, tr * t : (tr + 1) * t, tc * t : (tc + 1) * t]
+                payload, meta_extra = encode_tile(arr, scale.fmt)
+                tf = tile_transform(base, tr, tc, t, t)
+                caption = {
+                    "species_code": code,
+                    "species_name": name,
+                    "tile_row": tr,
+                    "tile_col": tc,
+                    "crs": CRS,
+                    "transform": tf,
+                    "bounds": [tf[0], tf[3] - t * PX, tf[0] + t * PX, tf[3]],
+                    "units": "Mg/ha",
+                    "nodata": 0.0,
+                }
+                caption.update(meta_extra)
+                yield {
+                    "image_id": f"{code}/{tr:04d}/{tc:04d}",
+                    "bytes": payload,
+                    "w": t,
+                    "h": t,
+                    "fmt": scale.fmt,
+                    "caption": json.dumps(caption, sort_keys=True),
+                    "phash": average_phash64(arr),
+                }
+
+
+_TILE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def _write_tiles(path: str, rows_iter, batch_rows: int = 2048) -> int:
+    writer = pq.ParquetWriter(path, _TILE_SCHEMA, compression="zstd")
+    buf, n = [], 0
+    try:
+        for row in rows_iter:
+            buf.append(row)
+            if len(buf) >= batch_rows:
+                writer.write_table(pa.Table.from_pylist(buf, schema=_TILE_SCHEMA))
+                n += len(buf)
+                buf = []
+        if buf:
+            writer.write_table(pa.Table.from_pylist(buf, schema=_TILE_SCHEMA))
+            n += len(buf)
+    finally:
+        writer.close()
+    return n
+
+
+def _write_pixels(path: str, cube: np.ndarray, catalog: list[tuple[str, str]]) -> None:
+    """Long pixel oracle table; biomass stored as float64 of the f32 value."""
+    n = cube.shape[1]
+    yy, xx = np.meshgrid(np.arange(n, dtype=np.int32), np.arange(n, dtype=np.int32), indexing="ij")
+    writer = pq.ParquetWriter(
+        path,
+        pa.schema(
+            [
+                ("species_code", pa.string()),
+                ("y", pa.int32()),
+                ("x", pa.int32()),
+                ("biomass", pa.float64()),
+            ]
+        ),
+        compression="zstd",
+    )
+    try:
+        for si, (code, _name) in enumerate(catalog):
+            t = pa.table(
+                {
+                    "species_code": pa.array([code] * (n * n), type=pa.string()),
+                    "y": pa.array(yy.ravel(), type=pa.int32()),
+                    "x": pa.array(xx.ravel(), type=pa.int32()),
+                    "biomass": pa.array(cube[si].astype(np.float64).ravel(), type=pa.float64()),
+                }
+            )
+            writer.write_table(t)
+    finally:
+        writer.close()
+
+
+# ---------------------------------------------------------------------------
+# zones — geometry in world coords; membership from independent logic
+# ---------------------------------------------------------------------------
+
+_EDGE_OFF = 7.3  # meters; keeps zone edges off the pixel-center lattice
+
+
+def _zone_defs(scale: Scale):
+    """Returns list of (zone_id, zone_name, kind, params) in world coords.
+
+    kind 'rect'    params (x0, y0t, x1, y1b) with y0t > y1b (top > bottom)
+    kind 'lshape'  params (rect1, rect2) — union of two rects
+    kind 'tri'     params ((x,y) * 3)
+    """
+    ext = scale.grid * scale.tile * PX
+    X, Y = ORIGIN_X, ORIGIN_Y  # top-left
+
+    def fx(f):
+        return X + f * ext + _EDGE_OFF
+
+    def fy(f):  # fraction measured downward from the top edge
+        return Y - f * ext - _EDGE_OFF
+
+    rect_a = (fx(0.05), fy(0.05), fx(0.45), fy(0.55))
+    rect_b = (fx(0.50), fy(0.10), fx(0.95), fy(0.50))
+    l_r1 = (fx(0.10), fy(0.60), fx(0.60), fy(0.75))
+    l_r2 = (fx(0.10), fy(0.75), fx(0.35), fy(0.95))
+    tri = ((fx(0.55), fy(0.60)), (fx(0.95), fy(0.60)), (fx(0.75), fy(0.95)))
+    edge = (fx(0.80), fy(-0.20), fx(1.20), fy(0.30))  # sticks out of the extent
+    return [
+        ("37001", "RectWest", "rect", rect_a),
+        ("37003", "RectEast", "rect", rect_b),
+        ("37005", "ElbowSouth", "lshape", (l_r1, l_r2)),
+        ("37007", "TriangleSE", "tri", tri),
+        ("37009", "EdgeOverlap", "rect", edge),
+    ]
+
+
+def _zone_polygon(kind: str, params) -> list:
+    if kind == "rect":
+        x0, y0, x1, y1 = params
+        return wkb.box(x0, min(y0, y1), x1, max(y0, y1))
+    if kind == "lshape":
+        (ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1) = params
+        # rect1 on top of rect2, sharing the y=ay1 line; single concave ring
+        ring = np.array(
+            [
+                [ax0, ay0],
+                [ax1, ay0],
+                [ax1, ay1],
+                [bx1, ay1],
+                [bx1, by1],
+                [bx0, by1],
+                [ax0, ay0],
+            ]
+        )
+        return [ring]
+    if kind == "tri":
+        (x1, y1), (x2, y2), (x3, y3) = params
+        return [np.array([[x1, y1], [x2, y2], [x3, y3], [x1, y1]])]
+    raise ValueError(kind)
+
+
+def _zone_mask(kind: str, params, cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    """Membership of pixel centers — deliberately NOT the engine's PIP."""
+    if kind == "rect":
+        x0, y0, x1, y1 = params
+        ylo, yhi = min(y0, y1), max(y0, y1)
+        return (cx > x0) & (cx < x1) & (cy > ylo) & (cy < yhi)
+    if kind == "lshape":
+        return _zone_mask("rect", params[0], cx, cy) | _zone_mask("rect", params[1], cx, cy)
+    if kind == "tri":
+        (x1, y1), (x2, y2), (x3, y3) = params
+
+        def side(ax, ay, bx, by):
+            return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+        d1 = side(x1, y1, x2, y2)
+        d2 = side(x2, y2, x3, y3)
+        d3 = side(x3, y3, x1, y1)
+        return ((d1 > 0) & (d2 > 0) & (d3 > 0)) | ((d1 < 0) & (d2 < 0) & (d3 < 0))
+    raise ValueError(kind)
+
+
+def _write_zones(dirpath: str, scale: Scale) -> None:
+    defs = _zone_defs(scale)
+    pq.write_table(
+        pa.table(
+            {
+                "zone_id": [z[0] for z in defs],
+                "zone_name": [z[1] for z in defs],
+                "geometry_wkb": [wkb.encode_polygon(_zone_polygon(z[2], z[3])) for z in defs],
+            }
+        ),
+        os.path.join(dirpath, "zones.parquet"),
+    )
+    # independent pixel→zone membership on pixel centers
+    n = scale.grid * scale.tile
+    xs = ORIGIN_X + (np.arange(n, dtype=np.float64) + 0.5) * PX
+    ys = ORIGIN_Y - (np.arange(n, dtype=np.float64) + 0.5) * PX
+    cx = np.broadcast_to(xs[None, :], (n, n))
+    cy = np.broadcast_to(ys[:, None], (n, n))
+    zid, zy, zx = [], [], []
+    for zone_id, _name, kind, params in defs:
+        mask = _zone_mask(kind, params, cx, cy)
+        yy, xx = np.nonzero(mask)
+        zid.extend([zone_id] * len(yy))
+        zy.append(yy.astype(np.int32))
+        zx.append(xx.astype(np.int32))
+    pq.write_table(
+        pa.table(
+            {
+                "zone_id": pa.array(zid, type=pa.string()),
+                "y": np.concatenate(zy) if zy else np.array([], np.int32),
+                "x": np.concatenate(zx) if zx else np.array([], np.int32),
+            }
+        ),
+        os.path.join(dirpath, "pixel_zones.parquet"),
+    )
+
+
+def _write_plots(dirpath: str, scale: Scale, n_plots: int = 32) -> None:
+    rng = np.random.RandomState(SEED + 1)
+    ext = scale.grid * scale.tile * PX
+    x = ORIGIN_X + rng.rand(n_plots) * ext
+    y = ORIGIN_Y - rng.rand(n_plots) * ext
+    value = (rng.rand(n_plots) * 100.0).astype(np.float64)
+    pq.write_table(
+        pa.table(
+            {
+                "plot_id": [f"P{i:04d}" for i in range(n_plots)],
+                "x": x,
+                "y": y,
+                "value": value,
+            }
+        ),
+        os.path.join(dirpath, "plots.parquet"),
+    )
+
+
+def _write_dup_tiles(dirpath: str) -> None:
+    """tiles_dup = tiles ∪ exact dups (every 7th row, identical image_id)
+    ∪ near-dups (noised pixels, new image_id, phash within a few bits)."""
+    tiles = pq.read_table(os.path.join(dirpath, "tiles.parquet"))
+    rows = tiles.to_pylist()
+    exact = [dict(r) for r in rows[::7]]
+    rng = np.random.RandomState(SEED + 2)
+    near = []
+    for r in rows[::13]:
+        arr = np.frombuffer(r["bytes"], dtype="<f4").reshape(r["h"], r["w"]).copy()
+        arr += (rng.rand(*arr.shape).astype(np.float32) - 0.5) * 0.01  # tiny noise
+        near.append(
+            {
+                **r,
+                "image_id": r["image_id"] + "#near",
+                "bytes": arr.astype("<f4").tobytes(),
+                "phash": average_phash64(arr),
+            }
+        )
+    dup = pa.Table.from_pylist(rows + exact + near, schema=_TILE_SCHEMA)
+    pq.write_table(dup, os.path.join(dirpath, "tiles_dup.parquet"))
+
+
+def ensure_fixture(name: str) -> str:
+    """Generate (once, atomically) and return the fixture directory."""
+    scale = SCALES[name]
+    out = os.path.join(FIXTURE_ROOT, f"{name}-v{GEN_VERSION}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".{name}-", dir=FIXTURE_ROOT)
+    try:
+        cube, catalog = build_cube(scale)
+        n_tiles = _write_tiles(os.path.join(tmp, "tiles.parquet"), _tile_rows(scale, cube, catalog))
+        if scale.name in ("t1", "t1png", "t2"):
+            _write_pixels(os.path.join(tmp, "pixels.parquet"), cube, catalog)
+        _write_zones(tmp, scale)
+        _write_plots(tmp, scale)
+        if scale.fmt == "raw-f32":
+            _write_dup_tiles(tmp)
+        meta = {
+            "scale": scale.name,
+            "grid": scale.grid,
+            "tile": scale.tile,
+            "fmt": scale.fmt,
+            "n_species": scale.n_species,
+            "n_tiles": n_tiles,
+            "crs": CRS,
+            "transform": base_transform(),
+            "species": [{"species_code": c, "species_name": s} for c, s in catalog],
+            "group": {"group_name": GROUP_NAME, "species_codes": list(GROUP_CODES)},
+            "gen_version": GEN_VERSION,
+            "seed": SEED,
+        }
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write("ok\n")
+        if os.path.exists(out):  # lost a race; keep the winner
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.rename(tmp, out)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return out
+
+
+def fixture_meta(name: str) -> dict:
+    with open(os.path.join(ensure_fixture(name), "meta.json")) as f:
+        return json.load(f)
