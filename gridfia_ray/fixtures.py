@@ -129,6 +129,17 @@ def build_cube(scale: Scale) -> tuple[np.ndarray, list[tuple[str, str]]]:
     return layers, [(TOTAL_CODE, "Total Biomass")] + sp
 
 
+def tile_table_from_cube(
+    cube: np.ndarray, catalog: list[tuple[str, str]], tile: int, fmt: str = "raw-f32"
+) -> pa.Table:
+    """In-memory tile table from an (S, H, W) cube — edge-case fixtures
+    (all-zero cube, single-species cube; reference ``conftest.py:196-266``)."""
+    n = cube.shape[1]
+    assert n % tile == 0
+    shim = Scale("adhoc", grid=n // tile, tile=tile, n_species=len(catalog) - 1, fmt=fmt)
+    return pa.Table.from_pylist(list(_tile_rows(shim, cube, catalog)), schema=_TILE_SCHEMA)
+
+
 def _tile_rows(scale: Scale, cube: np.ndarray, catalog: list[tuple[str, str]]):
     g, t = scale.grid, scale.tile
     base = base_transform()

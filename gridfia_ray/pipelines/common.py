@@ -1,0 +1,94 @@
+"""Shared pipeline plumbing: grid spec, decode stage wiring, sizing."""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import ray
+import ray.data as rd
+
+from gridfia_ray.context import tune_context
+from gridfia_ray.stages.decode import DecoderActor, species_prefilter
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """World-aligned tile/cell grid: one tile ↔ one base cell
+    (SURVEY.md §7.2 step 3 — the load-bearing partitioning choice)."""
+
+    origin_x: float
+    origin_y: float
+    px: float  # pixel size (meters)
+    tile: int  # pixels per tile side
+
+    @property
+    def cell_size(self) -> float:
+        return self.tile * self.px
+
+    @classmethod
+    def from_fixture_meta(cls, meta: dict) -> "GridSpec":
+        tf = meta["transform"]
+        return cls(origin_x=tf[0], origin_y=tf[3], px=tf[1], tile=meta["tile"])
+
+
+def cluster_cpus() -> int:
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+def read_tiles(source) -> rd.Dataset:
+    """Tile table from a parquet path — or pass through a Dataset /
+    pyarrow Table (in-memory edge-case fixtures)."""
+    tune_context()
+    if isinstance(source, rd.Dataset):
+        return source
+    if not isinstance(source, str):
+        return rd.from_arrow(source)
+    return rd.read_parquet(source)
+
+
+def decoded_tiles(
+    tiles: rd.Dataset,
+    spec: GridSpec,
+    *,
+    include_total: bool = False,
+    species: list[str] | None = None,
+    verify_phash: bool = False,
+    batch_size: int = 256,
+    concurrency=None,
+) -> rd.Dataset:
+    """tiles → pre-decode species prune → decoder actor pool."""
+    if species is not None:
+        tiles = tiles.map_batches(
+            species_prefilter(codes_keep=species), batch_format="pyarrow"
+        )
+    elif not include_total:
+        tiles = tiles.map_batches(
+            species_prefilter(codes_drop=["0000"]), batch_format="pyarrow"
+        )
+    if concurrency is None:
+        concurrency = (1, max(2, cluster_cpus() // 2))
+    return tiles.map_batches(
+        DecoderActor,
+        fn_constructor_kwargs=dict(
+            origin_x=spec.origin_x,
+            origin_y=spec.origin_y,
+            cell_size=spec.cell_size,
+            verify_phash=verify_phash,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def pick_buckets(n_tiles: int, tile_px: int, n_species: int, target_mb: int = 128) -> int:
+    """Bucket count so one assembled bucket ≈ target_mb of decoded f32."""
+    bytes_total = n_tiles * tile_px * tile_px * 4
+    by_size = math.ceil(bytes_total / (target_mb * 1024 * 1024))
+    by_cpu = cluster_cpus() * 2
+    return max(8, min(4096, max(by_size, by_cpu)))

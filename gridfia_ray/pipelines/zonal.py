@@ -1,0 +1,210 @@
+"""Spatial hash join + zonal statistics (the flagship, SURVEY.md §7.2-6).
+
+Ray-native restatement of the reference's polygon intersection + per-zone
+analysis (``gridfia/utils/parallel_processing.py:69-313`` sjoin workers;
+``statistical_analysis.py:86-192`` per-zone reducers):
+
+  1. zones (small side) are broadcast: each ``ZonalJoinActor`` builds —
+     once, in ``__init__`` — prepared polygons (bbox + edge arrays) and a
+     cell→candidate-zones cover map (Z-order bbox cover), the T3 pattern;
+  2. tiles stream through the actor pool: per tile, candidate zones come
+     from the cover map (the *hash join* on cell_id — no shuffle for the
+     join itself), and the exact refinement is vectorized ray-casting PIP
+     on pixel centers. PIP masks are cached per (zone, tile position):
+     species layers of one tile reuse the mask, so the geometry cost is
+     paid once per tile position, not once per row;
+  3. per-batch combiners emit one partial row per (zone, species) —
+     the pre-aggregation that keeps the groupby shuffle tiny and immune
+     to dense-zone skew (a zone covering half the extent still produces
+     one row per batch);
+  4. ``groupby(zone_key).sum`` then per-zone A6 reducers (richness,
+     Shannon, Simpson, evenness, Chao1, ACE) over the per-species
+     present-pixel count vector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from gridfia_ray.geo.cells import CellGrid
+from gridfia_ray.geo.pip import PreparedPolygon
+from gridfia_ray.kernels import zonal as zr
+from gridfia_ray.pipelines.common import GridSpec, cluster_cpus, decoded_tiles, read_tiles
+
+
+class ZonalJoinActor:
+    """Stateful join/refine stage. ``zones`` is a list of
+    ``{zone_id, geometry_wkb}`` dicts (the broadcast small side)."""
+
+    def __init__(self, zones: list[dict], spec: GridSpec, emit: str = "partials"):
+        self.spec = spec
+        self.grid = CellGrid(spec.origin_x, spec.origin_y, spec.cell_size)
+        self.zone_ids: list[str] = []
+        self.polys: list[PreparedPolygon] = []
+        self.cover: dict[int, list[int]] = {}
+        self.emit = emit
+        self._mask_cache: dict[tuple[int, int, int], np.ndarray] = {}
+        for zi, z in enumerate(zones):
+            pp = PreparedPolygon.from_wkb(z["geometry_wkb"])
+            self.zone_ids.append(str(z["zone_id"]))
+            self.polys.append(pp)
+            for cid in self.grid.cover_bbox(*pp.bbox):
+                self.cover.setdefault(int(cid), []).append(zi)
+
+    def _mask(self, zi: int, tr: int, tc: int, h: int, w: int, x0: float, y0: float,
+              pxw: float, pxh: float) -> np.ndarray:
+        key = (zi, tr, tc)
+        m = self._mask_cache.get(key)
+        if m is None:
+            cx = x0 + (np.arange(w, dtype=np.float64) + 0.5) * pxw
+            cy = y0 + (np.arange(h, dtype=np.float64) + 0.5) * pxh
+            gx = np.broadcast_to(cx[None, :], (h, w)).ravel()
+            gy = np.broadcast_to(cy[:, None], (h, w)).ravel()
+            m = self.polys[zi].contains(gx, gy)
+            if len(self._mask_cache) > 4096:  # bound actor memory
+                self._mask_cache.clear()
+            self._mask_cache[key] = m
+        return m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cell = batch["cell_id"].to_numpy()
+        trs = batch["tile_row"].to_numpy()
+        tcs = batch["tile_col"].to_numpy()
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        x0 = batch["x0"].to_numpy()
+        y0 = batch["y0"].to_numpy()
+        pxw = batch["px_w"].to_numpy()
+        pxh = batch["px_h"].to_numpy()
+        pix = batch["pix"].to_pylist()
+        codes = batch["species_code"].to_pylist()
+        status = batch["status"].to_pylist()
+        image_ids = batch["image_id"].to_pylist()
+
+        if self.emit == "join":
+            out_zone, out_img = [], []
+            for i in range(n):
+                for zi in self.cover.get(int(cell[i]), ()):
+                    m = self._mask(zi, int(trs[i]), int(tcs[i]), int(hs[i]), int(ws[i]),
+                                   x0[i], y0[i], pxw[i], pxh[i])
+                    if m.any():
+                        out_zone.append(self.zone_ids[zi])
+                        out_img.append(image_ids[i])
+            return pa.table(
+                {"zone_id": pa.array(out_zone, pa.string()),
+                 "image_id": pa.array(out_img, pa.string())}
+            )
+
+        # partials mode: per-batch combiner keyed (zone, species)
+        agg: dict[tuple[str, str], list[float]] = {}
+        for i in range(n):
+            cands = self.cover.get(int(cell[i]), ())
+            if not cands or status[i] != "ok":
+                continue
+            arr = np.frombuffer(pix[i], dtype="<f4")
+            for zi in cands:
+                m = self._mask(zi, int(trs[i]), int(tcs[i]), int(hs[i]), int(ws[i]),
+                               x0[i], y0[i], pxw[i], pxh[i])
+                if not m.any():
+                    continue
+                vals = arr[m]
+                a = agg.setdefault((self.zone_ids[zi], codes[i]), [0.0, 0.0, 0.0])
+                a[0] += float(np.count_nonzero(vals > 0))
+                a[1] += float(vals.sum(dtype=np.float64))
+                a[2] += float(vals.size)
+        keys = list(agg.keys())
+        return pa.table(
+            {
+                "zone_id": pa.array([k[0] for k in keys], pa.string()),
+                "species_code": pa.array([k[1] for k in keys], pa.string()),
+                "present_px": pa.array([agg[k][0] for k in keys], pa.float64()),
+                "sum_biomass": pa.array([agg[k][1] for k in keys], pa.float64()),
+                "n_px": pa.array([agg[k][2] for k in keys], pa.float64()),
+            }
+        )
+
+
+def _zone_species_sums(decoded: rd.Dataset, zones: list[dict], spec: GridSpec) -> rd.Dataset:
+    from ray.data.aggregate import Sum
+
+    partials = decoded.map_batches(
+        ZonalJoinActor,
+        fn_constructor_kwargs=dict(zones=zones, spec=spec),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, max(2, cluster_cpus() - 2)),
+        num_cpus=1,
+    )
+    return partials.groupby(["zone_id", "species_code"]).aggregate(
+        Sum("present_px", alias_name="present_px"),
+        Sum("sum_biomass", alias_name="sum_biomass"),
+        Sum("n_px", alias_name="n_px"),
+    )
+
+
+def zone_species_table(tiles_path: str, zones: list[dict], spec: GridSpec) -> rd.Dataset:
+    """Per (zone, species): present-pixel count, biomass sum, pixel count."""
+    decoded = decoded_tiles(read_tiles(tiles_path), spec, include_total=False)
+    return _zone_species_sums(decoded, zones, spec)
+
+
+def zonal_stats(tiles_path: str, zones: list[dict], spec: GridSpec) -> rd.Dataset:
+    """Per-zone A6 reducers over the per-species count vector."""
+
+    def reduce_zone(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g["present_px"].to_numpy(dtype=np.float64)
+        total_biomass = float(g["sum_biomass"].sum())
+        n_pixels = float(g["n_px"].max())  # same tile coverage per species
+        return pd.DataFrame(
+            [
+                {
+                    "zone_id": g["zone_id"].iloc[0],
+                    "n_pixels": n_pixels,
+                    "richness": zr.richness(counts),
+                    "shannon": zr.shannon(counts),
+                    "simpson": zr.simpson(counts),
+                    "evenness": zr.evenness(counts),
+                    "chao1": zr.chao1(counts),
+                    "ace": zr.ace(counts),
+                    "total_biomass": total_biomass,
+                    "mean_biomass": total_biomass / n_pixels if n_pixels else 0.0,
+                }
+            ]
+        )
+
+    return (
+        zone_species_table(tiles_path, zones, spec)
+        .groupby("zone_id")
+        .map_groups(reduce_zone, batch_format="pandas")
+    )
+
+
+def tile_zone_join(tiles_path: str, zones: list[dict], spec: GridSpec) -> rd.Dataset:
+    """The exact join rows: (zone_id, image_id) for every tile with at
+    least one pixel center inside the zone — the north rule's
+    'join output rows and tile assignments match' artifact."""
+    decoded = decoded_tiles(read_tiles(tiles_path), spec, include_total=True)
+    pairs = decoded.map_batches(
+        ZonalJoinActor,
+        fn_constructor_kwargs=dict(zones=zones, spec=spec, emit="join"),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, max(2, cluster_cpus() - 2)),
+        num_cpus=1,
+    )
+    return pairs
+
+
+def load_zones(zones_path: str) -> list[dict]:
+    """Read the (small) zone side table onto the driver for broadcast."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(zones_path)
+    return [
+        {"zone_id": z, "geometry_wkb": w}
+        for z, w in zip(t["zone_id"].to_pylist(), t["geometry_wkb"].to_pylist())
+    ]

@@ -1,0 +1,156 @@
+"""Species-stack assembly + kernel execution (the keyed shuffle).
+
+The tabular replacement for the reference's sequential chunk loop
+(``gridfia/core/processors/forest_metrics.py:316-438``): species rows of
+one tile position are co-located by ``cell_id`` and the kernel chain runs
+once per assembled ``(S, h, w)`` stack.
+
+Scale design (SURVEY.md §7.4): cells are NOT the groupby key — with 10^12
+tiles that would be billions of tiny groups. Instead cells hash into
+``n_buckets`` salted buckets (avalanched cell_id modulo B, so Z-order
+stripes don't skew buckets), the shuffle runs per bucket, and the group
+function assembles the many cells inside one bucket with vectorized
+pandas/numpy. One bucket ≈ a few hundred MB decoded; every cell's rows
+land in exactly one bucket, so results are partition-invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gridfia_ray.kernels.base import Kernel, KernelContext
+
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+
+
+def salted_bucket(cell_id: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Avalanche-hash cell ids then fold modulo B (balanced buckets even
+    for spatially-clustered Z-order keys)."""
+    x = np.asarray(cell_id, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(33))) * _P2
+        x = (x ^ (x >> np.uint64(29))) * _P3
+        x = x ^ (x >> np.uint64(32))
+    return (x % np.uint64(n_buckets)).astype(np.int32)
+
+
+def add_bucket_column(n_buckets: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        b = salted_bucket(batch["cell_id"].to_numpy(), n_buckets)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    return fn
+
+
+RESULT_COLUMNS = [
+    "cell_id",
+    "tile_row",
+    "tile_col",
+    "metric",
+    "units",
+    "dtype",
+    "h",
+    "w",
+    "pix",
+    "status",
+]
+
+
+def _catalog_rank(codes: pd.Series, catalog: list[str]) -> np.ndarray:
+    pos = {c: i for i, c in enumerate(catalog)}
+    return codes.map(lambda c: pos.get(c, len(pos))).to_numpy()
+
+
+def make_kernel_group_fn(kernels: list[Kernel], ctx: KernelContext):
+    """Group function for ``groupby('bucket').map_groups`` — assembles
+    each cell's species stack and runs every kernel on it (operator
+    fusion: one shuffle feeds all metrics, like the reference's single
+    chunk loop feeding all calculations)."""
+    catalog = ctx.catalog
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        group = group[group["status"] == "ok"]
+        out: dict[str, list] = {c: [] for c in RESULT_COLUMNS}
+        if len(group) == 0:
+            return pd.DataFrame(out)
+        order = np.lexsort(
+            (_catalog_rank(group["species_code"], catalog), group["cell_id"].to_numpy())
+        )
+        group = group.iloc[order]
+        cell_ids = group["cell_id"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, cell_ids[1:] != cell_ids[:-1], True])
+        pix = group["pix"].to_numpy()
+        codes_all = group["species_code"].to_numpy()
+        hs = group["h"].to_numpy()
+        ws = group["w"].to_numpy()
+        trs = group["tile_row"].to_numpy()
+        tcs = group["tile_col"].to_numpy()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            h, w = int(hs[s]), int(ws[s])
+            codes = codes_all[s:e]
+            stack = np.empty((e - s, h, w), dtype=np.float64)
+            for j in range(s, e):
+                stack[j - s] = np.frombuffer(pix[j], dtype="<f4").reshape(h, w)
+            for k in kernels:
+                try:
+                    res = k.calculate(stack, codes, ctx)
+                    res = np.ascontiguousarray(res, dtype=np.dtype(k.output_dtype))
+                    status = "ok"
+                except Exception as exc:  # NaN/sentinel protocol
+                    res = np.full((h, w), k.fill_value(), dtype=np.dtype(k.output_dtype))
+                    status = f"failed:{type(exc).__name__}"
+                out["cell_id"].append(int(cell_ids[s]))
+                out["tile_row"].append(int(trs[s]))
+                out["tile_col"].append(int(tcs[s]))
+                out["metric"].append(k.name)
+                out["units"].append(k.units)
+                out["dtype"].append(res.dtype.str)
+                out["h"].append(h)
+                out["w"].append(w)
+                out["pix"].append(res.tobytes())
+                out["status"].append(status)
+        return pd.DataFrame(out)
+
+    return run
+
+
+def explode_result_pixels(batch: pa.Table) -> pa.Table:
+    """Result tiles → long (metric, y, x, value float64) rows.
+
+    Small-scale oracle/reporting helper — at data scale results stay
+    tiled; this is the raster→table unpivot for keyed comparisons.
+    """
+    metrics, ys, xs, vals = [], [], [], []
+    for i in range(batch.num_rows):
+        h = int(batch["h"][i].as_py())
+        w = int(batch["w"][i].as_py())
+        arr = np.frombuffer(
+            batch["pix"][i].as_py(), dtype=np.dtype(batch["dtype"][i].as_py())
+        ).reshape(h, w)
+        gy = int(batch["tile_row"][i].as_py()) * h
+        gx = int(batch["tile_col"][i].as_py()) * w
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        metrics.append(np.repeat(np.array([batch["metric"][i].as_py()]), h * w))
+        ys.append((yy + gy).ravel().astype(np.int32))
+        xs.append((xx + gx).ravel().astype(np.int32))
+        vals.append(arr.astype(np.float64).ravel())
+    if not metrics:
+        return pa.table(
+            {
+                "metric": pa.array([], pa.string()),
+                "y": pa.array([], pa.int32()),
+                "x": pa.array([], pa.int32()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "metric": pa.array(np.concatenate(metrics), pa.string()),
+            "y": pa.array(np.concatenate(ys), pa.int32()),
+            "x": pa.array(np.concatenate(xs), pa.int32()),
+            "value": pa.array(np.concatenate(vals), pa.float64()),
+        }
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data-pipeline stages (per the build brief; the
+GridFIA reference has no text path): token counting, quality scoring,
+n-gram language ID, rolling-hash fingerprinting. Every operator is a
+``map_batches`` stage: the stateful ones (compiled regexes, stopword
+tables) are callable classes → actor pools; pure ones are plain
+functions. All return pandas batches (string processing is pandas'
+wheelhouse).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\S+")
+_ALPHA = re.compile(r"[A-Za-z]")
+_PUNCT = re.compile(r"[.,;:!?'\"()\[\]{}-]")
+
+# tiny per-language stopword profiles (public common-word lists)
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "with", "was", "this"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour", "que", "pas"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "en", "que", "por", "para", "del"},
+}
+
+
+def token_count(batch: pd.DataFrame) -> pd.DataFrame:
+    """n_tokens = count of \\S+ runs (whitespace tokenization)."""
+    out = batch[["doc_id"]].copy()
+    out["n_tokens"] = batch["text"].map(lambda t: len(_WS.findall(t or "")))
+    return out
+
+
+class QualityScorer:
+    """Heuristic quality features: char/token counts, alphabetic and
+    punctuation ratios, mean token length — the classic pre-training
+    quality filters (length/punct/stopword ratios). Stateful stage:
+    regexes compiled once per actor."""
+
+    def __init__(self):
+        self.ws = re.compile(r"\S+")
+        self.alpha = re.compile(r"[A-Za-z]")
+        self.punct = re.compile(r"[.,;:!?'\"()\[\]{}-]")
+        self.stop = _LANG_STOPWORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        toks = texts.map(self.ws.findall)
+        n_chars = texts.str.len().astype(np.int64)
+        n_tokens = toks.map(len).astype(np.int64)
+        out = batch[["doc_id"]].copy()
+        out["n_chars"] = n_chars
+        out["n_tokens"] = n_tokens
+        out["alpha_ratio"] = np.where(
+            n_chars > 0, texts.map(lambda t: len(self.alpha.findall(t))) / n_chars, 0.0
+        )
+        out["punct_ratio"] = np.where(
+            n_chars > 0, texts.map(lambda t: len(self.punct.findall(t))) / n_chars, 0.0
+        )
+        out["mean_token_len"] = np.where(
+            n_tokens > 0, toks.map(lambda ts: sum(len(t) for t in ts)) / n_tokens, 0.0
+        )
+        out["stopword_ratio"] = np.where(
+            n_tokens > 0,
+            toks.map(lambda ts: sum(1 for t in ts if t.lower() in self.stop)) / n_tokens,
+            0.0,
+        )
+        return out
+
+
+class LangId:
+    """Stopword-profile language ID (n-gram-free heuristic): the language
+    whose stopword set covers the most tokens wins; 'und' (undetermined)
+    when no profile scores > 0."""
+
+    def __init__(self):
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.profiles = {k: v for k, v in _LANG_STOPWORDS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id"]].copy()
+        preds = []
+        for t in batch["text"].fillna(""):
+            toks = [w.lower() for w in self.word.findall(t)]
+            best, best_score = "und", 0
+            for lang, stop in self.profiles.items():
+                score = sum(1 for w in toks if w in stop)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best)
+        out["lang_pred"] = preds
+        return out
+
+
+def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
+    """Order-sensitive 64-bit document fingerprint: polynomial rolling
+    hash over the whitespace token sequence (public Rabin–Karp style)."""
+    out = batch[["doc_id"]].copy()
+    fps = []
+    B = 1000003
+    M = (1 << 61) - 1
+    for t in batch["text"].fillna(""):
+        h = 0
+        for tok in _WS.findall(t):
+            th = 0
+            for ch in tok.encode("utf-8"):
+                th = (th * 131 + ch) % M
+            h = (h * B + th + 1) % M
+        fps.append(np.int64(h & 0x7FFFFFFFFFFFFFFF))
+    out["fingerprint"] = np.asarray(fps, dtype=np.int64)
+    return out

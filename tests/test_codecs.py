@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+
+from gridfia_ray.codecs import phash
+from gridfia_ray.codecs.png16 import decode_png16, encode_png16, psnr
+from gridfia_ray.codecs.registry import decode_tile, encode_tile
+
+
+@pytest.fixture
+def tile():
+    rng = np.random.RandomState(7)
+    a = (rng.rand(64, 64) * 120.0).astype(np.float32)
+    a[a < 30] = 0.0
+    return a
+
+
+class TestLossless:
+    @pytest.mark.parametrize("fmt", ["raw-f32", "zlib-f32"])
+    def test_bit_exact_roundtrip(self, tile, fmt):
+        buf, meta = encode_tile(tile, fmt)
+        out = decode_tile(buf, fmt, 64, 64, meta)
+        assert out.dtype == np.float32
+        assert np.array_equal(out, tile)
+
+    def test_nonsquare(self):
+        a = np.arange(12, dtype=np.float32).reshape(3, 4)
+        buf, _ = encode_tile(a, "raw-f32")
+        assert np.array_equal(decode_tile(buf, "raw-f32", 3, 4), a)
+
+    def test_unknown_format(self, tile):
+        with pytest.raises(ValueError):
+            encode_tile(tile, "jpegxl")
+        with pytest.raises(ValueError):
+            decode_tile(b"", "jpegxl", 1, 1)
+
+
+class TestPng16:
+    def test_psnr_gate(self, tile):
+        buf, vmin, vmax = encode_png16(tile)
+        out = decode_png16(buf, vmin, vmax)
+        assert psnr(tile, out) >= 40.0  # the input_hint lossy gate
+
+    def test_constant_tile(self):
+        a = np.full((16, 16), 3.25, dtype=np.float32)
+        buf, vmin, vmax = encode_png16(a)
+        out = decode_png16(buf, vmin, vmax)
+        assert np.allclose(out, a)
+
+    def test_all_zero(self):
+        a = np.zeros((8, 8), dtype=np.float32)
+        buf, vmin, vmax = encode_png16(a)
+        assert np.array_equal(decode_png16(buf, vmin, vmax), a)
+
+    def test_not_png_rejected(self):
+        with pytest.raises(ValueError):
+            decode_png16(b"\x00" * 16, 0, 1)
+
+    def test_via_registry_meta(self, tile):
+        buf, meta = encode_tile(tile, "png")
+        out = decode_tile(buf, "png", 64, 64, meta)
+        assert psnr(tile, out) >= 40.0
+
+
+class TestHashes:
+    def test_content_hash_sensitivity(self):
+        a = phash.content_hash64(b"x" * 1000)
+        b = phash.content_hash64(b"x" * 999 + b"y")
+        c = phash.content_hash64(b"x" * 1000)
+        assert a != b and a == c
+
+    def test_content_hash_order_sensitive(self):
+        assert phash.content_hash64(b"ab" * 64) != phash.content_hash64(b"ba" * 64)
+
+    def test_phash_near_tiles_close(self, tile):
+        noisy = tile + np.random.RandomState(1).rand(64, 64).astype(np.float32) * 0.01
+        h1 = phash.average_phash64(tile)
+        h2 = phash.average_phash64(noisy)
+        assert phash.hamming64(np.array([h1]), np.array([h2]))[0] <= 2
+
+    def test_phash_distinct_tiles_far(self, tile):
+        other = np.flipud(tile).copy()
+        h1 = phash.average_phash64(tile)
+        h2 = phash.average_phash64(other)
+        assert phash.hamming64(np.array([h1]), np.array([h2]))[0] > 4
+
+    def test_hamming_identity_and_known(self):
+        assert phash.hamming64(np.array([123]), np.array([123]))[0] == 0
+        assert phash.hamming64(np.array([0]), np.array([-1]))[0] == 64

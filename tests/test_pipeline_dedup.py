@@ -1,0 +1,53 @@
+"""Tile dedup: exact-by-key and exhaustive phash near-dup banding."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gridfia_ray.codecs.phash import hamming64
+from gridfia_ray.pipelines import dedup_tiles as D
+
+
+@pytest.fixture(scope="module")
+def dup_ds(ray_session, t1_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(t1_dir, "tiles_dup.parquet"))
+
+
+@pytest.fixture(scope="module")
+def dup_df(t1_dir):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(t1_dir, "tiles_dup.parquet")).to_pandas()
+
+
+class TestExactDedup:
+    def test_one_survivor_per_key(self, dup_ds, dup_df):
+        out = D.exact_dedup(dup_ds).to_pandas()
+        assert len(out) == dup_df["image_id"].nunique()
+        assert out["image_id"].is_unique
+        assert set(out["image_id"]) == set(dup_df["image_id"])
+
+
+class TestNearDup:
+    def test_pairs_match_bruteforce(self, dup_ds, dup_df):
+        got = D.near_dup_pairs(dup_ds, max_hamming=6).to_pandas()
+        t = dup_df.drop_duplicates("image_id")
+        ph = t["phash"].to_numpy()
+        ids = t["image_id"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hm = hamming64(ph[ii], ph[jj])
+        keep = hm <= 6
+        expect = set(
+            zip(np.minimum(ids[ii[keep]], ids[jj[keep]]), np.maximum(ids[ii[keep]], ids[jj[keep]]))
+        )
+        got_set = set(zip(np.minimum(got.a, got.b), np.maximum(got.a, got.b)))
+        assert got_set == expect
+        # injected near-dups are found
+        assert any(b.endswith("#near") for _, b in got_set)
+
+    def test_banding_guarantee_enforced(self, dup_ds):
+        with pytest.raises(ValueError):
+            D.near_dup_pairs(dup_ds, max_hamming=9, n_bands=8)

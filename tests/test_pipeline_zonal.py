@@ -1,0 +1,81 @@
+"""Zonal spatial join + statistics vs the independent membership oracle."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gridfia_ray.kernels import zonal as zr
+from gridfia_ray.pipelines import zonal as Z
+from gridfia_ray.pipelines.common import GridSpec
+
+
+@pytest.fixture(scope="module")
+def spec(t1_meta):
+    return GridSpec.from_fixture_meta(t1_meta)
+
+
+@pytest.fixture(scope="module")
+def zones(t1_dir):
+    return Z.load_zones(os.path.join(t1_dir, "zones.parquet"))
+
+
+class TestZonalStats:
+    @pytest.fixture(scope="class")
+    def got(self, ray_session, t1_tiles, zones, spec):
+        return Z.zonal_stats(t1_tiles, zones, spec).to_pandas().set_index("zone_id")
+
+    @pytest.fixture(scope="class")
+    def zone_counts(self, duck):
+        return duck.execute(
+            """
+            WITH p AS (SELECT * FROM pixels WHERE species_code <> '0000')
+            SELECT z.zone_id, p.species_code,
+                   COUNT(*) FILTER (p.biomass > 0) cnt,
+                   SUM(p.biomass) sb, COUNT(*) npx
+            FROM p JOIN pixel_zones z USING (y, x)
+            GROUP BY z.zone_id, p.species_code
+            """
+        ).df()
+
+    def test_all_zones_present(self, got, zone_counts):
+        assert set(got.index) == set(zone_counts.zone_id.unique())
+
+    def test_counts_and_sums(self, got, zone_counts):
+        for zid, g in zone_counts.groupby("zone_id"):
+            row = got.loc[zid]
+            assert row["n_pixels"] == g["npx"].max()
+            assert row["total_biomass"] == pytest.approx(g["sb"].sum(), abs=1e-6)
+
+    def test_diversity_estimators(self, got, zone_counts):
+        """Zone metrics equal the A6 reducers applied to the oracle's
+        per-species count vector — including Chao1 and ACE."""
+        for zid, g in zone_counts.groupby("zone_id"):
+            counts = g["cnt"].to_numpy(dtype=float)
+            row = got.loc[zid]
+            assert row["richness"] == zr.richness(counts)
+            assert row["shannon"] == pytest.approx(zr.shannon(counts), abs=1e-12)
+            assert row["simpson"] == pytest.approx(zr.simpson(counts), abs=1e-12)
+            assert row["evenness"] == pytest.approx(zr.evenness(counts), abs=1e-12)
+            assert row["chao1"] == pytest.approx(zr.chao1(counts))
+            assert row["ace"] == pytest.approx(zr.ace(counts))
+
+
+class TestTileZoneJoin:
+    def test_join_rows_exact(self, ray_session, t1_tiles, zones, spec, duck, t1_meta):
+        """Join output rows and tile assignments match the independent
+        membership oracle exactly (the north-rule artifact)."""
+        got = Z.tile_zone_join(t1_tiles, zones, spec).to_pandas()
+        got_set = set(zip(got.zone_id, got.image_id))
+        t = t1_meta["tile"]
+        o = duck.execute(
+            f"""
+            WITH tz AS (SELECT DISTINCT zone_id, y // {t} tr, x // {t} tc FROM pixel_zones),
+            sp AS (SELECT DISTINCT species_code FROM pixels)
+            SELECT tz.zone_id, printf('%s/%04d/%04d', sp.species_code, tz.tr, tz.tc) image_id
+            FROM tz CROSS JOIN sp
+            """
+        ).df()
+        expect = set(zip(o.zone_id, o.image_id))
+        assert got_set == expect
+        assert len(got) == len(got_set)  # no duplicate pairs
