@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (spatial hash join + zonal
+statistics over the seeded tile corpus, after a document quality pass
+over the sf0.001 tables); ``queries()`` / ``oracle_sql()`` expose every
+implemented operator from SURVEY.md §2 with DuckDB oracles where SQL can
+express them (see ``gridfia_ray/contract.py`` for the full mapping and
+the scaled-integer float discipline).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in gridfia_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +18,58 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on /root/testdata/sf0.001 + the seeded tile corpus.
+
+    1. document quality scoring over sf0.001 (actor-pool map_batches);
+    2. the flagship spatial-join + zonal-stats pipeline on the t1 tile
+       fixture (decode → PIP hash join → per-zone diversity reducers).
+    Returns the per-zone stats joined with a doc-corpus summary column.
+    """
+    import os
+
+    from gridfia_ray import fixtures
+    from gridfia_ray.pipelines import zonal as Z
+    from gridfia_ray.pipelines.common import GridSpec
+    from gridfia_ray.text.ops import QualityScorer
+
+    sf_dir = "/root/testdata/sf0.001"
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    quality = docs.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 2))
+    n_docs = quality.count()
+
+    d = fixtures.ensure_fixture("t1")
+    meta = fixtures.fixture_meta("t1")
+    spec = GridSpec.from_fixture_meta(meta)
+    zs = Z.zonal_stats(
+        os.path.join(d, "tiles.parquet"), Z.load_zones(os.path.join(d, "zones.parquet")), spec
+    ).to_pandas()
+    zs["n_docs_scored"] = n_docs
+    return zs.sort_values("zone_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
+    Tile-corpus queries (gf_*) run on the deterministic seeded fixture
+    (BASELINE.json input_hint schema) regardless of ``sf_dir``; document/
+    embedding/event/relational queries read ``sf_dir`` tables.
     """
-    return {}
+    from gridfia_ray.contract import build_queries
+
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles. gf_* oracles read the fixture generator's
+    independent tables via read_parquet(absolute path); the rest use the
+    pre-registered sf views. Hash/heuristic ops (langid, fingerprint,
+    minhash/simhash pairs, LSH ANN) are rows-only by design — their
+    python oracles live in tests/."""
+    from gridfia_ray.contract import build_oracle_sql
+
+    return build_oracle_sql()

@@ -1,0 +1,179 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines and prints ONE JSON line:
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+     "tiles_per_sec": ...}
+
+* tile pipelines (zonal flagship, fused metrics, dedup, kNN) run over the
+  seeded synthetic bench corpus (32×32 tiles × 128² px × 17 layers ≈
+  1.1 GB decoded — generated once, cached in /tmp);
+* document/embedding/event/relational pipelines run over $GRAFT_SF_DIR
+  (default /root/testdata/sf0.1).
+
+``--scaling`` re-runs the headline in fresh processes at num_cpus=8 and
+num_cpus=32 on the same (pre-warmed) input and reports both throughputs
+plus scaling efficiency — the sandbox stand-in for the N vs 4N cluster
+criterion (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_SCALE = os.environ.get("GRIDFIA_BENCH_SCALE", "bench")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    from gridfia_ray import fixtures
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.kernels.registry import registry
+    from gridfia_ray.pipelines import dedup_tiles as D
+    from gridfia_ray.pipelines import knn as K
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines import zonal as Z
+    from gridfia_ray.pipelines.common import GridSpec
+
+    tune_context()
+    bench_dir = fixtures.ensure_fixture(BENCH_SCALE)
+    meta = fixtures.fixture_meta(BENCH_SCALE)
+    spec = GridSpec.from_fixture_meta(meta)
+    tiles = os.path.join(bench_dir, "tiles.parquet")
+    catalog = ["0000"] + sorted(
+        s["species_code"] for s in meta["species"] if s["species_code"] != "0000"
+    )
+    n_tiles = meta["n_tiles"]
+
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    rd.read_parquet(tiles).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline: spatial hash join + zonal statistics (the flagship)
+    zones = Z.load_zones(os.path.join(bench_dir, "zones.parquet"))
+    timed("zonal_stats", lambda: Z.zonal_stats(tiles, zones, spec).to_pandas())
+
+    # fused raster metrics (one shuffle, five kernels)
+    kernels = registry.from_configs(
+        [
+            {"name": "species_richness"},
+            {"name": "shannon_diversity"},
+            {"name": "simpson_diversity"},
+            {"name": "evenness"},
+            {"name": "total_biomass"},
+        ]
+    )
+    from gridfia_ray.kernels.base import KernelContext
+
+    ctx = KernelContext(catalog=catalog, extent_has_biomass=True)
+    timed(
+        "metrics_fused",
+        lambda: M.run_metrics(
+            tiles,
+            kernels,
+            spec,
+            catalog,
+            n_tiles_hint=n_tiles,
+            n_species_hint=meta["n_species"],
+            ctx=ctx,
+        ).count(),
+    )
+
+    timed("tile_dedup_exact", lambda: D.exact_dedup(rd.read_parquet(tiles)).count())
+    plots = K.load_plots(os.path.join(bench_dir, "plots.parquet"))
+    timed("knn_idw", lambda: K.knn_interpolate(tiles, plots, spec).count())
+
+    # document / embedding / relational over sf_dir
+    from gridfia_ray.contract import (
+        q_ann_topk,
+        q_doc_minhash_pairs,
+        q_doc_quality,
+        q_events_hourly,
+        q_rel_pricing_summary,
+    )
+
+    timed("doc_quality", lambda: q_doc_quality(SF_DIR))
+    timed("doc_minhash_pairs", lambda: q_doc_minhash_pairs(SF_DIR))
+    timed("ann_topk", lambda: q_ann_topk(SF_DIR))
+    timed("events_hourly", lambda: q_events_hourly(SF_DIR))
+    timed("rel_pricing_summary", lambda: q_rel_pricing_summary(SF_DIR))
+
+    total = round(sum(timings.values()), 3)
+    tile_secs = timings["zonal_stats"] + timings["metrics_fused"]
+    result = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+        "bench_tiles": n_tiles,
+        "tiles_per_sec": round(2 * n_tiles / tile_secs, 1) if tile_secs else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    # headline = the tile pipelines (zonal + fused metrics)
+    t_lo = r_lo["queries"]["zonal_stats"] + r_lo["queries"]["metrics_fused"]
+    t_hi = r_hi["queries"]["zonal_stats"] + r_hi["queries"]["metrics_fused"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "headline_sec_lo": round(t_lo, 3),
+        "headline_sec_hi": round(t_hi, 3),
+        "tiles_per_sec_lo": r_lo["tiles_per_sec"],
+        "tiles_per_sec_hi": r_hi["tiles_per_sec"],
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,269 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``topk_cosine`` — exact brute-force top-k: the query matrix is
+  broadcast (actor ``__init__``), each batch does one numpy matmul and
+  emits only its local top-k per query (per-batch combiner), and a final
+  tiny groupby keeps the global top-k. The shuffle carries
+  O(batches × q × k) rows, never the vectors.
+* ``lsh_topk_cosine`` — the scale path: seeded random-hyperplane (SRP)
+  signatures bucket vectors; queries probe buckets within a signature
+  Hamming radius, exact cosine re-ranks the candidates. Recall < 1 by
+  construction; radius/planes trade recall vs candidates.
+* ``embedding_near_dup_pairs`` — cosine ≥ threshold near-duplicate
+  pairs via SRP bucket candidates + exact verification.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from gridfia_ray.codecs.phash import hamming64
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column (arrow or pandas) → (n, d) float64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)):
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // len(col)
+        return flat.reshape(len(col), d)
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteTopK:
+    """Per-batch exact scorer: emits the batch-local top-k per query."""
+
+    def __init__(self, queries: np.ndarray, query_ids: list, k: int):
+        self.q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.query_ids = list(query_ids)
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        sims = vecs @ self.q.T  # (n, q)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, len(ids))
+        for qi, qid in enumerate(self.query_ids):
+            s = sims[:, qi]
+            sel = np.argpartition(-s, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            out_q.extend([qid] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def topk_cosine(
+    embeddings: rd.Dataset, queries: np.ndarray, query_ids: list, k: int = 10
+) -> rd.Dataset:
+    """Exact global top-k by cosine for each query vector.
+
+    Deterministic tie-break: (cosine desc, vec_id asc).
+    """
+    partials = embeddings.map_batches(
+        BruteTopK,
+        fn_constructor_kwargs=dict(queries=queries, query_ids=query_ids, k=k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def srp_signature(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """64-bit signed random-projection signatures."""
+    bits = (vecs @ planes.T) > 0  # (n, 64)
+    out = np.zeros(len(vecs), dtype=np.uint64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return out.view(np.int64)
+
+
+def make_planes(dim: int, n_planes: int = 64, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(n_planes, dim))
+
+
+class SrpSigner:
+    def __init__(self, dim: int, n_planes: int = 64, seed: int = 42):
+        self.planes = make_planes(dim, n_planes, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch["embedding"]))
+        sig = srp_signature(vecs, self.planes)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "srp_sig": pa.array(sig, pa.int64()),
+            }
+        )
+
+
+def lsh_topk_cosine(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 64,
+    hamming_radius: int = 24,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Approximate top-k: SRP-bucketed candidate filter + exact re-rank.
+
+    A vector is a candidate for a query when their 64-bit SRP signatures
+    are within ``hamming_radius`` (for unit vectors, E[hamming]/64 =
+    angle/π — radius 24 ≈ cos(67°) ≈ 0.4 candidate horizon).
+    """
+    if dim is None:
+        dim = int(np.asarray(queries).shape[1])
+    planes = make_planes(dim, n_planes, seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qsig = srp_signature(qn, planes)
+
+    class Scorer:
+        def __init__(self):
+            self.q = qn
+            self.qsig = qsig
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_as_matrix(batch["embedding"]))
+            ids = batch["vec_id"].to_numpy()
+            sig = batch["srp_sig"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(query_ids):
+                ham = hamming64(sig, np.full(len(sig), self.qsig[qi]))
+                cand = np.nonzero(ham <= hamming_radius)[0]
+                if cand.size == 0:
+                    continue
+                s = vecs[cand] @ self.q[qi]
+                kk = min(self.k, cand.size)
+                sel = np.argpartition(-s, kk - 1)[:kk]
+                out_q.extend([qid] * kk)
+                out_v.extend(ids[cand[sel]].tolist())
+                out_s.extend(s[sel].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "cosine": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = embeddings.map_batches(
+        SrpSigner,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    ).map_batches(Scorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def embedding_near_dup_pairs(
+    embeddings: rd.Dataset,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    band_bits: int = 8,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) via
+    SRP band buckets + exact verification. Recall is probabilistic
+    (near-identical vectors agree on almost all SRP bits, so any band
+    collides with high probability)."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = batch["srp_sig"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = batch["vec_id"].to_numpy()
+        emb = _as_matrix(batch["embedding"])
+        tables = []
+        for b in range(n_bands):
+            tables.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(ids), b, np.int32)),
+                        "band_val": pa.array(
+                            ((sig >> np.uint64(b * band_bits)) & np.uint64(mask)).astype(np.int64)
+                        ),
+                        "vec_id": pa.array(ids),
+                        "emb": pa.array(list(emb), pa.list_(pa.float64())),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id", kind="mergesort")
+        out = {"a": [], "b": [], "cosine": []}
+        if len(g) >= 2:
+            ids = g["vec_id"].to_numpy()
+            m = _normalize(np.stack(g["emb"].to_numpy()))
+            sims = m @ m.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= threshold
+            out["a"] = ids[ii[keep]].tolist()
+            out["b"] = ids[jj[keep]].tolist()
+            out["cosine"] = sims[ii[keep], jj[keep]].tolist()
+        return pd.DataFrame(out)
+
+    sigs = embeddings.map_batches(
+        SrpSigner,
+        fn_constructor_kwargs=dict(dim=dim or 0, seed=seed)
+        if dim
+        else dict(dim=_infer_dim(embeddings), seed=seed),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    from gridfia_ray.stages.dedup_util import bucketed_distinct
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
+
+
+def _infer_dim(embeddings: rd.Dataset) -> int:
+    row = embeddings.take(1)[0]
+    return len(row["embedding"])

@@ -47,17 +47,14 @@ def add_text_hash(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
-def exact_dedup_docs(docs: rd.Dataset) -> rd.Dataset:
-    """One survivor (min doc_id) per exact text; returns survivor rows."""
+def exact_dedup_docs(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """One survivor (min doc_id) per exact text; returns survivor rows.
+    Bucketed hash-partition dedup (stages/dedup_util.py) — O(buckets)
+    group calls, not O(distinct texts)."""
+    from gridfia_ray.stages.dedup_util import bucketed_distinct
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id", kind="mergesort").head(1)
-
-    return (
-        docs.map_batches(add_text_hash, batch_format="pandas")
-        .groupby("text_hash")
-        .map_groups(first, batch_format="pandas")
-    )
+    hashed = docs.map_batches(add_text_hash, batch_format="pandas")
+    return bucketed_distinct(hashed, ["text_hash"], n_buckets, sort_cols=["text_hash", "doc_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -158,10 +155,9 @@ def minhash_lsh_pairs(
                         out["est_jaccard"].append(est)
         return pd.DataFrame(out)
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from gridfia_ray.stages.dedup_util import bucketed_distinct
 
-    return (
+    pairs = (
         docs.map_batches(
             MinHasher,
             fn_constructor_kwargs=dict(n_perm=n_perm, k_shingle=k_shingle, seed=seed),
@@ -171,9 +167,8 @@ def minhash_lsh_pairs(
         .map_batches(explode_bands, batch_format="pandas")
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(distinct, batch_format="pandas")
     )
+    return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
 
 
 # ---------------------------------------------------------------------------
@@ -248,17 +243,15 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 8) -> r
             {"a": ids[ii[keep]], "b": ids[jj[keep]], "hamming": hm[keep].astype(np.int64)}
         )
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from gridfia_ray.stages.dedup_util import bucketed_distinct
 
-    return (
+    pairs = (
         docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
         .map_batches(explode, batch_format="pandas")
         .groupby(["band", "band_val"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(distinct, batch_format="pandas")
     )
+    return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
 
 
 def verify_pairs_ngram_jaccard(

@@ -23,15 +23,13 @@ import ray.data as rd
 from gridfia_ray.codecs.phash import hamming64
 
 
-def exact_dedup(tiles: rd.Dataset, key: str = "image_id") -> rd.Dataset:
-    """Keep exactly one row per key. Deterministic winner: the row with
-    the smallest (phash, fmt) among duplicates (duplicate rows are
-    normally identical; the tiebreak pins pathological cases)."""
+def exact_dedup(tiles: rd.Dataset, key: str = "image_id", n_buckets: int = 64) -> rd.Dataset:
+    """Keep exactly one row per key — bucketed hash-partition dedup
+    (O(buckets) Python calls, not O(keys); see stages/dedup_util.py).
+    Deterministic winner: smallest (phash, fmt) among duplicates."""
+    from gridfia_ray.stages.dedup_util import bucketed_distinct
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["phash", "fmt"], kind="mergesort").head(1)
-
-    return tiles.groupby(key).map_groups(first, batch_format="pandas")
+    return bucketed_distinct(tiles, [key], n_buckets, sort_cols=[key, "phash", "fmt"])
 
 
 def _band_rows(n_bands: int):
@@ -89,13 +87,11 @@ def near_dup_pairs(
             {"a": ids[ii[keep]], "b": ids[jj[keep]], "hamming": hm[keep].astype(np.int64)}
         )
 
+    from gridfia_ray.stages.dedup_util import bucketed_distinct
+
     pairs = (
         tiles.map_batches(_band_rows(n_bands), batch_format="pyarrow")
         .groupby(["band", "band_val"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["a", "b"]).map_groups(distinct, batch_format="pandas")
+    return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)

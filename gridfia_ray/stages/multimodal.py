@@ -1,0 +1,132 @@
+"""Multimodal payload stages: decode / resize / feature-extract plumbing.
+
+Image-as-binary is the engine's native payload (the ``bytes`` column).
+What is real here and runs in tests: the raw-f32/zlib/png16 decoders
+(``gridfia_ray.codecs``), block-mean ``ResizeActor`` and statistical
+``TileFeatureActor``. External codec formats (jpeg/webp/audio/video
+frames) need libraries absent from this environment — their stages are
+STUBS with the full Ray-side plumbing (schema, batch path, actor
+signature) in place, raising ``NotImplementedError`` at decode exactly as
+flagged in the build brief, or producing a deterministic fake when
+``fake=True`` so downstream plumbing stays testable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gridfia_ray.codecs.phash import content_hash64
+from gridfia_ray.codecs.registry import FORMATS, decode_tile
+
+STUB_FORMATS = ("jpeg", "webp", "wav", "mp4")
+
+
+class ResizeActor:
+    """Block-mean downsample of decoded tiles (real, vectorized): emits
+    ``pix_small`` (raw f32) of shape (out, out) per row."""
+
+    def __init__(self, out: int = 8):
+        self.out = int(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        small = []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            arr = np.frombuffer(batch["pix"][i].as_py(), dtype="<f4").reshape(h, w)
+            o = self.out
+            th, tw = (h // o) * o, (w // o) * o
+            blk = arr[:th, :tw].reshape(o, th // o, o, tw // o).mean(axis=(1, 3))
+            small.append(blk.astype("<f4").tobytes())
+        return batch.append_column("pix_small", pa.array(small, pa.binary()))
+
+
+class TileFeatureActor:
+    """Per-tile feature vector (real): mean/std/min/max/nonzero-frac and
+    deciles of the decoded pixels — the 'feature extract' stage shape."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for i in range(batch.num_rows):
+            arr = np.frombuffer(batch["pix"][i].as_py(), dtype="<f4").astype(np.float64)
+            if arr.size == 0:
+                feats.append([0.0] * 15)
+                continue
+            qs = np.percentile(arr, [10, 25, 50, 75, 90]).tolist()
+            feats.append(
+                [
+                    float(arr.mean()),
+                    float(arr.std()),
+                    float(arr.min()),
+                    float(arr.max()),
+                    float(np.count_nonzero(arr) / arr.size),
+                ]
+                + qs
+                + [0.0] * 5
+            )
+        return batch.append_column(
+            "features", pa.array(feats, pa.list_(pa.float64(), 15))
+        )
+
+
+class ExternalMediaDecoder:
+    """STUB decoder for external media formats (jpeg/webp/audio/video).
+
+    Plumbing is real: binary in, (h, w, raw-f32) out, actor-pool state in
+    ``__init__``. The codec itself needs PIL/ffmpeg — unavailable here —
+    so decode raises ``NotImplementedError`` unless ``fake=True``, which
+    produces a deterministic pseudo-image seeded by the payload hash
+    (keeps schema/batch-size/actor wiring testable end to end).
+    """
+
+    def __init__(self, fake: bool = False, fake_size: int = 16):
+        self.fake = fake
+        self.fake_size = int(fake_size)
+
+    def decode(self, payload: bytes, fmt: str) -> np.ndarray:
+        if fmt in FORMATS:
+            raise ValueError("use DecoderActor for native formats")
+        if fmt not in STUB_FORMATS:
+            raise ValueError(f"unknown media format {fmt!r}")
+        if not self.fake:
+            raise NotImplementedError(
+                f"{fmt} decoding requires an external codec library not present "
+                "in this environment; run with fake=True for plumbing tests"
+            )
+        seed = content_hash64(payload) & 0x7FFFFFFF
+        rng = np.random.RandomState(seed)
+        return rng.rand(self.fake_size, self.fake_size).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pix, hs, ws, status = [], [], [], []
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            try:
+                if fmt in FORMATS:
+                    arr = decode_tile(
+                        batch["bytes"][i].as_py(),
+                        fmt,
+                        int(batch["h"][i].as_py()),
+                        int(batch["w"][i].as_py()),
+                    )
+                else:
+                    arr = self.decode(batch["bytes"][i].as_py(), fmt)
+                pix.append(arr.astype("<f4").tobytes())
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                status.append("ok")
+            except NotImplementedError:
+                pix.append(b"")
+                hs.append(0)
+                ws.append(0)
+                status.append(f"stub:{fmt}")
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "h": pa.array(hs, pa.int32()),
+                "w": pa.array(ws, pa.int32()),
+                "pix": pa.array(pix, pa.binary()),
+                "status": pa.array(status, pa.string()),
+            }
+        )

@@ -1,0 +1,102 @@
+"""Document dedup: exact, MinHash-LSH recall, SimHash exhaustiveness,
+n-gram Jaccard verification."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gridfia_ray.dedup.docs import (
+    MinHasher,
+    SimHasher,
+    estimate_jaccard,
+    exact_dedup_docs,
+    jaccard,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    verify_pairs_ngram_jaccard,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    # exact dup pair, near-dup pair (2-token change), unrelated rest
+    texts.append(texts[0])
+    near = texts[1].split()
+    near[5], near[20] = "xx", "yy"
+    texts.append(" ".join(near))
+    return pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session, corpus):
+    import ray.data as rd
+
+    return rd.from_pandas(corpus)
+
+
+class TestExact:
+    def test_min_id_survives(self, corpus_ds, corpus):
+        out = exact_dedup_docs(corpus_ds).to_pandas()
+        assert len(out) == corpus["text"].nunique()
+        assert 0 in set(out["doc_id"])  # min id of the dup pair
+        assert 30 not in set(out["doc_id"])  # the exact copy
+
+
+class TestMinHash:
+    def test_signature_estimates_jaccard(self, corpus):
+        mh = MinHasher(n_perm=256)
+        a, b = corpus.text[1], corpus.text[31]  # near-dup pair
+        true_j = jaccard(word_shingles(a), word_shingles(b))
+        est = estimate_jaccard(
+            mh.signature(a).astype(np.int64).tobytes(), mh.signature(b).astype(np.int64).tobytes()
+        )
+        assert est == pytest.approx(true_j, abs=0.15)
+        assert true_j > 0.7
+
+    def test_lsh_finds_dups(self, corpus_ds):
+        pairs = minhash_lsh_pairs(corpus_ds, threshold=0.5).to_pandas()
+        found = set(zip(pairs.a, pairs.b))
+        assert (0, 30) in found  # exact dup
+        assert (1, 31) in found  # near dup
+        # unrelated random docs shouldn't flood in
+        assert len(found) < 10
+
+
+class TestSimHash:
+    def test_near_docs_close(self, corpus):
+        sh = SimHasher()
+        a = sh.sim64(corpus.text[1])
+        b = sh.sim64(corpus.text[31])
+        c = sh.sim64(corpus.text[2])
+        from gridfia_ray.codecs.phash import hamming64
+
+        near = hamming64(np.array([a]), np.array([b]))[0]
+        far = hamming64(np.array([a]), np.array([c]))[0]
+        assert near <= 16  # 2/40 tokens changed → a handful of flipped bits
+        assert far > near  # unrelated docs are farther than near-dups
+
+    def test_pairs_exhaustive_vs_bruteforce(self, corpus_ds, corpus):
+        from gridfia_ray.codecs.phash import hamming64
+
+        got = simhash_pairs(corpus_ds, max_hamming=6, n_bands=8).to_pandas()
+        sh = SimHasher()
+        sigs = np.asarray([sh.sim64(t) for t in corpus.text], np.int64)
+        ids = corpus.doc_id.to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hm = hamming64(sigs[ii], sigs[jj])
+        keep = hm <= 6
+        expect = set(zip(ids[ii[keep]], ids[jj[keep]]))
+        assert set(zip(got.a, got.b)) == expect
+
+
+class TestNgramVerify:
+    def test_filters_false_candidates(self, corpus):
+        texts = dict(zip(corpus.doc_id, corpus.text))
+        cand = pd.DataFrame({"a": [0, 1, 2], "b": [30, 31, 3]})
+        out = verify_pairs_ngram_jaccard(cand, texts, threshold=0.5)
+        assert set(zip(out.a, out.b)) == {(0, 30), (1, 31)}
+        assert out[out.a == 0]["jaccard"].iloc[0] == 1.0

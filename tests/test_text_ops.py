@@ -1,0 +1,65 @@
+"""Text-analysis operator tests (token/quality/langid/fingerprint)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gridfia_ray.text.ops import LangId, QualityScorer, fingerprint64, token_count
+
+
+@pytest.fixture
+def docs():
+    return pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "the quick brown fox and the lazy dog",
+                "der Hund und die Katze ist nicht ein Tier",
+                "le chat est dans la maison pour le soir",
+                "",
+                "  spaced   out\ttokens\nnewline  ",
+            ],
+        }
+    )
+
+
+class TestTokenCount:
+    def test_counts(self, docs):
+        out = token_count(docs)
+        assert out["n_tokens"].tolist() == [8, 9, 9, 0, 4]
+
+
+class TestQuality:
+    def test_features(self, docs):
+        out = QualityScorer()(docs)
+        r = out.iloc[0]
+        assert r["n_chars"] == len(docs.text[0])
+        assert r["n_tokens"] == 8
+        assert 0 < r["alpha_ratio"] < 1
+        assert r["stopword_ratio"] == pytest.approx(3 / 8)  # the, and, the
+        empty = out.iloc[3]
+        assert empty["n_chars"] == 0 and empty["n_tokens"] == 0
+        assert empty["alpha_ratio"] == 0.0
+
+
+class TestLangId:
+    def test_languages(self, docs):
+        out = LangId()(docs)
+        assert out["lang_pred"].tolist()[:3] == ["en", "de", "fr"]
+        assert out["lang_pred"].iloc[3] == "und"
+
+
+class TestFingerprint:
+    def test_deterministic_and_order_sensitive(self):
+        a = pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma"]})
+        b = pd.DataFrame({"doc_id": [0], "text": ["gamma beta alpha"]})
+        fa = fingerprint64(a)["fingerprint"].iloc[0]
+        fb = fingerprint64(b)["fingerprint"].iloc[0]
+        fa2 = fingerprint64(a)["fingerprint"].iloc[0]
+        assert fa == fa2 and fa != fb
+        assert fingerprint64(pd.DataFrame({"doc_id": [0], "text": [""]}))["fingerprint"].iloc[0] == 0
+
+    def test_whitespace_invariant(self):
+        a = pd.DataFrame({"doc_id": [0], "text": ["alpha  beta\tgamma"]})
+        b = pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma"]})
+        assert fingerprint64(a)["fingerprint"].iloc[0] == fingerprint64(b)["fingerprint"].iloc[0]
