@@ -56,7 +56,7 @@ def run_bench() -> dict:
     bench_dir = fixtures.ensure_fixture(BENCH_SCALE)
     meta = fixtures.fixture_meta(BENCH_SCALE)
     spec = GridSpec.from_fixture_meta(meta)
-    tiles = os.path.join(bench_dir, "tiles.parquet")
+    tiles = os.path.join(bench_dir, "tiles")
     catalog = ["0000"] + sorted(
         s["species_code"] for s in meta["species"] if s["species_code"] != "0000"
     )

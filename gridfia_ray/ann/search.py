@@ -24,14 +24,25 @@ from gridfia_ray.codecs.phash import hamming64
 
 
 def _as_matrix(col) -> np.ndarray:
-    """list<float> column (arrow or pandas) → (n, d) float64 matrix."""
+    """Embedding column → (n, d) float64 matrix. Handles Arrow list
+    arrays (zero-copy flat view), Ray's ArrowTensorArray extension type,
+    and pandas object columns of ndarrays."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if isinstance(col, (pa.ListArray, pa.LargeListArray)):
         flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
         d = len(flat) // len(col)
         return flat.reshape(len(col), d)
-    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+    if isinstance(col, pa.FixedSizeListArray):
+        d = col.type.list_size
+        return col.values.to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(col), d)
+    if hasattr(col, "to_numpy"):
+        arr = col.to_numpy(zero_copy_only=False) if isinstance(col, pa.Array) else col.to_numpy()
+    else:
+        arr = np.asarray(col, dtype=object)
+    if isinstance(arr, np.ndarray) and arr.dtype == object:
+        return np.stack([np.asarray(v).astype(np.float64) for v in arr])
+    return np.asarray(arr, dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

@@ -36,8 +36,12 @@ class GridFIARay:
     @classmethod
     def from_store(cls, tiles_path: str) -> "GridFIARay":
         """Infer the grid spec from the first tile's caption."""
+        import glob
+
         import pyarrow.parquet as pq
 
+        if os.path.isdir(tiles_path):
+            tiles_path = sorted(glob.glob(os.path.join(tiles_path, "*.parquet")))[0]
         f = pq.ParquetFile(tiles_path)
         batch = next(f.iter_batches(batch_size=1))
         cap = json.loads(batch["caption"][0].as_py())

@@ -51,7 +51,7 @@ def _fx() -> dict:
     meta = fixtures.fixture_meta(FIXTURE)
     return {
         "dir": d,
-        "tiles": os.path.join(d, "tiles.parquet"),
+        "tiles": os.path.join(d, "tiles"),
         "tiles_dup": os.path.join(d, "tiles_dup.parquet"),
         "pixels": os.path.join(d, "pixels.parquet"),
         "pixel_zones": os.path.join(d, "pixel_zones.parquet"),
@@ -730,13 +730,13 @@ def build_oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(a.phash, b.phash)) <= 6"""
     sql["gf_tile_catalog"] = (
         f"SELECT split_part(image_id, '/', 1) AS species_code, COUNT(*) AS n_tiles "
-        f"FROM read_parquet('{T}') GROUP BY 1"
+        f"FROM read_parquet('{T}/*.parquet') GROUP BY 1"
     )
     sql["gf_store_validate"] = f"""
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT split_part(image_id, '/', 1)) AS n_species,
                CAST(SUM(CAST(w AS BIGINT) * CAST(h AS BIGINT)) AS BIGINT) AS n_pixels
-        FROM read_parquet('{T}')"""
+        FROM read_parquet('{T}/*.parquet')"""
 
     # documents / embeddings / events / relational (driver views)
     sql["doc_dedup_exact"] = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

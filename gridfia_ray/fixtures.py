@@ -43,7 +43,7 @@ from gridfia_ray.codecs.registry import encode_tile
 from gridfia_ray.geo import wkb
 from gridfia_ray.geo.affine import tile_transform
 
-GEN_VERSION = 3
+GEN_VERSION = 5
 SEED = 42
 CRS = "ESRI:102039"
 ORIGIN_X = -2_000_000.0
@@ -137,39 +137,72 @@ def tile_table_from_cube(
     n = cube.shape[1]
     assert n % tile == 0
     shim = Scale("adhoc", grid=n // tile, tile=tile, n_species=len(catalog) - 1, fmt=fmt)
-    return pa.Table.from_pylist(list(_tile_rows(shim, cube, catalog)), schema=_TILE_SCHEMA)
+    return pa.concat_tables(
+        [_species_table(shim, cube[si], code, name) for si, (code, name) in enumerate(catalog)]
+    )
 
 
-def _tile_rows(scale: Scale, cube: np.ndarray, catalog: list[tuple[str, str]]):
+def _phash_batch(tiles: np.ndarray) -> np.ndarray:
+    """Vectorized average_phash64 over an (n, t, t) stack — identical
+    bit-for-bit to codecs.phash.average_phash64 per tile."""
+    n, h, w = tiles.shape
+    th, tw = (h // 8) * 8, (w // 8) * 8
+    block = tiles[:, :th, :tw].astype(np.float64).reshape(n, 8, th // 8, 8, tw // 8).mean(
+        axis=(2, 4)
+    )
+    bits = block > block.mean(axis=(1, 2), keepdims=True)
+    packed = np.packbits(bits.reshape(n, 64), axis=1)
+    return packed.view(">u8").reshape(n).astype(np.int64)
+
+
+def _species_table(scale: Scale, layer: np.ndarray, code: str, name: str) -> pa.Table:
+    """All tile rows of one species layer, built vectorized: the layer
+    reshapes to an (g*g, t, t) tile stack, payloads/phashes come from
+    array ops; only the caption JSON is per-row Python."""
     g, t = scale.grid, scale.tile
     base = base_transform()
-    for si, (code, name) in enumerate(catalog):
-        for tr in range(g):
-            for tc in range(g):
-                arr = cube[si, tr * t : (tr + 1) * t, tc * t : (tc + 1) * t]
-                payload, meta_extra = encode_tile(arr, scale.fmt)
-                tf = tile_transform(base, tr, tc, t, t)
-                caption = {
-                    "species_code": code,
-                    "species_name": name,
-                    "tile_row": tr,
-                    "tile_col": tc,
-                    "crs": CRS,
-                    "transform": tf,
-                    "bounds": [tf[0], tf[3] - t * PX, tf[0] + t * PX, tf[3]],
-                    "units": "Mg/ha",
-                    "nodata": 0.0,
-                }
-                caption.update(meta_extra)
-                yield {
-                    "image_id": f"{code}/{tr:04d}/{tc:04d}",
-                    "bytes": payload,
-                    "w": t,
-                    "h": t,
-                    "fmt": scale.fmt,
-                    "caption": json.dumps(caption, sort_keys=True),
-                    "phash": average_phash64(arr),
-                }
+    stack = np.ascontiguousarray(
+        layer.reshape(g, t, g, t).swapaxes(1, 2).reshape(g * g, t, t), dtype="<f4"
+    )
+    if scale.fmt == "raw-f32":
+        payloads = [stack[i].tobytes() for i in range(g * g)]
+        metas = [{}] * (g * g)
+    else:
+        enc = [encode_tile(stack[i], scale.fmt) for i in range(g * g)]
+        payloads = [e[0] for e in enc]
+        metas = [e[1] for e in enc]
+    phashes = _phash_batch(stack)
+    image_ids, captions = [], []
+    for i in range(g * g):
+        tr, tc = i // g, i % g
+        tf = tile_transform(base, tr, tc, t, t)
+        caption = {
+            "species_code": code,
+            "species_name": name,
+            "tile_row": tr,
+            "tile_col": tc,
+            "crs": CRS,
+            "transform": tf,
+            "bounds": [tf[0], tf[3] - t * PX, tf[0] + t * PX, tf[3]],
+            "units": "Mg/ha",
+            "nodata": 0.0,
+        }
+        caption.update(metas[i])
+        image_ids.append(f"{code}/{tr:04d}/{tc:04d}")
+        captions.append(json.dumps(caption, sort_keys=True))
+    n = g * g
+    return pa.Table.from_arrays(
+        [
+            pa.array(image_ids, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(np.full(n, t, np.int32), pa.int32()),
+            pa.array(np.full(n, t, np.int32), pa.int32()),
+            pa.array([scale.fmt] * n, pa.string()),
+            pa.array(captions, pa.string()),
+            pa.array(phashes, pa.int64()),
+        ],
+        schema=_TILE_SCHEMA,
+    )
 
 
 _TILE_SCHEMA = pa.schema(
@@ -185,21 +218,24 @@ _TILE_SCHEMA = pa.schema(
 )
 
 
-def _write_tiles(path: str, rows_iter, batch_rows: int = 2048) -> int:
-    writer = pq.ParquetWriter(path, _TILE_SCHEMA, compression="zstd")
-    buf, n = [], 0
-    try:
-        for row in rows_iter:
-            buf.append(row)
-            if len(buf) >= batch_rows:
-                writer.write_table(pa.Table.from_pylist(buf, schema=_TILE_SCHEMA))
-                n += len(buf)
-                buf = []
-        if buf:
-            writer.write_table(pa.Table.from_pylist(buf, schema=_TILE_SCHEMA))
-            n += len(buf)
-    finally:
-        writer.close()
+def _write_tiles(dirpath: str, scale: Scale, cube: np.ndarray,
+                 catalog: list[tuple[str, str]]) -> int:
+    """Write the tile table as a DIRECTORY of parquet files, one per
+    species, with small row groups — so `ray.data.read_parquet(dir)`
+    gets one read task per file (parallel ingest) and species filters
+    can prune whole files. One giant file = one serial reader = the
+    single worst ingest bottleneck at scale."""
+    os.makedirs(dirpath, exist_ok=True)
+    n = 0
+    for si, (code, name) in enumerate(catalog):
+        t = _species_table(scale, cube[si], code, name)
+        pq.write_table(
+            t,
+            os.path.join(dirpath, f"part-{code}.parquet"),
+            compression="zstd",
+            row_group_size=32,
+        )
+        n += t.num_rows
     return n
 
 
@@ -377,7 +413,7 @@ def _write_plots(dirpath: str, scale: Scale, n_plots: int = 32) -> None:
 def _write_dup_tiles(dirpath: str) -> None:
     """tiles_dup = tiles ∪ exact dups (every 7th row, identical image_id)
     ∪ near-dups (noised pixels, new image_id, phash within a few bits)."""
-    tiles = pq.read_table(os.path.join(dirpath, "tiles.parquet"))
+    tiles = pq.read_table(os.path.join(dirpath, "tiles"))
     rows = tiles.to_pylist()
     exact = [dict(r) for r in rows[::7]]
     rng = np.random.RandomState(SEED + 2)
@@ -408,13 +444,13 @@ def ensure_fixture(name: str) -> str:
     tmp = tempfile.mkdtemp(prefix=f".{name}-", dir=FIXTURE_ROOT)
     try:
         cube, catalog = build_cube(scale)
-        n_tiles = _write_tiles(os.path.join(tmp, "tiles.parquet"), _tile_rows(scale, cube, catalog))
+        n_tiles = _write_tiles(os.path.join(tmp, "tiles"), scale, cube, catalog)
         if scale.name in ("t1", "t1png", "t2"):
             _write_pixels(os.path.join(tmp, "pixels.parquet"), cube, catalog)
         _write_zones(tmp, scale)
         _write_plots(tmp, scale)
-        if scale.fmt == "raw-f32":
-            _write_dup_tiles(tmp)
+        if scale.fmt == "raw-f32" and scale.name in ("t1", "t2"):
+            _write_dup_tiles(tmp)  # small scales only — dedup oracles
         meta = {
             "scale": scale.name,
             "grid": scale.grid,

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import ray
@@ -41,13 +42,24 @@ def cluster_cpus() -> int:
 
 def read_tiles(source) -> rd.Dataset:
     """Tile table from a parquet path — or pass through a Dataset /
-    pyarrow Table (in-memory edge-case fixtures)."""
+    pyarrow Table (in-memory edge-case fixtures).
+
+    Blocks are pinned to one-per-file (``override_num_blocks``): letting
+    Ray sub-split a file's table produces *slices* of the shared binary
+    pixel buffer, and serializing each slice to the object store rewrites
+    the whole parent buffer — a measured 3-4× slowdown on wide-binary
+    rows. Tile stores are therefore written as many ~100 MB files (one
+    per species here), which also gives file-level species pruning.
+    """
     tune_context()
     if isinstance(source, rd.Dataset):
         return source
     if not isinstance(source, str):
         return rd.from_arrow(source)
-    return rd.read_parquet(source)
+    n_files = 0
+    if os.path.isdir(source):
+        n_files = sum(1 for f in os.listdir(source) if f.endswith(".parquet"))
+    return rd.read_parquet(source, override_num_blocks=max(n_files, 1))
 
 
 def decoded_tiles(

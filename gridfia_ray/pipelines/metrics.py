@@ -180,11 +180,38 @@ def run_metrics(
     batch_size: int = 256,
     ctx: KernelContext | None = None,
     precise: bool = False,
+    layout: str = "auto",
 ) -> rd.Dataset:
-    """Run a kernel chain over a tile table; returns result-tile rows."""
+    """Run a kernel chain over a tile table; returns result-tile rows.
+
+    ``layout``: 'aligned' zips per-species files with zero shuffle
+    (pipelines/aligned.py — requires the aligned store layout);
+    'shuffle' always uses the general ``groupby(cell)`` exchange;
+    'auto' probes the store and prefers aligned. Results are identical —
+    the layout only changes the physical plan.
+    """
     if precise:
         kernels = [_precise(k) for k in kernels]
     include_total = any(k.needs_total for k in kernels)
+
+    if layout in ("auto", "aligned"):
+        from gridfia_ray.pipelines.aligned import aligned_layout, aligned_run_metrics
+
+        al = aligned_layout(tiles_path)
+        if al is None and layout == "aligned":
+            raise ValueError("store is not aligned (need one parquet file per species)")
+        if al is not None:
+            if ctx is None:
+
+                def make_decoded_al():
+                    return decoded_tiles(
+                        read_tiles(tiles_path), spec, include_total=include_total
+                    )
+
+                ctx = build_context(kernels, catalog, make_decoded_al)
+            else:
+                ctx.catalog = ctx.catalog or catalog
+            return aligned_run_metrics(al, kernels, spec, ctx, include_total)
 
     def make_decoded():
         return decoded_tiles(

@@ -69,21 +69,68 @@ class ZonalJoinActor:
             self._mask_cache[key] = m
         return m
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _unpack(self, batch: pa.Table):
+        """Accepts either decoded rows (stages/decode.py schema) or raw
+        tile rows — raw mode decodes inline, fusing T1 into this stage so
+        the decoded pixels never take an extra object-store round trip."""
+        import json as _json
+
         n = batch.num_rows
-        cell = batch["cell_id"].to_numpy()
-        trs = batch["tile_row"].to_numpy()
-        tcs = batch["tile_col"].to_numpy()
         hs = batch["h"].to_numpy()
         ws = batch["w"].to_numpy()
-        x0 = batch["x0"].to_numpy()
-        y0 = batch["y0"].to_numpy()
-        pxw = batch["px_w"].to_numpy()
-        pxh = batch["px_h"].to_numpy()
-        pix = batch["pix"].to_pylist()
-        codes = batch["species_code"].to_pylist()
-        status = batch["status"].to_pylist()
         image_ids = batch["image_id"].to_pylist()
+        if "pix" in batch.column_names:  # pre-decoded rows
+            return (
+                n,
+                batch["cell_id"].to_numpy(),
+                batch["tile_row"].to_numpy(),
+                batch["tile_col"].to_numpy(),
+                hs,
+                ws,
+                batch["x0"].to_numpy(),
+                batch["y0"].to_numpy(),
+                batch["px_w"].to_numpy(),
+                batch["px_h"].to_numpy(),
+                [np.frombuffer(p, dtype="<f4") if p else None for p in batch["pix"].to_pylist()],
+                batch["species_code"].to_pylist(),
+                image_ids,
+            )
+        from gridfia_ray.codecs.registry import decode_tile
+
+        captions = batch["caption"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        trs = np.zeros(n, np.int64)
+        tcs = np.zeros(n, np.int64)
+        x0 = np.zeros(n)
+        y0 = np.zeros(n)
+        pxw = np.zeros(n)
+        pxh = np.zeros(n)
+        vals, codes = [], []
+        cx = np.zeros(n)
+        cy = np.zeros(n)
+        for i in range(n):
+            meta = _json.loads(captions[i])
+            codes.append(str(meta.get("species_code", "")))
+            trs[i] = int(meta.get("tile_row", 0))
+            tcs[i] = int(meta.get("tile_col", 0))
+            tf = meta.get("transform", [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
+            x0[i], pxw[i], y0[i], pxh[i] = tf[0], tf[1], tf[3], tf[5]
+            cx[i] = x0[i] + int(ws[i]) * pxw[i] / 2.0
+            cy[i] = y0[i] + int(hs[i]) * pxh[i] / 2.0
+            try:
+                vals.append(
+                    decode_tile(payloads[i], fmts[i], int(hs[i]), int(ws[i]), meta).ravel()
+                )
+            except Exception:
+                vals.append(None)
+        cell = self.grid.cell_id(cx, cy)
+        return (n, cell, trs, tcs, hs, ws, x0, y0, pxw, pxh, vals, codes, image_ids)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        (n, cell, trs, tcs, hs, ws, x0, y0, pxw, pxh, pix, codes, image_ids) = self._unpack(
+            batch
+        )
 
         if self.emit == "join":
             out_zone, out_img = [], []
@@ -103,9 +150,9 @@ class ZonalJoinActor:
         agg: dict[tuple[str, str], list[float]] = {}
         for i in range(n):
             cands = self.cover.get(int(cell[i]), ())
-            if not cands or status[i] != "ok":
+            if not cands or pix[i] is None:
                 continue
-            arr = np.frombuffer(pix[i], dtype="<f4")
+            arr = pix[i]
             for zi in cands:
                 m = self._mask(zi, int(trs[i]), int(tcs[i]), int(hs[i]), int(ws[i]),
                                x0[i], y0[i], pxw[i], pxh[i])
@@ -128,10 +175,10 @@ class ZonalJoinActor:
         )
 
 
-def _zone_species_sums(decoded: rd.Dataset, zones: list[dict], spec: GridSpec) -> rd.Dataset:
+def _zone_species_sums(tiles: rd.Dataset, zones: list[dict], spec: GridSpec) -> rd.Dataset:
     from ray.data.aggregate import Sum
 
-    partials = decoded.map_batches(
+    partials = tiles.map_batches(
         ZonalJoinActor,
         fn_constructor_kwargs=dict(zones=zones, spec=spec),
         batch_format="pyarrow",
@@ -146,13 +193,18 @@ def _zone_species_sums(decoded: rd.Dataset, zones: list[dict], spec: GridSpec) -
     )
 
 
-def zone_species_table(tiles_path: str, zones: list[dict], spec: GridSpec) -> rd.Dataset:
-    """Per (zone, species): present-pixel count, biomass sum, pixel count."""
-    decoded = decoded_tiles(read_tiles(tiles_path), spec, include_total=False)
-    return _zone_species_sums(decoded, zones, spec)
+def zone_species_table(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
+    """Per (zone, species): present-pixel count, biomass sum, pixel count.
+    Decode is fused into the join actor (raw rows in, partials out)."""
+    from gridfia_ray.stages.decode import species_prefilter
+
+    tiles = read_tiles(tiles_path).map_batches(
+        species_prefilter(codes_drop=["0000"]), batch_format="pyarrow"
+    )
+    return _zone_species_sums(tiles, zones, spec)
 
 
-def zonal_stats(tiles_path: str, zones: list[dict], spec: GridSpec) -> rd.Dataset:
+def zonal_stats(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
     """Per-zone A6 reducers over the per-species count vector."""
 
     def reduce_zone(g: pd.DataFrame) -> pd.DataFrame:
@@ -183,12 +235,12 @@ def zonal_stats(tiles_path: str, zones: list[dict], spec: GridSpec) -> rd.Datase
     )
 
 
-def tile_zone_join(tiles_path: str, zones: list[dict], spec: GridSpec) -> rd.Dataset:
+def tile_zone_join(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
     """The exact join rows: (zone_id, image_id) for every tile with at
     least one pixel center inside the zone — the north rule's
     'join output rows and tile assignments match' artifact."""
-    decoded = decoded_tiles(read_tiles(tiles_path), spec, include_total=True)
-    pairs = decoded.map_batches(
+    tiles = read_tiles(tiles_path)
+    pairs = tiles.map_batches(
         ZonalJoinActor,
         fn_constructor_kwargs=dict(zones=zones, spec=spec, emit="join"),
         batch_format="pyarrow",

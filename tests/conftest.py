@@ -64,4 +64,4 @@ def duck(t1_dir):
 
 @pytest.fixture(scope="session")
 def t1_tiles(t1_dir) -> str:
-    return os.path.join(t1_dir, "tiles.parquet")
+    return os.path.join(t1_dir, "tiles")

@@ -1,0 +1,69 @@
+"""Windowed aggregation over the events log vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from gridfia_ray.pipelines.events import sessionize, tumbling_window_agg
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/events.parquet")
+
+
+class TestTumbling:
+    def test_matches_sql(self, events_ds):
+        got = tumbling_window_agg(events_ds).to_pandas()
+        con = duckdb.connect()
+        want = con.execute(
+            f"""
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events, SUM(value) AS sum_value,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2
+            """
+        ).df()
+        m = got.merge(want, on=["user_id", "window_start"], suffixes=("", "_o"))
+        assert len(m) == len(want) == len(got)
+        assert (m["n_events"] == m["n_events_o"]).all()
+        assert np.allclose(m["sum_value"], m["sum_value_o"])
+        assert (m["min_value"] == m["min_value_o"]).all()
+        assert (m["max_value"] == m["max_value_o"]).all()
+
+
+class TestSessionize:
+    def test_sessions_split_on_gap(self, ray_session):
+        import ray.data as rd
+
+        ts = pd.to_datetime(
+            [
+                "2024-01-01 00:00",
+                "2024-01-01 00:10",
+                "2024-01-01 01:30",  # > 30 min gap → new session
+                "2024-01-01 01:40",
+                "2024-01-02 00:00",  # another session
+            ]
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": range(5),
+                "ts": ts,
+                "user_id": [1] * 5,
+                "event_type": ["x"] * 5,
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+        out = sessionize(rd.from_pandas(df)).to_pandas().sort_values("session_start")
+        assert len(out) == 3
+        assert out["n_events"].tolist() == [2, 2, 1]
+        assert out["sum_value"].tolist() == [3.0, 7.0, 5.0]
+
+    def test_counts_preserved(self, events_ds):
+        out = sessionize(events_ds, gap_minutes=60).to_pandas()
+        assert out["n_events"].sum() == events_ds.count()

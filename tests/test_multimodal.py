@@ -1,0 +1,104 @@
+"""Multimodal stage plumbing: resize, features, stubbed external codecs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gridfia_ray.stages.multimodal import (
+    ExternalMediaDecoder,
+    ResizeActor,
+    TileFeatureActor,
+)
+
+
+def _decoded_batch():
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(64, 64) * 10).astype("<f4")
+    return pa.table(
+        {
+            "image_id": ["a"],
+            "h": pa.array([64], pa.int32()),
+            "w": pa.array([64], pa.int32()),
+            "pix": pa.array([arr.tobytes()], pa.binary()),
+        }
+    ), arr
+
+
+class TestResize:
+    def test_block_mean(self):
+        batch, arr = _decoded_batch()
+        out = ResizeActor(out=8)(batch)
+        small = np.frombuffer(out["pix_small"][0].as_py(), dtype="<f4").reshape(8, 8)
+        expect = arr.reshape(8, 8, 8, 8).mean(axis=(1, 3))
+        assert np.allclose(small, expect, atol=1e-6)
+
+
+class TestFeatures:
+    def test_stats_vector(self):
+        batch, arr = _decoded_batch()
+        out = TileFeatureActor()(batch)
+        f = np.asarray(out["features"][0].as_py())
+        a = arr.astype(np.float64)
+        assert f[0] == pytest.approx(a.mean())
+        assert f[1] == pytest.approx(a.std())
+        assert f[4] == pytest.approx(np.count_nonzero(a) / a.size)
+        assert f[7] == pytest.approx(np.percentile(a, 50))
+
+
+class TestExternalStub:
+    def test_stub_raises_by_default(self):
+        dec = ExternalMediaDecoder()
+        with pytest.raises(NotImplementedError):
+            dec.decode(b"\xff\xd8\xff", "jpeg")
+
+    def test_unknown_format_rejected(self):
+        with pytest.raises(ValueError):
+            ExternalMediaDecoder().decode(b"", "tiff-ycbcr")
+
+    def test_fake_mode_deterministic_and_batch_plumbing(self):
+        batch = pa.table(
+            {
+                "image_id": ["x", "y"],
+                "bytes": pa.array([b"payload-1", b"payload-2"], pa.binary()),
+                "h": pa.array([0, 0], pa.int32()),
+                "w": pa.array([0, 0], pa.int32()),
+                "fmt": ["jpeg", "webp"],
+            }
+        )
+        d1 = ExternalMediaDecoder(fake=True)(batch)
+        d2 = ExternalMediaDecoder(fake=True)(batch)
+        assert d1["pix"][0].as_py() == d2["pix"][0].as_py()  # seeded by payload
+        assert d1["pix"][0].as_py() != d1["pix"][1].as_py()
+        assert d1["status"].to_pylist() == ["ok", "ok"]
+        assert d1["h"].to_pylist() == [16, 16]
+
+    def test_stub_mode_flags_rows(self):
+        batch = pa.table(
+            {
+                "image_id": ["x"],
+                "bytes": pa.array([b"zz"], pa.binary()),
+                "h": pa.array([0], pa.int32()),
+                "w": pa.array([0], pa.int32()),
+                "fmt": ["mp4"],
+            }
+        )
+        out = ExternalMediaDecoder(fake=False)(batch)
+        assert out["status"].to_pylist() == ["stub:mp4"]
+
+    def test_native_format_passthrough(self):
+        from gridfia_ray.codecs.registry import encode_tile
+
+        arr = np.arange(16, dtype=np.float32).reshape(4, 4)
+        payload, _ = encode_tile(arr, "raw-f32")
+        batch = pa.table(
+            {
+                "image_id": ["n"],
+                "bytes": pa.array([payload], pa.binary()),
+                "h": pa.array([4], pa.int32()),
+                "w": pa.array([4], pa.int32()),
+                "fmt": ["raw-f32"],
+            }
+        )
+        out = ExternalMediaDecoder(fake=True)(batch)
+        got = np.frombuffer(out["pix"][0].as_py(), dtype="<f4").reshape(4, 4)
+        assert np.array_equal(got, arr)

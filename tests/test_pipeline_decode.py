@@ -27,7 +27,7 @@ def cube_t1():
 class TestRawDecode:
     def test_bit_exact_and_caption(self, ray_session, t1_dir, t1_meta, cube_t1):
         cube, codes = cube_t1
-        df = _decoded_df(os.path.join(t1_dir, "tiles.parquet"), t1_meta, verify_phash=True)
+        df = _decoded_df(os.path.join(t1_dir, "tiles"), t1_meta, verify_phash=True)
         assert (df["status"] == "ok").all()
         t = t1_meta["tile"]
         for _, r in df.iterrows():
@@ -41,7 +41,7 @@ class TestRawDecode:
         assert np.allclose(df.y0, base[3] + df.tile_row * t * base[5])
 
     def test_cell_ids_unique_per_tile(self, ray_session, t1_dir, t1_meta):
-        df = _decoded_df(os.path.join(t1_dir, "tiles.parquet"), t1_meta)
+        df = _decoded_df(os.path.join(t1_dir, "tiles"), t1_meta)
         per_tile = df.groupby(["tile_row", "tile_col"])["cell_id"].nunique()
         assert (per_tile == 1).all()
         assert df["cell_id"].nunique() == t1_meta["grid"] ** 2
@@ -51,7 +51,7 @@ class TestPngDecode:
     def test_psnr_gate(self, ray_session, t1png_dir, cube_t1):
         cube, codes = cube_t1
         meta = fixtures.fixture_meta("t1png")
-        df = _decoded_df(os.path.join(t1png_dir, "tiles.parquet"), meta)
+        df = _decoded_df(os.path.join(t1png_dir, "tiles"), meta)
         assert (df["status"] == "ok").all()
         t = meta["tile"]
         worst = np.inf
@@ -68,9 +68,9 @@ class TestCorruption:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(t1_dir, "tiles.parquet")).to_pylist()
+        t = pq.read_table(os.path.join(t1_dir, "tiles")).to_pylist()
         t[3]["bytes"] = t[3]["bytes"][:100]  # truncated payload
-        tbl = pa.Table.from_pylist(t, schema=pq.read_schema(os.path.join(t1_dir, "tiles.parquet")))
+        tbl = pa.Table.from_pylist(t, schema=fixtures._TILE_SCHEMA)
         df = _decoded_df(tbl, t1_meta)
         bad = df[df["status"] != "ok"]
         assert len(bad) == 1
@@ -80,9 +80,9 @@ class TestCorruption:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(t1_dir, "tiles.parquet")).to_pylist()
+        t = pq.read_table(os.path.join(t1_dir, "tiles")).to_pylist()
         t[5]["phash"] = t[5]["phash"] ^ 0xFF  # corrupt the recorded hash
-        tbl = pa.Table.from_pylist(t, schema=pq.read_schema(os.path.join(t1_dir, "tiles.parquet")))
+        tbl = pa.Table.from_pylist(t, schema=fixtures._TILE_SCHEMA)
         df = _decoded_df(tbl, t1_meta, verify_phash=True)
         assert (df["status"] == "phash_mismatch").sum() == 1
 
@@ -93,7 +93,7 @@ class TestCaptionEquality:
         (per-row caption equality, input_hint)."""
         import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(t1_dir, "tiles.parquet"))
+        t = pq.read_table(os.path.join(t1_dir, "tiles"))
         for cap, iid in zip(t["caption"].to_pylist()[:20], t["image_id"].to_pylist()[:20]):
             meta = json.loads(cap)
             code, tr, tc = iid.split("/")

@@ -130,13 +130,32 @@ class TestAgainstOracle:
 class TestInvariance:
     def test_bucket_partition_invariance(self, ray_session, t1_tiles, spec, t1_catalog):
         ks = [registry.create("shannon_diversity"), registry.create("species_richness")]
-        a = _pixels(ray_session, t1_tiles, ks, spec, t1_catalog, n_buckets=2, precise=True)
+        a = _pixels(
+            ray_session, t1_tiles, ks, spec, t1_catalog, n_buckets=2, precise=True,
+            layout="shuffle",
+        )
         ks = [registry.create("shannon_diversity"), registry.create("species_richness")]
-        b = _pixels(ray_session, t1_tiles, ks, spec, t1_catalog, n_buckets=32, precise=True)
+        b = _pixels(
+            ray_session, t1_tiles, ks, spec, t1_catalog, n_buckets=32, precise=True,
+            layout="shuffle",
+        )
         m = a.merge(b, on=["y", "x"], suffixes=("_a", "_b"))
         assert len(m) == len(a) == len(b)
         assert np.array_equal(m["shannon_diversity_a"], m["shannon_diversity_b"])
         assert np.array_equal(m["species_richness_a"], m["species_richness_b"])
+
+    def test_aligned_equals_shuffle(self, ray_session, t1_tiles, spec, t1_catalog):
+        """The zero-shuffle aligned fast path and the general groupby
+        exchange must produce identical results (physical-plan
+        invariance)."""
+        ks = [registry.create("shannon_diversity"), registry.create("dominant_species")]
+        a = _pixels(ray_session, t1_tiles, ks, spec, t1_catalog, precise=True, layout="aligned")
+        ks = [registry.create("shannon_diversity"), registry.create("dominant_species")]
+        b = _pixels(ray_session, t1_tiles, ks, spec, t1_catalog, precise=True, layout="shuffle")
+        m = a.merge(b, on=["y", "x"], suffixes=("_a", "_b"))
+        assert len(m) == len(a) == len(b) > 0
+        assert np.array_equal(m["shannon_diversity_a"], m["shannon_diversity_b"])
+        assert np.array_equal(m["dominant_species_a"], m["dominant_species_b"])
 
 
 class TestEdgeCases:
