@@ -363,7 +363,6 @@ def q_ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
 
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
-    from ray.data.aggregate import Max, Min, Sum
 
     from gridfia_ray.context import tune_context
 
@@ -383,17 +382,18 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
         g["n_events"] = g["n_events"].astype(np.int64)
         return g
 
-    out = (
-        events.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value_c", alias_name="sum_value_c"),
-            Min("min_value", alias_name="min_value"),
-            Max("max_value", alias_name="max_value"),
-        )
-        .to_pandas()
-    )
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    out = bucketed_agg(
+        events.map_batches(partial, batch_format="pandas"),
+        ["user_id", "window_start"],
+        {
+            "n_events": ("n_events", "sum"),
+            "sum_value_c": ("sum_value_c", "sum"),
+            "min_value": ("min_value", "min"),
+            "max_value": ("max_value", "max"),
+        },
+    ).to_pandas()
     out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_value_c"] = out["sum_value_c"].astype(np.int64)
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
@@ -459,7 +459,6 @@ def q_rel_top_customers(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from gridfia_ray.context import tune_context
 
@@ -494,12 +493,13 @@ def q_rel_top_customers(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    out = (
-        li.map_batches(JoinRev, batch_format="pandas", concurrency=(1, 8))
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
-        .to_pandas()
-    )
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    out = bucketed_agg(
+        li.map_batches(JoinRev, batch_format="pandas", concurrency=(1, 8)),
+        ["o_custkey"],
+        {"revenue_c": ("revenue_c", "sum")},
+    ).to_pandas()
     out["revenue_c"] = out["revenue_c"].astype(np.int64)
     out = out.sort_values(["revenue_c", "o_custkey"], ascending=[False, True]).head(10)
     return out.reset_index(drop=True)

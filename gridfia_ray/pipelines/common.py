@@ -62,6 +62,20 @@ def read_tiles(source) -> rd.Dataset:
     return rd.read_parquet(source, override_num_blocks=max(n_files, 1))
 
 
+def read_tiles_species(source, species: list[str]) -> rd.Dataset | None:
+    """File-level species pruning: per-species stores (part-{code}.parquet)
+    read ONLY the selected species' files — the cheapest possible filter
+    (nothing else leaves storage). Returns None when the layout doesn't
+    allow it (caller falls back to read + row filter)."""
+    if not isinstance(source, str) or not os.path.isdir(source):
+        return None
+    paths = [os.path.join(source, f"part-{c}.parquet") for c in species]
+    if not all(os.path.exists(p) for p in paths):
+        return None
+    tune_context()
+    return rd.read_parquet(paths, override_num_blocks=len(paths))
+
+
 def decoded_tiles(
     tiles: rd.Dataset,
     spec: GridSpec,

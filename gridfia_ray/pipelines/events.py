@@ -20,7 +20,7 @@ def tumbling_window_agg(
     events: rd.Dataset, window: str = "hour", key: str = "user_id", value: str = "value"
 ) -> rd.Dataset:
     """Per (key, window_start): n_events, sum/min/max of ``value``."""
-    from ray.data.aggregate import Max, Min, Sum
+    from gridfia_ray.stages.agg_util import bucketed_agg
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[[key, "ts", value]].copy()
@@ -34,15 +34,17 @@ def tumbling_window_agg(
         g["n_events"] = g["n_events"].astype(np.int64)
         return g
 
-    return (
-        events.map_batches(partial, batch_format="pandas")
-        .groupby([key, "window_start"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-            Min("min_value", alias_name="min_value"),
-            Max("max_value", alias_name="max_value"),
-        )
+    # user×window cardinality is ~O(rows): bucketed merge, not
+    # Dataset.aggregate (per-group reduce overhead — see agg_util)
+    return bucketed_agg(
+        events.map_batches(partial, batch_format="pandas"),
+        [key, "window_start"],
+        {
+            "n_events": ("n_events", "sum"),
+            "sum_value": ("sum_value", "sum"),
+            "min_value": ("min_value", "min"),
+            "max_value": ("max_value", "max"),
+        },
     )
 
 

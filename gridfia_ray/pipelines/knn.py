@@ -115,10 +115,15 @@ def knn_interpolate(
     tiles_path: str, plots: dict, spec: GridSpec, k: int = 4, power: float = 2.0
 ) -> rd.Dataset:
     """One kNN/IDW row per tile position (distinct tiles via the '0000'
-    layer — every tile position has exactly one total row)."""
-    tiles = read_tiles(tiles_path).map_batches(
-        species_prefilter(codes_keep=["0000"]), batch_format="pyarrow"
-    )
+    layer — every tile position has exactly one total row). Per-species
+    stores prune at the file level (only the '0000' file is read)."""
+    from gridfia_ray.pipelines.common import read_tiles_species
+
+    tiles = read_tiles_species(tiles_path, ["0000"])
+    if tiles is None:
+        tiles = read_tiles(tiles_path).map_batches(
+            species_prefilter(codes_keep=["0000"]), batch_format="pyarrow"
+        )
     return tiles.map_batches(
         KnnActor,
         fn_constructor_kwargs=dict(plots=plots, spec=spec, k=k, power=power),

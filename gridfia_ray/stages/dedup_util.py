@@ -3,16 +3,21 @@
 ``groupby(key).map_groups`` makes one Python group call *per key*; with
 10^12 keys that is the wrong altitude. Instead: hash the key columns
 into ``n_buckets`` buckets (deterministic SipHash via
-``pd.util.hash_pandas_object``), shuffle on the bucket, and run a
-vectorized ``drop_duplicates`` per bucket. Same result, O(buckets)
-Python calls. All rows of a key land in one bucket, so distinctness is
-exact; the winner within a key is pinned by ``sort_cols``.
+``pd.util.hash_pandas_object``), shuffle on the bucket, and pick winners
+per bucket vectorized. Same result, O(buckets) Python calls.
+
+Payload discipline: heavy columns (tile payload bytes) never convert to
+Python objects — a *local* per-batch dedup runs before the shuffle (the
+combiner: most duplicates are co-located with their original), and the
+per-bucket winner selection computes positions on the light key/sort
+columns only, then ``pyarrow.Table.take``s the winning rows.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 
@@ -21,6 +26,12 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
     for k in keys:
         h ^= pd.util.hash_pandas_object(df[k], index=False).to_numpy()
     return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _winner_positions(light: pd.DataFrame, keys: list[str], sort_cols: list[str]) -> np.ndarray:
+    order = light.sort_values(sort_cols, kind="mergesort")
+    keep = order.drop_duplicates(keys, keep="first")
+    return np.sort(keep.index.to_numpy())
 
 
 def bucketed_distinct(
@@ -32,18 +43,23 @@ def bucketed_distinct(
     """One row per distinct key tuple; winner = first after sorting by
     ``sort_cols`` (default: the keys themselves) — deterministic."""
     sort_cols = sort_cols or keys
+    light_cols = list(dict.fromkeys([*keys, *sort_cols]))
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__bucket"] = _bucket_of(batch, keys, n_buckets)
-        return batch
+    def local_dedup_and_bucket(batch: pa.Table) -> pa.Table:
+        light = batch.select(light_cols).to_pandas().reset_index(drop=True)
+        pos = _winner_positions(light, keys, sort_cols)
+        batch = batch.take(pa.array(pos))
+        b = _bucket_of(light.iloc[pos].reset_index(drop=True), keys, n_buckets)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
-    def dedup(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values(sort_cols, kind="mergesort").drop_duplicates(keys, keep="first")
-        return out.drop(columns="__bucket")
+    def dedup(group: pa.Table) -> pa.Table:
+        light = group.select(light_cols).to_pandas().reset_index(drop=True)
+        pos = _winner_positions(light, keys, sort_cols)
+        out = group.take(pa.array(pos))
+        return out.drop_columns(["__bucket"])
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(local_dedup_and_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(dedup, batch_format="pandas")
+        .map_groups(dedup, batch_format="pyarrow")
     )
