@@ -265,12 +265,12 @@ def embedding_near_dup_pairs(
         batch_size=4096,
         concurrency=(1, 4),
     )
-    from gridfia_ray.stages.dedup_util import bucketed_distinct
+    from gridfia_ray.stages.dedup_util import bucketed_candidate_pairs, bucketed_distinct
 
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucketed_candidate_pairs(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["band", "band_val"],
+        bucket_pairs,
     )
     return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
 

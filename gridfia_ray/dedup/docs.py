@@ -155,18 +155,17 @@ def minhash_lsh_pairs(
                         out["est_jaccard"].append(est)
         return pd.DataFrame(out)
 
-    from gridfia_ray.stages.dedup_util import bucketed_distinct
+    from gridfia_ray.stages.dedup_util import bucketed_candidate_pairs, bucketed_distinct
 
-    pairs = (
+    pairs = bucketed_candidate_pairs(
         docs.map_batches(
             MinHasher,
             fn_constructor_kwargs=dict(n_perm=n_perm, k_shingle=k_shingle, seed=seed),
             batch_format="pandas",
-            concurrency=(1, 4),
-        )
-        .map_batches(explode_bands, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+            concurrency=(1, 8),
+        ).map_batches(explode_bands, batch_format="pandas"),
+        ["band", "band_hash"],
+        bucket_pairs,
     )
     return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
 
@@ -243,13 +242,14 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 8) -> r
             {"a": ids[ii[keep]], "b": ids[jj[keep]], "hamming": hm[keep].astype(np.int64)}
         )
 
-    from gridfia_ray.stages.dedup_util import bucketed_distinct
+    from gridfia_ray.stages.dedup_util import bucketed_candidate_pairs, bucketed_distinct
 
-    pairs = (
-        docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
-        .map_batches(explode, batch_format="pandas")
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucketed_candidate_pairs(
+        docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8)).map_batches(
+            explode, batch_format="pandas"
+        ),
+        ["band", "band_val"],
+        bucket_pairs,
     )
     return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
 

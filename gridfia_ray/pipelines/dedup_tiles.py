@@ -23,13 +23,59 @@ import ray.data as rd
 from gridfia_ray.codecs.phash import hamming64
 
 
-def exact_dedup(tiles: rd.Dataset, key: str = "image_id", n_buckets: int = 64) -> rd.Dataset:
-    """Keep exactly one row per key — bucketed hash-partition dedup
-    (O(buckets) Python calls, not O(keys); see stages/dedup_util.py).
-    Deterministic winner: smallest (phash, fmt) among duplicates."""
+def exact_dedup(
+    tiles: rd.Dataset,
+    key: str = "image_id",
+    n_buckets: int = 64,
+    max_broadcast_keys: int = 5_000_000,
+) -> rd.Dataset:
+    """Keep exactly one row per key. Deterministic winner: smallest
+    (phash, fmt) among duplicates.
+
+    Two-phase so the 64 KB payloads never shuffle for the (typical)
+    clean majority:
+      1. key-only pass: per-batch value counts → bucketed merge → the
+         set of keys with count > 1 (shuffles key strings, nothing else);
+      2. rows whose key is NOT duplicated stream through untouched; only
+         the duplicated-key subset (broadcast set filter) pays the
+         payload shuffle of ``bucketed_distinct``.
+    Falls back to the full payload shuffle when the duplicate-key set is
+    too large to broadcast (``max_broadcast_keys``) — the documented
+    small-duplicate-fraction assumption.
+    """
+    import pyarrow.compute as pc
+
+    from gridfia_ray.stages.agg_util import bucketed_agg
     from gridfia_ray.stages.dedup_util import bucketed_distinct
 
-    return bucketed_distinct(tiles, [key], n_buckets, sort_cols=[key, "phash", "fmt"])
+    def key_counts(batch: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(batch[key].to_pylist()).value_counts()
+        return pd.DataFrame({key: vc.index, "n": vc.to_numpy().astype(np.int64)})
+
+    counts = bucketed_agg(
+        tiles.map_batches(key_counts, batch_format="pyarrow"), [key], {"n": ("n", "sum")}
+    ).to_pandas()
+    dup_keys = counts.loc[counts["n"] > 1, key]
+    if len(dup_keys) == 0:
+        return tiles
+    if len(dup_keys) > max_broadcast_keys:
+        return bucketed_distinct(tiles, [key], n_buckets, sort_cols=[key, "phash", "fmt"])
+    dup_set = pa.array(dup_keys.tolist())
+
+    def clean_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch[key], value_set=dup_set)))
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[key], value_set=dup_set))
+
+    clean = tiles.map_batches(clean_rows, batch_format="pyarrow")
+    dups = bucketed_distinct(
+        tiles.map_batches(dup_rows, batch_format="pyarrow"),
+        [key],
+        max(8, n_buckets // 8),
+        sort_cols=[key, "phash", "fmt"],
+    )
+    return clean.union(dups)
 
 
 def _band_rows(n_bands: int):
@@ -87,11 +133,11 @@ def near_dup_pairs(
             {"a": ids[ii[keep]], "b": ids[jj[keep]], "hamming": hm[keep].astype(np.int64)}
         )
 
-    from gridfia_ray.stages.dedup_util import bucketed_distinct
+    from gridfia_ray.stages.dedup_util import bucketed_candidate_pairs, bucketed_distinct
 
-    pairs = (
-        tiles.map_batches(_band_rows(n_bands), batch_format="pyarrow")
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucketed_candidate_pairs(
+        tiles.map_batches(_band_rows(n_bands), batch_format="pyarrow"),
+        ["band", "band_val"],
+        bucket_pairs,
     )
     return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)

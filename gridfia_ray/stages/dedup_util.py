@@ -63,3 +63,45 @@ def bucketed_distinct(
         .groupby("__bucket")
         .map_groups(dedup, batch_format="pyarrow")
     )
+
+
+def bucketed_candidate_pairs(
+    ds: rd.Dataset,
+    bucket_keys: list[str],
+    pair_fn,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """LSH-band candidate-pair generation at the right altitude.
+
+    ``groupby(band, band_hash)`` makes one Python group call per LSH
+    bucket — O(rows × bands) tiny groups. Instead the band buckets hash
+    into ``n_buckets`` coarse buckets; inside each coarse bucket,
+    singleton band-buckets are dropped *vectorized* (``duplicated``),
+    and ``pair_fn(sub)`` runs only on band-buckets that actually hold
+    ≥ 2 members (the rare collision case).
+    """
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for k in bucket_keys:
+            h ^= pd.util.hash_pandas_object(batch[k], index=False).to_numpy()
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return batch
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        cand = group[group.duplicated(bucket_keys, keep=False)]
+        outs = []
+        for _, sub in cand.groupby(bucket_keys, sort=False):
+            out = pair_fn(sub)
+            if len(out):
+                outs.append(out)
+        if not outs:
+            return pair_fn(group.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
