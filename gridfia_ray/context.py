@@ -8,14 +8,17 @@ from __future__ import annotations
 
 
 def tune_context(
-    target_max_block_size: int = 128 * 1024 * 1024,
+    target_max_block_size: int = 256 * 1024 * 1024,
     preserve_order: bool = False,
     quiet: bool = True,
 ) -> None:
     """Apply scale-appropriate Ray Data context knobs.
 
-    * ``target_max_block_size`` default 128 MiB — tile rows are wide
-      (binary pixel payloads), so blocks self-size by bytes, not rows.
+    * ``target_max_block_size`` default 256 MiB — tile rows are wide
+      (binary pixel payloads); the target must EXCEED one ingest file's
+      decoded size, because dynamic block splitting slices the shared
+      binary buffer and every slice re-serializes the parent (measured
+      2x write amplification per extra split).
     * ``preserve_order=False`` — every operator here is key-addressed
       (cell_id / zone_id / species_code); order is meaningless and
       preserving it costs pipelining.

@@ -194,6 +194,22 @@ def q_tile_near_dup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_morans_i(sf_dir: str) -> pd.DataFrame:
+    from gridfia_ray.pipelines.moran import morans_i
+
+    f = _fx()
+    r = morans_i(f["tiles"], f["spec"])
+    return pd.DataFrame(
+        [
+            {
+                "morans_i_u": int(s6(r["morans_i"])),
+                "n_tiles": np.int64(r["n_tiles"]),
+                "w_pairs": np.int64(r["w_pairs"]),
+            }
+        ]
+    )
+
+
 def q_tile_catalog(sf_dir: str) -> pd.DataFrame:
     """S6 analog: species catalog with tile counts, no decode needed."""
     import pyarrow.compute as pc
@@ -552,6 +568,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_knn_idw": q_knn_idw,
         "gf_tile_dedup_exact": q_tile_dedup_exact,
         "gf_tile_near_dup": q_tile_near_dup,
+        "gf_morans_i": q_morans_i,
         "gf_tile_catalog": q_tile_catalog,
         "gf_store_validate": q_store_validate,
         # documents / embeddings / events / relational
@@ -728,6 +745,19 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) hamming
         FROM u a JOIN u b ON a.image_id < b.image_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 6"""
+    sql["gf_morans_i"] = f"""
+        WITH tm AS (SELECT y // {t} tr, x // {t} tc, AVG(biomass) v
+                    FROM read_parquet('{P}') WHERE species_code = '0000' GROUP BY 1, 2),
+        st AS (SELECT AVG(v) m, COUNT(*) n FROM tm),
+        pr AS (SELECT (a.v - st.m) * (b.v - st.m) cr
+               FROM tm a JOIN tm b
+                 ON abs(a.tr - b.tr) <= 1 AND abs(a.tc - b.tc) <= 1
+                AND NOT (a.tr = b.tr AND a.tc = b.tc), st),
+        sq AS (SELECT SUM(POW(v - st.m, 2)) s FROM tm, st)
+        SELECT {_sql_s6("(st.n * 1.0 / (SELECT COUNT(*) FROM pr)) * ((SELECT SUM(cr) FROM pr) / sq.s)")} AS morans_i_u,
+               CAST(st.n AS BIGINT) AS n_tiles,
+               CAST((SELECT COUNT(*) FROM pr) AS BIGINT) AS w_pairs
+        FROM st, sq"""
     sql["gf_tile_catalog"] = (
         f"SELECT split_part(image_id, '/', 1) AS species_code, COUNT(*) AS n_tiles "
         f"FROM read_parquet('{T}/*.parquet') GROUP BY 1"

@@ -54,6 +54,40 @@ class PreparedPolygon:
         bx0, by0, bx1, by1 = self.bbox
         return minx < bx1 and maxx > bx0 and miny < by1 and maxy > by0
 
+    def crosses_boxes(
+        self, bx0: np.ndarray, by0: np.ndarray, bx1: np.ndarray, by1: np.ndarray
+    ) -> np.ndarray:
+        """Per box: does ANY polygon edge intersect the box? (vectorized
+        over boxes, loop over the few edges). Used to classify grid cells
+        as boundary (edge crosses) vs uniform (fully inside/outside, one
+        center test decides) — the O(perimeter) zonal optimization."""
+        bx0 = np.asarray(bx0, dtype=np.float64)
+        by0 = np.asarray(by0, dtype=np.float64)
+        bx1 = np.asarray(bx1, dtype=np.float64)
+        by1 = np.asarray(by1, dtype=np.float64)
+        out = np.zeros(bx0.shape, dtype=bool)
+        for x1, y1, x2, y2 in zip(self.x1, self.y1, self.x2, self.y2):
+            # bbox reject
+            ex0, ex1 = (x1, x2) if x1 <= x2 else (x2, x1)
+            ey0, ey1 = (y1, y2) if y1 <= y2 else (y2, y1)
+            cand = (bx0 <= ex1) & (bx1 >= ex0) & (by0 <= ey1) & (by1 >= ey0)
+            if not cand.any():
+                continue
+            # corners straddle the segment's line?
+            dx, dy = x2 - x1, y2 - y1
+            s00 = dx * (by0 - y1) - dy * (bx0 - x1)
+            s01 = dx * (by1 - y1) - dy * (bx0 - x1)
+            s10 = dx * (by0 - y1) - dy * (bx1 - x1)
+            s11 = dx * (by1 - y1) - dy * (bx1 - x1)
+            straddles = ~(
+                ((s00 > 0) & (s01 > 0) & (s10 > 0) & (s11 > 0))
+                | ((s00 < 0) & (s01 < 0) & (s10 < 0) & (s11 < 0))
+            )
+            out |= cand & straddles
+            if out.all():
+                break
+        return out
+
     def contains(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Even–odd containment for point arrays of any (equal) shape."""
         px = np.asarray(px, dtype=np.float64).ravel()

@@ -2,7 +2,9 @@
 
 Each class reproduces one reference calculation's semantics exactly
 (citations per class); all are pure vectorized numpy over a
-``(S, h, w)`` species stack, float64 internally.
+``(S, h, w)`` species stack. Math is dtype-preserving: production stacks
+arrive float32 (the reference's own arithmetic precision, half the
+memory traffic); oracle-precise runs feed float64 stacks.
 """
 
 from __future__ import annotations
@@ -46,9 +48,8 @@ class ShannonDiversity(Kernel):
     def calculate(self, stack, codes, ctx):
         base = str(self.params.get("base", "e"))
         sp, _ = _species_only(stack, codes)
-        sp = sp.astype(np.float64)
         total = sp.sum(axis=0)
-        out = np.zeros(sp.shape[1:], dtype=np.float64)
+        out = np.zeros(sp.shape[1:], dtype=sp.dtype if np.issubdtype(sp.dtype, np.floating) else np.float64)
         valid = total > 0
         if valid.any():
             p = np.zeros_like(sp)
@@ -78,9 +79,8 @@ class SimpsonDiversity(Kernel):
     def calculate(self, stack, codes, ctx: KernelContext):
         inverse = bool(self.params.get("inverse", True))
         sp, _ = _species_only(stack, codes)
-        sp = sp.astype(np.float64)
         total = sp.sum(axis=0)
-        out = np.zeros(sp.shape[1:], dtype=np.float64)
+        out = np.zeros(sp.shape[1:], dtype=sp.dtype if np.issubdtype(sp.dtype, np.floating) else np.float64)
         valid = total > 0
         if ctx.extent_has_biomass:
             p = np.zeros_like(sp)
@@ -111,7 +111,7 @@ class Evenness(Kernel):
         out = np.zeros_like(shannon)
         m = richness > 1
         if m.any():
-            out[m] = shannon[m] / np.log(richness[m].astype(np.float64))
+            out[m] = shannon[m] / np.log(richness[m].astype(shannon.dtype))
         return out
 
 
@@ -126,7 +126,7 @@ class TotalBiomass(Kernel):
 
     def calculate(self, stack, codes, ctx):
         sp, _ = _species_only(stack, codes)
-        return sp.astype(np.float64).sum(axis=0)
+        return sp.sum(axis=0)
 
 
 class TotalBiomassComparison(Kernel):
@@ -142,8 +142,8 @@ class TotalBiomassComparison(Kernel):
     def calculate(self, stack, codes, ctx):
         total, sp, _ = split_total(stack, codes)
         if total is None or sp.shape[0] == 0:
-            return np.full(stack.shape[1:], np.nan, dtype=np.float64)
-        return np.abs(total.astype(np.float64) - sp.astype(np.float64).sum(axis=0))
+            return np.full(stack.shape[1:], np.nan, dtype=np.float32)
+        return np.abs(total - sp.sum(axis=0))
 
 
 class SpeciesProportion(Kernel):
@@ -165,8 +165,8 @@ class SpeciesProportion(Kernel):
         idx = np.nonzero(spc == code)[0]
         if idx.size == 0:
             raise ValueError(f"species {code} not in stack")
-        sb = sp[int(idx[0])].astype(np.float64)
-        total = sp.astype(np.float64).sum(axis=0)
+        sb = sp[int(idx[0])]
+        total = sp.sum(axis=0)
         out = np.zeros_like(sb)
         m = total > 0
         out[m] = sb[m] / total[m]
@@ -201,8 +201,8 @@ class SpeciesGroupProportion(Kernel):
         sel = np.isin(spc, group)
         if sel.sum() != len(set(group)):
             raise ValueError(f"group codes {group} not all present")
-        gsum = sp[sel].astype(np.float64).sum(axis=0)
-        total = sp.astype(np.float64).sum(axis=0)
+        gsum = sp[sel].sum(axis=0)
+        total = sp.sum(axis=0)
         out = np.zeros_like(gsum)
         m = total > 0
         out[m] = gsum[m] / total[m]

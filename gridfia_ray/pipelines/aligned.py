@@ -88,6 +88,14 @@ class AlignedStackRunner:
             self.files.pop(ti)
         self.readers = [pq.ParquetFile(f) for f in self.files]
         self.kernels = kernels  # instances travel whole (incl. precise-dtype overrides)
+        # float64 math only when some kernel demands float64 outputs
+        # (the oracle-precise mode); production matches the reference's
+        # float32 arithmetic and halves memory traffic
+        self.math_dtype = (
+            np.float64
+            if any(np.dtype(k.output_dtype) == np.float64 for k in kernels)
+            else np.float32
+        )
         self.ctx = ctx
         self.grid = CellGrid(spec.origin_x, spec.origin_y, spec.cell_size)
 
@@ -136,7 +144,7 @@ class AlignedStackRunner:
             cx = tf[0] + w * tf[1] / 2.0
             cy = tf[3] + h * tf[5] / 2.0
             cell_id = int(self.grid.cell_id(np.asarray([cx]), np.asarray([cy]))[0])
-            stack = np.stack([s[i] for s in stacks]).astype(np.float64)
+            stack = np.stack([s[i] for s in stacks]).astype(self.math_dtype)
             for k in self.kernels:
                 try:
                     res = k.calculate(stack, codes, self.ctx)
@@ -167,13 +175,15 @@ def aligned_run_metrics(
 ) -> rd.Dataset:
     """Zero-shuffle metrics over an aligned store: Dataset of row-group
     indices → AlignedStackRunner actor pool → result-tile rows."""
+    # one BLOCK per work item: Ray Data schedules per block, so a single
+    # block would serialize the whole pool onto one actor
+    from gridfia_ray.stages.worker_state import worker_cached
+
     items = [{"row_group": i} for i in range(layout["n_row_groups"])]
-    work = rd.from_items(items)
-    if concurrency is None:
-        concurrency = (1, max(2, cluster_cpus() - 2))
+    work = rd.from_items(items, override_num_blocks=len(items))
     return work.map_batches(
-        AlignedStackRunner,
-        fn_constructor_kwargs=dict(
+        worker_cached(
+            AlignedStackRunner,
             files=layout["files"],
             codes=layout["codes"],
             kernels=kernels,
@@ -183,6 +193,5 @@ def aligned_run_metrics(
         ),
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=concurrency,
         num_cpus=1,
     )

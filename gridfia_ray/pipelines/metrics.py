@@ -72,7 +72,7 @@ def occurrence_stats(decoded: rd.Dataset, biomass_threshold: float = 0.0) -> pd.
 
     out = (
         decoded.map_batches(partial, batch_format="pyarrow")
-        .groupby("species_code")
+        .groupby("species_code", num_partitions=8)
         .aggregate(
             Sum("present_px", alias_name="present_px"),
             Sum("n_px", alias_name="n_px"),

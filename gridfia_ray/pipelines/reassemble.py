@@ -1,0 +1,93 @@
+"""Raster reassembly sink: result-tile rows → full 2-D raster files.
+
+The tabular analog of the reference's GeoTIFF/Zarr/NetCDF writers
+(``gridfia/core/processors/forest_metrics.py:547-637``). Results normally
+STAY tabular (tile rows in parquet — the streaming, resumable layout);
+reassembly is a presentation-layer export for consumers that want the
+dense raster back.
+
+Memory discipline: the driver never holds the raster in RAM — tiles
+stream via ``iter_batches`` into a ``numpy.memmap`` (the OS pages it),
+written band by band as batches arrive in any order. Output format is
+deliberately dependency-free: raw little-endian array + a JSON sidecar
+carrying dtype/shape/CRS/transform (the GeoTIFF tags analog) — loadable
+with one ``np.memmap`` call. At larger-than-disk scale, shard the export
+by tile-row bands (one memmap per band) with the same code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import ray.data as rd
+
+
+def write_raster(
+    result: rd.Dataset,
+    metric: str,
+    out_path: str,
+    grid: int,
+    tile: int,
+    crs: str = "",
+    transform: list | None = None,
+) -> dict:
+    """Stitch one metric's result tiles into ``out_path`` (.bin + .json).
+
+    ``result`` is the run_metrics output (any metrics mix — filtered to
+    ``metric`` here). Missing tiles stay at the sentinel fill.
+    """
+    n = grid * tile
+    first_dtype: np.dtype | None = None
+    mm: np.memmap | None = None
+    n_tiles = 0
+    for batch in result.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for i in range(batch.num_rows):
+            if batch["metric"][i].as_py() != metric:
+                continue
+            dt = np.dtype(batch["dtype"][i].as_py())
+            if mm is None:
+                first_dtype = dt
+                mm = np.memmap(out_path + ".bin", dtype=dt, mode="w+", shape=(n, n))
+                if np.issubdtype(dt, np.floating):
+                    mm[:] = np.nan
+                else:
+                    mm[:] = 0
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            arr = np.frombuffer(batch["pix"][i].as_py(), dtype=dt).reshape(h, w)
+            mm[tr * tile : tr * tile + h, tc * tile : tc * tile + w] = arr
+            n_tiles += 1
+    if mm is None:
+        raise ValueError(f"no result tiles for metric {metric!r}")
+    mm.flush()
+    meta = {
+        "metric": metric,
+        "dtype": np.dtype(first_dtype).str,
+        "shape": [n, n],
+        "crs": crs,
+        "transform": transform or [],
+        "n_tiles": n_tiles,
+        "layout": "raw little-endian row-major; np.memmap(path+'.bin', dtype, shape=shape)",
+    }
+    with open(out_path + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def read_raster(out_path: str) -> tuple[np.ndarray, dict]:
+    with open(out_path + ".json") as f:
+        meta = json.load(f)
+    arr = np.memmap(
+        out_path + ".bin", dtype=np.dtype(meta["dtype"]), mode="r", shape=tuple(meta["shape"])
+    )
+    return arr, meta
+
+
+def sample_tiles(tiles: rd.Dataset, fraction: float, seed: int = 42) -> rd.Dataset:
+    """O3 analog (``gridfia/examples/utils.py:212-250`` strided
+    downsample): seeded random tile sampling for memory-safe previews."""
+    return tiles.random_sample(fraction, seed=seed)

@@ -40,19 +40,38 @@ class ZonalJoinActor:
     ``{zone_id, geometry_wkb}`` dicts (the broadcast small side)."""
 
     def __init__(self, zones: list[dict], spec: GridSpec, emit: str = "partials"):
+        from gridfia_ray.geo.cells import morton_decode
+
         self.spec = spec
         self.grid = CellGrid(spec.origin_x, spec.origin_y, spec.cell_size)
         self.zone_ids: list[str] = []
         self.polys: list[PreparedPolygon] = []
-        self.cover: dict[int, list[int]] = {}
+        # cover map value: list of (zone_index, is_boundary). Interior
+        # cells (no polygon edge crosses the cell, center inside) need NO
+        # per-pixel mask — only the O(perimeter) boundary cells do. This
+        # is what makes zonal cost scale with zone perimeter, not area.
+        self.cover: dict[int, list[tuple[int, bool]]] = {}
         self.emit = emit
         self._mask_cache: dict[tuple[int, int, int], np.ndarray] = {}
+        cs = self.grid.cell_size
         for zi, z in enumerate(zones):
             pp = PreparedPolygon.from_wkb(z["geometry_wkb"])
             self.zone_ids.append(str(z["zone_id"]))
             self.polys.append(pp)
-            for cid in self.grid.cover_bbox(*pp.bbox):
-                self.cover.setdefault(int(cid), []).append(zi)
+            cells = self.grid.cover_bbox(*pp.bbox)
+            cxs, cys = morton_decode(cells)
+            bx0 = spec.origin_x + cxs * cs
+            bx1 = bx0 + cs
+            by1 = spec.origin_y - cys * cs
+            by0 = by1 - cs
+            boundary = pp.crosses_boxes(bx0, by0, bx1, by1)
+            centers_in = pp.contains(bx0 + cs / 2.0, by0 + cs / 2.0)
+            for j, cid in enumerate(cells):
+                if boundary[j]:
+                    self.cover.setdefault(int(cid), []).append((zi, True))
+                elif centers_in[j]:  # uniform cell fully inside
+                    self.cover.setdefault(int(cid), []).append((zi, False))
+                # uniform + center outside → cell fully outside → skip
 
     def _mask(self, zi: int, tr: int, tc: int, h: int, w: int, x0: float, y0: float,
               pxw: float, pxh: float) -> np.ndarray:
@@ -135,12 +154,14 @@ class ZonalJoinActor:
         if self.emit == "join":
             out_zone, out_img = [], []
             for i in range(n):
-                for zi in self.cover.get(int(cell[i]), ()):
-                    m = self._mask(zi, int(trs[i]), int(tcs[i]), int(hs[i]), int(ws[i]),
-                                   x0[i], y0[i], pxw[i], pxh[i])
-                    if m.any():
-                        out_zone.append(self.zone_ids[zi])
-                        out_img.append(image_ids[i])
+                for zi, is_boundary in self.cover.get(int(cell[i]), ()):
+                    if is_boundary:
+                        m = self._mask(zi, int(trs[i]), int(tcs[i]), int(hs[i]), int(ws[i]),
+                                       x0[i], y0[i], pxw[i], pxh[i])
+                        if not m.any():
+                            continue
+                    out_zone.append(self.zone_ids[zi])
+                    out_img.append(image_ids[i])
             return pa.table(
                 {"zone_id": pa.array(out_zone, pa.string()),
                  "image_id": pa.array(out_img, pa.string())}
@@ -153,16 +174,24 @@ class ZonalJoinActor:
             if not cands or pix[i] is None:
                 continue
             arr = pix[i]
-            for zi in cands:
-                m = self._mask(zi, int(trs[i]), int(tcs[i]), int(hs[i]), int(ws[i]),
-                               x0[i], y0[i], pxw[i], pxh[i])
-                if not m.any():
-                    continue
-                vals = arr[m]
+            for zi, is_boundary in cands:
+                if is_boundary:
+                    m = self._mask(zi, int(trs[i]), int(tcs[i]), int(hs[i]), int(ws[i]),
+                                   x0[i], y0[i], pxw[i], pxh[i])
+                    if not m.any():
+                        continue
+                    vals = arr[m]
+                    cnt = float(np.count_nonzero(vals > 0))
+                    sm = float(vals.sum(dtype=np.float64))
+                    npx = float(vals.size)
+                else:  # interior cell: every pixel belongs, no mask
+                    cnt = float(np.count_nonzero(arr > 0))
+                    sm = float(arr.sum(dtype=np.float64))
+                    npx = float(arr.size)
                 a = agg.setdefault((self.zone_ids[zi], codes[i]), [0.0, 0.0, 0.0])
-                a[0] += float(np.count_nonzero(vals > 0))
-                a[1] += float(vals.sum(dtype=np.float64))
-                a[2] += float(vals.size)
+                a[0] += cnt
+                a[1] += sm
+                a[2] += npx
         keys = list(agg.keys())
         return pa.table(
             {
@@ -178,25 +207,90 @@ class ZonalJoinActor:
 def _zone_species_sums(tiles: rd.Dataset, zones: list[dict], spec: GridSpec) -> rd.Dataset:
     from ray.data.aggregate import Sum
 
+    from gridfia_ray.stages.worker_state import worker_cached
+
     partials = tiles.map_batches(
-        ZonalJoinActor,
-        fn_constructor_kwargs=dict(zones=zones, spec=spec),
+        worker_cached(ZonalJoinActor, zones=zones, spec=spec),
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, max(2, cluster_cpus() - 2)),
-        num_cpus=1,
     )
-    return partials.groupby(["zone_id", "species_code"]).aggregate(
+    # tiny aggregate (zones × species rows): few partitions, not the
+    # default ~200 — all-to-all latency dominates at this size
+    return partials.groupby(["zone_id", "species_code"], num_partitions=8).aggregate(
         Sum("present_px", alias_name="present_px"),
         Sum("sum_biomass", alias_name="sum_biomass"),
         Sum("n_px", alias_name="n_px"),
     )
 
 
+class ZonalRgRunner:
+    """Aligned-store zonal worker: one work item = (species file, row
+    group). The row group is read INSIDE the task (pixel bytes never
+    cross the object store — the same shape that makes the aligned
+    metrics path scale), decoded, PIP-refined and combined to per-item
+    (zone, species) partial rows."""
+
+    def __init__(self, files: list[str], zones: list[dict], spec: GridSpec):
+        import pyarrow.parquet as pq
+
+        self.files = files
+        self.readers = {i: pq.ParquetFile(f) for i, f in enumerate(files)}
+        self.join = ZonalJoinActor(zones, spec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = []
+        for i in range(batch.num_rows):
+            fi = int(batch["file_idx"][i].as_py())
+            rg = int(batch["row_group"][i].as_py())
+            t = self.readers[fi].read_row_group(
+                rg, columns=["image_id", "bytes", "w", "h", "fmt", "caption"]
+            )
+            tables.append(self.join(t))
+        if tables:
+            return pa.concat_tables(tables)
+        return pa.table(
+            {
+                "zone_id": pa.array([], pa.string()),
+                "species_code": pa.array([], pa.string()),
+                "present_px": pa.array([], pa.float64()),
+                "sum_biomass": pa.array([], pa.float64()),
+                "n_px": pa.array([], pa.float64()),
+            }
+        )
+
+
 def zone_species_table(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
     """Per (zone, species): present-pixel count, biomass sum, pixel count.
-    Decode is fused into the join actor (raw rows in, partials out)."""
+
+    Aligned stores take the in-task read path (work-list of file ×
+    row-group items, zero pixel bytes through the object store); other
+    inputs stream through the fused decode+join stage."""
+    from gridfia_ray.pipelines.aligned import aligned_layout
     from gridfia_ray.stages.decode import species_prefilter
+    from gridfia_ray.stages.worker_state import worker_cached
+    from ray.data.aggregate import Sum
+
+    al = aligned_layout(tiles_path)
+    if al is not None:
+        files = [f for f, c in zip(al["files"], al["codes"]) if c != "0000"]
+        items = [
+            {"file_idx": fi, "row_group": rg}
+            for fi in range(len(files))
+            for rg in range(al["n_row_groups"])
+        ]
+        n_blocks = min(len(items), max(64, 4 * cluster_cpus()))
+        work = rd.from_items(items, override_num_blocks=n_blocks)
+        partials = work.map_batches(
+            worker_cached(ZonalRgRunner, files=files, zones=zones, spec=spec),
+            batch_format="pyarrow",
+            batch_size=None,  # one task per block; ~tens of MB of pixel work each
+            num_cpus=1,
+        )
+        return partials.groupby(["zone_id", "species_code"], num_partitions=8).aggregate(
+            Sum("present_px", alias_name="present_px"),
+            Sum("sum_biomass", alias_name="sum_biomass"),
+            Sum("n_px", alias_name="n_px"),
+        )
 
     tiles = read_tiles(tiles_path).map_batches(
         species_prefilter(codes_drop=["0000"]), batch_format="pyarrow"
@@ -230,7 +324,7 @@ def zonal_stats(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
 
     return (
         zone_species_table(tiles_path, zones, spec)
-        .groupby("zone_id")
+        .groupby("zone_id", num_partitions=4)
         .map_groups(reduce_zone, batch_format="pandas")
     )
 
@@ -239,14 +333,13 @@ def tile_zone_join(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
     """The exact join rows: (zone_id, image_id) for every tile with at
     least one pixel center inside the zone — the north rule's
     'join output rows and tile assignments match' artifact."""
+    from gridfia_ray.stages.worker_state import worker_cached
+
     tiles = read_tiles(tiles_path)
     pairs = tiles.map_batches(
-        ZonalJoinActor,
-        fn_constructor_kwargs=dict(zones=zones, spec=spec, emit="join"),
+        worker_cached(ZonalJoinActor, zones=zones, spec=spec, emit="join"),
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, max(2, cluster_cpus() - 2)),
-        num_cpus=1,
     )
     return pairs
 

@@ -70,6 +70,11 @@ def make_kernel_group_fn(kernels: list[Kernel], ctx: KernelContext):
     fusion: one shuffle feeds all metrics, like the reference's single
     chunk loop feeding all calculations)."""
     catalog = ctx.catalog
+    math_dtype = (
+        np.float64
+        if any(np.dtype(k.output_dtype) == np.float64 for k in kernels)
+        else np.float32
+    )
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         group = group[group["status"] == "ok"]
@@ -91,7 +96,7 @@ def make_kernel_group_fn(kernels: list[Kernel], ctx: KernelContext):
         for s, e in zip(bounds[:-1], bounds[1:]):
             h, w = int(hs[s]), int(ws[s])
             codes = codes_all[s:e]
-            stack = np.empty((e - s, h, w), dtype=np.float64)
+            stack = np.empty((e - s, h, w), dtype=math_dtype)
             for j in range(s, e):
                 stack[j - s] = np.frombuffer(pix[j], dtype="<f4").reshape(h, w)
             for k in kernels:

@@ -1,0 +1,74 @@
+"""Raster reassembly sink + global percentile aggregates."""
+
+import numpy as np
+import pytest
+
+from gridfia_ray import fixtures
+from gridfia_ray.kernels.registry import registry
+from gridfia_ray.pipelines import metrics as M
+from gridfia_ray.pipelines.common import GridSpec, decoded_tiles, read_tiles
+from gridfia_ray.pipelines.percentiles import (
+    normalize_percentile_clip,
+    percentiles_histogram,
+    value_range,
+)
+from gridfia_ray.pipelines.reassemble import read_raster, sample_tiles, write_raster
+
+
+@pytest.fixture(scope="module")
+def spec(t1_meta):
+    return GridSpec.from_fixture_meta(t1_meta)
+
+
+class TestReassembly:
+    def test_roundtrip_matches_cube(self, ray_session, t1_tiles, spec, t1_catalog, t1_meta, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("raster") / "richness")
+        res = M.run_metrics(
+            t1_tiles, [registry.create("species_richness")], spec, t1_catalog,
+            n_tiles_hint=96, n_species_hint=5,
+        )
+        meta = write_raster(
+            res, "species_richness", out, grid=t1_meta["grid"], tile=t1_meta["tile"],
+            crs=t1_meta["crs"], transform=t1_meta["transform"],
+        )
+        assert meta["n_tiles"] == 16
+        arr, m2 = read_raster(out)
+        cube, catalog = fixtures.build_cube(fixtures.SCALES["t1"])
+        expect = np.count_nonzero(cube[1:] > 0, axis=0)
+        assert arr.shape == expect.shape
+        assert np.array_equal(np.asarray(arr), expect.astype(arr.dtype))
+        assert m2["crs"] == t1_meta["crs"]
+
+    def test_missing_metric_rejected(self, ray_session, t1_tiles, spec, t1_catalog, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("raster") / "nope")
+        res = M.run_metrics(
+            t1_tiles, [registry.create("species_richness")], spec, t1_catalog,
+            n_tiles_hint=96, n_species_hint=5,
+        )
+        with pytest.raises(ValueError):
+            write_raster(res, "shannon_diversity", out, grid=4, tile=64)
+
+    def test_sample_tiles(self, ray_session, t1_tiles):
+        ds = read_tiles(t1_tiles)
+        frac = sample_tiles(ds, 0.5, seed=7).count()
+        assert 0 < frac < 96
+
+
+class TestPercentiles:
+    def test_matches_numpy(self, ray_session, t1_tiles, spec):
+        decoded = decoded_tiles(read_tiles(t1_tiles), spec, include_total=False)
+        got = percentiles_histogram(decoded, [2, 50, 98], bins=8192)
+        cube, _ = fixtures.build_cube(fixtures.SCALES["t1"])
+        vals = cube[1:][cube[1:] != 0.0]
+        expect = np.percentile(vals, [2, 50, 98])
+        lo, hi = value_range(decoded)
+        tol = (hi - lo) / 8192 * 2
+        for q, e in zip([2, 50, 98], expect):
+            assert abs(got[q] - e) < tol, (q, got[q], e)
+
+    def test_normalize_clip(self):
+        a = np.array([0.0, 5.0, 10.0, np.nan])
+        out = normalize_percentile_clip(a, 2.0, 8.0)
+        assert out[0] == 0.0 and out[2] == 1.0
+        assert out[1] == pytest.approx(0.5)
+        assert np.isnan(out[3])
