@@ -46,7 +46,7 @@ def entry() -> Any:
     meta = fixtures.fixture_meta("t1")
     spec = GridSpec.from_fixture_meta(meta)
     zs = Z.zonal_stats(
-        os.path.join(d, "tiles.parquet"), Z.load_zones(os.path.join(d, "zones.parquet")), spec
+        os.path.join(d, "tiles"), Z.load_zones(os.path.join(d, "zones.parquet")), spec
     ).to_pandas()
     zs["n_docs_scored"] = n_docs
     return zs.sort_values("zone_id").reset_index(drop=True)
