@@ -78,9 +78,41 @@ class GridFIARay:
     ) -> int:
         """S9 analog: append one species' tile rows, validating geometry
         against the store (alignment checks of zarr_utils.py:989-1001).
-        Idempotent on image_id: re-appending an existing code raises."""
+        Idempotent on image_id: re-appending an existing code raises.
+
+        Directory (per-species) stores append by writing a NEW
+        ``part-{code}.parquet`` — no rewrite of existing data (the
+        tabular win over the reference's preallocated zarr, S8/S9)."""
+        import glob as _glob
+
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        if os.path.isdir(tiles_path):
+            target = os.path.join(tiles_path, f"part-{species_code}.parquet")
+            if os.path.exists(target):
+                raise InvalidTileTable(f"species {species_code} already in store")
+            ref_file = sorted(_glob.glob(os.path.join(tiles_path, "*.parquet")))[0]
+            meta = pq.ParquetFile(ref_file)
+            w = meta.schema_arrow  # noqa: F841 (schema check implied below)
+            first = next(meta.iter_batches(batch_size=1))
+            tile_w = int(first["w"][0].as_py())
+            n_tiles = meta.metadata.num_rows
+            grid = int(np.sqrt(n_tiles))
+            if layer.shape != (grid * tile_w, grid * tile_w):
+                raise InvalidTileTable(
+                    f"layer shape {layer.shape} misaligned with store grid "
+                    f"{grid}x{grid}x{tile_w}"
+                )
+            from gridfia_ray.fixtures import Scale, _species_table
+
+            shim = Scale("append", grid=grid, tile=tile_w, n_species=1)
+            t = _species_table(shim, np.asarray(layer, dtype=np.float32), species_code,
+                               species_name)
+            tmp = target + ".tmp"
+            pq.write_table(t, tmp, compression="zstd", row_group_size=32)
+            os.replace(tmp, target)
+            return t.num_rows
 
         existing = pq.read_table(tiles_path, columns=["image_id", "w", "h"])
         codes = {i.split("/")[0] for i in existing["image_id"].to_pylist()}

@@ -210,6 +210,33 @@ def q_morans_i(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_percentiles(sf_dir: str) -> pd.DataFrame:
+    """A5 analog: global value percentiles via the mergeable-histogram
+    sketch (approximate by design → rows-only check; exactness is pinned
+    in tests/test_reassemble_percentiles.py against np.percentile)."""
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+    from gridfia_ray.pipelines.percentiles import percentiles_histogram
+
+    f = _fx()
+    decoded = decoded_tiles(read_tiles(f["tiles"]), f["spec"], include_total=False)
+    got = percentiles_histogram(decoded, [2.0, 50.0, 98.0], bins=4096)
+    return pd.DataFrame(
+        {"q": [2.0, 50.0, 98.0], "value_u": s6([got[2.0], got[50.0], got[98.0]])}
+    )
+
+
+def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (SRP candidates + exact verify).
+    The sf embeddings are random → typically empty; recall behavior is
+    pinned with planted duplicates in tests/test_ann.py."""
+    from gridfia_ray.ann.search import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(_embeddings(sf_dir), threshold=0.95).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+    return out[["a", "b"]].astype(np.int64).sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_tile_catalog(sf_dir: str) -> pd.DataFrame:
     """S6 analog: species catalog with tile counts, no decode needed."""
     import pyarrow.compute as pc
@@ -553,6 +580,9 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_species_presence": _pixel_metric_query(
             "species_presence", "present", scaled=False, params={"species_code": "0131"}
         ),
+        "gf_species_percentage": _pixel_metric_query(
+            "species_percentage", "percentage_u", scaled=True, params={"species_code": "0110"}
+        ),
         "gf_rare_species": _pixel_metric_query(
             "rare_species", "n_rare", scaled=False, params={"occurrence_threshold": 0.05}
         ),
@@ -569,6 +599,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tile_dedup_exact": q_tile_dedup_exact,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_morans_i": q_morans_i,
+        "gf_percentiles": q_percentiles,
         "gf_tile_catalog": q_tile_catalog,
         "gf_store_validate": q_store_validate,
         # documents / embeddings / events / relational
@@ -581,6 +612,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_near_dup": q_emb_near_dup,
         "events_hourly": q_events_hourly,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
@@ -649,6 +681,10 @@ def build_oracle_sql() -> dict[str, str]:
         g AS (SELECT y, x, SUM(biomass) gb FROM p WHERE species_code IN ('{grp}') GROUP BY y, x)
         SELECT t.y, t.x, {_sql_s6("CASE WHEN t.total > 0 THEN g.gb/t.total ELSE 0 END")} AS group_u
         FROM tot t JOIN g USING (y, x)"""
+    sql["gf_species_percentage"] = f"""
+        {species_cte}, {tot_cte}
+        SELECT t.y, t.x, {_sql_s6("CASE WHEN t.total > 0 THEN sp.biomass/t.total*100.0 ELSE 0 END")} AS percentage_u
+        FROM tot t JOIN p sp USING (y, x) WHERE sp.species_code = '0110'"""
     sql["gf_biomass_threshold"] = f"""
         {species_cte} SELECT y, x, CAST(CASE WHEN SUM(biomass) > 50.0 THEN 1 ELSE 0 END AS BIGINT) AS above50
         FROM p GROUP BY y, x"""

@@ -123,3 +123,24 @@ class TestCheckpoint:
         )
         assert len(sharded) == len(direct) == 16
         assert (sharded["pix"] == direct["pix"]).all()
+
+
+class TestDirectoryAppend:
+    def test_append_writes_new_part_file(self, api, tmp_path, ray_session, t1_dir):
+        import shutil
+
+        store = str(tmp_path / "tiles")
+        shutil.copytree(os.path.join(t1_dir, "tiles"), store)
+        rng = np.random.RandomState(9)
+        n = api.append_species(store, rng.rand(256, 256).astype(np.float32) * 5, "0777", "New")
+        assert n == 16
+        assert os.path.exists(os.path.join(store, "part-0777.parquet"))
+        assert api.validate_store(store)["n_species"] == 7
+        # aligned layout still holds -> zero-shuffle path still applies
+        from gridfia_ray.pipelines.aligned import aligned_layout
+
+        assert aligned_layout(store) is not None
+        with pytest.raises(InvalidTileTable):
+            api.append_species(store, np.zeros((256, 256), np.float32), "0777", "Dup")
+        with pytest.raises(InvalidTileTable):
+            api.append_species(store, np.zeros((64, 64), np.float32), "0888", "Bad")
