@@ -322,11 +322,17 @@ def zonal_stats(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
             ]
         )
 
-    return (
-        zone_species_table(tiles_path, zones, spec)
-        .groupby("zone_id", num_partitions=4)
-        .map_groups(reduce_zone, batch_format="pandas")
+    # the per-(zone, species) table is small by construction (zones ×
+    # species rows — the heavy reduction already happened in the
+    # combiners), so the final A6 reduce folds on the driver instead of
+    # paying another distributed shuffle's fixed latency
+    zs = zone_species_table(tiles_path, zones, spec).to_pandas()
+    if len(zs) == 0:
+        return rd.from_items([])
+    out = pd.concat(
+        [reduce_zone(g) for _, g in zs.groupby("zone_id", sort=True)], ignore_index=True
     )
+    return rd.from_pandas(out)
 
 
 def tile_zone_join(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
