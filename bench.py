@@ -200,6 +200,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # pre-generate the corpus in the parent so no timed subprocess pays
+    # the one-time fixture build (matters when /tmp was wiped)
+    from gridfia_ray import fixtures
+
+    fixtures.ensure_fixture(os.environ.get("GRIDFIA_BENCH_SCALE", "bench-large"))
+
     lo = int(os.environ.get("GRIDFIA_SCALE_LO", "2"))
     hi = int(os.environ.get("GRIDFIA_SCALE_HI", "8"))
     trials = int(os.environ.get("GRIDFIA_SCALE_TRIALS", "2"))
