@@ -245,19 +245,33 @@ class GridFIARay:
 
         grid = CellGrid(self.spec.origin_x, self.spec.origin_y, self.spec.cell_size)
         cx, cy = grid.cell_xy(np.asarray([x]), np.asarray([y]))
-        tr, tc = int(cy[0]), int(cx[0])
-        target = f"{species_code}/{tr:04d}/{tc:04d}"
-        rows = (
-            read_tiles(tiles_path)
-            .filter(expr=f"image_id == '{target}'")
-            .take_all()
-        )
+        tr, tc = max(int(cy[0]), 0), max(int(cx[0]), 0)
+        # a point exactly on a cell edge belongs to the open interval of
+        # the next tile, but on the grid's outer right/bottom edge that
+        # tile doesn't exist — fall back to the tile whose closed edge
+        # the point sits on instead of failing (ADVICE r1)
+        fx = (x - self.spec.origin_x) / self.spec.cell_size
+        fy = (self.spec.origin_y - y) / self.spec.cell_size
+        cand = [(tr, tc)]
+        if fx == np.floor(fx) and tc > 0:
+            cand.append((tr, tc - 1))
+        if fy == np.floor(fy) and tr > 0:
+            cand.append((tr - 1, tc))
+            if fx == np.floor(fx) and tc > 0:
+                cand.append((tr - 1, tc - 1))
+        targets = [f"{species_code}/{r_:04d}/{c_:04d}" for r_, c_ in cand]
+        expr = " or ".join(f"image_id == '{t}'" for t in targets)
+        rows = read_tiles(tiles_path).filter(expr=expr).take_all()
         if not rows:
-            raise SpeciesNotFound(f"no tile {target}")
+            raise SpeciesNotFound(f"no tile {targets[0]}")
+        rows.sort(key=lambda r_: targets.index(r_["image_id"]))
         r = rows[0]
         meta = json.loads(r["caption"])
         arr = decode_tile(r["bytes"], r["fmt"], r["h"], r["w"], meta)
         tf = meta["transform"]
-        col = int((x - tf[0]) / tf[1])
-        row = int((y - tf[3]) / tf[5])
+        # floor + clamp: a point exactly on the tile's right/bottom edge is
+        # mapped to this tile by CellGrid clamping and must index the last
+        # pixel, not raise IndexError
+        col = min(max(int(np.floor((x - tf[0]) / tf[1])), 0), int(r["w"]) - 1)
+        row = min(max(int(np.floor((y - tf[3]) / tf[5])), 0), int(r["h"]) - 1)
         return float(arr[row, col])

@@ -521,11 +521,14 @@ def q_rel_top_customers(sf_dir: str) -> pd.DataFrame:
             self.custs = c[order]
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            idx = np.searchsorted(self.keys, batch["l_orderkey"].to_numpy())
-            cust = self.custs[np.clip(idx, 0, len(self.keys) - 1)]
+            ok = batch["l_orderkey"].to_numpy()
+            idx = np.clip(np.searchsorted(self.keys, ok), 0, len(self.keys) - 1)
+            hit = self.keys[idx] == ok  # drop orphan orderkeys instead of
+            idx, ok_rows = idx[hit], hit  # attributing them to a neighbor
+            cust = self.custs[idx]
             rev_c = np.floor(
-                batch["l_extendedprice"].to_numpy()
-                * (1.0 - batch["l_discount"].to_numpy())
+                batch["l_extendedprice"].to_numpy()[ok_rows]
+                * (1.0 - batch["l_discount"].to_numpy()[ok_rows])
                 * 100
                 + 0.5
             ).astype(np.int64)

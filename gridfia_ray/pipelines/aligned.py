@@ -52,7 +52,11 @@ def aligned_layout(tiles_dir) -> dict | None:
     files = sorted(glob.glob(os.path.join(tiles_dir, "*.parquet")))
     if len(files) < 1:
         return None
-    metas = [pq.ParquetFile(f).metadata for f in files]
+    # only the engine's own per-species layout qualifies: part-{code}.parquet
+    if any(not os.path.basename(f).startswith("part-") for f in files):
+        return None
+    readers = [pq.ParquetFile(f) for f in files]
+    metas = [r.metadata for r in readers]
     n_rows = metas[0].num_rows
     n_rgs = metas[0].num_row_groups
     if any(m.num_rows != n_rows or m.num_row_groups != n_rgs for m in metas):
@@ -60,6 +64,16 @@ def aligned_layout(tiles_dir) -> dict | None:
     codes = [os.path.basename(f)[len("part-") : -len(".parquet")] for f in files]
     if any(not c for c in codes):
         return None
+    # cross-check each filename code against the image_id prefix of the
+    # file's first row — a directory of equal-shaped files with other
+    # content must NOT be silently treated as an aligned store
+    for r, code in zip(readers, codes):
+        try:
+            first = next(r.iter_batches(batch_size=1, columns=["image_id"]))
+        except Exception:
+            return None
+        if first.num_rows == 0 or first["image_id"][0].as_py().split("/", 1)[0] != code:
+            return None
     return {"files": files, "codes": codes, "n_rows": n_rows, "n_row_groups": n_rgs}
 
 

@@ -58,23 +58,52 @@ def exact_dedup(
     dup_keys = counts.loc[counts["n"] > 1, key]
     if len(dup_keys) == 0:
         return tiles
+
+    # winner sort includes a content hash of the payload: two rows with
+    # equal (key, phash, fmt) but different bytes would otherwise keep an
+    # arbitrary survivor depending on block order (ADVICE r1). Computed
+    # only on rows entering a shuffle-dedup (the duplicated subset in the
+    # common path — cheap vectorized lane hash, not a byte loop).
+    def with_chash(batch: pa.Table) -> pa.Table:
+        from gridfia_ray.codecs.phash import content_hash64
+
+        if "bytes" not in batch.column_names:
+            return batch.append_column(
+                "__chash", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+            )
+        ch = np.fromiter(
+            (content_hash64(b) for b in batch["bytes"].to_pylist()),
+            np.int64,
+            batch.num_rows,
+        )
+        return batch.append_column("__chash", pa.array(ch, pa.int64()))
+
+    def drop_chash(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__chash"])
+
+    sort_cols = [key, "phash", "fmt", "__chash"]
     if len(dup_keys) > max_broadcast_keys:
-        return bucketed_distinct(tiles, [key], n_buckets, sort_cols=[key, "phash", "fmt"])
+        return bucketed_distinct(
+            tiles.map_batches(with_chash, batch_format="pyarrow"),
+            [key],
+            n_buckets,
+            sort_cols=sort_cols,
+        ).map_batches(drop_chash, batch_format="pyarrow")
     dup_set = pa.array(dup_keys.tolist())
 
     def clean_rows(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.invert(pc.is_in(batch[key], value_set=dup_set)))
 
     def dup_rows(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch[key], value_set=dup_set))
+        return with_chash(batch.filter(pc.is_in(batch[key], value_set=dup_set)))
 
     clean = tiles.map_batches(clean_rows, batch_format="pyarrow")
     dups = bucketed_distinct(
         tiles.map_batches(dup_rows, batch_format="pyarrow"),
         [key],
         max(8, n_buckets // 8),
-        sort_cols=[key, "phash", "fmt"],
-    )
+        sort_cols=sort_cols,
+    ).map_batches(drop_chash, batch_format="pyarrow")
     return clean.union(dups)
 
 

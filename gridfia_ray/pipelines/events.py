@@ -16,15 +16,22 @@ import pandas as pd
 import ray.data as rd
 
 
+_WINDOW_ALIAS = {"hour": "h", "day": "D", "minute": "min", "second": "s", "week": "W"}
+
+
 def tumbling_window_agg(
     events: rd.Dataset, window: str = "hour", key: str = "user_id", value: str = "value"
 ) -> rd.Dataset:
     """Per (key, window_start): n_events, sum/min/max of ``value``."""
     from gridfia_ray.stages.agg_util import bucketed_agg
 
+    if window not in _WINDOW_ALIAS:
+        raise ValueError(f"unsupported window {window!r}; one of {sorted(_WINDOW_ALIAS)}")
+    freq = _WINDOW_ALIAS[window]
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[[key, "ts", value]].copy()
-        b["window_start"] = b["ts"].dt.floor("h" if window == "hour" else window)
+        b["window_start"] = b["ts"].dt.floor(freq)
         g = b.groupby([key, "window_start"], as_index=False).agg(
             n_events=(value, "size"),
             sum_value=(value, "sum"),

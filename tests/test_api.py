@@ -83,6 +83,19 @@ class TestCompute:
         si = [c for c, _ in catalog].index("0131")
         assert v == pytest.approx(float(cube[si, 10, 200]))
 
+    def test_identify_pixel_grid_edge(self, api, t1_tiles, ray_session, t1_meta):
+        """Point exactly on the grid's right/bottom edge clamps to the
+        last pixel instead of raising IndexError (ADVICE r1)."""
+        from gridfia_ray import fixtures
+
+        cube, catalog = fixtures.build_cube(fixtures.SCALES["t1"])
+        n = cube.shape[1]
+        x = t1_meta["transform"][0] + n * 30.0
+        y = t1_meta["transform"][3] - n * 30.0
+        v = api.identify_pixel(t1_tiles, x, y, "0131")
+        si = [c for c, _ in catalog].index("0131")
+        assert v == pytest.approx(float(cube[si, -1, -1]))
+
 
 class TestCheckpoint:
     def test_resume_skips_completed(self, api, t1_tiles, tmp_path, ray_session, t1_catalog):
@@ -144,3 +157,37 @@ class TestDirectoryAppend:
             api.append_species(store, np.zeros((256, 256), np.float32), "0777", "Dup")
         with pytest.raises(InvalidTileTable):
             api.append_species(store, np.zeros((64, 64), np.float32), "0888", "Bad")
+
+
+class TestAlignedProbe:
+    def test_rejects_foreign_directories(self, tmp_path, t1_dir):
+        """aligned_layout must not treat an arbitrary directory of
+        equal-shaped parquet files as an aligned store (ADVICE r1)."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from gridfia_ray.pipelines.aligned import aligned_layout
+
+        src = os.path.join(t1_dir, "tiles")
+        name0 = sorted(os.listdir(src))[0]
+
+        # wrong filenames (no part- prefix) -> rejected
+        d1 = str(tmp_path / "foreign")
+        os.makedirs(d1)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            shutil.copy(os.path.join(src, f), os.path.join(d1, f"data-{i}.parquet"))
+        assert aligned_layout(d1) is None
+
+        # part- names whose code contradicts the content -> rejected
+        d2 = str(tmp_path / "mismatched")
+        os.makedirs(d2)
+        shutil.copy(os.path.join(src, name0), os.path.join(d2, "part-9999.parquet"))
+        assert aligned_layout(d2) is None
+
+        # the genuine store still probes fine
+        assert aligned_layout(src) is not None
+        # sanity: first row's species prefix equals the filename code
+        code = name0[len("part-"):-len(".parquet")]
+        first = next(pq.ParquetFile(os.path.join(src, name0)).iter_batches(batch_size=1))
+        assert first["image_id"][0].as_py().startswith(code + "/")

@@ -36,6 +36,19 @@ class TestTumbling:
         assert (m["min_value"] == m["min_value_o"]).all()
         assert (m["max_value"] == m["max_value_o"]).all()
 
+    def test_day_window_alias(self, events_ds):
+        got = tumbling_window_agg(events_ds, window="day").to_pandas()
+        con = duckdb.connect()
+        want = con.execute(
+            f"SELECT user_id, date_trunc('day', ts) w, COUNT(*) n "
+            f"FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2"
+        ).df()
+        assert len(got) == len(want)
+
+    def test_bad_window_raises(self, events_ds):
+        with pytest.raises(ValueError, match="unsupported window"):
+            tumbling_window_agg(events_ds, window="fortnight")
+
 
 class TestSessionize:
     def test_sessions_split_on_gap(self, ray_session):
