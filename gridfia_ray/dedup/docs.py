@@ -27,7 +27,6 @@ import ray.data as rd
 from gridfia_ray.codecs.phash import hamming64
 
 _WORD = re.compile(r"\S+")
-_M61 = np.uint64((1 << 61) - 1)
 
 
 def _md5_64(texts: list[str]) -> np.ndarray:
@@ -63,16 +62,12 @@ def exact_dedup_docs(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
 
 
 def word_shingles(text: str, k: int = 3) -> set[int]:
-    """Hashed k-word shingles (64-bit)."""
-    toks = _WORD.findall(text or "")
-    if len(toks) < k:
-        joined = " ".join(toks)
-        return {_hash_str(joined)} if joined else set()
-    return {_hash_str(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+    """Hashed k-word shingles (64-bit, vectorized rolling hash)."""
+    from gridfia_ray.text.hashing import shingle_hashes64, token_hashes64
 
-
-def _hash_str(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 1
+    th, counts = token_hashes64([text])
+    sh, _ = shingle_hashes64(th, counts, k)
+    return set(sh.tolist())
 
 
 def jaccard(a: set, b: set) -> float:
@@ -84,7 +79,10 @@ def jaccard(a: set, b: set) -> float:
 class MinHasher:
     """Seeded universal-hash MinHash signatures (n_perm permutations of
     the 61-bit Mersenne field; public construction). Stateful stage —
-    the (a, b) coefficient tables are built once per actor."""
+    the (a, b) coefficient tables are built once per actor. The whole
+    batch is hashed vectorized: flat shingle array + per-doc offsets →
+    one ``minimum.reduceat`` per permutation block (text/hashing.py) —
+    no per-shingle hashing in Python (round-1 perf item 1)."""
 
     def __init__(self, n_perm: int = 128, k_shingle: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
@@ -93,19 +91,27 @@ class MinHasher:
         self.n_perm = n_perm
         self.k = k_shingle
 
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        from gridfia_ray.text.hashing import (
+            minhash_signatures,
+            shingle_hashes64,
+            token_hashes64,
+            unique_per_doc,
+        )
+
+        th, counts = token_hashes64(texts)
+        sh, sc = shingle_hashes64(th, counts, self.k)
+        u, uc = unique_per_doc(sh, sc)
+        return minhash_signatures(u, uc, self.a, self.b)
+
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.k)
-        if not sh:
-            return np.full(self.n_perm, np.iinfo(np.uint64).max >> 1, dtype=np.uint64)
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-        with np.errstate(over="ignore"):
-            hx = (self.a[:, None] * x[None, :] + self.b[:, None]) % _M61
-        return hx.min(axis=1)
+        return self.signatures([text])[0]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in batch["text"].fillna("")]
+        sigs = self.signatures(batch["text"].fillna("").tolist())
         out = batch[["doc_id"]].copy()
-        out["minhash_sig"] = [s.astype(np.int64).tobytes() for s in sigs]
+        sig_i64 = sigs.astype(np.int64)
+        out["minhash_sig"] = [sig_i64[i].tobytes() for i in range(len(out))]
         return out
 
 
@@ -125,49 +131,96 @@ def minhash_lsh_pairs(
 ) -> rd.Dataset:
     """Candidate pairs sharing ≥1 LSH band, verified by the signature
     Jaccard estimate ≥ threshold. Returns (a, b, est_jaccard) with a < b.
+
+    Payload-slim shape (round-1 perf items 1+7): band rows carry
+    ``doc_id`` only — the 1 KB signatures are NOT replicated into all
+    ``n_bands`` band rows. The signature table is computed once
+    (materialized, spillable), candidate pairs come out of the band
+    buckets id-only, and signatures re-join onto the (rare) candidates
+    via ``attach_pair_attrs`` for the estimate verification.
     """
     rows = n_perm // n_bands
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        recs = {"band": [], "band_hash": [], "doc_id": [], "minhash_sig": []}
-        for _, r in batch.iterrows():
-            sig = np.frombuffer(r["minhash_sig"], dtype=np.int64)
-            for b in range(n_bands):
-                h = hashlib.md5(sig[b * rows : (b + 1) * rows].tobytes()).digest()
-                recs["band"].append(b)
-                recs["band_hash"].append(int.from_bytes(h[:8], "big") >> 1)
-                recs["doc_id"].append(r["doc_id"])
-                recs["minhash_sig"].append(r["minhash_sig"])
-        return pd.DataFrame(recs)
+        """(doc_id, sig) → n_bands id-only rows, fully vectorized: the
+        signature matrix is rebuilt zero-copy from concatenated bytes,
+        band hashes are a polynomial combine + avalanche over the
+        (n, bands, rows) view — no iterrows, no per-band md5."""
+        from gridfia_ray.text.hashing import _P1, avalanche64
+
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {"band": pd.Series(dtype=np.int32), "band_hash": pd.Series(dtype=np.int64),
+                 "doc_id": pd.Series(dtype=np.int64)}
+            )
+        sig_bytes = batch["minhash_sig"].tolist()
+        mat = np.frombuffer(b"".join(sig_bytes), dtype=np.int64).reshape(n, n_perm)
+        bands3 = mat.view(np.uint64).reshape(n, n_bands, rows)
+        with np.errstate(over="ignore"):
+            acc = np.zeros((n, n_bands), np.uint64)
+            for j in range(rows):
+                acc = acc * _P1 ^ bands3[:, :, j]
+        band_hash = (avalanche64(acc) >> np.uint64(1)).astype(np.int64).ravel()
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                "band_hash": band_hash,
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), n_bands),
+            }
+        )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
-        out = {"a": [], "b": [], "est_jaccard": []}
-        if len(g) >= 2:
-            ids = g["doc_id"].tolist()
-            sigs = g["minhash_sig"].tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    est = estimate_jaccard(sigs[i], sigs[j])
-                    if est >= threshold:
-                        out["a"].append(ids[i])
-                        out["b"].append(ids[j])
-                        out["est_jaccard"].append(est)
-        return pd.DataFrame(out)
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
-    from gridfia_ray.stages.dedup_util import bucketed_candidate_pairs, bucketed_distinct
+    from gridfia_ray.stages.dedup_util import (
+        attach_pair_attrs,
+        bucketed_candidate_pairs,
+        bucketed_distinct,
+    )
+
+    # T6: the signature table feeds both the band explode and the final
+    # verification re-join — materialize once (object store, spillable)
+    sigs = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(n_perm=n_perm, k_shingle=k_shingle, seed=seed),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    ).materialize()
 
     pairs = bucketed_candidate_pairs(
-        docs.map_batches(
-            MinHasher,
-            fn_constructor_kwargs=dict(n_perm=n_perm, k_shingle=k_shingle, seed=seed),
-            batch_format="pandas",
-            concurrency=(1, 8),
-        ).map_batches(explode_bands, batch_format="pandas"),
+        sigs.map_batches(explode_bands, batch_format="pandas"),
         ["band", "band_hash"],
         bucket_pairs,
     )
-    return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
+    pairs = bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "est_jaccard": pd.Series(dtype=np.float64)}
+        )
+        if len(batch) == 0:
+            return out
+        n = len(batch)
+        mat_a = np.frombuffer(b"".join(batch["minhash_sig_a"]), np.int64).reshape(n, n_perm)
+        mat_b = np.frombuffer(b"".join(batch["minhash_sig_b"]), np.int64).reshape(n, n_perm)
+        est = (mat_a == mat_b).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"a": batch["a"].to_numpy()[keep], "b": batch["b"].to_numpy()[keep],
+             "est_jaccard": est[keep]}
+        )
+
+    return attach_pair_attrs(pairs, sigs, "doc_id", ["minhash_sig"]).map_batches(
+        verify, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -176,29 +229,22 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over token hashes (public Charikar construction)."""
+    """64-bit SimHash over token hashes (public Charikar construction),
+    vectorized: one bit-vote ``add.reduceat`` per bit plane over the
+    batch's flat token-hash array (round-1 perf item 6)."""
 
-    def __init__(self):
-        self.word = _WORD
+    def sim64_batch(self, texts: list[str]) -> np.ndarray:
+        from gridfia_ray.text.hashing import simhash_from_tokens, token_hashes64
+
+        th, counts = token_hashes64(texts)
+        return simhash_from_tokens(th, counts)
 
     def sim64(self, text: str) -> int:
-        toks = self.word.findall(text or "")
-        if not toks:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = _hash_str(t)
-            bits = (h >> np.arange(64)) & 1
-            acc += np.where(bits == 1, 1, -1)
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
-        return v - (1 << 64) if v >= 1 << 63 else v
+        return int(self.sim64_batch([text])[0])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["doc_id"]].copy()
-        out["simhash"] = np.asarray([self.sim64(t) for t in batch["text"].fillna("")], np.int64)
+        out["simhash"] = self.sim64_batch(batch["text"].fillna("").tolist())
         return out
 
 

@@ -105,3 +105,124 @@ def bucketed_candidate_pairs(
         .groupby("__bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+def attach_pair_attrs(
+    pairs: rd.Dataset,
+    attrs: rd.Dataset,
+    id_col: str,
+    attr_cols: list[str],
+    n_buckets: int = 32,
+    max_broadcast_ids: int = 2_000_000,
+) -> rd.Dataset:
+    """Join per-id attributes onto candidate pairs (a, b) as
+    ``{col}_a`` / ``{col}_b`` — the payload-slim LSH shape: band rows
+    carry ids only, heavy attributes (signatures, embeddings) ship
+    exactly once, to the pairs that need them, instead of being
+    replicated into every band row (round-1 perf item 7).
+
+    Fast path (candidate pairs are rare by LSH design): the distinct
+    pair-id set folds on the driver, the attr table is broadcast-
+    filtered to those ids and shipped via ``ray.put`` — zero extra
+    shuffle. Falls back to a fully distributed exploded join (pair
+    sides and attrs co-bucketed by id hash, two bucketed merges) when
+    the id set exceeds ``max_broadcast_ids``.
+    """
+    import ray
+
+    id_parts = pairs.map_batches(
+        lambda b: pd.DataFrame({id_col: pd.concat([b["a"], b["b"]]).unique()}),
+        batch_format="pandas",
+    ).to_pandas()
+    ids = id_parts[id_col].unique()
+
+    if len(ids) <= max_broadcast_ids:
+        id_set = set(ids.tolist())
+
+        def filt(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.loc[batch[id_col].isin(id_set), [id_col, *attr_cols]]
+
+        # O(pairs) rows with attrs — driver-small by the LSH-rarity
+        # assumption that gates this path
+        sub = attrs.map_batches(filt, batch_format="pandas").to_pandas()
+        sub = sub.drop_duplicates(id_col).set_index(id_col)
+        sub_ref = ray.put(sub)
+
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(sub_ref)
+            out = batch.copy()
+            for c in attr_cols:
+                out[f"{c}_a"] = lut[c].reindex(batch["a"]).to_numpy()
+                out[f"{c}_b"] = lut[c].reindex(batch["b"]).to_numpy()
+            return out
+
+        return pairs.map_batches(attach, batch_format="pandas")
+
+    # fallback: distributed exploded join, no driver materialization.
+    # Both legs emit one canonical object-dtype schema so union() sees
+    # matching blocks; extra pair columns beyond (a, b) are dropped.
+    cols_canon = ["__pa", "__pb", "__side", id_col, *attr_cols]
+
+    def pair_sides(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        out = pd.DataFrame(
+            {
+                "__pa": np.tile(batch["a"].to_numpy(), 2),
+                "__pb": np.tile(batch["b"].to_numpy(), 2),
+                "__side": np.repeat(np.array(["a", "b"]), n),
+                id_col: np.concatenate([batch["a"].to_numpy(), batch["b"].to_numpy()]),
+            }
+        ).astype(object)
+        for c in attr_cols:
+            out[c] = None
+        return out[cols_canon]
+
+    def attr_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col, *attr_cols]].copy().astype(object)
+        out["__pa"] = None
+        out["__pb"] = None
+        out["__side"] = ""
+        return out[cols_canon]
+
+    def bucket_by(cols):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            h = np.zeros(len(batch), dtype=np.uint64)
+            for k in cols:
+                h ^= pd.util.hash_pandas_object(batch[k], index=False).to_numpy()
+            batch = batch.copy()
+            batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+            return batch
+
+        return fn
+
+    def join_by_id(group: pd.DataFrame) -> pd.DataFrame:
+        side = group[group["__side"] != ""]
+        attr = group[group["__side"] == ""][[id_col, *attr_cols]].drop_duplicates(id_col)
+        out = side.merge(attr, on=id_col, how="inner")
+        return out[["__pa", "__pb", "__side", *attr_cols]]
+
+    def regroup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        a_side = group[group["__side"] == "a"]
+        b_side = group[group["__side"] == "b"]
+        ren_a = {c: f"{c}_a" for c in attr_cols}
+        ren_b = {c: f"{c}_b" for c in attr_cols}
+        out = a_side.rename(columns=ren_a).merge(
+            b_side.rename(columns=ren_b), on=["__pa", "__pb"], how="inner"
+        )
+        out = out.rename(columns={"__pa": "a", "__pb": "b"})
+        keep = ["a", "b", *ren_a.values(), *ren_b.values()]
+        return out[keep]
+
+    sides = pairs.map_batches(pair_sides, batch_format="pandas")
+    arows = attrs.map_batches(attr_rows, batch_format="pandas")
+    joined = (
+        sides.union(arows)
+        .map_batches(bucket_by([id_col]), batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(join_by_id, batch_format="pandas")
+    )
+    return (
+        joined.map_batches(bucket_by(["__pa", "__pb"]), batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(regroup_pairs, batch_format="pandas")
+    )

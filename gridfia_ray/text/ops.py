@@ -99,18 +99,11 @@ class LangId:
 
 def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
     """Order-sensitive 64-bit document fingerprint: polynomial rolling
-    hash over the whitespace token sequence (public Rabin–Karp style)."""
+    hash over the whitespace token sequence (public Rabin–Karp style).
+    Evaluated vectorized (text/hashing.py) — value-identical to the
+    per-character Horner loops it replaced (pinned in tests)."""
+    from gridfia_ray.text.hashing import fingerprint64_batch
+
     out = batch[["doc_id"]].copy()
-    fps = []
-    B = 1000003
-    M = (1 << 61) - 1
-    for t in batch["text"].fillna(""):
-        h = 0
-        for tok in _WS.findall(t):
-            th = 0
-            for ch in tok.encode("utf-8"):
-                th = (th * 131 + ch) % M
-            h = (h * B + th + 1) % M
-        fps.append(np.int64(h & 0x7FFFFFFFFFFFFFFF))
-    out["fingerprint"] = np.asarray(fps, dtype=np.int64)
+    out["fingerprint"] = fingerprint64_batch(batch["text"].fillna("").tolist())
     return out
