@@ -143,6 +143,11 @@ def run_bench() -> dict:
         plots = K.load_plots(os.path.join(bench_dir, "plots.parquet"))
         timed("knn_idw", lambda: K.knn_interpolate(tiles, plots, spec).count())
 
+        # spatial autocorrelation (bucketed-reduce Moran's I, A8)
+        from gridfia_ray.pipelines.moran import morans_i
+
+        timed("morans_i", lambda: morans_i(tiles, spec))
+
         # document / embedding / relational over sf_dir
         from gridfia_ray.contract import (
             q_ann_topk,

@@ -218,43 +218,58 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) via
     SRP band buckets + exact verification. Recall is probabilistic
     (near-identical vectors agree on almost all SRP bits, so any band
-    collides with high probability)."""
+    collides with high probability).
+
+    Payload-slim shape (round-1 perf item 7): band rows carry
+    ``vec_id`` + 8-byte signature slices only — the full float vectors
+    are NOT replicated into all ``n_bands`` band rows. Vectors re-join
+    onto the (rare) candidate pairs via ``attach_pair_attrs`` for the
+    exact cosine check, so embedding bytes ship once per candidate
+    side instead of ×bands through the shuffle."""
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = batch["srp_sig"].to_numpy().astype(np.int64).view(np.uint64)
         ids = batch["vec_id"].to_numpy()
-        emb = _as_matrix(batch["embedding"])
-        tables = []
+        n = len(ids)
+        band_val = np.empty(n * n_bands, np.int64)
         for b in range(n_bands):
-            tables.append(
-                pa.table(
-                    {
-                        "band": pa.array(np.full(len(ids), b, np.int32)),
-                        "band_val": pa.array(
-                            ((sig >> np.uint64(b * band_bits)) & np.uint64(mask)).astype(np.int64)
-                        ),
-                        "vec_id": pa.array(ids),
-                        "emb": pa.array(list(emb), pa.list_(pa.float64())),
-                    }
-                )
-            )
-        return pa.concat_tables(tables)
+            band_val[b * n : (b + 1) * n] = (
+                (sig >> np.uint64(b * band_bits)) & np.uint64(mask)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int32), n)),
+                "band_val": pa.array(band_val),
+                "vec_id": pa.array(np.tile(ids, n_bands)),
+            }
+        )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id", kind="mergesort")
-        out = {"a": [], "b": [], "cosine": []}
-        if len(g) >= 2:
-            ids = g["vec_id"].to_numpy()
-            m = _normalize(np.stack(g["emb"].to_numpy()))
-            sims = m @ m.T
-            ii, jj = np.triu_indices(len(ids), k=1)
-            keep = sims[ii, jj] >= threshold
-            out["a"] = ids[ii[keep]].tolist()
-            out["b"] = ids[jj[keep]].tolist()
-            out["cosine"] = sims[ii[keep], jj[keep]].tolist()
-        return pd.DataFrame(out)
+        ids = np.sort(g["vec_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=np.float64)}
+        )
+        if len(batch) == 0:
+            return out
+        va = _normalize(np.stack([np.asarray(v, np.float64) for v in batch["embedding_a"]]))
+        vb = _normalize(np.stack([np.asarray(v, np.float64) for v in batch["embedding_b"]]))
+        cos = (va * vb).sum(axis=1)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"a": batch["a"].to_numpy()[keep], "b": batch["b"].to_numpy()[keep],
+             "cosine": cos[keep]}
+        )
 
     sigs = embeddings.map_batches(
         SrpSigner,
@@ -265,14 +280,21 @@ def embedding_near_dup_pairs(
         batch_size=4096,
         concurrency=(1, 4),
     )
-    from gridfia_ray.stages.dedup_util import bucketed_candidate_pairs, bucketed_distinct
+    from gridfia_ray.stages.dedup_util import (
+        attach_pair_attrs,
+        bucketed_candidate_pairs,
+        bucketed_distinct,
+    )
 
     pairs = bucketed_candidate_pairs(
         sigs.map_batches(explode, batch_format="pyarrow"),
         ["band", "band_val"],
         bucket_pairs,
     )
-    return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
+    pairs = bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
+    return attach_pair_attrs(pairs, embeddings, "vec_id", ["embedding"]).map_batches(
+        verify, batch_format="pandas"
+    )
 
 
 def _infer_dim(embeddings: rd.Dataset) -> int:

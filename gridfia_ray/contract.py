@@ -358,6 +358,23 @@ def q_doc_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out[["a", "b"]].astype(np.int64).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_doc_dup_verified(sf_dir: str) -> pd.DataFrame:
+    """EXACT n-gram (k=3 word shingle) Jaccard near-dup pairs at
+    threshold 0.5 — prefix-filtered inverted index + keyed re-join
+    verification; SQL-checkable (unlike the MinHash estimate)."""
+    from gridfia_ray.dedup.docs import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "jaccard_u": pd.Series(dtype=np.int64)}
+        )
+    res = out[["a", "b"]].astype(np.int64)
+    res["jaccard_u"] = s6(out["jaccard"])
+    return res.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.dedup.docs import simhash_pairs
 
@@ -440,6 +457,40 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_value_c"] = out["sum_value_c"].astype(np.int64)
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min gap) over the events log — bucketed
+    vectorized split, integer-cents value sums (bit-exact vs the
+    DuckDB lag()/cumsum oracle)."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import sessionize
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["value_c"] = np.floor(batch["value"] * 100 + 0.5).astype(np.int64)
+        return batch.drop(columns=["value"])
+
+    out = sessionize(
+        events.map_batches(to_cents, batch_format="pandas"), value="value_c"
+    ).to_pandas()
+    res = pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "session_start": out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "session_end": out["session_end"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "n_events": out["n_events"].astype(np.int64),
+            "sum_value_c": out["sum_value"].astype(np.int64),
+        }
+    )
+    return res.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
 def q_rel_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -612,11 +663,13 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_dup_verified": q_doc_dup_verified,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_near_dup": q_emb_near_dup,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
     }
@@ -821,6 +874,24 @@ def build_oracle_sql() -> dict[str, str]:
           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
         FROM documents"""
+    sql["doc_dup_verified"] = r"""
+        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+                   FROM documents WHERE trim(text) <> ''),
+        sh AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE [array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)] END) s
+               FROM t),
+        e AS (SELECT doc_id, unnest(s) sh FROM sh),
+        sz AS (SELECT doc_id, len(s) n FROM sh),
+        cand AS (SELECT a.doc_id a, b.doc_id b, COUNT(*) c
+                 FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+        j AS (SELECT cand.a, cand.b, c * 1.0 / (sa.n + sb.n - c) jac
+              FROM cand JOIN sz sa ON sa.doc_id = cand.a
+                        JOIN sz sb ON sb.doc_id = cand.b)
+        SELECT a, b, CAST(FLOOR(jac*1000000 + 0.5) AS BIGINT) AS jaccard_u
+        FROM j WHERE jac >= 0.5"""
     sql["ann_topk"] = """
         WITH q AS (SELECT vec_id qid, embedding e FROM embeddings WHERE vec_id IN (0, 1, 2)),
         s AS (SELECT q.qid query_id, v.vec_id,
@@ -836,6 +907,23 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
                MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY 1, 2"""
+    sql["events_sessions"] = """
+        WITH d AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          FROM events),
+        s AS (
+          SELECT user_id, ts, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d)
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM s GROUP BY user_id, sid"""
     sql["rel_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -300,6 +300,122 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 8) -> r
     return bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
 
 
+class ShingleSets:
+    """Per-doc sorted unique shingle-hash sets: (doc_id, n_shingles,
+    set_bytes) — the side table for exact Jaccard verification.
+    Stateful stage (k cached); all hashing vectorized."""
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from gridfia_ray.text.hashing import (
+            shingle_hashes64,
+            token_hashes64,
+            unique_per_doc,
+        )
+
+        th, counts = token_hashes64(batch["text"].fillna("").tolist())
+        sh, sc = shingle_hashes64(th, counts, self.k)
+        u, uc = unique_per_doc(sh, sc)  # per-doc ascending order
+        starts = np.concatenate([[0], np.cumsum(uc)[:-1]])
+        out = batch[["doc_id"]].copy()
+        out["n_shingles"] = uc.astype(np.int64)
+        out["set_bytes"] = [
+            u[starts[i] : starts[i] + uc[i]].tobytes() for i in range(len(out))
+        ]
+        return out
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset, k: int = 3, threshold: float = 0.5
+) -> rd.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold),
+    fully distributed — the keyed-re-join form of the verification the
+    round-1 review asked for, upgraded to an exact operator:
+
+    1. per-doc sorted unique shingle sets (one vectorized pass);
+    2. *prefix filtering* (Bayardo/PPJoin, public): only the first
+       ``n − ceil(t·n) + 1`` shingles of each doc (ascending hash
+       order) enter the inverted index — any pair with jaccard ≥ t
+       provably shares a prefix element, so candidates stay sparse;
+    3. candidate pairs from the bucketed prefix index (ids only);
+    4. full sets re-join onto the (rare) candidates via
+       ``attach_pair_attrs``; exact intersection of the sorted arrays.
+
+    Exactness caveat: shingles are compared by 64-bit hash; a cross-doc
+    hash collision (P ≈ n²/2^64) could inflate an intersection count.
+    Hot-shingle skew note: a shingle shared by f prefixes yields
+    O(f²) candidates — the exact operator's inherent worst case; use
+    ``minhash_lsh_pairs`` as the approximate scale path for degenerate
+    corpora."""
+
+    def prefix_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_shingles"].to_numpy()
+        p = np.where(n > 0, n - np.ceil(threshold * n).astype(np.int64) + 1, 0)
+        ids = np.repeat(batch["doc_id"].to_numpy(), p)
+        vals = np.empty(int(p.sum()), np.int64)
+        pos = 0
+        sets = batch["set_bytes"].tolist()
+        for i in range(len(batch)):
+            if p[i]:
+                vals[pos : pos + p[i]] = np.frombuffer(sets[i], np.uint64)[: p[i]].view(
+                    np.int64
+                )
+                pos += p[i]
+        return pd.DataFrame({"shingle": vals, "doc_id": ids})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"a": [], "b": [], "jaccard": []}
+        for a, b, na, nb, sa, sb in zip(
+            batch["a"], batch["b"], batch["n_shingles_a"], batch["n_shingles_b"],
+            batch["set_bytes_a"], batch["set_bytes_b"],
+        ):
+            A = np.frombuffer(sa, np.uint64)
+            B = np.frombuffer(sb, np.uint64)
+            c = np.intersect1d(A, B, assume_unique=True).size
+            union = int(na) + int(nb) - c
+            jac = c / union if union else 1.0
+            if jac >= threshold:
+                out["a"].append(a)
+                out["b"].append(b)
+                out["jaccard"].append(jac)
+        return pd.DataFrame(
+            {"a": pd.Series(out["a"], dtype=np.int64),
+             "b": pd.Series(out["b"], dtype=np.int64),
+             "jaccard": pd.Series(out["jaccard"], dtype=np.float64)}
+        )
+
+    from gridfia_ray.stages.dedup_util import (
+        attach_pair_attrs,
+        bucketed_candidate_pairs,
+        bucketed_distinct,
+    )
+
+    sets = docs.map_batches(
+        ShingleSets, fn_constructor_kwargs=dict(k=k), batch_format="pandas",
+        concurrency=(1, 8),
+    ).materialize()  # feeds both the prefix index and the verify re-join
+    pairs = bucketed_candidate_pairs(
+        sets.map_batches(prefix_rows, batch_format="pandas"),
+        ["shingle"],
+        bucket_pairs,
+    )
+    pairs = bucketed_distinct(pairs, ["a", "b"], n_buckets=32)
+    return attach_pair_attrs(
+        pairs, sets, "doc_id", ["n_shingles", "set_bytes"]
+    ).map_batches(verify, batch_format="pandas")
+
+
 def verify_pairs_ngram_jaccard(
     pairs: pd.DataFrame, texts_by_id: dict, k: int = 3, threshold: float = 0.5
 ) -> pd.DataFrame:

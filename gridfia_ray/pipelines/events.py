@@ -56,25 +56,48 @@ def tumbling_window_agg(
 
 
 def sessionize(
-    events: rd.Dataset, gap_minutes: float = 30.0, key: str = "user_id"
+    events: rd.Dataset,
+    gap_minutes: float = 30.0,
+    key: str = "user_id",
+    value: str = "value",
+    n_buckets: int = 64,
 ) -> rd.Dataset:
     """Session windows: per key, events sorted by ts split where the gap
-    exceeds ``gap_minutes``; emits one row per session. Keyed groupby →
-    in-group sort (the documented ordering assumption: one group holds
-    all of a key's events)."""
+    strictly exceeds ``gap_minutes``; one output row per session.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        gap = g["ts"].diff().dt.total_seconds().fillna(np.inf) / 60.0
-        sid = (gap > gap_minutes).cumsum()
+    Scale shape (round-1 perf item 5): keys hash into ``n_buckets``
+    buckets — each bucket holds ALL events of its keys (the documented
+    co-location assumption; size buckets to the cluster) — and the
+    session split inside a bucket is ONE vectorized pass: sort by
+    (key, ts), break where the key changes or the gap exceeds the
+    threshold, cumsum session ids, single pandas groupby. Python cost
+    is O(buckets), not one call per key."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[key], index=False).to_numpy()
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return batch
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "ts"], kind="mergesort")
+        gap = g["ts"].diff().dt.total_seconds() / 60.0
+        brk = g[key].ne(g[key].shift()) | (gap > gap_minutes)
+        sid = brk.cumsum()
         out = g.groupby(sid).agg(
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("event_id", "size"),
-            sum_value=("value", "sum"),
+            **{
+                key: (key, "first"),
+                "session_start": ("ts", "min"),
+                "session_end": ("ts", "max"),
+                "n_events": ("ts", "size"),
+                "sum_value": (value, "sum"),
+            }
         )
-        out[key] = g[key].iloc[0]
         out["n_events"] = out["n_events"].astype(np.int64)
         return out.reset_index(drop=True)
 
-    return events.groupby(key).map_groups(per_key, batch_format="pandas")
+    return (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

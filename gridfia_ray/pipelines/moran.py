@@ -11,8 +11,11 @@ cell-ring neighbor join the north star calls for:
   3. each tile emits its deviation to its 8 neighbor cells (flat_map
      shape done vectorized in map_batches — the neighbor-ring block
      join on Z-order cell ids);
-  4. ``groupby(cell)`` joins messages with the cell's own deviation —
-     per-group cross products, then one global sum.
+  4. messages pre-aggregate per batch (sum of neighbor deviations per
+     cell — a combiner), then ONE bucketed merge joins the per-cell
+     message sums with the cell's own deviation and folds each bucket
+     to (cross, sq, w) partials. Python cost is O(buckets), not one
+     call per tile (round-1 perf item 2; the ``agg_util`` shape).
 
 I = (N / W) · Σ_ij w_ij (x_i − x̄)(x_j − x̄) / Σ_i (x_i − x̄)²
 """
@@ -82,7 +85,12 @@ def morans_i(tiles_path, spec: GridSpec) -> dict:
     n = int(g["n"])
     mean = float(g["s"]) / n
 
-    def messages(batch: pa.Table) -> pa.Table:
+    # canonical row schema for both legs of the union:
+    # (cell_id, msg_sum, msg_w, dev, has_own)
+    def messages(batch: pa.Table) -> pd.DataFrame:
+        """Combiner: each tile's deviation goes to its 8 neighbors, then
+        the batch pre-sums messages per target cell — the shuffle
+        carries O(distinct cells per batch) rows, not 8 per tile."""
         trs = batch["tile_row"].to_numpy()
         tcs = batch["tile_col"].to_numpy()
         dev = batch["value"].to_numpy() - mean
@@ -92,38 +100,58 @@ def morans_i(tiles_path, spec: GridSpec) -> dict:
             ok = (nr >= 0) & (nc >= 0)
             to_cell.append(morton_encode(nc[ok], nr[ok]))
             from_dev.append(dev[ok])
-        return pa.table(
-            {
-                "cell_id": pa.array(np.concatenate(to_cell), pa.int64()),
-                "kind": pa.array(["msg"] * sum(len(c) for c in to_cell), pa.string()),
-                "dev": pa.array(np.concatenate(from_dev), pa.float64()),
-            }
+        df = pd.DataFrame(
+            {"cell_id": np.concatenate(to_cell), "msg_sum": np.concatenate(from_dev)}
         )
-
-    def own(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "cell_id": batch["cell_id"],
-                "kind": pa.array(["own"] * batch.num_rows, pa.string()),
-                "dev": pa.array(batch["value"].to_numpy() - mean, pa.float64()),
-            }
+        g = df.groupby("cell_id", as_index=False).agg(
+            msg_sum=("msg_sum", "sum"), msg_w=("msg_sum", "size")
         )
+        g["msg_w"] = g["msg_w"].astype(np.int64)
+        g["dev"] = 0.0
+        g["has_own"] = np.int8(0)
+        return g
 
-    def per_cell(group: pd.DataFrame) -> pd.DataFrame:
-        own_rows = group[group["kind"] == "own"]
-        if len(own_rows) == 0:  # message to a cell outside the grid
-            return pd.DataFrame({"cross": [0.0], "sq": [0.0], "w": [0]})
-        d = float(own_rows["dev"].iloc[0])
-        msgs = group[group["kind"] == "msg"]["dev"].to_numpy()
+    def own(batch: pa.Table) -> pd.DataFrame:
         return pd.DataFrame(
-            {"cross": [float(d * msgs.sum())], "sq": [d * d], "w": [int(msgs.size)]}
+            {
+                "cell_id": batch["cell_id"].to_numpy(),
+                "msg_sum": 0.0,
+                "msg_w": np.int64(0),
+                "dev": batch["value"].to_numpy() - mean,
+                "has_own": np.int8(1),
+            }
+        )
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["cell_id"], index=False).to_numpy()
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(64)).astype(np.int32)
+        return batch
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized merge per bucket: per-cell message sums join
+        the cell's own deviation; cells without a tile (edge messages)
+        contribute nothing, matching the per-cell reference reduce."""
+        g = group.groupby("cell_id", as_index=False).agg(
+            msg_sum=("msg_sum", "sum"), msg_w=("msg_w", "sum"),
+            dev=("dev", "sum"), has_own=("has_own", "max"),
+        )
+        g = g[g["has_own"] == 1]
+        d = g["dev"].to_numpy()
+        return pd.DataFrame(
+            {
+                "cross": [float((d * g["msg_sum"].to_numpy()).sum())],
+                "sq": [float((d * d).sum())],
+                "w": [int(g["msg_w"].sum())],
+            }
         )
 
     parts = (
         values.map_batches(messages, batch_format="pyarrow")
         .union(values.map_batches(own, batch_format="pyarrow"))
-        .groupby("cell_id")
-        .map_groups(per_cell, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
         .aggregate(Sum("cross", alias_name="cross"), Sum("sq", alias_name="sq"),
                    Sum("w", alias_name="w"))
     )

@@ -100,3 +100,37 @@ class TestNgramVerify:
         out = verify_pairs_ngram_jaccard(cand, texts, threshold=0.5)
         assert set(zip(out.a, out.b)) == {(0, 30), (1, 31)}
         assert out[out.a == 0]["jaccard"].iloc[0] == 1.0
+
+    def test_distributed_exact_vs_bruteforce(self, corpus_ds, corpus):
+        """The prefix-filtered distributed operator returns EXACTLY the
+        brute-force all-pairs jaccard-threshold set (values included)."""
+        from gridfia_ray.dedup.docs import ngram_jaccard_pairs
+
+        got = ngram_jaccard_pairs(corpus_ds, k=3, threshold=0.5).to_pandas()
+        got_map = {(a, b): j for a, b, j in zip(got.a, got.b, got.jaccard)}
+        shs = {d: word_shingles(t) for d, t in zip(corpus.doc_id, corpus.text)}
+        ids = sorted(shs)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if shs[a] or shs[b]:
+                    j = jaccard(shs[a], shs[b])
+                    if j >= 0.5:
+                        want[(a, b)] = j
+        assert got_map.keys() == want.keys()
+        for key, j in want.items():
+            assert got_map[key] == pytest.approx(j, abs=1e-12)
+
+    def test_low_threshold_still_exact(self, corpus_ds, corpus):
+        from gridfia_ray.dedup.docs import ngram_jaccard_pairs
+
+        got = ngram_jaccard_pairs(corpus_ds, k=3, threshold=0.05).to_pandas()
+        shs = {d: word_shingles(t) for d, t in zip(corpus.doc_id, corpus.text)}
+        ids = sorted(shs)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if jaccard(shs[a], shs[b]) >= 0.05 and (shs[a] or shs[b])
+        }
+        assert set(zip(got.a, got.b)) == want
