@@ -219,6 +219,25 @@ class GridFIARay:
             tiles_path, kernels, self.spec, catalog, output_dir, resume=resume, **kw
         )
 
+    def export_geotiff(
+        self,
+        result,
+        metric: str,
+        out_path: str,
+        grid: int,
+        crs: str = "ESRI:102039",
+        transform: list | None = None,
+    ) -> dict:
+        """S12 analog: stream a metrics result Dataset into a single-band
+        GeoTIFF (reference ``forest_metrics.py:547-567``); pure-numpy
+        encoder, memmapped strip — the driver never holds the raster."""
+        from gridfia_ray.pipelines.reassemble import write_geotiff
+
+        return write_geotiff(
+            result, metric, out_path, grid=grid, tile=self.spec.tile,
+            crs=crs, transform=transform,
+        )
+
     def zonal_stats(self, tiles_path: str, zones_path: str):
         from gridfia_ray.pipelines import zonal as Z
 

@@ -12,7 +12,7 @@ import numpy as np
 
 from gridfia_ray.codecs import png16, raw
 
-FORMATS = ("raw-f32", "zlib-f32", "png")
+FORMATS = ("raw-f32", "zlib-f32", "png", "tiff")
 
 
 def decode_tile(buf: bytes, fmt: str, h: int, w: int, meta: dict | None = None) -> np.ndarray:
@@ -23,6 +23,10 @@ def decode_tile(buf: bytes, fmt: str, h: int, w: int, meta: dict | None = None) 
     if fmt == "png":
         meta = meta or {}
         return png16.decode_png16(buf, meta.get("scale_vmin", 0.0), meta.get("scale_vmax", 0.0))
+    if fmt == "tiff":
+        from gridfia_ray.codecs import tiff
+
+        return tiff.decode_tiff_f32(buf, h, w, meta)
     raise ValueError(f"unknown tile format {fmt!r}")
 
 
@@ -35,4 +39,8 @@ def encode_tile(arr: np.ndarray, fmt: str) -> tuple[bytes, dict]:
     if fmt == "png":
         buf, vmin, vmax = png16.encode_png16(arr)
         return buf, {"scale_vmin": vmin, "scale_vmax": vmax}
+    if fmt == "tiff":
+        from gridfia_ray.codecs import tiff
+
+        return tiff.encode_tiff_f32(arr), {}
     raise ValueError(f"unknown tile format {fmt!r}")

@@ -83,10 +83,15 @@ def decoded_tiles(
     include_total: bool = False,
     species: list[str] | None = None,
     verify_phash: bool = False,
+    clamp_negative: bool = False,
     batch_size: int = 256,
     concurrency=None,
 ) -> rd.Dataset:
-    """tiles → pre-decode species prune → decoder actor pool."""
+    """tiles → pre-decode species prune → decoder actor pool.
+
+    ``clamp_negative`` is the reference's ingest nodata clean (M20,
+    ``gridfia/examples/utils.py:320-322``): negative sentinel pixels
+    become 0 before any kernel sees them."""
     if species is not None:
         tiles = tiles.map_batches(
             species_prefilter(codes_keep=species), batch_format="pyarrow"
@@ -104,6 +109,7 @@ def decoded_tiles(
             origin_y=spec.origin_y,
             cell_size=spec.cell_size,
             verify_phash=verify_phash,
+            clamp_negative=clamp_negative,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -87,6 +87,64 @@ def read_raster(out_path: str) -> tuple[np.ndarray, dict]:
     return arr, meta
 
 
+def write_geotiff(
+    result: rd.Dataset,
+    metric: str,
+    out_path: str,
+    grid: int,
+    tile: int,
+    crs: str = "ESRI:102039",
+    transform: list | None = None,
+) -> dict:
+    """S12: stitch one metric's result tiles into a single-band GeoTIFF
+    (the reference's primary result format — rasterio GTiff writer,
+    ``gridfia/core/processors/forest_metrics.py:547-567``; here the
+    pure-numpy encoder in ``codecs/tiff.py``).
+
+    Streaming discipline: the pixel plane is written through the same
+    memmap band-by-band path as ``write_raster`` — the TIFF layout puts
+    the strip data at offset 8 and the IFD after it, so the driver
+    never holds the raster in RAM; tiles land in the memmapped strip
+    as batches arrive, then the footer (IFD + GeoTIFF tags) is
+    appended."""
+    import struct
+
+    from gridfia_ray.codecs import tiff as T
+
+    n = grid * tile
+    # header first, then the strip as a memmap at offset 8
+    with open(out_path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, 0))  # IFD offset patched below
+    mm = np.memmap(out_path, dtype="<f4", mode="r+", offset=8, shape=(n, n))
+    mm[:] = np.nan
+    n_tiles = 0
+    for batch in result.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for i in range(batch.num_rows):
+            if batch["metric"][i].as_py() != metric:
+                continue
+            dt = np.dtype(batch["dtype"][i].as_py())
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            arr = np.frombuffer(batch["pix"][i].as_py(), dtype=dt).reshape(h, w)
+            mm[tr * tile : tr * tile + h, tc * tile : tc * tile + w] = arr
+            n_tiles += 1
+    mm.flush()
+    del mm
+    if n_tiles == 0:
+        raise ValueError(f"no result tiles for metric {metric!r}")
+    ifd_off = 8 + n * n * 4
+    footer = T.build_ifd(n, n, ifd_off, strip_off=8, transform=transform, crs=crs)
+    with open(out_path, "r+b") as f:
+        f.seek(0, 2)
+        f.write(footer)
+        f.seek(4)
+        f.write(struct.pack("<I", ifd_off))
+    return {"metric": metric, "path": out_path, "shape": [n, n], "crs": crs,
+            "n_tiles": n_tiles}
+
+
 def sample_tiles(tiles: rd.Dataset, fraction: float, seed: int = 42) -> rd.Dataset:
     """O3 analog (``gridfia/examples/utils.py:212-250`` strided
     downsample): seeded random tile sampling for memory-safe previews."""

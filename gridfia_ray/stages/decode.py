@@ -58,9 +58,13 @@ class DecoderActor:
         origin_y: float,
         cell_size: float,
         verify_phash: bool = False,
+        clamp_negative: bool = False,
     ):
         self.grid = CellGrid(origin_x, origin_y, cell_size)
         self.verify_phash = verify_phash
+        # M20: the reference zeroes negative sentinels at ingest
+        # (gridfia/examples/utils.py:320-322, ``data[data < 0] = 0``)
+        self.clamp_negative = clamp_negative
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -96,6 +100,8 @@ class DecoderActor:
                 arr = decode_tile(payloads[i], fmts[i], int(hs[i]), int(ws[i]), meta)
                 if self.verify_phash and average_phash64(arr) != int(phashes[i]):
                     st = "phash_mismatch"
+                if self.clamp_negative:
+                    arr = np.maximum(arr, 0)
                 pix.append(np.ascontiguousarray(arr, dtype="<f4").tobytes())
             except Exception as exc:  # failed decode → sentinel row, run continues
                 pix.append(b"")
