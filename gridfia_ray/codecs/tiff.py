@@ -62,18 +62,18 @@ def build_ifd(
     ``strip_off``, to be placed at ``ifd_off``. Built without touching
     pixel data so streaming writers (memmapped strip, footer appended)
     never allocate the raster."""
-    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, payload≤4 or data)
+    # (tag, type, count, inline-payload-or-None, extra-blob-index-or-None)
+    entries: list[tuple[int, int, int, bytes | None, int | None]] = []
     extra: list[bytes] = []  # out-of-line data blobs appended after the IFD
 
     def val4(fmt: str, *vals) -> bytes:
         return struct.pack("<" + fmt, *vals).ljust(4, b"\0")
 
     def add_inline(tag: int, typ: int, count: int, packed: bytes) -> None:
-        entries.append((tag, typ, count, packed))
+        entries.append((tag, typ, count, packed, None))
 
     def add_outline(tag: int, typ: int, count: int, blob: bytes) -> None:
-        # offset patched later; store placeholder index in payload
-        entries.append((tag, typ, count, b"@" + bytes([len(extra)]) + b"\0\0"))
+        entries.append((tag, typ, count, None, len(extra)))
         extra.append(blob)
 
     add_inline(T_WIDTH, TYPE_LONG, 1, val4("I", w))
@@ -126,9 +126,9 @@ def build_ifd(
         pos += len(blob) + (len(blob) % 2)
 
     ifd = [struct.pack("<H", len(entries))]
-    for tag, typ, count, payload in entries:
-        if payload[:1] == b"@":
-            payload = struct.pack("<I", offsets[payload[1]])
+    for tag, typ, count, payload, extra_idx in entries:
+        if extra_idx is not None:
+            payload = struct.pack("<I", offsets[extra_idx])
         ifd.append(struct.pack("<HHI", tag, typ, count) + payload)
     ifd.append(struct.pack("<I", 0))  # no next IFD
     for blob in extra:

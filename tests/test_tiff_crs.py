@@ -30,6 +30,20 @@ class TestTiffCodec:
         assert meta["transform"] == pytest.approx(tf)
         assert meta["crs"] == "ESRI:102039"
 
+    def test_inline_payload_0x40_collision(self):
+        """Regression: dimensions like 64 produce inline IFD payloads
+        starting with byte 0x40, which must not be mistaken for the
+        encoder's out-of-line marker (caught by a verification probe)."""
+        for n in (64, 256, 320, 1024):
+            a = np.random.RandomState(n).rand(n, 64).astype(np.float32)
+            out, _ = T.decode_tiff(T.encode_tiff_f32(a))
+            assert (out == a).all()
+        tf = [0.0, 64.0, 0.0, 64.0, 0.0, -64.0]
+        _, meta = T.decode_tiff(
+            T.encode_tiff_f32(np.zeros((64, 64), np.float32), transform=tf, crs="EPSG:5070")
+        )
+        assert meta["transform"] == pytest.approx(tf) and meta["crs"] == "EPSG:5070"
+
     def test_epsg_crs_in_geokeys(self):
         buf = T.encode_tiff_f32(np.zeros((2, 2), np.float32), crs="EPSG:5070")
         _, meta = T.decode_tiff(buf)
