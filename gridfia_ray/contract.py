@@ -874,6 +874,46 @@ def build_oracle_sql() -> dict[str, str]:
           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
         FROM documents"""
+    # doc_fingerprint: the same Horner rolling hash evaluated in SQL
+    # (HUGEINT arithmetic; exact because the synthetic corpus is ASCII,
+    # where utf-8 bytes == code points — verified at generation)
+    _M61 = "2305843009213693951"
+    sql["doc_fingerprint"] = rf"""
+        SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN 0 ELSE
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+              list_transform(regexp_split_to_array(trim(text), '\s+'),
+                tok -> list_reduce(
+                    list_prepend(CAST(0 AS HUGEINT),
+                      list_transform(range(1, len(tok) + 1),
+                                     i -> CAST(unicode(tok[i]) AS HUGEINT))),
+                    (acc, ch) -> (acc * 131 + ch) % {_M61}) + 1)),
+            (h, th) -> (h * 1000003 + th) % {_M61}) AS BIGINT) END AS fingerprint
+        FROM documents"""
+
+    # doc_langid: stopword-profile scores with the exact first-wins tie
+    # rule of text/ops.LangId; stopword lists are generated from the
+    # SAME dict so the two sides cannot drift
+    from gridfia_ray.text.ops import _LANG_STOPWORDS
+
+    def _score(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+        return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+
+    sql["doc_langid"] = rf"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') toks
+                   FROM documents),
+        s AS (SELECT doc_id, {_score('en')} s_en, {_score('de')} s_de,
+                     {_score('fr')} s_fr, {_score('es')} s_es FROM t)
+        SELECT doc_id, CASE
+          WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+          WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+          WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+          ELSE 'und' END AS lang_pred
+        FROM s"""
+
     sql["doc_dup_verified"] = r"""
         WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
                    FROM documents WHERE trim(text) <> ''),
@@ -937,7 +977,7 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1.0 - l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_custkey ORDER BY revenue_c DESC, o.o_custkey LIMIT 10"""
-    # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
-    # ann_lsh_topk: not SQL-expressible (hash functions / heuristics) →
-    # rows-only checks, python oracles live in tests/.
+    # Remaining rows-only (irreducibly approximate / seeded-hash ops):
+    # doc_minhash_pairs, doc_simhash_pairs, ann_lsh_topk, emb_near_dup,
+    # gf_percentiles — python brute-force/recall oracles live in tests/.
     return sql
