@@ -139,7 +139,7 @@ def run_bench() -> dict:
     )
 
     if BENCH_ONLY != "tiles":
-        timed("tile_dedup_exact", lambda: D.exact_dedup(rd.read_parquet(tiles)).count())
+        timed("tile_dedup_exact", lambda: D.exact_dedup(tiles).count())
         plots = K.load_plots(os.path.join(bench_dir, "plots.parquet"))
         timed("knn_idw", lambda: K.knn_interpolate(tiles, plots, spec).count())
 

@@ -87,12 +87,12 @@ def topk_cosine(
 
     Deterministic tie-break: (cosine desc, vec_id asc).
     """
+    from gridfia_ray.stages.worker_state import worker_cached
+
     partials = embeddings.map_batches(
-        BruteTopK,
-        fn_constructor_kwargs=dict(queries=queries, query_ids=query_ids, k=k),
+        worker_cached(BruteTopK, queries=queries, query_ids=query_ids, k=k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
         num_cpus=1,
     )
 
@@ -191,13 +191,13 @@ def lsh_topk_cosine(
                 }
             )
 
+    from gridfia_ray.stages.worker_state import worker_cached
+
     partials = embeddings.map_batches(
-        SrpSigner,
-        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed),
+        worker_cached(SrpSigner, dim=dim, n_planes=n_planes, seed=seed),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
-    ).map_batches(Scorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    ).map_batches(worker_cached(Scorer), batch_format="pyarrow", batch_size=4096)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
@@ -221,39 +221,48 @@ def embedding_near_dup_pairs(
     collides with high probability).
 
     Payload-slim shape (round-1 perf item 7): band rows carry
-    ``vec_id`` + 8-byte signature slices only — the full float vectors
-    are NOT replicated into all ``n_bands`` band rows. Vectors re-join
-    onto the (rare) candidate pairs via ``attach_pair_attrs`` for the
-    exact cosine check, so embedding bytes ship once per candidate
-    side instead of ×bands through the shuffle."""
+    ``vec_id`` + the 8-byte full signature only — the float vectors are
+    NOT replicated into all ``n_bands`` band rows. Inside a band bucket
+    a pair must also pass a full-signature Hamming prefilter
+    (E[hamming] = 64·angle/π ≈ 6.4 bits at cos 0.95 vs 32 for random
+    vectors, so radius 20 is +5.7σ for true pairs and a ~3e-5 tail for
+    noise) — without it random byte-band collisions explode into
+    O(n²/256) candidate pairs. Only the surviving candidates pay the
+    embedding re-join (``attach_pair_attrs``) + exact cosine check."""
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
+    hamming_prefilter = 20
 
     def explode(batch: pa.Table) -> pa.Table:
-        sig = batch["srp_sig"].to_numpy().astype(np.int64).view(np.uint64)
+        sig = batch["srp_sig"].to_numpy().astype(np.int64)
+        usig = sig.view(np.uint64)
         ids = batch["vec_id"].to_numpy()
         n = len(ids)
         band_val = np.empty(n * n_bands, np.int64)
         for b in range(n_bands):
             band_val[b * n : (b + 1) * n] = (
-                (sig >> np.uint64(b * band_bits)) & np.uint64(mask)
+                (usig >> np.uint64(b * band_bits)) & np.uint64(mask)
             ).astype(np.int64)
         return pa.table(
             {
                 "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int32), n)),
                 "band_val": pa.array(band_val),
                 "vec_id": pa.array(np.tile(ids, n_bands)),
+                "srp_sig": pa.array(np.tile(sig, n_bands)),
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["vec_id"].unique())
-        if len(ids) < 2:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id", kind="mergesort")
+        if len(g) < 2:
             return pd.DataFrame(
                 {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
             )
+        ids = g["vec_id"].to_numpy()
+        sig = g["srp_sig"].to_numpy()
         ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+        keep = hamming64(sig[ii], sig[jj]) <= hamming_prefilter
+        return pd.DataFrame({"a": ids[ii[keep]], "b": ids[jj[keep]]})
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -271,14 +280,12 @@ def embedding_near_dup_pairs(
              "cosine": cos[keep]}
         )
 
+    from gridfia_ray.stages.worker_state import worker_cached
+
     sigs = embeddings.map_batches(
-        SrpSigner,
-        fn_constructor_kwargs=dict(dim=dim or 0, seed=seed)
-        if dim
-        else dict(dim=_infer_dim(embeddings), seed=seed),
+        worker_cached(SrpSigner, dim=dim if dim else _infer_dim(embeddings), seed=seed),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
     )
     from gridfia_ray.stages.dedup_util import (
         attach_pair_attrs,

@@ -332,11 +332,12 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_langid(sf_dir: str) -> pd.DataFrame:
+    from gridfia_ray.stages.worker_state import worker_cached
     from gridfia_ray.text.ops import LangId
 
     out = (
         _docs(sf_dir)
-        .map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+        .map_batches(worker_cached(LangId), batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)

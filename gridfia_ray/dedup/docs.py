@@ -185,13 +185,15 @@ def minhash_lsh_pairs(
         bucketed_distinct,
     )
 
+    from gridfia_ray.stages.worker_state import worker_cached
+
     # T6: the signature table feeds both the band explode and the final
-    # verification re-join — materialize once (object store, spillable)
+    # verification re-join — materialize once (object store, spillable).
+    # worker_cached task mode: coefficient tables build once per warm
+    # worker, no actor-pool spin-up per pipeline.
     sigs = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(n_perm=n_perm, k_shingle=k_shingle, seed=seed),
+        worker_cached(MinHasher, n_perm=n_perm, k_shingle=k_shingle, seed=seed),
         batch_format="pandas",
-        concurrency=(1, 8),
     ).materialize()
 
     pairs = bucketed_candidate_pairs(
@@ -290,8 +292,10 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 8) -> r
 
     from gridfia_ray.stages.dedup_util import bucketed_candidate_pairs, bucketed_distinct
 
+    from gridfia_ray.stages.worker_state import worker_cached
+
     pairs = bucketed_candidate_pairs(
-        docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8)).map_batches(
+        docs.map_batches(worker_cached(SimHasher), batch_format="pandas").map_batches(
             explode, batch_format="pandas"
         ),
         ["band", "band_val"],
@@ -401,9 +405,10 @@ def ngram_jaccard_pairs(
         bucketed_distinct,
     )
 
+    from gridfia_ray.stages.worker_state import worker_cached
+
     sets = docs.map_batches(
-        ShingleSets, fn_constructor_kwargs=dict(k=k), batch_format="pandas",
-        concurrency=(1, 8),
+        worker_cached(ShingleSets, k=k), batch_format="pandas"
     ).materialize()  # feeds both the prefix index and the verify re-join
     pairs = bucketed_candidate_pairs(
         sets.map_batches(prefix_rows, batch_format="pandas"),

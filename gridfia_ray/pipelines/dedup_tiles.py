@@ -24,7 +24,7 @@ from gridfia_ray.codecs.phash import hamming64
 
 
 def exact_dedup(
-    tiles: rd.Dataset,
+    tiles,
     key: str = "image_id",
     n_buckets: int = 64,
     max_broadcast_keys: int = 5_000_000,
@@ -42,18 +42,32 @@ def exact_dedup(
     Falls back to the full payload shuffle when the duplicate-key set is
     too large to broadcast (``max_broadcast_keys``) — the documented
     small-duplicate-fraction assumption.
+
+    ``tiles`` may be a parquet path or a Dataset; given a path, phase 1
+    issues its own column-pruned read (``columns=[key]``) so the 64 KB
+    payloads never leave storage for the counting pass.
     """
     import pyarrow.compute as pc
 
+    from gridfia_ray.pipelines.common import read_tiles
     from gridfia_ray.stages.agg_util import bucketed_agg
     from gridfia_ray.stages.dedup_util import bucketed_distinct
+
+    if isinstance(tiles, str):
+        keys_ds = rd.read_parquet(tiles, columns=[key])
+        tiles = read_tiles(tiles)
+    else:
+        tiles = read_tiles(tiles)
+        keys_ds = tiles.select_columns([key])
 
     def key_counts(batch: pa.Table) -> pd.DataFrame:
         vc = pd.Series(batch[key].to_pylist()).value_counts()
         return pd.DataFrame({key: vc.index, "n": vc.to_numpy().astype(np.int64)})
 
     counts = bucketed_agg(
-        tiles.map_batches(key_counts, batch_format="pyarrow"), [key], {"n": ("n", "sum")}
+        keys_ds.map_batches(key_counts, batch_format="pyarrow"),
+        [key],
+        {"n": ("n", "sum")},
     ).to_pandas()
     dup_keys = counts.loc[counts["n"] > 1, key]
     if len(dup_keys) == 0:
@@ -88,6 +102,7 @@ def exact_dedup(
             [key],
             n_buckets,
             sort_cols=sort_cols,
+            coalesce=False,  # full-payload shuffle: extra copy not worth it
         ).map_batches(drop_chash, batch_format="pyarrow")
     dup_set = pa.array(dup_keys.tolist())
 

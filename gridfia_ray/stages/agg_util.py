@@ -38,8 +38,12 @@ def bucketed_agg(
         out = group.groupby(keys, as_index=False).agg(**agg_map)
         return out
 
+    # coalesce the (light) partials to ~one block per bucket before the
+    # sort shuffle: the sort's cost is dominated by per-block task
+    # overhead (measured 3.4s -> 1.4s on a 204-block 1.4 MB input)
     return (
         partials.map_batches(add_bucket, batch_format="pandas")
+        .repartition(n_buckets)
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")
     )

@@ -39,9 +39,15 @@ def bucketed_distinct(
     keys: list[str],
     n_buckets: int = 64,
     sort_cols: list[str] | None = None,
+    coalesce: bool = True,
 ) -> rd.Dataset:
     """One row per distinct key tuple; winner = first after sorting by
-    ``sort_cols`` (default: the keys themselves) — deterministic."""
+    ``sort_cols`` (default: the keys themselves) — deterministic.
+
+    ``coalesce`` merges the locally-deduped stream to ~one block per
+    bucket before the sort shuffle — the sort pays per-block task
+    overhead, so hundreds of tiny blocks dominate its cost. Disable for
+    payload-heavy inputs where the extra copy outweighs task savings."""
     sort_cols = sort_cols or keys
     light_cols = list(dict.fromkeys([*keys, *sort_cols]))
 
@@ -58,11 +64,10 @@ def bucketed_distinct(
         out = group.take(pa.array(pos))
         return out.drop_columns(["__bucket"])
 
-    return (
-        ds.map_batches(local_dedup_and_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(dedup, batch_format="pyarrow")
-    )
+    out = ds.map_batches(local_dedup_and_bucket, batch_format="pyarrow")
+    if coalesce:
+        out = out.repartition(n_buckets)
+    return out.groupby("__bucket").map_groups(dedup, batch_format="pyarrow")
 
 
 def bucketed_candidate_pairs(
@@ -70,6 +75,7 @@ def bucketed_candidate_pairs(
     bucket_keys: list[str],
     pair_fn,
     n_buckets: int = 64,
+    coalesce: bool = True,
 ) -> rd.Dataset:
     """LSH-band candidate-pair generation at the right altitude.
 
@@ -100,11 +106,10 @@ def bucketed_candidate_pairs(
             return pair_fn(group.iloc[0:0])
         return pd.concat(outs, ignore_index=True)
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(pairs, batch_format="pandas")
-    )
+    out = ds.map_batches(add_bucket, batch_format="pandas")
+    if coalesce:  # band rows are id-only after payload slimming — light
+        out = out.repartition(n_buckets)
+    return out.groupby("__bucket").map_groups(pairs, batch_format="pandas")
 
 
 def attach_pair_attrs(
@@ -218,11 +223,13 @@ def attach_pair_attrs(
     joined = (
         sides.union(arows)
         .map_batches(bucket_by([id_col]), batch_format="pandas")
+        .repartition(n_buckets)
         .groupby("__bucket")
         .map_groups(join_by_id, batch_format="pandas")
     )
     return (
         joined.map_batches(bucket_by(["__pa", "__pb"]), batch_format="pandas")
+        .repartition(n_buckets)
         .groupby("__bucket")
         .map_groups(regroup_pairs, batch_format="pandas")
     )
