@@ -238,6 +238,24 @@ class GridFIARay:
             crs=crs, transform=transform,
         )
 
+    def export_zarr(self, result, metric: str, root: str, grid: int,
+                    crs: str = "ESRI:102039", transform: list | None = None) -> dict:
+        """S13 analog: distributed Zarr v3 export — one result tile is
+        one chunk file (reference ``forest_metrics.py:568-601``)."""
+        from gridfia_ray.pipelines.reassemble import write_zarr
+
+        return write_zarr(result, metric, root, grid=grid, tile=self.spec.tile,
+                          crs=crs, transform=transform)
+
+    def export_netcdf(self, result, metric: str, out_path: str, grid: int,
+                      crs: str = "ESRI:102039", transform: list | None = None) -> dict:
+        """S14 analog: classic NetCDF export with x/y coordinates and
+        CRS attrs (reference ``forest_metrics.py:603-637``)."""
+        from gridfia_ray.pipelines.reassemble import write_netcdf
+
+        return write_netcdf(result, metric, out_path, grid=grid, tile=self.spec.tile,
+                            crs=crs, transform=transform)
+
     def zonal_stats(self, tiles_path: str, zones_path: str):
         from gridfia_ray.pipelines import zonal as Z
 

@@ -145,6 +145,137 @@ def write_geotiff(
             "n_tiles": n_tiles}
 
 
+def write_zarr(
+    result: rd.Dataset,
+    metric: str,
+    root: str,
+    grid: int,
+    tile: int,
+    crs: str = "ESRI:102039",
+    transform: list | None = None,
+    compress: bool = True,
+) -> dict:
+    """S13: result tiles → a Zarr v3 array store (the reference's zarr
+    result sink, ``forest_metrics.py:568-601``), written DISTRIBUTED:
+    chunk shape == tile shape, so each result row becomes exactly one
+    chunk file, written by whatever Ray task holds the row — no
+    driver-side raster, no shuffle, resumable for free (missing chunks
+    read as fill per the zarr spec; re-running overwrites atomically).
+    """
+    from gridfia_ray.codecs import zarrlite as Z
+
+    n = grid * tile
+    meta = Z.array_metadata(
+        shape=(n, n),
+        chunk_shape=(tile, tile),
+        dtype=np.float32,
+        fill_value=np.nan,
+        attributes={
+            "crs": crs,
+            "transform": list(transform or []),
+            "metric": metric,
+            "software": "gridfia_ray",
+        },
+        compress=compress,
+        dimension_names=["y", "x"],
+    )
+    Z.init_store(root, meta)
+
+    def write_chunks(batch) -> "rd.Dataset":
+        import pyarrow as pa
+
+        wrote = 0
+        for i in range(batch.num_rows):
+            if batch["metric"][i].as_py() != metric:
+                continue
+            dt = np.dtype(batch["dtype"][i].as_py())
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            arr = np.frombuffer(batch["pix"][i].as_py(), dtype=dt).reshape(h, w)
+            Z.write_chunk(
+                root, meta,
+                (int(batch["tile_row"][i].as_py()), int(batch["tile_col"][i].as_py())),
+                arr.astype(np.float32),
+            )
+            wrote += 1
+        return pa.table({"chunks_written": pa.array([wrote], pa.int64())})
+
+    total = sum(
+        r["chunks_written"]
+        for r in result.map_batches(write_chunks, batch_format="pyarrow").take_all()
+    )
+    if total == 0:
+        raise ValueError(f"no result tiles for metric {metric!r}")
+    return {"metric": metric, "path": root, "shape": [n, n], "n_chunks": total}
+
+
+def write_netcdf(
+    result: rd.Dataset,
+    metric: str,
+    out_path: str,
+    grid: int,
+    tile: int,
+    crs: str = "ESRI:102039",
+    transform: list | None = None,
+) -> dict:
+    """S14: result tiles → a classic NetCDF (CDF-2) file with x/y
+    coordinate variables and CRS attributes (the reference's xarray
+    export, ``forest_metrics.py:603-637``). The 2-D variable's region
+    is reserved up front and streamed tile-by-tile through a big-endian
+    memmap — same no-raster-in-RAM discipline as the GeoTIFF writer."""
+    from gridfia_ray.codecs import cdf as C
+
+    n = grid * tile
+    tf = transform or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+    xs = tf[0] + (np.arange(n, dtype=np.float64) + 0.5) * tf[1]
+    ys = tf[3] + (np.arange(n, dtype=np.float64) + 0.5) * tf[5]
+
+    variables = [
+        C.CdfVar("x", C.NC_DOUBLE, [1], [("units", C.NC_CHAR, "m")]),
+        C.CdfVar("y", C.NC_DOUBLE, [0], [("units", C.NC_CHAR, "m")]),
+        C.CdfVar(
+            metric, C.NC_FLOAT, [0, 1],
+            [("_FillValue", C.NC_FLOAT, [np.nan]), ("grid_mapping_crs", C.NC_CHAR, crs)],
+        ),
+    ]
+    vmap = C.write_header(
+        out_path,
+        dims=[("y", n), ("x", n)],
+        variables=variables,
+        global_atts=[
+            ("crs", C.NC_CHAR, crs),
+            ("transform", C.NC_DOUBLE, list(tf)),
+            ("software", C.NC_CHAR, "gridfia_ray"),
+        ],
+    )
+    with open(out_path, "r+b") as f:
+        f.seek(vmap["x"].begin)
+        f.write(xs.astype(">f8").tobytes())
+        f.seek(vmap["y"].begin)
+        f.write(ys.astype(">f8").tobytes())
+    mm = np.memmap(out_path, dtype=">f4", mode="r+", offset=vmap[metric].begin,
+                   shape=(n, n))
+    mm[:] = np.nan
+    n_tiles = 0
+    for batch in result.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for i in range(batch.num_rows):
+            if batch["metric"][i].as_py() != metric:
+                continue
+            dt = np.dtype(batch["dtype"][i].as_py())
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            arr = np.frombuffer(batch["pix"][i].as_py(), dtype=dt).reshape(h, w)
+            mm[tr * tile : tr * tile + h, tc * tile : tc * tile + w] = arr
+            n_tiles += 1
+    mm.flush()
+    del mm
+    if n_tiles == 0:
+        raise ValueError(f"no result tiles for metric {metric!r}")
+    return {"metric": metric, "path": out_path, "shape": [n, n], "n_tiles": n_tiles}
+
+
 def sample_tiles(tiles: rd.Dataset, fraction: float, seed: int = 42) -> rd.Dataset:
     """O3 analog (``gridfia/examples/utils.py:212-250`` strided
     downsample): seeded random tile sampling for memory-safe previews."""
