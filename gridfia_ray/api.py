@@ -298,7 +298,13 @@ class GridFIARay:
                 cand.append((tr - 1, tc - 1))
         targets = [f"{species_code}/{r_:04d}/{c_:04d}" for r_, c_ in cand]
         expr = " or ".join(f"image_id == '{t}'" for t in targets)
-        rows = read_tiles(tiles_path).filter(expr=expr).take_all()
+        # directory stores prune to the species' own file before any scan
+        from gridfia_ray.pipelines.common import read_tiles_species
+
+        ds = read_tiles_species(tiles_path, [species_code])
+        if ds is None:
+            ds = read_tiles(tiles_path)
+        rows = ds.filter(expr=expr).take_all()
         if not rows:
             raise SpeciesNotFound(f"no tile {targets[0]}")
         rows.sort(key=lambda r_: targets.index(r_["image_id"]))

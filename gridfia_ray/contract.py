@@ -359,6 +359,17 @@ def q_doc_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out[["a", "b"]].astype(np.int64).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (dup lines, top-bigram
+    multiplicity) — integer-exact, SQL-oracle-checked."""
+    from gridfia_ray.text.ops import repetition_stats
+
+    out = _docs(sf_dir).map_batches(repetition_stats, batch_format="pandas").to_pandas()
+    for c in ["n_lines", "n_dup_lines", "n_2grams", "top2gram_count"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_dup_verified(sf_dir: str) -> pd.DataFrame:
     """EXACT n-gram (k=3 word shingle) Jaccard near-dup pairs at
     threshold 0.5 — prefix-filtered inverted index + keyed re-join
@@ -661,6 +672,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
+        "doc_repetition": q_doc_repetition,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -875,6 +887,24 @@ def build_oracle_sql() -> dict[str, str]:
           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
         FROM documents"""
+    sql["doc_repetition"] = r"""
+        WITH l AS (SELECT doc_id, string_split(text, chr(10)) lines FROM documents),
+        t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+                                  ELSE regexp_split_to_array(trim(text), '\s+') END toks
+              FROM documents),
+        bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] g
+               FROM t, LATERAL (SELECT unnest(range(1, len(toks))) i) _
+               WHERE len(toks) >= 2),
+        top AS (SELECT doc_id, MAX(c) top2 FROM
+                  (SELECT doc_id, g, COUNT(*) c FROM bg GROUP BY 1, 2) GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(len(l.lines) AS BIGINT) n_lines,
+          CAST(len(l.lines) - len(list_distinct(l.lines)) AS BIGINT) n_dup_lines,
+          CAST(GREATEST(len(t.toks) - 1, 0) AS BIGINT) n_2grams,
+          CAST(COALESCE(top.top2, 0) AS BIGINT) top2gram_count
+        FROM documents d JOIN l USING (doc_id) JOIN t USING (doc_id)
+        LEFT JOIN top USING (doc_id)"""
+
     # doc_fingerprint: the same Horner rolling hash evaluated in SQL
     # (HUGEINT arithmetic; exact because the synthetic corpus is ASCII,
     # where utf-8 bytes == code points — verified at generation)

@@ -101,19 +101,18 @@ def dominance_stats(
 
     def count_dominant(group: pd.DataFrame) -> pd.DataFrame:
         res = group_fn(group)
-        counts: dict[int, int] = {}
-        total = 0
-        for _, row in res.iterrows():
-            arr = np.frombuffer(row["pix"], dtype=np.dtype(row["dtype"]))
-            total += arr.size
-            idx, cnt = np.unique(arr, return_counts=True)
-            for i, c in zip(idx.tolist(), cnt.tolist()):
-                counts[int(i)] = counts.get(int(i), 0) + int(c)
+        flat = np.concatenate(
+            [
+                np.frombuffer(b, dtype=np.dtype(dt))
+                for b, dt in zip(res["pix"], res["dtype"])
+            ]
+        ) if len(res) else np.empty(0, np.int32)
+        idx, cnt = np.unique(flat, return_counts=True)  # one pass per bucket
         return pd.DataFrame(
             {
-                "cat_index": list(counts.keys()) + [-1],
-                "dominant_px": list(counts.values()) + [0],
-                "total_px": [0] * len(counts) + [total],
+                "cat_index": np.concatenate([idx.astype(np.int64), [-1]]),
+                "dominant_px": np.concatenate([cnt.astype(np.int64), [0]]),
+                "total_px": np.concatenate([np.zeros(idx.size, np.int64), [flat.size]]),
             }
         )
 

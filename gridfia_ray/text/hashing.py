@@ -282,6 +282,54 @@ def simhash_from_tokens(th: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return out.view(np.int64)
 
 
+def ngram_hashes64(
+    th: np.ndarray, counts: np.ndarray, k: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    """Strict k-token window hashes (docs with < k tokens produce NONE —
+    unlike ``shingle_hashes64``'s whole-doc fallback). For repetition
+    statistics where a partial window is not an n-gram."""
+    out_counts = np.maximum(counts - k + 1, 0).astype(np.int64)
+    total = int(out_counts.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), out_counts
+    doc_tok_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    full = counts >= k
+    reps = out_counts[full]
+    base = np.repeat(doc_tok_start[full], reps)
+    within = np.concatenate([np.arange(r) for r in reps])
+    s0 = base + within
+    with np.errstate(over="ignore"):
+        acc = np.zeros(s0.size, np.uint64)
+        for j in range(k):
+            acc = acc * _P1 ^ th[s0 + j]
+    return avalanche64(acc), out_counts
+
+
+def max_count_per_doc(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-document maximum multiplicity of a value (the 'most frequent
+    n-gram count' statistic), fully vectorized: sort (doc, val) pairs,
+    run-length encode, max run length per doc."""
+    n_docs = counts.size
+    out = np.zeros(n_docs, np.int64)
+    if vals.size == 0:
+        return out
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.lexsort((vals, doc_idx))
+    dv, vv = doc_idx[order], vals[order]
+    new_run = np.ones(vv.size, dtype=bool)
+    new_run[1:] = (vv[1:] != vv[:-1]) | (dv[1:] != dv[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_lens = np.diff(np.concatenate([run_starts, [vv.size]]))
+    run_docs = dv[run_starts]
+    # runs are already grouped by doc (lexsort major key)
+    doc_run_starts = np.flatnonzero(
+        np.concatenate([[True], run_docs[1:] != run_docs[:-1]])
+    )
+    maxes = np.maximum.reduceat(run_lens, doc_run_starts)
+    out[run_docs[doc_run_starts]] = maxes
+    return out
+
+
 # ---------------------------------------------------------------------------
 # exact fingerprint (identical values to the scalar Horner loops)
 # ---------------------------------------------------------------------------

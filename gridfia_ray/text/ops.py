@@ -97,6 +97,41 @@ class LangId:
         return out
 
 
+def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition signals (public pre-training filter
+    heuristics — Rae et al. 2021 §A1.1): duplicate-line counts and the
+    most-frequent-bigram count. Integer-exact columns so the operator is
+    SQL-oracle-checkable:
+
+      n_lines, n_dup_lines (lines minus distinct lines),
+      n_2grams (strict windows), top2gram_count (max multiplicity).
+
+    Bigram counting is vectorized over the batch's flat token-hash
+    array (64-bit hashes stand in for string equality; collision
+    probability ≈ n²/2^64)."""
+    from gridfia_ray.text.hashing import (
+        max_count_per_doc,
+        ngram_hashes64,
+        token_hashes64,
+    )
+
+    texts = batch["text"].fillna("").tolist()
+    out = batch[["doc_id"]].copy()
+    n_lines = np.empty(len(texts), np.int64)
+    n_dup = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        n_lines[i] = len(lines)
+        n_dup[i] = len(lines) - len(set(lines))
+    th, counts = token_hashes64(texts)
+    bg, bg_counts = ngram_hashes64(th, counts, k=2)
+    out["n_lines"] = n_lines
+    out["n_dup_lines"] = n_dup
+    out["n_2grams"] = bg_counts
+    out["top2gram_count"] = max_count_per_doc(bg, bg_counts)
+    return out
+
+
 def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
     """Order-sensitive 64-bit document fingerprint: polynomial rolling
     hash over the whitespace token sequence (public Rabin–Karp style).

@@ -49,6 +49,29 @@ class TestLangId:
         assert out["lang_pred"].iloc[3] == "und"
 
 
+class TestRepetition:
+    def test_dup_lines_and_top_bigram(self):
+        from gridfia_ray.text.ops import repetition_stats
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a b\na b\nc d",  # dup line; bigram 'a b' twice
+                    "x y z x y",  # 'x y' twice among 4 bigrams
+                    "solo",  # no bigrams
+                    "",  # empty
+                ],
+            }
+        )
+        out = repetition_stats(df)
+        assert out["n_lines"].tolist() == [3, 1, 1, 1]
+        assert out["n_dup_lines"].tolist() == [1, 0, 0, 0]
+        # doc 0 tokens: a b a b c d -> 5 bigrams, 'a b' twice
+        assert out["n_2grams"].tolist() == [5, 4, 0, 0]
+        assert out["top2gram_count"].tolist() == [2, 2, 0, 0]
+
+
 class TestFingerprint:
     def test_deterministic_and_order_sensitive(self):
         a = pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma"]})
