@@ -1,0 +1,355 @@
+"""IVF (inverted-file) approximate-nearest-neighbor index — the scale
+path for similarity search over an embedding column.
+
+Brute-force cosine (``ann/search.topk_cosine``) scans every vector per
+query; SRP-LSH (``lsh_topk_cosine``) prunes by signature but still
+streams the whole table. The IVF family prunes *at the storage layer*:
+
+1. ``kmeans_fit``      — distributed spherical k-means (Lloyd's): each
+   iteration is ONE ``map_batches`` pass emitting per-centroid partial
+   (sum, count) rows — the classic combiner shape — folded on the
+   driver (k×d doubles, tiny). No vector ever shuffles.
+2. ``assign_cells``    — adds an ``ivf_cell`` column (argmax-cosine
+   centroid) to the embedding dataset.
+3. ``build_ivf_index`` — writes the assigned dataset as parquet
+   *partitioned by cell* (one directory per cell) plus a centroid
+   sidecar; a 100 TB corpus becomes k prunable directories.
+4. ``search_ivf_index`` / ``ivf_topk_cosine`` — probe the ``nprobe``
+   nearest cells per query and scan ONLY those partitions (file-level
+   pruning at the read, the brief's "prune at the read" rule), exact
+   cosine re-rank inside.
+
+Determinism: float partial sums depend on block boundaries, so raw
+Lloyd's is partition-sensitive at the 1e-15 level. ``kmeans_fit``
+rounds centroids to ``round_decimals`` (default 9) after every update —
+absorbing partition-order jitter (≤ 1e-12 relative) while leaving the
+math untouched — so the fitted centroids, the cell assignment and the
+search results are invariant to input partitioning (pinned in
+tests/test_ivf.py).
+
+Reference parallel: the GridFIA reference has no ANN path; this is a
+training-data-pipeline addition per the build brief (embedding
+similarity search: brute baseline + IVF scale path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from gridfia_ray.ann.search import _as_matrix, _normalize
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic avalanche hash (public splitmix64 finalizer)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _sample_pool(embeddings: rd.Dataset, sample_size: int) -> np.ndarray:
+    """Partition-invariant deterministic sample: keep the ``sample_size``
+    vectors with the smallest splitmix64(vec_id) — each batch emits its
+    local smallest, the driver keeps the global smallest. Independent of
+    block boundaries by construction."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        h = _splitmix64(ids.view(np.uint64) if ids.dtype == np.int64 else ids.astype(np.uint64))
+        keep = np.argsort(h, kind="stable")[:sample_size]
+        return batch.take(pa.array(np.sort(keep)))
+
+    parts = embeddings.map_batches(local, batch_format="pyarrow").to_pandas()
+    ids = parts["vec_id"].to_numpy()
+    h = _splitmix64(ids.view(np.uint64) if ids.dtype == np.int64 else ids.astype(np.uint64))
+    order = np.argsort(h, kind="stable")[:sample_size]
+    return np.stack([np.asarray(v, np.float64) for v in parts["embedding"].to_numpy()[order]])
+
+
+def _kmeanspp_init(pool: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """k-means++ on the driver-side sample pool (public Arthur &
+    Vassilvitskii 2007 seeding), cosine distance on normalized rows."""
+    rng = np.random.RandomState(seed)
+    pool = _normalize(pool)
+    n = len(pool)
+    centroids = np.empty((k, pool.shape[1]))
+    idx = rng.randint(n)
+    centroids[0] = pool[idx]
+    d2 = np.maximum(0.0, 1.0 - pool @ centroids[0])
+    for i in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        idx = rng.choice(n, p=p)
+        centroids[i] = pool[idx]
+        d2 = np.minimum(d2, np.maximum(0.0, 1.0 - pool @ centroids[i]))
+    return centroids
+
+
+class _AssignPartial:
+    """Per-batch combiner: assign vectors to the nearest centroid and
+    emit per-centroid (count, sum-vector) partial rows."""
+
+    def __init__(self, centroids_ref):
+        self.c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _as_matrix(batch["embedding"])
+        vn = _normalize(vecs)
+        assign = np.argmax(vn @ self.c.T, axis=1)
+        k, d = self.c.shape
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        sums = np.zeros((k, d), np.float64)
+        np.add.at(sums, assign, vecs)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "cell": pa.array(nz, pa.int32()),
+                "count": pa.array(counts[nz]),
+                "vsum": pa.array(list(sums[nz]), pa.list_(pa.float64())),
+            }
+        )
+
+
+def kmeans_fit(
+    embeddings: rd.Dataset,
+    k: int,
+    *,
+    n_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+    sample_size: int = 4096,
+    round_decimals: int = 9,
+) -> np.ndarray:
+    """Distributed spherical k-means over the ``embedding`` column.
+
+    Returns (k, d) unit-norm centroids. Per iteration: one streaming
+    ``map_batches`` pass emits per-centroid partials (k rows × blocks,
+    light); the driver folds k×d doubles. At 10^12 rows the fold itself
+    stays k×d — only the partial-row count grows with block count; for
+    extreme k route the fold through a groupby("cell") sum first.
+    Empty cells re-seed deterministically from the sample pool.
+    """
+    pool = _sample_pool(embeddings, sample_size)
+    k = min(k, len(pool))
+    centroids = np.round(_kmeanspp_init(pool, k, seed), round_decimals)
+    pool_n = _normalize(pool)
+
+    for _ in range(n_iters):
+        ref = ray.put(centroids)
+        from gridfia_ray.stages.worker_state import worker_cached
+
+        parts = embeddings.map_batches(
+            worker_cached(_AssignPartial, centroids_ref=ref),
+            batch_format="pyarrow",
+            batch_size=4096,
+        ).to_pandas()
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros_like(centroids)
+        # stable fold order: sort partials by cell so the float sum is
+        # reproducible given the same partial set
+        parts = parts.sort_values("cell", kind="mergesort")
+        cells = parts["cell"].to_numpy()
+        np.add.at(counts, cells, parts["count"].to_numpy())
+        np.add.at(sums, cells, np.stack([np.asarray(v, np.float64) for v in parts["vsum"]]))
+        new = centroids.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        new = _normalize(new)
+        # deterministic re-seed for empty cells: pool vector farthest
+        # from its current centroid (spreads mass, partition-invariant)
+        if (~nz).any():
+            far = np.argsort(np.max(pool_n @ new.T, axis=1), kind="stable")
+            for j, cell in enumerate(np.nonzero(~nz)[0]):
+                new[cell] = pool_n[far[j % len(far)]]
+        new = np.round(new, round_decimals)
+        shift = float(np.max(np.linalg.norm(new - centroids, axis=1)))
+        centroids = new
+        if shift < tol:
+            break
+    return centroids
+
+
+def assign_cells(embeddings: rd.Dataset, centroids: np.ndarray) -> rd.Dataset:
+    """Add ``ivf_cell`` (int32, argmax-cosine centroid; ties → lowest
+    cell id via argmax's first-hit rule) as a regular column."""
+    ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vn = _normalize(_as_matrix(batch["embedding"]))
+        cell = np.argmax(vn @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell))
+
+    return embeddings.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+
+def build_ivf_index(
+    embeddings: rd.Dataset,
+    out_dir: str,
+    k: int,
+    *,
+    n_iters: int = 20,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit + assign + write a partitioned-parquet IVF index.
+
+    Layout: ``out_dir/cells/ivf_cell=<c>/*.parquet`` (hive partitioning
+    — ``ivf_cell`` is ALSO kept as a regular column so readers need no
+    hive inference) + ``out_dir/centroids.parquet`` + ``meta.json``.
+    A search touching ``nprobe`` cells reads ``nprobe/k`` of the bytes;
+    a failed build can re-run per-cell (resumable partitioned output).
+    """
+    centroids = kmeans_fit(embeddings, k, n_iters=n_iters, seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+    assigned = assign_cells(embeddings, centroids)
+    # duplicate the partition key as a data column (see docstring)
+    assigned = assigned.map_batches(
+        lambda b: b.append_column("cell_copy", b["ivf_cell"]), batch_format="pyarrow"
+    )
+    assigned.write_parquet(os.path.join(out_dir, "cells"), partition_cols=["ivf_cell"])
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(np.arange(len(centroids), dtype=np.int32)),
+                "centroid": pa.array(list(centroids), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(out_dir, "centroids.parquet"),
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"k": int(len(centroids)), "dim": int(centroids.shape[1])}, f)
+    return centroids
+
+
+def _probe_cells(centroids: np.ndarray, queries: np.ndarray, nprobe: int) -> np.ndarray:
+    """(q, nprobe) nearest cells per query, deterministic tie-break by
+    cell id (stable argsort on -cosine)."""
+    qn = _normalize(np.asarray(queries, np.float64))
+    sims = qn @ centroids.T
+    return np.argsort(-sims, axis=1, kind="stable")[:, : min(nprobe, centroids.shape[0])]
+
+
+class _ProbedScorer:
+    """Per-batch exact scorer restricted to each query's probed cells."""
+
+    def __init__(self, queries: np.ndarray, query_ids: list, probes: np.ndarray, k: int):
+        self.q = _normalize(np.asarray(queries, np.float64))
+        self.query_ids = list(query_ids)
+        self.k = int(k)
+        self.probe_sets = [np.asarray(row) for row in probes]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        cells = batch["ivf_cell"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            mask = np.isin(cells, self.probe_sets[qi])
+            if not mask.any():
+                continue
+            sel_ids = ids[mask]
+            s = vecs[mask] @ self.q[qi]
+            kk = min(self.k, len(sel_ids))
+            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(sel_ids) else np.arange(len(sel_ids))
+            out_q.extend([qid] * len(top))
+            out_v.extend(sel_ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _final_topk(k: int):
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return final
+
+
+def ivf_topk_cosine(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    *,
+    k: int = 10,
+    k_cells: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 20,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> rd.Dataset:
+    """In-memory IVF top-k: fit (or reuse) centroids, assign cells,
+    score each query against its ``nprobe`` probed cells only.
+    ``nprobe == k_cells`` degenerates to exact brute force."""
+    if centroids is None:
+        centroids = kmeans_fit(embeddings, k_cells, n_iters=n_iters, seed=seed)
+    probes = _probe_cells(centroids, queries, nprobe)
+    assigned = assign_cells(embeddings, centroids)
+    from gridfia_ray.stages.worker_state import worker_cached
+
+    partials = assigned.map_batches(
+        worker_cached(_ProbedScorer, queries=queries, query_ids=query_ids, probes=probes, k=k),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+def search_ivf_index(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+) -> tuple[rd.Dataset, list[str]]:
+    """Search a ``build_ivf_index`` store reading ONLY the probed cell
+    partitions (file-level pruning — the scan cost is nprobe/k of the
+    store regardless of corpus size). Returns (result, probed_dirs)."""
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(ct["cell"].to_numpy())
+    centroids = np.stack(
+        [np.asarray(v, np.float64) for v in np.asarray(ct["centroid"].to_pylist(), dtype=object)[order]]
+    )
+    probes = _probe_cells(centroids, queries, nprobe)
+    cells = sorted({int(c) for row in probes for c in row})
+    dirs = [
+        d
+        for c in cells
+        if os.path.isdir(d := os.path.join(index_dir, "cells", f"ivf_cell={c}"))
+    ]
+    files = [
+        os.path.join(d, f) for d in dirs for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+    def restore_cell(b: pa.Table) -> pa.Table:
+        # cell_copy holds the partition value as a data column; drop the
+        # hive-inferred string column (the reader adds it even when fed
+        # explicit file paths) and use the typed copy
+        if "ivf_cell" in b.column_names:
+            b = b.drop_columns(["ivf_cell"])
+        return b.append_column("ivf_cell", b["cell_copy"])
+
+    ds = rd.read_parquet(files).map_batches(restore_cell, batch_format="pyarrow")
+    from gridfia_ray.stages.worker_state import worker_cached
+
+    partials = ds.map_batches(
+        worker_cached(_ProbedScorer, queries=queries, query_ids=query_ids, probes=probes, k=k),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    out = partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    return out, dirs

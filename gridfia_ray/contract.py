@@ -433,6 +433,21 @@ def q_ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF variant: spherical k-means cells + nprobe probing + exact
+    re-rank. Deterministic (seeded init, centroid rounding absorbs
+    partition float jitter) but approximate by construction → rows-only;
+    recall/purity pinned in tests/test_ivf.py."""
+    from gridfia_ray.ann.ivf import ivf_topk_cosine
+
+    out = ivf_topk_cosine(
+        _embeddings(sf_dir), _query_vectors(sf_dir), _ANN_QUERY_IDS,
+        k=10, k_cells=8, nprobe=4, seed=42,
+    )
+    df = out.to_pandas()[["query_id", "vec_id", "rank"]].astype(np.int64)
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -680,6 +695,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,

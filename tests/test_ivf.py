@@ -1,0 +1,125 @@
+"""IVF ANN index: k-means quality, determinism/partition invariance,
+probe recall vs brute force, and file-pruned index search."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gridfia_ray.ann import ivf
+from gridfia_ray.ann.search import topk_cosine
+
+DIM = 32
+N = 2000
+K_CLUSTERS = 8
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    """Planted spherical clusters: ground truth for purity/recall."""
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(K_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.randint(0, K_CLUSTERS, N)
+    vecs = centers[lab] + 0.15 * rng.normal(size=(N, DIM))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(N, dtype=np.int64), "embedding": list(vecs.astype(np.float32))}
+    )
+    return df, vecs, lab
+
+
+@pytest.fixture(scope="module")
+def blob_ds(blobs, ray_session):
+    import ray.data as rd
+
+    return rd.from_pandas(blobs[0]).repartition(8)
+
+
+@pytest.fixture(scope="module")
+def centroids(blob_ds):
+    return ivf.kmeans_fit(blob_ds, K_CLUSTERS, seed=1)
+
+
+class TestKMeans:
+    def test_recovers_planted_clusters(self, blob_ds, blobs, centroids):
+        _, _, lab = blobs
+        assigned = ivf.assign_cells(blob_ds, centroids).to_pandas()
+        assigned["lab"] = lab[assigned["vec_id"].to_numpy()]
+        purity = assigned.groupby("ivf_cell")["lab"].agg(
+            lambda s: s.value_counts().iloc[0] / len(s)
+        )
+        assert len(purity) == K_CLUSTERS
+        assert purity.min() >= 0.95
+
+    def test_partition_invariant(self, blob_ds, blobs, centroids, ray_session):
+        """Centroid rounding absorbs block-boundary float jitter: the
+        fit is bit-identical across physical partitionings."""
+        import ray.data as rd
+
+        ds2 = rd.from_pandas(blobs[0]).repartition(2)
+        c2 = ivf.kmeans_fit(ds2, K_CLUSTERS, seed=1)
+        assert np.array_equal(centroids, c2)
+
+    def test_centroids_unit_norm(self, centroids):
+        np.testing.assert_allclose(
+            np.linalg.norm(centroids, axis=1), 1.0, atol=10**-8
+        )
+
+    def test_k_capped_by_pool(self, blobs, ray_session):
+        import ray.data as rd
+
+        tiny = rd.from_pandas(blobs[0].head(5))
+        c = ivf.kmeans_fit(tiny, 16, seed=1)
+        assert len(c) == 5
+
+
+class TestIvfTopK:
+    def test_recall_on_clustered_data(self, blob_ds, blobs, centroids):
+        _, vecs, _ = blobs
+        qids = [0, 1, 2, 3, 4]
+        q = vecs[qids]
+        exact = topk_cosine(blob_ds, q, qids, k=10).to_pandas()
+        approx = ivf.ivf_topk_cosine(
+            blob_ds, q, qids, k=10, k_cells=K_CLUSTERS, nprobe=2, centroids=centroids
+        ).to_pandas()
+        hits = set(map(tuple, approx[["query_id", "vec_id"]].values))
+        truth = set(map(tuple, exact[["query_id", "vec_id"]].values))
+        assert len(hits & truth) / len(truth) >= 0.95
+
+    def test_full_probe_equals_brute(self, blob_ds, blobs, centroids):
+        """nprobe == k_cells degenerates to exact brute force."""
+        _, vecs, _ = blobs
+        qids = [10, 20]
+        q = vecs[qids]
+        exact = topk_cosine(blob_ds, q, qids, k=10).to_pandas()
+        full = ivf.ivf_topk_cosine(
+            blob_ds, q, qids, k=10, k_cells=K_CLUSTERS, nprobe=K_CLUSTERS,
+            centroids=centroids,
+        ).to_pandas()
+        e = exact.sort_values(["query_id", "rank"])[["query_id", "vec_id"]].to_numpy()
+        f = full.sort_values(["query_id", "rank"])[["query_id", "vec_id"]].to_numpy()
+        assert np.array_equal(e, f)
+
+
+class TestIndexStore:
+    def test_build_search_prunes_files(self, blob_ds, blobs, centroids, tmp_path_factory):
+        _, vecs, _ = blobs
+        d = str(tmp_path_factory.mktemp("ivf_idx"))
+        built = ivf.build_ivf_index(blob_ds, d, K_CLUSTERS, seed=1)
+        assert np.array_equal(built, centroids)  # same fit, same seed
+        qids = [0, 1, 2]
+        res, dirs = ivf.search_ivf_index(d, vecs[qids], qids, k=10, nprobe=2)
+        n_cells = len(
+            [p for p in os.listdir(os.path.join(d, "cells")) if p.startswith("ivf_cell=")]
+        )
+        assert n_cells == K_CLUSTERS
+        assert len(dirs) < n_cells  # file-level pruning actually happened
+        inmem = ivf.ivf_topk_cosine(
+            blob_ds, vecs[qids], qids, k=10, k_cells=K_CLUSTERS, nprobe=2,
+            centroids=centroids,
+        ).to_pandas()
+        got = res.to_pandas()
+        assert set(map(tuple, got[["query_id", "vec_id"]].values)) == set(
+            map(tuple, inmem[["query_id", "vec_id"]].values)
+        )
