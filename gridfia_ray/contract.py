@@ -225,6 +225,26 @@ def q_percentiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_percentiles_exact(sf_dir: str) -> pd.DataFrame:
+    """A5 exact form: distributed quickselect via histogram refinement —
+    the k-th order statistic (k = ceil(q/100·n), SQL quantile_disc
+    semantics) without sorting or shuffling pixel data. Exact → full
+    hash check vs the DuckDB oracle."""
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+    from gridfia_ray.pipelines.percentiles import percentiles_exact
+
+    f = _fx()
+    decoded = decoded_tiles(read_tiles(f["tiles"]), f["spec"], include_total=False)
+    qs = [2.0, 50.0, 98.0]
+    got = percentiles_exact(decoded, qs)
+    return pd.DataFrame(
+        {
+            "q_pct": np.asarray([2, 50, 98], dtype=np.int64),
+            "value_u": s6([got[q] for q in qs]),
+        }
+    )
+
+
 def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (SRP candidates + exact verify).
     The sf embeddings are random → typically empty; recall behavior is
@@ -681,6 +701,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_morans_i": q_morans_i,
         "gf_percentiles": q_percentiles,
+        "gf_percentiles_exact": q_percentiles_exact,
         "gf_tile_catalog": q_tile_catalog,
         "gf_store_validate": q_store_validate,
         # documents / embeddings / events / relational
@@ -879,6 +900,13 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(st.n AS BIGINT) AS n_tiles,
                CAST((SELECT COUNT(*) FROM pr) AS BIGINT) AS w_pairs
         FROM st, sq"""
+    sql["gf_percentiles_exact"] = f"""
+        WITH v AS (SELECT biomass FROM read_parquet('{P}')
+                   WHERE species_code <> '0000' AND biomass <> 0),
+        qd AS (SELECT quantile_disc(biomass, [0.02, 0.50, 0.98]) ql FROM v)
+        SELECT CAST([2, 50, 98][i] AS BIGINT) AS q_pct,
+               {_sql_s6('ql[i]')} AS value_u
+        FROM qd, (SELECT unnest(generate_series(1, 3)) i)"""
     sql["gf_tile_catalog"] = (
         f"SELECT split_part(image_id, '/', 1) AS species_code, COUNT(*) AS n_tiles "
         f"FROM read_parquet('{T}/*.parquet') GROUP BY 1"

@@ -102,6 +102,142 @@ def percentiles_histogram(
     return out
 
 
+def _count_and_range(decoded: rd.Dataset, exclude_zero: bool) -> tuple[int, float, float]:
+    def partial(batch: pa.Table) -> pa.Table:
+        lo, hi, n = np.inf, -np.inf, 0
+        for arr in _decoded_values(batch):
+            a = arr[arr != 0.0] if exclude_zero else arr
+            if a.size:
+                lo = min(lo, float(a.min()))
+                hi = max(hi, float(a.max()))
+                n += int(a.size)
+        return pa.table({"lo": [lo], "hi": [hi], "n": [n]})
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    row = decoded.map_batches(partial, batch_format="pyarrow").aggregate(
+        Min("lo", alias_name="lo"), Max("hi", alias_name="hi"), Sum("n", alias_name="n")
+    )
+    return int(row["n"]), float(row["lo"]), float(row["hi"])
+
+
+def percentiles_exact(
+    decoded: rd.Dataset,
+    qs: list[float],
+    exclude_zero: bool = True,
+    bins: int = 4096,
+    collect_limit: int = 1 << 18,
+    max_iters: int = 8,
+) -> dict[float, float]:
+    """EXACT global percentiles — distributed quickselect by histogram
+    refinement (classic k-th order statistic at scale; no full sort, no
+    shuffle of pixel data).
+
+    Semantics match SQL ``quantile_disc``: the result for q is the
+    k-th smallest value with k = ceil(q/100 · n) — an actual data value,
+    so scaled-integer comparison against a DuckDB oracle is exact.
+
+    Each refinement pass is one streaming ``map_batches`` over the
+    decoded tiles: per-batch histograms over the current candidate range
+    of every unresolved quantile (combiner rows, O(bins·|qs|) per
+    block). A range shrinks ×bins per pass, so even 10^12 values pin
+    within 3–4 passes; once a range holds ≤ ``collect_limit`` values
+    the final pass collects just those and selects exactly.
+    """
+    n, lo, hi = _count_and_range(decoded, exclude_zero)
+    if n == 0 or not np.isfinite(lo):
+        return {q: float("nan") for q in qs}
+    # state per quantile: rank k (1-indexed), candidate range [a, b]
+    # (top-inclusive iff ``inc``), and the count of values below a
+    state = {
+        q: {"k": max(1, int(np.ceil(q / 100.0 * n))), "a": lo, "b": hi, "below": 0,
+            "inc": True}
+        for q in qs
+    }
+    out: dict[float, float] = {}
+    from ray.data.aggregate import Sum
+
+    for it in range(max_iters):
+        active = [q for q in qs if q not in out]
+        if not active:
+            break
+        specs_h = [(state[q]["a"], state[q]["b"], state[q]["inc"]) for q in active]
+        edge_sets = [np.linspace(a, b, bins + 1) for a, b, _ in specs_h]
+
+        def partial(batch: pa.Table, edge_sets=edge_sets, specs_h=specs_h) -> pa.Table:
+            counts = np.zeros(len(edge_sets) * bins, dtype=np.int64)
+            for arr in _decoded_values(batch):
+                a64 = arr.astype(np.float64)
+                if exclude_zero:
+                    a64 = a64[a64 != 0.0]
+                for ri, edges in enumerate(edge_sets):
+                    a, b, inc = specs_h[ri]
+                    sel = a64[(a64 >= a) & ((a64 <= b) if inc else (a64 < b))]
+                    if sel.size:
+                        counts[ri * bins : (ri + 1) * bins] += np.histogram(sel, bins=edges)[0]
+            return pa.table(
+                {"slot": np.arange(len(counts), dtype=np.int64), "count": counts}
+            )
+
+        hist = (
+            decoded.map_batches(partial, batch_format="pyarrow")
+            .groupby("slot")
+            .aggregate(Sum("count", alias_name="count"))
+            .to_pandas()
+        )
+        full = np.zeros(len(edge_sets) * bins, dtype=np.int64)
+        full[hist["slot"].to_numpy()] = hist["count"].to_numpy()
+
+        collect: list[tuple[float, float, float, int, bool]] = []
+        for ri, q in enumerate(active):
+            st = state[q]
+            c = full[ri * bins : (ri + 1) * bins]
+            cum = np.cumsum(c)
+            local_k = st["k"] - st["below"]
+            j = int(np.searchsorted(cum, local_k, side="left"))
+            edges = edge_sets[ri]
+            in_bin = int(c[j])
+            below_bin = int(cum[j - 1]) if j > 0 else 0
+            st["inc"] = st["inc"] and j == bins - 1
+            st["a"], st["b"] = float(edges[j]), float(edges[j + 1])
+            st["below"] += below_bin
+            # last iteration force-collects (only reachable for
+            # pathologically duplicate-heavy bins that never shrink)
+            if in_bin <= collect_limit or it == max_iters - 1:
+                collect.append((q, st["a"], st["b"], st["k"] - st["below"], st["inc"]))
+
+        if collect:
+            specs = [(a, b, inc) for _, a, b, _, inc in collect]
+
+            def gather(batch: pa.Table, specs=specs) -> pa.Table:
+                slot_col, val_col = [], []
+                for arr in _decoded_values(batch):
+                    a64 = arr.astype(np.float64)
+                    if exclude_zero:
+                        a64 = a64[a64 != 0.0]
+                    for si, (a, b, inc) in enumerate(specs):
+                        # same boundary semantics as the histogram pass:
+                        # half-open top unless this range still carries
+                        # the global max (inc)
+                        sel = a64[(a64 >= a) & ((a64 <= b) if inc else (a64 < b))]
+                        if sel.size:
+                            slot_col.append(np.full(sel.size, si, dtype=np.int64))
+                            val_col.append(sel)
+                if not slot_col:
+                    return pa.table(
+                        {"slot": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}
+                    )
+                return pa.table(
+                    {"slot": np.concatenate(slot_col), "v": np.concatenate(val_col)}
+                )
+
+            vals = decoded.map_batches(gather, batch_format="pyarrow").to_pandas()
+            for si, (q, _, _, local_rank, _) in enumerate(collect):
+                sub = np.sort(vals.loc[vals["slot"] == si, "v"].to_numpy(), kind="stable")
+                out[q] = float(sub[local_rank - 1])
+    return out
+
+
 def normalize_percentile_clip(
     arr: np.ndarray, p_lo: float, p_hi: float
 ) -> np.ndarray:

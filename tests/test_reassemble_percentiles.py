@@ -66,6 +66,33 @@ class TestPercentiles:
         for q, e in zip([2, 50, 98], expect):
             assert abs(got[q] - e) < tol, (q, got[q], e)
 
+    def test_exact_matches_order_statistic(self, ray_session, t1_tiles, spec):
+        """percentiles_exact = the k-th smallest value, k = ceil(q/100·n)
+        (quantile_disc semantics) — bit-exact, including extremes."""
+        from gridfia_ray.pipelines.percentiles import percentiles_exact
+
+        decoded = decoded_tiles(read_tiles(t1_tiles), spec, include_total=False)
+        qs = [0.001, 2.0, 50.0, 98.0, 100.0]
+        got = percentiles_exact(decoded, qs)
+        cube, _ = fixtures.build_cube(fixtures.SCALES["t1"])
+        vals = np.sort(cube[1:][cube[1:] != 0.0].astype(np.float64), kind="stable")
+        for q in qs:
+            k = max(1, int(np.ceil(q / 100.0 * len(vals))))
+            assert got[q] == vals[k - 1], (q, got[q], vals[k - 1])
+
+    def test_exact_tiny_bin_forces_refinement(self, ray_session, t1_tiles, spec):
+        """With 2 bins per pass the refinement loop must iterate many
+        times and still land exactly (exercises the multi-pass path and
+        the inclusive-top bookkeeping)."""
+        from gridfia_ray.pipelines.percentiles import percentiles_exact
+
+        decoded = decoded_tiles(read_tiles(t1_tiles), spec, include_total=False)
+        got = percentiles_exact(decoded, [50.0], bins=2, collect_limit=64, max_iters=40)
+        cube, _ = fixtures.build_cube(fixtures.SCALES["t1"])
+        vals = np.sort(cube[1:][cube[1:] != 0.0].astype(np.float64), kind="stable")
+        k = int(np.ceil(0.5 * len(vals)))
+        assert got[50.0] == vals[k - 1]
+
     def test_normalize_clip(self):
         a = np.array([0.0, 5.0, 10.0, np.nan])
         out = normalize_percentile_clip(a, 2.0, 8.0)
