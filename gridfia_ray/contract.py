@@ -333,6 +333,16 @@ def q_doc_token_count(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    """BPE-style pre-tokenizer count (RE2-compatible pattern shared
+    verbatim with the SQL oracle)."""
+    from gridfia_ray.text.ops import bpe_token_count
+
+    out = _docs(sf_dir).map_batches(bpe_token_count, batch_format="pandas").to_pandas()
+    out["n_bpe_tokens"] = out["n_bpe_tokens"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     """Integer-exact quality counts (ratios derive from these)."""
     import re
@@ -707,6 +717,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # documents / embeddings / events / relational
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_count": q_doc_token_count,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_quality": q_doc_quality,
         "doc_repetition": q_doc_repetition,
         "doc_langid": q_doc_langid,
@@ -922,6 +933,11 @@ def build_oracle_sql() -> dict[str, str]:
     sql["doc_token_count"] = r"""
         SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        FROM documents"""
+    sql["doc_bpe_tokens"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s')) AS BIGINT) AS n_bpe_tokens
         FROM documents"""
     sql["doc_quality"] = r"""
         SELECT doc_id,

@@ -117,16 +117,19 @@ def _segmented_sum_mod61(terms: np.ndarray, starts: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Whitespace-tokenize a batch → (flat_bytes, token_lengths,
-    doc_token_counts). Tokenization is the same ``\\S+`` regex as the
-    scalar operators (bit-identical token boundaries); the only Python
-    work is findall + encode per doc — no per-character loops."""
+def tokenize_flat(
+    texts, pattern: "re.Pattern | None" = None, lower: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch → (flat_bytes, token_lengths, doc_token_counts).
+    Default tokenization is the same ``\\S+`` regex as the scalar
+    operators (bit-identical token boundaries); the only Python work is
+    findall + encode per doc — no per-character loops."""
+    rx = pattern or _WORD
     lens: list[int] = []
     counts = np.empty(len(texts), dtype=np.int64)
     chunks: list[bytes] = []
     for d, t in enumerate(texts):
-        toks = _WORD.findall(t or "")
+        toks = rx.findall((t or "").lower() if lower else (t or ""))
         counts[d] = len(toks)
         enc = [tok.encode("utf-8") for tok in toks]
         lens.extend(len(e) for e in enc)
@@ -135,10 +138,12 @@ def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return flat, np.asarray(lens, dtype=np.int64), counts
 
 
-def token_hashes64(texts) -> tuple[np.ndarray, np.ndarray]:
+def token_hashes64(
+    texts, pattern: "re.Pattern | None" = None, lower: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
     """64-bit polynomial token hashes (base 131, mod 2^64, avalanched),
     flat across the batch → (hashes uint64, doc_token_counts)."""
-    flat, tlens, counts = tokenize_flat(texts)
+    flat, tlens, counts = tokenize_flat(texts, pattern, lower)
     n_tok = tlens.size
     if n_tok == 0:
         return np.empty(0, np.uint64), counts

@@ -36,6 +36,23 @@ def token_count(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# GPT-2-style pre-tokenizer classes (public BPE pre-tokenization shape:
+# letter runs, digit runs, punctuation runs — each absorbing one leading
+# space — plus residual whitespace), restricted to RE2-compatible syntax
+# (no lookahead) so the SAME pattern runs in the DuckDB oracle.
+_BPE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s")
+
+
+def bpe_token_count(batch: pd.DataFrame) -> pd.DataFrame:
+    """n_bpe_tokens = count of BPE-style pre-tokenizer matches — the
+    standard proxy for LLM token cost (≈ tokens before merges)."""
+    out = batch[["doc_id"]].copy()
+    out["n_bpe_tokens"] = (
+        batch["text"].fillna("").str.count(_BPE).astype(np.int64)
+    )
+    return out
+
+
 class QualityScorer:
     """Heuristic quality features: char/token counts, alphabetic and
     punctuation ratios, mean token length — the classic pre-training
@@ -76,23 +93,43 @@ class QualityScorer:
 class LangId:
     """Stopword-profile language ID (n-gram-free heuristic): the language
     whose stopword set covers the most tokens wins; 'und' (undetermined)
-    when no profile scores > 0."""
+    when no profile scores > 0. First-wins tie rule in dict order
+    (en > de > fr > es), mirrored by the SQL oracle.
+
+    Vectorized: tokens hash once per batch (flat 64-bit array); each
+    profile is a pre-hashed array and scoring is one ``np.isin`` +
+    segment-sum per language — no per-token Python."""
 
     def __init__(self):
+        from gridfia_ray.text.hashing import token_hashes64
+
         self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
-        self.profiles = {k: v for k, v in _LANG_STOPWORDS.items()}
+        self.langs = list(_LANG_STOPWORDS)
+        self.profile_hashes = {
+            lang: np.sort(token_hashes64(sorted(words))[0])
+            for lang, words in _LANG_STOPWORDS.items()
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from gridfia_ray.text.hashing import token_hashes64
+
+        texts = batch["text"].fillna("").tolist()
+        th, counts = token_hashes64(texts, pattern=self.word, lower=True)
+        doc_idx = np.repeat(np.arange(len(texts)), counts)
+        scores = np.zeros((len(texts), len(self.langs)), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            hit = np.isin(th, self.profile_hashes[lang], assume_unique=False)
+            if hit.any():
+                scores[:, li] = np.bincount(doc_idx[hit], minlength=len(texts))
+        # strict-improvement scan == the scalar loop's first-wins rule
+        best = np.zeros(len(texts), dtype=np.int64) - 1
+        best_score = np.zeros(len(texts), dtype=np.int64)
+        for li in range(len(self.langs)):
+            better = scores[:, li] > best_score
+            best[better] = li
+            best_score[better] = scores[better, li]
+        preds = np.asarray(["und", *self.langs], dtype=object)[best + 1]
         out = batch[["doc_id"]].copy()
-        preds = []
-        for t in batch["text"].fillna(""):
-            toks = [w.lower() for w in self.word.findall(t)]
-            best, best_score = "und", 0
-            for lang, stop in self.profiles.items():
-                score = sum(1 for w in toks if w in stop)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
         out["lang_pred"] = preds
         return out
 

@@ -48,6 +48,44 @@ class TestLangId:
         assert out["lang_pred"].tolist()[:3] == ["en", "de", "fr"]
         assert out["lang_pred"].iloc[3] == "und"
 
+    def test_matches_scalar_reference(self, docs):
+        """The vectorized scorer must reproduce the scalar loop it
+        replaced (incl. the first-wins tie rule) token for token."""
+        import re
+
+        from gridfia_ray.text.ops import _LANG_STOPWORDS
+
+        word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        expect = []
+        for t in docs["text"].fillna(""):
+            toks = [w.lower() for w in word.findall(t)]
+            best, best_score = "und", 0
+            for lang, stop in _LANG_STOPWORDS.items():
+                score = sum(1 for w in toks if w in stop)
+                if score > best_score:
+                    best, best_score = lang, score
+            expect.append(best)
+        assert LangId()(docs)["lang_pred"].tolist() == expect
+
+
+class TestBpeTokens:
+    def test_matches_re_findall(self, docs):
+        import re
+
+        from gridfia_ray.text.ops import bpe_token_count
+
+        rx = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s")
+        out = bpe_token_count(docs)
+        expect = [len(rx.findall(t)) for t in docs["text"].fillna("")]
+        assert out["n_bpe_tokens"].tolist() == expect
+
+    def test_known_values(self):
+        from gridfia_ray.text.ops import bpe_token_count
+
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["don't stop", "e=mc^2!"]})
+        # "don"," '","t"," stop" = 4 ; "e","=","mc","^","2","!" = 6
+        assert bpe_token_count(df)["n_bpe_tokens"].tolist() == [4, 6]
+
 
 class TestRepetition:
     def test_dup_lines_and_top_bigram(self):
