@@ -15,6 +15,11 @@ grid, which gives the same three properties the design needs:
 
 All functions are vectorized numpy over int64; 31 bits per axis → grids up
 to 2^31 × 2^31 cells (≫ 10^12 tiles).
+
+For corpora keyed by geographic lat/lng (multi-projection stores, WGS84
+points), ``geo/s2cells.py`` provides the spherical counterpart: an
+S2-scheme quad-sphere cell id (cube face + quadratic correction +
+Hilbert curve) with the same hierarchy/locality/ring properties.
 """
 
 from __future__ import annotations
