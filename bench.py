@@ -160,6 +160,34 @@ def run_bench() -> dict:
         timed("doc_quality", lambda: q_doc_quality(SF_DIR))
         timed("doc_minhash_pairs", lambda: q_doc_minhash_pairs(SF_DIR))
         timed("ann_topk", lambda: q_ann_topk(SF_DIR))
+
+        # ANN at scale: 400k×64 clustered corpus — brute scan vs IVF
+        # (k-means build once, then nprobe/k of the store per search)
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from gridfia_ray.ann import ivf as IVF
+        from gridfia_ray.ann.search import topk_cosine
+
+        emb_path = fixtures.ensure_embedding_fixture()
+        qt = pq.read_table(emb_path, columns=["vec_id", "embedding"]).slice(0, 8)
+        qvecs = np.asarray(qt["embedding"].combine_chunks().flatten()).reshape(8, -1)
+        qids = qt["vec_id"].to_numpy().tolist()
+        emb_ds = lambda: rd.read_parquet(emb_path)  # noqa: E731
+        timed("ann_brute_400k", lambda: topk_cosine(emb_ds(), qvecs, qids, k=10).count())
+        import shutil
+        import tempfile
+
+        ivf_dir = tempfile.mkdtemp(prefix="ivf_bench_")
+        try:
+            timed("ann_ivf_build_400k",
+                  lambda: IVF.build_ivf_index(emb_ds(), ivf_dir, 64, n_iters=5))
+            timed(
+                "ann_ivf_search_400k",
+                lambda: IVF.search_ivf_index(ivf_dir, qvecs, qids, k=10, nprobe=8)[0].count(),
+            )
+        finally:
+            shutil.rmtree(ivf_dir, ignore_errors=True)
         timed("events_hourly", lambda: q_events_hourly(SF_DIR))
         timed("rel_pricing_summary", lambda: q_rel_pricing_summary(SF_DIR))
 

@@ -482,3 +482,34 @@ def ensure_fixture(name: str) -> str:
 def fixture_meta(name: str) -> dict:
     with open(os.path.join(ensure_fixture(name), "meta.json")) as f:
         return json.load(f)
+
+
+def ensure_embedding_fixture(
+    n: int = 400_000, dim: int = 64, n_clusters: int = 64, seed: int = 1234
+) -> str:
+    """Seeded clustered embedding corpus for ANN benchmarks (the sf
+    embeddings tables are random noise and tiny). Returns the parquet
+    path; generated once, cached. Rows: vec_id int64, embedding
+    list<float32>, label int32."""
+    out = os.path.join(FIXTURE_ROOT, f"emb-{n}x{dim}c{n_clusters}-v{GEN_VERSION}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, n_clusters, n)
+    vecs = (centers[labels] + 0.25 * rng.normal(size=(n, dim))).astype(np.float32)
+    flat = pa.array(vecs.reshape(-1), pa.float32())
+    emb = pa.FixedSizeListArray.from_arrays(flat, dim)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": emb,
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+    tmp = out + f".tmp{os.getpid()}"
+    pq.write_table(t, tmp, row_group_size=32_768)
+    os.replace(tmp, out)
+    return out
