@@ -659,6 +659,103 @@ def q_rel_top_customers(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_rel_regional_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-shaped multi-table join: lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region, region-filtered, revenue by nation —
+    the broadcast-join-chain pattern. Every dimension map ships once via
+    ``ray.put``; the fact table streams through ONE map_batches with a
+    per-batch combiner, then a tiny grouped sum. Per-row integer-cents
+    conversion makes the sum bit-exact vs SQL.
+
+    Scale note: orders is the one side that grows with the fact table —
+    at real TPC-H scale this leg needs the bucketed shuffle join
+    (``stages/dedup_util.attach_pair_attrs`` fallback shape) instead of
+    a broadcast; the dimension chain (supplier/nation/region/customer)
+    stays broadcast at any scale."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    nations = nation[nation["n_regionkey"] == asia]
+    nation_keys = set(nations["n_nationkey"].tolist())
+
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+
+    def sorted_map(keys, vals):
+        k, v = keys.to_numpy(), vals.to_numpy()
+        order = np.argsort(k, kind="mergesort")
+        return k[order], v[order]
+
+    maps_ref = ray.put(
+        {
+            "orders": sorted_map(orders["o_orderkey"], orders["o_custkey"]),
+            "cust": sorted_map(customer["c_custkey"], customer["c_nationkey"]),
+            "supp": sorted_map(supplier["s_suppkey"], supplier["s_nationkey"]),
+            "region_nations": np.asarray(sorted(nation_keys), dtype=np.int64),
+        }
+    )
+
+    class JoinChain:
+        def __init__(self):
+            self.m = ray.get(maps_ref)
+
+        def _lookup(self, name, keys):
+            mk, mv = self.m[name]
+            idx = np.clip(np.searchsorted(mk, keys), 0, len(mk) - 1)
+            hit = mk[idx] == keys
+            return mv[idx], hit
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cust, hit_o = self._lookup("orders", batch["l_orderkey"].to_numpy())
+            c_nat, hit_c = self._lookup("cust", cust)
+            s_nat, hit_s = self._lookup("supp", batch["l_suppkey"].to_numpy())
+            keep = (
+                hit_o & hit_c & hit_s
+                & (c_nat == s_nat)
+                & np.isin(s_nat, self.m["region_nations"])
+            )
+            rev_c = np.floor(
+                batch["l_extendedprice"].to_numpy()[keep]
+                * (1.0 - batch["l_discount"].to_numpy()[keep])
+                * 100
+                + 0.5
+            ).astype(np.int64)
+            out = pd.DataFrame({"n_nationkey": s_nat[keep], "revenue_c": rev_c})
+            return out.groupby("n_nationkey", as_index=False).sum()
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    out = bucketed_agg(
+        li.map_batches(JoinChain, batch_format="pandas", concurrency=(1, 8)),
+        ["n_nationkey"],
+        {"revenue_c": ("revenue_c", "sum")},
+    ).to_pandas()
+    out = out.merge(nations[["n_nationkey", "n_name"]], on="n_nationkey")
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    out = out[["n_name", "revenue_c"]]
+    return out.sort_values(["revenue_c", "n_name"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract tables
 # ---------------------------------------------------------------------------
@@ -733,6 +830,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_sessions": q_events_sessions,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
+        "rel_regional_revenue": q_rel_regional_revenue,
     }
     return qs
 
@@ -1068,7 +1166,19 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1.0 - l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_custkey ORDER BY revenue_c DESC, o.o_custkey LIMIT 10"""
+    sql["rel_regional_revenue"] = """
+        SELECT n.n_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1.0 - l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+        GROUP BY n.n_name"""
     # Remaining rows-only (irreducibly approximate / seeded-hash ops):
-    # doc_minhash_pairs, doc_simhash_pairs, ann_lsh_topk, emb_near_dup,
-    # gf_percentiles — python brute-force/recall oracles live in tests/.
+    # doc_minhash_pairs, doc_simhash_pairs, ann_lsh_topk, ann_ivf_topk,
+    # emb_near_dup, gf_percentiles — python brute-force/recall oracles
+    # live in tests/.
     return sql
