@@ -12,7 +12,7 @@ import numpy as np
 
 from gridfia_ray.codecs import png16, raw
 
-FORMATS = ("raw-f32", "zlib-f32", "png", "tiff")
+FORMATS = ("raw-f32", "zlib-f32", "png", "tiff", "bmp")
 
 
 def decode_tile(buf: bytes, fmt: str, h: int, w: int, meta: dict | None = None) -> np.ndarray:
@@ -27,6 +27,11 @@ def decode_tile(buf: bytes, fmt: str, h: int, w: int, meta: dict | None = None) 
         from gridfia_ray.codecs import tiff
 
         return tiff.decode_tiff_f32(buf, h, w, meta)
+    if fmt == "bmp":
+        from gridfia_ray.codecs import bmp
+
+        meta = meta or {}
+        return bmp.decode_bmp8(buf, meta.get("scale_vmin", 0.0), meta.get("scale_vmax", 0.0))
     raise ValueError(f"unknown tile format {fmt!r}")
 
 
@@ -43,4 +48,9 @@ def encode_tile(arr: np.ndarray, fmt: str) -> tuple[bytes, dict]:
         from gridfia_ray.codecs import tiff
 
         return tiff.encode_tiff_f32(arr), {}
+    if fmt == "bmp":
+        from gridfia_ray.codecs import bmp
+
+        buf, vmin, vmax = bmp.encode_bmp8(arr)
+        return buf, {"scale_vmin": vmin, "scale_vmax": vmax}
     raise ValueError(f"unknown tile format {fmt!r}")

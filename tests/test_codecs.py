@@ -61,6 +61,46 @@ class TestPng16:
         assert psnr(tile, out) >= 40.0
 
 
+class TestBmp8:
+    def test_psnr_gate(self, tile):
+        buf, meta = encode_tile(tile, "bmp")
+        out = decode_tile(buf, "bmp", 64, 64, meta)
+        assert psnr(tile, out) >= 40.0
+
+    def test_nonsquare_padding(self):
+        """Width 5 → stride 8: the 4-byte row padding path."""
+        a = np.arange(15, dtype=np.float32).reshape(3, 5)
+        buf, meta = encode_tile(a, "bmp")
+        out = decode_tile(buf, "bmp", 3, 5, meta)
+        assert out.shape == (3, 5)
+        assert psnr(a, out) >= 40.0
+
+    def test_golden_bytes(self):
+        """Decode a hand-built minimal BMP (2×2, bottom-up): pins the
+        header layout and row order against the public spec, not our own
+        encoder."""
+        import struct
+
+        pix_rows = bytes([10, 20, 0, 0]) + bytes([30, 40, 0, 0])  # bottom row first
+        palette = b"".join(bytes([g, g, g, 0]) for g in range(256))
+        off = 14 + 40 + len(palette)
+        head = struct.pack("<2sIHHI", b"BM", off + len(pix_rows), 0, 0, off)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(pix_rows), 0, 0, 256, 0)
+        out = decode_tile(head + info + palette + pix_rows, "bmp", 2, 2,
+                          {"scale_vmin": 0.0, "scale_vmax": 255.0})
+        # top row = second chunk (30, 40), bottom = first (10, 20)
+        assert np.allclose(out, [[30.0, 40.0], [10.0, 20.0]])
+
+    def test_constant_tile(self):
+        a = np.full((4, 4), 7.5, np.float32)
+        buf, meta = encode_tile(a, "bmp")
+        assert np.allclose(decode_tile(buf, "bmp", 4, 4, meta), 7.5)
+
+    def test_reject_non_bmp(self):
+        with pytest.raises(ValueError):
+            decode_tile(b"PNG....", "bmp", 2, 2, {})
+
+
 class TestHashes:
     def test_content_hash_sensitivity(self):
         a = phash.content_hash64(b"x" * 1000)
