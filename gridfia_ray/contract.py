@@ -550,6 +550,43 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
+def q_events_sample_per_user(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-key sampling: 5 events per user by smallest
+    md5 rank (partition-invariant reservoir equivalent; exact SQL
+    oracle via md5 + ROW_NUMBER)."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.sampling import sample_per_key
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                # parquet timestamps arrive as datetime64[us]; normalize
+                # to ns before the ms division (epoch_ms truncation)
+                "ts_ms": batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000,
+                "value_c": np.floor(batch["value"] * 100 + 0.5).astype(np.int64),
+            }
+        )
+        return out
+
+    out = sample_per_key(
+        events.map_batches(prep, batch_format="pandas"),
+        "user_id",
+        5,
+        ["ts_ms", "value_c"],
+    ).to_pandas()
+    out["ts"] = pd.to_datetime(out["ts_ms"], unit="ms").dt.strftime("%Y-%m-%d %H:%M:%S")
+    out = out[["user_id", "ts", "value_c"]].astype({"user_id": np.int64, "value_c": np.int64})
+    return out.sort_values(["user_id", "ts", "value_c"]).reset_index(drop=True)
+
+
 def q_rel_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped aggregate with per-row integer-cents conversion
     (bit-exact vs SQL regardless of summation order)."""
@@ -828,6 +865,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_sample_per_user": q_events_sample_per_user,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
         "rel_regional_revenue": q_rel_regional_revenue,
@@ -1153,6 +1191,17 @@ def build_oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events,
                CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
         FROM s GROUP BY user_id, sid"""
+    sql["events_sample_per_user"] = """
+        WITH r AS (
+          SELECT user_id, ts,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) value_c,
+                 md5(CAST(user_id AS VARCHAR) || '|' ||
+                     CAST(epoch_ms(ts) AS VARCHAR) || '|' ||
+                     CAST(CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS VARCHAR)) rk
+          FROM events),
+        n AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rk) rn FROM r)
+        SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value_c
+        FROM n WHERE rn <= 5"""
     sql["rel_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -1,0 +1,70 @@
+"""Deterministic distributed sampling (O3 family / training-data ops).
+
+``sample_per_key`` — k rows per key, selected by smallest cryptographic
+rank: the distributed, deterministic equivalent of per-group reservoir
+sampling ("sample k documents per domain/language"). Because the rank
+is a pure function of row content (md5 of caller-chosen columns), the
+result is independent of partitioning, execution order and cluster
+size — and a SQL oracle can reproduce it exactly (DuckDB ``md5`` +
+``ROW_NUMBER``), unlike RNG-state reservoirs.
+
+Shape: per-batch combiner keeps the k smallest ranks per key (so a
+batch contributes ≤ k rows per key to the shuffle regardless of skew),
+then a key-hash-bucketed merge takes the global k smallest — O(buckets)
+Python calls, winner selection vectorized, same altitude rules as
+``stages/dedup_util``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def md5_rank(parts: list[pd.Series]) -> pd.Series:
+    """Hex md5 over '|'-joined string forms — the rank function shared
+    with the SQL oracle (``md5(CAST(c1 AS VARCHAR) || '|' || ...)``).
+    Integer-typed columns must be passed as integers on both sides."""
+    joined = parts[0].astype(str)
+    for p in parts[1:]:
+        joined = joined + "|" + p.astype(str)
+    return joined.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+
+
+def sample_per_key(
+    ds: rd.Dataset,
+    key: str,
+    k: int,
+    rank_cols: list[str],
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Keep the ``k`` rows with the smallest md5 rank per ``key``.
+
+    ``rank_cols`` must (together with ``key``) identify a row's content;
+    ties on the full rank string select identical row values, so the
+    output multiset is still deterministic.
+    """
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__rank"] = md5_rank([batch[c] for c in [key, *rank_cols]])
+        batch = batch.sort_values([key, "__rank"], kind="mergesort")
+        batch = batch.groupby(key, sort=False).head(k)
+        h = pd.util.hash_pandas_object(batch[key], index=False).to_numpy()
+        batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return batch
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values([key, "__rank"], kind="mergesort")
+        out = group.groupby(key, sort=False).head(k)
+        return out.drop(columns=["__bucket", "__rank"])
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -80,3 +80,59 @@ class TestSessionize:
     def test_counts_preserved(self, events_ds):
         out = sessionize(events_ds, gap_minutes=60).to_pandas()
         assert out["n_events"].sum() == events_ds.count()
+
+
+class TestSamplePerKey:
+    """Deterministic md5-rank sampling: content-addressed, so the
+    sample is identical across partitionings and matches a driver-side
+    pandas reference exactly."""
+
+    def _reference(self, df, k):
+        import hashlib
+
+        df = df.copy()
+        df["__rank"] = (
+            df["user_id"].astype(str) + "|" + df["ts_ms"].astype(str)
+            + "|" + df["value_c"].astype(str)
+        ).map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        df = df.sort_values(["user_id", "__rank"], kind="mergesort")
+        return (
+            df.groupby("user_id", sort=False).head(k).drop(columns="__rank")
+            .sort_values(["user_id", "ts_ms"]).reset_index(drop=True)
+        )
+
+    def _prepped(self):
+        df = pd.read_parquet(f"{SF}/events.parquet")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype(np.int64),
+                "ts_ms": df["ts"].astype("datetime64[ns]").astype(np.int64) // 1_000_000,
+                "value_c": np.floor(df["value"] * 100 + 0.5).astype(np.int64),
+            }
+        )
+
+    def test_matches_reference_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.sampling import sample_per_key
+
+        df = self._prepped()
+        expect = self._reference(df, 3)
+        for parts in (1, 7):
+            got = (
+                sample_per_key(rd.from_pandas(df).repartition(parts), "user_id", 3,
+                               ["ts_ms", "value_c"])
+                .to_pandas()
+                .sort_values(["user_id", "ts_ms"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got[expect.columns], expect)
+
+    def test_k_larger_than_group(self, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.sampling import sample_per_key
+
+        df = self._prepped().head(20)
+        got = sample_per_key(rd.from_pandas(df), "user_id", 1000, ["ts_ms", "value_c"])
+        assert got.count() == 20  # keeps everything when k exceeds group size
