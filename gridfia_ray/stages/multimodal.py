@@ -24,47 +24,71 @@ STUB_FORMATS = ("jpeg", "webp", "wav", "mp4")
 
 class ResizeActor:
     """Block-mean downsample of decoded tiles (real, vectorized): emits
-    ``pix_small`` (raw f32) of shape (out, out) per row."""
+    ``pix_small`` (raw f32) of shape (out, out) per row. Rows sharing a
+    tile shape (the common case — a store has ONE tile size) reduce as
+    a single stacked (n, o, ·, o, ·) mean; mixed shapes just form
+    smaller groups."""
 
     def __init__(self, out: int = 8):
         self.out = int(out)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        small = []
-        for i in range(batch.num_rows):
-            h = int(batch["h"][i].as_py())
-            w = int(batch["w"][i].as_py())
-            arr = np.frombuffer(batch["pix"][i].as_py(), dtype="<f4").reshape(h, w)
-            o = self.out
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        payloads = batch["pix"].to_pylist()
+        small: list[bytes | None] = [None] * len(payloads)
+        o = self.out
+        for h, w in {(int(h), int(w)) for h, w in zip(hs, ws)}:
+            idx = np.nonzero((hs == h) & (ws == w))[0]
+            stack = np.frombuffer(
+                b"".join(payloads[i] for i in idx), dtype="<f4"
+            ).reshape(len(idx), h, w)
             th, tw = (h // o) * o, (w // o) * o
-            blk = arr[:th, :tw].reshape(o, th // o, o, tw // o).mean(axis=(1, 3))
-            small.append(blk.astype("<f4").tobytes())
+            blk = (
+                stack[:, :th, :tw]
+                .reshape(len(idx), o, th // o, o, tw // o)
+                .mean(axis=(2, 4))
+                .astype("<f4")
+            )
+            for j, i in enumerate(idx):
+                small[i] = blk[j].tobytes()
         return batch.append_column("pix_small", pa.array(small, pa.binary()))
 
 
 class TileFeatureActor:
     """Per-tile feature vector (real): mean/std/min/max/nonzero-frac and
-    deciles of the decoded pixels — the 'feature extract' stage shape."""
+    deciles of the decoded pixels — the 'feature extract' stage shape.
+    Equal-length payloads (the common case) reduce as one stacked
+    axis-1 pass; mixed lengths form smaller groups, empty rows emit
+    zeros."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for i in range(batch.num_rows):
-            arr = np.frombuffer(batch["pix"][i].as_py(), dtype="<f4").astype(np.float64)
-            if arr.size == 0:
-                feats.append([0.0] * 15)
+        payloads = batch["pix"].to_pylist()
+        sizes = np.asarray([len(p) for p in payloads])
+        feats: list[list[float] | None] = [None] * len(payloads)
+        for sz in np.unique(sizes):
+            idx = np.nonzero(sizes == sz)[0]
+            if sz == 0:
+                for i in idx:
+                    feats[i] = [0.0] * 15
                 continue
-            qs = np.percentile(arr, [10, 25, 50, 75, 90]).tolist()
-            feats.append(
+            m = np.frombuffer(b"".join(payloads[i] for i in idx), dtype="<f4").astype(
+                np.float64
+            ).reshape(len(idx), sz // 4)
+            qs = np.percentile(m, [10, 25, 50, 75, 90], axis=1).T
+            block = np.column_stack(
                 [
-                    float(arr.mean()),
-                    float(arr.std()),
-                    float(arr.min()),
-                    float(arr.max()),
-                    float(np.count_nonzero(arr) / arr.size),
+                    m.mean(axis=1),
+                    m.std(axis=1),
+                    m.min(axis=1),
+                    m.max(axis=1),
+                    np.count_nonzero(m, axis=1) / m.shape[1],
+                    qs,
+                    np.zeros((len(idx), 5)),
                 ]
-                + qs
-                + [0.0] * 5
             )
+            for j, i in enumerate(idx):
+                feats[i] = block[j].tolist()
         return batch.append_column(
             "features", pa.array(feats, pa.list_(pa.float64(), 15))
         )
