@@ -343,6 +343,29 @@ def q_doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_token_freq(sf_dir: str) -> pd.DataFrame:
+    """Distributed wordcount: top-50 corpus tokens by frequency
+    (vocabulary building). Per-batch value_counts combiner → bucketed
+    keyed sum → tiny sort; deterministic tie-break (n desc, tok asc)."""
+    from gridfia_ray.stages.agg_util import bucketed_agg
+    from gridfia_ray.text.ops import token_freq_partial
+
+    parts = _docs(sf_dir).map_batches(token_freq_partial, batch_format="pandas")
+    agg = bucketed_agg(parts, ["tok"], {"n": ("n", "sum")})
+
+    # per-block top-k before the driver fold: a token's total count is
+    # complete within its bucket block, so the global top-50 is a subset
+    # of the union of per-block top-50s — the driver sees O(50·buckets)
+    # rows, not the whole vocabulary
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort").head(50)
+
+    out = agg.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out = out.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort").head(50)
+    return out.reset_index(drop=True)
+
+
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     """Integer-exact quality counts (ratios derive from these)."""
     import re
@@ -852,6 +875,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_count": q_doc_token_count,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_token_freq": q_doc_token_freq,
         "doc_quality": q_doc_quality,
         "doc_repetition": q_doc_repetition,
         "doc_langid": q_doc_langid,
@@ -1075,6 +1099,13 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text,
                  ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s')) AS BIGINT) AS n_bpe_tokens
         FROM documents"""
+    sql["doc_token_freq"] = r"""
+        WITH t AS (SELECT unnest(CASE WHEN trim(text) = '' THEN []
+                     ELSE regexp_split_to_array(trim(text), '\s+') END) tok
+                   FROM documents),
+        c AS (SELECT tok, COUNT(*) n FROM t GROUP BY tok)
+        SELECT tok, CAST(n AS BIGINT) AS n FROM c
+        ORDER BY n DESC, tok LIMIT 50"""
     sql["doc_quality"] = r"""
         SELECT doc_id,
           CAST(length(text) AS BIGINT) AS n_chars,

@@ -134,6 +134,21 @@ class LangId:
         return out
 
 
+def token_freq_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner for the global token-frequency table (the
+    vocabulary-building wordcount): one value_counts over the batch's
+    flat token list → (tok, n) partial rows. Feed through a bucketed
+    keyed sum; at 10^12 docs the shuffle carries only distinct-token
+    partials per batch, never token instances."""
+    toks: list[str] = []
+    for t in batch["text"].fillna(""):
+        toks.extend(_WS.findall(t))
+    if not toks:
+        return pd.DataFrame({"tok": pd.Series(dtype=str), "n": pd.Series(dtype=np.int64)})
+    vc = pd.Series(toks).value_counts()
+    return pd.DataFrame({"tok": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+
 def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
     """Gopher-style repetition signals (public pre-training filter
     heuristics — Rae et al. 2021 §A1.1): duplicate-line counts and the
