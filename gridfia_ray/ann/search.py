@@ -223,15 +223,23 @@ def embedding_near_dup_pairs(
     Payload-slim shape (round-1 perf item 7): band rows carry
     ``vec_id`` + the 8-byte full signature only — the float vectors are
     NOT replicated into all ``n_bands`` band rows. Inside a band bucket
-    a pair must also pass a full-signature Hamming prefilter
-    (E[hamming] = 64·angle/π ≈ 6.4 bits at cos 0.95 vs 32 for random
-    vectors, so radius 20 is +5.7σ for true pairs and a ~3e-5 tail for
-    noise) — without it random byte-band collisions explode into
-    O(n²/256) candidate pairs. Only the surviving candidates pay the
-    embedding re-join (``attach_pair_attrs``) + exact cosine check."""
+    a pair must also pass a full-signature Hamming prefilter at radius
+    μ+5σ of the true-pair distribution for the GIVEN threshold
+    (E[hamming] = 64·arccos(t)/π; e.g. ≈19 at cos 0.95, ≈34 at 0.7 —
+    vs μ=32 for random vectors) — without it random byte-band
+    collisions explode into O(n²/256) candidate pairs. Only the
+    surviving candidates pay the embedding re-join
+    (``attach_pair_attrs``) + exact cosine check."""
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    hamming_prefilter = 20
+    # prefilter radius scales with the cosine threshold: for unit
+    # vectors E[hamming] = 64·θ/π with θ = arccos(threshold), binomial
+    # σ = √(64·p(1−p)); μ+5σ keeps essentially all true pairs (≤3e-7
+    # tail) at ANY threshold while still rejecting random collisions
+    # (μ_random = 32). A fixed radius silently drops true pairs once
+    # the caller lowers the threshold.
+    p = float(np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi)
+    hamming_prefilter = min(63, int(np.ceil(64 * p + 5 * np.sqrt(64 * p * (1 - p)))))
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = batch["srp_sig"].to_numpy().astype(np.int64)

@@ -16,7 +16,17 @@ import pandas as pd
 import ray.data as rd
 
 
-_WINDOW_ALIAS = {"hour": "h", "day": "D", "minute": "min", "second": "s", "week": "W"}
+# fixed-frequency pandas floor aliases; "week" is non-fixed in pandas
+# (dt.floor("W") raises) and is handled explicitly below
+_WINDOW_ALIAS = {"hour": "h", "day": "D", "minute": "min", "second": "s", "week": None}
+
+
+def _floor_to_window(ts: pd.Series, window: str) -> pd.Series:
+    if window == "week":
+        # tumbling ISO weeks: floor to the containing Monday 00:00
+        day = ts.dt.floor("D")
+        return day - pd.to_timedelta(day.dt.dayofweek, unit="D")
+    return ts.dt.floor(_WINDOW_ALIAS[window])
 
 
 def tumbling_window_agg(
@@ -27,11 +37,10 @@ def tumbling_window_agg(
 
     if window not in _WINDOW_ALIAS:
         raise ValueError(f"unsupported window {window!r}; one of {sorted(_WINDOW_ALIAS)}")
-    freq = _WINDOW_ALIAS[window]
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[[key, "ts", value]].copy()
-        b["window_start"] = b["ts"].dt.floor(freq)
+        b["window_start"] = _floor_to_window(b["ts"], window)
         g = b.groupby([key, "window_start"], as_index=False).agg(
             n_events=(value, "size"),
             sum_value=(value, "sum"),
@@ -74,9 +83,10 @@ def sessionize(
     is O(buckets), not one call per key."""
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch[key], index=False).to_numpy()
+        from gridfia_ray.stages.dedup_util import bucket_of
+
         batch = batch.copy()
-        batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        batch["__bucket"] = bucket_of(batch, [key], n_buckets)
         return batch
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:

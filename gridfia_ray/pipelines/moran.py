@@ -123,9 +123,10 @@ def morans_i(tiles_path, spec: GridSpec) -> dict:
         )
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch["cell_id"], index=False).to_numpy()
+        from gridfia_ray.stages.dedup_util import bucket_of
+
         batch = batch.copy()
-        batch["__bucket"] = (h % np.uint64(64)).astype(np.int32)
+        batch["__bucket"] = bucket_of(batch, ["cell_id"], 64)
         return batch
 
     def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:

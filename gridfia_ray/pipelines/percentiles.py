@@ -142,7 +142,10 @@ def percentiles_exact(
     of every unresolved quantile (combiner rows, O(bins·|qs|) per
     block). A range shrinks ×bins per pass, so even 10^12 values pin
     within 3–4 passes; once a range holds ≤ ``collect_limit`` values
-    the final pass collects just those and selects exactly.
+    the final pass collects (value, count) partials for the range —
+    bounded by DISTINCT values, so a duplicate-heavy bin that can never
+    shrink below ``collect_limit`` still folds to a handful of driver
+    rows — and selects exactly.
     """
     n, lo, hi = _count_and_range(decoded, exclude_zero)
     if n == 0 or not np.isfinite(lo):
@@ -210,7 +213,11 @@ def percentiles_exact(
             specs = [(a, b, inc) for _, a, b, _, inc in collect]
 
             def gather(batch: pa.Table, specs=specs) -> pa.Table:
-                slot_col, val_col = [], []
+                # emit (value, count) partials, not raw rows: the driver
+                # fold is bounded by DISTINCT values in the bin, so a
+                # pathological bin of 10^9 identical values (which never
+                # shrinks below collect_limit) costs one row, not an OOM
+                slot_col, val_col, cnt_col = [], [], []
                 for arr in _decoded_values(batch):
                     a64 = arr.astype(np.float64)
                     if exclude_zero:
@@ -221,20 +228,36 @@ def percentiles_exact(
                         # the global max (inc)
                         sel = a64[(a64 >= a) & ((a64 <= b) if inc else (a64 < b))]
                         if sel.size:
-                            slot_col.append(np.full(sel.size, si, dtype=np.int64))
-                            val_col.append(sel)
+                            u, c = np.unique(sel, return_counts=True)
+                            slot_col.append(np.full(u.size, si, dtype=np.int64))
+                            val_col.append(u)
+                            cnt_col.append(c.astype(np.int64))
                 if not slot_col:
                     return pa.table(
-                        {"slot": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}
+                        {"slot": pa.array([], pa.int64()), "v": pa.array([], pa.float64()),
+                         "c": pa.array([], pa.int64())}
                     )
                 return pa.table(
-                    {"slot": np.concatenate(slot_col), "v": np.concatenate(val_col)}
+                    {"slot": np.concatenate(slot_col), "v": np.concatenate(val_col),
+                     "c": np.concatenate(cnt_col)}
                 )
 
-            vals = decoded.map_batches(gather, batch_format="pyarrow").to_pandas()
+            vals = (
+                decoded.map_batches(gather, batch_format="pyarrow")
+                .groupby("slot")
+                .map_groups(
+                    lambda g: g.groupby("v", as_index=False)
+                    .agg(slot=("slot", "first"), c=("c", "sum"))
+                    .sort_values("v", kind="mergesort"),
+                    batch_format="pandas",
+                )
+                .to_pandas()
+            )
             for si, (q, _, _, local_rank, _) in enumerate(collect):
-                sub = np.sort(vals.loc[vals["slot"] == si, "v"].to_numpy(), kind="stable")
-                out[q] = float(sub[local_rank - 1])
+                sub = vals.loc[vals["slot"] == si].sort_values("v", kind="mergesort")
+                cum = np.cumsum(sub["c"].to_numpy())
+                pos = int(np.searchsorted(cum, local_rank, side="left"))
+                out[q] = float(sub["v"].to_numpy()[pos])
     return out
 
 

@@ -19,9 +19,10 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pandas as pd
 import ray.data as rd
+
+from gridfia_ray.stages.dedup_util import bucket_of
 
 
 def md5_rank(parts: list[pd.Series]) -> pd.Series:
@@ -53,8 +54,7 @@ def sample_per_key(
         batch["__rank"] = md5_rank([batch[c] for c in [key, *rank_cols]])
         batch = batch.sort_values([key, "__rank"], kind="mergesort")
         batch = batch.groupby(key, sort=False).head(k)
-        h = pd.util.hash_pandas_object(batch[key], index=False).to_numpy()
-        batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        batch["__bucket"] = bucket_of(batch, [key], n_buckets)
         return batch
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:

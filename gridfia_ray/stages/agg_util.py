@@ -27,11 +27,10 @@ def bucketed_agg(
     n_buckets: int = 32,
 ) -> rd.Dataset:
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(batch), dtype=np.uint64)
-        for k in keys:
-            h ^= pd.util.hash_pandas_object(batch[k], index=False).to_numpy()
+        from gridfia_ray.stages.dedup_util import bucket_of
+
         batch = batch.copy()
-        batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        batch["__bucket"] = bucket_of(batch, keys, n_buckets)
         return batch
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:

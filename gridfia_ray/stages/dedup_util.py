@@ -21,11 +21,18 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
+def bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
+    """THE key→bucket function (deterministic SipHash xor-combine mod
+    n). Every bucketed stage must route through this one definition —
+    co-partitioning assumptions break silently if two stages hash keys
+    differently."""
     h = np.zeros(len(df), dtype=np.uint64)
     for k in keys:
         h ^= pd.util.hash_pandas_object(df[k], index=False).to_numpy()
     return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+_bucket_of = bucket_of  # backwards-compat alias (internal callers)
 
 
 def _winner_positions(light: pd.DataFrame, keys: list[str], sort_cols: list[str]) -> np.ndarray:
@@ -88,11 +95,8 @@ def bucketed_candidate_pairs(
     """
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(batch), dtype=np.uint64)
-        for k in bucket_keys:
-            h ^= pd.util.hash_pandas_object(batch[k], index=False).to_numpy()
         batch = batch.copy()
-        batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        batch["__bucket"] = bucket_of(batch, bucket_keys, n_buckets)
         return batch
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -191,17 +195,18 @@ def attach_pair_attrs(
 
     def bucket_by(cols):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            h = np.zeros(len(batch), dtype=np.uint64)
-            for k in cols:
-                h ^= pd.util.hash_pandas_object(batch[k], index=False).to_numpy()
             batch = batch.copy()
-            batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+            batch["__bucket"] = bucket_of(batch, cols, n_buckets)
             return batch
 
         return fn
 
     def join_by_id(group: pd.DataFrame) -> pd.DataFrame:
-        side = group[group["__side"] != ""]
+        # drop the side rows' None-filled attr placeholder columns (they
+        # exist only to unify the union schema) BEFORE the merge — else
+        # pandas suffixes the overlapping names to _x/_y and the
+        # projection below KeyErrors
+        side = group[group["__side"] != ""].drop(columns=attr_cols)
         attr = group[group["__side"] == ""][[id_col, *attr_cols]].drop_duplicates(id_col)
         out = side.merge(attr, on=id_col, how="inner")
         return out[["__pa", "__pb", "__side", *attr_cols]]

@@ -23,7 +23,10 @@ _PUNCT = re.compile(r"[.,;:!?'\"()\[\]{}-]")
 # tiny per-language stopword profiles (public common-word lists)
 _LANG_STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "with", "was", "this"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf", "von", "zu"},
+    # ASCII-only stopwords: the SQL oracle tokenizes with RE2 '[a-z]+',
+    # which cannot match non-ASCII letters — a 'für'-style entry would
+    # score on the Python side but never in SQL (structural drift)
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "auf", "von", "zu"},
     "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour", "que", "pas"},
     "es": {"el", "la", "los", "las", "y", "es", "un", "una", "en", "que", "por", "para", "del"},
 }
@@ -103,7 +106,10 @@ class LangId:
     def __init__(self):
         from gridfia_ray.text.hashing import token_hashes64
 
-        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        # ASCII letter runs over lowered text — the EXACT tokenization
+        # the SQL oracle uses (regexp_extract_all(lower(text),'[a-z]+')),
+        # so the two sides cannot drift on non-ASCII input
+        self.word = re.compile(r"[a-z]+")
         self.langs = list(_LANG_STOPWORDS)
         self.profile_hashes = {
             lang: np.sort(token_hashes64(sorted(words))[0])

@@ -95,3 +95,32 @@ class TestNearDup:
         found = set(zip(pairs.a, pairs.b))
         for src, dup in planted:
             assert (min(src, dup), max(src, dup)) in found
+
+    def test_low_threshold_recall(self, emb_df, ray_session):
+        """The Hamming prefilter must widen with the threshold: pairs
+        planted at cosine ≈ 0.75 survive a threshold=0.7 run —
+        regression for the fixed radius that dropped them."""
+        import ray.data as rd
+
+        df = emb_df.copy()
+        rng = np.random.RandomState(1)
+        planted = []
+        for i, src in enumerate([3, 11, 30, 42]):
+            v = np.asarray(df.loc[df.vec_id == src, "embedding"].iloc[0], np.float64)
+            v = v / np.linalg.norm(v)
+            # mix with orthogonalized noise to a target cosine ~0.75
+            n = rng.normal(size=v.shape)
+            n -= (n @ v) * v
+            n /= np.linalg.norm(n)
+            target = 0.75
+            noisy = (target * v + np.sqrt(1 - target**2) * n).astype(np.float32)
+            new_id = 20_000 + i
+            planted.append((src, new_id))
+            df = pd.concat(
+                [df, pd.DataFrame({"vec_id": [new_id], "embedding": [noisy], "label": [0]})],
+                ignore_index=True,
+            )
+        pairs = embedding_near_dup_pairs(rd.from_pandas(df), threshold=0.7).to_pandas()
+        found = set(zip(pairs.a, pairs.b))
+        hits = sum((min(s, d), max(s, d)) in found for s, d in planted)
+        assert hits >= 3  # SRP banding is probabilistic; prefilter must not be the cap

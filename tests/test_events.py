@@ -136,3 +136,30 @@ class TestSamplePerKey:
         df = self._prepped().head(20)
         got = sample_per_key(rd.from_pandas(df), "user_id", 1000, ["ts_ms", "value_c"])
         assert got.count() == 20  # keeps everything when k exceeds group size
+
+
+class TestWeekWindow:
+    def test_week_floor_matches_duckdb(self, ray_session, events_ds):
+        """'week' windows floor to Monday 00:00 (ISO), matching
+        date_trunc('week', ts) — regression: pandas dt.floor('W') raises
+        for the non-fixed Week frequency."""
+        out = tumbling_window_agg(events_ds, window="week").to_pandas()
+        con = duckdb.connect()
+        df = pd.read_parquet(f"{SF}/events.parquet")
+        con.register("events", df)
+        exp = con.execute(
+            """SELECT user_id, date_trunc('week', ts) window_start,
+                      COUNT(*) n_events
+               FROM events GROUP BY 1, 2"""
+        ).fetchdf()
+        got = (
+            out[["user_id", "window_start", "n_events"]]
+            .sort_values(["user_id", "window_start"]).reset_index(drop=True)
+        )
+        exp = (
+            exp.astype({"n_events": "int64"})
+            .sort_values(["user_id", "window_start"]).reset_index(drop=True)
+        )
+        got["window_start"] = pd.to_datetime(got["window_start"]).astype("datetime64[us]")
+        exp["window_start"] = pd.to_datetime(exp["window_start"]).astype("datetime64[us]")
+        pd.testing.assert_frame_equal(got, exp)

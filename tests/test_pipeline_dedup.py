@@ -51,3 +51,38 @@ class TestNearDup:
     def test_banding_guarantee_enforced(self, dup_ds):
         with pytest.raises(ValueError):
             D.near_dup_pairs(dup_ds, max_hamming=9, n_bands=8)
+
+
+class TestAttachPairAttrs:
+    def test_distributed_fallback_equals_broadcast(self, ray_session):
+        """The >max_broadcast_ids fallback (bucketed exploded join) must
+        produce exactly the broadcast path's result — regression for the
+        merge-suffix KeyError that only the fallback leg hit."""
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray.stages.dedup_util import attach_pair_attrs
+
+        pairs_df = pd.DataFrame({"a": [1, 2, 3, 1], "b": [4, 5, 6, 6]})
+        attrs_df = pd.DataFrame(
+            {"id": list(range(1, 8)), "sig": [bytes([i]) * 4 for i in range(1, 8)]}
+        )
+        pairs = rd.from_pandas(pairs_df).repartition(2)
+        attrs = rd.from_pandas(attrs_df).repartition(3)
+
+        def norm(df):
+            return (
+                df.sort_values(["a", "b"]).reset_index(drop=True)[
+                    ["a", "b", "sig_a", "sig_b"]
+                ]
+            )
+
+        bro = norm(attach_pair_attrs(pairs, attrs, "id", ["sig"]).to_pandas())
+        dist = norm(
+            attach_pair_attrs(
+                pairs, attrs, "id", ["sig"], max_broadcast_ids=0
+            ).to_pandas()
+        )
+        assert bro["sig_a"].tolist() == [bytes([a]) * 4 for a in bro["a"]]
+        pd.testing.assert_frame_equal(dist.astype({"a": "int64", "b": "int64"}),
+                                      bro.astype({"a": "int64", "b": "int64"}))

@@ -93,6 +93,27 @@ class TestPercentiles:
         k = int(np.ceil(0.5 * len(vals)))
         assert got[50.0] == vals[k - 1]
 
+    def test_exact_duplicate_heavy_bin(self, ray_session):
+        """A value repeated far beyond collect_limit: the bin never
+        shrinks, so the force-collect path must resolve it via
+        (value, count) partials rather than shipping every duplicate."""
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.percentiles import percentiles_exact
+
+        vals = np.concatenate(
+            [np.full(10_000, 5.0, np.float32), np.asarray([1.0, 2.0, 9.0], np.float32)]
+        )
+        rows = [vals[i : i + 500].tobytes() for i in range(0, len(vals), 500)]
+        ds = rd.from_pandas(pd.DataFrame({"pix": rows})).repartition(4)
+        got = percentiles_exact(ds, [50.0, 0.01, 100.0], collect_limit=4, max_iters=6)
+        srt = np.sort(vals.astype(np.float64), kind="stable")
+        n = len(srt)
+        for q in (50.0, 0.01, 100.0):
+            k = max(1, int(np.ceil(q / 100 * n)))
+            assert got[q] == srt[k - 1], (q, got[q])
+
     def test_normalize_clip(self):
         a = np.array([0.0, 5.0, 10.0, np.nan])
         out = normalize_percentile_clip(a, 2.0, 8.0)

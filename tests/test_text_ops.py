@@ -49,16 +49,17 @@ class TestLangId:
         assert out["lang_pred"].iloc[3] == "und"
 
     def test_matches_scalar_reference(self, docs):
-        """The vectorized scorer must reproduce the scalar loop it
-        replaced (incl. the first-wins tie rule) token for token."""
+        """The vectorized scorer must reproduce the scalar loop (incl.
+        the first-wins tie rule) token for token, using the SAME ASCII
+        tokenization as the SQL oracle."""
         import re
 
         from gridfia_ray.text.ops import _LANG_STOPWORDS
 
-        word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        word = re.compile(r"[a-z]+")
         expect = []
         for t in docs["text"].fillna(""):
-            toks = [w.lower() for w in word.findall(t)]
+            toks = word.findall(t.lower())
             best, best_score = "und", 0
             for lang, stop in _LANG_STOPWORDS.items():
                 score = sum(1 for w in toks if w in stop)
@@ -66,6 +67,40 @@ class TestLangId:
                     best, best_score = lang, score
             expect.append(best)
         assert LangId()(docs)["lang_pred"].tolist() == expect
+
+    def test_non_ascii_parity_with_oracle(self):
+        """Non-ASCII input tokenizes identically on both sides ('für'
+        splits to 'f'/'r' in ASCII runs) — regression for the oracle
+        drift where Python matched 'für' but RE2 '[a-z]+' cannot."""
+        import duckdb
+
+        from gridfia_ray.text.ops import _LANG_STOPWORDS
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["für für für", "der Hund ist nicht ein Tier"]}
+        )
+        got = LangId()(df)["lang_pred"].tolist()
+        con = duckdb.connect()
+        con.register("documents", df)
+
+        def score(lang):
+            lst = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+            return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+
+        sql = f"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') toks
+                   FROM documents),
+        s AS (SELECT doc_id, {score('en')} s_en, {score('de')} s_de,
+                     {score('fr')} s_fr, {score('es')} s_es FROM t)
+        SELECT doc_id, CASE
+          WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+          WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+          WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+          ELSE 'und' END AS lang_pred
+        FROM s ORDER BY doc_id"""
+        oracle = [r[1] for r in con.execute(sql).fetchall()]
+        assert got == oracle
 
 
 class TestBpeTokens:
