@@ -366,6 +366,16 @@ def q_doc_token_freq(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_doc_para_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-document paragraph dedup (keep first occurrence):
+    boilerplate removal. Exact string compare vs the SQL oracle."""
+    from gridfia_ray.dedup.docs import paragraph_dedup
+
+    out = paragraph_dedup(_docs(sf_dir)).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     """Integer-exact quality counts (ratios derive from these)."""
     import re
@@ -876,6 +886,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_token_freq": q_doc_token_freq,
+        "doc_para_dedup": q_doc_para_dedup,
         "doc_quality": q_doc_quality,
         "doc_repetition": q_doc_repetition,
         "doc_langid": q_doc_langid,
@@ -1106,6 +1117,16 @@ def build_oracle_sql() -> dict[str, str]:
         c AS (SELECT tok, COUNT(*) n FROM t GROUP BY tok)
         SELECT tok, CAST(n AS BIGINT) AS n FROM c
         ORDER BY n DESC, tok LIMIT 50"""
+    sql["doc_para_dedup"] = """
+        WITH s AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) ps FROM documents),
+        p AS (SELECT doc_id, i AS idx, ps[i] AS para
+              FROM s, LATERAL (SELECT unnest(range(1, len(ps)+1)) i) _),
+        k AS (SELECT md5(para) h, MIN(doc_id*1000000 + idx) keep_key, COUNT(*) c
+              FROM p GROUP BY 1),
+        f AS (SELECT p.doc_id, p.idx, p.para FROM p JOIN k ON md5(p.para) = k.h
+              WHERE k.c = 1 OR p.doc_id*1000000 + p.idx = k.keep_key)
+        SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text_clean
+        FROM f GROUP BY doc_id"""
     sql["doc_quality"] = r"""
         SELECT doc_id,
           CAST(length(text) AS BIGINT) AS n_chars,

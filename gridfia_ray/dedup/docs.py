@@ -442,3 +442,78 @@ def verify_pairs_ngram_jaccard(
             out["b"].append(r["b"])
             out["jaccard"].append(j)
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# cross-document paragraph dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Remove cross-document duplicate paragraphs, keeping each
+    paragraph's FIRST occurrence (lexicographic (doc_id, idx)) — the
+    C4/RefinedWeb-style boilerplate-removal pass. Returns (doc_id,
+    text_clean); documents whose every paragraph was a duplicate of an
+    earlier one disappear.
+
+    Fully distributed, no broadcast of the duplicate set (at web scale
+    the boilerplate vocabulary is itself huge): two bucketed exchanges,
+    the paragraph text shipping exactly once through each —
+      1. explode to (doc_id, idx, h=md5(para), para); bucket by h;
+         winner-per-hash is a vectorized sort + drop_duplicates;
+      2. bucket survivors by doc_id; reassemble with the original
+         paragraph order.
+    Assumes idx < 10^6 paragraphs per document (keep-key encoding,
+    matching the SQL oracle's doc_id*1e6+idx)."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, idxs, paras = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            ps = text.split("\n\n")
+            doc_ids.extend([doc_id] * len(ps))
+            idxs.extend(range(1, len(ps) + 1))
+            paras.extend(ps)
+        out = pd.DataFrame(
+            {"doc_id": np.asarray(doc_ids, np.int64),
+             "idx": np.asarray(idxs, np.int64),
+             "para": paras}
+        )
+        out["h"] = _md5_64(out["para"].tolist())
+        return out
+
+    from gridfia_ray.stages.dedup_util import bucket_of
+
+    def bucket_by(col):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__bucket"] = bucket_of(batch, [col], n_buckets)
+            return batch
+
+        return fn
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a hash are in this bucket: first (doc_id, idx)
+        # wins; singletons survive trivially
+        g = group.sort_values(["h", "doc_id", "idx"], kind="mergesort")
+        return g.drop_duplicates("h", keep="first").drop(columns=["__bucket"])
+
+    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "idx"], kind="mergesort")
+        out = g.groupby("doc_id", as_index=False).agg(
+            text_clean=("para", lambda ps: "\n\n".join(ps))
+        )
+        return out
+
+    kept = (
+        docs.map_batches(explode, batch_format="pandas")
+        .map_batches(bucket_by("h"), batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+    return (
+        kept.map_batches(bucket_by("doc_id"), batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(reassemble, batch_format="pandas")
+    )

@@ -134,3 +134,36 @@ class TestNgramVerify:
             if jaccard(shs[a], shs[b]) >= 0.05 and (shs[a] or shs[b])
         }
         assert set(zip(got.a, got.b)) == want
+
+
+class TestParagraphDedup:
+    def test_keep_first_and_drop_all_dup_docs(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray.dedup.docs import paragraph_dedup
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "hello\n\nshared para\n\nunique a",
+                    "shared para\n\nunique b",
+                    "shared para",           # all-duplicate → disappears
+                    "solo doc",
+                ],
+            }
+        )
+        for parts in (1, 3):
+            out = (
+                paragraph_dedup(rd.from_pandas(df).repartition(parts))
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert out["doc_id"].tolist() == [1, 2, 4]
+            assert out["text_clean"].tolist() == [
+                "hello\n\nshared para\n\nunique a",  # first owner keeps it
+                "unique b",
+                "solo doc",
+            ]
