@@ -583,6 +583,43 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
+def q_events_hopping(sf_dir: str) -> pd.DataFrame:
+    """Hopping windows (60 min window, 15 min hop): each event in 4
+    overlapping windows; integer-cents sums for bit-exact compare."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import hopping_window_agg
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["value_c"] = np.floor(batch["value"] * 100 + 0.5).astype(np.int64)
+        return batch.drop(columns=["value"])
+
+    out = hopping_window_agg(
+        events.map_batches(to_cents, batch_format="pandas"),
+        window_minutes=60,
+        hop_minutes=15,
+        value="value_c",
+    ).to_pandas()
+    res = pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "window_start": pd.to_datetime(out["window_start"]).dt.strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "n_events": out["n_events"].astype(np.int64),
+            "sum_value_c": out["sum_value"].astype(np.int64),
+        }
+    )
+    return res.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
 def q_events_sample_per_user(sf_dir: str) -> pd.DataFrame:
     """Deterministic per-key sampling: 5 events per user by smallest
     md5 rank (partition-invariant reservoir equivalent; exact SQL
@@ -901,6 +938,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_sample_per_user": q_events_sample_per_user,
+        "events_hopping": q_events_hopping,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
         "rel_regional_revenue": q_rel_regional_revenue,
@@ -1243,6 +1281,14 @@ def build_oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events,
                CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
         FROM s GROUP BY user_id, sid"""
+    sql["events_hopping"] = """
+        SELECT user_id,
+               strftime(time_bucket(INTERVAL '15 minutes', ts)
+                        - i * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM events, (SELECT unnest(range(0, 4)) i)
+        GROUP BY 1, 2"""
     sql["events_sample_per_user"] = """
         WITH r AS (
           SELECT user_id, ts,

@@ -64,6 +64,54 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    events: rd.Dataset,
+    window_minutes: int = 60,
+    hop_minutes: int = 15,
+    key: str = "user_id",
+    value: str = "value",
+) -> rd.Dataset:
+    """Hopping (sliding) windows: each event lands in
+    ``window_minutes / hop_minutes`` overlapping windows. Vectorized
+    window assignment (one floor + k column-shifted copies) feeds the
+    same combiner → bucketed-merge shape as the tumbling form; output
+    rows are (key, window_start, n_events, sum/min/max)."""
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    if window_minutes % hop_minutes != 0:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    k = window_minutes // hop_minutes
+    hop = pd.Timedelta(minutes=hop_minutes)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch["ts"].dt.floor(f"{hop_minutes}min")
+        frames = []
+        for i in range(k):
+            b = batch[[key, value]].copy()
+            b["window_start"] = base - i * hop
+            frames.append(b)
+        allb = pd.concat(frames, ignore_index=True)
+        g = allb.groupby([key, "window_start"], as_index=False).agg(
+            n_events=(value, "size"),
+            sum_value=(value, "sum"),
+            min_value=(value, "min"),
+            max_value=(value, "max"),
+        )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
+
+    return bucketed_agg(
+        events.map_batches(partial, batch_format="pandas"),
+        [key, "window_start"],
+        {
+            "n_events": ("n_events", "sum"),
+            "sum_value": ("sum_value", "sum"),
+            "min_value": ("min_value", "min"),
+            "max_value": ("max_value", "max"),
+        },
+    )
+
+
 def sessionize(
     events: rd.Dataset,
     gap_minutes: float = 30.0,

@@ -163,3 +163,20 @@ class TestWeekWindow:
         got["window_start"] = pd.to_datetime(got["window_start"]).astype("datetime64[us]")
         exp["window_start"] = pd.to_datetime(exp["window_start"]).astype("datetime64[us]")
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestHoppingWindow:
+    def test_event_in_k_windows(self, ray_session, events_ds):
+        """Every event lands in exactly window/hop windows: total
+        n_events across all windows = k x row count."""
+        from gridfia_ray.pipelines.events import hopping_window_agg
+
+        out = hopping_window_agg(events_ds, window_minutes=60, hop_minutes=15).to_pandas()
+        n_rows = len(pd.read_parquet(f"{SF}/events.parquet"))
+        assert out["n_events"].sum() == 4 * n_rows
+
+    def test_rejects_nonmultiple_hop(self, ray_session, events_ds):
+        from gridfia_ray.pipelines.events import hopping_window_agg
+
+        with pytest.raises(ValueError):
+            hopping_window_agg(events_ds, window_minutes=60, hop_minutes=25)
