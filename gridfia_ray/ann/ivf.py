@@ -217,6 +217,7 @@ def build_ivf_index(
     *,
     n_iters: int = 20,
     seed: int = 42,
+    quantize: str | None = None,
 ) -> np.ndarray:
     """Fit + assign + write a partitioned-parquet IVF index.
 
@@ -224,11 +225,19 @@ def build_ivf_index(
     — ``ivf_cell`` is ALSO kept as a regular column so readers need no
     hive inference) + ``out_dir/centroids.parquet`` + ``meta.json``.
     A search touching ``nprobe`` cells reads ``nprobe/k`` of the bytes;
-    a failed build can re-run per-cell (resumable partitioned output).
+    a failed run can re-run per-cell (resumable partitioned output).
+    ``quantize="int8"`` stores per-vector-scaled int8 codes instead of
+    the float vectors (4× smaller store; search dequantizes per batch).
     """
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize={quantize!r}")
     centroids = kmeans_fit(embeddings, k, n_iters=n_iters, seed=seed)
     os.makedirs(out_dir, exist_ok=True)
     assigned = assign_cells(embeddings, centroids)
+    if quantize == "int8":
+        from gridfia_ray.ann.quant import quantize_batch
+
+        assigned = assigned.map_batches(quantize_batch, batch_format="pyarrow")
     # duplicate the partition key as a data column (see docstring)
     assigned = assigned.map_batches(
         lambda b: b.append_column("cell_copy", b["ivf_cell"]), batch_format="pyarrow"
@@ -255,7 +264,11 @@ def build_ivf_index(
         os.path.join(out_dir, "centroids.parquet"),
     )
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump({"k": int(len(centroids)), "dim": int(centroids.shape[1])}, f)
+        json.dump(
+            {"k": int(len(centroids)), "dim": int(centroids.shape[1]),
+             "quantize": quantize},
+            f,
+        )
     return centroids
 
 
@@ -366,13 +379,21 @@ def search_ivf_index(
     files = [
         os.path.join(d, f) for d in dirs for f in sorted(os.listdir(d)) if f.endswith(".parquet")
     ]
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        quantized = json.load(f).get("quantize") == "int8"
+
     def restore_cell(b: pa.Table) -> pa.Table:
         # cell_copy holds the partition value as a data column; drop the
         # hive-inferred string column (the reader adds it even when fed
         # explicit file paths) and use the typed copy
         if "ivf_cell" in b.column_names:
             b = b.drop_columns(["ivf_cell"])
-        return b.append_column("ivf_cell", b["cell_copy"])
+        b = b.append_column("ivf_cell", b["cell_copy"])
+        if quantized:
+            from gridfia_ray.ann.quant import dequantize_batch
+
+            b = dequantize_batch(b)
+        return b
 
     ds = rd.read_parquet(files).map_batches(restore_cell, batch_format="pyarrow")
     from gridfia_ray.stages.worker_state import worker_cached

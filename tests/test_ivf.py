@@ -123,3 +123,41 @@ class TestIndexStore:
         assert set(map(tuple, got[["query_id", "vec_id"]].values)) == set(
             map(tuple, inmem[["query_id", "vec_id"]].values)
         )
+
+
+class TestInt8Quantization:
+    def test_roundtrip_cosine_error(self, blobs):
+        from gridfia_ray.ann.quant import dequantize, quantize_vecs
+
+        _, vecs, _ = blobs
+        q, scale = quantize_vecs(vecs)
+        deq = dequantize(q, scale)
+        a = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        b = deq / np.linalg.norm(deq, axis=1, keepdims=True)
+        cos = (a * b).sum(axis=1)
+        assert cos.min() > 0.999
+
+    def test_quantized_index_smaller_and_recall(self, blob_ds, blobs, tmp_path_factory):
+        from gridfia_ray import fixtures  # noqa: F401 (session fixture deps)
+        from gridfia_ray.ann import ivf
+
+        _, vecs, _ = blobs
+        d_f = str(tmp_path_factory.mktemp("ivf_f32"))
+        d_q = str(tmp_path_factory.mktemp("ivf_q8"))
+        ivf.build_ivf_index(blob_ds, d_f, K_CLUSTERS, seed=1)
+        ivf.build_ivf_index(blob_ds, d_q, K_CLUSTERS, seed=1, quantize="int8")
+
+        def store_bytes(d):
+            tot = 0
+            for root, _, files in os.walk(os.path.join(d, "cells")):
+                tot += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return tot
+
+        assert store_bytes(d_q) < 0.5 * store_bytes(d_f)  # ~4x on the vector col
+
+        qids = [0, 1, 2]
+        rf, _ = ivf.search_ivf_index(d_f, vecs[qids], qids, k=10, nprobe=2)
+        rq, _ = ivf.search_ivf_index(d_q, vecs[qids], qids, k=10, nprobe=2)
+        f = set(map(tuple, rf.to_pandas()[["query_id", "vec_id"]].values))
+        q = set(map(tuple, rq.to_pandas()[["query_id", "vec_id"]].values))
+        assert len(f & q) / len(f) >= 0.9
