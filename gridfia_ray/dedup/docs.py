@@ -458,17 +458,22 @@ def paragraph_dedup(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
 
     Fully distributed, no broadcast of the duplicate set (at web scale
     the boilerplate vocabulary is itself huge): two bucketed exchanges,
-    the paragraph text shipping exactly once through each —
-      1. explode to (doc_id, idx, h=md5(para), para); bucket by h;
-         winner-per-hash is a vectorized sort + drop_duplicates;
+    the paragraph text shipping once per (batch, hash) through the
+    first —
+      1. explode to (doc_id, idx, h=md5(para), para); keep-first per
+         hash via ``bucketed_distinct`` (local pre-shuffle combiner +
+         per-bucket vectorized winner pick);
       2. bucket survivors by doc_id; reassemble with the original
          paragraph order.
-    Assumes idx < 10^6 paragraphs per document (keep-key encoding,
-    matching the SQL oracle's doc_id*1e6+idx)."""
+    NULL ``text`` rows are dropped (matching the SQL oracle, where
+    ``string_split(NULL)`` yields no paragraph rows); empty strings are
+    one empty paragraph on both sides."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         doc_ids, idxs, paras = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if text is None or (isinstance(text, float) and np.isnan(text)):
+                continue  # oracle semantics: NULL text -> no paragraphs
             ps = text.split("\n\n")
             doc_ids.extend([doc_id] * len(ps))
             idxs.extend(range(1, len(ps) + 1))
@@ -481,7 +486,7 @@ def paragraph_dedup(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         out["h"] = _md5_64(out["para"].tolist())
         return out
 
-    from gridfia_ray.stages.dedup_util import bucket_of
+    from gridfia_ray.stages.dedup_util import bucket_of, bucketed_distinct
 
     def bucket_by(col):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -491,12 +496,6 @@ def paragraph_dedup(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
 
         return fn
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        # all rows of a hash are in this bucket: first (doc_id, idx)
-        # wins; singletons survive trivially
-        g = group.sort_values(["h", "doc_id", "idx"], kind="mergesort")
-        return g.drop_duplicates("h", keep="first").drop(columns=["__bucket"])
-
     def reassemble(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["doc_id", "idx"], kind="mergesort")
         out = g.groupby("doc_id", as_index=False).agg(
@@ -504,12 +503,11 @@ def paragraph_dedup(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         )
         return out
 
-    kept = (
-        docs.map_batches(explode, batch_format="pandas")
-        .map_batches(bucket_by("h"), batch_format="pandas")
-        .repartition(n_buckets)
-        .groupby("__bucket")
-        .map_groups(keep_first, batch_format="pandas")
+    kept = bucketed_distinct(
+        docs.map_batches(explode, batch_format="pandas"),
+        ["h"],
+        n_buckets=n_buckets,
+        sort_cols=["doc_id", "idx"],
     )
     return (
         kept.map_batches(bucket_by("doc_id"), batch_format="pandas")

@@ -29,6 +29,29 @@ def _floor_to_window(ts: pd.Series, window: str) -> pd.Series:
     return ts.dt.floor(_WINDOW_ALIAS[window])
 
 
+
+# one definition of the windowed-aggregation reducers, shared by the
+# tumbling and hopping forms (partial/merge MUST stay in sync)
+_WINDOW_MERGE_MAP = {
+    "n_events": ("n_events", "sum"),
+    "sum_value": ("sum_value", "sum"),
+    "min_value": ("min_value", "min"),
+    "max_value": ("max_value", "max"),
+}
+
+
+def _window_partial(b: pd.DataFrame, key: str, value: str) -> pd.DataFrame:
+    """Per-batch combiner over rows already carrying ``window_start``."""
+    g = b.groupby([key, "window_start"], as_index=False).agg(
+        n_events=(value, "size"),
+        sum_value=(value, "sum"),
+        min_value=(value, "min"),
+        max_value=(value, "max"),
+    )
+    g["n_events"] = g["n_events"].astype(np.int64)
+    return g
+
+
 def tumbling_window_agg(
     events: rd.Dataset, window: str = "hour", key: str = "user_id", value: str = "value"
 ) -> rd.Dataset:
@@ -39,28 +62,16 @@ def tumbling_window_agg(
         raise ValueError(f"unsupported window {window!r}; one of {sorted(_WINDOW_ALIAS)}")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[[key, "ts", value]].copy()
-        b["window_start"] = _floor_to_window(b["ts"], window)
-        g = b.groupby([key, "window_start"], as_index=False).agg(
-            n_events=(value, "size"),
-            sum_value=(value, "sum"),
-            min_value=(value, "min"),
-            max_value=(value, "max"),
-        )
-        g["n_events"] = g["n_events"].astype(np.int64)
-        return g
+        b = batch[[key, value]].copy()
+        b["window_start"] = _floor_to_window(batch["ts"], window)
+        return _window_partial(b, key, value)
 
     # user×window cardinality is ~O(rows): bucketed merge, not
     # Dataset.aggregate (per-group reduce overhead — see agg_util)
     return bucketed_agg(
         events.map_batches(partial, batch_format="pandas"),
         [key, "window_start"],
-        {
-            "n_events": ("n_events", "sum"),
-            "sum_value": ("sum_value", "sum"),
-            "min_value": ("min_value", "min"),
-            "max_value": ("max_value", "max"),
-        },
+        _WINDOW_MERGE_MAP,
     )
 
 
@@ -90,25 +101,12 @@ def hopping_window_agg(
             b = batch[[key, value]].copy()
             b["window_start"] = base - i * hop
             frames.append(b)
-        allb = pd.concat(frames, ignore_index=True)
-        g = allb.groupby([key, "window_start"], as_index=False).agg(
-            n_events=(value, "size"),
-            sum_value=(value, "sum"),
-            min_value=(value, "min"),
-            max_value=(value, "max"),
-        )
-        g["n_events"] = g["n_events"].astype(np.int64)
-        return g
+        return _window_partial(pd.concat(frames, ignore_index=True), key, value)
 
     return bucketed_agg(
         events.map_batches(partial, batch_format="pandas"),
         [key, "window_start"],
-        {
-            "n_events": ("n_events", "sum"),
-            "sum_value": ("sum_value", "sum"),
-            "min_value": ("min_value", "min"),
-            "max_value": ("max_value", "max"),
-        },
+        _WINDOW_MERGE_MAP,
     )
 
 

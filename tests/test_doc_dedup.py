@@ -167,3 +167,22 @@ class TestParagraphDedup:
                 "unique b",
                 "solo doc",
             ]
+
+    def test_null_text_matches_oracle_semantics(self, ray_session):
+        """NULL text drops out entirely (string_split(NULL) → no rows in
+        the SQL oracle) and must NOT steal the keep-first slot from a
+        later genuinely-empty document."""
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray.dedup.docs import paragraph_dedup
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [None, "", "plain"]})
+        out = (
+            paragraph_dedup(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [2, 3]
+        assert out["text_clean"].tolist() == ["", "plain"]
