@@ -94,6 +94,79 @@ class TileFeatureActor:
         )
 
 
+class FrameSampleActor:
+    """Video frame sampling: one input row (a video payload) →
+    ``n_frames`` output rows, uniform-stride policy. The Ray-side
+    plumbing is real and the contract is the interesting part: this is
+    a row-expanding stage (``flat_map`` semantics expressed as a
+    map_batches table rebuild, keeping Arrow vectorization), emitting
+    ``(image_id, frame_idx, frame_ts_ms, pix, h, w, status)`` so every
+    downstream tile stage (resize, features, phash dedup) applies to
+    frames unchanged.
+
+    The codec itself needs ffmpeg (absent here): real decode raises
+    ``NotImplementedError`` per the build brief; ``fake=True``
+    deterministically synthesizes frames from the payload hash +
+    frame index so sampling policy, fan-out and schema are testable
+    end to end."""
+
+    def __init__(self, n_frames: int = 4, duration_ms: int = 10_000,
+                 fake: bool = False, frame_size: int = 16):
+        self.n_frames = int(n_frames)
+        self.duration_ms = int(duration_ms)
+        self.fake = fake
+        self.frame_size = int(frame_size)
+
+    def _sample_times(self) -> np.ndarray:
+        """Uniform-stride mid-interval sample times (public standard:
+        center of each of n equal segments)."""
+        seg = self.duration_ms / self.n_frames
+        return (np.arange(self.n_frames) * seg + seg / 2).astype(np.int64)
+
+    def _decode_frame(self, payload: bytes, ts_ms: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "video decoding requires ffmpeg, not present in this "
+                "environment; run with fake=True for plumbing tests"
+            )
+        seed = (content_hash64(payload) ^ (ts_ms * 0x9E3779B9)) & 0x7FFFFFFF
+        rng = np.random.RandomState(seed)
+        return rng.rand(self.frame_size, self.frame_size).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, fts, pix, hs, ws, status = [], [], [], [], [], [], []
+        times = self._sample_times()
+        for i in range(batch.num_rows):
+            image_id = batch["image_id"][i].as_py()
+            payload = batch["bytes"][i].as_py()
+            for j, t in enumerate(times):
+                ids.append(image_id)
+                fidx.append(j)
+                fts.append(int(t))
+                try:
+                    arr = self._decode_frame(payload, int(t))
+                    pix.append(arr.astype("<f4").tobytes())
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                    status.append("ok")
+                except NotImplementedError:
+                    pix.append(b"")
+                    hs.append(0)
+                    ws.append(0)
+                    status.append("stub:video")
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame_ts_ms": pa.array(fts, pa.int64()),
+                "pix": pa.array(pix, pa.binary()),
+                "h": pa.array(hs, pa.int32()),
+                "w": pa.array(ws, pa.int32()),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+
 class ExternalMediaDecoder:
     """STUB decoder for external media formats (jpeg/webp/audio/video).
 

@@ -102,3 +102,52 @@ class TestExternalStub:
         out = ExternalMediaDecoder(fake=True)(batch)
         got = np.frombuffer(out["pix"][0].as_py(), dtype="<f4").reshape(4, 4)
         assert np.array_equal(got, arr)
+
+
+class TestFrameSample:
+    def _video_batch(self, n=2):
+        rng = np.random.RandomState(3)
+        return pa.table(
+            {
+                "image_id": [f"vid/{i}" for i in range(n)],
+                "bytes": pa.array([rng.bytes(256) for _ in range(n)], pa.binary()),
+                "fmt": ["mp4"] * n,
+            }
+        )
+
+    def test_uniform_stride_times(self):
+        from gridfia_ray.stages.multimodal import FrameSampleActor
+
+        a = FrameSampleActor(n_frames=4, duration_ms=8000, fake=True)
+        assert a._sample_times().tolist() == [1000, 3000, 5000, 7000]
+
+    def test_fanout_schema_and_determinism(self):
+        from gridfia_ray.stages.multimodal import FrameSampleActor
+
+        batch = self._video_batch(2)
+        a = FrameSampleActor(n_frames=3, fake=True)
+        out = a(batch)
+        assert out.num_rows == 6  # 2 videos x 3 frames
+        assert out["frame_idx"].to_pylist() == [0, 1, 2, 0, 1, 2]
+        assert set(out["status"].to_pylist()) == {"ok"}
+        # deterministic: same payload + frame time -> same frame bytes
+        out2 = a(batch)
+        assert out["pix"].to_pylist() == out2["pix"].to_pylist()
+        # distinct frames within one video
+        assert out["pix"][0].as_py() != out["pix"][1].as_py()
+
+    def test_stub_mode_flags_rows(self):
+        from gridfia_ray.stages.multimodal import FrameSampleActor
+
+        out = FrameSampleActor(n_frames=2, fake=False)(self._video_batch(1))
+        assert out["status"].to_pylist() == ["stub:video"] * 2
+        assert out["pix"].to_pylist() == [b"", b""]
+
+    def test_frames_feed_downstream_stages(self):
+        """Sampled frames flow into the standard tile feature stage."""
+        from gridfia_ray.stages.multimodal import FrameSampleActor, TileFeatureActor
+
+        frames = FrameSampleActor(n_frames=2, fake=True)(self._video_batch(2))
+        feats = TileFeatureActor()(frames)
+        assert feats["features"].to_pylist()  # 4 rows, 15-dim each
+        assert all(len(f) == 15 for f in feats["features"].to_pylist())
