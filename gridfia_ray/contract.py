@@ -257,6 +257,106 @@ def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
     return out[["a", "b"]].astype(np.int64).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_zonal_species(sf_dir: str) -> pd.DataFrame:
+    """Per (zone, species) sums — the zone×species table the A6
+    reducers fold, exposed directly (J1 + A2 composition)."""
+    from gridfia_ray.pipelines.common import GridSpec  # noqa: F401
+    from gridfia_ray.pipelines.zonal import load_zones, zone_species_table
+
+    f = _fx()
+    zones = load_zones(os.path.join(f["dir"], "zones.parquet"))
+    out = zone_species_table(f["tiles"], zones, f["spec"]).to_pandas()
+    res = pd.DataFrame(
+        {
+            "zone_id": out["zone_id"].astype(str),
+            "species_code": out["species_code"].astype(str),
+            "present_px": out["present_px"].astype(np.int64),
+            "n_px": out["n_px"].astype(np.int64),
+            "sum_biomass_u": s6(out["sum_biomass"]),
+        }
+    )
+    return res.sort_values(["zone_id", "species_code"]).reset_index(drop=True)
+
+
+_BBOX_PX = {"y0": 96, "y1": 288, "x0": 64, "x1": 224}  # spans tile borders
+
+
+def q_bbox_extract(sf_dir: str) -> pd.DataFrame:
+    """S2-style windowed export: total-layer pixels inside a pixel bbox.
+    Tiles prune BEFORE decode (file-level species prune + image_id
+    tile-range filter), so only intersecting tiles are decoded."""
+    import pyarrow.compute as pc
+
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles, read_tiles_species
+
+    f = _fx()
+    t = f["meta"]["tile"]
+    b = _BBOX_PX
+    tr0, tr1 = b["y0"] // t, (b["y1"] - 1) // t
+    tc0, tc1 = b["x0"] // t, (b["x1"] - 1) // t
+
+    tiles = read_tiles_species(f["tiles"], ["0000"]) or read_tiles(f["tiles"])
+
+    def prune(batch):
+        import pyarrow as pa
+
+        parts = pc.split_pattern(batch["image_id"], "/")
+        code = pc.list_element(parts, 0)
+        tr = pc.cast(pc.list_element(parts, 1), pa.int64())
+        tc = pc.cast(pc.list_element(parts, 2), pa.int64())
+        keep = pc.and_(
+            pc.equal(code, "0000"),
+            pc.and_(
+                pc.and_(pc.greater_equal(tr, tr0), pc.less_equal(tr, tr1)),
+                pc.and_(pc.greater_equal(tc, tc0), pc.less_equal(tc, tc1)),
+            ),
+        )
+        return batch.filter(keep)
+
+    dec = decoded_tiles(
+        tiles.map_batches(prune, batch_format="pyarrow"), f["spec"], include_total=True
+    )
+
+    def extract(batch) -> pd.DataFrame:
+        ys, xs, vs = [], [], []
+        trs = batch["tile_row"].to_numpy()
+        tcs = batch["tile_col"].to_numpy()
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        for i, payload in enumerate(batch["pix"].to_pylist()):
+            if not payload:
+                continue
+            arr = np.frombuffer(payload, dtype="<f4").reshape(hs[i], ws[i])
+            gy0, gx0 = int(trs[i]) * t, int(tcs[i]) * t
+            ly0, ly1 = max(b["y0"] - gy0, 0), min(b["y1"] - gy0, int(hs[i]))
+            lx0, lx1 = max(b["x0"] - gx0, 0), min(b["x1"] - gx0, int(ws[i]))
+            if ly0 >= ly1 or lx0 >= lx1:
+                continue
+            sub = arr[ly0:ly1, lx0:lx1].astype(np.float64)
+            yy, xx = np.meshgrid(
+                np.arange(gy0 + ly0, gy0 + ly1), np.arange(gx0 + lx0, gx0 + lx1),
+                indexing="ij",
+            )
+            ys.append(yy.ravel())
+            xs.append(xx.ravel())
+            vs.append(sub.ravel())
+        if not ys:
+            return pd.DataFrame(
+                {"y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+                 "value_u": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "y": np.concatenate(ys).astype(np.int64),
+                "x": np.concatenate(xs).astype(np.int64),
+                "value_u": s6(np.concatenate(vs)),
+            }
+        )
+
+    out = dec.map_batches(extract, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_tile_catalog(sf_dir: str) -> pd.DataFrame:
     """S6 analog: species catalog with tile counts, no decode needed."""
     import pyarrow.compute as pc
@@ -909,6 +1009,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_occurrence_stats": q_occurrence_stats,
         "gf_coverage_topk": q_coverage_topk,
         "gf_zonal_stats": q_zonal_stats,
+        "gf_zonal_species": q_zonal_species,
+        "gf_bbox_extract": q_bbox_extract,
         "gf_tile_zone_join": q_tile_zone_join,
         "gf_knn_idw": q_knn_idw,
         "gf_tile_dedup_exact": q_tile_dedup_exact,
@@ -1082,6 +1184,20 @@ def build_oracle_sql() -> dict[str, str]:
            {_sql_s6("a.totb")} total_biomass_u,
            {_sql_s6("a.totb / a.n_pixels")} mean_biomass_u
         FROM agg a JOIN est e USING (zone_id)"""
+    sql["gf_zonal_species"] = f"""
+        {species_cte}
+        SELECT z.zone_id, p.species_code,
+               COUNT(*) FILTER (p.biomass > 0) AS present_px,
+               COUNT(*) AS n_px,
+               {_sql_s6("SUM(p.biomass)")} AS sum_biomass_u
+        FROM p JOIN read_parquet('{PZ}') z USING (y, x)
+        GROUP BY z.zone_id, p.species_code"""
+    sql["gf_bbox_extract"] = f"""
+        SELECT y, x, {_sql_s6("biomass")} AS value_u
+        FROM read_parquet('{P}')
+        WHERE species_code = '0000'
+          AND y >= {_BBOX_PX["y0"]} AND y < {_BBOX_PX["y1"]}
+          AND x >= {_BBOX_PX["x0"]} AND x < {_BBOX_PX["x1"]}"""
     sql["gf_tile_zone_join"] = f"""
         WITH tz AS (SELECT DISTINCT zone_id, y // {t} tr, x // {t} tc FROM read_parquet('{PZ}')),
         sp AS (SELECT DISTINCT species_code FROM read_parquet('{P}'))
