@@ -466,6 +466,31 @@ def q_doc_token_freq(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_doc_dedup_incremental(sf_dir: str) -> pd.DataFrame:
+    """Continuous-ingestion dedup: index the first half of the corpus
+    (doc_id < 250), anti-join the second half against it — returns the
+    genuinely-new documents (first occurrence within the batch wins)."""
+    import shutil
+    import tempfile
+
+    from gridfia_ray.dedup.incremental import build_hash_index, dedup_against_index
+
+    docs = _docs(sf_dir)
+    first = docs.map_batches(lambda b: b[b["doc_id"] < 250], batch_format="pandas")
+    second = docs.map_batches(lambda b: b[b["doc_id"] >= 250], batch_format="pandas")
+    idx = tempfile.mkdtemp(prefix="hash_index_")
+    try:
+        build_hash_index(first, idx, n_shards=16)
+        out = dedup_against_index(second, idx).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return (
+        pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64)})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_para_dedup(sf_dir: str) -> pd.DataFrame:
     """Cross-document paragraph dedup (keep first occurrence):
     boilerplate removal. Exact string compare vs the SQL oracle."""
@@ -1026,6 +1051,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_token_freq": q_doc_token_freq,
         "doc_para_dedup": q_doc_para_dedup,
+        "doc_dedup_incremental": q_doc_dedup_incremental,
         "doc_quality": q_doc_quality,
         "doc_repetition": q_doc_repetition,
         "doc_langid": q_doc_langid,
@@ -1271,6 +1297,12 @@ def build_oracle_sql() -> dict[str, str]:
         c AS (SELECT tok, COUNT(*) n FROM t GROUP BY tok)
         SELECT tok, CAST(n AS BIGINT) AS n FROM c
         ORDER BY n DESC, tok LIMIT 50"""
+    sql["doc_dedup_incremental"] = """
+        WITH f AS (SELECT DISTINCT md5(text) h FROM documents WHERE doc_id < 250),
+        s AS (SELECT doc_id, md5(text) h FROM documents WHERE doc_id >= 250),
+        k AS (SELECT h, MIN(doc_id) keep FROM s
+              WHERE h NOT IN (SELECT h FROM f) GROUP BY h)
+        SELECT keep AS doc_id FROM k"""
     sql["doc_para_dedup"] = """
         WITH s AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) ps FROM documents),
         p AS (SELECT doc_id, i AS idx, ps[i] AS para
