@@ -260,7 +260,6 @@ def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
 def q_zonal_species(sf_dir: str) -> pd.DataFrame:
     """Per (zone, species) sums — the zone×species table the A6
     reducers fold, exposed directly (J1 + A2 composition)."""
-    from gridfia_ray.pipelines.common import GridSpec  # noqa: F401
     from gridfia_ray.pipelines.zonal import load_zones, zone_species_table
 
     f = _fx()
@@ -1297,11 +1296,15 @@ def build_oracle_sql() -> dict[str, str]:
         c AS (SELECT tok, COUNT(*) n FROM t GROUP BY tok)
         SELECT tok, CAST(n AS BIGINT) AS n FROM c
         ORDER BY n DESC, tok LIMIT 50"""
+    # NULL discipline: engine hashes fillna('') → COALESCE here, and
+    # NOT EXISTS (a NULL inside NOT IN poisons the whole predicate)
     sql["doc_dedup_incremental"] = """
-        WITH f AS (SELECT DISTINCT md5(text) h FROM documents WHERE doc_id < 250),
-        s AS (SELECT doc_id, md5(text) h FROM documents WHERE doc_id >= 250),
+        WITH f AS (SELECT DISTINCT md5(COALESCE(text, '')) h
+                   FROM documents WHERE doc_id < 250),
+        s AS (SELECT doc_id, md5(COALESCE(text, '')) h
+              FROM documents WHERE doc_id >= 250),
         k AS (SELECT h, MIN(doc_id) keep FROM s
-              WHERE h NOT IN (SELECT h FROM f) GROUP BY h)
+              WHERE NOT EXISTS (SELECT 1 FROM f WHERE f.h = s.h) GROUP BY h)
         SELECT keep AS doc_id FROM k"""
     sql["doc_para_dedup"] = """
         WITH s AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) ps FROM documents),

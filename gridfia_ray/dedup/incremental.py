@@ -49,9 +49,35 @@ def _shard_dir(index_dir: str, shard: int) -> str:
     return os.path.join(index_dir, f"shard={shard}")
 
 
+def _write_shard_groups(keys: rd.Dataset, index_dir: str, n_shards: int) -> int:
+    """Distributed shard-file writer: repartition on the shard id, one
+    ``map_groups`` task writes one new key file per shard — the write
+    fans out across the cluster and each append adds exactly one part
+    per touched shard. Returns the number of keys written."""
+
+    def write_shard(group: pd.DataFrame) -> pd.DataFrame:
+        s = int(group["shard"].iloc[0])
+        d = _shard_dir(index_dir, s)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"text_hash": group["text_hash"].to_numpy()}),
+            os.path.join(d, f"keys-{uuid.uuid4().hex[:12]}.parquet"),
+        )
+        return pd.DataFrame({"n": [len(group)]})
+
+    counts = (
+        keys.repartition(n_shards)
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return int(counts["n"].sum()) if len(counts) else 0
+
+
 def build_hash_index(docs: rd.Dataset, index_dir: str, n_shards: int = 64) -> int:
     """Create the index from an initial corpus; returns #distinct keys.
-    Keys dedup per shard (bucketed), one file per shard."""
+    Keys dedup per shard (bucketed); the shard files are written by
+    distributed tasks (one file per shard per build)."""
     os.makedirs(index_dir, exist_ok=True)
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump({"n_shards": int(n_shards)}, f)
@@ -65,17 +91,7 @@ def build_hash_index(docs: rd.Dataset, index_dir: str, n_shards: int = 64) -> in
         docs.map_batches(keys, batch_format="pandas"), ["text_hash"],
         n_buckets=min(n_shards, 64),
     )
-    n = 0
-    for batch in distinct.iter_batches(batch_format="pandas", batch_size=1 << 16):
-        for s, sub in batch.groupby("shard"):
-            d = _shard_dir(index_dir, int(s))
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(
-                pa.table({"text_hash": sub["text_hash"].to_numpy()}),
-                os.path.join(d, f"keys-{uuid.uuid4().hex[:12]}.parquet"),
-            )
-            n += len(sub)
-    return n
+    return _write_shard_groups(distinct, index_dir, n_shards)
 
 
 class _ShardAntiJoin:
@@ -137,19 +153,16 @@ def dedup_against_index(
 
 def append_to_index(survivors: rd.Dataset, index_dir: str) -> int:
     """Register survivor keys (rows carrying ``text_hash``) as new part
-    files — append-native, nothing rewritten. Returns #keys appended."""
+    files — append-native, nothing rewritten; one new file per touched
+    shard, written by distributed tasks. Returns #keys appended."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         n_shards = int(json.load(f)["n_shards"])
-    n = 0
-    for batch in survivors.iter_batches(batch_format="pandas", batch_size=1 << 16):
-        h = batch["text_hash"].to_numpy()
-        shards = _shard_of(h, n_shards)
-        for s in np.unique(shards):
-            d = _shard_dir(index_dir, int(s))
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(
-                pa.table({"text_hash": h[shards == s]}),
-                os.path.join(d, f"keys-{uuid.uuid4().hex[:12]}.parquet"),
-            )
-            n += int((shards == s).sum())
-    return n
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["text_hash"]].copy()
+        b["shard"] = _shard_of(b["text_hash"].to_numpy(), n_shards)
+        return b
+
+    return _write_shard_groups(
+        survivors.map_batches(keyed, batch_format="pandas"), index_dir, n_shards
+    )

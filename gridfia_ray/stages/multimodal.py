@@ -154,6 +154,11 @@ class FrameSampleActor:
                     hs.append(0)
                     ws.append(0)
                     status.append("stub:video")
+                except Exception as exc:  # DecoderActor convention: one
+                    pix.append(b"")  # bad payload -> sentinel row, the
+                    hs.append(0)  # batch task survives
+                    ws.append(0)
+                    status.append(f"decode_error:{type(exc).__name__}")
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),
