@@ -1,0 +1,188 @@
+"""Zarr-cube → tile-store ingest — the migration path from the
+reference's native storage.
+
+GridFIA stores its corpus as zarr cubes of shape (species, H, W) with
+(1, ch, cw) chunks (``gridfia/utils/zarr_utils.py``; SURVEY.md §1.2).
+This engine's working representation is the per-species parquet tile
+store. ``ingest_zarr_cube`` converts one to the other distributed:
+
+* one Ray task per SPECIES (matching the store's one-file-per-species
+  layout, so the output immediately takes the aligned zero-shuffle
+  metrics path and file-level species pruning);
+* inside a task, the layer streams strip-by-strip: each tile-row strip
+  reads only the zarr chunk rows overlapping it and appends one parquet
+  row group — peak memory is one chunk-row band, never the layer;
+* captions carry the affine transform / CRS from the zarr attributes
+  (falling back to caller args), so ``GridFIARay.from_store`` and the
+  kernels see exactly what a fixture-built store provides.
+
+Best-aligned when ``chunk_shape[1] % tile == 0`` (each chunk row is
+read once); misaligned chunk grids still work — strips then re-read the
+straddled chunk row (documented amplification ≤ 2×).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from gridfia_ray.codecs.zarrlite import _decode, _fill_value
+from gridfia_ray.exceptions import InvalidTileTable
+from gridfia_ray.fixtures import _TILE_SCHEMA, _phash_batch
+
+
+def _zarr_meta(root: str) -> dict:
+    with open(os.path.join(root, "zarr.json")) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
+        raise InvalidTileTable("not a zarr v3 array store")
+    if len(meta["shape"]) != 3:
+        raise InvalidTileTable(f"expected (species, H, W) cube, got shape {meta['shape']}")
+    return meta
+
+
+def _read_chunk(root: str, meta: dict, idx: tuple[int, ...]) -> np.ndarray:
+    cs = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
+    key = os.path.join(root, "c", *[str(i) for i in idx])
+    if not os.path.exists(key):
+        dt = np.dtype("float32")
+        return np.full(cs, _fill_value(meta["fill_value"], dt), dtype=dt)
+    with open(key, "rb") as f:
+        return _decode(f.read(), meta, cs)
+
+
+def _strip(root: str, meta: dict, si: int, y0: int, y1: int) -> np.ndarray:
+    """Rows [y0, y1) of species layer ``si`` — reads only overlapping
+    chunk rows."""
+    shape = meta["shape"]
+    cs = meta["chunk_grid"]["configuration"]["chunk_shape"]
+    w = shape[2]
+    out = np.empty((y1 - y0, w), dtype=np.float32)
+    for cr in range(y0 // cs[1], (y1 - 1) // cs[1] + 1):
+        ry0, ry1 = cr * cs[1], min((cr + 1) * cs[1], shape[1])
+        band = np.concatenate(
+            [
+                _read_chunk(root, meta, (si // cs[0], cr, cc))[si % cs[0], :, :]
+                for cc in range((w - 1) // cs[2] + 1)
+            ],
+            axis=1,
+        )[:, :w]
+        oy0, oy1 = max(ry0, y0), min(ry1, y1)
+        out[oy0 - y0 : oy1 - y0] = band[oy0 - ry0 : oy1 - ry0]
+    return out
+
+
+def _species_rows(code: str, name: str, strip: np.ndarray, tr: int, t: int,
+                  transform: list, crs: str, units: str) -> pa.Table:
+    g_cols = strip.shape[1] // t
+    stack = np.ascontiguousarray(
+        strip.reshape(t, g_cols, t).swapaxes(0, 1), dtype="<f4"
+    )
+    phashes = _phash_batch(stack)
+    x0, pxw, _, y0, _, pxh = transform
+    image_ids, captions, payloads = [], [], []
+    for tc in range(g_cols):
+        tf = [x0 + tc * t * pxw, pxw, 0.0, y0 + tr * t * pxh, 0.0, pxh]
+        caption = {
+            "species_code": code,
+            "species_name": name,
+            "tile_row": tr,
+            "tile_col": tc,
+            "crs": crs,
+            "transform": tf,
+            "bounds": [tf[0], tf[3] + t * pxh, tf[0] + t * pxw, tf[3]],
+            "units": units,
+            "nodata": 0.0,
+        }
+        image_ids.append(f"{code}/{tr:04d}/{tc:04d}")
+        captions.append(json.dumps(caption, sort_keys=True))
+        payloads.append(stack[tc].tobytes())
+    n = g_cols
+    return pa.Table.from_arrays(
+        [
+            pa.array(image_ids, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(np.full(n, t, np.int32), pa.int32()),
+            pa.array(np.full(n, t, np.int32), pa.int32()),
+            pa.array(["raw-f32"] * n, pa.string()),
+            pa.array(captions, pa.string()),
+            pa.array(phashes, pa.int64()),
+        ],
+        schema=_TILE_SCHEMA,
+    )
+
+
+def ingest_zarr_cube(
+    zarr_root: str,
+    out_dir: str,
+    tile: int,
+    catalog: list[tuple[str, str]] | None = None,
+    transform: list | None = None,
+    crs: str | None = None,
+    units: str = "Mg/ha",
+) -> int:
+    """Convert a (species, H, W) zarr v3 cube into a per-species parquet
+    tile store at ``out_dir``. Returns total tile rows written.
+
+    ``catalog``/``transform``/``crs`` default to the zarr attributes
+    (``species`` list of {species_code, species_name}, ``transform``,
+    ``crs``) — the metadata the engine's own ``write_zarr`` records.
+    """
+    meta = _zarr_meta(zarr_root)
+    attrs = meta.get("attributes", {})
+    if catalog is None:
+        sp = attrs.get("species")
+        if not sp:
+            raise InvalidTileTable("no catalog arg and no species attribute in zarr store")
+        catalog = [(s["species_code"], s.get("species_name", "")) for s in sp]
+    transform = transform or attrs.get("transform")
+    if transform is None:
+        raise InvalidTileTable("no transform arg and no transform attribute in zarr store")
+    crs = crs or attrs.get("crs", "")
+    n_sp, h, w = meta["shape"]
+    if len(catalog) != n_sp:
+        raise InvalidTileTable(f"catalog has {len(catalog)} entries for {n_sp} layers")
+    if h % tile or w % tile:
+        raise InvalidTileTable(f"cube {h}x{w} not divisible by tile {tile}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def ingest_species(batch: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for _, row in batch.iterrows():
+            si, code, name = int(row["si"]), row["code"], row["name"]
+            target = os.path.join(out_dir, f"part-{code}.parquet")
+            tmp = target + f".tmp{os.getpid()}"
+            writer = pq.ParquetWriter(tmp, _TILE_SCHEMA, compression="zstd")
+            n = 0
+            try:
+                for tr in range(h // tile):
+                    strip = _strip(zarr_root, meta, si, tr * tile, (tr + 1) * tile)
+                    t = _species_rows(code, name, strip, tr, tile, transform, crs, units)
+                    writer.write_table(t, row_group_size=max(t.num_rows, 1))
+                    n += t.num_rows
+            finally:
+                writer.close()
+            os.replace(tmp, target)
+            out_rows.append({"species_code": code, "n_tiles": n})
+        return pd.DataFrame(out_rows)
+
+    items = pd.DataFrame(
+        {
+            "si": np.arange(n_sp, dtype=np.int64),
+            "code": [c for c, _ in catalog],
+            "name": [n for _, n in catalog],
+        }
+    )
+    summary = (
+        rd.from_pandas(items)
+        .repartition(n_sp)
+        .map_batches(ingest_species, batch_format="pandas")
+        .to_pandas()
+    )
+    return int(summary["n_tiles"].sum())
