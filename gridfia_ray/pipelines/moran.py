@@ -46,24 +46,37 @@ def _tile_values(tiles_path, spec: GridSpec) -> rd.Dataset:
         )
 
     def tile_mean(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        trs = np.zeros(n, np.int64)
-        tcs = np.zeros(n, np.int64)
-        vals = np.zeros(n, np.float64)
-        for i in range(n):
-            meta = json.loads(batch["caption"][i].as_py())
-            trs[i] = int(meta.get("tile_row", 0))
-            tcs[i] = int(meta.get("tile_col", 0))
-            from gridfia_ray.codecs.registry import decode_tile
+        import pyarrow.compute as pc
 
-            arr = decode_tile(
-                batch["bytes"][i].as_py(),
-                batch["fmt"][i].as_py(),
-                int(batch["h"][i].as_py()),
-                int(batch["w"][i].as_py()),
-                meta,
+        n = batch.num_rows
+        # tile_row/col from the image_id key (store-validated to match
+        # the caption) — no per-row json.loads
+        parts = pc.split_pattern(batch["image_id"], "/")
+        trs = pc.cast(pc.list_element(parts, 1), pa.int64()).to_numpy()
+        tcs = pc.cast(pc.list_element(parts, 2), pa.int64()).to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        payloads = batch["bytes"].to_pylist()
+        if (
+            n > 0
+            and all(f == "raw-f32" for f in fmts)
+            and (hs == hs[0]).all()
+            and (ws == ws[0]).all()
+        ):
+            # raw stores (the common case): one stacked reduction
+            stack = np.frombuffer(b"".join(payloads), dtype="<f4").reshape(
+                n, int(hs[0]), int(ws[0])
             )
-            vals[i] = float(arr.astype(np.float64).mean())
+            vals = stack.astype(np.float64).mean(axis=(1, 2))
+        else:
+            vals = np.zeros(n, np.float64)
+            for i in range(n):
+                meta = json.loads(batch["caption"][i].as_py())
+                from gridfia_ray.codecs.registry import decode_tile
+
+                arr = decode_tile(payloads[i], fmts[i], int(hs[i]), int(ws[i]), meta)
+                vals[i] = float(arr.astype(np.float64).mean())
         return pa.table(
             {
                 "cell_id": pa.array(morton_encode(tcs, trs), pa.int64()),
