@@ -134,6 +134,19 @@ def write_chunk(root: str, meta: dict, index: tuple[int, ...], data: np.ndarray)
     return key
 
 
+def read_chunk(root: str, meta: dict, index: tuple[int, ...]) -> np.ndarray:
+    """Read one chunk; a missing chunk file materializes as the store's
+    fill value in the store's dtype (spec semantics — absent chunks are
+    normal, e.g. under resumable writes)."""
+    cs = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
+    dt = np.dtype(_DTYPES[meta["data_type"]])
+    key = os.path.join(root, "c", *[str(i) for i in index])
+    if not os.path.exists(key):
+        return np.full(cs, _fill_value(meta["fill_value"], dt), dtype=dt)
+    with open(key, "rb") as f:
+        return _decode(f.read(), meta, cs)
+
+
 def read_array(root: str) -> tuple[np.ndarray, dict]:
     """Assemble the full array (missing chunks → fill value). For tests
     and small reads — large consumers should read chunk-wise."""

@@ -155,53 +155,75 @@ def _phash_batch(tiles: np.ndarray) -> np.ndarray:
     return packed.view(">u8").reshape(n).astype(np.int64)
 
 
-def _species_table(scale: Scale, layer: np.ndarray, code: str, name: str) -> pa.Table:
-    """All tile rows of one species layer, built vectorized: the layer
-    reshapes to an (g*g, t, t) tile stack, payloads/phashes come from
-    array ops; only the caption JSON is per-row Python."""
-    g, t = scale.grid, scale.tile
-    base = base_transform()
-    stack = np.ascontiguousarray(
-        layer.reshape(g, t, g, t).swapaxes(1, 2).reshape(g * g, t, t), dtype="<f4"
-    )
-    if scale.fmt == "raw-f32":
-        payloads = [stack[i].tobytes() for i in range(g * g)]
-        metas = [{}] * (g * g)
+def tile_rows_from_stack(
+    code: str,
+    name: str,
+    stack: np.ndarray,
+    trs: np.ndarray,
+    tcs: np.ndarray,
+    base: list,
+    *,
+    fmt: str = "raw-f32",
+    crs: str = CRS,
+    units: str = "Mg/ha",
+) -> pa.Table:
+    """Tile rows from an (n, t, t) stack at grid positions (trs, tcs) —
+    THE row/caption construction, shared by the fixture builder and the
+    zarr-cube ingest so the two store flavors cannot drift. Bounds come
+    from the per-tile transform (bit-identical to the historical
+    ``tf[3] - t*PX`` form for north-up grids)."""
+    n, t, _ = stack.shape
+    if fmt == "raw-f32":
+        payloads = [stack[i].tobytes() for i in range(n)]
+        metas = [{}] * n
     else:
-        enc = [encode_tile(stack[i], scale.fmt) for i in range(g * g)]
+        enc = [encode_tile(stack[i], fmt) for i in range(n)]
         payloads = [e[0] for e in enc]
         metas = [e[1] for e in enc]
     phashes = _phash_batch(stack)
     image_ids, captions = [], []
-    for i in range(g * g):
-        tr, tc = i // g, i % g
+    for i in range(n):
+        tr, tc = int(trs[i]), int(tcs[i])
         tf = tile_transform(base, tr, tc, t, t)
         caption = {
             "species_code": code,
             "species_name": name,
             "tile_row": tr,
             "tile_col": tc,
-            "crs": CRS,
+            "crs": crs,
             "transform": tf,
-            "bounds": [tf[0], tf[3] - t * PX, tf[0] + t * PX, tf[3]],
-            "units": "Mg/ha",
+            "bounds": [tf[0], tf[3] + t * tf[5], tf[0] + t * tf[1], tf[3]],
+            "units": units,
             "nodata": 0.0,
         }
         caption.update(metas[i])
         image_ids.append(f"{code}/{tr:04d}/{tc:04d}")
         captions.append(json.dumps(caption, sort_keys=True))
-    n = g * g
     return pa.Table.from_arrays(
         [
             pa.array(image_ids, pa.string()),
             pa.array(payloads, pa.binary()),
             pa.array(np.full(n, t, np.int32), pa.int32()),
             pa.array(np.full(n, t, np.int32), pa.int32()),
-            pa.array([scale.fmt] * n, pa.string()),
+            pa.array([fmt] * n, pa.string()),
             pa.array(captions, pa.string()),
             pa.array(phashes, pa.int64()),
         ],
         schema=_TILE_SCHEMA,
+    )
+
+
+def _species_table(scale: Scale, layer: np.ndarray, code: str, name: str) -> pa.Table:
+    """All tile rows of one species layer, built vectorized: the layer
+    reshapes to an (g*g, t, t) tile stack, payloads/phashes come from
+    array ops; only the caption JSON is per-row Python."""
+    g, t = scale.grid, scale.tile
+    stack = np.ascontiguousarray(
+        layer.reshape(g, t, g, t).swapaxes(1, 2).reshape(g * g, t, t), dtype="<f4"
+    )
+    idx = np.arange(g * g)
+    return tile_rows_from_stack(
+        code, name, stack, idx // g, idx % g, base_transform(), fmt=scale.fmt
     )
 
 

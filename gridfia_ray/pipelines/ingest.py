@@ -12,9 +12,20 @@ store. ``ingest_zarr_cube`` converts one to the other distributed:
 * inside a task, the layer streams strip-by-strip: each tile-row strip
   reads only the zarr chunk rows overlapping it and appends one parquet
   row group — peak memory is one chunk-row band, never the layer;
-* captions carry the affine transform / CRS from the zarr attributes
-  (falling back to caller args), so ``GridFIARay.from_store`` and the
-  kernels see exactly what a fixture-built store provides.
+* row/caption construction is ``fixtures.tile_rows_from_stack`` — the
+  SAME code the fixture builder uses, so ingested and built stores
+  cannot drift;
+* missing chunks and NaN fill values become ``nodata_fill`` (default 0,
+  the engine's nodata convention and the caption's declared nodata) —
+  absent chunks are spec-normal under resumable writes and must not
+  poison kernels with NaN.
+
+Metadata: ``catalog`` / ``transform`` / ``crs`` default to the zarr
+attributes ``species`` (list of {species_code, species_name}),
+``transform`` (6-element affine) and ``crs`` — provide them as args for
+stores that lack these attributes. Only float32 cubes are accepted (the
+reference's dtype; anything else would silently lose precision in a
+"migration").
 
 Best-aligned when ``chunk_shape[1] % tile == 0`` (each chunk row is
 read once); misaligned chunk grids still work — strips then re-read the
@@ -28,13 +39,12 @@ import os
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from gridfia_ray.codecs.zarrlite import _decode, _fill_value
+from gridfia_ray.codecs.zarrlite import read_chunk
 from gridfia_ray.exceptions import InvalidTileTable
-from gridfia_ray.fixtures import _TILE_SCHEMA, _phash_batch
+from gridfia_ray.fixtures import _TILE_SCHEMA, tile_rows_from_stack
 
 
 def _zarr_meta(root: str) -> dict:
@@ -44,22 +54,18 @@ def _zarr_meta(root: str) -> dict:
         raise InvalidTileTable("not a zarr v3 array store")
     if len(meta["shape"]) != 3:
         raise InvalidTileTable(f"expected (species, H, W) cube, got shape {meta['shape']}")
+    if meta["data_type"] != "float32":
+        raise InvalidTileTable(
+            f"cube dtype {meta['data_type']} unsupported: the tile store is "
+            "raw-f32 and a lossy implicit cast is not a migration"
+        )
     return meta
 
 
-def _read_chunk(root: str, meta: dict, idx: tuple[int, ...]) -> np.ndarray:
-    cs = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
-    key = os.path.join(root, "c", *[str(i) for i in idx])
-    if not os.path.exists(key):
-        dt = np.dtype("float32")
-        return np.full(cs, _fill_value(meta["fill_value"], dt), dtype=dt)
-    with open(key, "rb") as f:
-        return _decode(f.read(), meta, cs)
-
-
-def _strip(root: str, meta: dict, si: int, y0: int, y1: int) -> np.ndarray:
+def _strip(root: str, meta: dict, si: int, y0: int, y1: int,
+           nodata_fill: float) -> np.ndarray:
     """Rows [y0, y1) of species layer ``si`` — reads only overlapping
-    chunk rows."""
+    chunk rows; non-finite values (NaN fill) become ``nodata_fill``."""
     shape = meta["shape"]
     cs = meta["chunk_grid"]["configuration"]["chunk_shape"]
     w = shape[2]
@@ -68,54 +74,14 @@ def _strip(root: str, meta: dict, si: int, y0: int, y1: int) -> np.ndarray:
         ry0, ry1 = cr * cs[1], min((cr + 1) * cs[1], shape[1])
         band = np.concatenate(
             [
-                _read_chunk(root, meta, (si // cs[0], cr, cc))[si % cs[0], :, :]
+                read_chunk(root, meta, (si // cs[0], cr, cc))[si % cs[0], :, :]
                 for cc in range((w - 1) // cs[2] + 1)
             ],
             axis=1,
         )[:, :w]
         oy0, oy1 = max(ry0, y0), min(ry1, y1)
         out[oy0 - y0 : oy1 - y0] = band[oy0 - ry0 : oy1 - ry0]
-    return out
-
-
-def _species_rows(code: str, name: str, strip: np.ndarray, tr: int, t: int,
-                  transform: list, crs: str, units: str) -> pa.Table:
-    g_cols = strip.shape[1] // t
-    stack = np.ascontiguousarray(
-        strip.reshape(t, g_cols, t).swapaxes(0, 1), dtype="<f4"
-    )
-    phashes = _phash_batch(stack)
-    x0, pxw, _, y0, _, pxh = transform
-    image_ids, captions, payloads = [], [], []
-    for tc in range(g_cols):
-        tf = [x0 + tc * t * pxw, pxw, 0.0, y0 + tr * t * pxh, 0.0, pxh]
-        caption = {
-            "species_code": code,
-            "species_name": name,
-            "tile_row": tr,
-            "tile_col": tc,
-            "crs": crs,
-            "transform": tf,
-            "bounds": [tf[0], tf[3] + t * pxh, tf[0] + t * pxw, tf[3]],
-            "units": units,
-            "nodata": 0.0,
-        }
-        image_ids.append(f"{code}/{tr:04d}/{tc:04d}")
-        captions.append(json.dumps(caption, sort_keys=True))
-        payloads.append(stack[tc].tobytes())
-    n = g_cols
-    return pa.Table.from_arrays(
-        [
-            pa.array(image_ids, pa.string()),
-            pa.array(payloads, pa.binary()),
-            pa.array(np.full(n, t, np.int32), pa.int32()),
-            pa.array(np.full(n, t, np.int32), pa.int32()),
-            pa.array(["raw-f32"] * n, pa.string()),
-            pa.array(captions, pa.string()),
-            pa.array(phashes, pa.int64()),
-        ],
-        schema=_TILE_SCHEMA,
-    )
+    return np.nan_to_num(out, nan=nodata_fill, posinf=nodata_fill, neginf=nodata_fill)
 
 
 def ingest_zarr_cube(
@@ -126,14 +92,10 @@ def ingest_zarr_cube(
     transform: list | None = None,
     crs: str | None = None,
     units: str = "Mg/ha",
+    nodata_fill: float = 0.0,
 ) -> int:
-    """Convert a (species, H, W) zarr v3 cube into a per-species parquet
-    tile store at ``out_dir``. Returns total tile rows written.
-
-    ``catalog``/``transform``/``crs`` default to the zarr attributes
-    (``species`` list of {species_code, species_name}, ``transform``,
-    ``crs``) — the metadata the engine's own ``write_zarr`` records.
-    """
+    """Convert a (species, H, W) float32 zarr v3 cube into a per-species
+    parquet tile store at ``out_dir``. Returns total tile rows written."""
     meta = _zarr_meta(zarr_root)
     attrs = meta.get("attributes", {})
     if catalog is None:
@@ -161,9 +123,18 @@ def ingest_zarr_cube(
             writer = pq.ParquetWriter(tmp, _TILE_SCHEMA, compression="zstd")
             n = 0
             try:
+                g_cols = w // tile
                 for tr in range(h // tile):
-                    strip = _strip(zarr_root, meta, si, tr * tile, (tr + 1) * tile)
-                    t = _species_rows(code, name, strip, tr, tile, transform, crs, units)
+                    strip = _strip(zarr_root, meta, si, tr * tile, (tr + 1) * tile,
+                                   nodata_fill)
+                    stack = np.ascontiguousarray(
+                        strip.reshape(tile, g_cols, tile).swapaxes(0, 1), dtype="<f4"
+                    )
+                    t = tile_rows_from_stack(
+                        code, name, stack,
+                        np.full(g_cols, tr), np.arange(g_cols),
+                        transform, crs=crs, units=units,
+                    )
                     writer.write_table(t, row_group_size=max(t.num_rows, 1))
                     n += t.num_rows
             finally:

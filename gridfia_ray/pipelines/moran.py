@@ -49,26 +49,42 @@ def _tile_values(tiles_path, spec: GridSpec) -> rd.Dataset:
         import pyarrow.compute as pc
 
         n = batch.num_rows
-        # tile_row/col from the image_id key (store-validated to match
-        # the caption) — no per-row json.loads
-        parts = pc.split_pattern(batch["image_id"], "/")
-        trs = pc.cast(pc.list_element(parts, 1), pa.int64()).to_numpy()
-        tcs = pc.cast(pc.list_element(parts, 2), pa.int64()).to_numpy()
         fmts = batch["fmt"].to_pylist()
         hs = batch["h"].to_numpy()
         ws = batch["w"].to_numpy()
         payloads = batch["bytes"].to_pylist()
+        # coordinates: image_id parse when every id is the canonical
+        # 'code/<int>/<int>' form (vectorized, matches the caption by
+        # store construction), else the caption is the source of truth
+        # (arbitrary ids, near-dup suffixes)
+        canonical = n > 0 and bool(
+            pc.all(
+                pc.match_substring_regex(batch["image_id"], r"^[^/]+/\d+/\d+$")
+            ).as_py()
+        )
+        if canonical:
+            parts = pc.split_pattern(batch["image_id"], "/")
+            trs = pc.cast(pc.list_element(parts, 1), pa.int64()).to_numpy()
+            tcs = pc.cast(pc.list_element(parts, 2), pa.int64()).to_numpy()
+        else:
+            trs = np.zeros(n, np.int64)
+            tcs = np.zeros(n, np.int64)
+            for i in range(n):
+                meta = json.loads(batch["caption"][i].as_py())
+                trs[i] = int(meta.get("tile_row", 0))
+                tcs[i] = int(meta.get("tile_col", 0))
         if (
             n > 0
             and all(f == "raw-f32" for f in fmts)
             and (hs == hs[0]).all()
             and (ws == ws[0]).all()
         ):
-            # raw stores (the common case): one stacked reduction
+            # raw stores (the common case): one stacked reduction;
+            # dtype=f64 accumulates in double without an f64 copy
             stack = np.frombuffer(b"".join(payloads), dtype="<f4").reshape(
                 n, int(hs[0]), int(ws[0])
             )
-            vals = stack.astype(np.float64).mean(axis=(1, 2))
+            vals = stack.mean(axis=(1, 2), dtype=np.float64)
         else:
             vals = np.zeros(n, np.float64)
             for i in range(n):
