@@ -574,6 +574,18 @@ def q_doc_dup_verified(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_doc_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the exact n-gram Jaccard pairs →
+    (doc_id, cluster_rep) with rep = min of the component; the oracle
+    computes the transitive closure with a recursive CTE over the SAME
+    pair relation."""
+    from gridfia_ray.dedup.docs import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
+    out = dup_clusters(pairs)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.dedup.docs import simhash_pairs
 
@@ -1057,6 +1069,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_verified": q_doc_dup_verified,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1382,8 +1395,10 @@ def build_oracle_sql() -> dict[str, str]:
           ELSE 'und' END AS lang_pred
         FROM s"""
 
-    sql["doc_dup_verified"] = r"""
-        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+    # shared CTE chain: exact 3-gram Jaccard candidate pairs (the
+    # doc_dup_verified relation), reused by the clusters oracle
+    _dup_ctes = r"""
+        t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
                    FROM documents WHERE trim(text) <> ''),
         sh AS (SELECT doc_id,
                  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -1397,9 +1412,24 @@ def build_oracle_sql() -> dict[str, str]:
                  GROUP BY 1, 2),
         j AS (SELECT cand.a, cand.b, c * 1.0 / (sa.n + sb.n - c) jac
               FROM cand JOIN sz sa ON sa.doc_id = cand.a
-                        JOIN sz sb ON sb.doc_id = cand.b)
+                        JOIN sz sb ON sb.doc_id = cand.b)"""
+    sql["doc_dup_verified"] = f"""
+        WITH {_dup_ctes}
         SELECT a, b, CAST(FLOOR(jac*1000000 + 0.5) AS BIGINT) AS jaccard_u
         FROM j WHERE jac >= 0.5"""
+    # transitive closure of the pair relation: recursive min-label
+    # propagation (UNION fixpoint terminates; the rep-<-node guard keeps
+    # the state space finite even with cycles)
+    sql["doc_dup_clusters"] = f"""
+        WITH RECURSIVE {_dup_ctes},
+        prs AS (SELECT a, b FROM j WHERE jac >= 0.5),
+        ed AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        cc(node, rep) AS (
+          SELECT DISTINCT a, a FROM ed
+          UNION
+          SELECT ed.b, cc.rep FROM cc JOIN ed ON cc.node = ed.a WHERE cc.rep < ed.b
+        )
+        SELECT node AS doc_id, MIN(rep) AS cluster_rep FROM cc GROUP BY node"""
     sql["ann_topk"] = """
         WITH q AS (SELECT vec_id qid, embedding e FROM embeddings WHERE vec_id IN (0, 1, 2)),
         s AS (SELECT q.qid query_id, v.vec_id,

@@ -515,3 +515,49 @@ def paragraph_dedup(docs: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         .groupby("__bucket")
         .map_groups(reassemble, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-pair clustering (connected components → canonical docs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: rd.Dataset, max_driver_pairs: int = 5_000_000) -> pd.DataFrame:
+    """Connected components over duplicate pairs → (doc_id, cluster_rep)
+    for every doc in any pair; rep = min doc_id of the component (the
+    canonical survivor a dedup policy keeps).
+
+    Candidate pairs are rare by LSH/verification design, so the pair
+    list folds on the driver (union-find, path compression) — the same
+    provably-small-fold rule as the other pair consumers; the bound is
+    enforced, not assumed. Beyond it, components need the iterative
+    bucketed min-label propagation (O(log n) shuffle rounds) — raise
+    rather than silently degrade."""
+    df = pairs.to_pandas()
+    if len(df) > max_driver_pairs:
+        raise ValueError(
+            f"{len(df)} pairs exceed max_driver_pairs={max_driver_pairs}; "
+            "use iterative label propagation for components at this scale"
+        )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(df["a"].astype(np.int64), df["b"].astype(np.int64)):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:  # union by min id → rep IS the min of the component
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(parent)
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(nodes, np.int64),
+            "cluster_rep": np.asarray([find(n) for n in nodes], np.int64),
+        }
+    )

@@ -186,3 +186,27 @@ class TestParagraphDedup:
         )
         assert out["doc_id"].tolist() == [2, 3]
         assert out["text_clean"].tolist() == ["", "plain"]
+
+
+class TestDupClusters:
+    def test_chain_cycle_and_min_rep(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray.dedup.docs import dup_clusters
+
+        pairs = pd.DataFrame({"a": [1, 2, 3, 5], "b": [2, 3, 1, 6]})  # cycle + pair
+        out = dup_clusters(rd.from_pandas(pairs))
+        assert dict(zip(out["doc_id"], out["cluster_rep"])) == {
+            1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+        }
+
+    def test_pair_bound_enforced(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray.dedup.docs import dup_clusters
+
+        pairs = pd.DataFrame({"a": [1, 3], "b": [2, 4]})
+        with pytest.raises(ValueError):
+            dup_clusters(rd.from_pandas(pairs), max_driver_pairs=1)
