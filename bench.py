@@ -159,6 +159,29 @@ def run_bench() -> dict:
 
         timed("doc_quality", lambda: q_doc_quality(SF_DIR))
         timed("doc_minhash_pairs", lambda: q_doc_minhash_pairs(SF_DIR))
+
+        # cross-doc paragraph dedup (two bucketed exchanges over text)
+        from gridfia_ray.dedup.docs import paragraph_dedup
+
+        timed(
+            "doc_para_dedup",
+            lambda: paragraph_dedup(
+                rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+            ).count(),
+        )
+
+        # exact global percentiles (distributed quickselect, 3 passes)
+        from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+        from gridfia_ray.pipelines.percentiles import percentiles_exact
+
+        timed(
+            "percentiles_exact",
+            lambda: percentiles_exact(
+                decoded_tiles(read_tiles(tiles), spec, include_total=False),
+                [2.0, 50.0, 98.0],
+                cache=True,  # decode once, stream the refinement passes
+            ),
+        )
         timed("ann_topk", lambda: q_ann_topk(SF_DIR))
 
         # ANN at scale: 400k×64 clustered corpus — brute scan vs IVF

@@ -128,6 +128,7 @@ def percentiles_exact(
     bins: int = 4096,
     collect_limit: int = 1 << 18,
     max_iters: int = 8,
+    cache: bool = False,
 ) -> dict[float, float]:
     """EXACT global percentiles — distributed quickselect by histogram
     refinement (classic k-th order statistic at scale; no full sort, no
@@ -146,7 +147,15 @@ def percentiles_exact(
     bounded by DISTINCT values, so a duplicate-heavy bin that can never
     shrink below ``collect_limit`` still folds to a handful of driver
     rows — and selects exactly.
+
+    ``cache=True`` materializes the decoded rows once so the 3–4 passes
+    stream object-store blocks instead of re-decoding tiles each time —
+    the right call when decode is the dominant cost (compressed
+    formats); leave off when recompute beats the spill traffic of a
+    beyond-memory corpus.
     """
+    if cache:
+        decoded = decoded.materialize()
     n, lo, hi = _count_and_range(decoded, exclude_zero)
     if n == 0 or not np.isfinite(lo):
         return {q: float("nan") for q in qs}
