@@ -533,12 +533,19 @@ def dup_clusters(pairs: rd.Dataset, max_driver_pairs: int = 5_000_000) -> pd.Dat
     enforced, not assumed. Beyond it, components need the iterative
     bucketed min-label propagation (O(log n) shuffle rounds) — raise
     rather than silently degrade."""
-    df = pairs.to_pandas()
-    if len(df) > max_driver_pairs:
+    # guard BEFORE the driver pull: materialize holds the pair set in
+    # the (spillable, distributed) object store, count() is then
+    # metadata-free, and a degenerate pair explosion raises cleanly
+    # instead of OOM-killing the driver — without re-executing the
+    # pair pipeline for the count
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs > max_driver_pairs:
         raise ValueError(
-            f"{len(df)} pairs exceed max_driver_pairs={max_driver_pairs}; "
+            f"{n_pairs} pairs exceed max_driver_pairs={max_driver_pairs}; "
             "use iterative label propagation for components at this scale"
         )
+    df = pairs.to_pandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
