@@ -21,6 +21,11 @@ import ray.data as rd
 
 
 def _decoded_values(batch: pa.Table) -> list[np.ndarray]:
+    """Per-row views, deliberately NOT concatenated: the reduction
+    kernels below run per 64 KB tile (L2-resident). Batch-wide
+    concatenate + f64 upcast allocates ~300 MB of fresh pages per batch
+    and measured 9× SLOWER on this DRAM-bound class of machine — same
+    lesson as the L2-resident hashing chunks (BASELINE.md)."""
     out = []
     status = batch["status"].to_pylist() if "status" in batch.column_names else None
     for i, p in enumerate(batch["pix"].to_pylist()):
