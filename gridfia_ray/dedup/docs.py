@@ -543,7 +543,7 @@ def dup_clusters(pairs: rd.Dataset, max_driver_pairs: int = 5_000_000) -> pd.Dat
     if n_pairs > max_driver_pairs:
         raise ValueError(
             f"{n_pairs} pairs exceed max_driver_pairs={max_driver_pairs}; "
-            "use iterative label propagation for components at this scale"
+            "use dup_clusters_distributed for components at this scale"
         )
     df = pairs.to_pandas()
     parent: dict[int, int] = {}
@@ -567,4 +567,122 @@ def dup_clusters(pairs: rd.Dataset, max_driver_pairs: int = 5_000_000) -> pd.Dat
             "doc_id": np.asarray(nodes, np.int64),
             "cluster_rep": np.asarray([find(n) for n in nodes], np.int64),
         }
+    )
+
+
+def dup_clusters_distributed(
+    pairs: rd.Dataset, n_buckets: int = 64, max_iters: int = 50
+) -> rd.Dataset:
+    """Connected components WITHOUT a driver fold — iterative min-label
+    propagation (the classic Pregel/hash-min algorithm): every node
+    starts labeled with itself; each round, labels flow across edges
+    and every node keeps the minimum seen; fixpoint when a round
+    changes nothing. Rounds ≤ the longest min-label path (graph
+    diameter); duplicate clusters are short chains in practice.
+
+    Per round: ONE bucketed merge of (labels ∪ edge-messages) keyed on
+    the node — the same bucketed-agg altitude as every other keyed
+    reduce here. Labels and edges stay Datasets throughout; the driver
+    holds only the per-round change count.
+
+    Use ``dup_clusters`` (bounded driver union-find) when the pair set
+    is provably small; this is the beyond-bound path. Node ids must be
+    non-negative (the sentinel ``dst = -1`` marks label rows inside the
+    merged stream).
+    """
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "src": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+                "dst": np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()]),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    labels = bucketed_agg(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": b["src"], "rep": b["src"]}),
+            batch_format="pandas",
+        ),
+        ["node"],
+        {"rep": ("rep", "min")},
+        n_buckets=n_buckets,
+    ).materialize()
+
+    for _ in range(max_iters):
+        # messages: each edge forwards its source's current label
+        lab_ref = labels
+        msgs = (
+            edges.map_batches(
+                lambda b: b.rename(columns={"src": "node"}), batch_format="pandas"
+            )
+            # join label onto the edge source via bucketed merge
+            .union(
+                lab_ref.map_batches(
+                    lambda b: pd.DataFrame(
+                        {"node": b["node"], "dst": -1, "rep": b["rep"]}
+                    ),
+                    batch_format="pandas",
+                )
+            )
+        )
+
+        def propagate(group: pd.DataFrame) -> pd.DataFrame:
+            lab = group.loc[group["dst"] == -1, ["node", "rep"]]
+            edge = group.loc[group["dst"] != -1, ["node", "dst"]]
+            fwd = edge.merge(lab, on="node")[["dst", "rep"]].rename(
+                columns={"dst": "node"}
+            )
+            return pd.concat([lab, fwd], ignore_index=True)
+
+        from gridfia_ray.stages.dedup_util import bucket_of
+
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__bucket"] = bucket_of(b, ["node"], n_buckets)
+            return b
+
+        candidates = (
+            msgs.map_batches(add_bucket, batch_format="pandas")
+            .repartition(n_buckets)
+            .groupby("__bucket")
+            .map_groups(propagate, batch_format="pandas")
+        )
+        new_labels = bucketed_agg(
+            candidates, ["node"], {"rep": ("rep", "min")}, n_buckets=n_buckets
+        ).materialize()
+        # convergence: any label decreased this round?
+        joined = new_labels.union(
+            labels.map_batches(
+                lambda b: pd.DataFrame({"node": b["node"], "rep": -b["rep"] - 1}),
+                batch_format="pandas",
+            )
+        )
+
+        def count_changed(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.copy()
+            g["new"] = np.where(g["rep"] >= 0, g["rep"], np.nan)
+            g["old"] = np.where(g["rep"] < 0, -g["rep"] - 1, np.nan)
+            per = g.groupby("node").agg(new=("new", "min"), old=("old", "min"))
+            return pd.DataFrame({"n": [int((per["new"] != per["old"]).sum())]})
+
+        changed = (
+            joined.map_batches(add_bucket, batch_format="pandas")
+            .repartition(min(8, n_buckets))
+            .groupby("__bucket")
+            .map_groups(count_changed, batch_format="pandas")
+            .to_pandas()["n"]
+            .sum()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["node"].astype(np.int64), "cluster_rep": b["rep"].astype(np.int64)}
+        ),
+        batch_format="pandas",
     )

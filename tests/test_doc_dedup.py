@@ -210,3 +210,27 @@ class TestDupClusters:
         pairs = pd.DataFrame({"a": [1, 3], "b": [2, 4]})
         with pytest.raises(ValueError):
             dup_clusters(rd.from_pandas(pairs), max_driver_pairs=1)
+
+    def test_distributed_matches_union_find(self, ray_session):
+        """Label propagation fixpoint == driver union-find on seeded
+        random graphs (chains, stars, cycles all arise at n=60)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray.dedup.docs import dup_clusters, dup_clusters_distributed
+
+        rng = np.random.RandomState(11)
+        for trial in range(3):
+            a = rng.randint(0, 60, 40)
+            off = rng.randint(1, 60, 40)
+            pairs = pd.DataFrame({"a": a, "b": (a + off) % 60})
+            pairs = pairs[pairs.a != pairs.b]
+            ds = rd.from_pandas(pairs).repartition(3)
+            want = dup_clusters(ds).sort_values("doc_id").reset_index(drop=True)
+            got = (
+                dup_clusters_distributed(ds, n_buckets=8)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want)
