@@ -23,6 +23,35 @@ import ray.data as rd
 from gridfia_ray.codecs.phash import hamming64
 
 
+def dup_key_table(keys_ds: rd.Dataset, key: str) -> rd.Dataset:
+    """Distributed duplicates-only key table: one row per key whose
+    total count exceeds 1, with its count in ``n``.
+
+    The ``n > 1`` filter runs DISTRIBUTED, before anything reaches the
+    driver: the full distinct-key table is one row per distinct key
+    (~10^12 at target scale) and must never be collected. Only this
+    duplicates-only remainder — small under the documented clean-majority
+    assumption — is ever a candidate for driver materialization, and the
+    caller decides that on its ``count()`` (metadata-only once
+    materialized)."""
+    import pyarrow.compute as pc
+
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    def key_counts(batch: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(batch[key].to_pylist()).value_counts()
+        return pd.DataFrame({key: vc.index, "n": vc.to_numpy().astype(np.int64)})
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n"], 1))
+
+    return bucketed_agg(
+        keys_ds.map_batches(key_counts, batch_format="pyarrow"),
+        [key],
+        {"n": ("n", "sum")},
+    ).map_batches(only_dups, batch_format="pyarrow")
+
+
 def exact_dedup(
     tiles,
     key: str = "image_id",
@@ -50,7 +79,6 @@ def exact_dedup(
     import pyarrow.compute as pc
 
     from gridfia_ray.pipelines.common import read_tiles
-    from gridfia_ray.stages.agg_util import bucketed_agg
     from gridfia_ray.stages.dedup_util import bucketed_distinct
 
     if isinstance(tiles, str):
@@ -60,17 +88,9 @@ def exact_dedup(
         tiles = read_tiles(tiles)
         keys_ds = tiles.select_columns([key])
 
-    def key_counts(batch: pa.Table) -> pd.DataFrame:
-        vc = pd.Series(batch[key].to_pylist()).value_counts()
-        return pd.DataFrame({key: vc.index, "n": vc.to_numpy().astype(np.int64)})
-
-    counts = bucketed_agg(
-        keys_ds.map_batches(key_counts, batch_format="pyarrow"),
-        [key],
-        {"n": ("n", "sum")},
-    ).to_pandas()
-    dup_keys = counts.loc[counts["n"] > 1, key]
-    if len(dup_keys) == 0:
+    dup_keys_ds = dup_key_table(keys_ds, key).materialize()
+    n_dup = dup_keys_ds.count()
+    if n_dup == 0:
         return tiles
 
     # winner sort includes a content hash of the payload: two rows with
@@ -96,7 +116,7 @@ def exact_dedup(
         return batch.drop_columns(["__chash"])
 
     sort_cols = [key, "phash", "fmt", "__chash"]
-    if len(dup_keys) > max_broadcast_keys:
+    if n_dup > max_broadcast_keys:
         return bucketed_distinct(
             tiles.map_batches(with_chash, batch_format="pyarrow"),
             [key],
@@ -104,7 +124,8 @@ def exact_dedup(
             sort_cols=sort_cols,
             coalesce=False,  # full-payload shuffle: extra copy not worth it
         ).map_batches(drop_chash, batch_format="pyarrow")
-    dup_set = pa.array(dup_keys.tolist())
+    # duplicates-only and under the broadcast bound: safe to collect
+    dup_set = pa.array(dup_keys_ds.to_pandas()[key].tolist())
 
     def clean_rows(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.invert(pc.is_in(batch[key], value_set=dup_set)))

@@ -139,13 +139,21 @@ def attach_pair_attrs(
     """
     import ray
 
-    id_parts = pairs.map_batches(
+    # Guard BEFORE any driver pull (VERDICT r2 finding #2): the per-batch
+    # unique id rows stay in the object store (materialize), and the
+    # broadcast-vs-distributed fork is decided on their COUNT — an upper
+    # bound on the distinct id count (an id seen in k batches contributes
+    # k rows), so the bound is conservative: a degenerate pair explosion
+    # routes to the distributed join without ever materializing ids on
+    # the driver. Same pattern as dup_clusters (dedup/docs.py).
+    id_parts_ds = pairs.map_batches(
         lambda b: pd.DataFrame({id_col: pd.concat([b["a"], b["b"]]).unique()}),
         batch_format="pandas",
-    ).to_pandas()
-    ids = id_parts[id_col].unique()
+    ).materialize()
+    n_ids_bound = id_parts_ds.count()
 
-    if len(ids) <= max_broadcast_ids:
+    if n_ids_bound <= max_broadcast_ids:
+        ids = id_parts_ds.to_pandas()[id_col].unique()
         id_set = set(ids.tolist())
 
         def filt(batch: pd.DataFrame) -> pd.DataFrame:

@@ -31,6 +31,34 @@ class TestExactDedup:
         assert set(out["image_id"]) == set(dup_df["image_id"])
 
 
+class TestExactDedupForks:
+    def test_full_shuffle_fork_equals_broadcast_fork(self, dup_ds, dup_df):
+        """max_broadcast_keys=0 forces the full-payload-shuffle fork; it
+        must keep exactly the same deterministic winners as the
+        broadcast (clean-majority) fork."""
+        bro = D.exact_dedup(dup_ds).to_pandas()
+        shuf = D.exact_dedup(dup_ds, max_broadcast_keys=0).to_pandas()
+        cols = ["image_id", "phash", "fmt"]
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            bro[cols].sort_values("image_id").reset_index(drop=True),
+            shuf[cols].sort_values("image_id").reset_index(drop=True),
+        )
+
+    def test_driver_table_is_duplicates_only(self, ray_session, dup_ds, dup_df):
+        """The only table exact_dedup may collect is the duplicates-only
+        key set — NOT the full distinct-key table (VERDICT r2 #1)."""
+        keys = dup_ds.select_columns(["image_id"])
+        got = D.dup_key_table(keys, "image_id").to_pandas()
+        vc = dup_df["image_id"].value_counts()
+        expect = vc[vc > 1]
+        assert len(got) == len(expect)
+        assert len(got) < dup_df["image_id"].nunique()  # strictly smaller
+        assert set(got["image_id"]) == set(expect.index)
+        assert dict(zip(got["image_id"], got["n"])) == expect.to_dict()
+
+
 class TestNearDup:
     def test_pairs_match_bruteforce(self, dup_ds, dup_df):
         got = D.near_dup_pairs(dup_ds, max_hamming=6).to_pandas()
