@@ -318,3 +318,30 @@ class GridFIARay:
         col = min(max(int(np.floor((x - tf[0]) / tf[1])), 0), int(r["w"]) - 1)
         row = min(max(int(np.floor((y - tf[3]) / tf[5])), 0), int(r["h"]) - 1)
         return float(arr[row, col])
+
+    # -- location planning (M18 full) ----------------------------------------
+
+    @staticmethod
+    def resolve_location_bboxes(
+        wgs84_bbox: tuple[float, float, float, float],
+        state_abbr: str | None = None,
+        target_crs: str | None = None,
+    ) -> dict:
+        """The reference's location-config bbox conversion
+        (``location_config.py:301-318`` + per-state CRS detection at
+        ``320-385``): a WGS84 bbox expanded to Web-Mercator and the
+        state's projected CRS (State Plane / UTM / HOM per the 50-state
+        table; unknown state falls back to Web Mercator)."""
+        from gridfia_ray.geo import crs as C
+        from gridfia_ray.geo.stateplane import state_plane_epsg
+
+        if target_crs is None:
+            target_crs = state_plane_epsg(state_abbr) if state_abbr else "EPSG:3857"
+        out = {
+            "crs_target": target_crs,
+            "wgs84": tuple(float(v) for v in wgs84_bbox),
+            "web_mercator": C.transform_bbox(wgs84_bbox, "EPSG:4326", "EPSG:3857"),
+        }
+        if target_crs not in ("EPSG:4326", "EPSG:3857"):
+            out["state_plane"] = C.transform_bbox(wgs84_bbox, "EPSG:4326", target_crs)
+        return out

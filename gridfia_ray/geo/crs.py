@@ -138,6 +138,30 @@ _FORWARD = {
 }
 
 
+def _to_lonlat(x, y, src: str):
+    from gridfia_ray.geo import stateplane as sp
+
+    if src in ("EPSG:4326", "EPSG:4269"):  # NAD83 geographic ≈ WGS84 here
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if (src, "EPSG:4326") in _FORWARD:
+        return _FORWARD[(src, "EPSG:4326")](x, y)
+    if sp.supported(src):
+        return sp.sp_inverse(src, x, y)
+    return None
+
+
+def _from_lonlat(lon, lat, dst: str):
+    from gridfia_ray.geo import stateplane as sp
+
+    if dst in ("EPSG:4326", "EPSG:4269"):
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if ("EPSG:4326", dst) in _FORWARD:
+        return _FORWARD[("EPSG:4326", dst)](lon, lat)
+    if sp.supported(dst):
+        return sp.sp_forward(dst, lon, lat)
+    return None
+
+
 def transform_points(x, y, src: str, dst: str):
     src, dst = src.upper(), dst.upper()
     if src == dst:
@@ -145,10 +169,14 @@ def transform_points(x, y, src: str, dst: str):
     fn = _FORWARD.get((src, dst))
     if fn is not None:
         return fn(x, y)
-    # route through WGS84
-    if (src, "EPSG:4326") in _FORWARD and ("EPSG:4326", dst) in _FORWARD:
-        lon, lat = _FORWARD[(src, "EPSG:4326")](x, y)
-        return _FORWARD[("EPSG:4326", dst)](lon, lat)
+    # route through WGS84 — covers the per-state State Plane / UTM / HOM
+    # family (geo/stateplane.py, mirroring the reference's
+    # location_config.py:301-318 transform_bounds usage)
+    ll = _to_lonlat(x, y, src)
+    if ll is not None:
+        out = _from_lonlat(ll[0], ll[1], dst)
+        if out is not None:
+            return out
     raise ValueError(f"unsupported CRS pair {src} -> {dst}")
 
 
