@@ -530,6 +530,21 @@ def q_doc_langid(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_langid_ngram(sf_dir: str) -> pd.DataFrame:
+    """Real language ID: 16-language character-trigram profiles +
+    7-language Unicode-script detection (text/langid.py). Integer
+    weights keep the argmax hash-exact vs the SQL oracle."""
+    from gridfia_ray.stages.worker_state import worker_cached
+    from gridfia_ray.text.langid import NgramLangId
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(worker_cached(NgramLangId), batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.text.ops import fingerprint64
 
@@ -1056,7 +1071,14 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_percentiles_exact": q_percentiles_exact,
         "gf_tile_catalog": q_tile_catalog,
         "gf_store_validate": q_store_validate,
-        # documents / embeddings / events / relational
+        # relational + hopping first within the tabular family: these
+        # were the rows the round-2 driver run dropped (it recorded 50
+        # of 54) — keep them clear of any tail cap/timeout (VERDICT #8)
+        "events_hopping": q_events_hopping,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_customers": q_rel_top_customers,
+        "rel_regional_revenue": q_rel_regional_revenue,
+        # documents / embeddings / events
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_count": q_doc_token_count,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1066,6 +1088,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_repetition": q_doc_repetition,
         "doc_langid": q_doc_langid,
+        "doc_langid_ngram": q_doc_langid_ngram,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_verified": q_doc_dup_verified,
@@ -1078,10 +1101,6 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_sample_per_user": q_events_sample_per_user,
-        "events_hopping": q_events_hopping,
-        "rel_pricing_summary": q_rel_pricing_summary,
-        "rel_top_customers": q_rel_top_customers,
-        "rel_regional_revenue": q_rel_regional_revenue,
     }
     return qs
 
@@ -1394,6 +1413,39 @@ def build_oracle_sql() -> dict[str, str]:
           WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
           ELSE 'und' END AS lang_pred
         FROM s"""
+
+    # doc_langid_ngram: the trigram-profile + script-range classifier
+    # (text/langid.py). The profile VALUES table and the script regex
+    # ranges are generated from the SAME module constants, and weights
+    # are integers, so the argmax is hash-exact on both sides.
+    from gridfia_ray.text.langid import SCRIPT_RANGES, profile_sql_values
+
+    _script_case = " ".join(
+        f"WHEN regexp_matches(text, '[{re2}]') THEN '{lang}'"
+        for lang, _, re2 in SCRIPT_RANGES
+    )
+    sql["doc_langid_ngram"] = rf"""
+        WITH norm AS (
+          SELECT doc_id, text,
+                 ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' AS s
+          FROM documents),
+        idx AS (
+          SELECT doc_id, s, unnest(generate_series(1, length(s) - 2)) AS i
+          FROM norm WHERE length(s) >= 3),
+        tri AS (SELECT doc_id, substr(s, CAST(i AS INT), 3) AS tg FROM idx),
+        prof(lang, tg, w) AS (VALUES {profile_sql_values()}),
+        scores AS (
+          SELECT doc_id, lang, SUM(w) AS sc
+          FROM tri JOIN prof USING (tg) GROUP BY doc_id, lang),
+        best AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY sc DESC, lang ASC) AS rn
+          FROM scores)
+        SELECT n.doc_id,
+               CASE {_script_case}
+                    ELSE coalesce(b.lang, 'und') END AS lang_pred
+        FROM norm n LEFT JOIN best b ON n.doc_id = b.doc_id AND b.rn = 1"""
 
     # shared CTE chain: exact 3-gram Jaccard candidate pairs (the
     # doc_dup_verified relation), reused by the clusters oracle
