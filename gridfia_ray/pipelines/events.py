@@ -61,10 +61,12 @@ def tumbling_window_agg(
     if window not in _WINDOW_ALIAS:
         raise ValueError(f"unsupported window {window!r}; one of {sorted(_WINDOW_ALIAS)}")
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame):
+        from gridfia_ray.stages.agg_util import to_arrow
+
         b = batch[[key, value]].copy()
         b["window_start"] = _floor_to_window(batch["ts"], window)
-        return _window_partial(b, key, value)
+        return to_arrow(_window_partial(b, key, value))
 
     # user×window cardinality is ~O(rows): bucketed merge, not
     # Dataset.aggregate (per-group reduce overhead — see agg_util)
@@ -94,14 +96,16 @@ def hopping_window_agg(
     k = window_minutes // hop_minutes
     hop = pd.Timedelta(minutes=hop_minutes)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame):
+        from gridfia_ray.stages.agg_util import to_arrow
+
         base = batch["ts"].dt.floor(f"{hop_minutes}min")
         frames = []
         for i in range(k):
             b = batch[[key, value]].copy()
             b["window_start"] = base - i * hop
             frames.append(b)
-        return _window_partial(pd.concat(frames, ignore_index=True), key, value)
+        return to_arrow(_window_partial(pd.concat(frames, ignore_index=True), key, value))
 
     return bucketed_agg(
         events.map_batches(partial, batch_format="pandas"),
@@ -128,12 +132,13 @@ def sessionize(
     threshold, cumsum session ids, single pandas groupby. Python cost
     is O(buckets), not one call per key."""
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(batch: pd.DataFrame):
+        from gridfia_ray.stages.agg_util import to_arrow
         from gridfia_ray.stages.dedup_util import bucket_of
 
         batch = batch.copy()
         batch["__bucket"] = bucket_of(batch, [key], n_buckets)
-        return batch
+        return to_arrow(batch)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, "ts"], kind="mergesort")

@@ -17,7 +17,21 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
+
+
+def to_arrow(df: pd.DataFrame) -> pa.Table:
+    """pandas → Arrow at an exchange boundary. Empty ARROW blocks keep
+    their schema; empty PANDAS blocks degrade to
+    ``PandasBlockSchema(names=[])`` and trip the executor's
+    schema-churn warnings on every repartition/sort split (round-2
+    VERDICT minor #3) — so every bucketed stage hands the executor
+    Arrow, not pandas. The pandas schema metadata is stripped: it
+    embeds dicts, which defeat Ray's schema-dedup hashing (the
+    worker-side "Failed to hash the schemas" noise) and bloat every
+    block header."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def bucketed_agg(
@@ -26,16 +40,15 @@ def bucketed_agg(
     agg_map: dict[str, tuple[str, str]],
     n_buckets: int = 32,
 ) -> rd.Dataset:
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(batch: pd.DataFrame) -> pa.Table:
         from gridfia_ray.stages.dedup_util import bucket_of
 
         batch = batch.copy()
         batch["__bucket"] = bucket_of(batch, keys, n_buckets)
-        return batch
+        return to_arrow(batch)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.groupby(keys, as_index=False).agg(**agg_map)
-        return out
+    def merge(group: pd.DataFrame) -> pa.Table:
+        return to_arrow(group.groupby(keys, as_index=False).agg(**agg_map))
 
     # coalesce the (light) partials to ~one block per bucket before the
     # sort shuffle: the sort's cost is dominated by per-block task
