@@ -490,6 +490,34 @@ def q_doc_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_near_dedup_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental NEAR-dup rejection against a persistent SimHash band
+    index (round-2 VERDICT ask #6): index the first half (doc_id < 250),
+    then keep only second-half docs that are neither within Hamming 3 of
+    any indexed signature (exhaustive 8-band check) nor exact-text dups
+    within the batch (min doc_id wins). Intra-batch NEAR dedup is the
+    batch-level simhash_pairs operator by design, not this one."""
+    import shutil
+    import tempfile
+
+    from gridfia_ray.dedup.incremental import build_near_index, near_dedup_against_index
+
+    docs = _docs(sf_dir)
+    first = docs.map_batches(lambda b: b[b["doc_id"] < 250], batch_format="pandas")
+    second = docs.map_batches(lambda b: b[b["doc_id"] >= 250], batch_format="pandas")
+    idx = tempfile.mkdtemp(prefix="near_index_")
+    try:
+        build_near_index(first, idx, n_shards=16, n_bands=8)
+        out = near_dedup_against_index(second, idx, max_hamming=3).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return (
+        pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64)})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_para_dedup(sf_dir: str) -> pd.DataFrame:
     """Cross-document paragraph dedup (keep first occurrence):
     boilerplate removal. Exact string compare vs the SQL oracle."""
@@ -1085,6 +1113,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_token_freq": q_doc_token_freq,
         "doc_para_dedup": q_doc_para_dedup,
         "doc_dedup_incremental": q_doc_dedup_incremental,
+        "doc_near_dedup_incremental": q_doc_near_dedup_incremental,
         "doc_quality": q_doc_quality,
         "doc_repetition": q_doc_repetition,
         "doc_langid": q_doc_langid,
@@ -1413,6 +1442,82 @@ def build_oracle_sql() -> dict[str, str]:
           WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
           ELSE 'und' END AS lang_pred
         FROM s"""
+
+    # doc_near_dedup_incremental: the SQL side recomputes the 64-bit
+    # SimHash from scratch — token Horner base-131 mod 2^64 + the
+    # splitmix avalanche (text/hashing.py:41-49,141-163) in exact
+    # HUGEINT arithmetic (mulmod via 32-bit split so int128 never
+    # overflows; logical shifts as division on non-negative values;
+    # xor through two's-complement BIGINT), then per-bit majority votes.
+    # Code points stand in for UTF-8 bytes exactly as in the
+    # doc_fingerprint oracle (identical on the ASCII corpus).
+    _U64 = 1 << 64
+
+    def _i64(e: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({e}) >= 9223372036854775808 THEN ({e}) - {_U64} "
+            f"ELSE ({e}) END AS BIGINT)"
+        )
+
+    def _xor64(a: str, b: str) -> str:
+        x = f"xor({_i64(a)}, {_i64(b)})"
+        return (
+            f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {_U64} "
+            f"ELSE CAST(({x}) AS HUGEINT) END)"
+        )
+
+    def _mulmod64(e: str, c: int) -> str:
+        return (
+            f"(((({e}) % 4294967296) * {c} "
+            f"+ (((({e}) // 4294967296) * {c}) % 4294967296) * 4294967296) % {_U64})"
+        )
+
+    def _simhash_ctes(src: str) -> str:
+        p2 = 0xC2B2AE3D27D4EB4F
+        p3 = 0x165667B19E3779F9
+        return rf"""
+        {src}_tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM {src}),
+        {src}_h0 AS (
+          SELECT doc_id,
+            list_reduce(
+              list_transform(range(1, length(tok) + 1),
+                             i -> CAST(unicode(tok[i]) AS HUGEINT)),
+              (acc, ch) -> (acc * 131 + ch) % {_U64}) AS h0
+          FROM {src}_tok),
+        {src}_a1 AS (SELECT doc_id, {_xor64('h0', 'h0 // 8589934592')} AS x1 FROM {src}_h0),
+        {src}_a2 AS (SELECT doc_id, {_mulmod64('x1', p2)} AS x2 FROM {src}_a1),
+        {src}_a3 AS (SELECT doc_id, {_xor64('x2', 'x2 // 536870912')} AS x3 FROM {src}_a2),
+        {src}_a4 AS (SELECT doc_id, {_mulmod64('x3', p3)} AS x4 FROM {src}_a3),
+        {src}_th AS (SELECT doc_id, {_xor64('x4', 'x4 // 4294967296')} AS th FROM {src}_a4),
+        {src}_votes AS (
+          SELECT doc_id, j,
+                 SUM(CAST((th // (CAST(1 AS HUGEINT) << CAST(j AS INT))) % 2 AS BIGINT)) AS ones,
+                 COUNT(*) AS n
+          FROM {src}_th, (SELECT unnest(range(0, 64)) AS j) bits
+          GROUP BY doc_id, j),
+        {src}_sim AS (
+          SELECT s.doc_id, coalesce(v.sim, 0) AS simhash_u
+          FROM {src} s LEFT JOIN (
+            SELECT doc_id,
+                   SUM(CASE WHEN 2 * ones > n
+                       THEN CAST(1 AS HUGEINT) << CAST(j AS INT)
+                       ELSE CAST(0 AS HUGEINT) END) AS sim
+            FROM {src}_votes GROUP BY doc_id) v ON s.doc_id = v.doc_id)"""
+
+    sql["doc_near_dedup_incremental"] = rf"""
+        WITH fst AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        snd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+        {_simhash_ctes('fst')},
+        {_simhash_ctes('snd')},
+        near AS (
+          SELECT DISTINCT s.doc_id
+          FROM snd_sim s JOIN fst_sim f
+            ON bit_count(xor({_i64('s.simhash_u')}, {_i64('f.simhash_u')})) <= 3)
+        SELECT d.doc_id FROM snd d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM near)
+          AND d.doc_id = (SELECT MIN(d2.doc_id) FROM snd d2
+                          WHERE md5(d2.text) = md5(d.text))"""
 
     # doc_langid_ngram: the trigram-profile + script-range classifier
     # (text/langid.py). The profile VALUES table and the script regex

@@ -151,6 +151,225 @@ def dedup_against_index(
     )
 
 
+# ---------------------------------------------------------------------------
+# near-dup (SimHash band) index — round-2 VERDICT ask #6: continuous
+# ingestion gets NEAR-dup rejection against the persistent index, not
+# just exact. Same shard layout idea: each indexed doc contributes
+# ``n_bands`` (band, band_val, simhash) rows, hash-sharded on
+# (band, band_val) under ``near/shard=<s>/``. A new batch probes only
+# the shards its own band values land in; candidates sharing a band are
+# Hamming-verified against the stored signatures. With
+# ``max_hamming <= n_bands - 1`` the banding is EXHAUSTIVE (pigeonhole),
+# so rejection-vs-index is exact, not probabilistic. Near-dup WITHIN the
+# new batch is deliberately out of scope here — that is the existing
+# batch-level ``simhash_pairs`` pass (dedup/docs.py).
+# ---------------------------------------------------------------------------
+
+_NEAR_SUBDIR = "near"
+
+
+def _near_dir(index_dir: str, shard: int) -> str:
+    return os.path.join(index_dir, _NEAR_SUBDIR, f"shard={shard}")
+
+
+def _band_cols(sim: np.ndarray, n_bands: int) -> tuple[np.ndarray, np.ndarray]:
+    """(band, band_val) arrays for a signature vector, len = n·n_bands."""
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    u = sim.astype(np.int64).view(np.uint64)
+    bands = np.repeat(np.arange(n_bands, dtype=np.int32), len(u))
+    vals = np.concatenate(
+        [((u >> np.uint64(b * width)) & mask).astype(np.int64) for b in range(n_bands)]
+    )
+    return bands, vals
+
+
+def _band_shard_of(band: np.ndarray, band_val: np.ndarray, n_shards: int) -> np.ndarray:
+    mixed = band_val.astype(np.uint64) * _SPLITMIX_C + band.astype(np.uint64)
+    return _shard_of(mixed.view(np.int64), n_shards)
+
+
+def _add_simhash(batch: pd.DataFrame) -> pd.DataFrame:
+    from gridfia_ray.dedup.docs import SimHasher
+
+    batch = batch.copy()
+    batch["simhash"] = SimHasher().sim64_batch(batch["text"].fillna("").tolist())
+    return batch
+
+
+def _write_near_shard_groups(bands: rd.Dataset, index_dir: str, n_shards: int) -> int:
+    def write_shard(group: pd.DataFrame) -> pd.DataFrame:
+        s = int(group["shard"].iloc[0])
+        d = _near_dir(index_dir, s)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "band": group["band"].to_numpy(np.int32),
+                    "band_val": group["band_val"].to_numpy(np.int64),
+                    "simhash": group["simhash"].to_numpy(np.int64),
+                }
+            ),
+            os.path.join(d, f"bands-{uuid.uuid4().hex[:12]}.parquet"),
+        )
+        return pd.DataFrame({"n": [len(group)]})
+
+    counts = (
+        bands.repartition(n_shards)
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return int(counts["n"].sum()) if len(counts) else 0
+
+
+def _explode_bands(batch: pd.DataFrame, n_bands: int, n_shards: int) -> pd.DataFrame:
+    sim = batch["simhash"].to_numpy()
+    bands, vals = _band_cols(sim, n_bands)
+    out = pd.DataFrame(
+        {
+            "band": bands,
+            "band_val": vals,
+            "simhash": np.tile(sim, n_bands),
+        }
+    )
+    out["shard"] = _band_shard_of(out["band"].to_numpy(), out["band_val"].to_numpy(), n_shards)
+    return out
+
+
+def build_near_index(
+    docs: rd.Dataset, index_dir: str, n_shards: int = 64, n_bands: int = 8
+) -> int:
+    """Create the SimHash band index from an initial corpus; returns the
+    number of distinct signatures written (band rows = that × bands)."""
+    os.makedirs(os.path.join(index_dir, _NEAR_SUBDIR), exist_ok=True)
+    meta_path = os.path.join(index_dir, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    meta.update({"near_n_shards": int(n_shards), "n_bands": int(n_bands)})
+    meta.setdefault("n_shards", int(n_shards))
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    bands = docs.map_batches(_add_simhash, batch_format="pandas").map_batches(
+        lambda b: _explode_bands(b, n_bands, n_shards), batch_format="pandas"
+    )
+    distinct = bucketed_distinct(
+        bands, ["band", "band_val", "simhash"], n_buckets=min(n_shards, 64)
+    )
+    # a duplicated signature duplicates its rows in ALL bands, so
+    # distinct band rows = distinct signatures × n_bands exactly
+    return _write_near_shard_groups(distinct, index_dir, n_shards) // n_bands
+
+
+class _NearShardFilter:
+    """Per-batch near-dup rejection against the band index: probes ONLY
+    the shards this batch's band values touch; per-worker shard cache.
+    Keeps rows whose simhash is NOT within ``max_hamming`` of any
+    indexed signature."""
+
+    def __init__(self, index_dir: str, n_shards: int, n_bands: int, max_hamming: int):
+        if max_hamming > n_bands - 1:
+            raise ValueError("need n_bands >= max_hamming+1 for exhaustive banding")
+        self.index_dir = index_dir
+        self.n_shards = n_shards
+        self.n_bands = n_bands
+        self.max_hamming = max_hamming
+        self._cache: dict[int, pd.DataFrame] = {}
+
+    def _shard_bands(self, shard: int) -> pd.DataFrame:
+        df = self._cache.get(shard)
+        if df is None:
+            files = sorted(glob.glob(os.path.join(_near_dir(self.index_dir, shard), "*.parquet")))
+            if files:
+                df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+            else:
+                df = pd.DataFrame(
+                    {"band": pd.Series(dtype=np.int32),
+                     "band_val": pd.Series(dtype=np.int64),
+                     "simhash": pd.Series(dtype=np.int64)}
+                )
+            self._cache[shard] = df
+        return df
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from gridfia_ray.codecs.phash import hamming64
+
+        if "simhash" not in batch.columns:
+            batch = _add_simhash(batch)
+        sim = batch["simhash"].to_numpy()
+        n = len(batch)
+        bands, vals = _band_cols(sim, self.n_bands)
+        row_idx = np.tile(np.arange(n), self.n_bands)
+        shards = _band_shard_of(bands, vals, self.n_shards)
+        near = np.zeros(n, dtype=bool)
+        for s in np.unique(shards):
+            idx_df = self._shard_bands(int(s))
+            if not len(idx_df):
+                continue
+            m = shards == s
+            probe = pd.DataFrame(
+                {"band": bands[m], "band_val": vals[m], "__row": row_idx[m]}
+            ).drop_duplicates()
+            cand = probe.merge(idx_df, on=["band", "band_val"], how="inner")
+            if not len(cand):
+                continue
+            rows = cand["__row"].to_numpy()
+            hm = hamming64(sim[rows], cand["simhash"].to_numpy())
+            near[rows[hm <= self.max_hamming]] = True
+        return batch.loc[~near]
+
+
+def near_dedup_against_index(
+    new_docs: rd.Dataset,
+    index_dir: str,
+    max_hamming: int = 3,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Rows of ``new_docs`` that are neither near-duplicates (SimHash
+    Hamming ≤ ``max_hamming``, exhaustive banding) of any indexed doc
+    nor exact-text duplicates within the batch itself (min doc_id
+    survives). Carries ``text_hash`` + ``simhash`` so the survivors can
+    feed both ``append_to_index`` and ``append_to_near_index``."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_shards = int(meta["near_n_shards"])
+    n_bands = int(meta["n_bands"])
+    if max_hamming > n_bands - 1:  # eager: fail on the driver, not in a worker
+        raise ValueError("need n_bands >= max_hamming+1 for exhaustive banding")
+    from gridfia_ray.stages.worker_state import worker_cached
+
+    fresh = new_docs.map_batches(_add_simhash, batch_format="pandas").map_batches(
+        worker_cached(
+            _NearShardFilter,
+            index_dir=index_dir,
+            n_shards=n_shards,
+            n_bands=n_bands,
+            max_hamming=max_hamming,
+        ),
+        batch_format="pandas",
+    )
+    hashed = fresh.map_batches(add_text_hash, batch_format="pandas")
+    return bucketed_distinct(
+        hashed, ["text_hash"], n_buckets=n_buckets, sort_cols=["text_hash", "doc_id"]
+    )
+
+
+def append_to_near_index(survivors: rd.Dataset, index_dir: str) -> int:
+    """Register survivor signatures (rows carrying ``simhash``) as new
+    band part files — append-native, one new file per touched shard."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_shards = int(meta["near_n_shards"])
+    n_bands = int(meta["n_bands"])
+    bands = survivors.map_batches(
+        lambda b: _explode_bands(b, n_bands, n_shards), batch_format="pandas"
+    )
+    return _write_near_shard_groups(bands, index_dir, n_shards)
+
+
 def append_to_index(survivors: rd.Dataset, index_dir: str) -> int:
     """Register survivor keys (rows carrying ``text_hash``) as new part
     files — append-native, nothing rewritten; one new file per touched

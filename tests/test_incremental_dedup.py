@@ -63,3 +63,84 @@ class TestIncrementalDedup:
             for f in os.listdir(os.path.join(idx, d))
         ]
         assert len(parts) >= 2
+
+
+class TestNearIncrementalDedup:
+    """SimHash band index: near-dup rejection for continuous ingestion."""
+
+    WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    def _doc(self, rng, n=40):
+        return " ".join(rng.choice(self.WORDS) for _ in range(n))
+
+    @pytest.fixture
+    def near_index(self, ray_session, tmp_path):
+        import random
+
+        import ray.data as rd
+
+        from gridfia_ray.dedup.incremental import build_near_index
+
+        rng = random.Random(42)
+        self.base_texts = [self._doc(rng) for _ in range(20)]
+        base = _docs(range(20), self.base_texts)
+        idx = str(tmp_path / "near_index")
+        n = build_near_index(rd.from_pandas(base).repartition(2), idx, n_shards=8, n_bands=8)
+        return idx, n
+
+    def test_build_counts_signatures(self, near_index):
+        _, n = near_index
+        assert n == 20  # all base docs distinct → 20 signatures
+
+    def test_rejects_planted_near_dups(self, near_index, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.dedup.docs import SimHasher
+        from gridfia_ray.dedup.incremental import near_dedup_against_index
+
+        idx, _ = near_index
+        # planted near-dup: one word changed in a 40-word doc → simhash
+        # within a few bits; fresh docs from a disjoint vocabulary
+        mutated = self.base_texts[3].rsplit(" ", 1)[0] + " omega"
+        fresh = ["quark boson lepton hadron gluon photon " * 6,
+                 "neutron proton electron positron muon tauon " * 6]
+        sh = SimHasher()
+        from gridfia_ray.codecs.phash import hamming64
+        hm = hamming64(
+            sh.sim64_batch([mutated]), sh.sim64_batch([self.base_texts[3]])
+        )[0]
+        assert hm <= 3, f"fixture assumption broken: hamming {hm}"
+        new = _docs([100, 101, 102, 103],
+                    [mutated, fresh[0], fresh[1], fresh[0]])  # 103 exact dup of 101
+        out = near_dedup_against_index(
+            rd.from_pandas(new).repartition(2), idx, max_hamming=3
+        ).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == [101, 102]
+
+    def test_append_cycle(self, near_index, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.dedup.incremental import (
+            append_to_near_index,
+            near_dedup_against_index,
+        )
+
+        idx, _ = near_index
+        new = _docs([200], ["completely different vocabulary entirely novel words here " * 4])
+        surv = near_dedup_against_index(rd.from_pandas(new), idx)
+        n = append_to_near_index(surv, idx)
+        assert n == 8  # 1 signature × 8 band rows
+        again = near_dedup_against_index(rd.from_pandas(new), idx).to_pandas()
+        assert len(again) == 0  # now an exact (hamming-0) hit
+
+    def test_banding_guard(self, near_index, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.dedup.incremental import near_dedup_against_index
+
+        idx, _ = near_index
+        with pytest.raises(ValueError):
+            near_dedup_against_index(
+                rd.from_pandas(_docs([1], ["x"])), idx, max_hamming=9
+            ).to_pandas()
