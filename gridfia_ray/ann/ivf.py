@@ -154,8 +154,16 @@ def kmeans_fit(
     disk — still one parquet decode total, which is exactly what an
     iterative algorithm wants.
     """
-    keep = [c for c in ("vec_id", "embedding") if c in embeddings.schema().names]
-    embeddings = embeddings.select_columns(keep).materialize()
+    names = embeddings.schema().names
+    missing = [c for c in ("vec_id", "embedding") if c not in names]
+    if missing:
+        # fail on the driver with the real cause, not a KeyError deep
+        # inside a map_batches task
+        raise ValueError(
+            f"kmeans_fit needs columns ['vec_id', 'embedding']; input is "
+            f"missing {missing} (has {names})"
+        )
+    embeddings = embeddings.select_columns(["vec_id", "embedding"]).materialize()
     pool = _sample_pool(embeddings, sample_size)
     k = min(k, len(pool))
     centroids = np.round(_kmeanspp_init(pool, k, seed), round_decimals)
@@ -379,6 +387,18 @@ def search_ivf_index(
     files = [
         os.path.join(d, f) for d in dirs for f in sorted(os.listdir(d)) if f.endswith(".parquet")
     ]
+    if not files:
+        # every probed cell ended up empty (no vectors assigned) —
+        # rd.read_parquet([]) would raise an opaque Ray error
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        return rd.from_arrow(empty), dirs
     with open(os.path.join(index_dir, "meta.json")) as f:
         quantized = json.load(f).get("quantize") == "int8"
 

@@ -56,9 +56,23 @@ def decode_bmp8(buf: bytes, vmin: float, vmax: float) -> np.ndarray:
     if len(buf) < 14 + 40 or buf[:2] != b"BM":
         raise ValueError("not a BMP payload")
     _, _, _, _, offset = _FILE_HDR.unpack_from(buf, 0)
-    (hdr_sz, w, h, planes, bpp, comp, _, _, _, _, _) = _INFO_HDR.unpack_from(buf, 14)
+    (hdr_sz, w, h, planes, bpp, comp, _, _, _, clr_used, _) = _INFO_HDR.unpack_from(buf, 14)
     if hdr_sz < 40 or planes != 1 or bpp != 8 or comp != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={comp})")
+    # the decoder treats the pixel index as the gray level, which is only
+    # valid when the palette is the identity grayscale ramp (what
+    # encode_bmp8 writes). An externally produced BMP with a real palette
+    # must be rejected, not silently mis-decoded.
+    n_pal = clr_used or 256
+    pal = np.frombuffer(
+        buf, dtype=np.uint8, count=n_pal * 4, offset=14 + hdr_sz
+    ).reshape(n_pal, 4)
+    ramp = np.arange(n_pal, dtype=np.uint8)
+    if not ((pal[:, 0] == ramp).all() and (pal[:, 1] == ramp).all()
+            and (pal[:, 2] == ramp).all()):
+        raise ValueError(
+            "unsupported BMP variant (non-identity-grayscale palette)"
+        )
     bottom_up = h > 0
     h = abs(h)
     stride = (w + 3) & ~3

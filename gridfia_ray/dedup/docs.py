@@ -680,6 +680,16 @@ def dup_clusters_distributed(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the module rule is raise-rather-than-silently-degrade
+        # (dup_clusters does the same for its pair bound): labels that
+        # never reached fixpoint are WRONG component ids, not an
+        # approximation worth returning
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} iterations "
+            f"({changed} labels still changing) — the duplicate graph has "
+            f"diameter > {max_iters}; raise max_iters"
+        )
     return labels.map_batches(
         lambda b: pd.DataFrame(
             {"doc_id": b["node"].astype(np.int64), "cluster_rep": b["rep"].astype(np.int64)}

@@ -304,7 +304,24 @@ def zonal_stats(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
     def reduce_zone(g: pd.DataFrame) -> pd.DataFrame:
         counts = g["present_px"].to_numpy(dtype=np.float64)
         total_biomass = float(g["sum_biomass"].sum())
-        n_pixels = float(g["n_px"].max())  # same tile coverage per species
+        # n_px must be identical across species within a zone: every
+        # species layer is expected to cover the same tile grid (the
+        # store alignment invariant, api.py append validation). A
+        # mismatch means a species store is missing tiles over this zone
+        # — mean_biomass and the per-species count vector would silently
+        # be computed over different denominators, so fail loudly.
+        npx = g["n_px"].to_numpy(dtype=np.float64)
+        if npx.min() != npx.max():
+            detail = ", ".join(
+                f"{sc}={int(v)}" for sc, v in zip(g["species_code"], npx)
+            )
+            raise ValueError(
+                f"zone {g['zone_id'].iloc[0]!r}: species layers disagree on "
+                f"pixel coverage ({detail}) — a species store is missing "
+                "tiles over this zone; re-validate the store (validate_store) "
+                "or re-ingest the incomplete species"
+            )
+        n_pixels = float(npx[0])
         return pd.DataFrame(
             [
                 {

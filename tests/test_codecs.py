@@ -100,6 +100,17 @@ class TestBmp8:
         with pytest.raises(ValueError):
             decode_tile(b"PNG....", "bmp", 2, 2, {})
 
+    def test_reject_non_grayscale_palette(self):
+        """An externally produced BMP whose palette is not the identity
+        gray ramp must be rejected, not decoded index-as-gray."""
+        a = np.arange(16, dtype=np.float32).reshape(4, 4)
+        buf, meta = encode_tile(a, "bmp")
+        mutated = bytearray(buf)
+        # palette entry 1 (B,G,R,0) starts at 14 + 40 + 4: invert it
+        mutated[58:61] = bytes([255, 0, 0])
+        with pytest.raises(ValueError, match="palette"):
+            decode_tile(bytes(mutated), "bmp", 4, 4, meta)
+
 
 class TestHashes:
     def test_content_hash_sensitivity(self):

@@ -211,6 +211,20 @@ class TestDupClusters:
         with pytest.raises(ValueError):
             dup_clusters(rd.from_pandas(pairs), max_driver_pairs=1)
 
+    def test_distributed_raises_on_non_convergence(self, ray_session):
+        """Exhausting max_iters without fixpoint must raise, not return
+        partially-propagated (wrong) component labels."""
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray.dedup.docs import dup_clusters_distributed
+
+        chain = pd.DataFrame({"a": [0, 1, 2, 3, 4], "b": [1, 2, 3, 4, 5]})
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dup_clusters_distributed(
+                rd.from_pandas(chain), n_buckets=4, max_iters=1
+            ).to_pandas()
+
     def test_distributed_matches_union_find(self, ray_session):
         """Label propagation fixpoint == driver union-find on seeded
         random graphs (chains, stars, cycles all arise at n=60)."""

@@ -102,6 +102,33 @@ class TestIvfTopK:
         assert np.array_equal(e, f)
 
 
+class TestInputValidation:
+    def test_missing_vec_id_raises_upfront(self, blobs, ray_session):
+        """A dataset without vec_id must fail on the driver with the
+        real cause, not a KeyError deep inside a map_batches task."""
+        import ray.data as rd
+
+        df = blobs[0][["embedding"]]
+        with pytest.raises(ValueError, match="vec_id"):
+            ivf.kmeans_fit(rd.from_pandas(df), K_CLUSTERS, seed=1)
+
+    def test_all_probed_cells_empty_returns_empty(self, blob_ds, blobs, tmp_path_factory):
+        """Probing only absent cell partitions yields an empty result,
+        not an opaque read_parquet([]) error."""
+        import shutil
+
+        _, vecs, _ = blobs
+        d = str(tmp_path_factory.mktemp("ivf_empty"))
+        ivf.build_ivf_index(blob_ds, d, K_CLUSTERS, seed=1)
+        shutil.rmtree(os.path.join(d, "cells"))
+        res, dirs = ivf.search_ivf_index(d, vecs[[0]], [0], k=10, nprobe=2)
+        assert dirs == []
+        # NB: Dataset.to_pandas() drops columns on zero-row datasets, so
+        # assert the schema on the Dataset itself
+        assert res.schema().names == ["query_id", "vec_id", "cosine", "rank"]
+        assert res.count() == 0
+
+
 class TestIndexStore:
     def test_build_search_prunes_files(self, blob_ds, blobs, centroids, tmp_path_factory):
         _, vecs, _ = blobs

@@ -61,6 +61,25 @@ class TestZonalStats:
             assert row["ace"] == pytest.approx(zr.ace(counts))
 
 
+class TestCoverageValidation:
+    def test_missing_tile_raises(self, ray_session, t1_tiles, zones, spec):
+        """A species store missing one tile over a zone must fail loudly
+        (different per-species denominators), not silently use max()."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        pairs = Z.tile_zone_join(t1_tiles, zones, spec).to_pandas()
+        victim = next(
+            img for img in pairs["image_id"] if not img.startswith("0000/")
+        )
+        full = pq.read_table(t1_tiles)
+        keep = [i for i, v in enumerate(full["image_id"].to_pylist()) if v != victim]
+        assert len(keep) == full.num_rows - 1
+        broken = rd.from_arrow(full.take(keep))
+        with pytest.raises(ValueError, match="disagree on pixel coverage"):
+            Z.zonal_stats(broken, zones, spec)
+
+
 class TestTileZoneJoin:
     def test_join_rows_exact(self, ray_session, t1_tiles, zones, spec, duck, t1_meta):
         """Join output rows and tile assignments match the independent
