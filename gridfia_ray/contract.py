@@ -1042,6 +1042,156 @@ def q_rel_regional_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_rel_priority_lines(sf_dir: str) -> pd.DataFrame:
+    """Large×large SHUFFLE join: lineitem ⋈ orders on the orderkey via
+    the keyed hash-shuffle join (``pipelines/joins.shuffle_hash_join``)
+    — the shape for when NEITHER side fits in a worker (contrast the
+    broadcast rel_* queries). Per order priority: line count, count of
+    lines shipped >60 days after the order date, revenue cents."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.joins import shuffle_hash_join
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = shuffle_hash_join(
+        li, orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=16
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_lines": np.int64(1),
+                "late_lines": (
+                    batch["l_shipdate"]
+                    > batch["o_orderdate"] + pd.Timedelta(days=60)
+                ).astype(np.int64),
+                "revenue_c": np.floor(
+                    batch["l_extendedprice"] * (1.0 - batch["l_discount"]) * 100 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        return b.groupby("o_orderpriority", as_index=False).sum()
+
+    out = bucketed_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        {
+            "n_lines": ("n_lines", "sum"),
+            "late_lines": ("late_lines", "sum"),
+            "revenue_c": ("revenue_c", "sum"),
+        },
+        n_buckets=4,
+    ).to_pandas()
+    for c in ("n_lines", "late_lines", "revenue_c"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_rel_prompt_ship_lines(sf_dir: str) -> pd.DataFrame:
+    """Row-level output of the shuffle join: every line shipped within
+    [order date, order date + 3 days] — exact join ROWS, not an
+    aggregate, so the oracle checks per-row join correctness."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.joins import shuffle_hash_join
+
+    tune_context()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = shuffle_hash_join(
+        li, orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=16
+    )
+
+    def prompt(batch: pd.DataFrame):
+        import pyarrow as pa
+
+        keep = (batch["l_shipdate"] >= batch["o_orderdate"]) & (
+            batch["l_shipdate"] <= batch["o_orderdate"] + pd.Timedelta(days=3)
+        )
+        b = batch.loc[keep]
+        # explicit Arrow types: an EMPTY pandas object column would
+        # otherwise infer as arrow null and churn the block schema
+        return pa.table(
+            {
+                "l_orderkey": pa.array(b["l_orderkey"].to_numpy(np.int64), pa.int64()),
+                "l_linenumber": pa.array(b["l_linenumber"].to_numpy(np.int64), pa.int64()),
+                "o_orderpriority": pa.array(b["o_orderpriority"].tolist(), pa.string()),
+            }
+        )
+
+    out = joined.map_batches(prompt, batch_format="pandas").to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join (event attribution): each click matched to the SAME
+    user's latest view at-or-before the click. Ray Data has no asof
+    operator — this is the bucketed-exchange + per-bucket merge_asof
+    composition (``pipelines/joins.asof_join``). Inner semantics: clicks
+    with no prior view drop. ``gap_us`` is exact integer microseconds."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.joins import asof_join
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def side(event_type: str, id_name: str, keep_ts: str | None = None):
+        def fn(batch: pd.DataFrame):
+            from gridfia_ray.stages.agg_util import to_arrow
+
+            b = batch[batch["event_type"] == event_type]
+            out = pd.DataFrame(
+                {"user_id": b["user_id"], "ts": b["ts"],
+                 id_name: b["event_id"].astype(np.int64)}
+            )
+            if keep_ts:
+                out[keep_ts] = b["ts"].to_numpy()
+            return to_arrow(out)  # empty blocks keep their Arrow schema
+
+        return fn
+
+    clicks = events.map_batches(side("click", "click_id"), batch_format="pandas")
+    views = events.map_batches(
+        side("view", "view_id", keep_ts="view_ts"), batch_format="pandas"
+    )
+    out = asof_join(clicks, views, by="user_id", on="ts", n_buckets=16).to_pandas()
+    gap = (
+        out["ts"].astype("datetime64[ns]").astype(np.int64)
+        - out["view_ts"].astype("datetime64[ns]").astype(np.int64)
+    ) // 1000
+    res = pd.DataFrame(
+        {
+            "click_id": out["click_id"].astype(np.int64),
+            "view_id": out["view_id"].astype(np.int64),
+            "gap_us": gap.astype(np.int64),
+        }
+    )
+    return res.sort_values("click_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # the contract tables
 # ---------------------------------------------------------------------------
@@ -1106,6 +1256,9 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
         "rel_regional_revenue": q_rel_regional_revenue,
+        "rel_priority_lines": q_rel_priority_lines,
+        "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
+        "events_asof_join": q_events_asof_join,
         # documents / embeddings / events
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_count": q_doc_token_count,
@@ -1662,6 +1815,29 @@ def build_oracle_sql() -> dict[str, str]:
         JOIN region r ON n.n_regionkey = r.r_regionkey
         WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
         GROUP BY n.n_name"""
+    sql["rel_priority_lines"] = """
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1.0 - l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority"""
+    sql["rel_prompt_ship_lines"] = """
+        SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY"""
+    # events_asof_join: DuckDB's native ASOF JOIN is the independent
+    # re-statement of pipelines/joins.asof_join (backward, inner,
+    # allow-exact-match). The generator guarantees unique (user_id, ts)
+    # per event, so the match — and the hash — is deterministic.
+    sql["events_asof_join"] = """
+        WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+             v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+        SELECT c.event_id AS click_id, v.event_id AS view_id,
+               epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts"""
     # Remaining rows-only (irreducibly approximate / seeded-hash ops):
     # doc_minhash_pairs, doc_simhash_pairs, ann_lsh_topk, ann_ivf_topk,
     # emb_near_dup, gf_percentiles — python brute-force/recall oracles

@@ -1,0 +1,162 @@
+"""Distributed joins: shuffle hash join and bucketed as-of join."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gridfia_ray.pipelines.joins import asof_join, shuffle_hash_join
+
+
+def _ds(df, parts=3):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parts)
+
+
+class TestShuffleHashJoin:
+    def test_matches_pandas_merge(self, ray_session):
+        rng = np.random.RandomState(3)
+        left = pd.DataFrame(
+            {"k": rng.randint(0, 50, 200), "lv": np.arange(200, dtype=np.int64)}
+        )
+        right = pd.DataFrame(
+            {"k": rng.randint(0, 50, 80), "rv": np.arange(80, dtype=np.int64)}
+        )
+        got = (
+            shuffle_hash_join(_ds(left), _ds(right), on=["k"], num_partitions=4)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k")
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "lv", "rv"]].astype(np.int64), want.astype(np.int64)
+        )
+
+    def test_right_on(self, ray_session):
+        left = pd.DataFrame({"a": [1, 2, 3], "lv": [10, 20, 30]})
+        right = pd.DataFrame({"b": [2, 3, 4], "rv": [200, 300, 400]})
+        got = (
+            shuffle_hash_join(
+                _ds(left, 2), _ds(right, 2), on=["a"], right_on=["b"],
+                num_partitions=2,
+            )
+            .to_pandas()
+            .sort_values("a")
+            .reset_index(drop=True)
+        )
+        assert got["a"].tolist() == [2, 3]
+        assert got["rv"].tolist() == [200, 300]
+
+
+class TestAsofJoin:
+    def _frames(self):
+        rng = np.random.RandomState(5)
+        n_l, n_r = 300, 200
+        left = pd.DataFrame(
+            {
+                "u": rng.randint(0, 20, n_l).astype(np.int64),
+                "t": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10**6, n_l), unit="s"),
+                "lid": np.arange(n_l, dtype=np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "u": rng.randint(0, 20, n_r).astype(np.int64),
+                "t": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10**6, n_r), unit="s"),
+                "rid": np.arange(n_r, dtype=np.int64) + 1000,
+            }
+        )
+        return left, right
+
+    def _oracle(self, left, right, direction="backward", tolerance=None, how="inner"):
+        lf = left.sort_values("t", kind="mergesort")
+        rf = right.sort_values(["t", "rid"], kind="mergesort")
+        out = pd.merge_asof(
+            lf, rf, on="t", by="u", direction=direction, tolerance=tolerance
+        )
+        if how == "inner":
+            out = out[out["rid"].notna()].copy()
+            out["rid"] = out["rid"].astype(np.int64)
+        return out.sort_values("lid").reset_index(drop=True)[["u", "t", "lid", "rid"]]
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    def test_matches_merge_asof(self, ray_session, direction):
+        left, right = self._frames()
+        got = (
+            asof_join(_ds(left), _ds(right), by="u", on="t",
+                      direction=direction, n_buckets=8)
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)[["u", "t", "lid", "rid"]]
+        )
+        want = self._oracle(left, right, direction=direction)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_left_keeps_unmatched(self, ray_session):
+        left, right = self._frames()
+        got = asof_join(
+            _ds(left), _ds(right), by="u", on="t", how="left", n_buckets=8
+        ).to_pandas()
+        assert len(got) == len(left)
+        assert got["rid"].isna().sum() > 0
+
+    def test_tolerance(self, ray_session):
+        left, right = self._frames()
+        tol = pd.Timedelta(hours=6)
+        got = (
+            asof_join(_ds(left), _ds(right), by="u", on="t",
+                      tolerance=tol, n_buckets=8)
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)[["u", "t", "lid", "rid"]]
+        )
+        want = self._oracle(left, right, tolerance=tol)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_tie_break_deterministic(self, ray_session):
+        """Duplicate (by, on) right rows: winner is the max under the
+        all-columns sort, regardless of partitioning."""
+        left = pd.DataFrame(
+            {"u": np.int64([1]), "t": pd.to_datetime(["2024-01-02"]),
+             "lid": np.int64([0])}
+        )
+        right = pd.DataFrame(
+            {"u": np.int64([1, 1]), "t": pd.to_datetime(["2024-01-01"] * 2),
+             "rid": np.int64([7, 3])}
+        )
+        for parts in (1, 2):
+            got = asof_join(
+                _ds(left, 1), _ds(right, parts), by="u", on="t", n_buckets=4
+            ).to_pandas()
+            assert got["rid"].tolist() == [7]
+
+    def test_partition_invariant(self, ray_session):
+        left, right = self._frames()
+        a = (
+            asof_join(_ds(left, 1), _ds(right, 1), by="u", on="t", n_buckets=4)
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        )
+        b = (
+            asof_join(_ds(left, 7), _ds(right, 5), by="u", on="t", n_buckets=16)
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_rejects_clashing_payload_names(self, ray_session):
+        left = pd.DataFrame({"u": [1], "t": [1.0], "x": [1]})
+        right = pd.DataFrame({"u": [1], "t": [1.0], "x": [2]})
+        with pytest.raises(ValueError, match="disjoint"):
+            asof_join(_ds(left, 1), _ds(right, 1), by="u", on="t")
+
+    def test_rejects_missing_key(self, ray_session):
+        left = pd.DataFrame({"u": [1], "t": [1.0]})
+        right = pd.DataFrame({"u": [1], "s": [1.0]})
+        with pytest.raises(ValueError, match="missing required column"):
+            asof_join(_ds(left, 1), _ds(right, 1), by="u", on="t")
