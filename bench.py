@@ -214,6 +214,12 @@ def run_bench() -> dict:
         timed("events_hourly", lambda: q_events_hourly(SF_DIR))
         timed("rel_pricing_summary", lambda: q_rel_pricing_summary(SF_DIR))
 
+        # large×large shuffle hash join + as-of attribution join
+        from gridfia_ray.contract import q_events_asof_join, q_rel_priority_lines
+
+        timed("rel_priority_lines", lambda: q_rel_priority_lines(SF_DIR))
+        timed("events_asof_join", lambda: q_events_asof_join(SF_DIR))
+
     total = round(sum(timings.values()), 3)
     tile_secs = timings["zonal_stats"] + timings["metrics_fused"]
     result = {

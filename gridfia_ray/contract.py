@@ -1192,6 +1192,58 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("click_id").reset_index(drop=True)
 
 
+def q_events_error_window_join(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: every purchase within ±2 h of a same-user
+    error event — the brief's range-join operator
+    (``pipelines/joins.interval_join``), one bucketed co-partitioning
+    exchange keyed on user, per-bucket vectorized containment."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.joins import interval_join
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def purchases(batch: pd.DataFrame) -> pa.Table:
+        b = batch[batch["event_type"] == "purchase"]
+        return pa.table(
+            {
+                "user_id": pa.Array.from_pandas(b["user_id"]),
+                "ts": pa.Array.from_pandas(b["ts"]),
+                "purchase_id": pa.array(b["event_id"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def error_windows(batch: pd.DataFrame) -> pa.Table:
+        b = batch[batch["event_type"] == "error"]
+        return pa.table(
+            {
+                "user_id": pa.Array.from_pandas(b["user_id"]),
+                "win_lo": pa.Array.from_pandas(b["ts"] - pd.Timedelta(hours=2)),
+                "win_hi": pa.Array.from_pandas(b["ts"] + pd.Timedelta(hours=2)),
+                "error_id": pa.array(b["event_id"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    pts = events.map_batches(purchases, batch_format="pandas")
+    wins = events.map_batches(error_windows, batch_format="pandas")
+    out = interval_join(
+        pts, wins, by="user_id", on="ts", lo="win_lo", hi="win_hi", n_buckets=16
+    ).to_pandas()
+    res = pd.DataFrame(
+        {
+            "purchase_id": out["purchase_id"].astype(np.int64),
+            "error_id": out["error_id"].astype(np.int64),
+        }
+    )
+    return res.sort_values(["purchase_id", "error_id"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # the contract tables
 # ---------------------------------------------------------------------------
@@ -1259,6 +1311,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_priority_lines": q_rel_priority_lines,
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "events_asof_join": q_events_asof_join,
+        "events_error_window_join": q_events_error_window_join,
         # documents / embeddings / events
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_count": q_doc_token_count,
@@ -1838,6 +1891,15 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT c.event_id AS click_id, v.event_id AS view_id,
                epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
         FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts"""
+    sql["events_error_window_join"] = """
+        WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+                   WHERE event_type = 'purchase'),
+             e AS (SELECT user_id, ts AS ets, event_id AS error_id FROM events
+                   WHERE event_type = 'error')
+        SELECT p.purchase_id, e.error_id
+        FROM p JOIN e ON p.user_id = e.user_id
+          AND p.ts >= e.ets - INTERVAL 2 HOUR
+          AND p.ts <= e.ets + INTERVAL 2 HOUR"""
     # Remaining rows-only (irreducibly approximate / seeded-hash ops):
     # doc_minhash_pairs, doc_simhash_pairs, ann_lsh_topk, ann_ivf_topk,
     # emb_near_dup, gf_percentiles — python brute-force/recall oracles

@@ -67,6 +67,105 @@ def shuffle_hash_join(
     )
 
 
+def interval_join(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    by: str,
+    on: str,
+    lo: str,
+    hi: str,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Range join: every (point, interval) pair in the same ``by`` group
+    with ``lo <= point[on] <= hi`` (both ends inclusive) — the brief's
+    "range join" custom operator (event-to-window attribution).
+
+    Same column contract as :func:`asof_join`: ``by`` on both sides with
+    one dtype; all other names disjoint; no nulls in payloads. ``on``
+    lives on the points side, ``lo``/``hi`` on the intervals side, all
+    three mutually comparable.
+
+    Shape: ONE bucketed exchange co-partitioning both sides on ``by``
+    (``bucket_of`` — the engine-wide key hash), then a per-bucket
+    vectorized equi-merge on ``by`` + containment filter. The merge's
+    intermediate is bounded by Σ_key |points_k|·|intervals_k| — fine when
+    intervals-per-key is small (the attribution shape); a key with many
+    long overlapping intervals needs domain banding on ``on`` instead,
+    which composes with this exchange but is not implemented here.
+    """
+    lschema = points.schema()
+    rschema = intervals.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    for req, side, cols in ((by, "points", lcols), (on, "points", lcols),
+                            (by, "intervals", rcols), (lo, "intervals", rcols),
+                            (hi, "intervals", rcols)):
+        if req not in cols:
+            raise ValueError(f"{side} side is missing required column {req!r}")
+    lpay = [c for c in lcols if c != by]
+    rpay = [c for c in rcols if c != by]
+    clash = set(lpay) & set(rpay)
+    if clash:
+        raise ValueError(
+            f"column names must be disjoint across sides (besides {by!r}); "
+            f"both have {sorted(clash)} — rename before joining"
+        )
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    if ltypes[by] != rtypes[by]:
+        raise ValueError(f"by dtypes differ: {ltypes[by]} vs {rtypes[by]}")
+
+    ex_fields = (
+        [(by, ltypes[by])]
+        + [(c, ltypes[c]) for c in lpay]
+        + [(c, rtypes[c]) for c in rpay]
+        + [("__side", pa.int8()), ("__bucket", pa.int32())]
+    )
+    ex_schema = pa.schema(ex_fields)
+    int_like = {
+        name for name, t in ex_fields
+        if pa.types.is_integer(t) and name not in ("__side", "__bucket")
+    }
+
+    def tag(side: int, own: list[str]):
+        def fn(batch: pd.DataFrame) -> pa.Table:
+            from gridfia_ray.stages.dedup_util import bucket_of
+
+            n = len(batch)
+            arrays = []
+            for name, typ in ex_fields:
+                if name == "__side":
+                    arrays.append(pa.array(np.full(n, side, np.int8), typ))
+                elif name == "__bucket":
+                    arrays.append(pa.array(bucket_of(batch, [by], n_buckets), typ))
+                elif name == by or name in own:
+                    arrays.append(pa.Array.from_pandas(batch[name], type=typ))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+            return pa.Table.from_arrays(arrays, schema=ex_schema)
+
+        return fn
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        side = group["__side"].to_numpy()
+        pf = group.loc[side == 0, [by] + lpay].copy()
+        itv = group.loc[side == 1, [by] + rpay].copy()
+        for frame, cols in ((pf, [by] + lpay), (itv, [by] + rpay)):
+            for name in cols:
+                if name in int_like:
+                    frame[name] = frame[name].astype(np.int64)
+        out = pf.merge(itv, on=by, how="inner")
+        out = out[(out[on] >= out[lo]) & (out[on] <= out[hi])]
+        return to_arrow(out)
+
+    return (
+        points.map_batches(tag(0, lpay), batch_format="pandas")
+        .union(intervals.map_batches(tag(1, rpay), batch_format="pandas"))
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

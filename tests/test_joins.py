@@ -4,7 +4,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from gridfia_ray.pipelines.joins import asof_join, shuffle_hash_join
+from gridfia_ray.pipelines.joins import asof_join, interval_join, shuffle_hash_join
 
 
 def _ds(df, parts=3):
@@ -51,6 +51,68 @@ class TestShuffleHashJoin:
         )
         assert got["a"].tolist() == [2, 3]
         assert got["rv"].tolist() == [200, 300]
+
+
+class TestIntervalJoin:
+    def _frames(self):
+        rng = np.random.RandomState(9)
+        pts = pd.DataFrame(
+            {
+                "u": rng.randint(0, 10, 150).astype(np.int64),
+                "t": rng.uniform(0, 1000, 150),
+                "pid": np.arange(150, dtype=np.int64),
+            }
+        )
+        lo = rng.uniform(0, 950, 60)
+        itv = pd.DataFrame(
+            {
+                "u": rng.randint(0, 10, 60).astype(np.int64),
+                "lo": lo,
+                "hi": lo + rng.uniform(0, 100, 60),
+                "iid": np.arange(60, dtype=np.int64) + 500,
+            }
+        )
+        return pts, itv
+
+    def _oracle(self, pts, itv):
+        m = pts.merge(itv, on="u")
+        m = m[(m["t"] >= m["lo"]) & (m["t"] <= m["hi"])]
+        return (
+            m[["u", "pid", "iid"]]
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
+
+    def test_matches_pandas_oracle(self, ray_session):
+        pts, itv = self._frames()
+        got = (
+            interval_join(_ds(pts), _ds(itv), by="u", on="t", lo="lo", hi="hi",
+                          n_buckets=8)
+            .to_pandas()[["u", "pid", "iid"]]
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
+        want = self._oracle(pts, itv)
+        pd.testing.assert_frame_equal(got, want)
+        assert len(want) > 0  # fixture actually exercises matches
+
+    def test_inclusive_bounds(self, ray_session):
+        pts = pd.DataFrame({"u": np.int64([1, 1, 1]), "t": [0.0, 5.0, 10.0],
+                            "pid": np.int64([0, 1, 2])})
+        itv = pd.DataFrame({"u": np.int64([1]), "lo": [0.0], "hi": [10.0],
+                            "iid": np.int64([9])})
+        got = interval_join(_ds(pts, 1), _ds(itv, 1), by="u", on="t",
+                            lo="lo", hi="hi", n_buckets=2).to_pandas()
+        assert sorted(got["pid"].astype(int).tolist()) == [0, 1, 2]
+
+    def test_rejects_clash(self, ray_session):
+        pts = pd.DataFrame({"u": [1], "t": [1.0], "x": [1]})
+        itv = pd.DataFrame({"u": [1], "lo": [0.0], "hi": [2.0], "x": [2]})
+        with pytest.raises(ValueError, match="disjoint"):
+            interval_join(_ds(pts, 1), _ds(itv, 1), by="u", on="t",
+                          lo="lo", hi="hi")
 
 
 class TestAsofJoin:
