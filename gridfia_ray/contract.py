@@ -518,6 +518,58 @@ def q_doc_near_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _bench_snippets(sf_dir: str) -> list[str]:
+    """Deterministic stand-in benchmark: every 97th doc contributes a
+    48-char snippet (chars 21..68, 1-indexed) — same derivation as the
+    SQL oracle's ``snip`` CTE, so containment is exactly comparable."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    rows = src.map_batches(
+        lambda b: pd.DataFrame(
+            {"s": b.loc[(b["doc_id"] % 97 == 0) & (b["text"].str.len() >= 68), "text"].str[20:68]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    return rows["s"].tolist()
+
+
+def q_doc_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination, exact-substring variant: per doc, the
+    number of DISTINCT benchmark snippets contained verbatim. Snippets
+    broadcast once; docs stream (text/decontaminate.py)."""
+    from gridfia_ray.text.decontaminate import snippet_hits
+
+    snips = _bench_snippets(sf_dir)
+    out = snippet_hits(_docs(sf_dir), snips).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64), "n_hits": pd.Series(dtype=np.int64)}
+        )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_decontaminate_ngram(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination, hashed word-8-gram variant (the
+    production formulation): per doc, how many distinct benchmark
+    8-grams it contains, plus its own distinct-8-gram count. Benchmark
+    hash set broadcast once; one searchsorted per batch."""
+    from gridfia_ray.text.decontaminate import bench_ngram_hashes, ngram_decontaminate
+
+    snips = _bench_snippets(sf_dir)
+    bench = bench_ngram_hashes(snips, n=8)
+    out = ngram_decontaminate(_docs(sf_dir), bench, n=8, keep_clean=True).to_pandas()
+    out = out[out["n_ngrams"] > 0]  # 0-token docs have no grams on either side
+    for c in ("doc_id", "n_hits", "n_ngrams"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_para_dedup(sf_dir: str) -> pd.DataFrame:
     """Cross-document paragraph dedup (keep first occurrence):
     boilerplate removal. Exact string compare vs the SQL oracle."""
@@ -1314,6 +1366,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_error_window_join": q_events_error_window_join,
         # documents / embeddings / events
         "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_decontaminate_ngram": q_doc_decontaminate_ngram,
         "doc_token_count": q_doc_token_count,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_token_freq": q_doc_token_freq,
@@ -1547,6 +1601,38 @@ def build_oracle_sql() -> dict[str, str]:
 
     # documents / embeddings / events / relational (driver views)
     sql["doc_dedup_exact"] = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+    sql["doc_decontaminate"] = """
+        WITH snip AS (
+          SELECT DISTINCT substr(text, 21, 48) AS s FROM documents
+          WHERE doc_id % 97 = 0 AND length(text) >= 68
+        )
+        SELECT d.doc_id, count(*) AS n_hits
+        FROM documents d JOIN snip ON contains(d.text, snip.s)
+        GROUP BY d.doc_id"""
+    sql["doc_decontaminate_ngram"] = """
+        WITH snip AS (
+          SELECT DISTINCT substr(text, 21, 48) AS s FROM documents
+          WHERE doc_id % 97 = 0 AND length(text) >= 68
+        ),
+        sw AS (SELECT regexp_extract_all(lower(s), '\\S+') AS w FROM snip),
+        sg AS (
+          SELECT DISTINCT array_to_string(w[i : least(i + 7, len(w))], ' ') AS g
+          FROM sw, UNNEST(generate_series(1, greatest(len(w) - 7, 1))) AS t(i)
+          WHERE len(w) >= 1
+        ),
+        dw AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+               FROM documents),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(w[i : least(i + 7, len(w))], ' ') AS g
+          FROM dw, UNNEST(generate_series(1, greatest(len(w) - 7, 1))) AS t(i)
+          WHERE len(w) >= 1
+        )
+        SELECT dg.doc_id,
+               count(sg.g) AS n_hits,
+               count(*) AS n_ngrams
+        FROM dg LEFT JOIN sg ON dg.g = sg.g
+        GROUP BY dg.doc_id"""
     sql["doc_token_count"] = r"""
         SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
