@@ -257,6 +257,26 @@ def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
     return out[["a", "b"]].astype(np.int64).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_emb_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (cluster-then-prune) over the embeddings table: per
+    vector its k-means cluster and keep verdict. k-means is not
+    SQL-expressible → rows-only here; the exact rule is oracled against
+    a single-process brute force (and partition-invariance pinned) in
+    tests/test_semantic_dedup.py."""
+    from gridfia_ray.dedup.semantic import semantic_dedup
+
+    out = semantic_dedup(
+        _embeddings(sf_dir), k=16, eps=0.95, n_iters=8, seed=42
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "vec_id": out["vec_id"].astype(np.int64),
+            "cluster": out["cluster"].astype(np.int64),
+            "keep": out["keep"].astype(np.int64),
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
 def q_zonal_species(sf_dir: str) -> pd.DataFrame:
     """Per (zone, species) sums — the zone×species table the A6
     reducers fold, exposed directly (J1 + A2 composition)."""
@@ -1387,6 +1407,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_sample_per_user": q_events_sample_per_user,
