@@ -590,6 +590,57 @@ def q_doc_decontaminate_ngram(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5-hash rank —
+    partition/cluster-size invariant, pure map (no shuffle), exactly
+    reproducible in SQL via hex-threshold compare."""
+    from gridfia_ray.pipelines.sampling import split_by_hash
+
+    out = split_by_hash(
+        _docs(sf_dir).select_columns(["doc_id"]),
+        rank_cols=["doc_id"],
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "split"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_filter_chain(sf_dir: str) -> pd.DataFrame:
+    """Flagship training-data filter composition (FineWeb-style chain),
+    fully streamed: exact dedup (one bucketed exchange) → integer
+    quality gates (token count in [20, 1000], alpha chars ≥ half of
+    chars) → benchmark decontamination (broadcast snippet scan).
+    Surviving doc_ids; every gate is integer-exact vs the SQL oracle."""
+    import re
+
+    from gridfia_ray.dedup.docs import exact_dedup_docs
+    from gridfia_ray.text.decontaminate import snippet_hits
+
+    def quality_gate(batch: pd.DataFrame) -> pd.DataFrame:
+        ws, alpha = re.compile(r"\S+"), re.compile(r"[A-Za-z]")
+        t = batch["text"].fillna("")
+        n_tokens = t.map(lambda s: len(ws.findall(s))).to_numpy(np.int64)
+        n_alpha = t.map(lambda s: len(alpha.findall(s))).to_numpy(np.int64)
+        n_chars = t.str.len().to_numpy(np.int64)
+        keep = (n_tokens >= 20) & (n_tokens <= 1000) & (2 * n_alpha >= n_chars)
+        return batch.loc[keep, ["doc_id", "text"]]
+
+    snips = _bench_snippets(sf_dir)
+    survivors = (
+        exact_dedup_docs(_docs(sf_dir))
+        .map_batches(quality_gate, batch_format="pandas")
+    )
+    clean = snippet_hits(survivors, snips, keep_clean=True).map_batches(
+        lambda b: b.loc[b["n_hits"] == 0, ["doc_id"]], batch_format="pandas"
+    )
+    out = clean.to_pandas()
+    return (
+        pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64)})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_para_dedup(sf_dir: str) -> pd.DataFrame:
     """Cross-document paragraph dedup (keep first occurrence):
     boilerplate removal. Exact string compare vs the SQL oracle."""
@@ -1388,6 +1439,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontaminate_ngram": q_doc_decontaminate_ngram,
+        "doc_split": q_doc_split,
+        "doc_filter_chain": q_doc_filter_chain,
         "doc_token_count": q_doc_token_count,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_token_freq": q_doc_token_freq,
@@ -1630,6 +1683,31 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, count(*) AS n_hits
         FROM documents d JOIN snip ON contains(d.text, snip.s)
         GROUP BY d.doc_id"""
+    # thresholds = split_thresholds_hex({train:.8, val:.1, test:.1});
+    # lexicographic compare of fixed-width lowercase hex == numeric compare
+    sql["doc_split"] = """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                      THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents"""
+    sql["doc_filter_chain"] = """
+        WITH snip AS (
+          SELECT DISTINCT substr(text, 21, 48) AS s FROM documents
+          WHERE doc_id % 97 = 0 AND length(text) >= 68
+        ),
+        winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        q AS (SELECT doc_id, text,
+                     len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                     length(text) AS n_chars
+              FROM documents)
+        SELECT q.doc_id
+        FROM q JOIN winners USING (doc_id)
+        WHERE n_tokens BETWEEN 20 AND 1000 AND 2 * n_alpha >= n_chars
+          AND NOT EXISTS (SELECT 1 FROM snip WHERE contains(q.text, snip.s))"""
     sql["doc_decontaminate_ngram"] = """
         WITH snip AS (
           SELECT DISTINCT substr(text, 21, 48) AS s FROM documents

@@ -35,6 +35,54 @@ def md5_rank(parts: list[pd.Series]) -> pd.Series:
     return joined.map(lambda s: hashlib.md5(s.encode()).hexdigest())
 
 
+def split_by_hash(
+    ds: rd.Dataset,
+    rank_cols: list[str],
+    weights: "dict[str, float]",
+    split_col: str = "split",
+) -> rd.Dataset:
+    """Deterministic train/val/test split: assign every row to a named
+    split by the first 8 hex chars of its md5 rank — a pure function of
+    row content, so the assignment is independent of partitioning,
+    execution order and cluster size, and reproducible in SQL
+    (``substr(md5(...), 1, 8) < '<threshold>'`` — lexicographic compare
+    of fixed-width hex IS the numeric compare, no float anywhere).
+
+    ``weights`` is an ordered {name: fraction} summing to 1; fractions
+    are realized as exact 32-bit thresholds (floor(cum·2³²)), so e.g.
+    0.8 → rows whose rank prefix < 'cccccccc'. Pure map — no shuffle.
+    """
+    import numpy as np
+
+    names = list(weights)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    fr = np.array([weights[n] for n in names], dtype=np.float64)
+    if (fr <= 0).any() or abs(fr.sum() - 1.0) > 1e-9:
+        raise ValueError(f"split weights must be positive and sum to 1, got {weights}")
+    thresholds = split_thresholds_hex(weights)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        r = md5_rank([batch[c] for c in rank_cols]).str[:8].to_numpy()
+        split = np.full(len(batch), names[-1], dtype=object)
+        for name, th in zip(names[-2::-1], thresholds[::-1]):
+            split = np.where(r < th, name, split)
+        batch[split_col] = split
+        return batch
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+def split_thresholds_hex(weights: "dict[str, float]") -> list[str]:
+    """The hex thresholds :func:`split_by_hash` uses — exposed so SQL
+    oracles can embed the identical literals."""
+    import numpy as np
+
+    cum = np.cumsum([weights[n] for n in list(weights)])[:-1]
+    return [format(min(int(c * 2**32), 2**32 - 1), "08x") for c in cum]
+
+
 def sample_per_key(
     ds: rd.Dataset,
     key: str,
