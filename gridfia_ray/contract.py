@@ -590,6 +590,24 @@ def q_doc_decontaminate_ngram(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_vocab_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct-token count (HyperLogLog p=14, ~0.8 % rel
+    error): one streaming pass, per-block register combiners, bounded
+    fan-in merge. Estimate is a pure function of the token set →
+    bit-deterministic across partitionings; not SQL-expressible →
+    rows-only here, accuracy + determinism pinned in
+    tests/test_sketches.py (exact vocab is doc_token_freq ✓sql)."""
+    from gridfia_ray.analysis.sketches import hll_distinct
+    from gridfia_ray.text.hashing import token_hashes64
+
+    def tok_hashes(batch: pd.DataFrame) -> np.ndarray:
+        th, _ = token_hashes64(batch["text"].fillna("").tolist(), lower=True)
+        return th
+
+    est = hll_distinct(_docs(sf_dir), ["text"], p=14, hash_fn=tok_hashes)
+    return pd.DataFrame({"vocab_est": np.asarray([int(round(est))], dtype=np.int64)})
+
+
 def q_doc_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic 80/10/10 train/val/test split by md5-hash rank —
     partition/cluster-size invariant, pure map (no shuffle), exactly
@@ -1441,6 +1459,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_decontaminate_ngram": q_doc_decontaminate_ngram,
         "doc_split": q_doc_split,
         "doc_filter_chain": q_doc_filter_chain,
+        "doc_vocab_hll": q_doc_vocab_hll,
         "doc_token_count": q_doc_token_count,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_token_freq": q_doc_token_freq,

@@ -1,0 +1,94 @@
+"""HyperLogLog: accuracy vs exact, determinism, merge/partition
+invariance, register-level brute-force oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gridfia_ray.analysis.sketches import hll_distinct, hll_estimate, hll_registers
+
+
+def _brute_registers(hashes, p):
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for h in hashes:
+        h = int(h)
+        idx = h >> (64 - p)
+        suffix = (h << p) & ((1 << 64) - 1)
+        if suffix == 0:
+            rank = 64 - p + 1
+        else:
+            rank = 1
+            while not (suffix >> 63) & 1:
+                rank += 1
+                suffix = (suffix << 1) & ((1 << 64) - 1)
+        regs[idx] = max(regs[idx], rank)
+    return regs
+
+
+class TestRegisters:
+    def test_matches_scalar_oracle(self):
+        rng = np.random.RandomState(0)
+        hashes = rng.randint(0, 2**63, 2000).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+        # include edge values
+        hashes = np.concatenate([hashes, np.array([0, 1, 2**63, 2**64 - 1], np.uint64)])
+        for p in (4, 10, 14):
+            got = hll_registers(hashes, p)
+            want = _brute_registers(hashes, p)
+            assert (got == want).all(), p
+
+    def test_merge_is_max(self):
+        rng = np.random.RandomState(1)
+        a = rng.randint(0, 2**63, 500).astype(np.uint64)
+        b = rng.randint(0, 2**63, 500).astype(np.uint64)
+        merged = np.maximum(hll_registers(a, 10), hll_registers(b, 10))
+        assert (merged == hll_registers(np.concatenate([a, b]), 10)).all()
+
+
+class TestEstimate:
+    def test_accuracy_bands(self):
+        rng = np.random.RandomState(2)
+        p = 12
+        for n in (100, 5_000, 200_000):
+            hashes = rng.randint(0, 2**63, n).astype(np.uint64) * np.uint64(2654435761)
+            hashes = np.unique(hashes)
+            est = hll_estimate(hll_registers(hashes, p))
+            rel = abs(est - len(hashes)) / len(hashes)
+            assert rel < 5 * 1.04 / np.sqrt(1 << p), (n, est)
+
+    def test_duplicates_dont_inflate(self):
+        rng = np.random.RandomState(3)
+        base = rng.randint(0, 2**63, 1000).astype(np.uint64)
+        once = hll_estimate(hll_registers(base, 12))
+        tiled = hll_estimate(hll_registers(np.tile(base, 50), 12))
+        assert once == tiled  # registers are idempotent in the value set
+
+
+class TestDistributed:
+    def test_matches_exact_and_partition_invariant(self, ray_session):
+        rng = np.random.RandomState(4)
+        vals = rng.randint(0, 3000, 20_000).astype(np.int64)
+        df = pd.DataFrame({"user_id": vals})
+        exact = df["user_id"].nunique()
+        a = hll_distinct(rd.from_pandas(df).repartition(3), ["user_id"], p=12)
+        b = hll_distinct(rd.from_pandas(df).repartition(17), ["user_id"], p=12)
+        assert a == b  # bit-deterministic across partitionings
+        assert abs(a - exact) / exact < 5 * 1.04 / np.sqrt(4096)
+
+    def test_custom_hash_fn(self, ray_session):
+        from gridfia_ray.text.hashing import token_hashes64, unique_per_doc
+
+        texts = ["alpha bravo charlie", "bravo delta", "alpha echo foxtrot"]
+        df = pd.DataFrame({"text": texts})
+
+        def tok_hashes(batch):
+            th, counts = token_hashes64(batch["text"].fillna("").tolist())
+            return th
+
+        est = hll_distinct(rd.from_pandas(df), ["text"], p=14, hash_fn=tok_hashes)
+        # 7 distinct tokens; at p=14 linear counting is near-exact
+        assert abs(est - 7) < 1
+
+    def test_bad_p_rejected(self, ray_session):
+        with pytest.raises(ValueError, match="p must be"):
+            hll_distinct(rd.from_pandas(pd.DataFrame({"x": [1]})), ["x"], p=2)
