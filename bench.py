@@ -220,6 +220,18 @@ def run_bench() -> dict:
         timed("rel_priority_lines", lambda: q_rel_priority_lines(SF_DIR))
         timed("events_asof_join", lambda: q_events_asof_join(SF_DIR))
 
+        # round-3 training-data ops: streamed filter chain (dedup +
+        # quality + decontamination), n-gram decontamination, SemDeDup
+        from gridfia_ray.contract import (
+            q_doc_decontaminate_ngram,
+            q_doc_filter_chain,
+            q_emb_semantic_dedup,
+        )
+
+        timed("doc_filter_chain", lambda: q_doc_filter_chain(SF_DIR))
+        timed("doc_decontaminate_ngram", lambda: q_doc_decontaminate_ngram(SF_DIR))
+        timed("emb_semantic_dedup", lambda: q_emb_semantic_dedup(SF_DIR))
+
     total = round(sum(timings.values()), 3)
     tile_secs = timings["zonal_stats"] + timings["metrics_fused"]
     result = {

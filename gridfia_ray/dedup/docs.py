@@ -253,28 +253,22 @@ class SimHasher:
 def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 8) -> rd.Dataset:
     """Near-dup pairs by SimHash Hamming distance — exhaustive banding
     (same pigeonhole guarantee as tile phash)."""
-    if max_hamming > n_bands - 1:
-        raise ValueError("need n_bands >= max_hamming+1 for exhaustive banding")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    from gridfia_ray.text.hashing import check_exhaustive_banding, simhash_band_decompose
+
+    check_exhaustive_banding(max_hamming, n_bands)
+    simhash_band_decompose(np.empty(0, np.int64), n_bands)  # validate n_bands | 64 eagerly
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        recs = []
-        for b in range(n_bands):
-            recs.append(
-                pd.DataFrame(
-                    {
-                        "band": b,
-                        "band_val": ((sh >> np.uint64(b * width)) & np.uint64(mask)).astype(
-                            np.int64
-                        ),
-                        "doc_id": batch["doc_id"].to_numpy(),
-                        "simhash": batch["simhash"].to_numpy(),
-                    }
-                )
-            )
-        return pd.concat(recs, ignore_index=True)
+        sh = batch["simhash"].to_numpy()
+        bands, vals = simhash_band_decompose(sh, n_bands)
+        return pd.DataFrame(
+            {
+                "band": bands,
+                "band_val": vals,
+                "doc_id": np.tile(batch["doc_id"].to_numpy(), n_bands),
+                "simhash": np.tile(sh, n_bands),
+            }
+        )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
@@ -590,6 +584,10 @@ def dup_clusters_distributed(
     non-negative (the sentinel ``dst = -1`` marks label rows inside the
     merged stream).
     """
+    if max_iters < 1:
+        # the for/else convergence raise below reads the last round's
+        # change count — a zero-iteration run has nothing to report
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     from gridfia_ray.stages.agg_util import bucketed_agg
 
     edges = pairs.map_batches(

@@ -173,15 +173,13 @@ def _near_dir(index_dir: str, shard: int) -> str:
 
 
 def _band_cols(sim: np.ndarray, n_bands: int) -> tuple[np.ndarray, np.ndarray]:
-    """(band, band_val) arrays for a signature vector, len = n·n_bands."""
-    width = 64 // n_bands
-    mask = np.uint64((1 << width) - 1)
-    u = sim.astype(np.int64).view(np.uint64)
-    bands = np.repeat(np.arange(n_bands, dtype=np.int32), len(u))
-    vals = np.concatenate(
-        [((u >> np.uint64(b * width)) & mask).astype(np.int64) for b in range(n_bands)]
-    )
-    return bands, vals
+    """(band, band_val) arrays for a signature vector, len = n·n_bands —
+    delegates to THE shared banding decomposition so the persistent
+    index and batch ``simhash_pairs`` can never disagree on what counts
+    as a band match."""
+    from gridfia_ray.text.hashing import simhash_band_decompose
+
+    return simhash_band_decompose(sim, n_bands)
 
 
 def _band_shard_of(band: np.ndarray, band_val: np.ndarray, n_shards: int) -> np.ndarray:
@@ -271,8 +269,9 @@ class _NearShardFilter:
     indexed signature."""
 
     def __init__(self, index_dir: str, n_shards: int, n_bands: int, max_hamming: int):
-        if max_hamming > n_bands - 1:
-            raise ValueError("need n_bands >= max_hamming+1 for exhaustive banding")
+        from gridfia_ray.text.hashing import check_exhaustive_banding
+
+        check_exhaustive_banding(max_hamming, n_bands)
         self.index_dir = index_dir
         self.n_shards = n_shards
         self.n_bands = n_bands
@@ -337,8 +336,9 @@ def near_dedup_against_index(
         meta = json.load(f)
     n_shards = int(meta["near_n_shards"])
     n_bands = int(meta["n_bands"])
-    if max_hamming > n_bands - 1:  # eager: fail on the driver, not in a worker
-        raise ValueError("need n_bands >= max_hamming+1 for exhaustive banding")
+    from gridfia_ray.text.hashing import check_exhaustive_banding
+
+    check_exhaustive_banding(max_hamming, n_bands)  # eager: fail on the driver
     from gridfia_ray.stages.worker_state import worker_cached
 
     fresh = new_docs.map_batches(_add_simhash, batch_format="pandas").map_batches(

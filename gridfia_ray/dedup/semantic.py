@@ -77,6 +77,24 @@ def semantic_dedup(
         raise ValueError(f"eps must be in (0, 1], got {eps}")
     import ray
 
+    if id_col != "vec_id":
+        # kmeans_fit's contract (and its partition-invariant sample
+        # pool) is keyed on a literal 'vec_id' column — present one
+        names = embeddings.schema().names
+        if id_col not in names:
+            raise ValueError(f"id_col {id_col!r} not in input columns {names}")
+        if "vec_id" in names:
+            raise ValueError(
+                f"input already has a 'vec_id' column alongside id_col="
+                f"{id_col!r}; drop or rename one"
+            )
+        orig = id_col
+
+        def to_vec_id(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns={orig: "vec_id"})
+
+        embeddings = embeddings.map_batches(to_vec_id, batch_format="pandas")
+
     centroids = kmeans_fit(embeddings, k, n_iters=n_iters, seed=seed)
     assigned = assign_cells(embeddings, centroids)
     cen_ref = ray.put(centroids)  # ship k×d once, not per task closure
@@ -91,7 +109,7 @@ def semantic_dedup(
         vn = _normalize(_as_matrix(group["embedding"]))
         cell = int(group["ivf_cell"].iloc[0])
         cen = _normalize(centroids[cell][None, :])[0]
-        ids = group[id_col].to_numpy()
+        ids = group["vec_id"].to_numpy()
         sim_c = vn @ cen
         # SemDeDup order: farthest-from-centroid first (ascending sim),
         # id as the deterministic tiebreak

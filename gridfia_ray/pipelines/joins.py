@@ -36,8 +36,6 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from gridfia_ray.stages.agg_util import to_arrow
-
 
 def shuffle_hash_join(
     left: rd.Dataset,
@@ -67,6 +65,139 @@ def shuffle_hash_join(
     )
 
 
+def _validate_two_sided(
+    lschema, rschema, *, lreq: list[str], rreq: list[str], shared: list[str]
+):
+    """Shared column-contract validation for the padded exchanges:
+    required columns present, non-shared names disjoint, shared-key
+    dtypes identical. Returns (lpay, rpay, ltypes, rtypes) where the
+    payload lists exclude the shared columns."""
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    for req in lreq:
+        if req not in lcols:
+            raise ValueError(f"left side is missing required column {req!r}")
+    for req in rreq:
+        if req not in rcols:
+            raise ValueError(f"right side is missing required column {req!r}")
+    lpay = [c for c in lcols if c not in shared]
+    rpay = [c for c in rcols if c not in shared]
+    clash = set(lpay) & set(rpay)
+    if clash:
+        raise ValueError(
+            f"column names must be disjoint across sides (besides {shared}); "
+            f"both have {sorted(clash)} — rename before joining"
+        )
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    for c in shared:
+        if ltypes[c] != rtypes[c]:
+            raise ValueError(f"{c!r} dtypes differ: {ltypes[c]} vs {rtypes[c]}")
+    return lpay, rpay, ltypes, rtypes
+
+
+def _padding_array(n: int, typ: pa.DataType) -> pa.Array:
+    """Typed filler for the other side's columns in the exchange. The
+    values are never read (each side selects only its OWN columns after
+    the split), but they must be NON-NULL for primitive types: Ray's
+    sort/groupby stage may round-trip blocks through pandas, and an
+    int64 column with nulls degrades to float64 there — silently
+    rounding real values above 2^53 in the SAME column. Zero-fill keeps
+    every primitive column null-free end to end."""
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, np.int64), pa.int64()).cast(typ)
+    if pa.types.is_boolean(typ):
+        return pa.array(np.zeros(n, bool), typ)
+    if pa.types.is_timestamp(typ) or pa.types.is_date(typ) or pa.types.is_time(typ):
+        return pa.array(np.zeros(n, np.int64), pa.int64()).cast(typ)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, typ)
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.array([b""] * n, typ)
+    # nested/extension types: nulls (pandas keeps them as objects)
+    return pa.nulls(n, typ)
+
+
+def _padded_copartition(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    shared: list[str],
+    lpay: list[str],
+    rpay: list[str],
+    ltypes: dict,
+    rtypes: dict,
+    n_buckets: int,
+):
+    """ONE bucketed exchange co-partitioning two datasets on ``by``:
+    union both sides under a single Arrow schema (shared key columns
+    filled by both sides; each side's payload padded with typed
+    NON-NULL filler on the other's rows — one schema across all blocks,
+    no executor schema churn, and no null-bearing primitive column that
+    a pandas round-trip inside the shuffle could degrade to float64),
+    keyed by ``bucket_of`` (the engine-wide hash). Returns the
+    ``groupby('__bucket')`` handle; consume with
+    ``.map_groups(fn, batch_format='pyarrow')`` and split sides with
+    :func:`_split_sides`."""
+    ex_fields = (
+        [(c, ltypes[c]) for c in shared]
+        + [(c, ltypes[c]) for c in lpay]
+        + [(c, rtypes[c]) for c in rpay]
+        + [("__side", pa.int8()), ("__bucket", pa.int32())]
+    )
+    ex_schema = pa.schema(ex_fields)
+
+    def tag(side: int, own: list[str]):
+        def fn(batch: pd.DataFrame) -> pa.Table:
+            from gridfia_ray.stages.dedup_util import bucket_of
+
+            n = len(batch)
+            arrays = []
+            for name, typ in ex_fields:
+                if name == "__side":
+                    arrays.append(pa.array(np.full(n, side, np.int8), typ))
+                elif name == "__bucket":
+                    arrays.append(pa.array(bucket_of(batch, [by], n_buckets), typ))
+                elif name in own:
+                    arrays.append(pa.Array.from_pandas(batch[name], type=typ))
+                else:
+                    arrays.append(_padding_array(n, typ))
+            return pa.Table.from_arrays(arrays, schema=ex_schema)
+
+        return fn
+
+    tagged = left.map_batches(tag(0, shared + lpay), batch_format="pandas").union(
+        right.map_batches(tag(1, shared + rpay), batch_format="pandas")
+    )
+    return tagged.repartition(n_buckets).groupby("__bucket")
+
+
+def _split_sides(
+    group: pa.Table, shared: list[str], lpay: list[str], rpay: list[str]
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Split a co-partitioned group back into its two sides, selecting
+    each side's own columns at the Arrow level first — the padding
+    values on the other side's rows never reach the merge logic."""
+    import pyarrow.compute as pc
+
+    side = group.column("__side")
+    lf = group.filter(pc.equal(side, 0)).select(shared + lpay).to_pandas()
+    rf = group.filter(pc.equal(side, 1)).select(shared + rpay).to_pandas()
+    return lf, rf
+
+
+def _typed_output(out: pd.DataFrame, out_schema: pa.Schema) -> pa.Table:
+    """Emit a merge result under the join's declared Arrow schema —
+    empty buckets keep real column types (no null-type churn), nullable
+    int columns (left-join misses) convert NaN/<NA> → Arrow nulls."""
+    out = out[[f.name for f in out_schema]]
+    # strip the pandas-dtype metadata from_pandas embeds, or a later
+    # to_pandas would resurrect nullable Int64 for plain int columns
+    return pa.Table.from_pandas(
+        out, schema=out_schema, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
 def interval_join(
     points: rd.Dataset,
     intervals: rd.Dataset,
@@ -93,77 +224,27 @@ def interval_join(
     long overlapping intervals needs domain banding on ``on`` instead,
     which composes with this exchange but is not implemented here.
     """
-    lschema = points.schema()
-    rschema = intervals.schema()
-    lcols, rcols = list(lschema.names), list(rschema.names)
-    for req, side, cols in ((by, "points", lcols), (on, "points", lcols),
-                            (by, "intervals", rcols), (lo, "intervals", rcols),
-                            (hi, "intervals", rcols)):
-        if req not in cols:
-            raise ValueError(f"{side} side is missing required column {req!r}")
-    lpay = [c for c in lcols if c != by]
-    rpay = [c for c in rcols if c != by]
-    clash = set(lpay) & set(rpay)
-    if clash:
-        raise ValueError(
-            f"column names must be disjoint across sides (besides {by!r}); "
-            f"both have {sorted(clash)} — rename before joining"
-        )
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
-    if ltypes[by] != rtypes[by]:
-        raise ValueError(f"by dtypes differ: {ltypes[by]} vs {rtypes[by]}")
-
-    ex_fields = (
+    lpay, rpay, ltypes, rtypes = _validate_two_sided(
+        points.schema(), intervals.schema(),
+        lreq=[by, on], rreq=[by, lo, hi], shared=[by],
+    )
+    out_schema = pa.schema(
         [(by, ltypes[by])]
         + [(c, ltypes[c]) for c in lpay]
         + [(c, rtypes[c]) for c in rpay]
-        + [("__side", pa.int8()), ("__bucket", pa.int32())]
     )
-    ex_schema = pa.schema(ex_fields)
-    int_like = {
-        name for name, t in ex_fields
-        if pa.types.is_integer(t) and name not in ("__side", "__bucket")
-    }
+    grouped = _padded_copartition(
+        points, intervals, by=by, shared=[by], lpay=lpay, rpay=rpay,
+        ltypes=ltypes, rtypes=rtypes, n_buckets=n_buckets,
+    )
 
-    def tag(side: int, own: list[str]):
-        def fn(batch: pd.DataFrame) -> pa.Table:
-            from gridfia_ray.stages.dedup_util import bucket_of
-
-            n = len(batch)
-            arrays = []
-            for name, typ in ex_fields:
-                if name == "__side":
-                    arrays.append(pa.array(np.full(n, side, np.int8), typ))
-                elif name == "__bucket":
-                    arrays.append(pa.array(bucket_of(batch, [by], n_buckets), typ))
-                elif name == by or name in own:
-                    arrays.append(pa.Array.from_pandas(batch[name], type=typ))
-                else:
-                    arrays.append(pa.nulls(n, typ))
-            return pa.Table.from_arrays(arrays, schema=ex_schema)
-
-        return fn
-
-    def merge(group: pd.DataFrame) -> pa.Table:
-        side = group["__side"].to_numpy()
-        pf = group.loc[side == 0, [by] + lpay].copy()
-        itv = group.loc[side == 1, [by] + rpay].copy()
-        for frame, cols in ((pf, [by] + lpay), (itv, [by] + rpay)):
-            for name in cols:
-                if name in int_like:
-                    frame[name] = frame[name].astype(np.int64)
+    def merge(group: pa.Table) -> pa.Table:
+        pf, itv = _split_sides(group, [by], lpay, rpay)
         out = pf.merge(itv, on=by, how="inner")
         out = out[(out[on] >= out[lo]) & (out[on] <= out[hi])]
-        return to_arrow(out)
+        return _typed_output(out, out_schema)
 
-    return (
-        points.map_batches(tag(0, lpay), batch_format="pandas")
-        .union(intervals.map_batches(tag(1, rpay), batch_format="pandas"))
-        .repartition(n_buckets)
-        .groupby("__bucket")
-        .map_groups(merge, batch_format="pandas")
-    )
+    return grouped.map_groups(merge, batch_format="pyarrow")
 
 
 def asof_join(
@@ -189,88 +270,42 @@ def asof_join(
     indistinguishable from padding) — pre-fill or drop.
 
     Tie-break: among right rows equal on (``by``, ``on``), the winner is
-    the last row under a sort by all right columns — deterministic and
-    partition-invariant regardless of input block order.
+    deterministic under a stable sort of the right side by all its
+    columns — ``direction='backward'`` resolves to the LAST such row
+    (pandas merge_asof takes the latest candidate), ``'forward'`` and
+    ``'nearest'`` resolve to the FIRST (the earliest candidate at the
+    matched on-value). Partition-invariant regardless of block order.
 
     ``how='inner'`` drops unmatched left rows; ``'left'`` keeps them
-    with nulls in the right columns (integer right columns then surface
-    as pandas float64 — the unavoidable pandas null-int representation).
+    with Arrow nulls in the right columns (integer right columns stay
+    int64 — misses travel as nullable ints, never as float64, so
+    hash-scale ids above 2^53 are preserved exactly).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    lschema = left.schema()
-    rschema = right.schema()
-    lcols = list(lschema.names)
-    rcols = list(rschema.names)
-    for req, side, cols in ((by, "left", lcols), (on, "left", lcols),
-                            (by, "right", rcols), (on, "right", rcols)):
-        if req not in cols:
-            raise ValueError(f"{side} side is missing required column {req!r}")
-    lpay = [c for c in lcols if c not in (by, on)]
-    rpay = [c for c in rcols if c not in (by, on)]
-    clash = set(lpay) & set(rpay)
-    if clash:
-        raise ValueError(
-            f"payload column names must be disjoint across sides; both have "
-            f"{sorted(clash)} — rename before joining"
-        )
-
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
-    if ltypes[by] != rtypes[by] or ltypes[on] != rtypes[on]:
-        raise ValueError(
-            f"key dtypes differ: by {ltypes[by]} vs {rtypes[by]}, "
-            f"on {ltypes[on]} vs {rtypes[on]}"
-        )
-    # canonical exchange schema: keys, left payload, right payload, tags.
-    # Padding the absent side's columns with typed nulls keeps ONE arrow
-    # schema across all blocks (pandas would degrade int64 -> float64 and
-    # churn the executor's schema cache).
-    ex_fields = (
+    lpay, rpay, ltypes, rtypes = _validate_two_sided(
+        left.schema(), right.schema(),
+        lreq=[by, on], rreq=[by, on], shared=[by, on],
+    )
+    out_schema = pa.schema(
         [(by, ltypes[by]), (on, ltypes[on])]
         + [(c, ltypes[c]) for c in lpay]
         + [(c, rtypes[c]) for c in rpay]
-        + [("__side", pa.int8()), ("__bucket", pa.int32())]
     )
-    ex_schema = pa.schema(ex_fields)
-    int_like = {
-        name: t for name, t in ex_fields
-        if pa.types.is_integer(t) and name not in ("__side", "__bucket")
-    }
+    grouped = _padded_copartition(
+        left, right, by=by, shared=[by, on], lpay=lpay, rpay=rpay,
+        ltypes=ltypes, rtypes=rtypes, n_buckets=n_buckets,
+    )
+    r_int = [c for c in rpay if pa.types.is_integer(rtypes[c])]
 
-    def tag(side: int, own: list[str], other: list[str]):
-        def fn(batch: pd.DataFrame) -> pa.Table:
-            from gridfia_ray.stages.dedup_util import bucket_of
-
-            n = len(batch)
-            arrays = []
-            for name, typ in ex_fields:
-                if name == "__side":
-                    arrays.append(pa.array(np.full(n, side, np.int8), typ))
-                elif name == "__bucket":
-                    arrays.append(
-                        pa.array(bucket_of(batch, [by], n_buckets), typ)
-                    )
-                elif name in (by, on) or name in own:
-                    arrays.append(
-                        pa.Array.from_pandas(batch[name], type=typ)
-                    )
-                else:  # other side's payload: typed nulls
-                    arrays.append(pa.nulls(n, typ))
-            return pa.Table.from_arrays(arrays, schema=ex_schema)
-
-        return fn
-
-    def merge(group: pd.DataFrame) -> pa.Table:
-        side = group["__side"].to_numpy()
-        lf = group.loc[side == 0, [by, on] + lpay].copy()
-        rf = group.loc[side == 1, [by, on] + rpay].copy()
-        # padded ints came back as float64 — restore the real side's
-        # dtype (its rows carry no nulls by the column contract)
-        for frame, cols in ((lf, [by] + lpay), (rf, [by] + rpay)):
-            for name in cols:
-                if name in int_like:
-                    frame[name] = frame[name].astype(np.int64)
+    def merge(group: pa.Table) -> pa.Table:
+        lf, rf = _split_sides(group, [by, on], lpay, rpay)
+        # right ints → pandas nullable Int64 BEFORE the asof merge:
+        # merge_asof is a left join internally, so unmatched rows would
+        # otherwise coerce the whole column to float64 and round values
+        # above 2^53
+        for name in r_int:
+            rf[name] = rf[name].astype("Int64")
         # deterministic tie-break: stable-sort right by every column so
         # equal (by, on) rows always resolve the same way
         rf = rf.sort_values([on] + rpay, kind="mergesort").reset_index(drop=True)
@@ -282,17 +317,6 @@ def asof_join(
         if how == "inner":
             out = out[out["__m"].notna()]
         out = out.drop(columns="__m")
-        if how == "inner":
-            for name in rpay:
-                if name in int_like:
-                    out[name] = out[name].astype(np.int64)
-        return to_arrow(out)
+        return _typed_output(out, out_schema)
 
-    lf_tagged = left.map_batches(tag(0, lpay, rpay), batch_format="pandas")
-    rf_tagged = right.map_batches(tag(1, rpay, lpay), batch_format="pandas")
-    return (
-        lf_tagged.union(rf_tagged)
-        .repartition(n_buckets)
-        .groupby("__bucket")
-        .map_groups(merge, batch_format="pandas")
-    )
+    return grouped.map_groups(merge, batch_format="pyarrow")

@@ -310,6 +310,37 @@ def ngram_hashes64(
     return avalanche64(acc), out_counts
 
 
+def check_exhaustive_banding(max_hamming: int, n_bands: int) -> None:
+    """The pigeonhole guarantee behind every SimHash-band lookup here:
+    two signatures within ``max_hamming`` Hamming distance share at
+    least one of ``n_bands`` bands iff ``max_hamming <= n_bands - 1``.
+    Shared by batch pair-finding and the persistent near-dup index so
+    both enforce the identical contract."""
+    if max_hamming > n_bands - 1:
+        raise ValueError("need n_bands >= max_hamming+1 for exhaustive banding")
+
+
+def simhash_band_decompose(
+    sim: np.ndarray, n_bands: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """THE SimHash banding decomposition — (band int32, band_val int64)
+    arrays, band-major, length n·n_bands — shared by the batch
+    ``dedup/docs.simhash_pairs`` and the persistent near-dup index
+    (``dedup/incremental``) so both always agree on what counts as a
+    band match. ``n_bands`` must divide 64 (no silently-ignored top
+    bits)."""
+    if n_bands < 1 or 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    u = np.ascontiguousarray(sim, dtype=np.int64).view(np.uint64)
+    bands = np.repeat(np.arange(n_bands, dtype=np.int32), u.size)
+    vals = np.concatenate(
+        [((u >> np.uint64(b * width)) & mask).astype(np.int64) for b in range(n_bands)]
+    )
+    return bands, vals
+
+
 def max_count_per_doc(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Per-document maximum multiplicity of a value (the 'most frequent
     n-gram count' statistic), fully vectorized: sort (doc, val) pairs,

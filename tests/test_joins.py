@@ -199,6 +199,54 @@ class TestAsofJoin:
             ).to_pandas()
             assert got["rid"].tolist() == [7]
 
+    def test_tie_break_forward_first_wins(self, ray_session):
+        """direction='forward': among equal (by, on) right rows
+        merge_asof picks the FIRST under the all-columns sort (min) —
+        pinned so the documented semantics stay honest."""
+        left = pd.DataFrame(
+            {"u": np.int64([1]), "t": pd.to_datetime(["2024-01-01"]),
+             "lid": np.int64([0])}
+        )
+        right = pd.DataFrame(
+            {"u": np.int64([1, 1]), "t": pd.to_datetime(["2024-01-02"] * 2),
+             "rid": np.int64([7, 3])}
+        )
+        got = asof_join(
+            _ds(left, 1), _ds(right, 2), by="u", on="t", n_buckets=4,
+            direction="forward",
+        ).to_pandas()
+        assert got["rid"].tolist() == [3]
+
+    def test_int64_above_2e53_exact(self, ray_session):
+        """Hash-scale ids (> 2^53) must survive the padded exchange and
+        a left join's null-bearing columns without float rounding."""
+        big = np.int64(2**62 + 12345678901)  # not float64-representable
+        left = pd.DataFrame(
+            {"u": np.int64([1, 2]), "t": [1.0, 1.0], "lid": np.int64([big, big + 1])}
+        )
+        right = pd.DataFrame(
+            {"u": np.int64([1]), "t": [0.5], "rid": np.int64([big + 2])}
+        )
+        # read via Arrow — pandas itself cannot represent nullable int64
+        # exactly, which is precisely the degradation being pinned here
+        out = asof_join(_ds(left, 2), _ds(right, 1), by="u", on="t",
+                        how="left", n_buckets=4)
+        rows = sorted(
+            out.take_batch(10, batch_format="pyarrow").to_pylist(),
+            key=lambda r: r["u"],
+        )
+        assert [r["lid"] for r in rows] == [big, big + 1]
+        assert rows[0]["rid"] == big + 2  # matched: exact
+        assert rows[1]["rid"] is None  # unmatched: null, not garbage
+        # interval join: same exactness through its exchange
+        pts = pd.DataFrame({"u": np.int64([1]), "t": [5.0], "pid": np.int64([big])})
+        itv = pd.DataFrame(
+            {"u": np.int64([1]), "lo": [0.0], "hi": [9.0], "iid": np.int64([big + 3])}
+        )
+        got2 = interval_join(_ds(pts, 1), _ds(itv, 1), by="u", on="t",
+                             lo="lo", hi="hi", n_buckets=2).to_pandas()
+        assert got2["pid"].tolist() == [big] and got2["iid"].tolist() == [big + 3]
+
     def test_partition_invariant(self, ray_session):
         left, right = self._frames()
         a = (

@@ -89,6 +89,26 @@ class TestSemanticDedup:
                 rd.from_pandas(df), k=1, eps=0.9, max_cluster=10
             ).to_pandas()
 
+    def test_custom_id_col(self, ray_session):
+        rng = np.random.RandomState(8)
+        df, _ = _planted(rng, n=80, n_dup=8)
+        renamed = df.rename(columns={"vec_id": "doc_id"})
+        a = (
+            semantic_dedup(rd.from_pandas(df), k=4, eps=0.9, seed=2)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        b = (
+            semantic_dedup(rd.from_pandas(renamed), k=4, eps=0.9, seed=2,
+                           id_col="doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(b.columns) == ["doc_id", "cluster", "keep"]
+        pd.testing.assert_frame_equal(
+            a, b.rename(columns={"doc_id": "vec_id"})
+        )
+        with pytest.raises(ValueError, match="not in input"):
+            semantic_dedup(rd.from_pandas(df), id_col="nope").to_pandas()
+
     def test_bad_eps_rejected(self, ray_session):
         df = pd.DataFrame({"vec_id": [0], "embedding": [np.ones(4)]})
         with pytest.raises(ValueError, match="eps"):
