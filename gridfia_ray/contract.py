@@ -831,6 +831,31 @@ def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-group EXACT percentiles (grouped distributed quickselect,
+    pipelines/percentiles.grouped_percentiles_exact): quantile_disc of
+    the event value per event_type at p2/p50/p98 — hash-exact vs the
+    DuckDB oracle via scaled integers."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.percentiles import grouped_percentiles_exact
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    out = grouped_percentiles_exact(events, "event_type", "value", [2.0, 50.0, 98.0])
+    res = pd.DataFrame(
+        {
+            "event_type": out["event_type"].astype(str),
+            "q_pct": out["q_pct"].astype(np.int64),
+            "value_u": s6(out["value"]),
+        }
+    )
+    return res.sort_values(["event_type", "q_pct"]).reset_index(drop=True)
+
+
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -1481,6 +1506,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "events_hourly": q_events_hourly,
+        "events_value_quantiles": q_events_value_quantiles,
         "events_sessions": q_events_sessions,
         "events_sample_per_user": q_events_sample_per_user,
     }
@@ -2006,6 +2032,19 @@ def build_oracle_sql() -> dict[str, str]:
           (SELECT query_id, vec_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rank
            FROM s) WHERE rank <= 10"""
+    sql["events_value_quantiles"] = f"""
+        SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+               {_sql_s6('v')} AS value_u
+        FROM (
+          SELECT event_type, 2 AS q_pct, quantile_disc(value, 0.02) AS v
+          FROM events GROUP BY event_type
+          UNION ALL
+          SELECT event_type, 50 AS q_pct, quantile_disc(value, 0.50) AS v
+          FROM events GROUP BY event_type
+          UNION ALL
+          SELECT event_type, 98 AS q_pct, quantile_disc(value, 0.98) AS v
+          FROM events GROUP BY event_type
+        )"""
     sql["events_hourly"] = """
         SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                COUNT(*) AS n_events,

@@ -16,6 +16,7 @@ mapper.py:139-149, 605-627``) — impossible at scale. Here:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -273,6 +274,198 @@ def percentiles_exact(
                 pos = int(np.searchsorted(cum, local_rank, side="left"))
                 out[q] = float(sub["v"].to_numpy()[pos])
     return out
+
+
+def grouped_percentiles_exact(
+    ds: "rd.Dataset",
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+    *,
+    bins: int = 1024,
+    collect_limit: int = 1 << 16,
+    max_iters: int = 8,
+    max_groups: int = 100_000,
+    cache: bool = True,
+) -> pd.DataFrame:
+    """EXACT per-group percentiles — the keyed form of
+    :func:`percentiles_exact` (quantile_disc semantics: the k-th
+    smallest value in the group with k = ceil(q/100 · n)). Returns a
+    DataFrame (key, q_pct, value) with one row per group × quantile.
+
+    Shape: group COUNT/MIN/MAX first (one combiner pass; group count is
+    checked against ``max_groups`` BEFORE any driver pull), then
+    histogram-refinement passes where every (group, quantile) is an
+    independent selection slot — per-batch partials are
+    O(present_groups · |qs| · bins) rows, values never shuffle. Driver
+    state is groups × qs brackets, which is why the group column must be
+    low-cardinality (zones, event types, species — not user ids; use
+    ``sample_per_key``-style constructions for unbounded keys).
+
+    The per-batch histogram loops over the batch's DISTINCT keys (values
+    inside each key vectorized) — right for bounded group counts, wrong
+    for millions of groups, which ``max_groups`` rejects anyway.
+    """
+    import ray
+
+    ds = ds.select_columns([key_col, value_col])
+    if cache:
+        ds = ds.materialize()
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(key_col, sort=False)[value_col]
+        out = g.agg(n="count", lo="min", hi="max").reset_index()
+        return out
+
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    grouped = bucketed_agg(
+        ds.map_batches(stats_partial, batch_format="pandas"),
+        [key_col],
+        {"n": ("n", "sum"), "lo": ("lo", "min"), "hi": ("hi", "max")},
+        n_buckets=8,
+    ).materialize()  # one execution serves both the count and the pull
+    n_groups = grouped.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"grouped_percentiles_exact: {n_groups} groups > max_groups="
+            f"{max_groups}; per-group quantiles need driver-bounded key "
+            f"cardinality"
+        )
+    stats = grouped.to_pandas()
+
+    # one selection slot per (group, quantile)
+    slots: list[dict] = []
+    for _, row in stats.iterrows():
+        for q in qs:
+            n = int(row["n"])
+            slots.append(
+                {
+                    "key": row[key_col],
+                    "q": float(q),
+                    "k": max(1, int(np.ceil(q / 100.0 * n))),
+                    "a": float(row["lo"]),
+                    "b": float(row["hi"]),
+                    "below": 0,
+                    "inc": True,
+                    "done": n == 0,
+                    "value": float("nan"),
+                }
+            )
+
+    for it in range(max_iters):
+        active = [i for i, s in enumerate(slots) if not s["done"]]
+        if not active:
+            break
+        # broadcast: key -> [(slot_index_in_active, a, b, inc), ...]
+        by_key: dict = {}
+        for ai, i in enumerate(active):
+            s = slots[i]
+            by_key.setdefault(s["key"], []).append((ai, s["a"], s["b"], s["inc"]))
+        spec_ref = ray.put(by_key)
+
+        def partial(batch: pd.DataFrame, n_active=len(active), spec_ref=spec_ref) -> pd.DataFrame:
+            spec = ray.get(spec_ref)
+            rows_s, rows_b, rows_c = [], [], []
+            for key, sub in batch.groupby(key_col, sort=False):
+                tasks = spec.get(key)
+                if not tasks:
+                    continue
+                v = sub[value_col].to_numpy(np.float64)
+                for ai, a, b, inc in tasks:
+                    sel = v[(v >= a) & ((v <= b) if inc else (v < b))]
+                    if sel.size:
+                        c = np.histogram(sel, bins=np.linspace(a, b, bins + 1))[0]
+                        nz = np.flatnonzero(c)
+                        rows_s.append(np.full(nz.size, ai, np.int64))
+                        rows_b.append(nz.astype(np.int64))
+                        rows_c.append(c[nz].astype(np.int64))
+            if not rows_s:
+                return pd.DataFrame(
+                    {"slot": pd.Series(dtype=np.int64), "bin": pd.Series(dtype=np.int64),
+                     "count": pd.Series(dtype=np.int64)}
+                )
+            return pd.DataFrame(
+                {"slot": np.concatenate(rows_s), "bin": np.concatenate(rows_b),
+                 "count": np.concatenate(rows_c)}
+            )
+
+        hist = bucketed_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["slot", "bin"],
+            {"count": ("count", "sum")},
+            n_buckets=8,
+        ).to_pandas()
+
+        collect: list[tuple[int, float, float, int, bool]] = []  # (slot idx, a, b, local_k, inc)
+        for ai, i in enumerate(active):
+            s = slots[i]
+            sub = hist.loc[hist["slot"] == ai]
+            c = np.zeros(bins, dtype=np.int64)
+            c[sub["bin"].to_numpy()] = sub["count"].to_numpy()
+            cum = np.cumsum(c)
+            local_k = s["k"] - s["below"]
+            j = int(np.searchsorted(cum, local_k, side="left"))
+            edges = np.linspace(s["a"], s["b"], bins + 1)
+            in_bin = int(c[j])
+            below_bin = int(cum[j - 1]) if j > 0 else 0
+            s["inc"] = s["inc"] and j == bins - 1
+            s["a"], s["b"] = float(edges[j]), float(edges[j + 1])
+            s["below"] += below_bin
+            if in_bin <= collect_limit or it == max_iters - 1:
+                collect.append((i, s["a"], s["b"], s["k"] - s["below"], s["inc"]))
+
+        if collect:
+            cspec: dict = {}
+            for ci, (i, a, b, _, inc) in enumerate(collect):
+                cspec.setdefault(slots[i]["key"], []).append((ci, a, b, inc))
+            cref = ray.put(cspec)
+
+            def gather(batch: pd.DataFrame, cref=cref) -> pd.DataFrame:
+                spec = ray.get(cref)
+                rows_s, rows_v, rows_c = [], [], []
+                for key, sub in batch.groupby(key_col, sort=False):
+                    tasks = spec.get(key)
+                    if not tasks:
+                        continue
+                    v = sub[value_col].to_numpy(np.float64)
+                    for ci, a, b, inc in tasks:
+                        sel = v[(v >= a) & ((v <= b) if inc else (v < b))]
+                        if sel.size:
+                            u, c = np.unique(sel, return_counts=True)
+                            rows_s.append(np.full(u.size, ci, np.int64))
+                            rows_v.append(u)
+                            rows_c.append(c.astype(np.int64))
+                if not rows_s:
+                    return pd.DataFrame(
+                        {"slot": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.float64),
+                         "c": pd.Series(dtype=np.int64)}
+                    )
+                return pd.DataFrame(
+                    {"slot": np.concatenate(rows_s), "v": np.concatenate(rows_v),
+                     "c": np.concatenate(rows_c)}
+                )
+
+            vals = bucketed_agg(
+                ds.map_batches(gather, batch_format="pandas"),
+                ["slot", "v"],
+                {"c": ("c", "sum")},
+                n_buckets=8,
+            ).to_pandas()
+            for ci, (i, _, _, local_rank, _) in enumerate(collect):
+                sub = vals.loc[vals["slot"] == ci].sort_values("v", kind="mergesort")
+                cum = np.cumsum(sub["c"].to_numpy())
+                pos = int(np.searchsorted(cum, local_rank, side="left"))
+                slots[i]["value"] = float(sub["v"].to_numpy()[pos])
+                slots[i]["done"] = True
+
+    return pd.DataFrame(
+        {
+            key_col: [s["key"] for s in slots],
+            "q_pct": [s["q"] for s in slots],
+            "value": [s["value"] for s in slots],
+        }
+    )
 
 
 def normalize_percentile_clip(

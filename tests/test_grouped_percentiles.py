@@ -1,0 +1,78 @@
+"""Grouped exact percentiles: numpy k-th order-statistic oracle,
+partition invariance, duplicate-heavy groups, group-cardinality guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gridfia_ray.pipelines.percentiles import grouped_percentiles_exact
+
+QS = [2.0, 50.0, 98.0]
+
+
+def _oracle(df, qs):
+    rows = []
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy(np.float64))
+        for q in qs:
+            k = max(1, int(np.ceil(q / 100.0 * v.size)))
+            rows.append((g, q, v[k - 1]))
+    return sorted(rows)
+
+
+def _got(ds, qs):
+    out = grouped_percentiles_exact(ds, "g", "v", qs)
+    return sorted(zip(out["g"], out["q_pct"], out["value"]))
+
+
+class TestGroupedPercentiles:
+    def test_matches_order_statistic(self, ray_session):
+        rng = np.random.RandomState(1)
+        df = pd.DataFrame(
+            {"g": rng.randint(0, 11, 30000), "v": rng.randn(30000) * 50 + 10}
+        )
+        assert _got(rd.from_pandas(df).repartition(7), QS) == _oracle(df, QS)
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame({"g": rng.randint(0, 5, 8000), "v": rng.rand(8000)})
+        a = _got(rd.from_pandas(df).repartition(2), QS)
+        b = _got(rd.from_pandas(df).repartition(23), QS)
+        assert a == b == _oracle(df, QS)
+
+    def test_duplicate_heavy_group(self, ray_session):
+        """A group that is one repeated value can never shrink below
+        collect_limit by bin-splitting — the (value,count) collect path
+        must still resolve it exactly."""
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame(
+            {
+                "g": np.concatenate([np.zeros(5000, np.int64), np.ones(3000, np.int64)]),
+                "v": np.concatenate([np.full(5000, 7.5), rng.rand(3000)]),
+            }
+        )
+        got = _got(rd.from_pandas(df).repartition(4), QS)
+        assert got == _oracle(df, QS)
+        assert all(v == 7.5 for g, q, v in got if g == 0)
+
+    def test_small_and_skewed_groups(self, ray_session):
+        df = pd.DataFrame(
+            {"g": [0] + [1] * 999, "v": [42.0] + list(np.linspace(0, 1, 999))}
+        )
+        got = _got(rd.from_pandas(df).repartition(3), QS)
+        assert got == _oracle(df, QS)
+
+    def test_max_groups_guard(self, ray_session):
+        df = pd.DataFrame({"g": np.arange(100), "v": np.arange(100, dtype=np.float64)})
+        with pytest.raises(ValueError, match="max_groups"):
+            grouped_percentiles_exact(
+                rd.from_pandas(df), "g", "v", [50.0], max_groups=10
+            )
+
+    def test_string_keys(self, ray_session):
+        rng = np.random.RandomState(4)
+        df = pd.DataFrame(
+            {"g": rng.choice(["a", "b", "c"], 5000), "v": rng.randn(5000)}
+        )
+        assert _got(rd.from_pandas(df).repartition(5), QS) == _oracle(df, QS)
