@@ -154,6 +154,30 @@ def q_zonal_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("zone_id").reset_index(drop=True)
 
 
+def q_zonal_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Per-zone EXACT biomass percentiles (p2/p50/p98 over nonzero
+    per-(species, pixel) values): the zone-masked fused decode+join
+    stage emits tile-granular packed value rows, then the keyed
+    distributed quickselect selects per (zone, q) — raster→vector order
+    statistics without a per-pixel row explosion."""
+    from gridfia_ray.pipelines import zonal as Z
+    from gridfia_ray.pipelines.percentiles import grouped_percentiles_exact
+
+    f = _fx()
+    rows = Z.zone_value_rows(f["tiles"], Z.load_zones(f["zones"]), f["spec"])
+    out = grouped_percentiles_exact(
+        rows, "zone_id", "vals", [2.0, 50.0, 98.0], packed=True
+    )
+    res = pd.DataFrame(
+        {
+            "zone_id": out["zone_id"].astype(str),
+            "q_pct": out["q_pct"].astype(np.int64),
+            "value_u": s6(out["value"]),
+        }
+    )
+    return res.sort_values(["zone_id", "q_pct"]).reset_index(drop=True)
+
+
 def q_tile_zone_join(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines import zonal as Z
 
@@ -1457,6 +1481,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_coverage_topk": q_coverage_topk,
         "gf_zonal_stats": q_zonal_stats,
         "gf_zonal_species": q_zonal_species,
+        "gf_zonal_percentiles": q_zonal_percentiles,
         "gf_bbox_extract": q_bbox_extract,
         "gf_tile_zone_join": q_tile_zone_join,
         "gf_knn_idw": q_knn_idw,
@@ -1617,6 +1642,23 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT species_code,
                {_sql_s6("COUNT(*) FILTER (biomass > 0) * 100.0 / COUNT(*)")} AS coverage_u
         FROM p GROUP BY species_code ORDER BY 2 DESC LIMIT 10"""
+    sql["gf_zonal_percentiles"] = f"""
+        {species_cte},
+        j AS (SELECT z.zone_id, p.biomass
+              FROM p JOIN read_parquet('{PZ}') z USING (y, x)
+              WHERE p.biomass > 0)
+        SELECT zone_id, CAST(q_pct AS BIGINT) AS q_pct,
+               {_sql_s6('v')} AS value_u
+        FROM (
+          SELECT zone_id, 2 AS q_pct, quantile_disc(biomass, 0.02) AS v
+          FROM j GROUP BY zone_id
+          UNION ALL
+          SELECT zone_id, 50 AS q_pct, quantile_disc(biomass, 0.50) AS v
+          FROM j GROUP BY zone_id
+          UNION ALL
+          SELECT zone_id, 98 AS q_pct, quantile_disc(biomass, 0.98) AS v
+          FROM j GROUP BY zone_id
+        )"""
     sql["gf_zonal_stats"] = f"""
         {species_cte},
         j AS (SELECT z.zone_id, p.species_code, p.biomass

@@ -287,6 +287,7 @@ def grouped_percentiles_exact(
     max_iters: int = 8,
     max_groups: int = 100_000,
     cache: bool = True,
+    packed: bool = False,
 ) -> pd.DataFrame:
     """EXACT per-group percentiles — the keyed form of
     :func:`percentiles_exact` (quantile_disc semantics: the k-th
@@ -305,6 +306,11 @@ def grouped_percentiles_exact(
     The per-batch histogram loops over the batch's DISTINCT keys (values
     inside each key vectorized) — right for bounded group counts, wrong
     for millions of groups, which ``max_groups`` rejects anyway.
+
+    ``packed=True`` reads ``value_col`` as little-endian f32 byte
+    buffers (one array per row — e.g. ``zonal.zone_value_rows``' tile-
+    granular pixel packs) instead of one scalar per row; selection
+    semantics are identical over the concatenated values.
     """
     import ray
 
@@ -312,10 +318,23 @@ def grouped_percentiles_exact(
     if cache:
         ds = ds.materialize()
 
+    if packed:
+        def values_of(sub: pd.DataFrame) -> np.ndarray:
+            bufs = [np.frombuffer(b, "<f4") for b in sub[value_col] if b]
+            if not bufs:
+                return np.empty(0, np.float64)
+            return np.concatenate(bufs).astype(np.float64)
+    else:
+        def values_of(sub: pd.DataFrame) -> np.ndarray:
+            return sub[value_col].to_numpy(np.float64)
+
     def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(key_col, sort=False)[value_col]
-        out = g.agg(n="count", lo="min", hi="max").reset_index()
-        return out
+        rows = []
+        for key, sub in batch.groupby(key_col, sort=False):
+            v = values_of(sub)
+            if v.size:
+                rows.append((key, int(v.size), float(v.min()), float(v.max())))
+        return pd.DataFrame(rows, columns=[key_col, "n", "lo", "hi"])
 
     from gridfia_ray.stages.agg_util import bucketed_agg
 
@@ -371,7 +390,7 @@ def grouped_percentiles_exact(
                 tasks = spec.get(key)
                 if not tasks:
                     continue
-                v = sub[value_col].to_numpy(np.float64)
+                v = values_of(sub)
                 for ai, a, b, inc in tasks:
                     sel = v[(v >= a) & ((v <= b) if inc else (v < b))]
                     if sel.size:
@@ -428,7 +447,7 @@ def grouped_percentiles_exact(
                     tasks = spec.get(key)
                     if not tasks:
                         continue
-                    v = sub[value_col].to_numpy(np.float64)
+                    v = values_of(sub)
                     for ci, a, b, inc in tasks:
                         sel = v[(v >= a) & ((v <= b) if inc else (v < b))]
                         if sel.size:

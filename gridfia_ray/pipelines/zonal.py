@@ -167,6 +167,35 @@ class ZonalJoinActor:
                  "image_id": pa.array(out_img, pa.string())}
             )
 
+        if self.emit == "values":
+            # per (tile, zone): the zone-masked NONZERO pixel values,
+            # packed f32 — feeds keyed order-statistic operators
+            # (grouped_percentiles_exact packed mode) without exploding
+            # to per-pixel rows
+            out_zone, out_vals = [], []
+            for i in range(n):
+                cands = self.cover.get(int(cell[i]), ())
+                if not cands or pix[i] is None:
+                    continue
+                arr = pix[i]
+                for zi, is_boundary in cands:
+                    if is_boundary:
+                        m = self._mask(zi, int(trs[i]), int(tcs[i]), int(hs[i]),
+                                       int(ws[i]), x0[i], y0[i], pxw[i], pxh[i])
+                        if not m.any():
+                            continue
+                        vals = arr[m]
+                    else:
+                        vals = arr
+                    nz = vals[vals > 0]
+                    if nz.size:
+                        out_zone.append(self.zone_ids[zi])
+                        out_vals.append(nz.astype("<f4").tobytes())
+            return pa.table(
+                {"zone_id": pa.array(out_zone, pa.string()),
+                 "vals": pa.array(out_vals, pa.binary())}
+            )
+
         # partials mode: per-batch combiner keyed (zone, species)
         agg: dict[tuple[str, str], list[float]] = {}
         for i in range(n):
@@ -296,6 +325,23 @@ def zone_species_table(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Data
         species_prefilter(codes_drop=["0000"]), batch_format="pyarrow"
     )
     return _zone_species_sums(tiles, zones, spec)
+
+
+def zone_value_rows(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
+    """(zone_id, vals) rows — each row one tile's zone-masked nonzero
+    pixel values packed f32 — via the fused decode+join stage. The
+    keyed-order-statistic input for per-zone percentiles: pixel bytes
+    stay tile-granular (no per-pixel row explosion), zones broadcast."""
+    from gridfia_ray.stages.decode import species_prefilter
+    from gridfia_ray.stages.worker_state import worker_cached
+
+    tiles = read_tiles(tiles_path).map_batches(
+        species_prefilter(codes_drop=["0000"]), batch_format="pyarrow"
+    )
+    return tiles.map_batches(
+        worker_cached(ZonalJoinActor, zones=zones, spec=spec, emit="values"),
+        batch_format="pyarrow",
+    )
 
 
 def zonal_stats(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:

@@ -70,6 +70,58 @@ class TestGroupedPercentiles:
                 rd.from_pandas(df), "g", "v", [50.0], max_groups=10
             )
 
+    def test_packed_equals_scalar(self, ray_session):
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {"g": rng.randint(0, 4, 9000),
+             "v": (rng.rand(9000) * 100).astype(np.float32).astype(np.float64)}
+        )
+        rows = []
+        for g, sub in df.groupby("g"):
+            v = sub["v"].to_numpy(np.float32)
+            i = 0
+            while i < len(v):
+                n = int(rng.randint(1, 40))
+                rows.append((g, v[i : i + n].astype("<f4").tobytes()))
+                i += n
+        pk = pd.DataFrame(rows, columns=["g", "vals"])
+        a = grouped_percentiles_exact(
+            rd.from_pandas(df).repartition(5), "g", "v", QS
+        ).sort_values(["g", "q_pct"]).reset_index(drop=True)
+        b = grouped_percentiles_exact(
+            rd.from_pandas(pk).repartition(3), "g", "vals", QS, packed=True
+        ).sort_values(["g", "q_pct"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_zonal_percentiles_fixture(self, ray_session):
+        """Per-zone percentile over the seeded tile corpus vs an
+        independent numpy oracle over the generator's pixel tables."""
+        import duckdb
+
+        from gridfia_ray import fixtures
+        from gridfia_ray.pipelines import zonal as Z
+        from gridfia_ray.pipelines.common import GridSpec
+
+        d = fixtures.ensure_fixture("t1")
+        meta = fixtures.fixture_meta("t1")
+        import os
+
+        spec = GridSpec.from_fixture_meta(meta)
+        rows = Z.zone_value_rows(
+            os.path.join(d, "tiles"), Z.load_zones(os.path.join(d, "zones.parquet")), spec
+        )
+        got = grouped_percentiles_exact(rows, "zone_id", "vals", [50.0], packed=True)
+        want = duckdb.sql(
+            f"""SELECT z.zone_id, quantile_disc(p.biomass, 0.50) AS v
+                FROM read_parquet('{d}/pixels.parquet') p
+                JOIN read_parquet('{d}/pixel_zones.parquet') z USING (y, x)
+                WHERE p.biomass > 0 AND p.species_code <> '0000'
+                GROUP BY z.zone_id"""
+        ).df()
+        merged = got.merge(want, on="zone_id")
+        assert len(merged) == len(want) > 0
+        assert (merged["value"] == merged["v"]).all()
+
     def test_string_keys(self, ray_session):
         rng = np.random.RandomState(4)
         df = pd.DataFrame(
