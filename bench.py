@@ -232,6 +232,12 @@ def run_bench() -> dict:
         timed("doc_decontaminate_ngram", lambda: q_doc_decontaminate_ngram(SF_DIR))
         timed("emb_semantic_dedup", lambda: q_emb_semantic_dedup(SF_DIR))
 
+        # per-zone exact order statistics (packed keyed quickselect over
+        # the fused decode+join+mask stage)
+        from gridfia_ray.contract import q_zonal_percentiles
+
+        timed("zonal_percentiles", lambda: q_zonal_percentiles(SF_DIR))
+
     total = round(sum(timings.values()), 3)
     tile_secs = timings["zonal_stats"] + timings["metrics_fused"]
     result = {

@@ -855,6 +855,38 @@ def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_events_top_by_user(sf_dir: str) -> pd.DataFrame:
+    """Distributed per-key top-k over an UNBOUNDED key (user_id): each
+    user's 3 highest-value purchases — the ROW_NUMBER()<=k shape, local
+    top-k combiner + bucketed merge (pipelines/sampling.grouped_topk),
+    no driver state."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.sampling import grouped_topk
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    ).map_batches(
+        lambda b: b.loc[b["event_type"] == "purchase",
+                        ["event_id", "user_id", "value"]],
+        batch_format="pandas",
+    )
+    out = grouped_topk(
+        events, "user_id", 3, "value", descending=True, tie_cols=["event_id"]
+    ).to_pandas()
+    res = pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "event_id": out["event_id"].astype(np.int64),
+            "value_u": s6(out["value"]),
+        }
+    )
+    return res.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Per-group EXACT percentiles (grouped distributed quickselect,
     pipelines/percentiles.grouped_percentiles_exact): quantile_disc of
@@ -1532,6 +1564,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "events_hourly": q_events_hourly,
         "events_value_quantiles": q_events_value_quantiles,
+        "events_top_by_user": q_events_top_by_user,
         "events_sessions": q_events_sessions,
         "events_sample_per_user": q_events_sample_per_user,
     }
@@ -2074,6 +2107,14 @@ def build_oracle_sql() -> dict[str, str]:
           (SELECT query_id, vec_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rank
            FROM s) WHERE rank <= 10"""
+    sql["events_top_by_user"] = f"""
+        SELECT user_id, event_id, {_sql_s6('value')} AS value_u
+        FROM (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events WHERE event_type = 'purchase'
+        ) WHERE rn <= 3"""
     sql["events_value_quantiles"] = f"""
         SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
                {_sql_s6('v')} AS value_u

@@ -35,6 +35,55 @@ def md5_rank(parts: list[pd.Series]) -> pd.Series:
     return joined.map(lambda s: hashlib.md5(s.encode()).hexdigest())
 
 
+def grouped_topk(
+    ds: rd.Dataset,
+    key: str,
+    k: int,
+    rank_col: str,
+    *,
+    descending: bool = True,
+    tie_cols: "list[str] | tuple" = (),
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Top-``k`` rows per key by ``rank_col`` — the distributed
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY rank) <= k.
+
+    Same two-stage shape as :func:`sample_per_key` (they differ only in
+    the ordering): per-batch combiner keeps each key's local top-k (so
+    a batch contributes ≤ k rows per key to the shuffle regardless of
+    skew — a hot key costs k rows per block, not its row count), then a
+    key-hash-bucketed merge takes the global top-k per key. Handles
+    unbounded key cardinality: no driver state, keys spread over
+    ``n_buckets``.
+
+    Determinism: pass ``tie_cols`` that (with ``rank_col``) uniquely
+    order rows within a key — equal ranks otherwise resolve by input
+    order, which is not partition-invariant.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sort_cols = [key, rank_col, *tie_cols]
+    ascending = [True, not descending, *([True] * len(tie_cols))]
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        batch = batch.groupby(key, sort=False).head(k)
+        batch = batch.copy()
+        batch["__bucket"] = bucket_of(batch, [key], n_buckets)
+        return batch
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return group.groupby(key, sort=False).head(k).drop(columns="__bucket")
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def split_by_hash(
     ds: rd.Dataset,
     rank_cols: list[str],

@@ -1,4 +1,5 @@
-"""Deterministic hash splits: exactness, invariance, validation."""
+"""Deterministic hash splits + grouped top-k: exactness, invariance,
+validation."""
 
 import hashlib
 
@@ -7,7 +8,11 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from gridfia_ray.pipelines.sampling import split_by_hash, split_thresholds_hex
+from gridfia_ray.pipelines.sampling import (
+    grouped_topk,
+    split_by_hash,
+    split_thresholds_hex,
+)
 
 
 def _brute(ids, weights):
@@ -69,3 +74,58 @@ class TestSplitByHash:
             split_by_hash(rd.from_pandas(df), ["doc_id"], {"a": 0.5, "b": 0.6})
         with pytest.raises(ValueError, match="two splits"):
             split_by_hash(rd.from_pandas(df), ["doc_id"], {"a": 1.0})
+
+
+class TestGroupedTopk:
+    def _frame(self, seed=0, n=4000, keys=200):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "u": rng.randint(0, keys, n).astype(np.int64),
+                "v": rng.randn(n),
+                "rid": np.arange(n, dtype=np.int64),
+            }
+        )
+
+    def _oracle(self, df, k, descending=True):
+        out = df.sort_values(["u", "v", "rid"],
+                             ascending=[True, not descending, True],
+                             kind="mergesort")
+        out = out.groupby("u", sort=False).head(k)
+        return out.sort_values(["u", "rid"]).reset_index(drop=True)
+
+    def test_matches_pandas_oracle(self, ray_session):
+        df = self._frame()
+        got = (
+            grouped_topk(rd.from_pandas(df).repartition(9), "u", 3, "v",
+                         tie_cols=["rid"])
+            .to_pandas().sort_values(["u", "rid"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, self._oracle(df, 3))
+
+    def test_ascending_and_partition_invariant(self, ray_session):
+        df = self._frame(seed=1)
+        a = (
+            grouped_topk(rd.from_pandas(df).repartition(2), "u", 2, "v",
+                         descending=False, tie_cols=["rid"], n_buckets=4)
+            .to_pandas().sort_values(["u", "rid"]).reset_index(drop=True)
+        )
+        b = (
+            grouped_topk(rd.from_pandas(df).repartition(17), "u", 2, "v",
+                         descending=False, tie_cols=["rid"], n_buckets=16)
+            .to_pandas().sort_values(["u", "rid"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        pd.testing.assert_frame_equal(a, self._oracle(df, 2, descending=False))
+
+    def test_group_smaller_than_k(self, ray_session):
+        df = pd.DataFrame({"u": np.int64([1, 1, 2]), "v": [1.0, 2.0, 3.0],
+                           "rid": np.int64([0, 1, 2])})
+        got = grouped_topk(rd.from_pandas(df), "u", 5, "v",
+                           tie_cols=["rid"]).to_pandas()
+        assert len(got) == 3  # every row survives when the group is small
+
+    def test_bad_k(self, ray_session):
+        df = pd.DataFrame({"u": [1], "v": [1.0]})
+        with pytest.raises(ValueError, match="k must be"):
+            grouped_topk(rd.from_pandas(df), "u", 0, "v")
