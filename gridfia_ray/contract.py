@@ -855,6 +855,49 @@ def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _semi_anti_customers(sf_dir: str, anti: bool) -> pd.DataFrame:
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.joins import broadcast_semi_join
+
+    tune_context()
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    )
+    urgent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"c_custkey": b.loc[b["o_orderpriority"] == "1-URGENT", "o_custkey"]}
+        ),
+        batch_format="pandas",
+    )
+    out = broadcast_semi_join(cust, urgent, "c_custkey", anti=anti).to_pandas()
+    res = pd.DataFrame(
+        {
+            "c_custkey": out["c_custkey"].astype(np.int64),
+            "acctbal_c": np.floor(out["c_acctbal"].to_numpy(np.float64) * 100 + 0.5).astype(
+                np.int64
+            ),
+        }
+    )
+    return res.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_rel_urgent_customers(sf_dir: str) -> pd.DataFrame:
+    """Broadcast SEMI join (EXISTS): customers with at least one URGENT
+    order — key side deduped distributed, cardinality-guarded BEFORE the
+    driver pull, broadcast once; customer side streams (no shuffle)."""
+    return _semi_anti_customers(sf_dir, anti=False)
+
+
+def q_rel_quiet_customers(sf_dir: str) -> pd.DataFrame:
+    """Broadcast ANTI join (NOT EXISTS): customers with no URGENT order."""
+    return _semi_anti_customers(sf_dir, anti=True)
+
+
 def q_events_top_by_user(sf_dir: str) -> pd.DataFrame:
     """Distributed per-key top-k over an UNBOUNDED key (user_id): each
     user's 3 highest-value purchases — the ROW_NUMBER()<=k shape, local
@@ -1535,6 +1578,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "events_asof_join": q_events_asof_join,
         "events_error_window_join": q_events_error_window_join,
+        "rel_urgent_customers": q_rel_urgent_customers,
+        "rel_quiet_customers": q_rel_quiet_customers,
         # documents / embeddings / events
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2107,6 +2152,18 @@ def build_oracle_sql() -> dict[str, str]:
           (SELECT query_id, vec_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rank
            FROM s) WHERE rank <= 10"""
+    sql["rel_urgent_customers"] = """
+        SELECT c_custkey, CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')"""
+    sql["rel_quiet_customers"] = """
+        SELECT c_custkey, CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')"""
     sql["events_top_by_user"] = f"""
         SELECT user_id, event_id, {_sql_s6('value')} AS value_u
         FROM (

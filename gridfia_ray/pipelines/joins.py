@@ -65,6 +65,67 @@ def shuffle_hash_join(
     )
 
 
+def broadcast_semi_join(
+    left: rd.Dataset,
+    keys: rd.Dataset,
+    on: str,
+    *,
+    anti: bool = False,
+    max_keys: int = 5_000_000,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Semi join (``EXISTS``) / anti join (``NOT EXISTS``): keep left
+    rows whose ``on`` value is (not) present in ``keys`` — the filter
+    side of decontamination-by-id, allowlist/blocklist application, and
+    dimension-predicate pushdown.
+
+    The key side is deduped DISTRIBUTED (bucketed distinct) and its
+    cardinality checked BEFORE any driver pull; within ``max_keys`` the
+    sorted key array broadcasts once (``ray.put``) and the left side
+    streams through a vectorized ``searchsorted`` membership filter —
+    no shuffle of the big side at all. Beyond ``max_keys`` this raises:
+    route through :func:`shuffle_hash_join` (semi = inner join on the
+    deduped keys; anti = left join + null filter) instead of silently
+    materializing an unbounded key table on the driver.
+    """
+    import ray
+
+    from gridfia_ray.stages.dedup_util import bucketed_distinct
+
+    distinct = bucketed_distinct(
+        keys.select_columns([on]), [on], n_buckets=n_buckets
+    ).materialize()
+    n_keys = distinct.count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"broadcast_semi_join: {n_keys} distinct keys > max_keys="
+            f"{max_keys}; use shuffle_hash_join (semi = inner join on the "
+            f"deduped keys; anti = left join + null filter) for large key "
+            f"sides"
+        )
+    if n_keys == 0:
+        # an empty exchange yields schema-less blocks — don't index a
+        # column that no longer exists
+        kt = np.empty(0)
+    else:
+        kt = np.sort(distinct.to_pandas()[on].to_numpy())
+    ref = ray.put(kt)
+
+    def member(batch: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(ref)
+        v = batch[on].to_numpy()
+        if k.size == 0:
+            hit = np.zeros(len(batch), dtype=bool)
+        else:
+            pos = np.searchsorted(k, v)
+            in_range = pos < k.size
+            hit = np.zeros(len(batch), dtype=bool)
+            hit[in_range] = k[pos[in_range]] == v[in_range]
+        return batch.loc[~hit if anti else hit]
+
+    return left.map_batches(member, batch_format="pandas")
+
+
 def _validate_two_sided(
     lschema, rschema, *, lreq: list[str], rreq: list[str], shared: list[str]
 ):

@@ -4,7 +4,12 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from gridfia_ray.pipelines.joins import asof_join, interval_join, shuffle_hash_join
+from gridfia_ray.pipelines.joins import (
+    asof_join,
+    broadcast_semi_join,
+    interval_join,
+    shuffle_hash_join,
+)
 
 
 def _ds(df, parts=3):
@@ -51,6 +56,44 @@ class TestShuffleHashJoin:
         )
         assert got["a"].tolist() == [2, 3]
         assert got["rv"].tolist() == [200, 300]
+
+
+class TestBroadcastSemiJoin:
+    def _frames(self):
+        rng = np.random.RandomState(13)
+        left = pd.DataFrame(
+            {"k": rng.randint(0, 50, 300).astype(np.int64),
+             "payload": np.arange(300, dtype=np.int64)}
+        )
+        keys = pd.DataFrame({"k": rng.randint(0, 25, 80).astype(np.int64)})
+        return left, keys
+
+    def test_semi_and_anti_partition(self, ray_session):
+        left, keys = self._frames()
+        kset = set(keys["k"])
+        semi = broadcast_semi_join(_ds(left, 4), _ds(keys, 3), "k").to_pandas()
+        anti = broadcast_semi_join(_ds(left, 4), _ds(keys, 3), "k", anti=True).to_pandas()
+        assert set(semi["payload"]) == set(left.loc[left["k"].isin(kset), "payload"])
+        assert set(anti["payload"]) == set(left.loc[~left["k"].isin(kset), "payload"])
+        assert len(semi) + len(anti) == len(left)
+
+    def test_empty_keys(self, ray_session):
+        left, _ = self._frames()
+        keys = pd.DataFrame({"k": pd.Series(dtype=np.int64)})
+        semi = broadcast_semi_join(_ds(left, 2), _ds(keys, 1), "k").to_pandas()
+        anti = broadcast_semi_join(_ds(left, 2), _ds(keys, 1), "k", anti=True).to_pandas()
+        assert len(semi) == 0 and len(anti) == len(left)
+
+    def test_max_keys_guard(self, ray_session):
+        left, keys = self._frames()
+        with pytest.raises(ValueError, match="max_keys"):
+            broadcast_semi_join(_ds(left, 2), _ds(keys, 2), "k", max_keys=3)
+
+    def test_string_keys(self, ray_session):
+        left = pd.DataFrame({"k": ["a", "b", "c", "d"], "v": np.int64([1, 2, 3, 4])})
+        keys = pd.DataFrame({"k": ["b", "d", "d"]})
+        got = broadcast_semi_join(_ds(left, 2), _ds(keys, 1), "k").to_pandas()
+        assert sorted(got["k"]) == ["b", "d"]
 
 
 class TestIntervalJoin:
