@@ -104,6 +104,36 @@ def _pixel_metric_query(name: str, col: str, scaled: bool, params: dict | None =
 # ---------------------------------------------------------------------------
 
 
+def q_downsample_2x(sf_dir: str) -> pd.DataFrame:
+    """Overview-pyramid level: 2×2 block-SUM pooling of the total-
+    biomass raster in the micro-scaled integer domain (mass-conserving
+    reducer, bit-exact) — pure map over result tiles, zero shuffle
+    (stages/assemble.downsample_result_tiles)."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.stages.assemble import downsample_result_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    pooled = downsample_result_tiles(res, factor=2, scaled_int=True)
+    pix = M.metrics_to_pixels(pooled).to_pandas()
+    out = pd.DataFrame(
+        {
+            "y": pix["y"].astype(np.int64),
+            "x": pix["x"].astype(np.int64),
+            "sum_u": pix["value"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_species_dominance(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
     from gridfia_ray.pipelines.metrics import dominance_stats
@@ -898,6 +928,31 @@ def q_rel_quiet_customers(sf_dir: str) -> pd.DataFrame:
     return _semi_anti_customers(sf_dir, anti=True)
 
 
+def q_events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel view→click→purchase: per user the
+    depth reached with strict temporal ordering between steps
+    (pipelines/events.funnel_depths — one bucketed exchange, vectorized
+    per-step chain inside each bucket)."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import funnel_depths
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    out = funnel_depths(events, ["view", "click", "purchase"]).to_pandas()
+    return (
+        pd.DataFrame(
+            {"user_id": out["user_id"].astype(np.int64), "depth": out["depth"].astype(np.int64)}
+        )
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_top_by_user(sf_dir: str) -> pd.DataFrame:
     """Distributed per-key top-k over an UNBOUNDED key (user_id): each
     user's 3 highest-value purchases — the ROW_NUMBER()<=k shape, local
@@ -1557,6 +1612,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_stats": q_zonal_stats,
         "gf_zonal_species": q_zonal_species,
         "gf_zonal_percentiles": q_zonal_percentiles,
+        "gf_downsample_2x": q_downsample_2x,
         "gf_bbox_extract": q_bbox_extract,
         "gf_tile_zone_join": q_tile_zone_join,
         "gf_knn_idw": q_knn_idw,
@@ -1610,6 +1666,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_value_quantiles": q_events_value_quantiles,
         "events_top_by_user": q_events_top_by_user,
+        "events_funnel": q_events_funnel,
         "events_sessions": q_events_sessions,
         "events_sample_per_user": q_events_sample_per_user,
     }
@@ -1720,6 +1777,12 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT species_code,
                {_sql_s6("COUNT(*) FILTER (biomass > 0) * 100.0 / COUNT(*)")} AS coverage_u
         FROM p GROUP BY species_code ORDER BY 2 DESC LIMIT 10"""
+    sql["gf_downsample_2x"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)
+        SELECT CAST(y // 2 AS BIGINT) AS y, CAST(x // 2 AS BIGINT) AS x,
+               CAST(SUM({_sql_s6('total')}) AS BIGINT) AS sum_u
+        FROM tot GROUP BY 1, 2"""
     sql["gf_zonal_percentiles"] = f"""
         {species_cte},
         j AS (SELECT z.zone_id, p.biomass
@@ -2164,6 +2227,22 @@ def build_oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')"""
+    sql["events_funnel"] = """
+        WITH s1 AS (SELECT user_id, min(ts) t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+             s2 AS (SELECT e.user_id, min(e.ts) t FROM events e
+                    JOIN s1 USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > s1.t
+                    GROUP BY e.user_id),
+             s3 AS (SELECT e.user_id, min(e.ts) t FROM events e
+                    JOIN s2 USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                    GROUP BY e.user_id)
+        SELECT s1.user_id,
+               CASE WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS depth
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
     sql["events_top_by_user"] = f"""
         SELECT user_id, event_id, {_sql_s6('value')} AS value_u
         FROM (

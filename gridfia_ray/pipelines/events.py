@@ -162,3 +162,58 @@ def sessionize(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def funnel_depths(
+    events: rd.Dataset,
+    steps: list[str],
+    key: str = "user_id",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Ordered-funnel analysis: per key, how deep into ``steps`` the key
+    progressed, where step i+1 only counts with a timestamp STRICTLY
+    after the earliest valid completion of step i (the standard
+    conversion-funnel semantics). Returns (key, depth) for keys that
+    completed at least step 1.
+
+    One bucketed exchange (keys co-located per bucket, the sessionize
+    assumption); inside a bucket every step is a vectorized
+    groupby-min + merge + filter — Python cost O(buckets · steps), never
+    per key. Deterministic: depths depend only on (key, type, ts)
+    values."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+
+    def add_bucket(batch: pd.DataFrame):
+        from gridfia_ray.stages.agg_util import to_arrow
+        from gridfia_ray.stages.dedup_util import bucket_of
+
+        batch = batch[batch[type_col].isin(steps)][[key, type_col, "ts"]].copy()
+        batch["__bucket"] = bucket_of(batch, [key], n_buckets)
+        return to_arrow(batch)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (
+            g.loc[g[type_col] == steps[0]]
+            .groupby(key, as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t_prev"})
+        )
+        depth = pd.DataFrame({key: cur[key], "depth": np.int64(1)})
+        for si, step in enumerate(steps[1:], start=2):
+            ev = g.loc[g[type_col] == step, [key, "ts"]].merge(cur, on=key)
+            ev = ev[ev["ts"] > ev["t_prev"]]
+            if len(ev) == 0:
+                break
+            cur = (
+                ev.groupby(key, as_index=False)["ts"].min().rename(columns={"ts": "t_prev"})
+            )
+            depth.loc[depth[key].isin(set(cur[key])), "depth"] = np.int64(si)
+        return depth
+
+    return (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

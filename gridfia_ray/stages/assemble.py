@@ -122,6 +122,73 @@ def make_kernel_group_fn(kernels: list[Kernel], ctx: KernelContext):
     return run
 
 
+def downsample_result_tiles(result, factor: int = 2, scaled_int: bool = True):
+    """Overview-pyramid level over result tiles: ``factor``×``factor``
+    block-SUM pooling — the mass-conserving reducer for quantity rasters
+    (total biomass at a coarser cell IS the sum of its children), and
+    the standard overview construction coarsened one level per call.
+
+    Pure ``map_batches`` — a block never crosses its tile, so there is
+    NO shuffle at any corpus size; tile keys (tile_row, tile_col) are
+    unchanged, only h/w shrink. ``scaled_int=True`` pools in the
+    micro-scaled integer domain (floor(v·1e6+0.5) per source pixel,
+    int64 sums): bit-exact, partition/order-invariant, directly
+    comparable to a SQL oracle. ``scaled_int=False`` pools float64 sums
+    (last-ulp order sensitivity inherent to float addition).
+
+    ``factor`` must divide every tile's h and w — raises otherwise
+    (partial edge blocks would silently mix pyramid semantics).
+    """
+    if factor < 2:
+        raise ValueError(f"factor must be >= 2, got {factor}")
+
+    def pool(batch: pa.Table) -> pa.Table:
+        metrics, trs, tcs, hs, ws, pixs, dts = [], [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            if h % factor or w % factor:
+                raise ValueError(
+                    f"downsample factor {factor} does not divide tile "
+                    f"{h}x{w} — partial edge blocks are not supported"
+                )
+            arr = np.frombuffer(
+                batch["pix"][i].as_py(), dtype=np.dtype(batch["dtype"][i].as_py())
+            ).reshape(h, w)
+            if scaled_int:
+                u = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+                pooled = u.reshape(h // factor, factor, w // factor, factor).sum(
+                    axis=(1, 3)
+                )
+                dts.append("int64")
+            else:
+                pooled = (
+                    arr.astype(np.float64)
+                    .reshape(h // factor, factor, w // factor, factor)
+                    .sum(axis=(1, 3))
+                )
+                dts.append("float64")
+            metrics.append(batch["metric"][i].as_py())
+            trs.append(int(batch["tile_row"][i].as_py()))
+            tcs.append(int(batch["tile_col"][i].as_py()))
+            hs.append(h // factor)
+            ws.append(w // factor)
+            pixs.append(pooled.tobytes())
+        return pa.table(
+            {
+                "metric": pa.array(metrics, pa.string()),
+                "tile_row": pa.array(trs, pa.int64()),
+                "tile_col": pa.array(tcs, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "pix": pa.array(pixs, pa.binary()),
+                "dtype": pa.array(dts, pa.string()),
+            }
+        )
+
+    return result.map_batches(pool, batch_format="pyarrow")
+
+
 def explode_result_pixels(batch: pa.Table) -> pa.Table:
     """Result tiles → long (metric, y, x, value float64) rows.
 

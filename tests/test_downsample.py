@@ -1,0 +1,78 @@
+"""Overview-pyramid downsample: block-sum exactness, multi-level
+composition, factor validation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gridfia_ray.stages.assemble import downsample_result_tiles
+
+
+def _tiles(rng, n=4, h=16, w=16):
+    rows = []
+    for i in range(n):
+        arr = (rng.rand(h, w) * 100).astype(np.float64)
+        rows.append(
+            {
+                "metric": "total_biomass",
+                "tile_row": i // 2,
+                "tile_col": i % 2,
+                "h": h,
+                "w": w,
+                "pix": arr.tobytes(),
+                "dtype": "float64",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _grid(df):
+    """Unpack result tiles into one (metric fixed) global grid dict."""
+    out = {}
+    for _, r in df.iterrows():
+        arr = np.frombuffer(r["pix"], dtype=np.dtype(r["dtype"])).reshape(r["h"], r["w"])
+        out[(int(r["tile_row"]), int(r["tile_col"]))] = arr
+    return out
+
+
+class TestDownsample:
+    def test_block_sum_scaled_int(self, ray_session):
+        rng = np.random.RandomState(0)
+        df = _tiles(rng)
+        got = downsample_result_tiles(rd.from_pandas(df), 2).to_pandas()
+        src, dst = _grid(df), _grid(got)
+        for key, arr in src.items():
+            u = np.floor(arr * 1_000_000 + 0.5).astype(np.int64)
+            want = u.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+            assert (dst[key] == want).all()
+            assert dst[key].dtype == np.int64
+        # mass conservation: per-tile sums unchanged
+        for key, arr in src.items():
+            assert dst[key].sum() == np.floor(arr * 1e6 + 0.5).astype(np.int64).sum()
+
+    def test_two_levels_compose(self, ray_session):
+        rng = np.random.RandomState(1)
+        df = _tiles(rng, n=1)
+        lvl1 = downsample_result_tiles(rd.from_pandas(df), 2)
+        lvl2 = downsample_result_tiles(lvl1, 2, scaled_int=False).to_pandas()
+        # level-2 ints summed as float64: exact (int sums « 2^53)
+        arr = _grid(df)[(0, 0)]
+        u = np.floor(arr * 1e6 + 0.5).astype(np.int64)
+        want = u.reshape(4, 4, 4, 4).sum(axis=(1, 3)).astype(np.float64)
+        assert (_grid(lvl2)[(0, 0)] == want).all()
+
+    def test_float_mode(self, ray_session):
+        rng = np.random.RandomState(2)
+        df = _tiles(rng, n=1, h=4, w=4)
+        got = downsample_result_tiles(rd.from_pandas(df), 2, scaled_int=False).to_pandas()
+        arr = _grid(df)[(0, 0)]
+        want = arr.reshape(2, 2, 2, 2).sum(axis=(1, 3))
+        assert np.allclose(_grid(got)[(0, 0)], want)
+
+    def test_bad_factor(self, ray_session):
+        df = _tiles(np.random.RandomState(3), n=1, h=6, w=6)
+        with pytest.raises(ValueError, match="factor must be"):
+            downsample_result_tiles(rd.from_pandas(df), 1)
+        with pytest.raises(Exception, match="does not divide"):
+            downsample_result_tiles(rd.from_pandas(df), 4).to_pandas()

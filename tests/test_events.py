@@ -180,3 +180,55 @@ class TestHoppingWindow:
 
         with pytest.raises(ValueError):
             hopping_window_agg(events_ds, window_minutes=60, hop_minutes=25)
+
+
+class TestFunnel:
+    def _ev(self, rows):
+        return pd.DataFrame(
+            {
+                "user_id": np.array([r[0] for r in rows], np.int64),
+                "event_type": [r[1] for r in rows],
+                "ts": pd.to_datetime([r[2] for r in rows]),
+            }
+        )
+
+    def test_strict_ordering_semantics(self, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.events import funnel_depths
+
+        rows = [
+            # u1: full ordered funnel
+            (1, "view", "2024-01-01 10:00"), (1, "click", "2024-01-01 11:00"),
+            (1, "purchase", "2024-01-01 12:00"),
+            # u2: purchase BEFORE click — depth 2 only
+            (2, "view", "2024-01-01 10:00"), (2, "purchase", "2024-01-01 10:30"),
+            (2, "click", "2024-01-01 11:00"),
+            # u3: click before any view — depth 1
+            (3, "click", "2024-01-01 09:00"), (3, "view", "2024-01-01 10:00"),
+            # u4: no view at all — absent from output
+            (4, "click", "2024-01-01 09:00"), (4, "purchase", "2024-01-01 10:00"),
+            # u5: equal timestamps are NOT strictly after — depth 1
+            (5, "view", "2024-01-01 10:00"), (5, "click", "2024-01-01 10:00"),
+            # u6: earliest view enables a later click even though a
+            # second view sits between them
+            (6, "view", "2024-01-01 08:00"), (6, "view", "2024-01-01 12:00"),
+            (6, "click", "2024-01-01 09:00"),
+        ]
+        got = (
+            funnel_depths(
+                rd.from_pandas(self._ev(rows)).repartition(3),
+                ["view", "click", "purchase"], n_buckets=4,
+            )
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        want = {1: 3, 2: 2, 3: 1, 5: 1, 6: 2}
+        assert dict(zip(got["user_id"], got["depth"])) == want
+
+    def test_needs_two_steps(self, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.events import funnel_depths
+
+        with pytest.raises(ValueError, match="two steps"):
+            funnel_depths(rd.from_pandas(self._ev([])), ["view"])
