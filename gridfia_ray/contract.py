@@ -928,6 +928,90 @@ def q_rel_quiet_customers(sf_dir: str) -> pd.DataFrame:
     return _semi_anti_customers(sf_dir, anti=True)
 
 
+def q_rel_rollup_pricing(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP aggregate (all grouping prefixes in ONE streaming pass):
+    per (returnflag, linestatus), per returnflag, and grand total —
+    counts and integer-cents sums (stages/agg_util.rollup_agg)."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import rollup_agg
+
+    tune_context()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_c": np.floor(batch["l_quantity"] * 100 + 0.5).astype(np.int64),
+                "price_c": np.floor(batch["l_extendedprice"] * 100 + 0.5).astype(np.int64),
+            }
+        )
+
+    out = rollup_agg(
+        li.map_batches(to_cents, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        local_map={
+            "n": ("qty_c", "size"),
+            "sum_qty_c": ("qty_c", "sum"),
+            "sum_price_c": ("price_c", "sum"),
+        },
+        merge_map={
+            "n": ("n", "sum"),
+            "sum_qty_c": ("sum_qty_c", "sum"),
+            "sum_price_c": ("sum_price_c", "sum"),
+        },
+    ).to_pandas()
+    for c in ("n", "sum_qty_c", "sum_price_c"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["l_returnflag", "l_linestatus", "n", "sum_qty_c", "sum_price_c"]]
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+def q_events_props_sum(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the JSON ``props`` column (vectorized regex fast path,
+    pipelines/events.extract_json_int) and aggregate per event_type."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import extract_json_int
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+    extracted = extract_json_int(events, "props", "k")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("event_type")["k"]
+        out = pd.DataFrame(
+            {"sum_k": g.sum(), "n_k": g.count()}
+        ).reset_index()
+        out["sum_k"] = out["sum_k"].astype(np.int64)
+        out["n_k"] = out["n_k"].astype(np.int64)
+        return out
+
+    out = bucketed_agg(
+        extracted.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"sum_k": ("sum_k", "sum"), "n_k": ("n_k", "sum")},
+        n_buckets=8,
+    ).to_pandas()
+    out["sum_k"] = out["sum_k"].astype(np.int64)
+    out["n_k"] = out["n_k"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_events_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered conversion funnel view→click→purchase: per user the
     depth reached with strict temporal ordering between steps
@@ -1636,6 +1720,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_error_window_join": q_events_error_window_join,
         "rel_urgent_customers": q_rel_urgent_customers,
         "rel_quiet_customers": q_rel_quiet_customers,
+        "rel_rollup_pricing": q_rel_rollup_pricing,
         # documents / embeddings / events
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_decontaminate": q_doc_decontaminate,
@@ -1667,6 +1752,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_value_quantiles": q_events_value_quantiles,
         "events_top_by_user": q_events_top_by_user,
         "events_funnel": q_events_funnel,
+        "events_props_sum": q_events_props_sum,
         "events_sessions": q_events_sessions,
         "events_sample_per_user": q_events_sample_per_user,
     }
@@ -2227,6 +2313,22 @@ def build_oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')"""
+    sql["events_props_sum"] = """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+        FROM events GROUP BY event_type"""
+    sql["rel_rollup_pricing"] = """
+        SELECT COALESCE(l_returnflag, '<ALL>') AS l_returnflag,
+               COALESCE(l_linestatus, '<ALL>') AS l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_qty_c,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_price_c
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
     sql["events_funnel"] = """
         WITH s1 AS (SELECT user_id, min(ts) t FROM events
                     WHERE event_type = 'view' GROUP BY user_id),

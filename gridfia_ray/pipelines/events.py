@@ -217,3 +217,28 @@ def funnel_depths(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def extract_json_int(
+    events: rd.Dataset, col: str, key: str, out_col: str | None = None
+) -> rd.Dataset:
+    """Semi-structured extraction: pull an integer field out of a JSON
+    string column, vectorized — one compiled regex over the whole column
+    per batch (``"<key>": <int>`` fast path for flat objects; rows
+    without the field or with non-integer values yield NA). For nested
+    or non-scalar JSON use a parser stage; this is the hot-path shape
+    for event-props-style flat payloads. Pure map, no shuffle."""
+    import re
+
+    out_col = out_col or key
+    # compiled once per process at pipeline build; re module caches too
+    pat = re.compile(r'"' + re.escape(key) + r'"\s*:\s*(-?\d+)')
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[out_col] = (
+            batch[col].astype(str).str.extract(pat, expand=False).astype("Int64")
+        )
+        return batch
+
+    return events.map_batches(extract, batch_format="pandas")

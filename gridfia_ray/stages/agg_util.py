@@ -59,3 +59,63 @@ def bucketed_agg(
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def rollup_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    local_map: dict[str, tuple[str, str]],
+    merge_map: dict[str, tuple[str, str]],
+    n_buckets: int = 32,
+    all_token: str = "<ALL>",
+) -> rd.Dataset:
+    """Multi-level (ROLLUP) aggregation in ONE streaming pass: every
+    batch emits partials for every grouping prefix — (k1..kn), (k1..
+    kn-1), …, () — with rolled-up key columns set to ``all_token``,
+    then one bucketed keyed merge combines all levels together. n+1
+    grouping sets cost one pass over the data plus (n+1)× the partial
+    rows, never n+1 scans.
+
+    ``local_map`` aggregates raw rows per batch (e.g. count via
+    ``("col", "size")``); ``merge_map`` merges partials (count → sum) —
+    the split mirrors :func:`bucketed_agg`'s merge-associativity
+    contract. Key columns come back stringified (the SQL oracle shape:
+    ``COALESCE(CAST(k AS VARCHAR), '<ALL>')``); rows whose key value
+    equals ``all_token`` would be ambiguous and are rejected.
+    """
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+    prefixes = [keys[:i] for i in range(len(keys), -1, -1)]  # full … empty
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:
+            # no spurious zero-rows for the () grouping set (and min/max
+            # over an empty batch is undefined anyway)
+            empty = {k: pd.Series(dtype=str) for k in keys}
+            empty.update({out: pd.Series(dtype=np.float64) for out in local_map})
+            return to_arrow(pd.DataFrame(empty))
+        outs = []
+        for kept in prefixes:
+            if kept:
+                g = batch.groupby(kept, as_index=False).agg(**local_map)
+            else:
+                g = pd.DataFrame(
+                    {out: [batch[col].agg(fn)] for out, (col, fn) in local_map.items()}
+                )
+            for k in keys:
+                if k in kept:
+                    s = g[k].astype(str)
+                    if (s == all_token).any():
+                        raise ValueError(
+                            f"key column {k!r} contains the rollup token "
+                            f"{all_token!r} — pass a different all_token"
+                        )
+                    g[k] = s
+                else:
+                    g[k] = all_token
+            outs.append(g[keys + list(local_map)])
+        return to_arrow(pd.concat(outs, ignore_index=True))
+
+    return bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"), keys, merge_map, n_buckets
+    )

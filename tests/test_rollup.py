@@ -1,0 +1,98 @@
+"""ROLLUP aggregate + JSON field extraction."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gridfia_ray.pipelines.events import extract_json_int
+from gridfia_ray.stages.agg_util import rollup_agg
+
+
+class TestRollupAgg:
+    def _frame(self, seed=0, n=2000):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "a": rng.choice(["x", "y", "z"], n),
+                "b": rng.choice(["p", "q"], n),
+                "v": rng.randint(0, 100, n).astype(np.int64),
+            }
+        )
+
+    def _run(self, df, parts=6, buckets=8):
+        return (
+            rollup_agg(
+                rd.from_pandas(df).repartition(parts),
+                ["a", "b"],
+                local_map={"n": ("v", "size"), "s": ("v", "sum")},
+                merge_map={"n": ("n", "sum"), "s": ("s", "sum")},
+                n_buckets=buckets,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+
+    def _oracle(self, df):
+        rows = []
+        for kept in (["a", "b"], ["a"], []):
+            if kept:
+                g = df.groupby(kept)["v"].agg(n="size", s="sum").reset_index()
+            else:
+                g = pd.DataFrame({"n": [len(df)], "s": [df["v"].sum()]})
+            for k in ("a", "b"):
+                g[k] = g[k].astype(str) if k in kept else "<ALL>"
+            rows.append(g[["a", "b", "n", "s"]])
+        return (
+            pd.concat(rows, ignore_index=True)
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+
+    def test_matches_pandas_rollup(self, ray_session):
+        df = self._frame()
+        got = self._run(df)
+        got["n"] = got["n"].astype(np.int64)
+        got["s"] = got["s"].astype(np.int64)
+        pd.testing.assert_frame_equal(got, self._oracle(df))
+        # 3 grouping sets present: (a,b), (a), ()
+        assert (got["a"] == "<ALL>").sum() == 1
+        assert ((got["a"] != "<ALL>") & (got["b"] == "<ALL>")).sum() == 3
+
+    def test_partition_invariant(self, ray_session):
+        df = self._frame(seed=1)
+        a = self._run(df, parts=2, buckets=4)
+        b = self._run(df, parts=13, buckets=16)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_token_clash_rejected(self, ray_session):
+        df = pd.DataFrame({"a": ["<ALL>"], "b": ["p"], "v": np.int64([1])})
+        with pytest.raises(Exception, match="rollup token"):
+            rollup_agg(
+                rd.from_pandas(df), ["a", "b"],
+                local_map={"n": ("v", "size")}, merge_map={"n": ("n", "sum")},
+            ).to_pandas()
+
+    def test_needs_keys(self, ray_session):
+        with pytest.raises(ValueError, match="at least one key"):
+            rollup_agg(rd.from_pandas(pd.DataFrame({"v": [1]})), [],
+                       local_map={}, merge_map={})
+
+
+class TestExtractJsonInt:
+    def test_extracts_and_handles_missing(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "props": ['{"k": 7}', '{"k":  -3, "j": 1}', '{"j": 5}',
+                          "not json", None, '{"k": "str"}'],
+                "id": np.arange(6, dtype=np.int64),
+            }
+        )
+        got = (
+            extract_json_int(rd.from_pandas(df), "props", "k")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        vals = got["k"].tolist()
+        assert vals[0] == 7 and vals[1] == -3
+        assert all(pd.isna(v) for v in vals[2:])
