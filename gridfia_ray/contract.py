@@ -993,10 +993,12 @@ def q_events_props_sum(sf_dir: str) -> pd.DataFrame:
     extracted = extract_json_int(events, "props", "k")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("event_type")["k"]
-        out = pd.DataFrame(
-            {"sum_k": g.sum(), "n_k": g.count()}
-        ).reset_index()
+        # rows without the field drop BEFORE grouping — both sides then
+        # agree that a type with no extracted values is absent (pandas'
+        # sum-of-all-NA is 0 but SQL's SUM is NULL)
+        b = batch[batch["k"].notna()]
+        g = b.groupby("event_type")["k"]
+        out = pd.DataFrame({"sum_k": g.sum(), "n_k": g.count()}).reset_index()
         out["sum_k"] = out["sum_k"].astype(np.int64)
         out["n_k"] = out["n_k"].astype(np.int64)
         return out
@@ -2317,8 +2319,10 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT event_type,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                     AS BIGINT) AS sum_k,
-               CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
-        FROM events GROUP BY event_type"""
+               CAST(COUNT(*) AS BIGINT) AS n_k
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY event_type"""
     sql["rel_rollup_pricing"] = """
         SELECT COALESCE(l_returnflag, '<ALL>') AS l_returnflag,
                COALESCE(l_linestatus, '<ALL>') AS l_linestatus,

@@ -231,8 +231,10 @@ def extract_json_int(
     import re
 
     out_col = out_col or key
-    # compiled once per process at pipeline build; re module caches too
-    pat = re.compile(r'"' + re.escape(key) + r'"\s*:\s*(-?\d+)')
+    # compiled once per process at pipeline build; re module caches too.
+    # The lookahead rejects floats/exponents ("12.5", "1e3") — an int
+    # prefix of a non-integer value must yield NA, not a truncation
+    pat = re.compile(r'"' + re.escape(key) + r'"\s*:\s*(-?\d+)(?![\d.eE])')
 
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

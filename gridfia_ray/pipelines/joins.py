@@ -92,6 +92,12 @@ def broadcast_semi_join(
 
     from gridfia_ray.stages.dedup_util import bucketed_distinct
 
+    for side, schema in (("left", left.schema()), ("keys", keys.schema())):
+        if on not in schema.names:
+            raise ValueError(
+                f"broadcast_semi_join: {side} side is missing column {on!r} "
+                f"(has {list(schema.names)})"
+            )
     distinct = bucketed_distinct(
         keys.select_columns([on]), [on], n_buckets=n_buckets
     ).materialize()

@@ -329,12 +329,24 @@ def grouped_percentiles_exact(
             return sub[value_col].to_numpy(np.float64)
 
     def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        keys_out, ns, los, his = [], [], [], []
         for key, sub in batch.groupby(key_col, sort=False):
             v = values_of(sub)
             if v.size:
-                rows.append((key, int(v.size), float(v.min()), float(v.max())))
-        return pd.DataFrame(rows, columns=[key_col, "n", "lo", "hi"])
+                keys_out.append(key)
+                ns.append(v.size)
+                los.append(v.min())
+                his.append(v.max())
+        # typed columns even when empty — a schema-less pandas block
+        # churns the executor's schema cache on every exchange split
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(keys_out, dtype=batch[key_col].dtype),
+                "n": pd.Series(ns, dtype=np.int64),
+                "lo": pd.Series(los, dtype=np.float64),
+                "hi": pd.Series(his, dtype=np.float64),
+            }
+        )
 
     from gridfia_ray.stages.agg_util import bucketed_agg
 
@@ -353,18 +365,25 @@ def grouped_percentiles_exact(
         )
     stats = grouped.to_pandas()
 
-    # one selection slot per (group, quantile)
+    # one selection slot per (group, quantile). Column-wise extraction,
+    # NOT iterrows: a row Series takes the frame's common dtype, which
+    # upcasts int64 keys to float64 — silently rounding keys > 2^53 and
+    # changing the output key dtype
+    key_vals = stats[key_col].tolist()
+    n_vals = stats["n"].to_numpy(np.int64)
+    lo_vals = stats["lo"].to_numpy(np.float64)
+    hi_vals = stats["hi"].to_numpy(np.float64)
     slots: list[dict] = []
-    for _, row in stats.iterrows():
+    for gi in range(len(stats)):
         for q in qs:
-            n = int(row["n"])
+            n = int(n_vals[gi])
             slots.append(
                 {
-                    "key": row[key_col],
+                    "key": key_vals[gi],
                     "q": float(q),
                     "k": max(1, int(np.ceil(q / 100.0 * n))),
-                    "a": float(row["lo"]),
-                    "b": float(row["hi"]),
+                    "a": float(lo_vals[gi]),
+                    "b": float(hi_vals[gi]),
                     "below": 0,
                     "inc": True,
                     "done": n == 0,
@@ -416,10 +435,15 @@ def grouped_percentiles_exact(
             n_buckets=8,
         ).to_pandas()
 
+        # one linear pass groups the fold by slot — per-slot boolean
+        # scans over the whole frame would be O(slots × rows)
+        hist_by_slot = {int(si): sub for si, sub in hist.groupby("slot", sort=False)}
+        empty_hist = hist.iloc[:0]
+
         collect: list[tuple[int, float, float, int, bool]] = []  # (slot idx, a, b, local_k, inc)
         for ai, i in enumerate(active):
             s = slots[i]
-            sub = hist.loc[hist["slot"] == ai]
+            sub = hist_by_slot.get(ai, empty_hist)
             c = np.zeros(bins, dtype=np.int64)
             c[sub["bin"].to_numpy()] = sub["count"].to_numpy()
             cum = np.cumsum(c)
@@ -471,8 +495,9 @@ def grouped_percentiles_exact(
                 {"c": ("c", "sum")},
                 n_buckets=8,
             ).to_pandas()
+            vals_by_slot = {int(si): sub for si, sub in vals.groupby("slot", sort=False)}
             for ci, (i, _, _, local_rank, _) in enumerate(collect):
-                sub = vals.loc[vals["slot"] == ci].sort_values("v", kind="mergesort")
+                sub = vals_by_slot[ci].sort_values("v", kind="mergesort")
                 cum = np.cumsum(sub["c"].to_numpy())
                 pos = int(np.searchsorted(cum, local_rank, side="left"))
                 slots[i]["value"] = float(sub["v"].to_numpy()[pos])
@@ -480,7 +505,7 @@ def grouped_percentiles_exact(
 
     return pd.DataFrame(
         {
-            key_col: [s["key"] for s in slots],
+            key_col: pd.Series([s["key"] for s in slots], dtype=stats[key_col].dtype),
             "q_pct": [s["q"] for s in slots],
             "value": [s["value"] for s in slots],
         }

@@ -94,6 +94,16 @@ def rollup_agg(
             empty = {k: pd.Series(dtype=str) for k in keys}
             empty.update({out: pd.Series(dtype=np.float64) for out in local_map})
             return to_arrow(pd.DataFrame(empty))
+        if batch[keys].isna().any().any():
+            # pandas groupby silently drops NULL keys from sublevels
+            # while the () total still counts them — internally
+            # inconsistent AND divergent from SQL ROLLUP (which groups
+            # NULLs, colliding with the all_token after COALESCE).
+            # Fail loudly; fill or filter NULL keys first.
+            raise ValueError(
+                "rollup_agg: NULL values in key columns are ambiguous "
+                "under rollup — fill or filter them first"
+            )
         outs = []
         for kept in prefixes:
             if kept:

@@ -152,10 +152,16 @@ def downsample_result_tiles(result, factor: int = 2, scaled_int: bool = True):
                     f"downsample factor {factor} does not divide tile "
                     f"{h}x{w} — partial edge blocks are not supported"
                 )
-            arr = np.frombuffer(
-                batch["pix"][i].as_py(), dtype=np.dtype(batch["dtype"][i].as_py())
-            ).reshape(h, w)
+            src_dtype = np.dtype(batch["dtype"][i].as_py())
+            arr = np.frombuffer(batch["pix"][i].as_py(), dtype=src_dtype).reshape(h, w)
             if scaled_int:
+                if np.issubdtype(src_dtype, np.integer):
+                    raise ValueError(
+                        "downsample_result_tiles(scaled_int=True) on an "
+                        "integer tile — the input is already in the scaled "
+                        "domain and re-scaling would inflate values 1e6×; "
+                        "pass scaled_int=False to pool further levels"
+                    )
                 u = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
                 pooled = u.reshape(h // factor, factor, w // factor, factor).sum(
                     axis=(1, 3)

@@ -76,3 +76,12 @@ class TestDownsample:
             downsample_result_tiles(rd.from_pandas(df), 1)
         with pytest.raises(Exception, match="does not divide"):
             downsample_result_tiles(rd.from_pandas(df), 4).to_pandas()
+
+
+class TestDoubleScaleGuard:
+    def test_default_relevel_raises(self, ray_session):
+        rng = np.random.RandomState(9)
+        df = _tiles(rng, n=1)
+        lvl1 = downsample_result_tiles(rd.from_pandas(df), 2)
+        with pytest.raises(Exception, match="already in the scaled domain"):
+            downsample_result_tiles(lvl1, 2).to_pandas()

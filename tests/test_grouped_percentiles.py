@@ -128,3 +128,17 @@ class TestGroupedPercentiles:
             {"g": rng.choice(["a", "b", "c"], 5000), "v": rng.randn(5000)}
         )
         assert _got(rd.from_pandas(df).repartition(5), QS) == _oracle(df, QS)
+
+
+class TestKeyDtypes:
+    def test_int64_keys_above_2e53_exact(self, ray_session):
+        big = np.int64(2**62 + 11)
+        df = pd.DataFrame(
+            {"g": np.array([big, big, big + 1, big + 1] * 25, np.int64),
+             "v": np.tile([1.0, 2.0, 3.0, 4.0], 25)}
+        )
+        got = grouped_percentiles_exact(rd.from_pandas(df).repartition(3), "g", "v", [50.0])
+        assert got["g"].dtype == np.int64
+        assert sorted(got["g"]) == [big, big + 1]
+        vals = dict(zip(got["g"], got["value"]))
+        assert vals[big] == 1.0 and vals[big + 1] == 3.0  # k=ceil(.5*50)=25 → 1st of 50

@@ -313,3 +313,11 @@ class TestAsofJoin:
         right = pd.DataFrame({"u": [1], "s": [1.0]})
         with pytest.raises(ValueError, match="missing required column"):
             asof_join(_ds(left, 1), _ds(right, 1), by="u", on="t")
+
+
+class TestSemiJoinValidation:
+    def test_missing_column_fails_fast(self, ray_session):
+        left = pd.DataFrame({"other": [1]})
+        keys = pd.DataFrame({"k": [1]})
+        with pytest.raises(ValueError, match="missing column 'k'"):
+            broadcast_semi_join(_ds(left, 1), _ds(keys, 1), "k")

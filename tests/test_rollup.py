@@ -96,3 +96,25 @@ class TestExtractJsonInt:
         vals = got["k"].tolist()
         assert vals[0] == 7 and vals[1] == -3
         assert all(pd.isna(v) for v in vals[2:])
+
+
+class TestEdgeFixes:
+    def test_rollup_null_keys_rejected(self, ray_session):
+        df = pd.DataFrame({"a": ["x", None], "b": ["p", "q"], "v": np.int64([1, 2])})
+        with pytest.raises(Exception, match="NULL values in key columns"):
+            rollup_agg(
+                rd.from_pandas(df), ["a", "b"],
+                local_map={"n": ("v", "size")}, merge_map={"n": ("n", "sum")},
+            ).to_pandas()
+
+    def test_extract_rejects_floats_and_exponents(self, ray_session):
+        df = pd.DataFrame(
+            {"props": ['{"k": 12.5}', '{"k": 1e3}', '{"k": 12}'],
+             "id": np.arange(3, dtype=np.int64)}
+        )
+        got = (
+            extract_json_int(rd.from_pandas(df), "props", "k")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert pd.isna(got["k"].iloc[0]) and pd.isna(got["k"].iloc[1])
+        assert got["k"].iloc[2] == 12
