@@ -133,3 +133,124 @@ def hll_distinct(
     for buf in rows["regs"]:
         np.maximum(acc, np.frombuffer(buf, dtype=np.uint8), out=acc)
     return hll_estimate(acc)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch + exact heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_SALTS = np.uint64([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                        0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63])
+
+
+def _cms_rows(hashes: np.ndarray, d: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_offsets, column indices) of each hash in a d×w sketch —
+    d independent salted-multiply hash rows."""
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    cols = np.empty((d, h.size), dtype=np.int64)
+    for r in range(d):
+        z = h * _CMS_SALTS[r % len(_CMS_SALTS)] + np.uint64(r)
+        z ^= z >> np.uint64(31)
+        cols[r] = (z % np.uint64(w)).astype(np.int64)
+    return np.arange(d, dtype=np.int64)[:, None] * w, cols
+
+
+def cms_from_hashes(hashes: np.ndarray, counts: np.ndarray, d: int, w: int) -> np.ndarray:
+    """Fold (hash, count) pairs into a flat d·w int64 Count-Min sketch.
+    Mergeable by elementwise ADDITION (a linear sketch) — the same
+    combiner shape as the HLL registers but summed, so per-block
+    sketches stream through one bounded fold."""
+    sk = np.zeros(d * w, dtype=np.int64)
+    if hashes.size == 0:
+        return sk
+    offs, cols = _cms_rows(hashes, d, w)
+    for r in range(d):
+        np.add.at(sk, offs[r, 0] + cols[r], counts)
+    return sk
+
+
+def cms_estimate(sk: np.ndarray, hashes: np.ndarray, d: int, w: int) -> np.ndarray:
+    """Point estimates (upper bounds: CMS never undercounts) for each
+    hash — min over the d rows."""
+    if hashes.size == 0:
+        return np.empty(0, np.int64)
+    offs, cols = _cms_rows(hashes, d, w)
+    est = np.full(hashes.size, np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        np.minimum(est, sk[offs[r, 0] + cols[r]], out=est)
+    return est
+
+
+def heavy_hitters_exact(
+    ds: "rd.Dataset",
+    items_fn,
+    threshold: int,
+    *,
+    d: int = 4,
+    w: int = 1 << 16,
+    fan_in: int = 16,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """EXACT heavy hitters (items with global count ≥ ``threshold``)
+    via sketch-prefilter-then-verify: build a global Count-Min sketch
+    (one streaming pass, per-block linear-sketch combiners), then a
+    second pass keeps only items whose CMS upper bound reaches the
+    threshold — a superset of the true heavy hitters, since CMS never
+    undercounts — and exact-counts just that candidate set through one
+    bucketed keyed sum. Only candidate items ever shuffle; the full
+    item universe never does (vs a full wordcount's distinct-item
+    exchange).
+
+    ``items_fn(batch) -> (items ndarray, hashes uint64 ndarray)``
+    defines the item domain (e.g. tokens + their vectorized hashes).
+    Returns a DataFrame (item, n) with n ≥ threshold, exact.
+    """
+    import ray
+
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    def block_sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        items, hashes = items_fn(batch)
+        # pre-aggregate within the block: unique hashes + counts
+        uh, inv = np.unique(np.asarray(hashes, np.uint64), return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        sk = cms_from_hashes(uh, cnt, d, w)
+        return pd.DataFrame({"sk": [sk.tobytes()]})
+
+    def merge_block(batch: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(d * w, dtype=np.int64)
+        for buf in batch["sk"]:
+            acc += np.frombuffer(buf, dtype=np.int64)
+        return pd.DataFrame({"sk": [acc.tobytes()]})
+
+    rows = (
+        ds.map_batches(block_sketch, batch_format="pandas")
+        .repartition(fan_in)
+        .map_batches(merge_block, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    sk = np.zeros(d * w, dtype=np.int64)
+    for buf in rows["sk"]:
+        sk += np.frombuffer(buf, dtype=np.int64)
+    sk_ref = ray.put(sk)
+
+    def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        sketch = ray.get(sk_ref)
+        items, hashes = items_fn(batch)
+        items = np.asarray(items)
+        hashes = np.asarray(hashes, np.uint64)
+        # block-local pre-count, then CMS filter on the distinct items
+        uh, idx, inv = np.unique(hashes, return_index=True, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        keep = cms_estimate(sketch, uh, d, w) >= threshold
+        return pd.DataFrame({"item": items[idx[keep]], "n": cnt[keep]})
+
+    exact = bucketed_agg(
+        ds.map_batches(candidates, batch_format="pandas"),
+        ["item"],
+        {"n": ("n", "sum")},
+        n_buckets=n_buckets,
+    ).to_pandas()
+    out = exact[exact["n"] >= threshold].copy()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("item").reset_index(drop=True)

@@ -713,6 +713,35 @@ def q_doc_filter_chain(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_heavy_tokens(sf_dir: str) -> pd.DataFrame:
+    """EXACT heavy hitters via Count-Min prefilter + verify
+    (analysis/sketches.heavy_hitters_exact): tokens with global count
+    ≥ 800. Only CMS-candidate tokens ever shuffle — the sketch bounds
+    the exchange regardless of vocabulary size; CMS never undercounts,
+    so the candidate set is a superset and the verified result exact."""
+    import re
+
+    from gridfia_ray.analysis.sketches import heavy_hitters_exact
+    from gridfia_ray.text.hashing import token_hashes64
+
+    ws = re.compile(r"\S+")
+
+    def items_fn(batch: pd.DataFrame):
+        texts = batch["text"].fillna("").tolist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(ws.findall(t))
+        hashes, _ = token_hashes64(texts)
+        return np.array(toks, dtype=object), hashes
+
+    out = heavy_hitters_exact(_docs(sf_dir), items_fn, threshold=800)
+    return (
+        pd.DataFrame({"tok": out["item"].astype(str), "n": out["n"].astype(np.int64)})
+        .sort_values("tok")
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_para_dedup(sf_dir: str) -> pd.DataFrame:
     """Cross-document paragraph dedup (keep first occurrence):
     boilerplate removal. Exact string compare vs the SQL oracle."""
@@ -1730,6 +1759,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_split": q_doc_split,
         "doc_filter_chain": q_doc_filter_chain,
         "doc_vocab_hll": q_doc_vocab_hll,
+        "doc_heavy_tokens": q_doc_heavy_tokens,
         "doc_token_count": q_doc_token_count,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_token_freq": q_doc_token_freq,
@@ -2057,6 +2087,11 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text,
                  ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s')) AS BIGINT) AS n_bpe_tokens
         FROM documents"""
+    sql["doc_heavy_tokens"] = r"""
+        WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) tok
+                   FROM documents)
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY tok HAVING count(*) >= 800"""
     sql["doc_token_freq"] = r"""
         WITH t AS (SELECT unnest(CASE WHEN trim(text) = '' THEN []
                      ELSE regexp_split_to_array(trim(text), '\s+') END) tok

@@ -92,3 +92,85 @@ class TestDistributed:
     def test_bad_p_rejected(self, ray_session):
         with pytest.raises(ValueError, match="p must be"):
             hll_distinct(rd.from_pandas(pd.DataFrame({"x": [1]})), ["x"], p=2)
+
+
+class TestCountMin:
+    def test_never_undercounts_and_tight_when_wide(self):
+        from gridfia_ray.analysis.sketches import cms_estimate, cms_from_hashes
+
+        rng = np.random.RandomState(7)
+        hashes = rng.randint(0, 2**63, 500).astype(np.uint64)
+        counts = rng.randint(1, 100, 500).astype(np.int64)
+        # aggregate duplicates for the truth table
+        uh, inv = np.unique(hashes, return_inverse=True)
+        true = np.zeros(uh.size, np.int64)
+        np.add.at(true, inv, counts)
+        sk = cms_from_hashes(uh, true, 4, 1 << 16)
+        est = cms_estimate(sk, uh, 4, 1 << 16)
+        assert (est >= true).all()  # the CMS invariant
+        assert (est == true).mean() > 0.99  # wide sketch ≈ exact
+
+    def test_linear_merge(self):
+        from gridfia_ray.analysis.sketches import cms_from_hashes
+
+        rng = np.random.RandomState(8)
+        h1 = rng.randint(0, 2**63, 200).astype(np.uint64)
+        h2 = rng.randint(0, 2**63, 200).astype(np.uint64)
+        c1 = np.ones(200, np.int64)
+        c2 = np.full(200, 3, np.int64)
+        merged = cms_from_hashes(h1, c1, 3, 512) + cms_from_hashes(h2, c2, 3, 512)
+        both = cms_from_hashes(np.concatenate([h1, h2]), np.concatenate([c1, c2]), 3, 512)
+        assert (merged == both).all()
+
+
+class TestHeavyHitters:
+    def _docs(self, rng, n=400):
+        heavy = ["alpha", "bravo", "charlie"]
+        rare = [f"tok{i}" for i in range(200)]
+        texts = []
+        for _ in range(n):
+            toks = [heavy[rng.randint(3)] for _ in range(8)]
+            toks += [rare[rng.randint(200)] for _ in range(4)]
+            texts.append(" ".join(toks))
+        return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+    def _items_fn(self):
+        import re
+
+        from gridfia_ray.text.hashing import token_hashes64
+
+        ws = re.compile(r"\S+")
+
+        def items_fn(batch):
+            texts = batch["text"].fillna("").tolist()
+            toks = []
+            for t in texts:
+                toks.extend(ws.findall(t))
+            hashes, _ = token_hashes64(texts)
+            return np.array(toks, dtype=object), hashes
+
+        return items_fn
+
+    def test_exact_even_with_collisions(self, ray_session):
+        from gridfia_ray.analysis.sketches import heavy_hitters_exact
+
+        rng = np.random.RandomState(9)
+        df = self._docs(rng)
+        ds = rd.from_pandas(df).repartition(5)
+        # w=32 forces heavy CMS collisions: candidates over-admit, the
+        # exact verify pass must still produce the precise answer
+        got = heavy_hitters_exact(ds, self._items_fn(), 500, d=3, w=32)
+        toks = pd.Series(
+            [t for s in df["text"] for t in s.split()]
+        ).value_counts()
+        want = toks[toks >= 500].sort_index()
+        assert got["item"].tolist() == list(want.index)
+        assert got["n"].tolist() == want.tolist()
+
+    def test_partition_invariant(self, ray_session):
+        from gridfia_ray.analysis.sketches import heavy_hitters_exact
+
+        df = self._docs(np.random.RandomState(10), n=150)
+        a = heavy_hitters_exact(rd.from_pandas(df).repartition(2), self._items_fn(), 300)
+        b = heavy_hitters_exact(rd.from_pandas(df).repartition(11), self._items_fn(), 300)
+        pd.testing.assert_frame_equal(a, b)
