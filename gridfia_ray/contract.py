@@ -134,6 +134,32 @@ def q_downsample_2x(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_focal_sum_3x3(sf_dir: str) -> pd.DataFrame:
+    """Focal (3×3 neighborhood) sum of the total-biomass raster via
+    HALO EXCHANGE (pipelines/focal.py): every tile ships its border
+    strips to its 8 neighbors, one keyed exchange, vectorized
+    summed-area-table window sums per tile. Micro-scaled int64 domain —
+    bit-exact vs the SQL self-join oracle; edge pixels count only the
+    neighbors that exist (n_nbrs)."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.focal import focal_sum_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    out = focal_sum_tiles(res).to_pandas()
+    for c in ("y", "x", "sum_u", "n_nbrs"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_species_dominance(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
     from gridfia_ray.pipelines.metrics import dominance_stats
@@ -1043,6 +1069,49 @@ def q_events_props_sum(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_events_daily_uniques(sf_dir: str) -> pd.DataFrame:
+    """Per-day COUNT(DISTINCT user_id): distributed distinct on the
+    (day, user) pair (bucketed — the distinct set itself never sits on
+    one node) then a keyed count; both exchanges bounded."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import bucketed_agg
+    from gridfia_ray.stages.dedup_util import bucketed_distinct
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+
+    def day_user(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": batch["ts"].dt.floor("D"), "user_id": batch["user_id"]}
+        )
+
+    pairs = bucketed_distinct(
+        events.map_batches(day_user, batch_format="pandas"),
+        ["day", "user_id"],
+        n_buckets=32,
+    )
+    counts = bucketed_agg(
+        pairs.map_batches(
+            lambda b: pd.DataFrame({"day": b["day"], "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas",
+        ),
+        ["day"],
+        {"n_users": ("n", "sum")},
+        n_buckets=8,
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(counts["day"]).dt.strftime("%Y-%m-%d"),
+            "n_users": counts["n_users"].astype(np.int64),
+        }
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def q_events_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered conversion funnel view→click→purchase: per user the
     depth reached with strict temporal ordering between steps
@@ -1728,6 +1797,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_species": q_zonal_species,
         "gf_zonal_percentiles": q_zonal_percentiles,
         "gf_downsample_2x": q_downsample_2x,
+        "gf_focal_sum": q_focal_sum_3x3,
         "gf_bbox_extract": q_bbox_extract,
         "gf_tile_zone_join": q_tile_zone_join,
         "gf_knn_idw": q_knn_idw,
@@ -1785,6 +1855,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_top_by_user": q_events_top_by_user,
         "events_funnel": q_events_funnel,
         "events_props_sum": q_events_props_sum,
+        "events_daily_uniques": q_events_daily_uniques,
         "events_sessions": q_events_sessions,
         "events_sample_per_user": q_events_sample_per_user,
     }
@@ -1895,6 +1966,17 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT species_code,
                {_sql_s6("COUNT(*) FILTER (biomass > 0) * 100.0 / COUNT(*)")} AS coverage_u
         FROM p GROUP BY species_code ORDER BY 2 DESC LIMIT 10"""
+    sql["gf_focal_sum"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
+        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
+               CAST(SUM(b.v) AS BIGINT) AS sum_u,
+               CAST(COUNT(*) AS BIGINT) AS n_nbrs
+        FROM u a JOIN u b
+          ON b.y BETWEEN a.y - 1 AND a.y + 1
+         AND b.x BETWEEN a.x - 1 AND a.x + 1
+        GROUP BY a.y, a.x"""
     sql["gf_downsample_2x"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)
@@ -2368,6 +2450,10 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+    sql["events_daily_uniques"] = """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1"""
     sql["events_funnel"] = """
         WITH s1 AS (SELECT user_id, min(ts) t FROM events
                     WHERE event_type = 'view' GROUP BY user_id),

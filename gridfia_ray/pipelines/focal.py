@@ -1,0 +1,154 @@
+"""Focal (neighborhood) map algebra with HALO EXCHANGE — the classic
+distributed-raster pattern the tile model needs for any window kernel
+(focal mean/sum, slope/aspect, convolution): a pixel's 3×3 window
+crosses tile borders, so every tile ships its border strips to its 8
+neighbors and each tile is then processed independently with a 1-pixel
+halo.
+
+Shape: ONE keyed exchange. Every result tile emits 9 rows — itself
+keyed to its own (tile_row, tile_col), plus 8 border strips keyed to
+each neighbor (O(perimeter) bytes each, so the exchange is corpus +
+~8·perimeter, not 9× the corpus) — then ``groupby(tile key)`` assembles
+a padded (h+2, w+2) grid and computes the window sums in one pass of
+vectorized 2-D cumulative sums. Tiles at the global boundary simply
+receive fewer strips; the presence mask makes the window count honest
+(edge pixels average over the neighbors that exist — the same semantics
+as a SQL self-join on BETWEEN ranges).
+
+Exactness: values are micro-scaled to int64 BEFORE summing (same policy
+as the overview pyramid), so window sums are bit-exact and partition /
+order invariant; consumers divide sum_u by n_nbrs for the focal mean.
+
+Reference parallel: gridfia has no focal/neighborhood operator (its map
+algebra is strictly per-pixel, ``forest_metrics.py``); this is the
+standard raster-engine extension of SURVEY §2.4's kernel family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _window_sums(padded: np.ndarray) -> np.ndarray:
+    """3×3 window sums over the interior of a padded 2-D array via
+    summed-area table — O(h·w), no Python loops."""
+    c = np.zeros((padded.shape[0] + 1, padded.shape[1] + 1), dtype=padded.dtype)
+    np.cumsum(padded, axis=0, out=c[1:, 1:])
+    np.cumsum(c[1:, 1:], axis=1, out=c[1:, 1:])
+    h, w = padded.shape[0] - 2, padded.shape[1] - 2
+    # sum of padded[i..i+2, j..j+2] for interior pixel (i, j)
+    return c[3 : 3 + h, 3 : 3 + w] - c[3 : 3 + h, : w] - c[:h, 3 : 3 + w] + c[:h, :w]
+
+
+def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """3×3 focal sum+count over a result-tile dataset (the
+    ``run_metrics`` output schema: metric, tile_row, tile_col, h, w,
+    pix, dtype) → long rows (y, x, sum_u, n_nbrs).
+
+    All tiles must share one (h, w) — the halo protocol's strip dims are
+    implied by it; a mismatched tile raises. Window sums are over the
+    micro-scaled int64 domain (exact)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        trs, tcs, dys, dxs, hs, ws, bufs = [], [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            arr = np.frombuffer(
+                batch["pix"][i].as_py(), dtype=np.dtype(batch["dtype"][i].as_py())
+            ).reshape(h, w)
+            u = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    nr, nc = tr + dy, tc + dx
+                    if nr < 0 or nc < 0:
+                        continue  # no tiles at negative indices
+                    rows = u if dy == 0 else (u[:1] if dy == -1 else u[-1:])
+                    strip = rows if dx == 0 else (rows[:, :1] if dx == -1 else rows[:, -1:])
+                    trs.append(nr)
+                    tcs.append(nc)
+                    dys.append(dy)
+                    dxs.append(dx)
+                    hs.append(h)
+                    ws.append(w)
+                    bufs.append(np.ascontiguousarray(strip).tobytes())
+        return pa.table(
+            {
+                "tile_row": pa.array(trs, pa.int64()),
+                "tile_col": pa.array(tcs, pa.int64()),
+                "dy": pa.array(dys, pa.int8()),
+                "dx": pa.array(dxs, pa.int8()),
+                "h": pa.array(hs, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "strip": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        if not ((group["dy"] == 0) & (group["dx"] == 0)).any():
+            # strips addressed past the raster edge: no tile lives here
+            return pd.DataFrame(
+                {"y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+                 "sum_u": pd.Series(dtype=np.int64), "n_nbrs": pd.Series(dtype=np.int64)}
+            )
+        hs, ws = group["h"].unique(), group["w"].unique()
+        if len(hs) != 1 or len(ws) != 1:
+            raise ValueError(
+                f"focal_sum_tiles: mixed tile shapes {sorted(hs)}×{sorted(ws)} "
+                f"meet at tile ({group['tile_row'].iloc[0]}, "
+                f"{group['tile_col'].iloc[0]}) — the halo protocol needs one"
+            )
+        h, w = int(hs[0]), int(ws[0])
+        vals = np.zeros((h + 2, w + 2), dtype=np.int64)
+        pres = np.zeros((h + 2, w + 2), dtype=np.int64)
+        for _, r in group.iterrows():
+            dy, dx = int(r["dy"]), int(r["dx"])
+            # the strip came FROM tile (target - (dy,dx)); it fills the
+            # halo band on the side the source sits on
+            rs = slice(1, h + 1) if dy == 0 else (slice(h + 1, h + 2) if dy == -1 else slice(0, 1))
+            cs = slice(1, w + 1) if dx == 0 else (slice(w + 1, w + 2) if dx == -1 else slice(0, 1))
+            n_r = h if dy == 0 else 1
+            n_c = w if dx == 0 else 1
+            strip = np.frombuffer(r["strip"], dtype=np.int64).reshape(n_r, n_c)
+            vals[rs, cs] = strip
+            pres[rs, cs] = 1
+        sums = _window_sums(vals)
+        counts = _window_sums(pres)
+        tr = int(group["tile_row"].iloc[0])
+        tc = int(group["tile_col"].iloc[0])
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        return pd.DataFrame(
+            {
+                "y": (yy + tr * h).ravel().astype(np.int64),
+                "x": (xx + tc * w).ravel().astype(np.int64),
+                "sum_u": sums.ravel(),
+                "n_nbrs": counts.ravel(),
+            }
+        )
+
+    from gridfia_ray.stages.dedup_util import bucket_of
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = bucket_of(batch, ["tile_row", "tile_col"], n_buckets)
+        return batch
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            assemble(sub)
+            for _, sub in g.groupby(["tile_row", "tile_col"], sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        result.map_batches(explode, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

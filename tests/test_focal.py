@@ -1,0 +1,79 @@
+"""Focal 3x3 window aggregation with halo exchange: brute-force oracle
+over a multi-tile raster, boundary counts, shape validation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gridfia_ray.pipelines.focal import focal_sum_tiles
+
+
+def _raster(rng, tiles_y=3, tiles_x=2, h=8, w=8):
+    rows, grids = [], {}
+    for tr in range(tiles_y):
+        for tc in range(tiles_x):
+            arr = (rng.rand(h, w) * 50).astype(np.float64)
+            grids[(tr, tc)] = arr
+            rows.append(
+                {"metric": "total_biomass", "tile_row": tr, "tile_col": tc,
+                 "h": h, "w": w, "pix": arr.tobytes(), "dtype": "float64"}
+            )
+    # stitch the global grid for the brute-force oracle
+    g = np.zeros((tiles_y * h, tiles_x * w))
+    for (tr, tc), arr in grids.items():
+        g[tr * h:(tr + 1) * h, tc * w:(tc + 1) * w] = arr
+    return pd.DataFrame(rows), g
+
+
+def _brute(g):
+    u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+    H, W = g.shape
+    out = {}
+    for y in range(H):
+        for x in range(W):
+            ys = slice(max(y - 1, 0), min(y + 2, H))
+            xs = slice(max(x - 1, 0), min(x + 2, W))
+            out[(y, x)] = (int(u[ys, xs].sum()), int(u[ys, xs].size))
+    return out
+
+
+class TestFocalSum:
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.RandomState(0)
+        df, g = _raster(rng)
+        got = focal_sum_tiles(rd.from_pandas(df).repartition(4), n_buckets=8).to_pandas()
+        want = _brute(g)
+        assert len(got) == g.size
+        for _, r in got.iterrows():
+            s, n = want[(int(r["y"]), int(r["x"]))]
+            assert (r["sum_u"], r["n_nbrs"]) == (s, n), (r["y"], r["x"])
+
+    def test_boundary_counts(self, ray_session):
+        rng = np.random.RandomState(1)
+        df, g = _raster(rng, tiles_y=2, tiles_x=2, h=4, w=4)
+        got = focal_sum_tiles(rd.from_pandas(df)).to_pandas()
+        n = got.set_index(["y", "x"])["n_nbrs"]
+        assert n[(0, 0)] == 4 and n[(0, 7)] == 4  # corners
+        assert n[(0, 3)] == 6 and n[(3, 0)] == 6  # edges
+        assert n[(4, 4)] == 9  # interior (crosses tile borders)
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.RandomState(2)
+        df, _ = _raster(rng, tiles_y=2, tiles_x=3, h=4, w=4)
+        a = (focal_sum_tiles(rd.from_pandas(df).repartition(2), n_buckets=4)
+             .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        b = (focal_sum_tiles(rd.from_pandas(df).repartition(6), n_buckets=16)
+             .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_mixed_shapes_rejected(self, ray_session):
+        rng = np.random.RandomState(3)
+        df, _ = _raster(rng, tiles_y=1, tiles_x=2, h=4, w=4)
+        small = (rng.rand(2, 2)).astype(np.float64)
+        df = pd.concat([df, pd.DataFrame([{
+            "metric": "total_biomass", "tile_row": 0, "tile_col": 2,
+            "h": 2, "w": 2, "pix": small.tobytes(), "dtype": "float64"}])],
+            ignore_index=True)
+        with pytest.raises(Exception, match="mixed tile shapes"):
+            focal_sum_tiles(rd.from_pandas(df)).to_pandas()
