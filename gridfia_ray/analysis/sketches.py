@@ -146,10 +146,15 @@ _CMS_SALTS = np.uint64([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779
 def _cms_rows(hashes: np.ndarray, d: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     """(row_offsets, column indices) of each hash in a d×w sketch —
     d independent salted-multiply hash rows."""
+    if not 1 <= d <= len(_CMS_SALTS):
+        raise ValueError(
+            f"d must be in [1, {len(_CMS_SALTS)}] — rows beyond the salt set "
+            f"would reuse salts and add no independence"
+        )
     h = np.ascontiguousarray(hashes, dtype=np.uint64)
     cols = np.empty((d, h.size), dtype=np.int64)
     for r in range(d):
-        z = h * _CMS_SALTS[r % len(_CMS_SALTS)] + np.uint64(r)
+        z = h * _CMS_SALTS[r] + np.uint64(r)
         z ^= z >> np.uint64(31)
         cols[r] = (z % np.uint64(w)).astype(np.int64)
     return np.arange(d, dtype=np.int64)[:, None] * w, cols
@@ -190,6 +195,7 @@ def heavy_hitters_exact(
     w: int = 1 << 16,
     fan_in: int = 16,
     n_buckets: int = 32,
+    hashes_fn=None,
 ) -> pd.DataFrame:
     """EXACT heavy hitters (items with global count ≥ ``threshold``)
     via sketch-prefilter-then-verify: build a global Count-Min sketch
@@ -203,14 +209,29 @@ def heavy_hitters_exact(
 
     ``items_fn(batch) -> (items ndarray, hashes uint64 ndarray)``
     defines the item domain (e.g. tokens + their vectorized hashes).
-    Returns a DataFrame (item, n) with n ≥ threshold, exact.
+    ``hashes_fn(batch) -> uint64 ndarray``, if given, feeds the SKETCH
+    pass alone — it never needs the item strings, so a vectorized
+    hash-only extractor avoids materializing one Python object per
+    corpus item on the first pass. Returns a DataFrame (item, n) with
+    n ≥ threshold, exact: the verify pass counts by ITEM, so hash
+    collisions can only over-admit candidates, never merge counts.
     """
     import ray
 
     from gridfia_ray.stages.agg_util import bucketed_agg
 
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    if not 1 <= d <= len(_CMS_SALTS):
+        raise ValueError(
+            f"d must be in [1, {len(_CMS_SALTS)}] — rows beyond the salt set "
+            f"would reuse salts and add no independence"
+        )
+    if w < 2:
+        raise ValueError(f"w must be >= 2, got {w}")
+
     def block_sketch(batch: pd.DataFrame) -> pd.DataFrame:
-        items, hashes = items_fn(batch)
+        hashes = hashes_fn(batch) if hashes_fn is not None else items_fn(batch)[1]
         # pre-aggregate within the block: unique hashes + counts
         uh, inv = np.unique(np.asarray(hashes, np.uint64), return_inverse=True)
         cnt = np.bincount(inv).astype(np.int64)
@@ -239,11 +260,14 @@ def heavy_hitters_exact(
         items, hashes = items_fn(batch)
         items = np.asarray(items)
         hashes = np.asarray(hashes, np.uint64)
-        # block-local pre-count, then CMS filter on the distinct items
-        uh, idx, inv = np.unique(hashes, return_index=True, return_inverse=True)
+        # block-local pre-count keyed by the ITEM, not its hash: a hash
+        # collision between two distinct items must only over-admit
+        # candidates (CMS merges them upward), never merge their exact
+        # counts or drop one from the output
+        ui, idx, inv = np.unique(items, return_index=True, return_inverse=True)
         cnt = np.bincount(inv).astype(np.int64)
-        keep = cms_estimate(sketch, uh, d, w) >= threshold
-        return pd.DataFrame({"item": items[idx[keep]], "n": cnt[keep]})
+        keep = cms_estimate(sketch, hashes[idx], d, w) >= threshold
+        return pd.DataFrame({"item": ui[keep], "n": cnt[keep]})
 
     exact = bucketed_agg(
         ds.map_batches(candidates, batch_format="pandas"),

@@ -154,7 +154,7 @@ def q_focal_sum_3x3(sf_dir: str) -> pd.DataFrame:
         n_species_hint=f["meta"]["n_species"],
         precise=True,
     )
-    out = focal_sum_tiles(res).to_pandas()
+    out = focal_sum_tiles(res).to_pandas()[["y", "x", "sum_u", "n_nbrs"]]
     for c in ("y", "x", "sum_u", "n_nbrs"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["y", "x"]).reset_index(drop=True)
@@ -760,7 +760,13 @@ def q_doc_heavy_tokens(sf_dir: str) -> pd.DataFrame:
         hashes, _ = token_hashes64(texts)
         return np.array(toks, dtype=object), hashes
 
-    out = heavy_hitters_exact(_docs(sf_dir), items_fn, threshold=800)
+    def hashes_fn(batch: pd.DataFrame):
+        # sketch pass: hashes only, no token-string materialization
+        return token_hashes64(batch["text"].fillna("").tolist())[0]
+
+    out = heavy_hitters_exact(
+        _docs(sf_dir), items_fn, threshold=800, hashes_fn=hashes_fn
+    )
     return (
         pd.DataFrame({"tok": out["item"].astype(str), "n": out["n"].astype(np.int64)})
         .sort_values("tok")

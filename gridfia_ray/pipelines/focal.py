@@ -53,16 +53,36 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     micro-scaled int64 domain (exact)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        trs, tcs, dys, dxs, hs, ws, bufs = [], [], [], [], [], [], []
+        mets, trs, tcs, dys, dxs, hs, ws, bufs = [], [], [], [], [], [], [], []
+        status = (
+            batch["status"].to_pylist() if "status" in batch.column_names else None
+        )
         for i in range(batch.num_rows):
             h = int(batch["h"][i].as_py())
             w = int(batch["w"][i].as_py())
-            arr = np.frombuffer(
-                batch["pix"][i].as_py(), dtype=np.dtype(batch["dtype"][i].as_py())
-            ).reshape(h, w)
-            u = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+            met = batch["metric"][i].as_py()
             tr = int(batch["tile_row"][i].as_py())
             tc = int(batch["tile_col"][i].as_py())
+            if status is not None and status[i] != "ok":
+                raise ValueError(
+                    f"focal_sum_tiles: tile ({tr}, {tc}) of {met!r} has "
+                    f"status {status[i]!r} — a NaN-filled failed tile would "
+                    f"poison its own and all 8 neighbors' windows"
+                )
+            src_dtype = np.dtype(batch["dtype"][i].as_py())
+            if np.issubdtype(src_dtype, np.integer):
+                raise ValueError(
+                    "focal_sum_tiles on an integer tile — the input is "
+                    "already in the scaled domain and re-scaling would "
+                    "inflate sums 1e6×; feed float metric tiles"
+                )
+            arr = np.frombuffer(batch["pix"][i].as_py(), dtype=src_dtype).reshape(h, w)
+            if np.isnan(arr).any():
+                raise ValueError(
+                    f"focal_sum_tiles: tile ({tr}, {tc}) of {met!r} contains "
+                    f"NaN — floor(NaN·1e6) is int64 garbage; mask or fill first"
+                )
+            u = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
                     nr, nc = tr + dy, tc + dx
@@ -70,6 +90,7 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
                         continue  # no tiles at negative indices
                     rows = u if dy == 0 else (u[:1] if dy == -1 else u[-1:])
                     strip = rows if dx == 0 else (rows[:, :1] if dx == -1 else rows[:, -1:])
+                    mets.append(met)
                     trs.append(nr)
                     tcs.append(nc)
                     dys.append(dy)
@@ -79,6 +100,7 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
                     bufs.append(np.ascontiguousarray(strip).tobytes())
         return pa.table(
             {
+                "metric": pa.array(mets, pa.string()),
                 "tile_row": pa.array(trs, pa.int64()),
                 "tile_col": pa.array(tcs, pa.int64()),
                 "dy": pa.array(dys, pa.int8()),
@@ -89,12 +111,23 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
             }
         )
 
+    EMPTY = pd.DataFrame(
+        {"metric": pd.Series(dtype=str),
+         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+         "sum_u": pd.Series(dtype=np.int64), "n_nbrs": pd.Series(dtype=np.int64)}
+    )
+
     def assemble(group: pd.DataFrame) -> pd.DataFrame:
-        if not ((group["dy"] == 0) & (group["dx"] == 0)).any():
+        center = (group["dy"] == 0) & (group["dx"] == 0)
+        if not center.any():
             # strips addressed past the raster edge: no tile lives here
-            return pd.DataFrame(
-                {"y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
-                 "sum_u": pd.Series(dtype=np.int64), "n_nbrs": pd.Series(dtype=np.int64)}
+            return EMPTY
+        if int(center.sum()) > 1:
+            raise ValueError(
+                f"focal_sum_tiles: duplicate tile "
+                f"({group['tile_row'].iloc[0]}, {group['tile_col'].iloc[0]}) "
+                f"for metric {group['metric'].iloc[0]!r} — strips would "
+                f"overwrite nondeterministically"
             )
         hs, ws = group["h"].unique(), group["w"].unique()
         if len(hs) != 1 or len(ws) != 1:
@@ -124,6 +157,7 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         return pd.DataFrame(
             {
+                "metric": group["metric"].iloc[0],
                 "y": (yy + tr * h).ravel().astype(np.int64),
                 "x": (xx + tc * w).ravel().astype(np.int64),
                 "sum_u": sums.ravel(),
@@ -135,13 +169,13 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["__bucket"] = bucket_of(batch, ["tile_row", "tile_col"], n_buckets)
+        batch["__bucket"] = bucket_of(batch, ["metric", "tile_row", "tile_col"], n_buckets)
         return batch
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         outs = [
             assemble(sub)
-            for _, sub in g.groupby(["tile_row", "tile_col"], sort=False)
+            for _, sub in g.groupby(["metric", "tile_row", "tile_col"], sort=False)
         ]
         return pd.concat(outs, ignore_index=True)
 
