@@ -160,6 +160,56 @@ def q_focal_sum_3x3(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_warp_mercator(sf_dir: str) -> pd.DataFrame:
+    """Distributed raster warp (pipelines/warp.py): reproject the
+    total-biomass raster from the store's Albers grid onto a Web
+    Mercator grid via the keyed gather + closed-form inverse transform.
+    Transcendental math → no SQL oracle (rows-only); exactness is
+    pinned against a single-process brute force and an identity
+    round-trip in tests/test_warp.py. Emits a deterministic per-dst-tile
+    summary."""
+    from gridfia_ray.geo.crs import transform_bbox
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.warp import warp_tiles
+
+    f = _fx()
+    spec = f["spec"]
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        spec,
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    grid_n = int(f["meta"]["grid"])
+    ext = spec.tile * spec.px * grid_n
+    bbox = transform_bbox(
+        (spec.origin_x, spec.origin_y - ext, spec.origin_x + ext, spec.origin_y),
+        f["meta"]["crs"],
+        "EPSG:3857",
+    )
+    dst = GridSpec(origin_x=bbox[0], origin_y=bbox[3], px=40.0, tile=spec.tile)
+    out = warp_tiles(res, spec, f["meta"]["crs"], dst, "EPSG:3857").to_pandas()
+    rows = []
+    for _, r in out.iterrows():
+        arr = np.frombuffer(r["pix"], np.float64)
+        finite = np.isfinite(arr)
+        rows.append(
+            (
+                int(r["tile_row"]),
+                int(r["tile_col"]),
+                int(finite.sum()),
+                int(s6(arr[finite]).sum()),
+            )
+        )
+    res_df = pd.DataFrame(rows, columns=["tile_row", "tile_col", "n_valid", "sum_u"])
+    for c in res_df.columns:
+        res_df[c] = res_df[c].astype(np.int64)
+    return res_df.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
+
+
 def q_species_dominance(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
     from gridfia_ray.pipelines.metrics import dominance_stats
@@ -1804,6 +1854,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_percentiles": q_zonal_percentiles,
         "gf_downsample_2x": q_downsample_2x,
         "gf_focal_sum": q_focal_sum_3x3,
+        "gf_warp_mercator": q_warp_mercator,
         "gf_bbox_extract": q_bbox_extract,
         "gf_tile_zone_join": q_tile_zone_join,
         "gf_knn_idw": q_knn_idw,

@@ -1,0 +1,163 @@
+"""Distributed raster warp (reprojection) — nearest-neighbor resampling
+of a tiled raster from one CRS/grid to another, as a keyed GATHER:
+
+1. every source tile computes the destination-grid tiles its footprint
+   covers (``transform_bbox`` with densified edges, ± one-cell margin
+   for forward/inverse asymmetry) and emits one copy per covered
+   destination tile — fan-out ≈ area ratio, O(1–4) for comparable
+   resolutions;
+2. one exchange keyed on (metric, dst tile) co-locates everything a
+   destination tile could sample from;
+3. per destination tile: transform its pixel CENTERS back to the source
+   CRS (vectorized closed-form math, ``geo/crs.py``), nearest-neighbor
+   index into the gathered source tiles, NaN where no source pixel
+   exists (outside the source extent).
+
+Destination tiles whose footprint meets no source tile never
+materialize — the output is sparse over the destination grid, like the
+input. The transforms are pure math, so the warp is deterministic and
+partition-invariant.
+
+Reference parallel: the reference reprojects in its download path with
+rasterio/pyproj (``location_config.py:301-318``); this is the
+processing-side equivalent over the tile table, built on the engine's
+own closed-form CRS kernels (no GDAL in this environment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from gridfia_ray.geo.crs import transform_bbox, transform_points
+from gridfia_ray.pipelines.common import GridSpec
+
+
+def warp_tiles(
+    result: rd.Dataset,
+    src_spec: GridSpec,
+    src_crs: str,
+    dst_spec: GridSpec,
+    dst_crs: str,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Nearest-neighbor warp of a result-tile dataset (metric, tile_row,
+    tile_col, h, w, pix, dtype) onto ``dst_spec``'s grid in ``dst_crs``.
+    Returns float64 destination tiles in the same schema (NaN =
+    no source coverage). Source tiles must match ``src_spec.tile``."""
+
+    def cover(batch: pa.Table) -> pa.Table:
+        mets, trs, tcs, strs, stcs, bufs = [], [], [], [], [], []
+        cell = dst_spec.cell_size
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            if h != src_spec.tile or w != src_spec.tile:
+                raise ValueError(
+                    f"warp_tiles: tile ({tr}, {tc}) is {h}x{w}, expected "
+                    f"{src_spec.tile}² per src_spec"
+                )
+            arr = np.frombuffer(
+                batch["pix"][i].as_py(), dtype=np.dtype(batch["dtype"][i].as_py())
+            ).astype(np.float64)
+            # source tile extent (y decreases with row index)
+            x0 = src_spec.origin_x + tc * src_spec.cell_size
+            y1 = src_spec.origin_y - tr * src_spec.cell_size
+            bbox = (x0, y1 - src_spec.cell_size, x0 + src_spec.cell_size, y1)
+            dx0, dy0, dx1, dy1 = transform_bbox(bbox, src_crs, dst_crs)
+            c0 = int(np.floor((dx0 - dst_spec.origin_x) / cell)) - 1
+            c1 = int(np.floor((dx1 - dst_spec.origin_x) / cell)) + 1
+            r0 = int(np.floor((dst_spec.origin_y - dy1) / cell)) - 1
+            r1 = int(np.floor((dst_spec.origin_y - dy0) / cell)) + 1
+            met = batch["metric"][i].as_py()
+            payload = arr.tobytes()
+            for rr in range(max(r0, 0), r1 + 1):
+                for cc in range(max(c0, 0), c1 + 1):
+                    mets.append(met)
+                    trs.append(rr)
+                    tcs.append(cc)
+                    strs.append(tr)
+                    stcs.append(tc)
+                    bufs.append(payload)
+        return pa.table(
+            {
+                "metric": pa.array(mets, pa.string()),
+                "tile_row": pa.array(trs, pa.int64()),
+                "tile_col": pa.array(tcs, pa.int64()),
+                "src_row": pa.array(strs, pa.int64()),
+                "src_col": pa.array(stcs, pa.int64()),
+                "pix": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    T = src_spec.tile
+    D = dst_spec.tile
+
+    def resample(group: pd.DataFrame) -> pd.DataFrame:
+        srcs = {
+            (int(r["src_row"]), int(r["src_col"])): np.frombuffer(
+                r["pix"], dtype=np.float64
+            ).reshape(T, T)
+            for _, r in group.iterrows()
+        }
+        tr = int(group["tile_row"].iloc[0])
+        tc = int(group["tile_col"].iloc[0])
+        # destination pixel centers in dst CRS
+        xs = dst_spec.origin_x + (tc * D + np.arange(D) + 0.5) * dst_spec.px
+        ys = dst_spec.origin_y - (tr * D + np.arange(D) + 0.5) * dst_spec.px
+        gx = np.broadcast_to(xs[None, :], (D, D)).ravel()
+        gy = np.broadcast_to(ys[:, None], (D, D)).ravel()
+        sx, sy = transform_points(gx, gy, dst_crs, src_crs)
+        # nearest source pixel (global indices; y grows downward)
+        px_x = np.floor((sx - src_spec.origin_x) / src_spec.px).astype(np.int64)
+        px_y = np.floor((src_spec.origin_y - sy) / src_spec.px).astype(np.int64)
+        out = np.full(D * D, np.nan)
+        s_tr = px_y // T
+        s_tc = px_x // T
+        wy = px_y % T
+        wx = px_x % T
+        # group lookups by source tile (few distinct tiles per dst tile)
+        key = s_tr * (1 << 32) + s_tc
+        for k in np.unique(key[(px_x >= 0) & (px_y >= 0)]):
+            stile = srcs.get((int(k >> 32), int(k & 0xFFFFFFFF)))
+            if stile is None:
+                continue  # outside the source extent → stays NaN
+            m = key == k
+            out[m] = stile[wy[m], wx[m]]
+        return pd.DataFrame(
+            {
+                "metric": [group["metric"].iloc[0]],
+                "tile_row": np.int64(tr),
+                "tile_col": np.int64(tc),
+                "h": np.int64(D),
+                "w": np.int64(D),
+                "pix": [out.tobytes()],
+                "dtype": ["float64"],
+            }
+        )
+
+    from gridfia_ray.stages.dedup_util import bucket_of
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = bucket_of(batch, ["metric", "tile_row", "tile_col"], n_buckets)
+        return batch
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            resample(sub)
+            for _, sub in g.groupby(["metric", "tile_row", "tile_col"], sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        result.map_batches(cover, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
