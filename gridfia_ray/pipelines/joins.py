@@ -93,7 +93,8 @@ def broadcast_semi_join(
     from gridfia_ray.stages.dedup_util import bucketed_distinct
 
     for side, schema in (("left", left.schema()), ("keys", keys.schema())):
-        if on not in schema.names:
+        # schema() is None for a fully empty dataset — nothing to check
+        if schema is not None and on not in schema.names:
             raise ValueError(
                 f"broadcast_semi_join: {side} side is missing column {on!r} "
                 f"(has {list(schema.names)})"
