@@ -165,24 +165,11 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
             }
         )
 
-    from gridfia_ray.stages.dedup_util import bucket_of
+    from gridfia_ray.stages.agg_util import bucketed_group_map
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__bucket"] = bucket_of(batch, ["metric", "tile_row", "tile_col"], n_buckets)
-        return batch
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            assemble(sub)
-            for _, sub in g.groupby(["metric", "tile_row", "tile_col"], sort=False)
-        ]
-        return pd.concat(outs, ignore_index=True)
-
-    return (
-        result.map_batches(explode, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pandas")
-        .repartition(n_buckets)
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    return bucketed_group_map(
+        result.map_batches(explode, batch_format="pyarrow"),
+        ["metric", "tile_row", "tile_col"],
+        assemble,
+        n_buckets=n_buckets,
     )

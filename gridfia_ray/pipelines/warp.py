@@ -2,8 +2,8 @@
 of a tiled raster from one CRS/grid to another, as a keyed GATHER:
 
 1. every source tile computes the destination-grid tiles its footprint
-   covers (``transform_bbox`` with densified edges, ± one-cell margin
-   for forward/inverse asymmetry) and emits one copy per covered
+   covers (``transform_bbox`` with densified edges, ± one destination
+   PIXEL of margin for forward/inverse asymmetry) and emits one copy per covered
    destination tile — fan-out ≈ area ratio, O(1–4) for comparable
    resolutions;
 2. one exchange keyed on (metric, dst tile) co-locates everything a
@@ -51,11 +51,18 @@ def warp_tiles(
     def cover(batch: pa.Table) -> pa.Table:
         mets, trs, tcs, strs, stcs, bufs = [], [], [], [], [], []
         cell = dst_spec.cell_size
+        status = batch["status"].to_pylist() if "status" in batch.column_names else None
         for i in range(batch.num_rows):
             h = int(batch["h"][i].as_py())
             w = int(batch["w"][i].as_py())
             tr = int(batch["tile_row"][i].as_py())
             tc = int(batch["tile_col"][i].as_py())
+            if status is not None and status[i] != "ok":
+                raise ValueError(
+                    f"warp_tiles: tile ({tr}, {tc}) has status "
+                    f"{status[i]!r} — a failed tile would warp into "
+                    f"silent no-coverage NaN; fix or filter it first"
+                )
             if h != src_spec.tile or w != src_spec.tile:
                 raise ValueError(
                     f"warp_tiles: tile ({tr}, {tc}) is {h}x{w}, expected "
@@ -69,10 +76,15 @@ def warp_tiles(
             y1 = src_spec.origin_y - tr * src_spec.cell_size
             bbox = (x0, y1 - src_spec.cell_size, x0 + src_spec.cell_size, y1)
             dx0, dy0, dx1, dy1 = transform_bbox(bbox, src_crs, dst_crs)
-            c0 = int(np.floor((dx0 - dst_spec.origin_x) / cell)) - 1
-            c1 = int(np.floor((dx1 - dst_spec.origin_x) / cell)) + 1
-            r0 = int(np.floor((dst_spec.origin_y - dy1) / cell)) - 1
-            r1 = int(np.floor((dst_spec.origin_y - dy0) / cell)) + 1
+            # forward/inverse asymmetry is sub-pixel for smooth
+            # projections — pad by ONE destination pixel, not a tile
+            # (a tile-sized margin fans every source tile out ~4x and
+            # materializes all-NaN ring tiles)
+            pad = dst_spec.px
+            c0 = int(np.floor((dx0 - pad - dst_spec.origin_x) / cell))
+            c1 = int(np.floor((dx1 + pad - dst_spec.origin_x) / cell))
+            r0 = int(np.floor((dst_spec.origin_y - (dy1 + pad)) / cell))
+            r1 = int(np.floor((dst_spec.origin_y - (dy0 - pad)) / cell))
             met = batch["metric"][i].as_py()
             payload = arr.tobytes()
             for rr in range(max(r0, 0), r1 + 1):
@@ -128,6 +140,17 @@ def warp_tiles(
                 continue  # outside the source extent → stays NaN
             m = key == k
             out[m] = stile[wy[m], wx[m]]
+        if not np.isfinite(out).any():
+            # footprint overlapped a source bbox but no pixel actually
+            # landed in source coverage — per contract, such destination
+            # tiles do not materialize
+            return pd.DataFrame(
+                {"metric": pd.Series(dtype=str),
+                 "tile_row": pd.Series(dtype=np.int64),
+                 "tile_col": pd.Series(dtype=np.int64),
+                 "h": pd.Series(dtype=np.int64), "w": pd.Series(dtype=np.int64),
+                 "pix": pd.Series(dtype=object), "dtype": pd.Series(dtype=str)}
+            )
         return pd.DataFrame(
             {
                 "metric": [group["metric"].iloc[0]],
@@ -140,24 +163,11 @@ def warp_tiles(
             }
         )
 
-    from gridfia_ray.stages.dedup_util import bucket_of
+    from gridfia_ray.stages.agg_util import bucketed_group_map
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__bucket"] = bucket_of(batch, ["metric", "tile_row", "tile_col"], n_buckets)
-        return batch
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            resample(sub)
-            for _, sub in g.groupby(["metric", "tile_row", "tile_col"], sort=False)
-        ]
-        return pd.concat(outs, ignore_index=True)
-
-    return (
-        result.map_batches(cover, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pandas")
-        .repartition(n_buckets)
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    return bucketed_group_map(
+        result.map_batches(cover, batch_format="pyarrow"),
+        ["metric", "tile_row", "tile_col"],
+        resample,
+        n_buckets=n_buckets,
     )

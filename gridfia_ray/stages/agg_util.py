@@ -129,3 +129,36 @@ def rollup_agg(
     return bucketed_agg(
         ds.map_batches(partial, batch_format="pandas"), keys, merge_map, n_buckets
     )
+
+
+def bucketed_group_map(
+    ds: rd.Dataset,
+    keys: list[str],
+    group_fn,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """THE keyed co-location exchange shared by the halo/gather
+    pipelines (focal, warp): hash the key tuple into ``n_buckets``
+    (Arrow-native blocks — empty pandas blocks churn the executor's
+    schema cache), shuffle once, then apply ``group_fn`` to every
+    distinct key tuple inside its bucket. ``group_fn`` receives the
+    group's rows (including ``__bucket``) and must return a DataFrame
+    with a stable schema (typed empties for no-output groups)."""
+
+    def add_bucket(batch: pd.DataFrame) -> pa.Table:
+        from gridfia_ray.stages.dedup_util import bucket_of
+
+        batch = batch.copy()
+        batch["__bucket"] = bucket_of(batch, keys, n_buckets)
+        return to_arrow(batch)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [group_fn(sub) for _, sub in g.groupby(keys, sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
