@@ -160,6 +160,30 @@ def q_focal_sum_3x3(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_focal_gradient(sf_dir: str) -> pd.DataFrame:
+    """Horn 3×3 gradient components of the total-biomass raster
+    (pipelines/focal.focal_gradient_tiles — same halo exchange as the
+    focal sum, interior pixels only), integer-exact vs a weighted
+    self-join oracle."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.focal import focal_gradient_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    out = focal_gradient_tiles(res).to_pandas()[["y", "x", "ddx_u", "ddy_u"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_warp_mercator(sf_dir: str) -> pd.DataFrame:
     """Distributed raster warp (pipelines/warp.py): reproject the
     total-biomass raster from the store's Albers grid onto a Web
@@ -1854,6 +1878,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_percentiles": q_zonal_percentiles,
         "gf_downsample_2x": q_downsample_2x,
         "gf_focal_sum": q_focal_sum_3x3,
+        "gf_focal_gradient": q_focal_gradient,
         "gf_warp_mercator": q_warp_mercator,
         "gf_bbox_extract": q_bbox_extract,
         "gf_tile_zone_join": q_tile_zone_join,
@@ -2034,6 +2059,20 @@ def build_oracle_sql() -> dict[str, str]:
           ON b.y BETWEEN a.y - 1 AND a.y + 1
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x"""
+    sql["gf_focal_gradient"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
+        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
+               CAST(SUM(b.v * (b.x - a.x) * (2 - abs(b.y - a.y))) AS BIGINT)
+                 AS ddx_u,
+               CAST(SUM(b.v * (b.y - a.y) * (2 - abs(b.x - a.x))) AS BIGINT)
+                 AS ddy_u
+        FROM u a JOIN u b
+          ON b.y BETWEEN a.y - 1 AND a.y + 1
+         AND b.x BETWEEN a.x - 1 AND a.x + 1
+        GROUP BY a.y, a.x
+        HAVING COUNT(*) = 9"""
     sql["gf_downsample_2x"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)

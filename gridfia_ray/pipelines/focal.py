@@ -43,14 +43,9 @@ def _window_sums(padded: np.ndarray) -> np.ndarray:
     return c[3 : 3 + h, 3 : 3 + w] - c[3 : 3 + h, : w] - c[:h, 3 : 3 + w] + c[:h, :w]
 
 
-def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
-    """3×3 focal sum+count over a result-tile dataset (the
-    ``run_metrics`` output schema: metric, tile_row, tile_col, h, w,
-    pix, dtype) → long rows (y, x, sum_u, n_nbrs).
-
-    All tiles must share one (h, w) — the halo protocol's strip dims are
-    implied by it; a mismatched tile raises. Window sums are over the
-    micro-scaled int64 domain (exact)."""
+def _halo_explode(result: rd.Dataset, op: str) -> rd.Dataset:
+    """Shared halo-exchange emit stage: every result tile → itself plus
+    8 border strips, micro-scaled int64, keyed to the receiving tile."""
 
     def explode(batch: pa.Table) -> pa.Table:
         mets, trs, tcs, dys, dxs, hs, ws, bufs = [], [], [], [], [], [], [], []
@@ -65,21 +60,21 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
             tc = int(batch["tile_col"][i].as_py())
             if status is not None and status[i] != "ok":
                 raise ValueError(
-                    f"focal_sum_tiles: tile ({tr}, {tc}) of {met!r} has "
+                    f"{op}: tile ({tr}, {tc}) of {met!r} has "
                     f"status {status[i]!r} — a NaN-filled failed tile would "
                     f"poison its own and all 8 neighbors' windows"
                 )
             src_dtype = np.dtype(batch["dtype"][i].as_py())
             if np.issubdtype(src_dtype, np.integer):
                 raise ValueError(
-                    "focal_sum_tiles on an integer tile — the input is "
+                    f"{op} on an integer tile — the input is "
                     "already in the scaled domain and re-scaling would "
                     "inflate sums 1e6×; feed float metric tiles"
                 )
             arr = np.frombuffer(batch["pix"][i].as_py(), dtype=src_dtype).reshape(h, w)
             if np.isnan(arr).any():
                 raise ValueError(
-                    f"focal_sum_tiles: tile ({tr}, {tc}) of {met!r} contains "
+                    f"{op}: tile ({tr}, {tc}) of {met!r} contains "
                     f"NaN — floor(NaN·1e6) is int64 garbage; mask or fill first"
                 )
             u = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
@@ -111,20 +106,23 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
             }
         )
 
-    EMPTY = pd.DataFrame(
-        {"metric": pd.Series(dtype=str),
-         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
-         "sum_u": pd.Series(dtype=np.int64), "n_nbrs": pd.Series(dtype=np.int64)}
-    )
+    return result.map_batches(explode, batch_format="pyarrow")
+
+
+def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
+                   n_buckets: int) -> rd.Dataset:
+    """Shared halo-exchange pipeline: explode → one keyed exchange →
+    per-tile padded assembly → ``window_fn(vals, pres, h, w) -> dict of
+    h×w output arrays`` (plus the standard metric/y/x columns)."""
 
     def assemble(group: pd.DataFrame) -> pd.DataFrame:
         center = (group["dy"] == 0) & (group["dx"] == 0)
         if not center.any():
             # strips addressed past the raster edge: no tile lives here
-            return EMPTY
+            return empty
         if int(center.sum()) > 1:
             raise ValueError(
-                f"focal_sum_tiles: duplicate tile "
+                f"{op}: duplicate tile "
                 f"({group['tile_row'].iloc[0]}, {group['tile_col'].iloc[0]}) "
                 f"for metric {group['metric'].iloc[0]!r} — strips would "
                 f"overwrite nondeterministically"
@@ -132,7 +130,7 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         hs, ws = group["h"].unique(), group["w"].unique()
         if len(hs) != 1 or len(ws) != 1:
             raise ValueError(
-                f"focal_sum_tiles: mixed tile shapes {sorted(hs)}×{sorted(ws)} "
+                f"{op}: mixed tile shapes {sorted(hs)}×{sorted(ws)} "
                 f"meet at tile ({group['tile_row'].iloc[0]}, "
                 f"{group['tile_col'].iloc[0]}) — the halo protocol needs one"
             )
@@ -150,26 +148,75 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
             strip = np.frombuffer(r["strip"], dtype=np.int64).reshape(n_r, n_c)
             vals[rs, cs] = strip
             pres[rs, cs] = 1
-        sums = _window_sums(vals)
-        counts = _window_sums(pres)
+        cols, keep = window_fn(vals, pres, h, w)
         tr = int(group["tile_row"].iloc[0])
         tc = int(group["tile_col"].iloc[0])
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        return pd.DataFrame(
-            {
-                "metric": group["metric"].iloc[0],
-                "y": (yy + tr * h).ravel().astype(np.int64),
-                "x": (xx + tc * w).ravel().astype(np.int64),
-                "sum_u": sums.ravel(),
-                "n_nbrs": counts.ravel(),
-            }
-        )
+        out = {
+            "metric": group["metric"].iloc[0],
+            "y": (yy + tr * h).ravel().astype(np.int64),
+            "x": (xx + tc * w).ravel().astype(np.int64),
+        }
+        out.update({k: v.ravel() for k, v in cols.items()})
+        df = pd.DataFrame(out)
+        return df if keep is None else df.loc[keep.ravel()]
 
     from gridfia_ray.stages.agg_util import bucketed_group_map
 
     return bucketed_group_map(
-        result.map_batches(explode, batch_format="pyarrow"),
+        _halo_explode(result, op),
         ["metric", "tile_row", "tile_col"],
         assemble,
         n_buckets=n_buckets,
     )
+
+
+def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """3×3 focal sum+count over a result-tile dataset (the
+    ``run_metrics`` output schema: metric, tile_row, tile_col, h, w,
+    pix, dtype) → long rows (metric, y, x, sum_u, n_nbrs).
+
+    All tiles must share one (h, w) — the halo protocol's strip dims are
+    implied by it; a mismatched tile raises. Window sums are over the
+    micro-scaled int64 domain (exact). Edge pixels count only the
+    neighbors that exist (n_nbrs)."""
+    empty = pd.DataFrame(
+        {"metric": pd.Series(dtype=str),
+         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+         "sum_u": pd.Series(dtype=np.int64), "n_nbrs": pd.Series(dtype=np.int64)}
+    )
+
+    def window(vals, pres, h, w):
+        return {"sum_u": _window_sums(vals), "n_nbrs": _window_sums(pres)}, None
+
+    return _halo_pipeline(result, "focal_sum_tiles", window, empty, n_buckets)
+
+
+def focal_gradient_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Horn (1981) 3×3 gradient components over a result-tile raster —
+    the slope/aspect building block of DEM-style map algebra — via the
+    same halo exchange as :func:`focal_sum_tiles`.
+
+    For window  a b c          ddx_u = (c + 2f + i) - (a + 2d + g)
+                d e f          ddy_u = (g + 2h + i) - (a + 2b + c)
+                g h i
+    computed in the micro-scaled int64 domain (exact integer weighted
+    sums; divide by 8·pixel_size·1e6 for the physical gradient). Only
+    INTERIOR pixels (all 9 neighbors present) are emitted — boundary
+    gradients would silently mix in zero padding."""
+    empty = pd.DataFrame(
+        {"metric": pd.Series(dtype=str),
+         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+         "ddx_u": pd.Series(dtype=np.int64), "ddy_u": pd.Series(dtype=np.int64)}
+    )
+
+    def window(P, pres, h, w):
+        a = P[0:h, 0:w]; b = P[0:h, 1:w + 1]; c = P[0:h, 2:w + 2]
+        d = P[1:h + 1, 0:w]; f = P[1:h + 1, 2:w + 2]
+        g = P[2:h + 2, 0:w]; hh = P[2:h + 2, 1:w + 1]; i = P[2:h + 2, 2:w + 2]
+        ddx = (c + 2 * f + i) - (a + 2 * d + g)
+        ddy = (g + 2 * hh + i) - (a + 2 * b + c)
+        interior = _window_sums(pres) == 9
+        return {"ddx_u": ddx, "ddy_u": ddy}, interior
+
+    return _halo_pipeline(result, "focal_gradient_tiles", window, empty, n_buckets)

@@ -77,3 +77,38 @@ class TestFocalSum:
             ignore_index=True)
         with pytest.raises(Exception, match="mixed tile shapes"):
             focal_sum_tiles(rd.from_pandas(df)).to_pandas()
+
+
+class TestFocalGradient:
+    def test_matches_horn_brute_force(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_gradient_tiles
+
+        rng = np.random.RandomState(4)
+        df, g = _raster(rng, tiles_y=2, tiles_x=2, h=6, w=6)
+        got = focal_gradient_tiles(rd.from_pandas(df).repartition(3),
+                                   n_buckets=4).to_pandas()
+        u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+        H, W = g.shape
+        # interior only
+        assert len(got) == (H - 2) * (W - 2)
+        idx = got.set_index(["y", "x"])
+        for y in range(1, H - 1):
+            for x in range(1, W - 1):
+                wdw = u[y - 1:y + 2, x - 1:x + 2]
+                ddx = int((wdw[0, 2] + 2 * wdw[1, 2] + wdw[2, 2])
+                          - (wdw[0, 0] + 2 * wdw[1, 0] + wdw[2, 0]))
+                ddy = int((wdw[2, 0] + 2 * wdw[2, 1] + wdw[2, 2])
+                          - (wdw[0, 0] + 2 * wdw[0, 1] + wdw[0, 2]))
+                row = idx.loc[(y, x)]
+                assert (int(row["ddx_u"]), int(row["ddy_u"])) == (ddx, ddy), (y, x)
+
+    def test_constant_raster_zero_gradient(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_gradient_tiles
+
+        arr = np.full((4, 4), 3.25)
+        df = pd.DataFrame([{
+            "metric": "m", "tile_row": 0, "tile_col": 0, "h": 4, "w": 4,
+            "pix": arr.tobytes(), "dtype": "float64"}])
+        got = focal_gradient_tiles(rd.from_pandas(df)).to_pandas()
+        assert (got["ddx_u"] == 0).all() and (got["ddy_u"] == 0).all()
+        assert len(got) == 4  # 2x2 interior
