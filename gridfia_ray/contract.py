@@ -1149,6 +1149,45 @@ def q_events_props_sum(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_events_running_totals(sf_dir: str) -> pd.DataFrame:
+    """SQL window functions at scale: per user, running SUM and LAG of
+    the event value (cents), ordered by (ts, event_id) — one bucketed
+    exchange + one vectorized cumsum/shift per bucket
+    (pipelines/events.running_agg)."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import running_agg
+
+    tune_context()
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["value_c"] = np.floor(batch["value"] * 100 + 0.5).astype(np.int64)
+        return batch.drop(columns="value")
+
+    out = running_agg(
+        events.map_batches(to_cents, batch_format="pandas"),
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value_c",
+    ).to_pandas()
+    res = pd.DataFrame(
+        {
+            "event_id": out["event_id"].astype(np.int64),
+            "running_c": out["running_sum"].astype(np.int64),
+            # LAG is NULL on each user's first event → sentinel for the
+            # integer hash compare (same on the SQL side via COALESCE)
+            "prev_c": out["prev_value"].fillna(-1).astype(np.int64),
+        }
+    )
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
 def q_events_daily_uniques(sf_dir: str) -> pd.DataFrame:
     """Per-day COUNT(DISTINCT user_id): distributed distinct on the
     (day, user) pair (bucketed — the distinct set itself never sits on
@@ -1938,6 +1977,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_props_sum": q_events_props_sum,
         "events_daily_uniques": q_events_daily_uniques,
+        "events_running_totals": q_events_running_totals,
         "events_sessions": q_events_sessions,
         "events_sample_per_user": q_events_sample_per_user,
     }
@@ -2546,6 +2586,15 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+    sql["events_running_totals"] = """
+        SELECT event_id,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c,
+               COALESCE(LAG(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
+                 AS prev_c
+        FROM events"""
     sql["events_daily_uniques"] = """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

@@ -244,3 +244,47 @@ def extract_json_int(
         return batch
 
     return events.map_batches(extract, batch_format="pandas")
+
+
+def running_agg(
+    events: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """SQL window-function family: per key, ordered by ``order_cols``
+    (which must uniquely order rows WITHIN a key — include an id column
+    as the final tiebreak), emit the running sum and the previous row's
+    value (LAG). The distributed
+    ``SUM(...) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` / ``LAG(...)``.
+
+    One bucketed exchange (all of a key's rows co-locate — the
+    sessionize assumption), then ONE vectorized sort + groupby
+    cumsum/shift per bucket. Exact when ``value_col`` is integer
+    (pre-convert money to cents)."""
+
+    def add_bucket(batch: pd.DataFrame):
+        from gridfia_ray.stages.agg_util import to_arrow
+        from gridfia_ray.stages.dedup_util import bucket_of
+
+        batch = batch.copy()
+        batch["__bucket"] = bucket_of(batch, [key], n_buckets)
+        return to_arrow(batch)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort").drop(
+            columns="__bucket"
+        )
+        grp = g.groupby(key, sort=False)[value_col]
+        g["running_sum"] = grp.cumsum()
+        g["prev_value"] = grp.shift(1)
+        return g
+
+    return (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -232,3 +232,59 @@ class TestFunnel:
 
         with pytest.raises(ValueError, match="two steps"):
             funnel_depths(rd.from_pandas(self._ev([])), ["view"])
+
+
+class TestRunningAgg:
+    def test_matches_pandas_window(self, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.events import running_agg
+
+        rng = np.random.RandomState(6)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.randint(0, 40, n).astype(np.int64),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 500, n), unit="s"),  # many ties
+                "value_c": rng.randint(-50, 100, n).astype(np.int64),
+            }
+        )
+        got = (
+            running_agg(rd.from_pandas(df).repartition(7), "user_id",
+                        ["ts", "event_id"], "value_c", n_buckets=8)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        want = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        grp = want.groupby("user_id", sort=False)["value_c"]
+        want["running_sum"] = grp.cumsum()
+        want["prev_value"] = grp.shift(1)
+        want = want.sort_values("event_id").reset_index(drop=True)
+        assert got["running_sum"].tolist() == want["running_sum"].tolist()
+        a = got["prev_value"].fillna(-999).tolist()
+        b = want["prev_value"].fillna(-999).tolist()
+        assert a == b
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.events import running_agg
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(500, dtype=np.int64),
+                "user_id": rng.randint(0, 5, 500).astype(np.int64),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 50, 500), unit="s"),
+                "value_c": rng.randint(0, 10, 500).astype(np.int64),
+            }
+        )
+        a = (running_agg(rd.from_pandas(df).repartition(1), "user_id",
+                         ["ts", "event_id"], "value_c", n_buckets=2)
+             .to_pandas().sort_values("event_id").reset_index(drop=True))
+        b = (running_agg(rd.from_pandas(df).repartition(9), "user_id",
+                         ["ts", "event_id"], "value_c", n_buckets=32)
+             .to_pandas().sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
