@@ -813,6 +813,19 @@ def q_doc_filter_chain(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """LLM-ingestion chunker: 128-token windows with 16-token overlap,
+    row-expanding flat-map (text/ops.chunk_documents) — exact string
+    compare vs the SQL list-slicing oracle."""
+    from gridfia_ray.text.ops import chunk_documents
+
+    out = chunk_documents(_docs(sf_dir), chunk_tokens=128, overlap=16).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["chunk_idx"] = out["chunk_idx"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def q_doc_heavy_tokens(sf_dir: str) -> pd.DataFrame:
     """EXACT heavy hitters via Count-Min prefilter + verify
     (analysis/sketches.heavy_hitters_exact): tokens with global count
@@ -1951,6 +1964,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_filter_chain": q_doc_filter_chain,
         "doc_vocab_hll": q_doc_vocab_hll,
         "doc_heavy_tokens": q_doc_heavy_tokens,
+        "doc_chunks": q_doc_chunks,
         "doc_token_count": q_doc_token_count,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_token_freq": q_doc_token_freq,
@@ -2305,6 +2319,18 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text,
                  ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s')) AS BIGINT) AS n_bpe_tokens
         FROM documents"""
+    sql["doc_chunks"] = r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                   FROM documents),
+        c AS (SELECT doc_id,
+                     CAST((s.i - 1) / 112 AS BIGINT) AS chunk_idx,
+                     CAST(least(s.i + 127, len(w)) - s.i + 1 AS BIGINT)
+                       AS n_tokens,
+                     array_to_string(w[s.i : least(s.i + 127, len(w))], ' ')
+                       AS chunk
+              FROM t, UNNEST(generate_series(1, len(w), 112)) AS s(i)
+              WHERE len(w) >= 1)
+        SELECT doc_id, chunk_idx, n_tokens, chunk FROM c"""
     sql["doc_heavy_tokens"] = r"""
         WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) tok
                    FROM documents)

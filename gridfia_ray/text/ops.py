@@ -200,3 +200,51 @@ def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
     out = batch[["doc_id"]].copy()
     out["fingerprint"] = fingerprint64_batch(batch["text"].fillna("").tolist())
     return out
+
+
+def chunk_documents(
+    docs: "rd.Dataset",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Split documents into fixed-size token windows with overlap — the
+    standard LLM training / RAG ingestion chunker. Row-expanding
+    ``map_batches`` (Ray's flat-map shape): each doc yields
+    ceil(n_tokens / (chunk−overlap)) rows (doc_id, chunk_idx, n_tokens,
+    chunk). Chunk text is the window's tokens joined with single spaces
+    (whitespace-normalized — chunker output feeds tokenizers, not
+    renderers). Pure map, no shuffle; token-level Python work at doc
+    granularity (same cost class as the quality scorers)."""
+    import ray.data as rd  # noqa: F811 (annotation-only import at module top)
+
+    if chunk_tokens < 1 or not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens, got "
+            f"{chunk_tokens=}, {overlap=}"
+        )
+    step = chunk_tokens - overlap
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, ns, texts = [], [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            toks = _WS.findall(text)
+            if not toks:
+                continue
+            for ci, start in enumerate(range(0, len(toks), step)):
+                window = toks[start : start + chunk_tokens]
+                ids.append(doc_id)
+                idxs.append(ci)
+                ns.append(len(window))
+                texts.append(" ".join(window))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype=batch[id_col].dtype),
+                "chunk_idx": pd.Series(idxs, dtype=np.int64),
+                "n_tokens": pd.Series(ns, dtype=np.int64),
+                "chunk": pd.Series(texts, dtype=str),
+            }
+        )
+
+    return docs.map_batches(chunk, batch_format="pandas")
