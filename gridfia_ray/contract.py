@@ -1193,9 +1193,11 @@ def q_events_running_totals(sf_dir: str) -> pd.DataFrame:
         {
             "event_id": out["event_id"].astype(np.int64),
             "running_c": out["running_sum"].astype(np.int64),
-            # LAG is NULL on each user's first event → sentinel for the
-            # integer hash compare (same on the SQL side via COALESCE)
+            # LAG/LEAD are NULL at the partition edges → sentinel for
+            # the integer hash compare (COALESCE on the SQL side)
             "prev_c": out["prev_value"].fillna(-1).astype(np.int64),
+            "next_c": out["next_value"].fillna(-1).astype(np.int64),
+            "rn": out["row_number"].astype(np.int64),
         }
     )
     return res.sort_values("event_id").reset_index(drop=True)
@@ -2619,7 +2621,12 @@ def build_oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c,
                COALESCE(LAG(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
-                 AS prev_c
+                 AS prev_c,
+               COALESCE(LEAD(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
+                 AS next_c,
+               ROW_NUMBER()
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         FROM events"""
     sql["events_daily_uniques"] = """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

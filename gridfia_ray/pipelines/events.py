@@ -255,10 +255,10 @@ def running_agg(
 ) -> rd.Dataset:
     """SQL window-function family: per key, ordered by ``order_cols``
     (which must uniquely order rows WITHIN a key — include an id column
-    as the final tiebreak), emit the running sum and the previous row's
-    value (LAG). The distributed
+    as the final tiebreak), emit the running sum, the previous / next
+    row's value (LAG / LEAD) and the 1-based row number. The distributed
     ``SUM(...) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
-    PRECEDING)`` / ``LAG(...)``.
+    PRECEDING)`` / ``LAG`` / ``LEAD`` / ``ROW_NUMBER``.
 
     One bucketed exchange (all of a key's rows co-locate — the
     sessionize assumption), then ONE vectorized sort + groupby
@@ -280,6 +280,8 @@ def running_agg(
         grp = g.groupby(key, sort=False)[value_col]
         g["running_sum"] = grp.cumsum()
         g["prev_value"] = grp.shift(1)
+        g["next_value"] = grp.shift(-1)
+        g["row_number"] = g.groupby(key, sort=False).cumcount() + 1
         return g
 
     return (

@@ -260,11 +260,13 @@ class TestRunningAgg:
         grp = want.groupby("user_id", sort=False)["value_c"]
         want["running_sum"] = grp.cumsum()
         want["prev_value"] = grp.shift(1)
+        want["next_value"] = grp.shift(-1)
+        want["row_number"] = want.groupby("user_id", sort=False).cumcount() + 1
         want = want.sort_values("event_id").reset_index(drop=True)
         assert got["running_sum"].tolist() == want["running_sum"].tolist()
-        a = got["prev_value"].fillna(-999).tolist()
-        b = want["prev_value"].fillna(-999).tolist()
-        assert a == b
+        for col in ("prev_value", "next_value"):
+            assert got[col].fillna(-999).tolist() == want[col].fillna(-999).tolist()
+        assert got["row_number"].tolist() == want["row_number"].tolist()
 
     def test_partition_invariant(self, ray_session):
         import ray.data as rd
