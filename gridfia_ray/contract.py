@@ -2330,7 +2330,9 @@ def build_oracle_sql() -> dict[str, str]:
                        AS n_tokens,
                      array_to_string(w[s.i : least(s.i + 127, len(w))], ' ')
                        AS chunk
-              FROM t, UNNEST(generate_series(1, len(w), 112)) AS s(i)
+              -- starts stop at len - overlap: no fully-redundant
+              -- trailing window (same rule as chunk_documents)
+              FROM t, UNNEST(generate_series(1, greatest(len(w) - 16, 1), 112)) AS s(i)
               WHERE len(w) >= 1)
         SELECT doc_id, chunk_idx, n_tokens, chunk FROM c"""
     sql["doc_heavy_tokens"] = r"""

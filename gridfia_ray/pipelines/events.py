@@ -132,14 +132,6 @@ def sessionize(
     threshold, cumsum session ids, single pandas groupby. Python cost
     is O(buckets), not one call per key."""
 
-    def add_bucket(batch: pd.DataFrame):
-        from gridfia_ray.stages.agg_util import to_arrow
-        from gridfia_ray.stages.dedup_util import bucket_of
-
-        batch = batch.copy()
-        batch["__bucket"] = bucket_of(batch, [key], n_buckets)
-        return to_arrow(batch)
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, "ts"], kind="mergesort")
         gap = g["ts"].diff().dt.total_seconds() / 60.0
@@ -157,11 +149,9 @@ def sessionize(
         out["n_events"] = out["n_events"].astype(np.int64)
         return out.reset_index(drop=True)
 
-    return (
-        events.map_batches(add_bucket, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    return bucketed_bucket_map(events, [key], per_bucket, n_buckets)
 
 
 def funnel_depths(
@@ -185,13 +175,8 @@ def funnel_depths(
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
 
-    def add_bucket(batch: pd.DataFrame):
-        from gridfia_ray.stages.agg_util import to_arrow
-        from gridfia_ray.stages.dedup_util import bucket_of
-
-        batch = batch[batch[type_col].isin(steps)][[key, type_col, "ts"]].copy()
-        batch["__bucket"] = bucket_of(batch, [key], n_buckets)
-        return to_arrow(batch)
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[type_col].isin(steps)][[key, type_col, "ts"]]
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         cur = (
@@ -212,10 +197,11 @@ def funnel_depths(
             depth.loc[depth[key].isin(set(cur[key])), "depth"] = np.int64(si)
         return depth
 
-    return (
-        events.map_batches(add_bucket, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    return bucketed_bucket_map(
+        events.map_batches(project, batch_format="pandas"),
+        [key], per_bucket, n_buckets,
     )
 
 
@@ -265,18 +251,8 @@ def running_agg(
     cumsum/shift per bucket. Exact when ``value_col`` is integer
     (pre-convert money to cents)."""
 
-    def add_bucket(batch: pd.DataFrame):
-        from gridfia_ray.stages.agg_util import to_arrow
-        from gridfia_ray.stages.dedup_util import bucket_of
-
-        batch = batch.copy()
-        batch["__bucket"] = bucket_of(batch, [key], n_buckets)
-        return to_arrow(batch)
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, *order_cols], kind="mergesort").drop(
-            columns="__bucket"
-        )
+        g = g.sort_values([key, *order_cols], kind="mergesort")
         grp = g.groupby(key, sort=False)[value_col]
         g["running_sum"] = grp.cumsum()
         g["prev_value"] = grp.shift(1)
@@ -284,9 +260,6 @@ def running_agg(
         g["row_number"] = g.groupby(key, sort=False).cumcount() + 1
         return g
 
-    return (
-        events.map_batches(add_bucket, batch_format="pandas")
-        .repartition(n_buckets)
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    return bucketed_bucket_map(events, [key], per_bucket, n_buckets)

@@ -112,8 +112,10 @@ def _halo_explode(result: rd.Dataset, op: str) -> rd.Dataset:
 def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
                    n_buckets: int) -> rd.Dataset:
     """Shared halo-exchange pipeline: explode → one keyed exchange →
-    per-tile padded assembly → ``window_fn(vals, pres, h, w) -> dict of
-    h×w output arrays`` (plus the standard metric/y/x columns)."""
+    per-tile padded assembly → ``window_fn(vals, pres, h, w) ->
+    (cols, keep)`` where ``cols`` is a dict of h×w output arrays
+    (emitted alongside the standard metric/y/x columns) and ``keep`` is
+    an h×w boolean emission mask, or None to emit every pixel."""
 
     def assemble(group: pd.DataFrame) -> pd.DataFrame:
         center = (group["dy"] == 0) & (group["dx"] == 0)

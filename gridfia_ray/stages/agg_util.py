@@ -162,3 +162,36 @@ def bucketed_group_map(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def bucketed_bucket_map(
+    ds: rd.Dataset,
+    keys: list[str],
+    bucket_fn,
+    n_buckets: int = 64,
+    coalesce: bool = False,
+) -> rd.Dataset:
+    """Keyed co-location exchange with a PER-BUCKET consumer: rows hash
+    into ``n_buckets`` on ``keys`` (Arrow-native blocks), and
+    ``bucket_fn`` receives each bucket's full row set (all rows of all
+    its keys, ``__bucket`` column dropped) — for operators that run one
+    vectorized pass per bucket (sessionize, funnels, running windows)
+    rather than one call per key (:func:`bucketed_group_map`).
+    ``coalesce`` merges the stream to ~one block per bucket before the
+    sort shuffle — right for light partials, wasteful for payload-heavy
+    rows (see :func:`bucketed_distinct`'s guidance)."""
+
+    def add_bucket(batch: pd.DataFrame) -> pa.Table:
+        from gridfia_ray.stages.dedup_util import bucket_of
+
+        batch = batch.copy()
+        batch["__bucket"] = bucket_of(batch, keys, n_buckets)
+        return to_arrow(batch)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns="__bucket"))
+
+    tagged = ds.map_batches(add_bucket, batch_format="pandas")
+    if coalesce:
+        tagged = tagged.repartition(n_buckets)
+    return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

@@ -211,14 +211,15 @@ def chunk_documents(
 ) -> "rd.Dataset":
     """Split documents into fixed-size token windows with overlap — the
     standard LLM training / RAG ingestion chunker. Row-expanding
-    ``map_batches`` (Ray's flat-map shape): each doc yields
-    ceil(n_tokens / (chunk−overlap)) rows (doc_id, chunk_idx, n_tokens,
-    chunk). Chunk text is the window's tokens joined with single spaces
+    ``map_batches`` (Ray's flat-map shape): window starts advance by
+    ``chunk_tokens − overlap`` and stop once the remaining tokens are
+    already covered by the previous window (no fully-redundant trailing
+    chunk — a duplicate window would inflate a RAG index / training set
+    with exact-duplicate text). Chunk text is the window's tokens
+    joined with single spaces
     (whitespace-normalized — chunker output feeds tokenizers, not
     renderers). Pure map, no shuffle; token-level Python work at doc
     granularity (same cost class as the quality scorers)."""
-    import ray.data as rd  # noqa: F811 (annotation-only import at module top)
-
     if chunk_tokens < 1 or not 0 <= overlap < chunk_tokens:
         raise ValueError(
             f"need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens, got "
@@ -232,19 +233,27 @@ def chunk_documents(
             toks = _WS.findall(text)
             if not toks:
                 continue
-            for ci, start in enumerate(range(0, len(toks), step)):
+            # stop at len - overlap: a window starting beyond that is
+            # fully contained in its predecessor
+            for ci, start in enumerate(range(0, max(1, len(toks) - overlap), step)):
                 window = toks[start : start + chunk_tokens]
                 ids.append(doc_id)
                 idxs.append(ci)
                 ns.append(len(window))
                 texts.append(" ".join(window))
-        return pd.DataFrame(
-            {
-                id_col: pd.Series(ids, dtype=batch[id_col].dtype),
-                "chunk_idx": pd.Series(idxs, dtype=np.int64),
-                "n_tokens": pd.Series(ns, dtype=np.int64),
-                "chunk": pd.Series(texts, dtype=str),
-            }
+        from gridfia_ray.stages.agg_util import to_arrow
+
+        # Arrow out: a batch of all-empty docs yields 0 rows, and an
+        # empty pandas block would churn the executor schema cache
+        return to_arrow(
+            pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=batch[id_col].dtype),
+                    "chunk_idx": pd.Series(idxs, dtype=np.int64),
+                    "n_tokens": pd.Series(ns, dtype=np.int64),
+                    "chunk": pd.Series(texts, dtype=str),
+                }
+            )
         )
 
     return docs.map_batches(chunk, batch_format="pandas")

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data as rd
 
 from gridfia_ray.text.ops import LangId, QualityScorer, fingerprint64, token_count
 
@@ -159,3 +160,35 @@ class TestFingerprint:
         a = pd.DataFrame({"doc_id": [0], "text": ["alpha  beta\tgamma"]})
         b = pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma"]})
         assert fingerprint64(a)["fingerprint"].iloc[0] == fingerprint64(b)["fingerprint"].iloc[0]
+
+
+class TestChunkDocuments:
+    def test_overlap_and_boundaries(self, ray_session):
+        from gridfia_ray.text.ops import chunk_documents
+
+        toks = [f"t{i}" for i in range(300)]
+        df = pd.DataFrame(
+            {"doc_id": np.int64([1, 2, 3]),
+             "text": [" ".join(toks), "a b c", ""]}
+        )
+        got = (
+            chunk_documents(rd.from_pandas(df).repartition(2),
+                            chunk_tokens=128, overlap=16)
+            .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        )
+        d1 = got[got["doc_id"] == 1]
+        # 300 tokens, step 112: starts 0,112,224 → sizes 128,128,76
+        assert d1["n_tokens"].tolist() == [128, 128, 76]
+        c0, c1 = d1["chunk"].iloc[0].split(), d1["chunk"].iloc[1].split()
+        assert c0 == toks[0:128] and c1 == toks[112:240]
+        assert c0[-16:] == c1[:16]  # the overlap region
+        d2 = got[got["doc_id"] == 2]
+        assert d2["n_tokens"].tolist() == [3] and d2["chunk"].iloc[0] == "a b c"
+        assert (got["doc_id"] == 3).sum() == 0  # empty docs yield nothing
+
+    def test_bad_params(self, ray_session):
+        from gridfia_ray.text.ops import chunk_documents
+
+        df = pd.DataFrame({"doc_id": [1], "text": ["x"]})
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(rd.from_pandas(df), chunk_tokens=8, overlap=8)
