@@ -813,6 +813,28 @@ def q_doc_filter_chain(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_source_cap(sf_dir: str) -> pd.DataFrame:
+    """Domain balancing (pretraining corpus hygiene): keep at most 15
+    docs per source, selected by deterministic md5 rank — partition and
+    cluster-size invariant (pipelines/sampling.sample_per_key, the same
+    machinery as the per-user event sampler)."""
+    from gridfia_ray.pipelines.sampling import sample_per_key
+
+    out = sample_per_key(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        key="source",
+        k=15,
+        rank_cols=["doc_id"],
+    ).to_pandas()
+    return (
+        pd.DataFrame(
+            {"doc_id": out["doc_id"].astype(np.int64), "source": out["source"].astype(str)}
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
     """LLM-ingestion chunker: 128-token windows with 16-token overlap,
     row-expanding flat-map (text/ops.chunk_documents) — exact string
@@ -1967,6 +1989,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_vocab_hll": q_doc_vocab_hll,
         "doc_heavy_tokens": q_doc_heavy_tokens,
         "doc_chunks": q_doc_chunks,
+        "doc_source_cap": q_doc_source_cap,
         "doc_token_count": q_doc_token_count,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_token_freq": q_doc_token_freq,
@@ -2702,6 +2725,14 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
         FROM events, (SELECT unnest(range(0, 4)) i)
         GROUP BY 1, 2"""
+    sql["doc_source_cap"] = """
+        WITH r AS (
+          SELECT doc_id, source,
+                 md5(source || '|' || CAST(doc_id AS VARCHAR)) rk
+          FROM documents),
+        n AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY rk) rn
+              FROM r)
+        SELECT doc_id, source FROM n WHERE rn <= 15"""
     sql["events_sample_per_user"] = """
         WITH r AS (
           SELECT user_id, ts,
