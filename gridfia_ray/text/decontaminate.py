@@ -39,7 +39,8 @@ class SnippetScanner:
     the object store and de-duplicated ONCE per worker in ``__init__``;
     ``__call__`` does one vectorized substring scan per snippet."""
 
-    def __init__(self, snippets_ref, id_col: str = "doc_id", text_col: str = "text"):
+    def __init__(self, snippets_ref, id_col: str = "doc_id", text_col: str = "text",
+                 attach_all: bool = False):
         snippets = ray.get(snippets_ref) if not isinstance(snippets_ref, list) else snippets_ref
         # distinct, deterministic order; empty snippets would match
         # everything vacuously — reject them loudly
@@ -49,13 +50,14 @@ class SnippetScanner:
         self.snippets = uniq
         self.id_col = id_col
         self.text_col = text_col
+        self.attach_all = attach_all  # keep every input column (corpus-build mode)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[self.text_col].fillna("")
         hits = np.zeros(len(batch), dtype=np.int64)
         for s in self.snippets:
             hits += t.str.contains(s, regex=False).to_numpy(dtype=np.int64)
-        out = batch[[self.id_col]].copy()
+        out = batch.copy() if self.attach_all else batch[[self.id_col]].copy()
         out["n_hits"] = hits
         return out
 
@@ -67,18 +69,21 @@ def snippet_hits(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_clean: bool = False,
+    attach_all: bool = False,
 ) -> rd.Dataset:
     """Per-document distinct-snippet containment counts.
 
     ``keep_clean=False`` returns only contaminated docs (n_hits ≥ 1) —
     the review list; ``keep_clean=True`` returns every doc with its
-    count — the filter input. Snippets ship to workers once via
-    ``ray.put``; documents stream."""
+    count — the filter input. ``attach_all=True`` carries every input
+    column through (corpus-build mode: filter and keep the documents).
+    Snippets ship to workers once via ``ray.put``; documents stream."""
     from gridfia_ray.stages.worker_state import worker_cached
 
     ref = ray.put(list(snippets))
     scored = docs.map_batches(
-        worker_cached(SnippetScanner, snippets_ref=ref, id_col=id_col, text_col=text_col),
+        worker_cached(SnippetScanner, snippets_ref=ref, id_col=id_col,
+                      text_col=text_col, attach_all=attach_all),
         batch_format="pandas",
     )
     if keep_clean:
