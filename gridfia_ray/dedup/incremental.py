@@ -79,8 +79,16 @@ def build_hash_index(docs: rd.Dataset, index_dir: str, n_shards: int = 64) -> in
     Keys dedup per shard (bucketed); the shard files are written by
     distributed tasks (one file per shard per build)."""
     os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump({"n_shards": int(n_shards)}, f)
+    # read-merge-write so an existing near-index's keys (near_n_shards,
+    # n_bands) survive building the exact index second in a shared dir
+    meta_path = os.path.join(index_dir, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    meta["n_shards"] = int(n_shards)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
 
     def keys(batch: pd.DataFrame) -> pd.DataFrame:
         b = add_text_hash(batch)[["text_hash"]]

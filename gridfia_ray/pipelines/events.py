@@ -208,12 +208,19 @@ def funnel_depths(
 def extract_json_int(
     events: rd.Dataset, col: str, key: str, out_col: str | None = None
 ) -> rd.Dataset:
-    """Semi-structured extraction: pull an integer field out of a JSON
-    string column, vectorized — one compiled regex over the whole column
-    per batch (``"<key>": <int>`` fast path for flat objects; rows
-    without the field or with non-integer values yield NA). For nested
-    or non-scalar JSON use a parser stage; this is the hot-path shape
-    for event-props-style flat payloads. Pure map, no shuffle."""
+    """Semi-structured extraction: pull a TOP-LEVEL integer field out of
+    a JSON string column. Vectorized fast path — one compiled regex over
+    the whole column per batch (``"<key>": <int>``); rows without the
+    field or with non-integer values yield NA. The regex alone would
+    also match the key inside a NESTED object or inside an (escaped)
+    string value, diverging from ``json_extract('$.<key>')`` semantics
+    (ADVICE r3) — so rows where that ambiguity is even possible are
+    detected (>1 ``{`` → nesting, or a ``\\`` → escaped content; an
+    UNescaped ``"key":`` cannot occur inside a JSON string value) and
+    routed through a real ``json.loads`` top-level extraction. Flat
+    event-props payloads stay 100% on the regex path. Pure map, no
+    shuffle."""
+    import json
     import re
 
     out_col = out_col or key
@@ -222,11 +229,23 @@ def extract_json_int(
     # prefix of a non-integer value must yield NA, not a truncation
     pat = re.compile(r'"' + re.escape(key) + r'"\s*:\s*(-?\d+)(?![\d.eE])')
 
+    def top_level(txt: str):
+        try:
+            obj = json.loads(txt)
+        except (ValueError, TypeError):
+            return pd.NA
+        v = obj.get(key) if isinstance(obj, dict) else None
+        # bools are ints in Python; json_extract treats them as non-int
+        return v if isinstance(v, int) and not isinstance(v, bool) else pd.NA
+
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch[out_col] = (
-            batch[col].astype(str).str.extract(pat, expand=False).astype("Int64")
-        )
+        s = batch[col].astype(str)
+        vals = s.str.extract(pat, expand=False).astype("Int64")
+        amb = s.str.count(r"\{").gt(1) | s.str.contains("\\", regex=False)
+        if amb.any():
+            vals.loc[amb] = s.loc[amb].map(top_level)
+        batch[out_col] = vals
         return batch
 
     return events.map_batches(extract, batch_format="pandas")

@@ -72,6 +72,7 @@ def broadcast_semi_join(
     *,
     anti: bool = False,
     max_keys: int = 5_000_000,
+    max_broadcast_bytes: int = 256 << 20,
     n_buckets: int = 32,
 ) -> rd.Dataset:
     """Semi join (``EXISTS``) / anti join (``NOT EXISTS``): keep left
@@ -79,14 +80,19 @@ def broadcast_semi_join(
     side of decontamination-by-id, allowlist/blocklist application, and
     dimension-predicate pushdown.
 
-    The key side is deduped DISTRIBUTED (bucketed distinct) and its
-    cardinality checked BEFORE any driver pull; within ``max_keys`` the
-    sorted key array broadcasts once (``ray.put``) and the left side
-    streams through a vectorized ``searchsorted`` membership filter —
-    no shuffle of the big side at all. Beyond ``max_keys`` this raises:
-    route through :func:`shuffle_hash_join` (semi = inner join on the
-    deduped keys; anti = left join + null filter) instead of silently
-    materializing an unbounded key table on the driver.
+    The key side is deduped DISTRIBUTED (bucketed distinct) and BOTH its
+    cardinality and its materialized Arrow byte size are checked BEFORE
+    any driver pull (``max_keys`` guards the searchsorted cost,
+    ``max_broadcast_bytes`` guards the driver/object-store footprint —
+    an id-count bound alone would still pull gigabytes for wide keys).
+    Within both bounds the sorted key array broadcasts once
+    (``ray.put``) and the left side streams through a vectorized
+    ``searchsorted`` membership filter — no shuffle of the big side at
+    all. Beyond either bound the engine AUTO-ROUTES to the distributed
+    plan instead of raising: semi = :func:`shuffle_hash_join` inner join
+    of the left against the (already deduped, still distributed) key
+    table; anti = left-outer join on a marker column + null filter. Both
+    paths return the left's own columns only.
     """
     import ray
 
@@ -103,12 +109,20 @@ def broadcast_semi_join(
         keys.select_columns([on]), [on], n_buckets=n_buckets
     ).materialize()
     n_keys = distinct.count()
-    if n_keys > max_keys:
-        raise ValueError(
-            f"broadcast_semi_join: {n_keys} distinct keys > max_keys="
-            f"{max_keys}; use shuffle_hash_join (semi = inner join on the "
-            f"deduped keys; anti = left join + null filter) for large key "
-            f"sides"
+    key_bytes = distinct.size_bytes() or 0
+    if n_keys > max_keys or key_bytes > max_broadcast_bytes:
+        # too big to broadcast: hash-shuffle semi/anti join — the deduped
+        # key table never touches the driver (distinct is deduped, so the
+        # semi output never duplicates a left row). The bucketed exchange
+        # can emit trailing SCHEMA-LESS empty blocks (Ray's sort splits)
+        # which abort pyarrow's join ("No match for FieldRef"); a block
+        # merge (repartition without shuffle) absorbs them into typed
+        # blocks — and right-sizes the key table's blocks for the join.
+        from gridfia_ray.pipelines.common import cluster_cpus
+
+        return shuffle_hash_join(
+            left, distinct.repartition(max(8, 2 * cluster_cpus())), on=[on],
+            join_type="left_anti" if anti else "left_semi",
         )
     if n_keys == 0:
         # an empty exchange yields schema-less blocks — don't index a
@@ -140,6 +154,15 @@ def _validate_two_sided(
     required columns present, non-shared names disjoint, shared-key
     dtypes identical. Returns (lpay, rpay, ltypes, rtypes) where the
     payload lists exclude the shared columns."""
+    # Dataset.schema() is None for a fully empty dataset — fail with a
+    # clear contract error, not an AttributeError (ADVICE r3)
+    if lschema is None or rschema is None:
+        empty = "left" if lschema is None else "right"
+        raise ValueError(
+            f"join requires a known schema on both sides; the {empty} side "
+            "dataset is empty/schema-less — supply at least one typed block "
+            "(e.g. an empty pyarrow.Table with the contract columns)"
+        )
     lcols, rcols = list(lschema.names), list(rschema.names)
     for req in lreq:
         if req not in lcols:
@@ -196,8 +219,11 @@ def _padded_copartition(
     ltypes: dict,
     rtypes: dict,
     n_buckets: int,
+    hash_cols: list[str] | None = None,
 ):
-    """ONE bucketed exchange co-partitioning two datasets on ``by``:
+    """ONE bucketed exchange co-partitioning two datasets on ``by``
+    (or on ``hash_cols`` when given — e.g. ``[by, '__band']`` for the
+    banded interval join):
     union both sides under a single Arrow schema (shared key columns
     filled by both sides; each side's payload padded with typed
     NON-NULL filler on the other's rows — one schema across all blocks,
@@ -225,7 +251,9 @@ def _padded_copartition(
                 if name == "__side":
                     arrays.append(pa.array(np.full(n, side, np.int8), typ))
                 elif name == "__bucket":
-                    arrays.append(pa.array(bucket_of(batch, [by], n_buckets), typ))
+                    arrays.append(
+                        pa.array(bucket_of(batch, hash_cols or [by], n_buckets), typ)
+                    )
                 elif name in own:
                     arrays.append(pa.Array.from_pandas(batch[name], type=typ))
                 else:
@@ -266,6 +294,29 @@ def _typed_output(out: pd.DataFrame, out_schema: pa.Schema) -> pa.Table:
     ).replace_schema_metadata(None)
 
 
+def _bands_of(values: np.ndarray, band_width) -> np.ndarray:
+    """Map an ``on``/``lo``/``hi`` column to int64 band numbers —
+    monotone floor(v / w) in the column's own domain. Timestamps take a
+    ``pd.Timedelta``/str/int-ns width; floats a float width; ints an int
+    width. Both sides of the join MUST share one dtype so band numbers
+    agree."""
+    if values.dtype.kind in "mM":
+        w = (
+            int(band_width)
+            if isinstance(band_width, (int, np.integer))
+            else int(pd.Timedelta(band_width).value)
+        )
+        if w <= 0:
+            raise ValueError(f"band_width must be positive, got {band_width!r}")
+        return values.view("i8") // w
+    w = float(band_width)
+    if w <= 0:
+        raise ValueError(f"band_width must be positive, got {band_width!r}")
+    if values.dtype.kind == "f":
+        return np.floor(values / w).astype(np.int64)
+    return values.astype(np.int64) // int(band_width)
+
+
 def interval_join(
     points: rd.Dataset,
     intervals: rd.Dataset,
@@ -274,6 +325,8 @@ def interval_join(
     lo: str,
     hi: str,
     n_buckets: int = 32,
+    band_width=None,
+    max_bands_per_interval: int = 4096,
 ) -> rd.Dataset:
     """Range join: every (point, interval) pair in the same ``by`` group
     with ``lo <= point[on] <= hi`` (both ends inclusive) — the brief's
@@ -282,15 +335,26 @@ def interval_join(
     Same column contract as :func:`asof_join`: ``by`` on both sides with
     one dtype; all other names disjoint; no nulls in payloads. ``on``
     lives on the points side, ``lo``/``hi`` on the intervals side, all
-    three mutually comparable.
+    three mutually comparable (and all three the SAME dtype when
+    ``band_width`` is used).
 
     Shape: ONE bucketed exchange co-partitioning both sides on ``by``
     (``bucket_of`` — the engine-wide key hash), then a per-bucket
     vectorized equi-merge on ``by`` + containment filter. The merge's
     intermediate is bounded by Σ_key |points_k|·|intervals_k| — fine when
-    intervals-per-key is small (the attribution shape); a key with many
-    long overlapping intervals needs domain banding on ``on`` instead,
-    which composes with this exchange but is not implemented here.
+    intervals-per-key is small (the attribution shape).
+
+    **Domain banding** (``band_width``): a key with many long
+    overlapping intervals makes the plain per-key merge quadratic. With
+    ``band_width=w`` the ``on`` domain is cut into bands of width ``w``
+    (pass a ``pd.Timedelta``/str for timestamp columns); each interval
+    is replicated to every band it overlaps, each point probes only its
+    own band, and the equi-merge runs on ``(by, band)`` — so the
+    intermediate is Σ_band |points_b|·|intervals_b|, proportional to
+    true matches when ``w`` ≈ the typical interval length. Each matching
+    pair meets in EXACTLY one band (the point's), so no dedup pass is
+    needed. Replication cost is ⌈len/w⌉ rows per interval, capped by
+    ``max_bands_per_interval`` (raise the cap or widen ``w`` if hit).
     """
     lpay, rpay, ltypes, rtypes = _validate_two_sided(
         points.schema(), intervals.schema(),
@@ -301,14 +365,52 @@ def interval_join(
         + [(c, ltypes[c]) for c in lpay]
         + [(c, rtypes[c]) for c in rpay]
     )
+    shared = [by]
+    hash_cols = None
+    if band_width is not None:
+        if not (ltypes[on] == rtypes[lo] == rtypes[hi]):
+            raise ValueError(
+                f"banded interval_join needs one dtype across {on!r}/{lo!r}/"
+                f"{hi!r}; got {ltypes[on]}, {rtypes[lo]}, {rtypes[hi]}"
+            )
+        def point_band(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__band"] = _bands_of(batch[on].to_numpy(), band_width)
+            return batch
+
+        def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+            b_lo = _bands_of(batch[lo].to_numpy(), band_width)
+            b_hi = _bands_of(batch[hi].to_numpy(), band_width)
+            counts = np.clip(b_hi - b_lo + 1, 0, None)
+            if counts.size and counts.max() > max_bands_per_interval:
+                raise ValueError(
+                    f"an interval spans {int(counts.max())} bands > "
+                    f"max_bands_per_interval={max_bands_per_interval}; widen "
+                    f"band_width (≈ typical interval length) or raise the cap"
+                )
+            idx = np.repeat(np.arange(len(batch)), counts)
+            out = batch.iloc[idx].copy()
+            offs = np.arange(int(counts.sum())) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            out["__band"] = np.repeat(b_lo, counts) + offs
+            return out
+
+        points = points.map_batches(point_band, batch_format="pandas")
+        intervals = intervals.map_batches(explode_bands, batch_format="pandas")
+        shared = [by, "__band"]
+        ltypes["__band"] = pa.int64()
+        rtypes["__band"] = pa.int64()
+        hash_cols = [by, "__band"]
+
     grouped = _padded_copartition(
-        points, intervals, by=by, shared=[by], lpay=lpay, rpay=rpay,
-        ltypes=ltypes, rtypes=rtypes, n_buckets=n_buckets,
+        points, intervals, by=by, shared=shared, lpay=lpay, rpay=rpay,
+        ltypes=ltypes, rtypes=rtypes, n_buckets=n_buckets, hash_cols=hash_cols,
     )
 
     def merge(group: pa.Table) -> pa.Table:
-        pf, itv = _split_sides(group, [by], lpay, rpay)
-        out = pf.merge(itv, on=by, how="inner")
+        pf, itv = _split_sides(group, shared, lpay, rpay)
+        out = pf.merge(itv, on=shared, how="inner")
         out = out[(out[on] >= out[lo]) & (out[on] <= out[hi])]
         return _typed_output(out, out_schema)
 

@@ -83,8 +83,16 @@ class ZonalJoinActor:
             gx = np.broadcast_to(cx[None, :], (h, w)).ravel()
             gy = np.broadcast_to(cy[:, None], (h, w)).ravel()
             m = self.polys[zi].contains(gx, gy)
-            if len(self._mask_cache) > 4096:  # bound actor memory
-                self._mask_cache.clear()
+            # LRU, not clear-all: a periodic full clear re-pays EVERY
+            # boundary-tile mask on long streams (VERDICT r3 finding #2);
+            # dicts are insertion-ordered, so popping the oldest entries
+            # after a move-to-end on hits is an O(1) LRU
+            while len(self._mask_cache) >= 4096:  # bound actor memory
+                self._mask_cache.pop(next(iter(self._mask_cache)))
+            self._mask_cache[key] = m
+        else:
+            # move-to-end so hot boundary tiles survive eviction
+            self._mask_cache.pop(key)
             self._mask_cache[key] = m
         return m
 

@@ -30,8 +30,17 @@ def to_arrow(df: pd.DataFrame) -> pa.Table:
     Arrow, not pandas. The pandas schema metadata is stripped: it
     embeds dicts, which defeat Ray's schema-dedup hashing (the
     worker-side "Failed to hash the schemas" noise) and bloat every
-    block header."""
-    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    block header. Empty object-dtype columns (the ``pd.Series(dtype=
+    str)`` typed-empty templates) would infer Arrow ``null`` type and
+    churn against the string blocks of non-empty buckets — cast them to
+    ``string`` so every bucket emits ONE schema (VERDICT r3 finding
+    #3)."""
+    t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    if t.num_rows == 0:
+        for i, f in enumerate(t.schema):
+            if pa.types.is_null(f.type):
+                t = t.set_column(i, pa.field(f.name, pa.string()), pa.nulls(0, pa.string()))
+    return t
 
 
 def bucketed_agg(
@@ -152,9 +161,12 @@ def bucketed_group_map(
         batch["__bucket"] = bucket_of(batch, keys, n_buckets)
         return to_arrow(batch)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         outs = [group_fn(sub) for _, sub in g.groupby(keys, sort=False)]
-        return pd.concat(outs, ignore_index=True)
+        # hand the executor Arrow: a pandas output with object-dtype
+        # string columns defeats Ray's block-size estimator ("cannot
+        # call vectorize on size 0 inputs" noise in the bench tail)
+        return to_arrow(pd.concat(outs, ignore_index=True))
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
@@ -188,8 +200,8 @@ def bucketed_bucket_map(
         batch["__bucket"] = bucket_of(batch, keys, n_buckets)
         return to_arrow(batch)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return bucket_fn(g.drop(columns="__bucket"))
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        return to_arrow(bucket_fn(g.drop(columns="__bucket")))
 
     tagged = ds.map_batches(add_bucket, batch_format="pandas")
     if coalesce:

@@ -63,13 +63,17 @@ def bucketed_distinct(
         pos = _winner_positions(light, keys, sort_cols)
         batch = batch.take(pa.array(pos))
         b = _bucket_of(light.iloc[pos].reset_index(drop=True), keys, n_buckets)
-        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+        # strip the pandas metadata a from_pandas source embeds — its
+        # dicts defeat Ray's schema-dedup hashing downstream
+        return batch.append_column(
+            "__bucket", pa.array(b, pa.int32())
+        ).replace_schema_metadata(None)
 
     def dedup(group: pa.Table) -> pa.Table:
         light = group.select(light_cols).to_pandas().reset_index(drop=True)
         pos = _winner_positions(light, keys, sort_cols)
         out = group.take(pa.array(pos))
-        return out.drop_columns(["__bucket"])
+        return out.drop_columns(["__bucket"]).replace_schema_metadata(None)
 
     out = ds.map_batches(local_dedup_and_bucket, batch_format="pyarrow")
     if coalesce:
@@ -123,6 +127,7 @@ def attach_pair_attrs(
     attr_cols: list[str],
     n_buckets: int = 32,
     max_broadcast_ids: int = 2_000_000,
+    max_broadcast_bytes: int = 256 << 20,
 ) -> rd.Dataset:
     """Join per-id attributes onto candidate pairs (a, b) as
     ``{col}_a`` / ``{col}_b`` — the payload-slim LSH shape: band rows
@@ -135,7 +140,11 @@ def attach_pair_attrs(
     filtered to those ids and shipped via ``ray.put`` — zero extra
     shuffle. Falls back to a fully distributed exploded join (pair
     sides and attrs co-bucketed by id hash, two bucketed merges) when
-    the id set exceeds ``max_broadcast_ids``.
+    the id set exceeds ``max_broadcast_ids`` OR when the estimated
+    broadcast payload (ids × mean attr row width, sampled from the
+    attrs' first block) exceeds ``max_broadcast_bytes`` — an id-count
+    bound alone would still pull gigabytes through the driver for wide
+    attrs like 1 KB minhash signatures (VERDICT r3 finding #1).
     """
     import ray
 
@@ -152,7 +161,18 @@ def attach_pair_attrs(
     ).materialize()
     n_ids_bound = id_parts_ds.count()
 
-    if n_ids_bound <= max_broadcast_ids:
+    # byte-aware guard: mean attr row width from ONE sampled block (no
+    # full materialization) × the id-count bound
+    try:
+        sample = attrs.select_columns([id_col, *attr_cols]).limit(512).take_batch(
+            512, batch_format="pyarrow"
+        )
+        mean_attr_width = sample.nbytes / max(1, sample.num_rows)
+    except (ValueError, StopIteration):  # empty attrs — nothing to ship
+        mean_attr_width = 0.0
+    est_broadcast_bytes = n_ids_bound * mean_attr_width
+
+    if n_ids_bound <= max_broadcast_ids and est_broadcast_bytes <= max_broadcast_bytes:
         ids = id_parts_ds.to_pandas()[id_col].unique()
         id_set = set(ids.tolist())
 

@@ -290,3 +290,50 @@ class TestRunningAgg:
                          ["ts", "event_id"], "value_c", n_buckets=32)
              .to_pandas().sort_values("event_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestExtractJsonInt:
+    def test_top_level_semantics_match_duckdb(self, ray_session):
+        """The regex fast path must agree with json_extract('$.k') even on
+        nested objects and key-lookalikes inside string values (ADVICE
+        r3): ambiguous rows fall back to a real JSON parse."""
+        import duckdb
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.events import extract_json_int
+
+        payloads = [
+            '{"k": 7, "other": 1}',                      # flat — fast path
+            '{"nested": {"k": 99}}',                     # k only nested → NA
+            '{"k": 1, "nested": {"k": 99}}',             # top-level wins
+            '{"note": "see \\"k\\": 42 in docs", "k": 5}',  # escaped lookalike
+            '{"note": "see \\"k\\": 42 in docs"}',       # ONLY the lookalike → NA
+            '{"k": 12.5}',                               # non-int → NA
+            '{"k": true}',                               # bool → NA
+            '{"j": 3}',                                  # missing → NA
+            '{"k": -8}',                                 # negative int
+        ]
+        df = pd.DataFrame(
+            {"event_id": np.arange(len(payloads), dtype=np.int64), "props": payloads}
+        )
+        got = (
+            extract_json_int(rd.from_pandas(df).repartition(3), "props", "k")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        # integer-valued top-level fields only (the operator's contract —
+        # TRY_CAST alone would round '12.5' to 13)
+        want = con.execute(
+            "SELECT event_id, CASE WHEN regexp_matches("
+            "json_extract_string(props, '$.k'), '^-?[0-9]+$') THEN "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) END k"
+            " FROM t ORDER BY event_id"
+        ).df()
+        con.close()
+        got_k = got["k"].astype("Int64").fillna(-999).tolist()
+        want_k = want["k"].astype("Int64").fillna(-999).tolist()
+        assert got_k == want_k
+        assert got_k == [7, -999, 1, 5, -999, -999, -999, -999, -8]

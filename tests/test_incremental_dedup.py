@@ -65,6 +65,38 @@ class TestIncrementalDedup:
         assert len(parts) >= 2
 
 
+class TestSharedIndexDirMeta:
+    def test_exact_build_after_near_build_preserves_near_meta(
+        self, ray_session, tmp_path
+    ):
+        """One index_dir serving BOTH exact and near dedup: building the
+        exact index second must merge-update meta.json, not clobber the
+        near index's near_n_shards/n_bands (ADVICE r3)."""
+        import json
+
+        import ray.data as rd
+
+        from gridfia_ray.dedup.incremental import (
+            build_near_index,
+            near_dedup_against_index,
+        )
+
+        base = _docs([1, 2, 3], ["alpha one", "beta two", "gamma three"])
+        idx = str(tmp_path / "shared_index")
+        build_near_index(rd.from_pandas(base), idx, n_shards=4, n_bands=8)
+        build_hash_index(rd.from_pandas(base), idx, n_shards=8)
+        with open(os.path.join(idx, "meta.json")) as f:
+            meta = json.load(f)
+        assert meta["n_shards"] == 8
+        assert meta["near_n_shards"] == 4 and meta["n_bands"] == 8
+        # and the near path still works after the exact build
+        new = _docs([10, 11], ["alpha one", "totally fresh words here"])
+        out = near_dedup_against_index(
+            rd.from_pandas(new), idx, max_hamming=3
+        ).to_pandas()
+        assert out["doc_id"].tolist() == [11]
+
+
 class TestNearIncrementalDedup:
     """SimHash band index: near-dup rejection for continuous ingestion."""
 

@@ -84,10 +84,35 @@ class TestBroadcastSemiJoin:
         anti = broadcast_semi_join(_ds(left, 2), _ds(keys, 1), "k", anti=True).to_pandas()
         assert len(semi) == 0 and len(anti) == len(left)
 
-    def test_max_keys_guard(self, ray_session):
+    def test_auto_route_beyond_max_keys(self, ray_session):
+        # a tiny max_keys forces the hash-shuffle semi/anti fork; results
+        # must match the broadcast path exactly (same columns, same rows)
         left, keys = self._frames()
-        with pytest.raises(ValueError, match="max_keys"):
-            broadcast_semi_join(_ds(left, 2), _ds(keys, 2), "k", max_keys=3)
+        kset = set(keys["k"])
+        semi = broadcast_semi_join(
+            _ds(left, 4), _ds(keys, 3), "k", max_keys=3
+        ).to_pandas()
+        anti = broadcast_semi_join(
+            _ds(left, 4), _ds(keys, 3), "k", anti=True, max_keys=3
+        ).to_pandas()
+        assert sorted(semi.columns) == sorted(left.columns)
+        assert sorted(anti.columns) == sorted(left.columns)
+        assert set(semi["payload"]) == set(left.loc[left["k"].isin(kset), "payload"])
+        assert set(anti["payload"]) == set(left.loc[~left["k"].isin(kset), "payload"])
+        assert len(semi) + len(anti) == len(left)
+
+    def test_auto_route_beyond_byte_bound(self, ray_session):
+        # wide keys: an id-count bound alone would still broadcast; the
+        # byte bound must route to the shuffle join (VERDICT r3 #1 shape)
+        left = pd.DataFrame(
+            {"k": [f"key-{i:04d}" * 32 for i in range(40)],
+             "payload": np.arange(40, dtype=np.int64)}
+        )
+        keys = pd.DataFrame({"k": left["k"].iloc[::2]})
+        got = broadcast_semi_join(
+            _ds(left, 2), _ds(keys, 2), "k", max_broadcast_bytes=64
+        ).to_pandas()
+        assert set(got["payload"]) == set(left["payload"].iloc[::2])
 
     def test_string_keys(self, ray_session):
         left = pd.DataFrame({"k": ["a", "b", "c", "d"], "v": np.int64([1, 2, 3, 4])})
@@ -156,6 +181,92 @@ class TestIntervalJoin:
         with pytest.raises(ValueError, match="disjoint"):
             interval_join(_ds(pts, 1), _ds(itv, 1), by="u", on="t",
                           lo="lo", hi="hi")
+
+    def test_banded_matches_unbanded(self, ray_session):
+        # domain banding is a pure execution-plan change: the result set
+        # must be IDENTICAL (each pair meets in exactly one band)
+        pts, itv = self._frames()
+        got = (
+            interval_join(_ds(pts), _ds(itv), by="u", on="t", lo="lo", hi="hi",
+                          n_buckets=8, band_width=50.0)
+            .to_pandas()[["u", "pid", "iid"]]
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
+        pd.testing.assert_frame_equal(got, self._oracle(pts, itv))
+
+    def test_banded_timestamps(self, ray_session):
+        base = pd.to_datetime("2024-03-01")
+        pts = pd.DataFrame(
+            {"u": np.int64([1, 1, 2]),
+             "t": base + pd.to_timedelta([10, 200, 50], unit="m"),
+             "pid": np.int64([0, 1, 2])}
+        )
+        itv = pd.DataFrame(
+            {"u": np.int64([1, 2]),
+             "lo": base + pd.to_timedelta([0, 40], unit="m"),
+             "hi": base + pd.to_timedelta([60, 55], unit="m"),
+             "iid": np.int64([9, 8])}
+        )
+        got = interval_join(
+            _ds(pts, 2), _ds(itv, 1), by="u", on="t", lo="lo", hi="hi",
+            n_buckets=4, band_width="15min",
+        ).to_pandas()
+        assert sorted(zip(got["pid"].astype(int), got["iid"].astype(int))) == [
+            (0, 9), (2, 8)
+        ]
+
+    def test_banded_skew_hot_key(self, ray_session):
+        # ONE key, 10^4 long overlapping intervals, 200 points: the
+        # unbanded plan's per-key merge intermediate is 2e6 pairs; the
+        # banded plan's per-band merges stay proportional to output.
+        # Correctness is asserted against the brute oracle; the budget
+        # claim is structural (each band's merge only sees its own rows).
+        n_itv = 10_000
+        rng = np.random.RandomState(77)
+        lo = rng.uniform(0, 9_000, n_itv)
+        itv = pd.DataFrame(
+            {"u": np.zeros(n_itv, np.int64), "lo": lo,
+             "hi": lo + rng.uniform(400, 900, n_itv),
+             "iid": np.arange(n_itv, dtype=np.int64)}
+        )
+        pts = pd.DataFrame(
+            {"u": np.zeros(200, np.int64),
+             "t": rng.uniform(0, 10_000, 200),
+             "pid": np.arange(200, dtype=np.int64)}
+        )
+        got = interval_join(
+            _ds(pts, 4), _ds(itv, 8), by="u", on="t", lo="lo", hi="hi",
+            n_buckets=16, band_width=500.0,
+        ).to_pandas()
+        want = self._oracle(pts, itv)
+        got = (
+            got[["u", "pid", "iid"]]
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert len(want) > 100_000  # genuinely dense overlap
+
+    def test_band_cap_raises(self, ray_session):
+        pts = pd.DataFrame({"u": np.int64([1]), "t": [5.0], "pid": np.int64([0])})
+        itv = pd.DataFrame({"u": np.int64([1]), "lo": [0.0], "hi": [1e9],
+                            "iid": np.int64([1])})
+        with pytest.raises(Exception, match="max_bands_per_interval"):
+            interval_join(
+                _ds(pts, 1), _ds(itv, 1), by="u", on="t", lo="lo", hi="hi",
+                band_width=1.0, max_bands_per_interval=100,
+            ).materialize()
+
+    def test_empty_side_clear_error(self, ray_session):
+        import ray.data as rd
+
+        pts = pd.DataFrame({"u": np.int64([1]), "t": [5.0], "pid": np.int64([0])})
+        empty = rd.from_items([])  # schema() is None
+        with pytest.raises(ValueError, match="empty/schema-less"):
+            interval_join(_ds(pts, 1), empty, by="u", on="t", lo="lo", hi="hi")
 
 
 class TestAsofJoin:
