@@ -43,7 +43,7 @@ from gridfia_ray.codecs.registry import encode_tile
 from gridfia_ray.geo import wkb
 from gridfia_ray.geo.affine import tile_transform
 
-GEN_VERSION = 5
+GEN_VERSION = 6
 SEED = 42
 CRS = "ESRI:102039"
 ORIGIN_X = -2_000_000.0
@@ -292,6 +292,98 @@ def _write_pixels(path: str, cube: np.ndarray, catalog: list[tuple[str, str]]) -
         writer.close()
 
 
+def _write_warp_expected(path: str, scale: Scale, cube: np.ndarray) -> None:
+    """Pinned oracle for the Web-Mercator warp of the total-biomass
+    raster (contract.q_warp_mercator): a SINGLE-PROCESS brute-force
+    reprojection over the stitched cube — no tiling, no gather, no
+    exchange — emitting the same per-destination-tile summary
+    (tile_row, tile_col, n_valid, sum_u). The distributed pipeline's
+    cover fan-out / keyed exchange / per-tile resample must reproduce it
+    bit-exactly. Same brute force as tests/test_warp.py:51.
+
+    Exactness: total = float64 sum of the f32 species layers (≤ 24+5
+    mantissa bits → order-independent); warped values are copies of
+    source pixels (nearest neighbor), so s6 sums are exact ints."""
+    from gridfia_ray.geo.crs import transform_bbox, transform_points
+
+    n = scale.grid * scale.tile
+    G = cube[1:].astype(np.float64).sum(axis=0)  # total from species layers
+    ext = float(n) * PX
+    bbox = transform_bbox(
+        (ORIGIN_X, ORIGIN_Y - ext, ORIGIN_X + ext, ORIGIN_Y), CRS, "EPSG:3857"
+    )
+    dst_px, D = 40.0, scale.tile
+    dst_x0, dst_y0 = bbox[0], bbox[3]
+    cell = dst_px * D
+    # scan the destination tiles covering the transformed extent (+1
+    # margin ring); tiles at negative indices never materialize (the
+    # pipeline clamps), and all-NaN tiles are dropped on both sides
+    n_cols = int(np.ceil((bbox[2] - bbox[0]) / cell)) + 2
+    n_rows = int(np.ceil((bbox[3] - bbox[1]) / cell)) + 2
+    rows = []
+    for tr in range(n_rows):
+        for tc in range(n_cols):
+            xs = dst_x0 + (tc * D + np.arange(D) + 0.5) * dst_px
+            ys = dst_y0 - (tr * D + np.arange(D) + 0.5) * dst_px
+            gx = np.broadcast_to(xs[None, :], (D, D)).ravel()
+            gy = np.broadcast_to(ys[:, None], (D, D)).ravel()
+            sx, sy = transform_points(gx, gy, "EPSG:3857", CRS)
+            px_x = np.floor((sx - ORIGIN_X) / PX).astype(np.int64)
+            px_y = np.floor((ORIGIN_Y - sy) / PX).astype(np.int64)
+            ok = (px_x >= 0) & (px_y >= 0) & (px_x < n) & (px_y < n)
+            if not ok.any():
+                continue
+            vals = G[px_y[ok], px_x[ok]]
+            sum_u = int(
+                np.floor(vals * 1_000_000 + 0.5).astype(np.int64).sum()
+            )
+            rows.append((tr, tc, int(ok.sum()), sum_u))
+    df = pa.table(
+        {
+            "tile_row": pa.array([r[0] for r in rows], pa.int64()),
+            "tile_col": pa.array([r[1] for r in rows], pa.int64()),
+            "n_valid": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_u": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(df, path)
+
+
+def _write_percentiles_expected(path: str, cube: np.ndarray) -> None:
+    """Pinned oracle for the mergeable-histogram percentile sketch
+    (contract.q_percentiles): the sketch is APPROXIMATE vs the true
+    order statistic but fully DETERMINISTIC (exact min/max range, fixed
+    4096 float64 edges, exact int64 counts, one interpolation formula) —
+    so a single-process replay over the cube's nonzero species values
+    pins its output exactly, turning the driver row from no_oracle to a
+    full hash check. np.percentile-level accuracy is separately asserted
+    in tests/test_reassemble_percentiles.py."""
+    vals = cube[1:].ravel()
+    vals = vals[vals != 0.0]
+    lo, hi = float(vals.min()), float(vals.max())
+    bins = 4096
+    edges = np.linspace(lo, hi, bins + 1)
+    counts = np.histogram(vals, bins=edges)[0].astype(np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    out_q, out_v = [], []
+    for q in (2.0, 50.0, 98.0):
+        target = q / 100.0 * total
+        b = min(int(np.searchsorted(cum, target, side="left")), bins - 1)
+        prev = cum[b - 1] if b > 0 else 0
+        in_bin = counts[b]
+        frac = (target - prev) / in_bin if in_bin > 0 else 0.0
+        v = float(edges[b] + frac * (edges[b + 1] - edges[b]))
+        out_q.append(q)
+        out_v.append(int(np.floor(np.float64(v) * 1_000_000 + 0.5)))
+    pq.write_table(
+        pa.table(
+            {"q": pa.array(out_q, pa.float64()), "value_u": pa.array(out_v, pa.int64())}
+        ),
+        path,
+    )
+
+
 # ---------------------------------------------------------------------------
 # zones — geometry in world coords; membership from independent logic
 # ---------------------------------------------------------------------------
@@ -469,6 +561,11 @@ def ensure_fixture(name: str) -> str:
         n_tiles = _write_tiles(os.path.join(tmp, "tiles"), scale, cube, catalog)
         if scale.name in ("t1", "t1png", "t2"):
             _write_pixels(os.path.join(tmp, "pixels.parquet"), cube, catalog)
+        if scale.name in ("t1", "t2"):
+            _write_warp_expected(os.path.join(tmp, "warp_expected.parquet"), scale, cube)
+            _write_percentiles_expected(
+                os.path.join(tmp, "percentiles_expected.parquet"), cube
+            )
         _write_zones(tmp, scale)
         _write_plots(tmp, scale)
         if scale.fmt == "raw-f32" and scale.name in ("t1", "t2"):

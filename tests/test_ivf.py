@@ -188,3 +188,76 @@ class TestInt8Quantization:
         f = set(map(tuple, rf.to_pandas()[["query_id", "vec_id"]].values))
         q = set(map(tuple, rq.to_pandas()[["query_id", "vec_id"]].values))
         assert len(f & q) / len(f) >= 0.9
+
+
+class TestSampledTrainAndAppend:
+    def test_sampled_train_recall_parity(self, blob_ds, blobs):
+        """Quantizer trained on a ~600-vector hash sample must match the
+        full-train fit's recall bar on the clustered corpus (round-3
+        VERDICT #5: build cost scales with sample, not corpus)."""
+        _, vecs, lab = blobs
+        c_s = ivf.kmeans_fit(blob_ds, K_CLUSTERS, seed=1, train_size=600)
+        assigned = ivf.assign_cells(blob_ds, c_s).to_pandas()
+        assigned["lab"] = lab[assigned["vec_id"].to_numpy()]
+        purity = assigned.groupby("ivf_cell")["lab"].agg(
+            lambda s: s.value_counts().iloc[0] / len(s)
+        )
+        assert len(purity) == K_CLUSTERS and purity.min() >= 0.95
+        qids = [0, 1, 2, 3, 4]
+        exact = topk_cosine(blob_ds, vecs[qids], qids, k=10).to_pandas()
+        approx = ivf.ivf_topk_cosine(
+            blob_ds, vecs[qids], qids, k=10, k_cells=K_CLUSTERS, nprobe=2,
+            centroids=c_s,
+        ).to_pandas()
+        hits = set(map(tuple, approx[["query_id", "vec_id"]].values))
+        truth = set(map(tuple, exact[["query_id", "vec_id"]].values))
+        assert len(hits & truth) / len(truth) >= 0.95
+
+    def test_sampled_train_partition_invariant(self, blobs, ray_session):
+        import ray.data as rd
+
+        a = ivf.kmeans_fit(rd.from_pandas(blobs[0]).repartition(2),
+                           K_CLUSTERS, seed=1, train_size=600)
+        b = ivf.kmeans_fit(rd.from_pandas(blobs[0]).repartition(11),
+                           K_CLUSTERS, seed=1, train_size=600)
+        assert np.array_equal(a, b)
+
+    def test_append_then_search(self, blobs, tmp_path_factory, ray_session):
+        """Index built on part of the corpus, rest appended without
+        retraining: search must see appended vectors (self-query top-1)
+        and old part files must survive (append-native store)."""
+        import ray.data as rd
+
+        df, vecs, _ = blobs
+        d = str(tmp_path_factory.mktemp("ivf_app"))
+        base, extra = df.iloc[:1500], df.iloc[1500:]
+        ivf.build_ivf_index(rd.from_pandas(base).repartition(4), d, K_CLUSTERS, seed=1)
+
+        def n_files():
+            return sum(
+                len(fs) for _, _, fs in os.walk(os.path.join(d, "cells"))
+            )
+
+        before = n_files()
+        n = ivf.append_to_ivf_index(rd.from_pandas(extra).repartition(3), d)
+        assert n == len(extra)
+        assert n_files() > before  # old parts kept, new parts added
+        qids = [1600, 1700, 100]  # two appended, one original
+        res, _ = ivf.search_ivf_index(d, vecs[qids], qids, k=5, nprobe=3)
+        got = res.to_pandas()
+        top1 = got[got["rank"] == 1].set_index("query_id")["vec_id"]
+        assert top1.loc[1600] == 1600 and top1.loc[1700] == 1700
+        assert top1.loc[100] == 100
+
+    def test_append_dim_mismatch_raises(self, blobs, tmp_path_factory, ray_session):
+        import ray.data as rd
+
+        df = blobs[0]
+        d = str(tmp_path_factory.mktemp("ivf_dim"))
+        ivf.build_ivf_index(rd.from_pandas(df.iloc[:500]), d, 4, seed=1)
+        bad = pd.DataFrame(
+            {"vec_id": np.int64([9000]),
+             "embedding": [np.zeros(DIM + 3, np.float32)]}
+        )
+        with pytest.raises(ValueError, match="-d vectors"):
+            ivf.append_to_ivf_index(rd.from_pandas(bad), d)
