@@ -12,7 +12,7 @@ import numpy as np
 
 from gridfia_ray.codecs import png16, raw
 
-FORMATS = ("raw-f32", "zlib-f32", "png", "tiff", "bmp")
+FORMATS = ("raw-f32", "zlib-f32", "png", "tiff", "bmp", "jpeg")
 
 
 def decode_tile(buf: bytes, fmt: str, h: int, w: int, meta: dict | None = None) -> np.ndarray:
@@ -32,6 +32,13 @@ def decode_tile(buf: bytes, fmt: str, h: int, w: int, meta: dict | None = None) 
 
         meta = meta or {}
         return bmp.decode_bmp8(buf, meta.get("scale_vmin", 0.0), meta.get("scale_vmax", 0.0))
+    if fmt == "jpeg":
+        from gridfia_ray.codecs import jpeg
+
+        meta = meta or {}
+        return jpeg.decode_jpeg_gray(
+            buf, meta.get("scale_vmin", 0.0), meta.get("scale_vmax", 0.0)
+        )
     raise ValueError(f"unknown tile format {fmt!r}")
 
 
@@ -52,5 +59,10 @@ def encode_tile(arr: np.ndarray, fmt: str) -> tuple[bytes, dict]:
         from gridfia_ray.codecs import bmp
 
         buf, vmin, vmax = bmp.encode_bmp8(arr)
+        return buf, {"scale_vmin": vmin, "scale_vmax": vmax}
+    if fmt == "jpeg":
+        from gridfia_ray.codecs import jpeg
+
+        buf, vmin, vmax = jpeg.encode_jpeg_gray(arr)
         return buf, {"scale_vmin": vmin, "scale_vmax": vmax}
     raise ValueError(f"unknown tile format {fmt!r}")

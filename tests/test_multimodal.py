@@ -49,7 +49,29 @@ class TestExternalStub:
     def test_stub_raises_by_default(self):
         dec = ExternalMediaDecoder()
         with pytest.raises(NotImplementedError):
-            dec.decode(b"\xff\xd8\xff", "jpeg")
+            dec.decode(b"RIFF....WEBP", "webp")
+
+    def test_jpeg_is_real_now(self):
+        """jpeg graduated from stub to the pure-numpy T.81 codec: a real
+        jpeg payload decodes through the media path (raw 0..255)."""
+        from gridfia_ray.codecs.jpeg import encode_jpeg_gray
+
+        rng = np.random.RandomState(5)
+        a = (rng.rand(24, 24) * 200).astype(np.float32)
+        buf, _, _ = encode_jpeg_gray(a)
+        batch = pa.table(
+            {
+                "image_id": ["j"],
+                "bytes": pa.array([buf], pa.binary()),
+                "h": pa.array([24], pa.int32()),
+                "w": pa.array([24], pa.int32()),
+                "fmt": ["jpeg"],
+            }
+        )
+        out = ExternalMediaDecoder()(batch)
+        assert out["status"].to_pylist() == ["ok"]
+        got = np.frombuffer(out["pix"][0].as_py(), "<f4").reshape(24, 24)
+        assert got.min() >= 0.0 and got.max() <= 255.0
 
     def test_unknown_format_rejected(self):
         with pytest.raises(ValueError):
@@ -62,7 +84,7 @@ class TestExternalStub:
                 "bytes": pa.array([b"payload-1", b"payload-2"], pa.binary()),
                 "h": pa.array([0, 0], pa.int32()),
                 "w": pa.array([0, 0], pa.int32()),
-                "fmt": ["jpeg", "webp"],
+                "fmt": ["mp4", "webp"],
             }
         )
         d1 = ExternalMediaDecoder(fake=True)(batch)
