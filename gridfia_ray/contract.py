@@ -1854,11 +1854,14 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("click_id").reset_index(drop=True)
 
 
-def q_events_error_window_join(sf_dir: str) -> pd.DataFrame:
+def q_events_error_window_join(sf_dir: str, band_width=None) -> pd.DataFrame:
     """Range (interval) join: every purchase within ±2 h of a same-user
     error event — the brief's range-join operator
     (``pipelines/joins.interval_join``), one bucketed co-partitioning
-    exchange keyed on user, per-bucket vectorized containment."""
+    exchange keyed on user, per-bucket vectorized containment.
+    ``band_width`` switches to the skew-proof domain-banded plan (same
+    result set — exercised as its own contract query against the SAME
+    SQL oracle)."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -1895,7 +1898,8 @@ def q_events_error_window_join(sf_dir: str) -> pd.DataFrame:
     pts = events.map_batches(purchases, batch_format="pandas")
     wins = events.map_batches(error_windows, batch_format="pandas")
     out = interval_join(
-        pts, wins, by="user_id", on="ts", lo="win_lo", hi="win_hi", n_buckets=16
+        pts, wins, by="user_id", on="ts", lo="win_lo", hi="win_hi", n_buckets=16,
+        band_width=band_width,
     ).to_pandas()
     res = pd.DataFrame(
         {
@@ -1904,6 +1908,15 @@ def q_events_error_window_join(sf_dir: str) -> pd.DataFrame:
         }
     )
     return res.sort_values(["purchase_id", "error_id"]).reset_index(drop=True)
+
+
+def q_events_error_window_banded(sf_dir: str) -> pd.DataFrame:
+    """The same interval join under the DOMAIN-BANDED plan (band width ≈
+    window length = 4 h): intervals replicate to the time bands they
+    span, points probe their own band, so a user with thousands of
+    overlapping windows stays linear in true matches. Must hash-match
+    the identical SQL oracle as the unbanded plan."""
+    return q_events_error_window_join(sf_dir, band_width="4h")
 
 
 # ---------------------------------------------------------------------------
@@ -2024,6 +2037,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_langid_ngram": q_doc_langid_ngram,
         "doc_fingerprint": q_doc_fingerprint,
+        "events_error_window_banded": q_events_error_window_banded,
         "events_value_quantiles": q_events_value_quantiles,
         "events_top_by_user": q_events_top_by_user,
         "events_daily_uniques": q_events_daily_uniques,
@@ -2829,8 +2843,9 @@ def build_oracle_sql() -> dict[str, str]:
         FROM p JOIN e ON p.user_id = e.user_id
           AND p.ts >= e.ets - INTERVAL 2 HOUR
           AND p.ts <= e.ets + INTERVAL 2 HOUR"""
+    # the banded plan must reproduce the identical result set
+    sql["events_error_window_banded"] = sql["events_error_window_join"]
     # Remaining rows-only (irreducibly approximate / seeded-hash ops):
     # doc_minhash_pairs, doc_simhash_pairs, ann_lsh_topk, ann_ivf_topk,
-    # emb_near_dup, gf_percentiles — python brute-force/recall oracles
-    # live in tests/.
+    # emb_near_dup — python brute-force/recall oracles live in tests/.
     return sql

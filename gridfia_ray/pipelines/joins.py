@@ -308,7 +308,10 @@ def _bands_of(values: np.ndarray, band_width) -> np.ndarray:
         )
         if w <= 0:
             raise ValueError(f"band_width must be positive, got {band_width!r}")
-        return values.view("i8") // w
+        # normalize storage units (us-precision parquet vs ns-precision
+        # pandas arithmetic) so both sides band identically
+        return values.astype("datetime64[ns]" if values.dtype.kind == "M"
+                             else "timedelta64[ns]").view("i8") // w
     w = float(band_width)
     if w <= 0:
         raise ValueError(f"band_width must be positive, got {band_width!r}")
@@ -368,10 +371,19 @@ def interval_join(
     shared = [by]
     hash_cols = None
     if band_width is not None:
-        if not (ltypes[on] == rtypes[lo] == rtypes[hi]):
+        kinds = {
+            "ts" if pa.types.is_timestamp(t)
+            else "int" if pa.types.is_integer(t)
+            else "float" if pa.types.is_floating(t)
+            else str(t)
+            for t in (ltypes[on], rtypes[lo], rtypes[hi])
+        }
+        # same KIND is enough: timestamps normalize to ns inside
+        # _bands_of, so us-precision parquet meets ns-precision pandas
+        if len(kinds) != 1:
             raise ValueError(
-                f"banded interval_join needs one dtype across {on!r}/{lo!r}/"
-                f"{hi!r}; got {ltypes[on]}, {rtypes[lo]}, {rtypes[hi]}"
+                f"banded interval_join needs one dtype kind across {on!r}/"
+                f"{lo!r}/{hi!r}; got {ltypes[on]}, {rtypes[lo]}, {rtypes[hi]}"
             )
         def point_band(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()

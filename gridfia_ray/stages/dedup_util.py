@@ -176,8 +176,12 @@ def attach_pair_attrs(
         ids = id_parts_ds.to_pandas()[id_col].unique()
         id_set = set(ids.tolist())
 
-        def filt(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.loc[batch[id_col].isin(id_set), [id_col, *attr_cols]]
+        def filt(batch: pd.DataFrame) -> pa.Table:
+            # Arrow out: an empty pandas block with object columns trips
+            # Ray's size estimator ("vectorize on size 0") on every poll
+            from gridfia_ray.stages.agg_util import to_arrow
+
+            return to_arrow(batch.loc[batch[id_col].isin(id_set), [id_col, *attr_cols]])
 
         # O(pairs) rows with attrs — driver-small by the LSH-rarity
         # assumption that gates this path
