@@ -209,6 +209,24 @@ def run_bench() -> dict:
                 "ann_ivf_search_400k",
                 lambda: IVF.search_ivf_index(ivf_dir, qvecs, qids, k=10, nprobe=8)[0].count(),
             )
+
+            # index lifecycle: append 100k re-id'd vectors to the frozen
+            # quantizer (assign + per-cell part files, no retraining)
+            import pyarrow as pa
+            import pyarrow.compute  # noqa: F401 (pa.compute below)
+
+            def _append_100k():
+                sub = rd.read_parquet(emb_path).limit(100_000).map_batches(
+                    lambda b: b.set_column(
+                        b.column_names.index("vec_id"),
+                        "vec_id",
+                        pa.compute.add(b["vec_id"], 10_000_000),
+                    ),
+                    batch_format="pyarrow",
+                )
+                return IVF.append_to_ivf_index(sub, ivf_dir)
+
+            timed("ann_ivf_append_100k", _append_100k)
         finally:
             shutil.rmtree(ivf_dir, ignore_errors=True)
         timed("events_hourly", lambda: q_events_hourly(SF_DIR))

@@ -703,10 +703,18 @@ def _bench_snippets(sf_dir: str) -> list[str]:
     from gridfia_ray.context import tune_context
 
     tune_context()
+    import pyarrow as pa
+
     src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     rows = src.map_batches(
-        lambda b: pd.DataFrame(
-            {"s": b.loc[(b["doc_id"] % 97 == 0) & (b["text"].str.len() >= 68), "text"].str[20:68]}
+        # Arrow out: empty pandas blocks with an object column trip the
+        # executor's size estimator on every poll
+        lambda b: pa.table(
+            {"s": pa.array(
+                b.loc[(b["doc_id"] % 97 == 0) & (b["text"].str.len() >= 68), "text"]
+                .str[20:68].tolist(),
+                pa.string(),
+            )}
         ),
         batch_format="pandas",
     ).to_pandas()

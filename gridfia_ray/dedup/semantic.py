@@ -63,6 +63,7 @@ def semantic_dedup(
     seed: int = 42,
     max_cluster: int = 100_000,
     id_col: str = "vec_id",
+    train_size: int | None = None,
 ) -> rd.Dataset:
     """SemDeDup over the ``embedding`` column → (id, cluster, keep).
 
@@ -95,7 +96,12 @@ def semantic_dedup(
 
         embeddings = embeddings.map_batches(to_vec_id, batch_format="pandas")
 
-    centroids = kmeans_fit(embeddings, k, n_iters=n_iters, seed=seed)
+    # train_size: pass e.g. 256·k to train the clustering on a
+    # deterministic hash sample (ivf.kmeans_fit) — at 10^12 vectors the
+    # Lloyd passes must not stream the corpus; the assign pass still does
+    centroids = kmeans_fit(
+        embeddings, k, n_iters=n_iters, seed=seed, train_size=train_size
+    )
     assigned = assign_cells(embeddings, centroids)
     cen_ref = ray.put(centroids)  # ship k×d once, not per task closure
 

@@ -56,8 +56,16 @@ def shuffle_hash_join(
 
     if num_partitions is None:
         num_partitions = max(8, 2 * cluster_cpus())
-    return left.join(
-        right,
+
+    def strip_meta(b: pa.Table) -> pa.Table:
+        # parquet written by pandas embeds a dict-valued 'pandas' schema
+        # key; the join aggregator's schema-dedup hash chokes on it
+        # ("Failed to hash the schemas") and re-ships schemas per block.
+        # Metadata-only operation — no data copy.
+        return b.replace_schema_metadata(None)
+
+    return left.map_batches(strip_meta, batch_format="pyarrow").join(
+        right.map_batches(strip_meta, batch_format="pyarrow"),
         join_type=join_type,
         num_partitions=num_partitions,
         on=tuple(on),
