@@ -179,18 +179,31 @@ def percentiles_exact(
         active = [q for q in qs if q not in out]
         if not active:
             break
-        specs_h = [(state[q]["a"], state[q]["b"], state[q]["inc"]) for q in active]
-        edge_sets = [np.linspace(a, b, bins + 1) for a, b, _ in specs_h]
+        # DEDUPE identical candidate ranges: on the first pass every
+        # quantile's range is the full (lo, hi), so without this the
+        # heaviest pass histogrammed the whole corpus once PER quantile
+        uniq: dict[tuple[float, float, bool], int] = {}
+        spec_of_q = [
+            uniq.setdefault((state[q]["a"], state[q]["b"], state[q]["inc"]), len(uniq))
+            for q in active
+        ]
+        uspecs = list(uniq)
+        edge_sets = [np.linspace(a, b, bins + 1) for a, b, _ in uspecs]
 
-        def partial(batch: pa.Table, edge_sets=edge_sets, specs_h=specs_h) -> pa.Table:
+        def partial(batch: pa.Table, edge_sets=edge_sets, uspecs=uspecs) -> pa.Table:
             counts = np.zeros(len(edge_sets) * bins, dtype=np.int64)
             for arr in _decoded_values(batch):
-                a64 = arr.astype(np.float64)
+                # zero-filter in f32 (exact for the ==0 test) BEFORE the
+                # f64 upcast — skips copying excluded values
                 if exclude_zero:
-                    a64 = a64[a64 != 0.0]
+                    arr = arr[arr != 0.0]
+                a64 = arr.astype(np.float64)
                 for ri, edges in enumerate(edge_sets):
-                    a, b, inc = specs_h[ri]
-                    sel = a64[(a64 >= a) & ((a64 <= b) if inc else (a64 < b))]
+                    a, b, inc = uspecs[ri]
+                    if a <= lo and b >= hi and inc:
+                        sel = a64  # full global range: no mask copy
+                    else:
+                        sel = a64[(a64 >= a) & ((a64 <= b) if inc else (a64 < b))]
                     if sel.size:
                         counts[ri * bins : (ri + 1) * bins] += np.histogram(sel, bins=edges)[0]
             return pa.table(
@@ -209,11 +222,12 @@ def percentiles_exact(
         collect: list[tuple[float, float, float, int, bool]] = []
         for ri, q in enumerate(active):
             st = state[q]
-            c = full[ri * bins : (ri + 1) * bins]
+            si = spec_of_q[ri]
+            c = full[si * bins : (si + 1) * bins]
             cum = np.cumsum(c)
             local_k = st["k"] - st["below"]
             j = int(np.searchsorted(cum, local_k, side="left"))
-            edges = edge_sets[ri]
+            edges = edge_sets[si]
             in_bin = int(c[j])
             below_bin = int(cum[j - 1]) if j > 0 else 0
             st["inc"] = st["inc"] and j == bins - 1
@@ -234,9 +248,9 @@ def percentiles_exact(
                 # shrinks below collect_limit) costs one row, not an OOM
                 slot_col, val_col, cnt_col = [], [], []
                 for arr in _decoded_values(batch):
-                    a64 = arr.astype(np.float64)
                     if exclude_zero:
-                        a64 = a64[a64 != 0.0]
+                        arr = arr[arr != 0.0]
+                    a64 = arr.astype(np.float64)
                     for si, (a, b, inc) in enumerate(specs):
                         # same boundary semantics as the histogram pass:
                         # half-open top unless this range still carries
