@@ -651,8 +651,16 @@ def q_doc_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.dedup.incremental import build_hash_index, dedup_against_index
 
     docs = _docs(sf_dir)
-    first = docs.map_batches(lambda b: b[b["doc_id"] < 250], batch_format="pandas")
-    second = docs.map_batches(lambda b: b[b["doc_id"] >= 250], batch_format="pandas")
+    import pyarrow.compute as pc
+
+    # Arrow-level split: pandas filters here produced empty object-column
+    # blocks that tripped the executor's size estimator on every poll
+    first = docs.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 250)), batch_format="pyarrow"
+    )
+    second = docs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], 250)), batch_format="pyarrow"
+    )
     idx = tempfile.mkdtemp(prefix="hash_index_")
     try:
         build_hash_index(first, idx, n_shards=16)
@@ -679,8 +687,16 @@ def q_doc_near_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.dedup.incremental import build_near_index, near_dedup_against_index
 
     docs = _docs(sf_dir)
-    first = docs.map_batches(lambda b: b[b["doc_id"] < 250], batch_format="pandas")
-    second = docs.map_batches(lambda b: b[b["doc_id"] >= 250], batch_format="pandas")
+    import pyarrow.compute as pc
+
+    # Arrow-level split: pandas filters here produced empty object-column
+    # blocks that tripped the executor's size estimator on every poll
+    first = docs.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 250)), batch_format="pyarrow"
+    )
+    second = docs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], 250)), batch_format="pyarrow"
+    )
     idx = tempfile.mkdtemp(prefix="near_index_")
     try:
         build_near_index(first, idx, n_shards=16, n_bands=8)
