@@ -424,14 +424,21 @@ def grouped_percentiles_exact(
                 if not tasks:
                     continue
                 v = values_of(sub)
+                # dedupe identical brackets: on the first pass every
+                # quantile of a group shares the group's full (lo, hi),
+                # so the histogram would otherwise run |qs|× per group
+                uniq: dict[tuple, list[int]] = {}
                 for ai, a, b, inc in tasks:
+                    uniq.setdefault((a, b, inc), []).append(ai)
+                for (a, b, inc), ais in uniq.items():
                     sel = v[(v >= a) & ((v <= b) if inc else (v < b))]
                     if sel.size:
                         c = np.histogram(sel, bins=np.linspace(a, b, bins + 1))[0]
                         nz = np.flatnonzero(c)
-                        rows_s.append(np.full(nz.size, ai, np.int64))
-                        rows_b.append(nz.astype(np.int64))
-                        rows_c.append(c[nz].astype(np.int64))
+                        for ai in ais:
+                            rows_s.append(np.full(nz.size, ai, np.int64))
+                            rows_b.append(nz.astype(np.int64))
+                            rows_c.append(c[nz].astype(np.int64))
             if not rows_s:
                 return pd.DataFrame(
                     {"slot": pd.Series(dtype=np.int64), "bin": pd.Series(dtype=np.int64),
