@@ -383,19 +383,21 @@ def append_to_ivf_index(embeddings: rd.Dataset, index_dir: str) -> int:
         meta = json.load(f)
     centroids = load_ivf_centroids(index_dir)
     dim = int(meta["dim"])
+    # materialize the projection ONCE: the dim probe, the count and the
+    # assign+write pass would otherwise each re-execute the full input
+    # pipeline (3× the decode cost — and divergent results for a
+    # nondeterministic source)
+    embeddings = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    n = embeddings.count()
+    if n == 0:
+        return 0
     first = embeddings.take_batch(1, batch_format="pyarrow")
     got_dim = len(first["embedding"][0].as_py())
     if got_dim != dim:
         raise ValueError(
             f"append_to_ivf_index: index holds {dim}-d vectors, got {got_dim}-d"
         )
-    n = embeddings.count()
-    _write_assigned_cells(
-        embeddings.select_columns(["vec_id", "embedding"]),
-        index_dir,
-        centroids,
-        meta.get("quantize"),
-    )
+    _write_assigned_cells(embeddings, index_dir, centroids, meta.get("quantize"))
     return int(n)
 
 

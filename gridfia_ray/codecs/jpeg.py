@@ -131,6 +131,9 @@ class _BitWriter:
             self.buf.append(b)
             if b == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # truncate drained bits: an ever-growing Python-int accumulator
+        # makes every shift O(scan length) — quadratic overall
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -154,12 +157,16 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 95) -> tuple[bytes, float, 
     contract)."""
     a = np.asarray(arr, dtype=np.float64)
     h, w = a.shape
-    vmin = float(np.nanmin(a)) if a.size else 0.0
-    vmax = float(np.nanmax(a)) if a.size else 0.0
+    finite = np.isfinite(a)
+    vmin = float(a[finite].min()) if finite.any() else 0.0
+    vmax = float(a[finite].max()) if finite.any() else 0.0
     if vmax > vmin:
         g = np.rint((a - vmin) / (vmax - vmin) * 255.0)
     else:
         g = np.zeros_like(a)
+    # NaN/Inf encode as vmin — the bmp8/png16 registry contract (warp
+    # output tiles are NaN outside coverage by design)
+    g = np.where(finite, g, 0.0)
     g = np.clip(g, 0, 255)
 
     # pad to 8×8 multiples by edge replication (standard practice)
@@ -261,7 +268,11 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = (self.acc >> self.nbits) & 1
+        # truncate consumed bits (see _BitWriter.write: bigint growth
+        # would make decode quadratic in scan length)
+        self.acc &= (1 << self.nbits) - 1
+        return b
 
     def bits(self, n: int) -> int:
         v = 0

@@ -641,6 +641,22 @@ def q_doc_token_freq(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _split_docs_at(docs, threshold: int):
+    """(doc_id < threshold, doc_id >= threshold) halves, split at the
+    Arrow level — pandas filters here produced empty object-column
+    blocks that tripped the executor's size estimator on every poll."""
+    import pyarrow.compute as pc
+
+    first = docs.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], threshold)), batch_format="pyarrow"
+    )
+    second = docs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], threshold)),
+        batch_format="pyarrow",
+    )
+    return first, second
+
+
 def q_doc_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     """Continuous-ingestion dedup: index the first half of the corpus
     (doc_id < 250), anti-join the second half against it — returns the
@@ -651,16 +667,7 @@ def q_doc_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.dedup.incremental import build_hash_index, dedup_against_index
 
     docs = _docs(sf_dir)
-    import pyarrow.compute as pc
-
-    # Arrow-level split: pandas filters here produced empty object-column
-    # blocks that tripped the executor's size estimator on every poll
-    first = docs.map_batches(
-        lambda b: b.filter(pc.less(b["doc_id"], 250)), batch_format="pyarrow"
-    )
-    second = docs.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["doc_id"], 250)), batch_format="pyarrow"
-    )
+    first, second = _split_docs_at(docs, 250)
     idx = tempfile.mkdtemp(prefix="hash_index_")
     try:
         build_hash_index(first, idx, n_shards=16)
@@ -687,16 +694,7 @@ def q_doc_near_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.dedup.incremental import build_near_index, near_dedup_against_index
 
     docs = _docs(sf_dir)
-    import pyarrow.compute as pc
-
-    # Arrow-level split: pandas filters here produced empty object-column
-    # blocks that tripped the executor's size estimator on every poll
-    first = docs.map_batches(
-        lambda b: b.filter(pc.less(b["doc_id"], 250)), batch_format="pyarrow"
-    )
-    second = docs.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["doc_id"], 250)), batch_format="pyarrow"
-    )
+    first, second = _split_docs_at(docs, 250)
     idx = tempfile.mkdtemp(prefix="near_index_")
     try:
         build_near_index(first, idx, n_shards=16, n_bands=8)

@@ -242,7 +242,14 @@ def extract_json_int(
         batch = batch.copy()
         s = batch[col].astype(str)
         vals = s.str.extract(pat, expand=False).astype("Int64")
-        amb = s.str.count(r"\{").gt(1) | s.str.contains("\\", regex=False)
+        # ambiguous rows: nested objects (>1 '{'), escaped content
+        # ('\\'), or a non-object top level (e.g. '[{"k":3}]', where the
+        # regex would match a nested field json_extract('$.k') ignores)
+        amb = (
+            s.str.count(r"\{").ne(1)
+            | s.str.contains("\\", regex=False)
+            | ~s.str.match(r"\s*\{")
+        )
         if amb.any():
             vals.loc[amb] = s.loc[amb].map(top_level)
         batch[out_col] = vals

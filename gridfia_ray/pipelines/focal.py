@@ -165,11 +165,19 @@ def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
 
     from gridfia_ray.stages.agg_util import bucketed_group_map
 
+    # pin the output Arrow schema explicitly — an all-empty bucket must
+    # emit the same schema as a full one (inference from an empty object
+    # column would yield Arrow null and churn the executor)
+    out_schema = pa.schema(
+        [("metric", pa.string())]
+        + [(c, pa.int64()) for c in empty.columns if c != "metric"]
+    )
     return bucketed_group_map(
         _halo_explode(result, op),
         ["metric", "tile_row", "tile_col"],
         assemble,
         n_buckets=n_buckets,
+        out_schema=out_schema,
     )
 
 

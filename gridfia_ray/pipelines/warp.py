@@ -165,9 +165,24 @@ def warp_tiles(
 
     from gridfia_ray.stages.agg_util import bucketed_group_map
 
+    # pinned output schema: a bucket whose destination tiles all have no
+    # finite coverage emits ONLY the empty template, whose object-dtype
+    # pix column would otherwise infer Arrow null (vs binary elsewhere)
+    out_schema = pa.schema(
+        [
+            ("metric", pa.string()),
+            ("tile_row", pa.int64()),
+            ("tile_col", pa.int64()),
+            ("h", pa.int64()),
+            ("w", pa.int64()),
+            ("pix", pa.binary()),
+            ("dtype", pa.string()),
+        ]
+    )
     return bucketed_group_map(
         result.map_batches(cover, batch_format="pyarrow"),
         ["metric", "tile_row", "tile_col"],
         resample,
         n_buckets=n_buckets,
+        out_schema=out_schema,
     )

@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def to_arrow(df: pd.DataFrame) -> pa.Table:
+def to_arrow(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
     """pandas → Arrow at an exchange boundary. Empty ARROW blocks keep
     their schema; empty PANDAS blocks degrade to
     ``PandasBlockSchema(names=[])`` and trip the executor's
@@ -30,16 +30,14 @@ def to_arrow(df: pd.DataFrame) -> pa.Table:
     Arrow, not pandas. The pandas schema metadata is stripped: it
     embeds dicts, which defeat Ray's schema-dedup hashing (the
     worker-side "Failed to hash the schemas" noise) and bloat every
-    block header. Empty object-dtype columns (the ``pd.Series(dtype=
-    str)`` typed-empty templates) would infer Arrow ``null`` type and
-    churn against the string blocks of non-empty buckets — cast them to
-    ``string`` so every bucket emits ONE schema (VERDICT r3 finding
-    #3)."""
-    t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
-    if t.num_rows == 0:
-        for i, f in enumerate(t.schema):
-            if pa.types.is_null(f.type):
-                t = t.set_column(i, pa.field(f.name, pa.string()), pa.nulls(0, pa.string()))
+    block header. With ``schema`` given, the table is built under that
+    exact Arrow schema — the only safe way to keep empty object-dtype
+    template columns (``pd.Series(dtype=str)`` → Arrow ``null``) from
+    churning against the typed blocks of non-empty buckets (guessing,
+    e.g. null→string, corrupts binary columns)."""
+    t = pa.Table.from_pandas(
+        df, schema=schema, preserve_index=False
+    ).replace_schema_metadata(None)
     return t
 
 
@@ -145,6 +143,7 @@ def bucketed_group_map(
     keys: list[str],
     group_fn,
     n_buckets: int = 64,
+    out_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """THE keyed co-location exchange shared by the halo/gather
     pipelines (focal, warp): hash the key tuple into ``n_buckets``
@@ -152,7 +151,10 @@ def bucketed_group_map(
     schema cache), shuffle once, then apply ``group_fn`` to every
     distinct key tuple inside its bucket. ``group_fn`` receives the
     group's rows (including ``__bucket``) and must return a DataFrame
-    with a stable schema (typed empties for no-output groups)."""
+    with a stable schema (typed empties for no-output groups).
+    ``out_schema`` pins the per-bucket OUTPUT Arrow schema — required
+    when the output carries object-dtype columns (strings/binary) whose
+    type can't be inferred from an all-empty bucket."""
 
     def add_bucket(batch: pd.DataFrame) -> pa.Table:
         from gridfia_ray.stages.dedup_util import bucket_of
@@ -166,7 +168,7 @@ def bucketed_group_map(
         # hand the executor Arrow: a pandas output with object-dtype
         # string columns defeats Ray's block-size estimator ("cannot
         # call vectorize on size 0 inputs" noise in the bench tail)
-        return to_arrow(pd.concat(outs, ignore_index=True))
+        return to_arrow(pd.concat(outs, ignore_index=True), out_schema)
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
@@ -182,6 +184,7 @@ def bucketed_bucket_map(
     bucket_fn,
     n_buckets: int = 64,
     coalesce: bool = False,
+    out_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Keyed co-location exchange with a PER-BUCKET consumer: rows hash
     into ``n_buckets`` on ``keys`` (Arrow-native blocks), and
@@ -201,7 +204,7 @@ def bucketed_bucket_map(
         return to_arrow(batch)
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
-        return to_arrow(bucket_fn(g.drop(columns="__bucket")))
+        return to_arrow(bucket_fn(g.drop(columns="__bucket")), out_schema)
 
     tagged = ds.map_batches(add_bucket, batch_format="pandas")
     if coalesce:

@@ -208,6 +208,8 @@ class ExternalMediaDecoder:
         return rng.rand(self.fake_size, self.fake_size).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
         pix, hs, ws, status = [], [], [], []
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
@@ -230,6 +232,14 @@ class ExternalMediaDecoder:
                 hs.append(0)
                 ws.append(0)
                 status.append(f"stub:{fmt}")
+            except (ValueError, IndexError, KeyError, struct.error):
+                # malformed media payload: one corrupt row must flag
+                # itself, not kill the whole actor task — the status
+                # column IS the error protocol
+                pix.append(b"")
+                hs.append(0)
+                ws.append(0)
+                status.append(f"decode_error:{fmt}")
         return pa.table(
             {
                 "image_id": batch["image_id"],

@@ -173,3 +173,26 @@ class TestFrameSample:
         feats = TileFeatureActor()(frames)
         assert feats["features"].to_pylist()  # 4 rows, 15-dim each
         assert all(len(f) == 15 for f in feats["features"].to_pylist())
+
+    def test_corrupt_payload_flags_row_not_task(self):
+        """A malformed jpeg/png payload must flag its own row via the
+        status column, never kill the actor task (code-review r4)."""
+        from gridfia_ray.codecs.jpeg import encode_jpeg_gray
+
+        good, _, _ = encode_jpeg_gray(np.ones((8, 8), np.float32))
+        batch = pa.table(
+            {
+                "image_id": ["bad1", "bad2", "good"],
+                "bytes": pa.array(
+                    [b"\xff\xd8\xff\xdb junk", b"\x89PNG\r\n\x1a\n junk", good],
+                    pa.binary(),
+                ),
+                "h": pa.array([8, 8, 8], pa.int32()),
+                "w": pa.array([8, 8, 8], pa.int32()),
+                "fmt": ["jpeg", "png", "jpeg"],
+            }
+        )
+        out = ExternalMediaDecoder()(batch)
+        st = out["status"].to_pylist()
+        assert st[0].startswith("decode_error:") and st[1].startswith("decode_error:")
+        assert st[2] == "ok"
