@@ -236,6 +236,38 @@ def q_warp_mercator(sf_dir: str) -> pd.DataFrame:
     return res_df.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
 
 
+def q_tile_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal feature-extract stage (stages/multimodal.
+    TileFeatureActor) over the decoded tile corpus, exporting its
+    HASH-SAFE components: per-tile mean (an exactly-representable f64
+    sum of f32 values divided by the power-of-two pixel count — bit-
+    equal to SQL AVG), min, max (value copies) and the nonzero count.
+    The std / interpolated-decile components involve non-associative
+    float math and are pinned in tests/test_multimodal.py instead."""
+    import ray.data as rd  # noqa: F401
+
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+    from gridfia_ray.stages.multimodal import TileFeatureActor
+
+    f = _fx()
+    t = int(f["meta"]["tile"])
+    decoded = decoded_tiles(read_tiles(f["tiles"]), f["spec"], include_total=True)
+    feats = decoded.map_batches(
+        TileFeatureActor, batch_format="pyarrow", concurrency=(1, 4)
+    ).to_pandas()
+    fv = np.stack([np.asarray(v, np.float64) for v in feats["features"]])
+    out = pd.DataFrame(
+        {
+            "image_id": feats["image_id"].astype(str),
+            "mean_u": s6(fv[:, 0]),
+            "min_u": s6(fv[:, 2]),
+            "max_u": s6(fv[:, 3]),
+            "n_nonzero": np.rint(fv[:, 4] * (t * t)).astype(np.int64),
+        }
+    )
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def q_species_dominance(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
     from gridfia_ray.pipelines.metrics import dominance_stats
@@ -2050,6 +2082,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         ),
         "gf_coverage_topk": q_coverage_topk,
         "gf_store_validate": q_store_validate,
+        "gf_tile_features": q_tile_features,
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_chunks": q_doc_chunks,
@@ -2335,6 +2368,16 @@ def build_oracle_sql() -> dict[str, str]:
         f"SELECT split_part(image_id, '/', 1) AS species_code, COUNT(*) AS n_tiles "
         f"FROM read_parquet('{T}/*.parquet') GROUP BY 1"
     )
+    sql["gf_tile_features"] = f"""
+        WITH p AS (SELECT species_code, y // {t} tr, x // {t} tc, biomass
+                   FROM read_parquet('{P}'))
+        SELECT species_code || '/' || lpad(CAST(tr AS VARCHAR), 4, '0')
+                 || '/' || lpad(CAST(tc AS VARCHAR), 4, '0') AS image_id,
+               {_sql_s6('AVG(biomass)')} AS mean_u,
+               {_sql_s6('MIN(biomass)')} AS min_u,
+               {_sql_s6('MAX(biomass)')} AS max_u,
+               CAST(COUNT(*) FILTER (biomass <> 0) AS BIGINT) AS n_nonzero
+        FROM p GROUP BY 1"""
     sql["gf_store_validate"] = f"""
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT split_part(image_id, '/', 1)) AS n_species,
