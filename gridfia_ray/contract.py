@@ -268,6 +268,41 @@ def q_tile_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def q_tile_resize(sf_dir: str) -> pd.DataFrame:
+    """Multimodal block-mean resize stage (stages/multimodal.
+    ResizeActor, 64²→8² per tile): per small-pixel values as scaled
+    ints. The stage's f64-exact block mean rounds ONCE to f32, which the
+    oracle reproduces with ``CAST(AVG(biomass) AS REAL)`` over the
+    independent pixel table — bit-equal, full hash check."""
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+    from gridfia_ray.stages.multimodal import ResizeActor
+
+    f = _fx()
+    o = 8
+    decoded = decoded_tiles(read_tiles(f["tiles"]), f["spec"], include_total=True)
+    small = decoded.map_batches(
+        ResizeActor, fn_constructor_kwargs={"out": o},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
+    ids, sys_, sxs, vals = [], [], [], []
+    yy, xx = np.meshgrid(np.arange(o), np.arange(o), indexing="ij")
+    for _, r in small.iterrows():
+        v = np.frombuffer(r["pix_small"], "<f4").reshape(o, o)
+        ids.append(np.full(o * o, r["image_id"], dtype=object))
+        sys_.append(yy.ravel())
+        sxs.append(xx.ravel())
+        vals.append(v.ravel())
+    out = pd.DataFrame(
+        {
+            "image_id": np.concatenate(ids).astype(str),
+            "sy": np.concatenate(sys_).astype(np.int64),
+            "sx": np.concatenate(sxs).astype(np.int64),
+            "value_u": s6(np.concatenate(vals)),
+        }
+    )
+    return out.sort_values(["image_id", "sy", "sx"]).reset_index(drop=True)
+
+
 def q_species_dominance(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
     from gridfia_ray.pipelines.metrics import dominance_stats
@@ -2083,6 +2118,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_coverage_topk": q_coverage_topk,
         "gf_store_validate": q_store_validate,
         "gf_tile_features": q_tile_features,
+        "gf_tile_resize": q_tile_resize,
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_chunks": q_doc_chunks,
@@ -2378,6 +2414,16 @@ def build_oracle_sql() -> dict[str, str]:
                {_sql_s6('MAX(biomass)')} AS max_u,
                CAST(COUNT(*) FILTER (biomass <> 0) AS BIGINT) AS n_nonzero
         FROM p GROUP BY 1"""
+    sql["gf_tile_resize"] = f"""
+        WITH p AS (SELECT species_code, y // {t} tr, x // {t} tc,
+                          (y % {t}) // {t // 8} sy, (x % {t}) // {t // 8} sx,
+                          biomass
+                   FROM read_parquet('{P}'))
+        SELECT species_code || '/' || lpad(CAST(tr AS VARCHAR), 4, '0')
+                 || '/' || lpad(CAST(tc AS VARCHAR), 4, '0') AS image_id,
+               CAST(sy AS BIGINT) AS sy, CAST(sx AS BIGINT) AS sx,
+               {_sql_s6('CAST(CAST(AVG(biomass) AS REAL) AS DOUBLE)')} AS value_u
+        FROM p GROUP BY species_code, tr, tc, sy, sx"""
     sql["gf_store_validate"] = f"""
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT split_part(image_id, '/', 1)) AS n_species,

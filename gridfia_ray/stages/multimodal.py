@@ -48,8 +48,14 @@ class ResizeActor:
                 b"".join(payloads[i] for i in idx), dtype="<f4"
             ).reshape(len(idx), h, w)
             th, tw = (h // o) * o, (w // o) * o
+            # f64 accumulation: the block sum of f32 values is exactly
+            # representable (24-bit mantissas + log2(block) carry bits
+            # ≪ 53) and block counts are powers of two, so the mean is
+            # EXACT before the single rounding back to f32 — which makes
+            # the stage SQL-oracle-comparable (CAST(AVG(x) AS REAL))
             blk = (
                 stack[:, :th, :tw]
+                .astype(np.float64)
                 .reshape(len(idx), o, th // o, o, tw // o)
                 .mean(axis=(2, 4))
                 .astype("<f4")
