@@ -303,6 +303,35 @@ def q_tile_resize(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["image_id", "sy", "sx"]).reset_index(drop=True)
 
 
+def q_identify(sf_dir: str) -> pd.DataFrame:
+    """S4 point identify through the API facade (api.identify_pixel —
+    cell-id prune to ONE tile, decode, index): a deterministic lattice
+    of 25 world-coordinate probes × 2 species, hash-checked against the
+    independent pixel table (the oracle recomputes the pixel index from
+    the same affine transform in SQL)."""
+    from gridfia_ray.api import GridFIARay
+
+    f = _fx()
+    spec = f["spec"]
+    api = GridFIARay(spec)
+    n_px = f["meta"]["grid"] * f["meta"]["tile"]
+    # probe pixel centers on a 5x5 lattice (off-edge, deterministic)
+    idx = np.linspace(3, n_px - 4, 5).astype(np.int64)
+    rows = []
+    for code in ("0000", "0131"):
+        for py in idx:
+            for px in idx:
+                x = spec.origin_x + (px + 0.5) * spec.px
+                y = spec.origin_y - (py + 0.5) * spec.px
+                v = api.identify_pixel(f["tiles"], float(x), float(y), code)
+                rows.append((code, int(py), int(px), int(s6(v))))
+    out = pd.DataFrame(rows, columns=["species_code", "y", "x", "value_u"])
+    out["y"] = out["y"].astype(np.int64)
+    out["x"] = out["x"].astype(np.int64)
+    out["value_u"] = out["value_u"].astype(np.int64)
+    return out.sort_values(["species_code", "y", "x"]).reset_index(drop=True)
+
+
 def q_species_dominance(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
     from gridfia_ray.pipelines.metrics import dominance_stats
@@ -2119,6 +2148,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_store_validate": q_store_validate,
         "gf_tile_features": q_tile_features,
         "gf_tile_resize": q_tile_resize,
+        "gf_identify": q_identify,
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_chunks": q_doc_chunks,
@@ -2414,6 +2444,16 @@ def build_oracle_sql() -> dict[str, str]:
                {_sql_s6('MAX(biomass)')} AS max_u,
                CAST(COUNT(*) FILTER (biomass <> 0) AS BIGINT) AS n_nonzero
         FROM p GROUP BY 1"""
+    _n_px = f["meta"]["grid"] * f["meta"]["tile"]
+    _probe = ", ".join(
+        str(int(v)) for v in np.linspace(3, _n_px - 4, 5).astype(np.int64)
+    )
+    sql["gf_identify"] = f"""
+        SELECT species_code, CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               {_sql_s6('biomass')} AS value_u
+        FROM read_parquet('{P}')
+        WHERE species_code IN ('0000', '0131')
+          AND y IN ({_probe}) AND x IN ({_probe})"""
     sql["gf_tile_resize"] = f"""
         WITH p AS (SELECT species_code, y // {t} tr, x // {t} tc,
                           (y % {t}) // {t // 8} sy, (x % {t}) // {t // 8} sx,
