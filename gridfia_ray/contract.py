@@ -332,6 +332,41 @@ def q_identify(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["species_code", "y", "x"]).reset_index(drop=True)
 
 
+def q_normalize_clip(sf_dir: str) -> pd.DataFrame:
+    """M16 percentile-clip normalize over the total-biomass raster:
+    window = EXACT p2/p98 of the nonzero species values (distributed
+    quickselect — quantile_disc semantics, so the window bounds are
+    actual data values), then clip + min-max scale per pixel. All
+    arithmetic is f64 over identical operands on both sides, so the
+    oracle (LEAST/GREATEST + the same division) is bit-equal."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+    from gridfia_ray.pipelines.percentiles import (
+        normalize_percentile_clip,
+        percentiles_exact,
+    )
+
+    f = _fx()
+    decoded = decoded_tiles(read_tiles(f["tiles"]), f["spec"], include_total=False)
+    pct = percentiles_exact(decoded, [2.0, 98.0])
+    p_lo, p_hi = pct[2.0], pct[98.0]
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    pix = M.metrics_to_pixels(res).to_pandas()
+    out = pix[["y", "x"]].copy()
+    out["norm_u"] = s6(
+        normalize_percentile_clip(pix["value"].to_numpy(np.float64), p_lo, p_hi)
+    )
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_species_dominance(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
     from gridfia_ray.pipelines.metrics import dominance_stats
@@ -2149,6 +2184,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tile_features": q_tile_features,
         "gf_tile_resize": q_tile_resize,
         "gf_identify": q_identify,
+        "gf_normalize_clip": q_normalize_clip,
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_chunks": q_doc_chunks,
@@ -2444,6 +2480,14 @@ def build_oracle_sql() -> dict[str, str]:
                {_sql_s6('MAX(biomass)')} AS max_u,
                CAST(COUNT(*) FILTER (biomass <> 0) AS BIGINT) AS n_nonzero
         FROM p GROUP BY 1"""
+    sql["gf_normalize_clip"] = f"""
+        {species_cte},
+        v AS (SELECT biomass FROM p WHERE biomass <> 0),
+        qd AS (SELECT quantile_disc(biomass, [0.02, 0.98]) ql FROM v),
+        tot AS (SELECT y, x, SUM(biomass) total FROM p GROUP BY y, x)
+        SELECT t.y, t.x,
+               {_sql_s6("(LEAST(GREATEST(t.total, qd.ql[1]), qd.ql[2]) - qd.ql[1]) / (qd.ql[2] - qd.ql[1])")} AS norm_u
+        FROM tot t, qd"""
     _n_px = f["meta"]["grid"] * f["meta"]["tile"]
     _probe = ", ".join(
         str(int(v)) for v in np.linspace(3, _n_px - 4, 5).astype(np.int64)
