@@ -367,6 +367,52 @@ def q_normalize_clip(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_events_group_compare(sf_dir: str) -> pd.DataFrame:
+    """A7 comparison stats over the events table: purchase vs click
+    value distributions. Exports the EXACT components — Mann-Whitney U
+    (rank sums with average-tie ranks are exact multiples of 0.5, so
+    2·U is an exact int) and Cliff's delta (exact concordant/discordant
+    pair counts) — as one hash-checked row; the normal-approximation
+    p-value / bootstrap CIs are seeded-resampling territory and stay
+    pytest-pinned (tests/test_stats.py). The per-group pull is the two
+    groups' single int column (analyst-scale by the A7 contract — a
+    hypothesis test's inputs are bounded samples, not the corpus)."""
+    import ray.data as rd
+
+    from gridfia_ray.analysis.stats import cliffs_delta, mann_whitney_u
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def cents(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(["purchase", "click"])]
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "value_c": np.floor(b["value"].to_numpy(np.float64) * 100 + 0.5).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    df = ev.map_batches(cents, batch_format="pandas").to_pandas()
+    x = df.loc[df["event_type"] == "purchase", "value_c"].to_numpy(np.float64)
+    y = df.loc[df["event_type"] == "click", "value_c"].to_numpy(np.float64)
+    mwu = mann_whitney_u(x, y)
+    delta = cliffs_delta(x, y)
+    return pd.DataFrame(
+        {
+            "n_purchase": np.array([x.size], np.int64),
+            "n_click": np.array([y.size], np.int64),
+            "u2": np.array([int(round(2 * mwu["u"]))], np.int64),
+            "cliffs_delta_u": np.array([int(s6(delta))], np.int64),
+        }
+    )
+
+
 def q_species_dominance(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
     from gridfia_ray.pipelines.metrics import dominance_stats
@@ -2185,6 +2231,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tile_resize": q_tile_resize,
         "gf_identify": q_identify,
         "gf_normalize_clip": q_normalize_clip,
+        "events_group_compare": q_events_group_compare,
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_chunks": q_doc_chunks,
@@ -3040,6 +3087,27 @@ def build_oracle_sql() -> dict[str, str]:
           AND p.ts <= e.ets + INTERVAL 2 HOUR"""
     # the banded plan must reproduce the identical result set
     sql["events_error_window_banded"] = sql["events_error_window_join"]
+    # A7 exact components: average-tie ranks are multiples of 0.5, so
+    # the rank sums (and therefore 2·U and Cliff's delta via
+    # gt − le = 2·U1 − n1·n2) are exact in f64 on both sides
+    sql["events_group_compare"] = """
+        WITH b AS (SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) v,
+                          (event_type = 'purchase') is_x
+                   FROM events WHERE event_type IN ('purchase', 'click')),
+        r AS (SELECT is_x, RANK() OVER (ORDER BY v) rk,
+                     COUNT(*) OVER (PARTITION BY v) tc
+              FROM b),
+        a AS (SELECT SUM(CASE WHEN is_x THEN rk + (tc - 1)/2.0 ELSE 0 END) r1,
+                     CAST(COUNT(*) FILTER (is_x) AS DOUBLE) n1,
+                     CAST(COUNT(*) FILTER (NOT is_x) AS DOUBLE) n2
+              FROM r),
+        u AS (SELECT n1, n2, r1 - n1*(n1 + 1)/2.0 u1 FROM a)
+        SELECT CAST(n1 AS BIGINT) AS n_purchase,
+               CAST(n2 AS BIGINT) AS n_click,
+               CAST(2*LEAST(u1, n1*n2 - u1) AS BIGINT) AS u2,
+               CAST(FLOOR(((2*u1 - n1*n2) / (n1*n2))*1000000 + 0.5) AS BIGINT)
+                 AS cliffs_delta_u
+        FROM u"""
     # Remaining rows-only (irreducibly approximate / seeded-hash ops):
     # doc_minhash_pairs, doc_simhash_pairs, ann_lsh_topk, ann_ivf_topk,
     # emb_near_dup — python brute-force/recall oracles live in tests/.
