@@ -756,6 +756,90 @@ def q_store_validate(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_raster_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """S12/S13/S14 result sinks as ONE driver-visible roundtrip: run the
+    precise total-biomass kernel, cast the result tiles to the writers'
+    float32 plane once, stream them into a GeoTIFF (codecs/tiff.py), a
+    Zarr v3 store (codecs/zarrlite.py), a classic-NetCDF CDF-2 file
+    (codecs/cdf.py) and the raw memmap sink, read each back with the
+    matching pure-numpy decoder, and emit one row per format with the
+    pixel count and the micro-scaled integer sum of the plane.
+
+    Exactness: the f64 species sum of f32 layers is exact (≤24+4
+    mantissa bits), the f64→f32 cast is round-to-nearest-even on both
+    sides, so all four rows must equal the oracle's
+    ``CAST(CAST(SUM(biomass) AS REAL) AS DOUBLE)`` recomputation from
+    the fixture generator's independent pixel table — any byte the
+    encoders/decoders drop or duplicate moves the hash. Reference
+    writers: ``forest_metrics.py:547-637``."""
+    import shutil
+    import tempfile
+
+    from gridfia_ray.codecs import cdf as C
+    from gridfia_ray.codecs import tiff as T
+    from gridfia_ray.codecs import zarrlite as Z
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines import reassemble as R
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+
+    def to_f32(batch):
+        import pyarrow as pa
+
+        pix = []
+        for i in range(batch.num_rows):
+            dt = np.dtype(batch["dtype"][i].as_py())
+            arr = np.frombuffer(batch["pix"][i].as_py(), dtype=dt)
+            pix.append(arr.astype(np.float32).tobytes())
+        out = batch.set_column(
+            batch.schema.get_field_index("pix"), "pix", pa.array(pix, pa.binary())
+        )
+        out = out.set_column(
+            out.schema.get_field_index("dtype"),
+            "dtype",
+            pa.array(["<f4"] * batch.num_rows, pa.string()),
+        )
+        return out.replace_schema_metadata(None)
+
+    res32 = res.map_batches(to_f32, batch_format="pyarrow").materialize()
+    grid, tile = f["meta"]["grid"], f["meta"]["tile"]
+    tmp = tempfile.mkdtemp(prefix="gf_roundtrip_")
+    try:
+        R.write_geotiff(res32, "total_biomass", os.path.join(tmp, "t.tif"), grid, tile)
+        R.write_zarr(res32, "total_biomass", os.path.join(tmp, "z"), grid, tile)
+        R.write_netcdf(res32, "total_biomass", os.path.join(tmp, "t.nc"), grid, tile)
+        R.write_raster(res32, "total_biomass", os.path.join(tmp, "raw"), grid, tile)
+
+        with open(os.path.join(tmp, "t.tif"), "rb") as fh:
+            tif, _ = T.decode_tiff(fh.read())
+        planes = [
+            ("geotiff", tif),
+            ("netcdf", C.read_cdf(os.path.join(tmp, "t.nc"))[0]["total_biomass"]),
+            ("raw", np.array(R.read_raster(os.path.join(tmp, "raw"))[0])),
+            ("zarr", Z.read_array(os.path.join(tmp, "z"))[0]),
+        ]
+        return pd.DataFrame(
+            {
+                "fmt": [p[0] for p in planes],
+                "n_px": np.array([p[1].size for p in planes], np.int64),
+                "sum_u": np.array(
+                    [s6(np.asarray(p[1], np.float64)).sum() for p in planes], np.int64
+                ),
+            }
+        ).sort_values("fmt", ignore_index=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # document / embedding / event / relational queries (over sf_dir)
 # ---------------------------------------------------------------------------
@@ -2227,6 +2311,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         ),
         "gf_coverage_topk": q_coverage_topk,
         "gf_store_validate": q_store_validate,
+        "gf_raster_roundtrip": q_raster_roundtrip,
         "gf_tile_features": q_tile_features,
         "gf_tile_resize": q_tile_resize,
         "gf_identify": q_identify,
@@ -2555,6 +2640,19 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(sy AS BIGINT) AS sy, CAST(sx AS BIGINT) AS sx,
                {_sql_s6('CAST(CAST(AVG(biomass) AS REAL) AS DOUBLE)')} AS value_u
         FROM p GROUP BY species_code, tr, tc, sy, sx"""
+    # all four raster sinks store the same float32 plane; the s6 sums are
+    # exact ints (f64 species sum is exact, f64→f32 cast matches DuckDB's
+    # DOUBLE→REAL round-to-nearest-even)
+    sql["gf_raster_roundtrip"] = f"""
+        WITH p AS (SELECT y, x, biomass FROM read_parquet('{P}')
+                   WHERE species_code <> '0000'),
+        tot AS (SELECT y, x, CAST(CAST(SUM(biomass) AS REAL) AS DOUBLE) t
+                FROM p GROUP BY y, x),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) n_px,
+                     CAST(SUM({_sql_s6('t')}) AS BIGINT) sum_u FROM tot)
+        SELECT f.fmt, s.n_px, s.sum_u
+        FROM s, (VALUES ('geotiff'), ('netcdf'), ('raw'), ('zarr')) f(fmt)
+        ORDER BY f.fmt"""
     sql["gf_store_validate"] = f"""
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT split_part(image_id, '/', 1)) AS n_species,
