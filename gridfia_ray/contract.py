@@ -840,6 +840,91 @@ def q_raster_roundtrip(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ingest_cube(sf_dir: str) -> pd.DataFrame:
+    """S7 migration path as a driver roundtrip: materialize the seeded
+    fixture cube as a reference-style zarr v3 (species, H, W) cube with
+    a STRADDLING chunk grid (chunk rows not divisible by the tile size,
+    exercising the re-read band path), run ``ingest_zarr_cube`` to a
+    fresh per-species parquet tile store, then stream the ingested
+    store through the decoder pool and emit per-species tile counts and
+    micro-scaled pixel sums. Every byte the ingest drops, duplicates or
+    mis-places moves the hash vs the fixture generator's independent
+    pixel table. Reference: ``gridfia/utils/zarr_utils.py:885-1025``."""
+    import shutil
+    import tempfile
+
+    from gridfia_ray.codecs import zarrlite as Z
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+    from gridfia_ray.pipelines.ingest import ingest_zarr_cube
+
+    f = _fx()
+    tile = int(f["meta"]["tile"])
+    cube, catalog = fixtures.build_cube(fixtures.SCALES[FIXTURE])
+    cube = cube.astype(np.float32)
+    tmp = tempfile.mkdtemp(prefix="gf_ingest_")
+    try:
+        zroot = os.path.join(tmp, "cube_zarr")
+        chunk = (1, tile + tile // 2, cube.shape[2])  # straddles tile rows
+        zmeta = Z.array_metadata(
+            cube.shape,
+            chunk,
+            np.float32,
+            fill_value=0.0,
+            attributes={
+                "species": [
+                    {"species_code": c, "species_name": n} for c, n in catalog
+                ],
+                "transform": fixtures.base_transform(),
+                "crs": fixtures.CRS,
+            },
+            dimension_names=["species", "y", "x"],
+        )
+        Z.init_store(zroot, zmeta)
+        grid_z = [int(np.ceil(s / c)) for s, c in zip(cube.shape, chunk)]
+        for idx in np.ndindex(*grid_z):
+            sl = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, chunk, cube.shape)
+            )
+            Z.write_chunk(zroot, zmeta, idx, cube[sl])
+
+        store = os.path.join(tmp, "tiles")
+        ingest_zarr_cube(zroot, store, tile=tile)
+
+        def partial(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            codes, sums, tiles_n = [], [], []
+            for code in pc.unique(batch["species_code"]).to_pylist():
+                sub = batch.filter(pc.equal(batch["species_code"], code))
+                tot = 0
+                for buf in sub["pix"].to_pylist():
+                    vals = np.frombuffer(buf, dtype="<f4").astype(np.float64)
+                    tot += int(s6(vals).sum())
+                codes.append(code)
+                sums.append(tot)
+                tiles_n.append(sub.num_rows)
+            return pa.table(
+                {
+                    "species_code": pa.array(codes, pa.string()),
+                    "n_tiles": pa.array(tiles_n, pa.int64()),
+                    "sum_u": pa.array(sums, pa.int64()),
+                }
+            )
+
+        decoded = decoded_tiles(read_tiles(store), f["spec"], include_total=True)
+        parts = decoded.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out = (
+            parts.groupby("species_code", as_index=False)[["n_tiles", "sum_u"]]
+            .sum()
+            .astype({"n_tiles": np.int64, "sum_u": np.int64})
+        )
+        return out.sort_values("species_code", ignore_index=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # document / embedding / event / relational queries (over sf_dir)
 # ---------------------------------------------------------------------------
@@ -2312,6 +2397,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_coverage_topk": q_coverage_topk,
         "gf_store_validate": q_store_validate,
         "gf_raster_roundtrip": q_raster_roundtrip,
+        "gf_ingest_cube": q_ingest_cube,
         "gf_tile_features": q_tile_features,
         "gf_tile_resize": q_tile_resize,
         "gf_identify": q_identify,
@@ -2653,6 +2739,14 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT f.fmt, s.n_px, s.sum_u
         FROM s, (VALUES ('geotiff'), ('netcdf'), ('raw'), ('zarr')) f(fmt)
         ORDER BY f.fmt"""
+    # ingest roundtrip: per-species tile counts and exact s6 pixel sums
+    # recomputed from the independent pixel table
+    sql["gf_ingest_cube"] = f"""
+        SELECT species_code,
+               CAST(COUNT(*) / ({t} * {t}) AS BIGINT) AS n_tiles,
+               CAST(SUM({_sql_s6('biomass')}) AS BIGINT) AS sum_u
+        FROM read_parquet('{P}')
+        GROUP BY species_code ORDER BY species_code"""
     sql["gf_store_validate"] = f"""
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT split_part(image_id, '/', 1)) AS n_species,
