@@ -890,37 +890,86 @@ def q_ingest_cube(sf_dir: str) -> pd.DataFrame:
 
         store = os.path.join(tmp, "tiles")
         ingest_zarr_cube(zroot, store, tile=tile)
+        return _store_species_sums(store, f["spec"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
-        def partial(batch):
-            import pyarrow as pa
-            import pyarrow.compute as pc
 
-            codes, sums, tiles_n = [], [], []
-            for code in pc.unique(batch["species_code"]).to_pylist():
-                sub = batch.filter(pc.equal(batch["species_code"], code))
-                tot = 0
-                for buf in sub["pix"].to_pylist():
-                    vals = np.frombuffer(buf, dtype="<f4").astype(np.float64)
-                    tot += int(s6(vals).sum())
-                codes.append(code)
-                sums.append(tot)
-                tiles_n.append(sub.num_rows)
-            return pa.table(
-                {
-                    "species_code": pa.array(codes, pa.string()),
-                    "n_tiles": pa.array(tiles_n, pa.int64()),
-                    "sum_u": pa.array(sums, pa.int64()),
-                }
-            )
+def _store_species_sums(store: str, spec: GridSpec) -> pd.DataFrame:
+    """Distributed per-species (n_tiles, s6 pixel sum) over a tile
+    store: per-batch combiner partials (bounded by species × batches),
+    tiny driver fold — the shared verification reducer for the store
+    lifecycle roundtrips (gf_ingest_cube / gf_store_append)."""
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
 
-        decoded = decoded_tiles(read_tiles(store), f["spec"], include_total=True)
-        parts = decoded.map_batches(partial, batch_format="pyarrow").to_pandas()
-        out = (
-            parts.groupby("species_code", as_index=False)[["n_tiles", "sum_u"]]
-            .sum()
-            .astype({"n_tiles": np.int64, "sum_u": np.int64})
+    def partial(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        codes, sums, tiles_n = [], [], []
+        for code in pc.unique(batch["species_code"]).to_pylist():
+            sub = batch.filter(pc.equal(batch["species_code"], code))
+            tot = 0
+            for buf in sub["pix"].to_pylist():
+                vals = np.frombuffer(buf, dtype="<f4").astype(np.float64)
+                tot += int(s6(vals).sum())
+            codes.append(code)
+            sums.append(tot)
+            tiles_n.append(sub.num_rows)
+        return pa.table(
+            {
+                "species_code": pa.array(codes, pa.string()),
+                "n_tiles": pa.array(tiles_n, pa.int64()),
+                "sum_u": pa.array(sums, pa.int64()),
+            }
         )
-        return out.sort_values("species_code", ignore_index=True)
+
+    decoded = decoded_tiles(read_tiles(store), spec, include_total=True)
+    parts = decoded.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("species_code", as_index=False)[["n_tiles", "sum_u"]]
+        .sum()
+        .astype({"n_tiles": np.int64, "sum_u": np.int64})
+    )
+    return out.sort_values("species_code", ignore_index=True)
+
+
+def q_store_append(sf_dir: str) -> pd.DataFrame:
+    """S8/S9 expandable-store lifecycle as a driver roundtrip: bootstrap
+    a fresh directory store with only the total layer, append every
+    species layer through ``GridFIARay.append_species`` (per-species
+    part files — no rewrite of existing data), then verify the full
+    store with the shared per-species decode reducer against the
+    fixture generator's independent pixel table. Reference append:
+    ``gridfia/utils/zarr_utils.py:989-1025``."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from gridfia_ray.api import GridFIARay
+    from gridfia_ray.fixtures import _species_table
+
+    f = _fx()
+    tile = int(f["meta"]["tile"])
+    cube, catalog = fixtures.build_cube(fixtures.SCALES[FIXTURE])
+    cube = cube.astype(np.float32)
+    tmp = tempfile.mkdtemp(prefix="gf_append_")
+    try:
+        store = os.path.join(tmp, "tiles")
+        os.makedirs(store)
+        shim = fixtures.Scale("append", grid=f["meta"]["grid"], tile=tile, n_species=1)
+        code0, name0 = catalog[0]
+        pq.write_table(
+            _species_table(shim, cube[0], code0, name0),
+            os.path.join(store, f"part-{code0}.parquet"),
+            compression="zstd",
+            row_group_size=32,
+        )
+        for si in range(1, cube.shape[0]):
+            code, name = catalog[si]
+            GridFIARay.append_species(store, cube[si], code, name)
+        return _store_species_sums(store, f["spec"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2398,6 +2447,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_store_validate": q_store_validate,
         "gf_raster_roundtrip": q_raster_roundtrip,
         "gf_ingest_cube": q_ingest_cube,
+        "gf_store_append": q_store_append,
         "gf_tile_features": q_tile_features,
         "gf_tile_resize": q_tile_resize,
         "gf_identify": q_identify,
@@ -2747,6 +2797,8 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(SUM({_sql_s6('biomass')}) AS BIGINT) AS sum_u
         FROM read_parquet('{P}')
         GROUP BY species_code ORDER BY species_code"""
+    # append lifecycle lands on the identical full-store invariant
+    sql["gf_store_append"] = sql["gf_ingest_cube"]
     sql["gf_store_validate"] = f"""
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT split_part(image_id, '/', 1)) AS n_species,
