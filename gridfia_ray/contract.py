@@ -840,6 +840,39 @@ def q_raster_roundtrip(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_jpeg_decode(sf_dir: str) -> pd.DataFrame:
+    """Lossy multimodal column end-to-end: the baseline-JPEG tile table
+    (pure-numpy T.81 codec, codecs/jpeg.py) streamed through the
+    standard decoder actor pool — species prune, caption parse,
+    registry dispatch, (vmin, vmax) dequantization — emitting per-tile
+    micro-scaled sums of the DECODED floats. JPEG is lossy but
+    deterministic, so the distributed pool must reproduce the pinned
+    sequential replay (fixtures.ensure_jpeg_fixture) bit-exactly."""
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+
+    jf = fixtures.ensure_jpeg_fixture()
+    f = _fx()
+
+    def sums(batch):
+        import pyarrow as pa
+
+        out = []
+        for buf in batch["pix"].to_pylist():
+            vals = np.frombuffer(buf, dtype="<f4").astype(np.float64)
+            out.append(int(s6(vals).sum()))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "sum_u": pa.array(out, pa.int64()),
+            }
+        )
+
+    decoded = decoded_tiles(read_tiles(jf["tiles"]), f["spec"], include_total=True)
+    df = decoded.map_batches(sums, batch_format="pyarrow").to_pandas()
+    df["image_id"] = df["image_id"].astype(str)
+    return df.sort_values("image_id", ignore_index=True)
+
+
 def q_ingest_cube(sf_dir: str) -> pd.DataFrame:
     """S7 migration path as a driver roundtrip: materialize the seeded
     fixture cube as a reference-style zarr v3 (species, H, W) cube with
@@ -2448,6 +2481,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_raster_roundtrip": q_raster_roundtrip,
         "gf_ingest_cube": q_ingest_cube,
         "gf_store_append": q_store_append,
+        "gf_jpeg_decode": q_jpeg_decode,
         "gf_tile_features": q_tile_features,
         "gf_tile_resize": q_tile_resize,
         "gf_identify": q_identify,
@@ -2799,6 +2833,12 @@ def build_oracle_sql() -> dict[str, str]:
         GROUP BY species_code ORDER BY species_code"""
     # append lifecycle lands on the identical full-store invariant
     sql["gf_store_append"] = sql["gf_ingest_cube"]
+    # lossy-codec roundtrip: pinned sequential decode replay (see
+    # fixtures.ensure_jpeg_fixture docstring for the exactness argument)
+    sql["gf_jpeg_decode"] = (
+        f"SELECT * FROM read_parquet('{fixtures.ensure_jpeg_fixture()['expected']}') "
+        f"ORDER BY image_id"
+    )
     sql["gf_store_validate"] = f"""
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT split_part(image_id, '/', 1)) AS n_species,

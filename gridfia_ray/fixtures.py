@@ -603,6 +603,62 @@ def fixture_meta(name: str) -> dict:
         return json.load(f)
 
 
+# bump when the JPEG codec or the expected-table layout changes — the
+# pinned oracle must be regenerated alongside the codec's bit behavior
+JPEG_ORACLE_V = 1
+
+
+def ensure_jpeg_fixture() -> dict:
+    """Lossy-codec roundtrip fixture (cached): the t2 cube encoded as a
+    baseline-JPEG tile table, plus the PINNED expected decode sums — a
+    single-process sequential replay (codecs.registry.decode_tile per
+    payload, no Ray) of exactly the bytes the distributed decoder pool
+    will see. JPEG is lossy but DETERMINISTIC: encode once at fixture
+    gen, and the distributed caption-scale dequantization must
+    reproduce the sequential replay bit-exactly. Returns
+    {'tiles': parquet path, 'expected': parquet path}."""
+    from gridfia_ray.codecs.registry import decode_tile
+
+    out = os.path.join(FIXTURE_ROOT, f"jpeg-t2-v{GEN_VERSION}.{JPEG_ORACLE_V}")
+    marker = os.path.join(out, "_COMPLETE")
+    paths = {
+        "tiles": os.path.join(out, "tiles.parquet"),
+        "expected": os.path.join(out, "expected.parquet"),
+    }
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".jpeg-t2-", dir=FIXTURE_ROOT)
+    try:
+        scale = SCALES["t2"]
+        cube, catalog = build_cube(scale)
+        table = tile_table_from_cube(cube, catalog, scale.tile, fmt="jpeg")
+        pq.write_table(table, os.path.join(tmp, "tiles.parquet"), compression="zstd")
+        ids, sums = [], []
+        for row in table.to_pylist():
+            arr = decode_tile(
+                row["bytes"], row["fmt"], row["h"], row["w"], json.loads(row["caption"])
+            )
+            ids.append(row["image_id"])
+            sums.append(
+                int(np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64).sum())
+            )
+        exp = pa.table(
+            {"image_id": pa.array(ids, pa.string()), "sum_u": pa.array(sums, pa.int64())}
+        )
+        pq.write_table(exp.sort_by("image_id"), os.path.join(tmp, "expected.parquet"))
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write("ok\n")
+        if os.path.exists(out):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.rename(tmp, out)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return paths
+
+
 def ensure_embedding_fixture(
     n: int = 400_000, dim: int = 64, n_clusters: int = 64, seed: int = 1234
 ) -> str:
