@@ -1475,6 +1475,122 @@ def _query_vectors(sf_dir: str) -> np.ndarray:
     return np.stack(df.loc[_ANN_QUERY_IDS, "embedding"].to_numpy())
 
 
+def _pin_docs():
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    return rd.read_parquet(oracle_pins.ensure_docpin()["documents"])
+
+
+def q_doc_minhash_pinned(sf_dir: str) -> pd.DataFrame:
+    """The distributed MinHash-LSH banding/verify machinery vs its
+    pinned sequential replay (oracle_pins) — full hash check of the
+    partition-invariance property the sf-table variant can only assert
+    rows-only."""
+    from gridfia_ray.dedup.docs import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_pin_docs(), threshold=0.5).to_pandas()
+    return out[["a", "b"]].astype(np.int64).sort_values(["a", "b"], ignore_index=True)
+
+
+def q_doc_simhash_pinned(sf_dir: str) -> pd.DataFrame:
+    """Distributed SimHash exhaustive banding vs its pinned sequential
+    replay (oracle_pins)."""
+    from gridfia_ray.dedup.docs import simhash_pairs
+
+    out = simhash_pairs(_pin_docs(), max_hamming=3).to_pandas()
+    return out[["a", "b"]].astype(np.int64).sort_values(["a", "b"], ignore_index=True)
+
+
+def q_doc_hll_pinned(sf_dir: str) -> pd.DataFrame:
+    """Distributed HLL register merge vs its pinned sequential replay:
+    max-merge is order-free, so the estimate must be bit-identical."""
+    from gridfia_ray.analysis.sketches import hll_distinct
+    from gridfia_ray.text.hashing import token_hashes64
+
+    def tok_hashes(batch: pd.DataFrame) -> np.ndarray:
+        th, _ = token_hashes64(batch["text"].fillna("").tolist(), lower=True)
+        return th
+
+    est = hll_distinct(_pin_docs(), ["text"], p=14, hash_fn=tok_hashes)
+    return pd.DataFrame({"vocab_est": np.asarray([int(round(est))], dtype=np.int64)})
+
+
+def q_ann_lsh_pinned(sf_dir: str) -> pd.DataFrame:
+    """Distributed SRP-LSH candidate scan + global re-rank vs its
+    pinned sequential replay on the planted clustered corpus."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.ann.search import lsh_topk_cosine
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    paths = oracle_pins.ensure_annpin()
+    emb = pq.read_table(paths["embeddings"])
+    ids = emb["vec_id"].to_numpy()
+    pos = {int(d): i for i, d in enumerate(ids)}
+    mat = np.asarray(emb["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False),
+                     np.float32).reshape(len(ids), -1)
+    qids = oracle_pins.ANN_PIN_QUERY_IDS
+    out = lsh_topk_cosine(
+        rd.read_parquet(paths["embeddings"]), mat[[pos[q] for q in qids]], qids, k=10
+    )
+    df = out.to_pandas()[["query_id", "vec_id", "rank"]].astype(np.int64)
+    return df.sort_values(["query_id", "rank"], ignore_index=True)
+
+
+def q_ann_ivf_pinned(sf_dir: str) -> pd.DataFrame:
+    """Distributed IVF (streamed Lloyd with per-block combiner partials,
+    cell assignment, probed scan, global re-rank) vs its pinned
+    sequential replay. The 9-decimal centroid rounding after every
+    Lloyd update makes the whole chain bit-deterministic across
+    partitionings (see oracle_pins._replay_ivf_topk)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.ann.ivf import ivf_topk_cosine
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    paths = oracle_pins.ensure_annpin()
+    emb = pq.read_table(paths["embeddings"])
+    ids = emb["vec_id"].to_numpy()
+    pos = {int(d): i for i, d in enumerate(ids)}
+    mat = np.asarray(emb["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False),
+                     np.float32).reshape(len(ids), -1)
+    qids = oracle_pins.ANN_PIN_QUERY_IDS
+    out = ivf_topk_cosine(
+        rd.read_parquet(paths["embeddings"]), mat[[pos[q] for q in qids]], qids,
+        k=10, k_cells=8, nprobe=4, seed=42,
+    )
+    df = out.to_pandas()[["query_id", "vec_id", "rank"]].astype(np.int64)
+    return df.sort_values(["query_id", "rank"], ignore_index=True)
+
+
+def q_emb_near_dup_pinned(sf_dir: str) -> pd.DataFrame:
+    """Distributed SRP-band near-dup (bucketed pairs + signature
+    prefilter + exact cosine verify) vs its pinned sequential replay —
+    must recover exactly the 120 planted duplicate pairs."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.ann.search import embedding_near_dup_pairs
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    paths = oracle_pins.ensure_annpin()
+    out = embedding_near_dup_pairs(
+        rd.read_parquet(paths["embeddings"]), threshold=0.95
+    ).to_pandas()
+    return out[["a", "b"]].astype(np.int64).sort_values(["a", "b"], ignore_index=True)
+
+
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.ann.search import topk_cosine
 
@@ -2502,6 +2618,15 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_daily_uniques": q_events_daily_uniques,
         "events_sessions": q_events_sessions,
         "events_sample_per_user": q_events_sample_per_user,
+        # pinned sequential-replay twins of the hash/heuristic ops: the
+        # same distributed pipelines on deterministic planted corpora,
+        # hash-checked against oracle_pins replays
+        "doc_minhash_pinned": q_doc_minhash_pinned,
+        "doc_simhash_pinned": q_doc_simhash_pinned,
+        "doc_hll_pinned": q_doc_hll_pinned,
+        "ann_lsh_pinned": q_ann_lsh_pinned,
+        "ann_ivf_pinned": q_ann_ivf_pinned,
+        "emb_near_dup_pinned": q_emb_near_dup_pinned,
         # --- rows-only by design (hash/heuristic ops; pytest oracles) ---
         "doc_vocab_hll": q_doc_vocab_hll,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2838,6 +2963,28 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_jpeg_decode"] = (
         f"SELECT * FROM read_parquet('{fixtures.ensure_jpeg_fixture()['expected']}') "
         f"ORDER BY image_id"
+    )
+    # pinned sequential-replay oracles for the seed-deterministic
+    # hash/heuristic ops (see gridfia_ray/oracle_pins.py for the
+    # exactness argument per family)
+    from gridfia_ray import oracle_pins as _pins
+
+    _dp, _ap = _pins.ensure_docpin(), _pins.ensure_annpin()
+    sql["doc_minhash_pinned"] = (
+        f"SELECT * FROM read_parquet('{_dp['minhash_expected']}') ORDER BY a, b"
+    )
+    sql["doc_simhash_pinned"] = (
+        f"SELECT * FROM read_parquet('{_dp['simhash_expected']}') ORDER BY a, b"
+    )
+    sql["doc_hll_pinned"] = f"SELECT * FROM read_parquet('{_dp['hll_expected']}')"
+    sql["ann_lsh_pinned"] = (
+        f"SELECT * FROM read_parquet('{_ap['lsh_expected']}') ORDER BY query_id, rank"
+    )
+    sql["emb_near_dup_pinned"] = (
+        f"SELECT * FROM read_parquet('{_ap['neardup_expected']}') ORDER BY a, b"
+    )
+    sql["ann_ivf_pinned"] = (
+        f"SELECT * FROM read_parquet('{_ap['ivf_expected']}') ORDER BY query_id, rank"
     )
     sql["gf_store_validate"] = f"""
         SELECT COUNT(*) AS n_rows,

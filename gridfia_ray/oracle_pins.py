@@ -1,0 +1,433 @@
+"""Pinned sequential-replay oracles for the seed-deterministic
+hash/heuristic operators (MinHash-LSH pairs, SimHash pairs, HLL vocab,
+SRP-LSH top-k, embedding-cosine near-dup).
+
+These pipelines are approximate vs ground truth but BIT-DETERMINISTIC:
+their output is a pure function of (input, seed) — banding keys,
+signature permutations and register folds contain no partition-order
+float accumulation. SQL cannot express them, but a single-process
+sequential replay (plain dict buckets, no Ray, no exchange machinery,
+no pair-dedup plumbing) can. This module materializes deterministic
+planted corpora plus their replay outputs as parquet, so the driver
+oracle becomes ``SELECT * FROM read_parquet(expected)`` with a full
+rows+schema+hash comparison — the same mechanism as the warp /
+percentile / JPEG pins.
+
+What the comparison proves is exactly the property that matters at
+100 TB: the distributed banded exchanges, bucketed pair dedup and
+signature re-join verification reproduce the sequential semantics
+bit-for-bit on every partitioning. The replays reuse only the per-item
+primitives (signature/hash/register functions — reusing them is the
+point: the seed and bit layout must match) and reimplement all
+set/bucket/rank logic independently.
+
+Reference behavior being covered: the reference has no dedup/ANN at
+all; these operators are the LLM-data-pipeline additions required by
+the brief (dedup §MinHash/SimHash, similarity search, doc analysis).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from gridfia_ray.fixtures import FIXTURE_ROOT, GEN_VERSION
+
+# bump when any replayed algorithm's bit behavior changes
+DOCPIN_V = 1
+ANNPIN_V = 2
+
+ANN_PIN_QUERY_IDS = [5, 205, 1005]
+
+
+# ---------------------------------------------------------------------------
+# planted corpora
+# ---------------------------------------------------------------------------
+
+
+def _docpin_table() -> pa.Table:
+    """390 deterministic docs: 300 base (40-120 tokens from a 400-word
+    vocab), 30 exact dups, 60 near-dups (~6% token replacement) — so the
+    minhash/simhash pair sets are non-trivially non-empty."""
+    rng = np.random.RandomState(11)
+    vocab = np.array([f"tok{i:03d}" for i in range(400)])
+    texts: list[str] = []
+    for _ in range(300):
+        n_tok = int(rng.randint(40, 120))
+        texts.append(" ".join(vocab[rng.randint(0, 400, n_tok)]))
+    for i in range(30):
+        texts.append(texts[(i * 7) % 300])
+    for i in range(60):
+        toks = texts[(i * 5) % 300].split()
+        n_swap = max(1, len(toks) * 6 // 100)
+        for p in rng.choice(len(toks), n_swap, replace=False):
+            toks[p] = str(vocab[rng.randint(0, 400)])
+        texts.append(" ".join(toks))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _annpin_arrays() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(vecs f32 (n,32), vec_id int64, label int32): 4000 clustered
+    vectors + 120 planted near-dups (tiny noise on the first 120, new
+    ids) so the near-dup pair set is non-empty and LSH recall is
+    exercised on real cluster structure."""
+    n, dim, n_clusters, n_dup = 4000, 32, 24, 120
+    rng = np.random.RandomState(77)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, n_clusters, n)
+    vecs = (centers[labels] + 0.25 * rng.normal(size=(n, dim))).astype(np.float32)
+    dups = (vecs[:n_dup] + 0.01 * rng.normal(size=(n_dup, dim))).astype(np.float32)
+    all_vecs = np.vstack([vecs, dups])
+    ids = np.arange(n + n_dup, dtype=np.int64)
+    all_labels = np.concatenate([labels, labels[:n_dup]]).astype(np.int32)
+    return all_vecs, ids, all_labels
+
+
+# ---------------------------------------------------------------------------
+# sequential replays (no Ray, dict buckets, independent pair logic)
+# ---------------------------------------------------------------------------
+
+
+def _replay_minhash_pairs(
+    ids: np.ndarray,
+    texts: list[str],
+    n_perm: int = 128,
+    n_bands: int = 32,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> pa.Table:
+    from gridfia_ray.dedup.docs import MinHasher
+    from gridfia_ray.text.hashing import _P1, avalanche64
+
+    mat = MinHasher(n_perm=n_perm, k_shingle=k_shingle, seed=seed).signatures(texts)
+    n, rows = len(ids), n_perm // n_bands
+    bands3 = np.ascontiguousarray(mat).view(np.uint64).reshape(n, n_bands, rows)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, n_bands), np.uint64)
+        for j in range(rows):
+            acc = acc * _P1 ^ bands3[:, :, j]
+    band_hash = (avalanche64(acc) >> np.uint64(1)).astype(np.int64)
+    cand: set[tuple[int, int]] = set()
+    for b in range(n_bands):
+        buckets: dict[int, list[int]] = {}
+        for i in range(n):
+            buckets.setdefault(int(band_hash[i, b]), []).append(i)
+        for idxs in buckets.values():
+            for x in range(len(idxs)):
+                for y in range(x + 1, len(idxs)):
+                    a_id, b_id = int(ids[idxs[x]]), int(ids[idxs[y]])
+                    cand.add((min(a_id, b_id), max(a_id, b_id)))
+    pos = {int(d): i for i, d in enumerate(ids)}
+    keep = sorted(
+        (a, b) for a, b in cand if (mat[pos[a]] == mat[pos[b]]).mean() >= threshold
+    )
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in keep], pa.int64()),
+            "b": pa.array([p[1] for p in keep], pa.int64()),
+        }
+    )
+
+
+def _replay_simhash_pairs(
+    ids: np.ndarray, texts: list[str], max_hamming: int = 3, n_bands: int = 8
+) -> pa.Table:
+    from gridfia_ray.codecs.phash import hamming64
+    from gridfia_ray.dedup.docs import SimHasher
+    from gridfia_ray.text.hashing import simhash_band_decompose
+
+    sh = SimHasher().sim64_batch(texts)
+    n = len(ids)
+    _, vals = simhash_band_decompose(sh, n_bands)  # band-major, length n*n_bands
+    cand: set[tuple[int, int]] = set()
+    for b in range(n_bands):
+        buckets: dict[int, list[int]] = {}
+        v = vals[b * n : (b + 1) * n]
+        for i in range(n):
+            buckets.setdefault(int(v[i]), []).append(i)
+        for idxs in buckets.values():
+            for x in range(len(idxs)):
+                for y in range(x + 1, len(idxs)):
+                    ia, ib = idxs[x], idxs[y]
+                    if int(hamming64(sh[ia : ia + 1], sh[ib : ib + 1])[0]) <= max_hamming:
+                        a_id, b_id = int(ids[ia]), int(ids[ib])
+                        cand.add((min(a_id, b_id), max(a_id, b_id)))
+    keep = sorted(cand)
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in keep], pa.int64()),
+            "b": pa.array([p[1] for p in keep], pa.int64()),
+        }
+    )
+
+
+def _replay_hll_vocab(texts: list[str], p: int = 14) -> pa.Table:
+    from gridfia_ray.analysis.sketches import hll_estimate, hll_registers
+    from gridfia_ray.text.hashing import token_hashes64
+
+    th, _ = token_hashes64(texts, lower=True)
+    est = hll_estimate(hll_registers(np.asarray(th, dtype=np.uint64), p))
+    return pa.table({"vocab_est": pa.array([int(round(est))], pa.int64())})
+
+
+def _replay_lsh_topk(
+    vecs: np.ndarray,
+    ids: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 64,
+    hamming_radius: int = 24,
+    seed: int = 42,
+) -> pa.Table:
+    from gridfia_ray.ann.search import _normalize, make_planes, srp_signature
+    from gridfia_ray.codecs.phash import hamming64
+
+    dim = vecs.shape[1]
+    planes = make_planes(dim, n_planes, seed)
+    vn = _normalize(np.asarray(vecs, dtype=np.float64))
+    pos = {int(d): i for i, d in enumerate(ids)}
+    qn = _normalize(np.asarray(vecs[[pos[q] for q in query_ids]], dtype=np.float64))
+    sig = srp_signature(vn, planes)
+    qsig = srp_signature(qn, planes)
+    out_q, out_v, out_r = [], [], []
+    for qi, qid in enumerate(query_ids):
+        ham = hamming64(sig, np.full(len(sig), qsig[qi]))
+        cand = np.nonzero(ham <= hamming_radius)[0]
+        s = vn[cand] @ qn[qi]
+        order = np.lexsort((ids[cand], -s))[:k]  # cosine desc, vec_id asc
+        out_q.extend([qid] * len(order))
+        out_v.extend(ids[cand[order]].tolist())
+        out_r.extend(range(1, len(order) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+def _replay_near_dup(
+    vecs: np.ndarray,
+    ids: np.ndarray,
+    threshold: float = 0.95,
+    band_bits: int = 8,
+    seed: int = 42,
+) -> pa.Table:
+    from gridfia_ray.ann.search import _normalize, make_planes, srp_signature
+    from gridfia_ray.codecs.phash import hamming64
+
+    n_bands = 64 // band_bits
+    mask = np.uint64((1 << band_bits) - 1)
+    # same μ+5σ prefilter radius formula as embedding_near_dup_pairs
+    p = float(np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi)
+    prefilter = min(63, int(np.ceil(64 * p + 5 * np.sqrt(64 * p * (1 - p)))))
+    vn = _normalize(np.asarray(vecs, dtype=np.float64))
+    sig = srp_signature(vn, make_planes(vecs.shape[1], 64, seed))
+    usig = sig.view(np.uint64)
+    cand: set[tuple[int, int]] = set()
+    n = len(ids)
+    for b in range(n_bands):
+        buckets: dict[int, list[int]] = {}
+        v = ((usig >> np.uint64(b * band_bits)) & mask).astype(np.int64)
+        for i in range(n):
+            buckets.setdefault(int(v[i]), []).append(i)
+        for idxs in buckets.values():
+            for x in range(len(idxs)):
+                for y in range(x + 1, len(idxs)):
+                    ia, ib = idxs[x], idxs[y]
+                    if int(hamming64(sig[ia : ia + 1], sig[ib : ib + 1])[0]) <= prefilter:
+                        cand.add((min(int(ids[ia]), int(ids[ib])),
+                                  max(int(ids[ia]), int(ids[ib]))))
+    pos = {int(d): i for i, d in enumerate(ids)}
+    keep = sorted(
+        (a, b)
+        for a, b in cand
+        if float((vn[pos[a]] * vn[pos[b]]).sum()) >= threshold
+    )
+    return pa.table(
+        {
+            "a": pa.array([p_[0] for p_ in keep], pa.int64()),
+            "b": pa.array([p_[1] for p_ in keep], pa.int64()),
+        }
+    )
+
+
+def _replay_ivf_topk(
+    vecs: np.ndarray,
+    ids: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    k_cells: int = 8,
+    nprobe: int = 4,
+    n_iters: int = 20,
+    seed: int = 42,
+    sample_size: int = 4096,
+    round_decimals: int = 9,
+    tol: float = 1e-6,
+) -> pa.Table:
+    """Sequential spherical k-means + probed search. The distributed
+    Lloyd fold accumulates per-block float partials in a different
+    order than this single pass, but both round centroids to 9 decimals
+    after every update (ann/ivf.kmeans_fit round_decimals) — the ~1e-16
+    accumulation jitter is absorbed by the 1e-9 grid, so the centroid
+    SEQUENCE (and hence cell assignment, probing and top-k) is
+    bit-identical across partitionings and against this replay."""
+    from gridfia_ray.ann.ivf import _best_init, _splitmix64
+    from gridfia_ray.ann.search import _normalize
+
+    vecs64 = np.asarray(vecs, np.float64)
+    vn = _normalize(vecs64)
+    h = _splitmix64(ids.view(np.uint64))
+    pool = vecs64[np.argsort(h, kind="stable")[:sample_size]]
+    kk = min(k_cells, len(pool))
+    c = np.round(_best_init(pool, kk, seed), round_decimals)
+    pool_n = _normalize(pool)
+    for _ in range(n_iters):
+        assign = np.argmax(vn @ c.T, axis=1)
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, vecs64)
+        new = c.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        new = _normalize(new)
+        if (~nz).any():
+            far = np.argsort(np.max(pool_n @ new.T, axis=1), kind="stable")
+            for j, cell in enumerate(np.nonzero(~nz)[0]):
+                new[cell] = pool_n[far[j % len(far)]]
+        new = np.round(new, round_decimals)
+        shift = float(np.max(np.linalg.norm(new - c, axis=1)))
+        c = new
+        if shift < tol:
+            break
+    pos = {int(d): i for i, d in enumerate(ids)}
+    qn = _normalize(vecs64[[pos[q] for q in query_ids]])
+    probes = np.argsort(-(qn @ c.T), axis=1, kind="stable")[:, : min(nprobe, kk)]
+    cells = np.argmax(vn @ c.T, axis=1)
+    out_q, out_v, out_r = [], [], []
+    for qi, qid in enumerate(query_ids):
+        mask = np.isin(cells, probes[qi])
+        sel_ids = ids[mask]
+        s = vn[mask] @ qn[qi]
+        order = np.lexsort((sel_ids, -s))[:k]  # cosine desc, vec_id asc
+        out_q.extend([qid] * len(order))
+        out_v.extend(sel_ids[order].tolist())
+        out_r.extend(range(1, len(order) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# cached fixture dirs
+# ---------------------------------------------------------------------------
+
+
+def _ensure_dir(name: str, builder) -> dict:
+    out = os.path.join(FIXTURE_ROOT, name)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        with open(os.path.join(out, "paths.json")) as f:
+            return json.load(f)
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".{name}-", dir=FIXTURE_ROOT)
+    try:
+        rel = builder(tmp)
+        with open(os.path.join(tmp, "paths.json"), "w") as f:
+            json.dump({k: os.path.join(out, v) for k, v in rel.items()}, f)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write("ok\n")
+        if os.path.exists(out):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.rename(tmp, out)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    with open(os.path.join(out, "paths.json")) as f:
+        return json.load(f)
+
+
+def ensure_docpin() -> dict:
+    """{'documents', 'minhash_expected', 'simhash_expected',
+    'hll_expected'} parquet paths (cached, atomic)."""
+
+    def build(tmp: str) -> dict:
+        docs = _docpin_table()
+        ids = docs["doc_id"].to_numpy()
+        texts = docs["text"].to_pylist()
+        pq.write_table(docs, os.path.join(tmp, "documents.parquet"))
+        pq.write_table(
+            _replay_minhash_pairs(ids, texts), os.path.join(tmp, "minhash_expected.parquet")
+        )
+        pq.write_table(
+            _replay_simhash_pairs(ids, texts), os.path.join(tmp, "simhash_expected.parquet")
+        )
+        pq.write_table(_replay_hll_vocab(texts), os.path.join(tmp, "hll_expected.parquet"))
+        return {
+            "documents": "documents.parquet",
+            "minhash_expected": "minhash_expected.parquet",
+            "simhash_expected": "simhash_expected.parquet",
+            "hll_expected": "hll_expected.parquet",
+        }
+
+    return _ensure_dir(f"docpin-v{GEN_VERSION}.{DOCPIN_V}", build)
+
+
+def ensure_annpin() -> dict:
+    """{'embeddings', 'lsh_expected', 'neardup_expected'} parquet paths
+    (cached, atomic)."""
+
+    def build(tmp: str) -> dict:
+        vecs, ids, labels = _annpin_arrays()
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float32()), vecs.shape[1]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": emb,
+                    "label": pa.array(labels),
+                }
+            ),
+            os.path.join(tmp, "embeddings.parquet"),
+            row_group_size=512,
+        )
+        pq.write_table(
+            _replay_lsh_topk(vecs, ids, ANN_PIN_QUERY_IDS),
+            os.path.join(tmp, "lsh_expected.parquet"),
+        )
+        pq.write_table(
+            _replay_near_dup(vecs, ids), os.path.join(tmp, "neardup_expected.parquet")
+        )
+        pq.write_table(
+            _replay_ivf_topk(vecs, ids, ANN_PIN_QUERY_IDS),
+            os.path.join(tmp, "ivf_expected.parquet"),
+        )
+        return {
+            "embeddings": "embeddings.parquet",
+            "lsh_expected": "lsh_expected.parquet",
+            "neardup_expected": "neardup_expected.parquet",
+            "ivf_expected": "ivf_expected.parquet",
+        }
+
+    return _ensure_dir(f"annpin-v{GEN_VERSION}.{ANNPIN_V}", build)
