@@ -1573,6 +1573,26 @@ def q_ann_ivf_pinned(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"], ignore_index=True)
 
 
+def q_emb_semantic_pinned(sf_dir: str) -> pd.DataFrame:
+    """Distributed SemDeDup (streamed rounded-centroid k-means +
+    groupby-cluster prune) vs its pinned sequential replay."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.dedup.semantic import semantic_dedup
+
+    tune_context()
+    paths = oracle_pins.ensure_annpin()
+    out = semantic_dedup(
+        rd.read_parquet(paths["embeddings"]), k=16, eps=0.95, n_iters=10, seed=42
+    ).to_pandas()
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["cluster"] = out["cluster"].astype(np.int32)
+    out["keep"] = out["keep"].astype(bool)
+    return out.sort_values("vec_id", ignore_index=True)
+
+
 def q_emb_near_dup_pinned(sf_dir: str) -> pd.DataFrame:
     """Distributed SRP-band near-dup (bucketed pairs + signature
     prefilter + exact cosine verify) vs its pinned sequential replay —
@@ -2626,6 +2646,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_hll_pinned": q_doc_hll_pinned,
         "ann_lsh_pinned": q_ann_lsh_pinned,
         "ann_ivf_pinned": q_ann_ivf_pinned,
+        "emb_semantic_pinned": q_emb_semantic_pinned,
         "emb_near_dup_pinned": q_emb_near_dup_pinned,
         # --- rows-only by design (hash/heuristic ops; pytest oracles) ---
         "doc_vocab_hll": q_doc_vocab_hll,
@@ -2985,6 +3006,9 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["ann_ivf_pinned"] = (
         f"SELECT * FROM read_parquet('{_ap['ivf_expected']}') ORDER BY query_id, rank"
+    )
+    sql["emb_semantic_pinned"] = (
+        f"SELECT * FROM read_parquet('{_ap['semantic_expected']}') ORDER BY vec_id"
     )
     sql["gf_store_validate"] = f"""
         SELECT COUNT(*) AS n_rows,

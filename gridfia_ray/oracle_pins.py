@@ -41,7 +41,7 @@ from gridfia_ray.fixtures import FIXTURE_ROOT, GEN_VERSION
 
 # bump when any replayed algorithm's bit behavior changes
 DOCPIN_V = 1
-ANNPIN_V = 2
+ANNPIN_V = 3
 
 ANN_PIN_QUERY_IDS = [5, 205, 1005]
 
@@ -266,34 +266,29 @@ def _replay_near_dup(
     )
 
 
-def _replay_ivf_topk(
-    vecs: np.ndarray,
+def _replay_kmeans(
+    vecs64: np.ndarray,
     ids: np.ndarray,
-    query_ids: list[int],
-    k: int = 10,
-    k_cells: int = 8,
-    nprobe: int = 4,
-    n_iters: int = 20,
-    seed: int = 42,
+    k: int,
+    n_iters: int,
+    seed: int,
     sample_size: int = 4096,
     round_decimals: int = 9,
     tol: float = 1e-6,
-) -> pa.Table:
-    """Sequential spherical k-means + probed search. The distributed
-    Lloyd fold accumulates per-block float partials in a different
-    order than this single pass, but both round centroids to 9 decimals
-    after every update (ann/ivf.kmeans_fit round_decimals) — the ~1e-16
-    accumulation jitter is absorbed by the 1e-9 grid, so the centroid
-    SEQUENCE (and hence cell assignment, probing and top-k) is
+) -> np.ndarray:
+    """Sequential twin of ann/ivf.kmeans_fit (full-corpus Lloyd). The
+    distributed fold accumulates per-block float partials in a
+    different order than this single pass, but both round centroids to
+    ``round_decimals`` after every update — the ~1e-16 accumulation
+    jitter is absorbed by the 1e-9 grid, so the centroid SEQUENCE is
     bit-identical across partitionings and against this replay."""
     from gridfia_ray.ann.ivf import _best_init, _splitmix64
     from gridfia_ray.ann.search import _normalize
 
-    vecs64 = np.asarray(vecs, np.float64)
     vn = _normalize(vecs64)
     h = _splitmix64(ids.view(np.uint64))
     pool = vecs64[np.argsort(h, kind="stable")[:sample_size]]
-    kk = min(k_cells, len(pool))
+    kk = min(k, len(pool))
     c = np.round(_best_init(pool, kk, seed), round_decimals)
     pool_n = _normalize(pool)
     for _ in range(n_iters):
@@ -314,6 +309,78 @@ def _replay_ivf_topk(
         c = new
         if shift < tol:
             break
+    return c
+
+
+def _replay_semantic_dedup(
+    vecs: np.ndarray,
+    ids: np.ndarray,
+    k: int = 16,
+    eps: float = 0.95,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> pa.Table:
+    """Sequential twin of dedup/semantic.semantic_dedup: replayed
+    kmeans (see _replay_kmeans), argmax assignment, then the library's
+    per-cluster prune rule applied cluster by cluster (reusing
+    _prune_cluster is the point — the rule's bit behavior must match;
+    the clustering, exchange and grouping machinery is what this
+    verifies)."""
+    from gridfia_ray.ann.search import _normalize
+    from gridfia_ray.dedup.semantic import _prune_cluster
+
+    vecs64 = np.asarray(vecs, np.float64)
+    vn = _normalize(vecs64)
+    c = _replay_kmeans(vecs64, ids, k, n_iters, seed)
+    assign = np.argmax(vn @ c.T, axis=1)
+    out_id, out_cl, out_keep = [], [], []
+    for cell in np.unique(assign):
+        m = assign == cell
+        g_ids, g_vn = ids[m], vn[m]
+        cen = _normalize(c[cell][None, :])[0]
+        sim_c = g_vn @ cen
+        order = np.lexsort((g_ids, sim_c))
+        keep = _prune_cluster(g_vn, order, eps)
+        out_id.extend(g_ids.tolist())
+        out_cl.extend([int(cell)] * len(g_ids))
+        out_keep.extend(bool(x) for x in keep)
+    df = pa.table(
+        {
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cluster": pa.array(out_cl, pa.int32()),
+            "keep": pa.array(out_keep, pa.bool_()),
+        }
+    )
+    return df.sort_by("vec_id")
+
+
+def _replay_ivf_topk(
+    vecs: np.ndarray,
+    ids: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    k_cells: int = 8,
+    nprobe: int = 4,
+    n_iters: int = 20,
+    seed: int = 42,
+    sample_size: int = 4096,
+    round_decimals: int = 9,
+    tol: float = 1e-6,
+) -> pa.Table:
+    """Sequential spherical k-means + probed search. The distributed
+    Lloyd fold accumulates per-block float partials in a different
+    order than this single pass, but both round centroids to 9 decimals
+    after every update (ann/ivf.kmeans_fit round_decimals) — the ~1e-16
+    accumulation jitter is absorbed by the 1e-9 grid, so the centroid
+    SEQUENCE (and hence cell assignment, probing and top-k) is
+    bit-identical across partitionings and against this replay."""
+    from gridfia_ray.ann.search import _normalize
+
+    vecs64 = np.asarray(vecs, np.float64)
+    vn = _normalize(vecs64)
+    c = _replay_kmeans(vecs64, ids, k_cells, n_iters, seed, sample_size,
+                       round_decimals, tol)
+    kk = len(c)
     pos = {int(d): i for i, d in enumerate(ids)}
     qn = _normalize(vecs64[[pos[q] for q in query_ids]])
     probes = np.argsort(-(qn @ c.T), axis=1, kind="stable")[:, : min(nprobe, kk)]
@@ -423,11 +490,16 @@ def ensure_annpin() -> dict:
             _replay_ivf_topk(vecs, ids, ANN_PIN_QUERY_IDS),
             os.path.join(tmp, "ivf_expected.parquet"),
         )
+        pq.write_table(
+            _replay_semantic_dedup(vecs, ids),
+            os.path.join(tmp, "semantic_expected.parquet"),
+        )
         return {
             "embeddings": "embeddings.parquet",
             "lsh_expected": "lsh_expected.parquet",
             "neardup_expected": "neardup_expected.parquet",
             "ivf_expected": "ivf_expected.parquet",
+            "semantic_expected": "semantic_expected.parquet",
         }
 
     return _ensure_dir(f"annpin-v{GEN_VERSION}.{ANNPIN_V}", build)

@@ -117,6 +117,18 @@ class TestAnnPins:
             got, _expected(annpin["ivf_expected"], ["query_id", "rank"])
         )
 
+    @pytest.mark.parametrize("n_parts", [1, 9])
+    def test_semantic_dedup_partition_invariant(self, annpin, n_parts):
+        from gridfia_ray.dedup.semantic import semantic_dedup
+
+        ds = rd.read_parquet(annpin["embeddings"]).repartition(n_parts)
+        got = semantic_dedup(ds, k=16, eps=0.95, n_iters=10, seed=42).to_pandas()
+        got["vec_id"] = got["vec_id"].astype(np.int64)
+        got["cluster"] = got["cluster"].astype(np.int32)
+        got["keep"] = got["keep"].astype(bool)
+        got = got.sort_values("vec_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, _expected(annpin["semantic_expected"], ["vec_id"]))
+
     @pytest.mark.parametrize("n_parts", [9])
     def test_near_dup_recovers_planted(self, annpin, n_parts):
         from gridfia_ray.ann.search import embedding_near_dup_pairs
