@@ -35,6 +35,38 @@ def _decoded_values(batch: pa.Table) -> list[np.ndarray]:
     return out
 
 
+def _uniform_hist(a: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """EXACTLY ``np.histogram(a, bins=edges)[0]`` for uniform
+    (linspace) edges, ~4× faster: explicit edge arrays force numpy's
+    generic searchsorted path (O(n log bins), bad constants); uniform
+    edges admit a multiply-based index + one exact boundary-correction
+    round against the real edge values (the same fixup numpy's own
+    uniform fast path performs). Bin semantics preserved bit-for-bit:
+    [e_i, e_{i+1}) half-open, last bin closed, out-of-range ignored —
+    the refinement bookkeeping in ``percentiles_exact`` depends on the
+    counts agreeing with exact ``<`` comparisons."""
+    bins = edges.size - 1
+    lo, hi = float(edges[0]), float(edges[-1])
+    if not hi > lo:  # degenerate range — let numpy define it
+        return np.histogram(a, bins=edges)[0].astype(np.int64)
+    sel = a[(a >= lo) & (a <= hi)]
+    if sel.size == 0:
+        return np.zeros(bins, dtype=np.int64)
+    idx = np.floor((sel - lo) * (bins / (hi - lo))).astype(np.int64)
+    np.clip(idx, 0, bins - 1, out=idx)
+    idx[sel < edges[idx]] -= 1
+    bump = (sel >= edges[idx + 1]) & (idx < bins - 1)
+    idx[bump] += 1
+    # exact-membership audit: the multiply model is off by ≤1 bin only
+    # while bin width ≫ value ulp; late refinement passes shrink ranges
+    # toward ulp scale where linspace edges stop being uniform in the
+    # exact sense — those (rare, tiny) calls take numpy's slow path
+    ok = (sel >= edges[idx]) & ((sel < edges[idx + 1]) | (idx == bins - 1))
+    if not ok.all():
+        return np.histogram(sel, bins=edges)[0].astype(np.int64)
+    return np.bincount(idx, minlength=bins)
+
+
 def value_range(decoded: rd.Dataset, exclude_zero: bool = True) -> tuple[float, float]:
     def partial(batch: pa.Table) -> pa.Table:
         lo, hi = np.inf, -np.inf
@@ -80,7 +112,7 @@ def percentiles_histogram(
         for arr in _decoded_values(batch):
             a = arr[arr != 0.0] if exclude_zero else arr
             if a.size:
-                counts += np.histogram(a, bins=edges)[0]
+                counts += _uniform_hist(a.astype(np.float64), edges)
         return pa.table({"bin": np.arange(bins, dtype=np.int64), "count": counts})
 
     from ray.data.aggregate import Sum
@@ -205,7 +237,7 @@ def percentiles_exact(
                     else:
                         sel = a64[(a64 >= a) & ((a64 <= b) if inc else (a64 < b))]
                     if sel.size:
-                        counts[ri * bins : (ri + 1) * bins] += np.histogram(sel, bins=edges)[0]
+                        counts[ri * bins : (ri + 1) * bins] += _uniform_hist(sel, edges)
             return pa.table(
                 {"slot": np.arange(len(counts), dtype=np.int64), "count": counts}
             )

@@ -55,6 +55,37 @@ class TestReassembly:
 
 
 class TestPercentiles:
+    def test_uniform_hist_equals_np_histogram(self):
+        """_uniform_hist must be BIT-equal to np.histogram with explicit
+        linspace edges — the refinement bookkeeping and the pinned
+        sketch oracle both depend on it. Trials plant values exactly on
+        edges and at the range ends."""
+        from gridfia_ray.pipelines.percentiles import _uniform_hist
+
+        rng = np.random.RandomState(3)
+        for _ in range(200):
+            bins = int(rng.randint(2, 4097))
+            lo, hi = np.sort(rng.normal(size=2) * 100)
+            if hi <= lo:
+                continue
+            edges = np.linspace(lo, hi, bins + 1)
+            a = rng.normal(loc=(lo + hi) / 2, scale=(hi - lo), size=1500)
+            a = np.concatenate([a, rng.choice(edges, 50), [lo, hi]])
+            want = np.histogram(a, bins=edges)[0]
+            got = _uniform_hist(a, edges)
+            assert (want == got).all()
+        # near-ulp-wide range (late refinement pass): multiply model is
+        # off by whole bins → must take the audited numpy fallback
+        lo = 0.002752170898020255
+        hi = np.nextafter(np.nextafter(lo, 1.0), 1.0)
+        edges = np.linspace(lo, hi, 4097)
+        a = np.array([lo, np.nextafter(lo, 1.0), hi])
+        assert (_uniform_hist(a, edges) == np.histogram(a, bins=edges)[0]).all()
+        # degenerate lo == hi
+        edges0 = np.linspace(lo, lo, 11)
+        a0 = np.full(5, lo)
+        assert (_uniform_hist(a0, edges0) == np.histogram(a0, bins=edges0)[0]).all()
+
     def test_matches_numpy(self, ray_session, t1_tiles, spec):
         decoded = decoded_tiles(read_tiles(t1_tiles), spec, include_total=False)
         got = percentiles_histogram(decoded, [2, 50, 98], bins=8192)
