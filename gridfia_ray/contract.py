@@ -887,7 +887,6 @@ def q_ingest_cube(sf_dir: str) -> pd.DataFrame:
     import tempfile
 
     from gridfia_ray.codecs import zarrlite as Z
-    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
     from gridfia_ray.pipelines.ingest import ingest_zarr_cube
 
     f = _fx()
@@ -1522,7 +1521,6 @@ def q_doc_hll_pinned(sf_dir: str) -> pd.DataFrame:
 def q_ann_lsh_pinned(sf_dir: str) -> pd.DataFrame:
     """Distributed SRP-LSH candidate scan + global re-rank vs its
     pinned sequential replay on the planted clustered corpus."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from gridfia_ray import oracle_pins
@@ -1531,11 +1529,8 @@ def q_ann_lsh_pinned(sf_dir: str) -> pd.DataFrame:
 
     tune_context()
     paths = oracle_pins.ensure_annpin()
-    emb = pq.read_table(paths["embeddings"])
-    ids = emb["vec_id"].to_numpy()
+    mat, ids = oracle_pins.load_annpin_matrix()
     pos = {int(d): i for i, d in enumerate(ids)}
-    mat = np.asarray(emb["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False),
-                     np.float32).reshape(len(ids), -1)
     qids = oracle_pins.ANN_PIN_QUERY_IDS
     out = lsh_topk_cosine(
         rd.read_parquet(paths["embeddings"]), mat[[pos[q] for q in qids]], qids, k=10
@@ -1550,7 +1545,6 @@ def q_ann_ivf_pinned(sf_dir: str) -> pd.DataFrame:
     sequential replay. The 9-decimal centroid rounding after every
     Lloyd update makes the whole chain bit-deterministic across
     partitionings (see oracle_pins._replay_ivf_topk)."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from gridfia_ray import oracle_pins
@@ -1559,11 +1553,8 @@ def q_ann_ivf_pinned(sf_dir: str) -> pd.DataFrame:
 
     tune_context()
     paths = oracle_pins.ensure_annpin()
-    emb = pq.read_table(paths["embeddings"])
-    ids = emb["vec_id"].to_numpy()
+    mat, ids = oracle_pins.load_annpin_matrix()
     pos = {int(d): i for i, d in enumerate(ids)}
-    mat = np.asarray(emb["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False),
-                     np.float32).reshape(len(ids), -1)
     qids = oracle_pins.ANN_PIN_QUERY_IDS
     out = ivf_topk_cosine(
         rd.read_parquet(paths["embeddings"]), mat[[pos[q] for q in qids]], qids,
@@ -2987,7 +2978,11 @@ def build_oracle_sql() -> dict[str, str]:
     )
     # pinned sequential-replay oracles for the seed-deterministic
     # hash/heuristic ops (see gridfia_ray/oracle_pins.py for the
-    # exactness argument per family)
+    # exactness argument per family). Generation is EAGER here on
+    # purpose: the paths are deterministic, but composing them without
+    # building would break any consumer that runs an oracle before its
+    # paired query — the ensure_* calls are a cached-path read after the
+    # first (one-time, ~25 s) build
     from gridfia_ray import oracle_pins as _pins
 
     _dp, _ap = _pins.ensure_docpin(), _pins.ensure_annpin()

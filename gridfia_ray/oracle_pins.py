@@ -459,6 +459,19 @@ def ensure_docpin() -> dict:
     return _ensure_dir(f"docpin-v{GEN_VERSION}.{DOCPIN_V}", build)
 
 
+def load_annpin_matrix() -> tuple[np.ndarray, np.ndarray]:
+    """(vecs f32 (n, dim), vec_id int64) from the cached annpin
+    embeddings parquet — the shared loader for the pinned ANN queries
+    and tests."""
+    emb = pq.read_table(ensure_annpin()["embeddings"])
+    ids = emb["vec_id"].to_numpy()
+    mat = np.asarray(
+        emb["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False),
+        np.float32,
+    ).reshape(len(ids), -1)
+    return mat, ids
+
+
 def ensure_annpin() -> dict:
     """{'embeddings', 'lsh_expected', 'neardup_expected'} parquet paths
     (cached, atomic)."""

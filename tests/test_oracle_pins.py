@@ -71,13 +71,7 @@ class TestDocPins:
 
 class TestAnnPins:
     def _mat_ids(self, annpin):
-        emb = pq.read_table(annpin["embeddings"])
-        ids = emb["vec_id"].to_numpy()
-        mat = np.asarray(
-            emb["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False),
-            np.float32,
-        ).reshape(len(ids), -1)
-        return mat, ids
+        return OP.load_annpin_matrix()
 
     @pytest.mark.parametrize("n_parts", [1, 9])
     def test_lsh_topk_partition_invariant(self, annpin, n_parts):
