@@ -2504,17 +2504,21 @@ def q_events_error_window_banded(sf_dir: str) -> pd.DataFrame:
 def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     """Insertion order is CURATED for the driver's 50-row recording
     window (round-3 VERDICT #1): the first 50 entries are all
-    SQL-oracle-backed and span every operator family in SURVEY.md §2
+    oracle-backed and span every operator family in SURVEY.md §2
     (raster kernels incl. global-frequency, global stats, zonal, raster
-    ops, warp+sketch with pinned-parquet oracles, spatial joins, kNN,
-    tile dedup, Moran's I, relational joins/ROLLUP, as-of + interval
-    joins, semi/anti joins, doc dedup exact/incremental/near/verified/
-    clusters/paragraph, decontamination, corpus build, language ID,
+    ops incl. the 4-sink write→decode roundtrip and the lossy JPEG
+    decode pool, warp+sketch with pinned-parquet oracles, spatial
+    joins, kNN, tile dedup, Moran's I, relational joins/ROLLUP, as-of +
+    interval joins, semi joins, doc dedup exact/incremental/near/
+    verified/clusters/paragraph, MinHash-LSH and IVF top-k via pinned
+    sequential replays, decontamination, corpus build, language ID,
     quality, token stats, sketch-verified heavy hitters, ANN brute
     top-k, event windows/funnels/running windows/JSON extraction).
     Entries 51+ are family siblings already represented in the window
-    plus the seven rows-only (non-SQL) heuristic ops, which carry
-    pytest oracles instead."""
+    (hopping windows, anti join, regional broadcast chain, focal
+    gradient, the remaining pinned twins) plus the seven rows-only
+    sf-table variants of the heuristic ops, which carry pytest oracles
+    and pinned twins instead."""
     qs: dict[str, Callable[[str], pd.DataFrame]] = {
         # --- driver window (50): one green row per operator family ---
         # raster metric kernels (M1-M15)
@@ -2532,7 +2536,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_percentiles": q_zonal_percentiles,
         "gf_downsample_2x": q_downsample_2x,
         "gf_focal_sum": q_focal_sum_3x3,
-        "gf_focal_gradient": q_focal_gradient,
+        "gf_raster_roundtrip": q_raster_roundtrip,
+        "gf_jpeg_decode": q_jpeg_decode,
         "gf_warp_mercator": q_warp_mercator,
         "gf_bbox_extract": q_bbox_extract,
         "gf_tile_zone_join": q_tile_zone_join,
@@ -2544,16 +2549,15 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_percentiles_exact": q_percentiles_exact,
         "gf_tile_catalog": q_tile_catalog,
         # relational / windowed / temporal joins
-        "events_hopping": q_events_hopping,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
-        "rel_regional_revenue": q_rel_regional_revenue,
         "rel_priority_lines": q_rel_priority_lines,
         "events_asof_join": q_events_asof_join,
         "events_error_window_join": q_events_error_window_join,
         "rel_urgent_customers": q_rel_urgent_customers,
-        "rel_quiet_customers": q_rel_quiet_customers,
         "rel_rollup_pricing": q_rel_rollup_pricing,
+        "doc_minhash_pinned": q_doc_minhash_pinned,
+        "ann_ivf_pinned": q_ann_ivf_pinned,
         # document dedup / decontamination / corpus build
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_incremental": q_doc_dedup_incremental,
@@ -2605,10 +2609,12 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         ),
         "gf_coverage_topk": q_coverage_topk,
         "gf_store_validate": q_store_validate,
-        "gf_raster_roundtrip": q_raster_roundtrip,
+        "gf_focal_gradient": q_focal_gradient,
         "gf_ingest_cube": q_ingest_cube,
         "gf_store_append": q_store_append,
-        "gf_jpeg_decode": q_jpeg_decode,
+        "events_hopping": q_events_hopping,
+        "rel_regional_revenue": q_rel_regional_revenue,
+        "rel_quiet_customers": q_rel_quiet_customers,
         "gf_tile_features": q_tile_features,
         "gf_tile_resize": q_tile_resize,
         "gf_identify": q_identify,
@@ -2631,12 +2637,11 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_sample_per_user": q_events_sample_per_user,
         # pinned sequential-replay twins of the hash/heuristic ops: the
         # same distributed pipelines on deterministic planted corpora,
-        # hash-checked against oracle_pins replays
-        "doc_minhash_pinned": q_doc_minhash_pinned,
+        # hash-checked against oracle_pins replays (minhash and IVF
+        # twins sit inside the driver window above)
         "doc_simhash_pinned": q_doc_simhash_pinned,
         "doc_hll_pinned": q_doc_hll_pinned,
         "ann_lsh_pinned": q_ann_lsh_pinned,
-        "ann_ivf_pinned": q_ann_ivf_pinned,
         "emb_semantic_pinned": q_emb_semantic_pinned,
         "emb_near_dup_pinned": q_emb_near_dup_pinned,
         # --- rows-only by design (hash/heuristic ops; pytest oracles) ---
