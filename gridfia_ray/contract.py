@@ -1035,6 +1035,22 @@ def q_doc_token_count(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_pack(sf_dir: str) -> pd.DataFrame:
+    """LLM sample packing (pipelines/pack.pack_sequences): greedy
+    first-fit of whitespace token counts into 256-token sequences,
+    8 modulo shards — one bucketed exchange, per-shard integer scan.
+    The (seq_id, seq_pos) assignment is a pure function of the input,
+    verified against a recursive-CTE replay of the greedy rule."""
+    from gridfia_ray.pipelines.pack import pack_sequences
+    from gridfia_ray.text.ops import token_count
+
+    toks = _docs(sf_dir).map_batches(token_count, batch_format="pandas")
+    out = pack_sequences(toks, budget=256, n_shards=8).to_pandas()
+    for c in ["doc_id", "shard", "seq_id", "seq_pos", "n_tokens"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     """BPE-style pre-tokenizer count (RE2-compatible pattern shared
     verbatim with the SQL oracle)."""
@@ -2625,6 +2641,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_source_cap": q_doc_source_cap,
         "doc_token_freq": q_doc_token_freq,
+        "doc_pack": q_doc_pack,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_repetition": q_doc_repetition,
         "doc_langid_ngram": q_doc_langid_ngram,
@@ -3079,6 +3096,36 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
         FROM documents"""
+    # greedy packing replayed as a recursive CTE: each iteration advances
+    # every shard by one document, carrying (seq, fill, pos)
+    sql["doc_pack"] = r"""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                      AS BIGINT) AS n_tokens
+          FROM documents),
+        o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) rn
+              FROM tok),
+        p AS (
+          SELECT shard, doc_id, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS seq, n_tokens AS fill,
+                 CAST(0 AS BIGINT) AS pos
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+                 CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 256
+                      THEN p.seq + 1 ELSE p.seq END,
+                 CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 256
+                      THEN o.n_tokens ELSE p.fill + o.n_tokens END,
+                 CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 256
+                      THEN 0 ELSE p.pos + 1 END
+          FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+               CAST(shard * 1099511627776 + seq AS BIGINT) AS seq_id,
+               pos AS seq_pos, n_tokens
+        FROM p ORDER BY doc_id"""
     sql["doc_bpe_tokens"] = r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,

@@ -1,0 +1,72 @@
+"""Sequence packing (pipelines/pack): greedy rule, budget discipline,
+oversized-doc isolation, shard stride, and partition invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gridfia_ray.pipelines.pack import SEQ_SHARD_STRIDE, pack_sequences
+
+
+def _toy(n=300, seed=5):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_tokens": rng.randint(1, 200, n).astype(np.int64),
+        }
+    )
+
+
+def _pack(df, budget=256, n_parts=1, **kw):
+    ds = rd.from_pandas(df).repartition(n_parts)
+    out = pack_sequences(ds, budget, n_shards=4, **kw).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+class TestPack:
+    def test_greedy_rule_and_budget(self, ray_session):
+        df = _toy()
+        out = _pack(df)
+        # every sequence fits the budget unless it is a single oversized doc
+        by_seq = out.groupby("seq_id").agg(total=("n_tokens", "sum"), n=("doc_id", "count"))
+        over = by_seq[by_seq["total"] > 256]
+        assert (over["n"] == 1).all()
+        # greedy: within a shard (ascending doc_id) a new sequence starts
+        # ONLY when the previous fill could not absorb the doc
+        for shard, g in out.groupby("shard"):
+            g = g.sort_values("doc_id").reset_index(drop=True)
+            fill = 0
+            for _, row in g.iterrows():
+                t = int(row["n_tokens"])
+                if row["seq_pos"] == 0 and fill > 0:
+                    assert fill + t > 256  # forced break
+                    fill = 0
+                fill += t
+        # seq_pos is a contiguous 0..k run per sequence
+        for _, g in out.groupby("seq_id"):
+            assert sorted(g["seq_pos"]) == list(range(len(g)))
+
+    def test_shard_stride_and_determinism(self, ray_session):
+        out = _pack(_toy())
+        assert ((out["seq_id"] // SEQ_SHARD_STRIDE) == out["shard"]).all()
+        assert ((out["doc_id"] % 4) == out["shard"]).all()
+
+    @pytest.mark.parametrize("n_parts", [1, 7])
+    def test_partition_invariant(self, ray_session, n_parts):
+        base = _pack(_toy())
+        got = _pack(_toy(), n_parts=n_parts)
+        pd.testing.assert_frame_equal(got, base)
+
+    def test_pre_hash_spreads(self, ray_session):
+        out = _pack(_toy(), pre_hash=True)
+        # hashed sharding no longer equals modulo, but stays deterministic
+        assert not ((out["doc_id"] % 4) == out["shard"]).all()
+        pd.testing.assert_frame_equal(out, _pack(_toy(), pre_hash=True))
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError):
+            pack_sequences(rd.from_pandas(_toy()), 0)
+        with pytest.raises(ValueError):
+            pack_sequences(rd.from_pandas(_toy()), 16, n_shards=0)
