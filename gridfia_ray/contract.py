@@ -1051,6 +1051,26 @@ def q_doc_pack(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_redact(sf_dir: str) -> pd.DataFrame:
+    """PII scrub stage (text/ops.redact_pii) over the planted-PII pin
+    corpus: emails, IPv4s and intl phone numbers → typed placeholders.
+    The redacted TEXT itself is hash-compared against DuckDB's
+    regexp_replace running the identical RE2-compatible patterns in the
+    identical order."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.text.ops import redact_pii
+
+    tune_context()
+    docs = rd.read_parquet(oracle_pins.ensure_docpin()["pii_documents"])
+    out = docs.map_batches(redact_pii, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_redactions"] = out["n_redactions"].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     """BPE-style pre-tokenizer count (RE2-compatible pattern shared
     verbatim with the SQL oracle)."""
@@ -2642,6 +2662,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_source_cap": q_doc_source_cap,
         "doc_token_freq": q_doc_token_freq,
         "doc_pack": q_doc_pack,
+        "doc_redact": q_doc_redact,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_repetition": q_doc_repetition,
         "doc_langid_ngram": q_doc_langid_ngram,
@@ -3026,6 +3047,24 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["emb_semantic_pinned"] = (
         f"SELECT * FROM read_parquet('{_ap['semantic_expected']}') ORDER BY vec_id"
+    )
+    # PII redaction: the identical RE2 patterns in the identical order,
+    # counts taken per stage on the partially-redacted text (matching
+    # redact_pii's sequential application)
+    from gridfia_ray.text.ops import PII_PATTERNS as _pii
+
+    sql["doc_redact"] = (
+        "WITH s0 AS (SELECT doc_id, text AS t FROM read_parquet('"
+        + _dp["pii_documents"]
+        + "')),\n"
+        "s1 AS (SELECT doc_id, len(regexp_extract_all(t, '" + _pii[0][0] + "')) n1,"
+        " regexp_replace(t, '" + _pii[0][0] + "', '" + _pii[0][1] + "', 'g') t FROM s0),\n"
+        "s2 AS (SELECT doc_id, n1, len(regexp_extract_all(t, '" + _pii[1][0] + "')) n2,"
+        " regexp_replace(t, '" + _pii[1][0] + "', '" + _pii[1][1] + "', 'g') t FROM s1),\n"
+        "s3 AS (SELECT doc_id, n1, n2, len(regexp_extract_all(t, '" + _pii[2][0] + "')) n3,"
+        " regexp_replace(t, '" + _pii[2][0] + "', '" + _pii[2][1] + "', 'g') t FROM s2)\n"
+        "SELECT doc_id, t AS text_redacted,"
+        " CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions FROM s3 ORDER BY doc_id"
     )
     sql["gf_store_validate"] = f"""
         SELECT COUNT(*) AS n_rows,

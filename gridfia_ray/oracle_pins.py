@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 from gridfia_ray.fixtures import FIXTURE_ROOT, GEN_VERSION
 
 # bump when any replayed algorithm's bit behavior changes
-DOCPIN_V = 1
+DOCPIN_V = 2
 ANNPIN_V = 3
 
 ANN_PIN_QUERY_IDS = [5, 205, 1005]
@@ -74,6 +74,27 @@ def _docpin_table() -> pa.Table:
             "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
             "text": pa.array(texts, pa.string()),
         }
+    )
+
+
+def _piipin_table() -> pa.Table:
+    """The docpin texts with deterministic planted PII on every third
+    document (an email, a dotted-quad IP, an international-format phone
+    number) — the redaction oracle needs real matches, and the driver's
+    random sf tables contain none."""
+    docs = _docpin_table()
+    texts = docs["text"].to_pylist()
+    out = []
+    for i, t in enumerate(texts):
+        if i % 3 == 0:
+            t = (
+                f"{t} contact user{i}@example.com or admin.{i}@mail-sub.example.org "
+                f"from 10.{i % 256}.{(i * 7) % 256}.{(i * 13) % 256} "
+                f"call +14155550{i:03d}"
+            )
+        out.append(t)
+    return pa.table(
+        {"doc_id": docs["doc_id"], "text": pa.array(out, pa.string())}
     )
 
 
@@ -449,11 +470,13 @@ def ensure_docpin() -> dict:
             _replay_simhash_pairs(ids, texts), os.path.join(tmp, "simhash_expected.parquet")
         )
         pq.write_table(_replay_hll_vocab(texts), os.path.join(tmp, "hll_expected.parquet"))
+        pq.write_table(_piipin_table(), os.path.join(tmp, "pii_documents.parquet"))
         return {
             "documents": "documents.parquet",
             "minhash_expected": "minhash_expected.parquet",
             "simhash_expected": "simhash_expected.parquet",
             "hll_expected": "hll_expected.parquet",
+            "pii_documents": "pii_documents.parquet",
         }
 
     return _ensure_dir(f"docpin-v{GEN_VERSION}.{DOCPIN_V}", build)

@@ -257,3 +257,31 @@ def chunk_documents(
         )
 
     return docs.map_batches(chunk, batch_format="pandas")
+
+
+# PII scrubbing — RE2-compatible patterns (no lookaround) so the SAME
+# patterns run verbatim in the DuckDB oracle's regexp_replace. Applied
+# in a fixed order (email → IPv4 → intl phone); both engines use
+# leftmost-first non-overlapping replacement, so outputs are identical.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{9,15}", "<PHONE>"),
+)
+_PII_COMPILED = [(re.compile(p), tok) for p, tok in PII_PATTERNS]
+
+
+def redact_pii(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → (doc_id, text_redacted, n_redactions): emails,
+    IPv4 addresses and international-format phone numbers replaced by
+    typed placeholder tokens — the standard pre-training scrub stage.
+    Pure map, no shuffle; patterns compile once at import."""
+    out = batch[["doc_id"]].copy()
+    text = batch["text"].fillna("")
+    n = np.zeros(len(batch), dtype=np.int64)
+    for pat, tok in _PII_COMPILED:
+        n += text.str.count(pat).to_numpy(np.int64)
+        text = text.str.replace(pat, tok, regex=True)
+    out["text_redacted"] = text
+    out["n_redactions"] = n
+    return out

@@ -192,3 +192,43 @@ class TestChunkDocuments:
         df = pd.DataFrame({"doc_id": [1], "text": ["x"]})
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(rd.from_pandas(df), chunk_tokens=8, overlap=8)
+
+
+class TestRedactPII:
+    def test_planted_pii_redacted(self, ray_session):
+        import pandas as pd
+
+        from gridfia_ray.text.ops import redact_pii
+
+        batch = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "mail a.b-c_d@example.co.uk now",
+                    "from 192.168.1.255 call +141555501234 ok",
+                    "clean text, no pii at 3.14 or v1.2.3",
+                ],
+            }
+        )
+        out = redact_pii(batch)
+        assert out["text_redacted"].tolist() == [
+            "mail <EMAIL> now",
+            "from <IP> call <PHONE> ok",
+            "clean text, no pii at 3.14 or v1.2.3",
+        ]
+        assert out["n_redactions"].tolist() == [1, 2, 0]
+
+    def test_pin_corpus_has_matches(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from gridfia_ray import oracle_pins
+
+        p = oracle_pins.ensure_docpin()["pii_documents"]
+        import pandas as pd
+
+        from gridfia_ray.text.ops import redact_pii
+
+        out = redact_pii(pq.read_table(p).to_pandas())
+        # every third doc carries 2 emails + 1 IP + 1 phone
+        assert (out["n_redactions"].to_numpy()[::3] == 4).all()
+        assert (out["n_redactions"].to_numpy()[1::3] == 0).all()
