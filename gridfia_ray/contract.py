@@ -1071,6 +1071,30 @@ def q_doc_redact(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Audio-column pipeline end-to-end: WAV/PCM clips (pure-numpy RIFF
+    codec — wav graduated from the stub list) through the distributed
+    ``AudioFeatureActor`` pool; per-clip exact/scaled features
+    hash-compared against the pinned sequential replay."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.multimodal import AudioFeatureActor
+
+    tune_context()
+    clips = rd.read_parquet(oracle_pins.ensure_audpin()["clips"])
+    out = (
+        clips.map_batches(AudioFeatureActor, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()
+    )
+    assert (out["status"] == "ok").all()
+    out = out.drop(columns=["status"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("clip_id", ignore_index=True)
+
+
 def q_doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     """BPE-style pre-tokenizer count (RE2-compatible pattern shared
     verbatim with the SQL oracle)."""
@@ -2663,6 +2687,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_token_freq": q_doc_token_freq,
         "doc_pack": q_doc_pack,
         "doc_redact": q_doc_redact,
+        "audio_features": q_audio_features,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_repetition": q_doc_repetition,
         "doc_langid_ngram": q_doc_langid_ngram,
@@ -3047,6 +3072,10 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["emb_semantic_pinned"] = (
         f"SELECT * FROM read_parquet('{_ap['semantic_expected']}') ORDER BY vec_id"
+    )
+    sql["audio_features"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_audpin()['features_expected']}') "
+        f"ORDER BY clip_id"
     )
     # PII redaction: the identical RE2 patterns in the identical order,
     # counts taken per stage on the partially-redacted text (matching

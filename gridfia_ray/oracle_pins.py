@@ -42,6 +42,7 @@ from gridfia_ray.fixtures import FIXTURE_ROOT, GEN_VERSION
 # bump when any replayed algorithm's bit behavior changes
 DOCPIN_V = 2
 ANNPIN_V = 3
+AUDPIN_V = 1
 
 ANN_PIN_QUERY_IDS = [5, 205, 1005]
 
@@ -493,6 +494,68 @@ def load_annpin_matrix() -> tuple[np.ndarray, np.ndarray]:
         np.float32,
     ).reshape(len(ids), -1)
     return mat, ids
+
+
+def _audpin_clips() -> list[tuple[int, np.ndarray, int]]:
+    """60 deterministic mono clips: sine sweeps, white noise, silence,
+    and clipped square waves at 8/16 kHz, 800-4000 samples."""
+    rng = np.random.RandomState(23)
+    clips = []
+    for i in range(60):
+        rate = 8000 if i % 2 == 0 else 16000
+        n = int(rng.randint(800, 4000))
+        t = np.arange(n) / rate
+        kind = i % 4
+        if kind == 0:
+            x = 0.8 * np.sin(2 * np.pi * (100 + 37 * i) * t)
+        elif kind == 1:
+            x = 0.3 * rng.standard_normal(n)
+        elif kind == 2:
+            x = np.zeros(n)
+        else:
+            x = np.sign(np.sin(2 * np.pi * (50 + 11 * i) * t)) * 0.99
+        clips.append((i, x.astype(np.float64), rate))
+    return clips
+
+
+def ensure_audpin() -> dict:
+    """{'clips', 'features_expected'} parquet paths: WAV/PCM payload
+    rows plus the pinned per-clip features — a sequential replay of
+    exactly the decode + feature math the distributed
+    ``AudioFeatureActor`` pool runs (same standard as the JPEG pin:
+    encode once at fixture gen, the distributed path must reproduce the
+    sequential decode bit-for-bit)."""
+
+    def build(tmp: str) -> dict:
+        from gridfia_ray.codecs.wav import decode_wav_pcm16, encode_wav_pcm16
+        from gridfia_ray.stages.multimodal import audio_features
+
+        ids, bufs, rows = [], [], []
+        for cid, x, rate in _audpin_clips():
+            buf = encode_wav_pcm16(x, rate)
+            ids.append(cid)
+            bufs.append(buf)
+            samples, r = decode_wav_pcm16(buf)
+            rows.append({"clip_id": cid, **audio_features(samples, r)})
+        pq.write_table(
+            pa.table(
+                {
+                    "clip_id": pa.array(ids, pa.int64()),
+                    "bytes": pa.array(bufs, pa.binary()),
+                    "fmt": pa.array(["wav"] * len(ids), pa.string()),
+                }
+            ),
+            os.path.join(tmp, "clips.parquet"),
+        )
+        exp = pa.Table.from_pylist(rows)
+        exp = exp.select(
+            ["clip_id", "n_samples", "rate", "duration_ms", "rms_u", "peak_u",
+             "zero_crossings"]
+        )
+        pq.write_table(exp.sort_by("clip_id"), os.path.join(tmp, "features_expected.parquet"))
+        return {"clips": "clips.parquet", "features_expected": "features_expected.parquet"}
+
+    return _ensure_dir(f"audpin-v{GEN_VERSION}.{AUDPIN_V}", build)
 
 
 def ensure_annpin() -> dict:

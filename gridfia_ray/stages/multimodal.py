@@ -2,9 +2,10 @@
 
 Image-as-binary is the engine's native payload (the ``bytes`` column).
 What is real here and runs in tests: the raw-f32/zlib/png16/tiff/bmp
-decoders plus the pure-numpy baseline-JPEG grayscale codec
-(``gridfia_ray.codecs``), block-mean ``ResizeActor`` and statistical
-``TileFeatureActor``. The remaining external formats (webp/audio/video
+decoders plus the pure-numpy baseline-JPEG grayscale codec and the
+RIFF/PCM WAV audio codec (``gridfia_ray.codecs``), block-mean
+``ResizeActor``, statistical ``TileFeatureActor`` and
+``AudioFeatureActor``. The remaining external formats (webp/video
 frames) need libraries absent from this environment — their stages are
 STUBS with the full Ray-side plumbing (schema, batch path, actor
 signature) in place, raising ``NotImplementedError`` at decode exactly as
@@ -21,9 +22,10 @@ from gridfia_ray.codecs.phash import content_hash64
 from gridfia_ray.codecs.registry import FORMATS, decode_tile
 
 # jpeg graduated to a REAL codec (gridfia_ray.codecs.jpeg — pure-numpy
-# baseline T.81 grayscale, round-3 VERDICT #6); only formats whose specs
+# baseline T.81 grayscale, round-3 VERDICT #6) and wav to codecs.wav
+# (RIFF/PCM, round 4 — see AudioFeatureActor); only formats whose specs
 # genuinely need external libraries remain stubs
-STUB_FORMATS = ("webp", "wav", "mp4")
+STUB_FORMATS = ("webp", "mp4")
 
 
 class ResizeActor:
@@ -252,6 +254,65 @@ class ExternalMediaDecoder:
                 "h": pa.array(hs, pa.int32()),
                 "w": pa.array(ws, pa.int32()),
                 "pix": pa.array(pix, pa.binary()),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+
+def audio_features(samples: np.ndarray, rate: int) -> dict:
+    """Per-clip features from decoded mono float32 samples — THE
+    feature math, shared by the distributed ``AudioFeatureActor`` and
+    the sequential pin replay (oracle_pins) so both always agree:
+    deterministic f64 reductions per clip, independent of batching."""
+    x = np.asarray(samples, np.float64)
+    n = int(x.size)
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    peak = float(np.max(np.abs(x))) if n else 0.0
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0
+    return {
+        "n_samples": n,
+        "rate": int(rate),
+        "duration_ms": n * 1000 // int(rate),
+        "rms_u": int(np.floor(rms * 1_000_000 + 0.5)),
+        "peak_u": int(np.floor(peak * 1_000_000 + 0.5)),
+        "zero_crossings": zc,
+    }
+
+
+class AudioFeatureActor:
+    """Audio-column feature extraction (REAL — wav graduated from the
+    stub list): WAV/PCM payload rows (clip_id, bytes) → per-clip
+    n_samples / rate / duration_ms / scaled RMS / scaled peak /
+    zero-crossing count. Decode is ``codecs.wav`` (pure-numpy RIFF
+    parser); malformed payloads flag their own row via ``status``
+    instead of killing the task — the same error protocol as the tile
+    and media decoders."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        from gridfia_ray.codecs.wav import decode_wav_pcm16
+
+        cols: dict[str, list] = {
+            "n_samples": [], "rate": [], "duration_ms": [],
+            "rms_u": [], "peak_u": [], "zero_crossings": [],
+        }
+        status = []
+        for i in range(batch.num_rows):
+            try:
+                samples, rate = decode_wav_pcm16(batch["bytes"][i].as_py())
+                f = audio_features(samples, rate)
+                for k in cols:
+                    cols[k].append(f[k])
+                status.append("ok")
+            except (ValueError, struct.error):
+                for k in cols:
+                    cols[k].append(0)
+                status.append("decode_error:wav")
+        return pa.table(
+            {
+                "clip_id": batch["clip_id"],
+                **{k: pa.array(v, pa.int64()) for k, v in cols.items()},
                 "status": pa.array(status, pa.string()),
             }
         )

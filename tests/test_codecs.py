@@ -233,3 +233,75 @@ class TestJpegBaseline:
         r = dec[(dec["tile_row"] == 0) & (dec["tile_col"] == 0)].iloc[0]
         got = np.frombuffer(r["pix"], "<f4").reshape(64, 64)
         assert psnr(cube[0][:64, :64].astype(np.float32), got) >= 40.0
+
+
+class TestWav:
+    def test_roundtrip_int16_exact(self):
+        import numpy as np
+
+        from gridfia_ray.codecs.wav import decode_wav_pcm16, encode_wav_pcm16
+
+        rng = np.random.RandomState(9)
+        x = (rng.rand(3001) * 2 - 1) * 0.9
+        buf = encode_wav_pcm16(x, 16000)
+        y, rate = decode_wav_pcm16(buf)
+        assert rate == 16000 and y.dtype == np.float32 and len(y) == 3001
+        # lossless modulo the int16 quantization both sides share
+        q = np.clip(np.asarray(x) * 32768.0, -32768, 32767).astype("<i2")
+        assert (y == (q.astype(np.float32) / np.float32(32768.0))).all()
+
+    def test_stereo_means_to_mono_and_chunk_skip(self):
+        import struct
+
+        import numpy as np
+
+        from gridfia_ray.codecs.wav import decode_wav_pcm16
+
+        left = np.array([1000, -2000, 400], "<i2")
+        right = np.array([3000, 2000, -400], "<i2")
+        data = np.column_stack([left, right]).tobytes()
+        body = (
+            struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+            + struct.pack("<4sI", b"LIST", 4) + b"INFO"  # skipped chunk
+            + struct.pack("<4sI", b"data", len(data)) + data
+        )
+        buf = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+        y, rate = decode_wav_pcm16(buf)
+        assert rate == 8000
+        exp = (left.astype(np.float64) + right) / 2 / 32768.0
+        assert np.allclose(y, exp.astype(np.float32))
+
+    def test_malformed_raise(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from gridfia_ray.codecs.wav import decode_wav_pcm16, encode_wav_pcm16
+
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(b"RIFFxxxxJUNK")
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(b"not a wav at all....")
+        # truncated data chunk
+        buf = bytearray(encode_wav_pcm16(np.zeros(100), 8000))
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(bytes(buf[:-10]) )
+        with pytest.raises(ValueError):
+            encode_wav_pcm16(np.zeros((2, 5)), 8000)
+
+    def test_audio_feature_actor_error_protocol(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from gridfia_ray.codecs.wav import encode_wav_pcm16
+        from gridfia_ray.stages.multimodal import AudioFeatureActor
+
+        good = encode_wav_pcm16(np.sin(np.linspace(0, 20, 1600)), 8000)
+        batch = pa.table(
+            {"clip_id": pa.array([0, 1], pa.int64()),
+             "bytes": pa.array([good, b"RIFF\x00\x00\x00\x00WAVEbroken"], pa.binary())}
+        )
+        out = AudioFeatureActor()(batch)
+        assert out["status"].to_pylist() == ["ok", "decode_error:wav"]
+        assert out["n_samples"].to_pylist()[0] == 1600
