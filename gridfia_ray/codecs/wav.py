@@ -27,7 +27,8 @@ def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
         raise ValueError(f"mono encoder expects 1-D samples, got {samples.shape}")
     if rate < 1:
         raise ValueError(f"sample rate must be ≥ 1, got {rate}")
-    pcm = np.clip(np.asarray(samples, np.float64) * _SCALE, -32768, 32767)
+    # round-to-nearest (canonical PCM quantization), not truncation
+    pcm = np.clip(np.round(np.asarray(samples, np.float64) * _SCALE), -32768, 32767)
     data = pcm.astype("<i2").tobytes()
     n = len(data)
     hdr = b"".join(
@@ -64,6 +65,8 @@ def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError(f"only 16-bit PCM supported, got {bits}")
             if channels not in (1, 2):
                 raise ValueError(f"only mono/stereo supported, got {channels}")
+            if rate < 1:
+                raise ValueError(f"invalid sample rate {rate}")
         elif cid == b"data":
             data = buf[pos : pos + size]
         pos += size + (size & 1)  # chunks are word-aligned

@@ -42,7 +42,7 @@ from gridfia_ray.fixtures import FIXTURE_ROOT, GEN_VERSION
 # bump when any replayed algorithm's bit behavior changes
 DOCPIN_V = 2
 ANNPIN_V = 3
-AUDPIN_V = 1
+AUDPIN_V = 2
 
 ANN_PIN_QUERY_IDS = [5, 205, 1005]
 

@@ -53,6 +53,15 @@ def pack_sequences(
 
     def add_shard(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
+        if not pre_hash and len(ids) and int(ids.min()) < 0:
+            # the documented `id % n_shards` rule is ambiguous for
+            # negative ids (python/numpy floor-mod vs C-style vs the
+            # uint64 reinterpretation) — refuse instead of silently
+            # picking one; pre_hash=True handles arbitrary id spaces
+            raise ValueError(
+                "pack_sequences with pre_hash=False requires non-negative "
+                f"ids (got min {int(ids.min())}); pass pre_hash=True"
+            )
         key = ids.view(np.uint64) if ids.dtype == np.int64 else ids.astype(np.uint64)
         if pre_hash:
             from gridfia_ray.ann.ivf import _splitmix64

@@ -187,7 +187,9 @@ class FrameSampleActor:
 class ExternalMediaDecoder:
     """Media-payload decoder: REAL for every ``codecs.FORMATS`` entry
     (incl. baseline JPEG grayscale — decoded as raw 0..255 since media
-    payloads carry no float caption scale); STUB for webp/audio/video.
+    payloads carry no float caption scale) and for ``wav`` audio
+    (RIFF/PCM via ``codecs.wav``, emitted as a 1×n sample plane so the
+    generic downstream stages apply); STUB for webp/video.
 
     Plumbing is real throughout: binary in, (h, w, raw-f32) out,
     actor-pool state in ``__init__``. The stub formats need PIL/ffmpeg —
@@ -204,6 +206,11 @@ class ExternalMediaDecoder:
     def decode(self, payload: bytes, fmt: str) -> np.ndarray:
         if fmt in FORMATS:
             raise ValueError("use DecoderActor for native formats")
+        if fmt == "wav":
+            from gridfia_ray.codecs.wav import decode_wav_pcm16
+
+            samples, _rate = decode_wav_pcm16(payload)
+            return samples[None, :]
         if fmt not in STUB_FORMATS:
             raise ValueError(f"unknown media format {fmt!r}")
         if not self.fake:

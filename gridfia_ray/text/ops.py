@@ -262,13 +262,16 @@ def chunk_documents(
 # PII scrubbing — RE2-compatible patterns (no lookaround) so the SAME
 # patterns run verbatim in the DuckDB oracle's regexp_replace. Applied
 # in a fixed order (email → IPv4 → intl phone); both engines use
-# leftmost-first non-overlapping replacement, so outputs are identical.
+# leftmost-first non-overlapping replacement. Compiled with re.ASCII so
+# \d and \b match RE2's ASCII-only semantics — Python's Unicode-aware
+# defaults would diverge on non-ASCII text (the same drift class the
+# _LANG_STOPWORDS comment guards against).
 PII_PATTERNS = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     (r"\+\d{9,15}", "<PHONE>"),
 )
-_PII_COMPILED = [(re.compile(p), tok) for p, tok in PII_PATTERNS]
+_PII_COMPILED = [(re.compile(p, re.ASCII), tok) for p, tok in PII_PATTERNS]
 
 
 def redact_pii(batch: pd.DataFrame) -> pd.DataFrame:

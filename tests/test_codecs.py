@@ -246,8 +246,8 @@ class TestWav:
         buf = encode_wav_pcm16(x, 16000)
         y, rate = decode_wav_pcm16(buf)
         assert rate == 16000 and y.dtype == np.float32 and len(y) == 3001
-        # lossless modulo the int16 quantization both sides share
-        q = np.clip(np.asarray(x) * 32768.0, -32768, 32767).astype("<i2")
+        # lossless modulo the round-to-nearest int16 quantization
+        q = np.clip(np.round(np.asarray(x) * 32768.0), -32768, 32767).astype("<i2")
         assert (y == (q.astype(np.float32) / np.float32(32768.0))).all()
 
     def test_stereo_means_to_mono_and_chunk_skip(self):
@@ -289,6 +289,55 @@ class TestWav:
             decode_wav_pcm16(bytes(buf[:-10]) )
         with pytest.raises(ValueError):
             encode_wav_pcm16(np.zeros((2, 5)), 8000)
+
+    def test_zero_rate_rejected_not_fatal(self, ray_session):
+        """A fmt chunk declaring rate 0 must flag its row, not divide by
+        zero inside the actor (review r4)."""
+        import struct
+
+        import numpy as np
+        import pyarrow as pa
+        import pytest
+
+        from gridfia_ray.codecs.wav import decode_wav_pcm16
+        from gridfia_ray.stages.multimodal import AudioFeatureActor
+
+        data = np.zeros(8, "<i2").tobytes()
+        body = (
+            struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 0, 0, 2, 16)
+            + struct.pack("<4sI", b"data", len(data)) + data
+        )
+        bad = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(bad)
+        batch = pa.table(
+            {"clip_id": pa.array([0], pa.int64()), "bytes": pa.array([bad], pa.binary())}
+        )
+        out = AudioFeatureActor()(batch)
+        assert out["status"].to_pylist() == ["decode_error:wav"]
+
+    def test_media_decoder_handles_wav(self, ray_session):
+        """wav graduated from the stub list: the generic media path must
+        decode a valid clip (1×n plane), not misreport decode_error."""
+        import numpy as np
+        import pyarrow as pa
+
+        from gridfia_ray.codecs.wav import encode_wav_pcm16
+        from gridfia_ray.stages.multimodal import ExternalMediaDecoder
+
+        buf = encode_wav_pcm16(np.sin(np.linspace(0, 10, 400)), 8000)
+        batch = pa.table(
+            {
+                "image_id": pa.array(["a/0/0", "a/0/1"], pa.string()),
+                "bytes": pa.array([buf, b"RIFF\0\0\0\0WAVEbroken"], pa.binary()),
+                "fmt": pa.array(["wav", "wav"], pa.string()),
+                "h": pa.array([0, 0], pa.int32()),
+                "w": pa.array([0, 0], pa.int32()),
+            }
+        )
+        out = ExternalMediaDecoder()(batch)
+        assert out["status"].to_pylist() == ["ok", "decode_error:wav"]
+        assert out["h"][0].as_py() == 1 and out["w"][0].as_py() == 400
 
     def test_audio_feature_actor_error_protocol(self, ray_session):
         import numpy as np

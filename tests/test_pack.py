@@ -70,3 +70,15 @@ class TestPack:
             pack_sequences(rd.from_pandas(_toy()), 0)
         with pytest.raises(ValueError):
             pack_sequences(rd.from_pandas(_toy()), 16, n_shards=0)
+
+
+def test_negative_ids_rejected_without_prehash(ray_session):
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": [-1, 0, 1], "n_tokens": [5, 5, 5]})
+    ds = rd.from_pandas(df)
+    with pytest.raises(Exception, match="non-negative"):
+        pack_sequences(ds, 16, n_shards=3).to_pandas()
+    # pre_hash handles arbitrary id spaces
+    out = pack_sequences(ds, 16, n_shards=3, pre_hash=True).to_pandas()
+    assert len(out) == 3

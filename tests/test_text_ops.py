@@ -232,3 +232,23 @@ class TestRedactPII:
         # every third doc carries 2 emails + 1 IP + 1 phone
         assert (out["n_redactions"].to_numpy()[::3] == 4).all()
         assert (out["n_redactions"].to_numpy()[1::3] == 0).all()
+
+    def test_ascii_semantics_match_re2(self, ray_session):
+        """\\d and \\b are compiled re.ASCII so Python matches RE2's
+        ASCII-only semantics on non-ASCII text (review r4)."""
+        import pandas as pd
+
+        from gridfia_ray.text.ops import redact_pii
+
+        batch = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "café10.1.1.1 end",          # é is NOT a word char in ASCII
+                    "call +١٢٣٤٥٦٧٨٩٠١ ok",  # arabic digits
+                ],
+            }
+        )
+        out = redact_pii(batch)
+        assert out["text_redacted"][0] == "café<IP> end"
+        assert out["text_redacted"][1] == batch["text"][1]  # untouched
