@@ -1071,6 +1071,25 @@ def q_doc_redact(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+_MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def q_doc_mix(sf_dir: str) -> pd.DataFrame:
+    """Deterministic corpus mixture (pipelines/sampling.mix_by_key):
+    per-source keep-rates realized as md5-rank thresholds — the
+    pre-training data-mixing step, SQL-reproducible bit-for-bit."""
+    from gridfia_ray.pipelines.sampling import mix_by_key
+
+    out = mix_by_key(
+        _docs(sf_dir), "source", _MIX_RATES, ["source", "doc_id"],
+        default_rate=_MIX_DEFAULT,
+    ).to_pandas()
+    out = out[["doc_id", "source"]]
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_audio_features(sf_dir: str) -> pd.DataFrame:
     """Audio-column pipeline end-to-end: WAV/PCM clips (pure-numpy RIFF
     codec — wav graduated from the stub list) through the distributed
@@ -2688,6 +2707,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_pack": q_doc_pack,
         "doc_redact": q_doc_redact,
         "audio_features": q_audio_features,
+        "doc_mix": q_doc_mix,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_repetition": q_doc_repetition,
         "doc_langid_ngram": q_doc_langid_ngram,
@@ -3073,6 +3093,16 @@ def build_oracle_sql() -> dict[str, str]:
     sql["emb_semantic_pinned"] = (
         f"SELECT * FROM read_parquet('{_ap['semantic_expected']}') ORDER BY vec_id"
     )
+    from gridfia_ray.pipelines.sampling import rate_threshold_hex as _rth
+
+    _mix_cases = " ".join(
+        f"WHEN '{k}' THEN '{_rth(v)}'" for k, v in _MIX_RATES.items()
+    )
+    sql["doc_mix"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE source {_mix_cases} ELSE '{_rth(_MIX_DEFAULT)}' END
+        ORDER BY doc_id"""
     sql["audio_features"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_audpin()['features_expected']}') "
         f"ORDER BY clip_id"

@@ -165,3 +165,42 @@ def sample_per_key(
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """8-hex-char keep threshold for a [0, 1] sampling rate — exposed so
+    SQL oracles embed the identical literal (floor(rate·2³²), clamped;
+    lexicographic compare of fixed-width lowercase hex == numeric)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+
+
+def mix_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    rates: "dict[str, float]",
+    rank_cols: list[str],
+    default_rate: float = 1.0,
+) -> rd.Dataset:
+    """Deterministic corpus mixture (per-source downsampling): keep a
+    row iff its md5 rank prefix < the threshold of its key's rate —
+    the standard pre-training data-mixing step (weight web/books/code
+    sources differently). A pure function of row content: independent
+    of partitioning, execution order and cluster size, reproducible in
+    SQL, and resumable for free (re-running keeps the same rows). Pure
+    map, no shuffle; the rate table broadcasts in the task closure
+    (keys are source names — tiny by construction).
+
+    ``rates`` maps key values to keep-rates in [0, 1]; unlisted keys
+    use ``default_rate``. Upsampling (rate > 1) is out of scope — at
+    training time repetition is a loader concern, not a storage op."""
+    th = {k: rate_threshold_hex(v) for k, v in rates.items()}
+    default_th = rate_threshold_hex(default_rate)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        r = md5_rank([batch[c] for c in rank_cols]).str[:8].to_numpy()
+        t = batch[key_col].map(th).fillna(default_th).to_numpy()
+        return batch[r < t]
+
+    return ds.map_batches(keep, batch_format="pandas")
