@@ -1071,6 +1071,73 @@ def q_doc_redact(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_s2_aggregate(sf_dir: str) -> pd.DataFrame:
+    """Spherical-cell aggregation (geo/s2cells): decode the stored
+    total-biomass tiles, key every pixel center by its S2 cell (affine →
+    Albers→WGS84 inverse projection → quad-sphere face + Hilbert id at
+    level 14), pre-aggregate per batch, one tiny groupby — the
+    multi-region / lat-lng-corpus partitioning path. Hash-checked
+    against a pinned sequential replay over the independent pixel
+    table (oracle_pins.ensure_s2pin)."""
+    import ray.data as rd  # noqa: F401
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.geo.crs import transform_points
+    from gridfia_ray.geo.s2cells import s2_cell_id
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+
+    f = _fx()
+    spec = f["spec"]
+    level = oracle_pins.S2_PIN_LEVEL
+
+    def partial(batch):
+        import pyarrow as pa
+
+        t = spec.tile
+        cell_col, sum_col, n_col = [], [], []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            vals = np.frombuffer(batch["pix"][i].as_py(), dtype="<f4").astype(np.float64)
+            gy = tr * t + np.repeat(np.arange(h), w)
+            gx = tc * t + np.tile(np.arange(w), h)
+            wx = spec.origin_x + (gx + 0.5) * spec.px
+            wy = spec.origin_y - (gy + 0.5) * spec.px
+            lng, lat = transform_points(wx, wy, fixtures.CRS, "EPSG:4326")
+            cells = s2_cell_id(lat, lng, level)
+            su = s6(vals)
+            uniq, inv = np.unique(cells, return_inverse=True)
+            sums = np.zeros(len(uniq), np.int64)
+            counts = np.zeros(len(uniq), np.int64)
+            np.add.at(sums, inv, su)
+            np.add.at(counts, inv, 1)
+            cell_col.append(uniq)
+            sum_col.append(sums)
+            n_col.append(counts)
+        return pa.table(
+            {
+                "s2_cell": pa.array(np.concatenate(cell_col), pa.int64()),
+                "n_px": pa.array(np.concatenate(n_col), pa.int64()),
+                "sum_u": pa.array(np.concatenate(sum_col), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    decoded = decoded_tiles(read_tiles(f["tiles"]), spec, species=["0000"])
+    out = (
+        decoded.map_batches(partial, batch_format="pyarrow")
+        .groupby("s2_cell")
+        .aggregate(Sum("n_px", alias_name="n_px"), Sum("sum_u", alias_name="sum_u"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("s2_cell", ignore_index=True)
+
+
 _MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
 _MIX_DEFAULT = 0.1
 
@@ -2708,6 +2775,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_redact": q_doc_redact,
         "audio_features": q_audio_features,
         "doc_mix": q_doc_mix,
+        "gf_s2_aggregate": q_s2_aggregate,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_repetition": q_doc_repetition,
         "doc_langid_ngram": q_doc_langid_ngram,
@@ -3103,6 +3171,10 @@ def build_oracle_sql() -> dict[str, str]:
         WHERE substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
               < CASE source {_mix_cases} ELSE '{_rth(_MIX_DEFAULT)}' END
         ORDER BY doc_id"""
+    sql["gf_s2_aggregate"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_s2pin()['expected']}') "
+        f"ORDER BY s2_cell"
+    )
     sql["audio_features"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_audpin()['features_expected']}') "
         f"ORDER BY clip_id"

@@ -496,6 +496,60 @@ def load_annpin_matrix() -> tuple[np.ndarray, np.ndarray]:
     return mat, ids
 
 
+S2PIN_V = 1
+S2_PIN_LEVEL = 14
+
+
+def ensure_s2pin() -> dict:
+    """{'expected'} parquet path: per-S2-cell (level 14) pixel counts
+    and micro-scaled total-biomass sums over the t2 fixture — a
+    sequential replay over the fixture generator's independent pixel
+    table (stored-total rows → affine pixel centers → Albers→WGS84 →
+    s2_cell_id → int sums). The distributed query decodes the TILE
+    STORE instead; the hash compare pins that decode + per-tile affine
+    + projection + spherical keying + groupby reproduce it exactly."""
+
+    def build(tmp: str) -> dict:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pqq
+
+        from gridfia_ray import fixtures
+        from gridfia_ray.geo.crs import transform_points
+        from gridfia_ray.geo.s2cells import s2_cell_id
+
+        d = fixtures.ensure_fixture("t2")
+        t = pqq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        )
+        t = t.filter(pc.equal(t["species_code"], "0000"))
+        y = t["y"].to_numpy().astype(np.float64)
+        x = t["x"].to_numpy().astype(np.float64)
+        wx = fixtures.ORIGIN_X + (x + 0.5) * fixtures.PX
+        wy = fixtures.ORIGIN_Y - (y + 0.5) * fixtures.PX
+        lng, lat = transform_points(wx, wy, fixtures.CRS, "EPSG:4326")
+        cells = s2_cell_id(lat, lng, S2_PIN_LEVEL)
+        su = np.floor(t["biomass"].to_numpy() * 1_000_000 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(cells, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        counts = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, su)
+        np.add.at(counts, inv, 1)
+        pq.write_table(
+            pa.table(
+                {
+                    "s2_cell": pa.array(uniq, pa.int64()),
+                    "n_px": pa.array(counts, pa.int64()),
+                    "sum_u": pa.array(sums, pa.int64()),
+                }
+            ),
+            os.path.join(tmp, "expected.parquet"),
+        )
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"s2pin-v{GEN_VERSION}.{S2PIN_V}", build)
+
+
 def _audpin_clips() -> list[tuple[int, np.ndarray, int]]:
     """60 deterministic mono clips: sine sweeps, white noise, silence,
     and clipped square waves at 8/16 kHz, 800-4000 samples."""
