@@ -1138,6 +1138,66 @@ def q_s2_aggregate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("s2_cell", ignore_index=True)
 
 
+def q_stateplane_vectors(sf_dir: str) -> pd.DataFrame:
+    """M18 State Plane projection family vs PUBLISHED EPSG Guidance
+    Note 7-2 worked examples — an EXTERNAL oracle, not a replay: the
+    SQL side is the guidance note's own numbers as literals. Forward
+    outputs compare at decimeter scale, inverse at 1e-6 degree (our
+    closed forms sit ≤ 8 mm / ≤ 1e-7° from the published values;
+    tests/test_stateplane.py holds the tight bounds). Runs as a
+    map_batches stage so the projection objects serialize to workers."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+
+    def dms(d, m=0.0, s=0.0):
+        sign = -1.0 if d < 0 else 1.0
+        return sign * (abs(d) + m / 60.0 + s / 3600.0)
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        from gridfia_ray.geo import stateplane as sp
+
+        rows = []
+        for name in batch["anchor"]:
+            if name == "hom_borneo":
+                proj = sp.HOM(latc=4.0, lonc=115.0, azimuth=dms(53, 18, 56.9537),
+                              gamma_c=dms(53, 7, 48.3685), k0=0.99984,
+                              ec=590476.87, nc=442857.65, ellipsoid=sp.EVEREST_1967)
+                glon, glat = dms(115, 48, 19.8196), dms(5, 23, 14.1129)
+                px, py, unit = 679245.73, 596562.78, 1.0
+            elif name == "lcc_texas":
+                proj = sp.LCC(lat1=dms(28, 23), lat2=dms(30, 17), lat0=dms(27, 50),
+                              lon0=-99.0, fe=2000000.0 * sp.FT_US, fn=0.0,
+                              ellipsoid=sp.CLARKE_1866)
+                glon, glat = -96.0, 28.5
+                px, py, unit = 2963503.91, 254759.80, sp.FT_US
+            else:  # tm_osgb
+                proj = sp.TM(lat0=49.0, lon0=-2.0, k0=0.9996012717, fe=400000.0,
+                             fn=-100000.0, ellipsoid=sp.AIRY_1830)
+                glon, glat = dms(0, 30), dms(50, 30)
+                px, py, unit = 577274.99, 69740.50, 1.0
+            x, y = proj.forward(glon, glat)
+            lon, lat = proj.inverse(px * unit, py * unit)
+            rows.append(
+                {
+                    "anchor": name,
+                    "x_dm": int(np.floor(x / unit * 10 + 0.5)),
+                    "y_dm": int(np.floor(y / unit * 10 + 0.5)),
+                    "lon_u": int(np.floor(lon * 1_000_000 + 0.5)),
+                    "lat_u": int(np.floor(lat * 1_000_000 + 0.5)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    ds = rd.from_items([{"anchor": n} for n in ["hom_borneo", "lcc_texas", "tm_osgb"]])
+    out = ds.map_batches(run, batch_format="pandas").to_pandas()
+    for c in ["x_dm", "y_dm", "lon_u", "lat_u"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("anchor", ignore_index=True)
+
+
 _MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
 _MIX_DEFAULT = 0.1
 
@@ -2776,6 +2836,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "audio_features": q_audio_features,
         "doc_mix": q_doc_mix,
         "gf_s2_aggregate": q_s2_aggregate,
+        "gf_stateplane_vectors": q_stateplane_vectors,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_repetition": q_doc_repetition,
         "doc_langid_ngram": q_doc_langid_ngram,
@@ -3171,6 +3232,27 @@ def build_oracle_sql() -> dict[str, str]:
         WHERE substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
               < CASE source {_mix_cases} ELSE '{_rth(_MIX_DEFAULT)}' END
         ORDER BY doc_id"""
+    # EXTERNAL oracle: EPSG Guidance Note 7-2's own worked-example
+    # numbers as literals (TM: OSGB 50°30'N 0°30'E; LCC-2SP: NAD27 Texas
+    # South Central 28°30'N 96°W in ftUS; HOM-B: Timbalai/RSO Borneo)
+    sql["gf_stateplane_vectors"] = """
+        SELECT * FROM (VALUES
+          ('hom_borneo',
+           CAST(FLOOR(679245.73*10 + 0.5) AS BIGINT),
+           CAST(FLOOR(596562.78*10 + 0.5) AS BIGINT),
+           CAST(FLOOR((115 + 48/60.0 + 19.8196/3600.0)*1000000 + 0.5) AS BIGINT),
+           CAST(FLOOR((5 + 23/60.0 + 14.1129/3600.0)*1000000 + 0.5) AS BIGINT)),
+          ('lcc_texas',
+           CAST(FLOOR(2963503.91*10 + 0.5) AS BIGINT),
+           CAST(FLOOR(254759.80*10 + 0.5) AS BIGINT),
+           CAST(FLOOR(-96.0*1000000 + 0.5) AS BIGINT),
+           CAST(FLOOR(28.5*1000000 + 0.5) AS BIGINT)),
+          ('tm_osgb',
+           CAST(FLOOR(577274.99*10 + 0.5) AS BIGINT),
+           CAST(FLOOR(69740.50*10 + 0.5) AS BIGINT),
+           CAST(FLOOR(0.5*1000000 + 0.5) AS BIGINT),
+           CAST(FLOOR(50.5*1000000 + 0.5) AS BIGINT))
+        ) t(anchor, x_dm, y_dm, lon_u, lat_u) ORDER BY anchor"""
     sql["gf_s2_aggregate"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_s2pin()['expected']}') "
         f"ORDER BY s2_cell"
