@@ -1138,6 +1138,60 @@ def q_s2_aggregate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("s2_cell", ignore_index=True)
 
 
+def q_job_richness(sf_dir: str) -> pd.DataFrame:
+    """S16/§2.10 config surface + checkpointed runner, end-to-end in the
+    driver: compile a JobSpec dict through the kernel registry, run the
+    sharded checkpointed executor (atomic part=K parquet + manifest
+    lineage), read the shards back and emit the richness raster — which
+    must hash-match the SAME independent SQL oracle as the direct
+    gf_richness plan. Verifies plan equivalence: config-compiled sharded
+    execution ≡ direct streaming execution."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from gridfia_ray.config import JobSpec
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.checkpoint import run_metrics_checkpointed
+
+    f = _fx()
+    tmp = tempfile.mkdtemp(prefix="gf_job_")
+    try:
+        spec = JobSpec.from_dict(
+            {
+                "tiles_path": f["tiles"],
+                "calculations": ["species_richness"],
+                "output_dir": tmp,
+                "n_shards": 4,
+                "precise": True,
+            }
+        )
+        run_metrics_checkpointed(
+            spec.tiles_path,
+            spec.build_kernels(),
+            f["spec"],
+            f["catalog"],
+            tmp,
+            n_shards=spec.n_shards,
+            resume=spec.resume,
+        )
+        files = sorted(
+            os.path.join(tmp, d, fn)
+            for d in os.listdir(tmp)
+            if d.startswith("part=")
+            for fn in os.listdir(os.path.join(tmp, d))
+            if fn.endswith(".parquet")
+        )
+        shards = rd.read_parquet(files)
+        pix = M.metrics_to_pixels(shards).to_pandas()
+        out = pix[["y", "x"]].copy()
+        out["richness"] = pix["value"].astype(np.int64)
+        return out.sort_values(["y", "x"], ignore_index=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stateplane_vectors(sf_dir: str) -> pd.DataFrame:
     """M18 State Plane projection family vs PUBLISHED EPSG Guidance
     Note 7-2 worked examples — an EXTERNAL oracle, not a replay: the
@@ -2837,6 +2891,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_mix": q_doc_mix,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_stateplane_vectors": q_stateplane_vectors,
+        "gf_job_richness": q_job_richness,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_repetition": q_doc_repetition,
         "doc_langid_ngram": q_doc_langid_ngram,
@@ -2885,6 +2940,8 @@ def build_oracle_sql() -> dict[str, str]:
         f"{species_cte} SELECT y, x, COUNT(*) FILTER (biomass > 0.0) AS richness "
         "FROM p GROUP BY y, x"
     )
+    # config-compiled sharded plan must land on the identical raster
+    sql["gf_job_richness"] = sql["gf_richness"]
     sql["gf_shannon"] = f"""
         {species_cte}, {tot_cte}
         SELECT p.y, p.x, {_sql_s6("COALESCE(SUM(CASE WHEN p.biomass > 0 AND t.total > 0 THEN -(p.biomass/t.total)*LN(p.biomass/t.total) END), 0)")} AS shannon_u
