@@ -1094,13 +1094,23 @@ def q_s2_aggregate(sf_dir: str) -> pd.DataFrame:
         import pyarrow as pa
 
         t = spec.tile
-        cell_col, sum_col, n_col = [], [], []
+        # typed empty partial: empty blocks and skipped sentinel rows
+        # must not reach np.concatenate
+        cell_col = [np.empty(0, np.int64)]
+        sum_col = [np.empty(0, np.int64)]
+        n_col = [np.empty(0, np.int64)]
+        status = (
+            batch["status"].to_pylist() if "status" in batch.column_names else None
+        )
         for i in range(batch.num_rows):
+            payload = batch["pix"][i].as_py()
+            if not payload or (status is not None and status[i] != "ok"):
+                continue
             h = int(batch["h"][i].as_py())
             w = int(batch["w"][i].as_py())
             tr = int(batch["tile_row"][i].as_py())
             tc = int(batch["tile_col"][i].as_py())
-            vals = np.frombuffer(batch["pix"][i].as_py(), dtype="<f4").astype(np.float64)
+            vals = np.frombuffer(payload, dtype="<f4").astype(np.float64)
             gy = tr * t + np.repeat(np.arange(h), w)
             gx = tc * t + np.tile(np.arange(w), h)
             wx = spec.origin_x + (gx + 0.5) * spec.px
@@ -1138,14 +1148,16 @@ def q_s2_aggregate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("s2_cell", ignore_index=True)
 
 
-def q_job_richness(sf_dir: str) -> pd.DataFrame:
+def q_job_shannon(sf_dir: str) -> pd.DataFrame:
     """S16/§2.10 config surface + checkpointed runner, end-to-end in the
     driver: compile a JobSpec dict through the kernel registry, run the
     sharded checkpointed executor (atomic part=K parquet + manifest
-    lineage), read the shards back and emit the richness raster — which
-    must hash-match the SAME independent SQL oracle as the direct
-    gf_richness plan. Verifies plan equivalence: config-compiled sharded
-    execution ≡ direct streaming execution."""
+    lineage, ``precise`` forwarded config→runner), read the shards back
+    and emit the Shannon raster — which must hash-match the SAME
+    independent SQL oracle as the direct gf_shannon plan. Shannon is a
+    transcendental float kernel, so this pins plan equivalence at the
+    µ-unit: config-compiled sharded execution ≡ direct streaming
+    execution ≡ the SQL recomputation."""
     import shutil
     import tempfile
 
@@ -1161,7 +1173,7 @@ def q_job_richness(sf_dir: str) -> pd.DataFrame:
         spec = JobSpec.from_dict(
             {
                 "tiles_path": f["tiles"],
-                "calculations": ["species_richness"],
+                "calculations": ["shannon_diversity"],
                 "output_dir": tmp,
                 "n_shards": 4,
                 "precise": True,
@@ -1175,6 +1187,7 @@ def q_job_richness(sf_dir: str) -> pd.DataFrame:
             tmp,
             n_shards=spec.n_shards,
             resume=spec.resume,
+            precise=spec.precise,
         )
         files = sorted(
             os.path.join(tmp, d, fn)
@@ -1186,7 +1199,7 @@ def q_job_richness(sf_dir: str) -> pd.DataFrame:
         shards = rd.read_parquet(files)
         pix = M.metrics_to_pixels(shards).to_pandas()
         out = pix[["y", "x"]].copy()
-        out["richness"] = pix["value"].astype(np.int64)
+        out["shannon_u"] = s6(pix["value"])
         return out.sort_values(["y", "x"], ignore_index=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -2891,7 +2904,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_mix": q_doc_mix,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_stateplane_vectors": q_stateplane_vectors,
-        "gf_job_richness": q_job_richness,
+        "gf_job_shannon": q_job_shannon,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_repetition": q_doc_repetition,
         "doc_langid_ngram": q_doc_langid_ngram,
@@ -2940,12 +2953,13 @@ def build_oracle_sql() -> dict[str, str]:
         f"{species_cte} SELECT y, x, COUNT(*) FILTER (biomass > 0.0) AS richness "
         "FROM p GROUP BY y, x"
     )
-    # config-compiled sharded plan must land on the identical raster
-    sql["gf_job_richness"] = sql["gf_richness"]
     sql["gf_shannon"] = f"""
         {species_cte}, {tot_cte}
         SELECT p.y, p.x, {_sql_s6("COALESCE(SUM(CASE WHEN p.biomass > 0 AND t.total > 0 THEN -(p.biomass/t.total)*LN(p.biomass/t.total) END), 0)")} AS shannon_u
         FROM p JOIN tot t USING (y, x) GROUP BY p.y, p.x"""
+    # config-compiled sharded precise plan must land on the identical
+    # µ-unit raster as the direct plan
+    sql["gf_job_shannon"] = sql["gf_shannon"]
     sql["gf_simpson"] = f"""
         {species_cte}, {tot_cte},
         s AS (SELECT p.y, p.x, COALESCE(SUM(CASE WHEN t.total > 0 THEN POW(p.biomass/t.total, 2) END), 0) sumsq

@@ -65,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     if out_dir:
         manifest = run_metrics_checkpointed(
             tiles, kernels, api.spec, catalog, out_dir,
-            n_shards=n_shards, resume=resume,
+            n_shards=n_shards, resume=resume, precise=spec.precise,
         )
         shards = manifest.completed()
         summary = {
@@ -80,7 +80,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         from gridfia_ray.pipelines.metrics import run_metrics
 
-        result = run_metrics(tiles, kernels, api.spec, catalog)
+        result = run_metrics(tiles, kernels, api.spec, catalog, precise=spec.precise)
         summary = {
             "status": "ok",
             "mode": "streaming",

@@ -55,6 +55,7 @@ def run_metrics_checkpointed(
     resume: bool = True,
     ctx: KernelContext | None = None,
     n_buckets: int | None = None,
+    precise: bool = False,
 ) -> RunManifest:
     from gridfia_ray.pipelines.metrics import run_metrics
 
@@ -77,6 +78,7 @@ def run_metrics_checkpointed(
             n_tiles_hint=max(n_in, 1),
             ctx=ctx,
             n_buckets=n_buckets,
+            precise=precise,
         )
         manifest.write_shard(
             key,

@@ -168,11 +168,19 @@ def sample_per_key(
 
 
 def rate_threshold_hex(rate: float) -> str:
-    """8-hex-char keep threshold for a [0, 1] sampling rate — exposed so
-    SQL oracles embed the identical literal (floor(rate·2³²), clamped;
-    lexicographic compare of fixed-width lowercase hex == numeric)."""
+    """8-char keep threshold for a [0, 1] sampling rate — exposed so
+    SQL oracles embed the identical literal (floor(rate·2³²);
+    lexicographic compare of fixed-width lowercase hex == numeric).
+    rate == 1.0 returns ``'g0000000'``, which sorts strictly above every
+    hex string, so the ``rank < threshold`` test keeps ALL rows —
+    clamping to 'ffffffff' would silently drop the 2⁻³² of rows whose
+    rank is exactly that value (~230 docs per 10¹² at keep-everything
+    rates). Identical semantics in SQL: 'g' > 'f' in both collations."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "g0000000"
+    # float rounding can push rate·2³² to 2³² even for rate < 1
     return format(min(int(rate * 2**32), 2**32 - 1), "08x")
 
 

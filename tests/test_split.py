@@ -129,3 +129,64 @@ class TestGroupedTopk:
         df = pd.DataFrame({"u": [1], "v": [1.0]})
         with pytest.raises(ValueError, match="k must be"):
             grouped_topk(rd.from_pandas(df), "u", 0, "v")
+
+
+class TestMixByKey:
+    def _docs(self, n=400):
+        import numpy as np
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "source": [f"s{i % 4}" for i in range(n)],
+            }
+        )
+
+    def test_rates_and_default(self, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.sampling import mix_by_key
+
+        df = self._docs()
+        out = mix_by_key(
+            rd.from_pandas(df), "source", {"s0": 0.0, "s1": 0.5},
+            ["source", "doc_id"], default_rate=1.0,
+        ).to_pandas()
+        by = out.groupby("source").size()
+        assert "s0" not in by.index  # rate 0 drops everything
+        assert 20 <= by.get("s1", 0) <= 80  # ~half of 100
+        # default 1.0 keeps EVERY row of unlisted sources (keep-all
+        # sentinel, not the clamped 'ffffffff')
+        assert by.get("s2", 0) == 100 and by.get("s3", 0) == 100
+
+    def test_partition_invariant_and_deterministic(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.sampling import mix_by_key
+
+        df = self._docs()
+        runs = [
+            mix_by_key(
+                rd.from_pandas(df).repartition(p), "source",
+                {"s0": 0.3, "s1": 0.7}, ["source", "doc_id"], default_rate=0.1,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+            for p in (1, 7)
+        ]
+        pd.testing.assert_frame_equal(runs[0], runs[1])
+
+    def test_rate_validation_and_sentinel(self, ray_session):
+        import pytest
+
+        from gridfia_ray.pipelines.sampling import rate_threshold_hex
+
+        with pytest.raises(ValueError):
+            rate_threshold_hex(-0.1)
+        with pytest.raises(ValueError):
+            rate_threshold_hex(1.5)
+        assert rate_threshold_hex(1.0) == "g0000000"
+        assert rate_threshold_hex(0.0) == "00000000"
+        assert "ffffffff" < rate_threshold_hex(1.0)  # sorts above all hex
