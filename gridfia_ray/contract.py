@@ -1035,6 +1035,44 @@ def q_doc_token_count(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_corpus_build(sf_dir: str) -> pd.DataFrame:
+    """The RESUMABLE sharded corpus build driven end-to-end: the same
+    dedup → quality → decontaminate chain as doc_filter_chain, but
+    executed shard-by-shard on text-hash buckets with atomic part=K
+    parquet + manifest lineage (pipelines/corpus). Shard key = text
+    hash, so per-shard exact dedup ≡ global dedup and the part UNION
+    must hash-match the one-shot chain's SQL oracle exactly."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from gridfia_ray.pipelines.corpus import run_corpus_filter_checkpointed
+
+    tmp = tempfile.mkdtemp(prefix="gf_corpus_")
+    try:
+        run_corpus_filter_checkpointed(
+            os.path.join(sf_dir, "documents.parquet"),
+            _bench_snippets(sf_dir),
+            tmp,
+            n_shards=4,
+        )
+        files = sorted(
+            os.path.join(tmp, d, fn)
+            for d in os.listdir(tmp)
+            if d.startswith("part=")
+            for fn in os.listdir(os.path.join(tmp, d))
+            if fn.endswith(".parquet")
+        )
+        out = rd.read_parquet(files, columns=["doc_id"]).to_pandas()
+        return (
+            pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64)})
+            .sort_values("doc_id", ignore_index=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_doc_pack(sf_dir: str) -> pd.DataFrame:
     """LLM sample packing (pipelines/pack.pack_sequences): greedy
     first-fit of whitespace token counts into 256-token sequences,
@@ -2902,6 +2940,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_redact": q_doc_redact,
         "audio_features": q_audio_features,
         "doc_mix": q_doc_mix,
+        "doc_corpus_build": q_corpus_build,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_stateplane_vectors": q_stateplane_vectors,
         "gf_job_shannon": q_job_shannon,
@@ -3376,7 +3415,7 @@ def build_oracle_sql() -> dict[str, str]:
                       THEN 'val'
                     ELSE 'test' END AS split
         FROM documents"""
-    sql["doc_filter_chain"] = """
+    sql["doc_filter_chain"] = sql["doc_corpus_build"] = """
         WITH snip AS (
           SELECT DISTINCT substr(text, 21, 48) AS s FROM documents
           WHERE doc_id % 97 = 0 AND length(text) >= 68
