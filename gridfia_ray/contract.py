@@ -1035,6 +1035,38 @@ def q_doc_token_count(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_stats_resampling(sf_dir: str) -> pd.DataFrame:
+    """O4/O5 distributed seeded bootstrap CI + permutation test
+    (analysis/stats): iteration-index datasets fan the seeded draws
+    across workers; every draw is ``RandomState(seed + i)`` so the
+    result is a pure function of (data, seed) — hash-checked against a
+    pinned sequential replay of the same iterations. p-value reported
+    as its exact integer numerator (count + 1 over n_iterations + 1)."""
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.analysis.stats import (
+        bootstrap_mean_diff_ci,
+        permutation_test_mean_diff,
+    )
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    x, y = oracle_pins.statpin_xy()
+    n_iter = oracle_pins.STAT_PIN_ITERS
+    boot = bootstrap_mean_diff_ci(x, y, n_iterations=n_iter, seed=42)
+    perm = permutation_test_mean_diff(x, y, n_iterations=n_iter, seed=42)
+    return pd.DataFrame(
+        {
+            "observed_u": s6([boot["observed"]]),
+            "ci_low_u": s6([boot["ci_low"]]),
+            "ci_high_u": s6([boot["ci_high"]]),
+            "p_num": np.asarray(
+                [int(round(perm["p_value"] * (n_iter + 1)))], np.int64
+            ),
+            "n_iterations": np.asarray([n_iter], np.int64),
+        }
+    )
+
+
 def q_corpus_build(sf_dir: str) -> pd.DataFrame:
     """The RESUMABLE sharded corpus build driven end-to-end: the same
     dedup → quality → decontaminate chain as doc_filter_chain, but
@@ -2941,6 +2973,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "audio_features": q_audio_features,
         "doc_mix": q_doc_mix,
         "doc_corpus_build": q_corpus_build,
+        "events_resampling": q_stats_resampling,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_stateplane_vectors": q_stateplane_vectors,
         "gf_job_shannon": q_job_shannon,
@@ -3363,6 +3396,9 @@ def build_oracle_sql() -> dict[str, str]:
            CAST(FLOOR(0.5*1000000 + 0.5) AS BIGINT),
            CAST(FLOOR(50.5*1000000 + 0.5) AS BIGINT))
         ) t(anchor, x_dm, y_dm, lon_u, lat_u) ORDER BY anchor"""
+    sql["events_resampling"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_statpin()['expected']}')"
+    )
     sql["gf_s2_aggregate"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_s2pin()['expected']}') "
         f"ORDER BY s2_cell"

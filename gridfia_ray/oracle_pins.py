@@ -498,6 +498,67 @@ def load_annpin_matrix() -> tuple[np.ndarray, np.ndarray]:
 
 S2PIN_V = 1
 S2_PIN_LEVEL = 14
+STATPIN_V = 1
+STAT_PIN_ITERS = 500
+
+
+def statpin_xy() -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic two-group sample for the resampling pins — shared
+    verbatim by the distributed query and the sequential replay (the
+    algorithms differ; the input must not)."""
+    rng = np.random.RandomState(101)
+    x = rng.gamma(2.0, 10.0, 400)
+    y = rng.gamma(2.2, 10.0, 300)
+    return x, y
+
+
+def ensure_statpin() -> dict:
+    """{'expected'} parquet path for the seeded bootstrap CI +
+    permutation test (analysis/stats O4/O5): each iteration i draws
+    from ``RandomState(seed + i)`` — a pure function of the iteration
+    index, independent of which worker runs it — so a sequential loop
+    over the same iteration indices reproduces the distributed result
+    bit-for-bit (np.percentile sorts, the p-value counts; both are
+    order-free over the identical stat multiset)."""
+
+    def build(tmp: str) -> dict:
+        x, y = statpin_xy()
+        seed, n_iter = 42, STAT_PIN_ITERS
+        boot = np.empty(n_iter)
+        for i in range(n_iter):
+            rng = np.random.RandomState(seed + i)
+            boot[i] = (
+                rng.choice(x, x.size, replace=True).mean()
+                - rng.choice(y, y.size, replace=True).mean()
+            )
+        lo, hi = np.percentile(boot, [2.5, 97.5])
+        combined = np.concatenate([x, y])
+        perm = np.empty(n_iter)
+        for i in range(n_iter):
+            rng = np.random.RandomState(seed + i)
+            sh = rng.permutation(combined)
+            perm[i] = sh[: x.size].mean() - sh[x.size :].mean()
+        observed = float(np.mean(x) - np.mean(y))
+        p_num = int(np.sum(np.abs(perm) >= abs(observed)) + 1)
+
+        def u(v: float) -> int:
+            return int(np.floor(v * 1_000_000 + 0.5))
+
+        pq.write_table(
+            pa.table(
+                {
+                    "observed_u": pa.array([u(observed)], pa.int64()),
+                    "ci_low_u": pa.array([u(float(lo))], pa.int64()),
+                    "ci_high_u": pa.array([u(float(hi))], pa.int64()),
+                    "p_num": pa.array([p_num], pa.int64()),
+                    "n_iterations": pa.array([n_iter], pa.int64()),
+                }
+            ),
+            os.path.join(tmp, "expected.parquet"),
+        )
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"statpin-v{GEN_VERSION}.{STATPIN_V}", build)
 
 
 def ensure_s2pin() -> dict:
