@@ -443,6 +443,29 @@ def q_occurrence_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """S17 tabular export end-to-end: the per-species occurrence stats
+    written through Ray's native CSV sink and read back through the CSV
+    source — the exported integers must survive the text roundtrip and
+    hash-match the same independent SQL oracle as the direct plan."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    df = q_occurrence_stats(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gf_csv_")
+    try:
+        rd.from_pandas(df).repartition(2).write_csv(tmp)
+        back = rd.read_csv(tmp).to_pandas()
+        for c in ["present_px", "n_px", "sum_biomass_u", "max_biomass_u"]:
+            back[c] = back[c].astype(np.int64)
+        back["species_code"] = back["species_code"].astype(str).str.zfill(4)
+        return back.sort_values("species_code", ignore_index=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_coverage_topk(sf_dir: str) -> pd.DataFrame:
     occ = q_occurrence_stats(sf_dir)
     cov = occ[["species_code"]].copy()
@@ -2974,6 +2997,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_mix": q_doc_mix,
         "doc_corpus_build": q_corpus_build,
         "events_resampling": q_stats_resampling,
+        "gf_csv_roundtrip": q_csv_roundtrip,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_stateplane_vectors": q_stateplane_vectors,
         "gf_job_shannon": q_job_shannon,
@@ -3110,6 +3134,8 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT species_code, COUNT(*) FILTER (biomass > 0) AS present_px, COUNT(*) AS n_px,
                {_sql_s6("SUM(biomass)")} AS sum_biomass_u, {_sql_s6("MAX(biomass)")} AS max_biomass_u
         FROM p GROUP BY species_code"""
+    # the CSV text roundtrip must land on the identical stats table
+    sql["gf_csv_roundtrip"] = sql["gf_occurrence_stats"]
     sql["gf_coverage_topk"] = f"""
         {species_cte}
         SELECT species_code,
