@@ -2870,31 +2870,34 @@ def q_events_error_window_banded(sf_dir: str) -> pd.DataFrame:
 def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     """Insertion order is CURATED for the driver's 50-row recording
     window (round-3 VERDICT #1): the first 50 entries are all
-    oracle-backed and span every operator family in SURVEY.md §2
-    (raster kernels incl. global-frequency, global stats, zonal, raster
-    ops incl. the 4-sink write→decode roundtrip and the lossy JPEG
-    decode pool, warp+sketch with pinned-parquet oracles, spatial
-    joins, kNN, tile dedup, Moran's I, relational joins/ROLLUP, as-of +
-    interval joins, semi joins, doc dedup exact/incremental/near/
-    verified/clusters/paragraph, MinHash-LSH and IVF top-k via pinned
-    sequential replays, decontamination, corpus build, language ID,
-    quality, token stats, sketch-verified heavy hitters, ANN brute
-    top-k, event windows/funnels/running windows/JSON extraction).
-    Entries 51+ are family siblings already represented in the window
-    (hopping windows, anti join, regional broadcast chain, focal
-    gradient, the remaining pinned twins) plus the seven rows-only
-    sf-table variants of the heuristic ops, which carry pytest oracles
-    and pinned twins instead."""
+    oracle-backed and span every operator family in SURVEY.md §2 plus
+    the LLM-data-plane families — raster metric kernels (unscaled +
+    scaled-integer + the global two-phase dominance), global species
+    stats, zonal stats/species/percentiles, overview pyramid, focal map
+    algebra, the 4-sink raster roundtrip AND the CSV text roundtrip,
+    the lossy JPEG decode pool, WAV audio features, multimodal tile
+    features, warp + percentile sketch with pinned-parquet oracles,
+    bbox window, spatial join, kNN-IDW, tile exact/near dedup, Moran's
+    I, store lifecycle (zarr-cube migration ingest), State Plane CRS
+    EPSG vectors, large*large shuffle join, semi join, ROLLUP, as-of +
+    interval joins, tumbling windows, funnels, running window
+    functions, seeded bootstrap/permutation resampling, MinHash-LSH and
+    IVF pinned sequential replays, ANN brute top-k, doc dedup exact/
+    incremental/verified/clusters, n-gram decontamination, the one-shot
+    filter chain AND the resumable sharded corpus build, corpus mixing,
+    sequence packing, language ID, quality, and sketch-verified heavy
+    hitters. Entries 51+ are family siblings already represented in
+    the window (remaining per-pixel kernels, hopping windows, anti
+    join, broadcast chains, focal gradient, paragraph/near-incremental
+    dedup, splits, token stats, the remaining pinned twins) plus the
+    seven rows-only sf-table variants of the heuristic ops, which carry
+    pytest oracles and pinned twins instead."""
     qs: dict[str, Callable[[str], pd.DataFrame]] = {
         # --- driver window (50): one green row per operator family ---
         # raster metric kernels (M1-M15)
         "gf_richness": _pixel_metric_query("species_richness", "richness", scaled=False),
         "gf_shannon": _pixel_metric_query("shannon_diversity", "shannon_u", scaled=True),
-        "gf_dominant_species": _pixel_metric_query("dominant_species", "dom_idx", scaled=False),
-        "gf_rare_species": _pixel_metric_query(
-            "rare_species", "n_rare", scaled=False, params={"occurrence_threshold": 0.05}
-        ),
-        # global / zonal / raster ops / joins / dedup / stats
+        # global / zonal / raster ops
         "gf_species_dominance": q_species_dominance,
         "gf_occurrence_stats": q_occurrence_stats,
         "gf_zonal_stats": q_zonal_stats,
@@ -2902,8 +2905,13 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_percentiles": q_zonal_percentiles,
         "gf_downsample_2x": q_downsample_2x,
         "gf_focal_sum": q_focal_sum_3x3,
+        # sinks / codecs / multimodal stages
         "gf_raster_roundtrip": q_raster_roundtrip,
+        "gf_csv_roundtrip": q_csv_roundtrip,
         "gf_jpeg_decode": q_jpeg_decode,
+        "audio_features": q_audio_features,
+        "gf_tile_features": q_tile_features,
+        # geo ops / joins / dedup / stats / lifecycle
         "gf_warp_mercator": q_warp_mercator,
         "gf_bbox_extract": q_bbox_extract,
         "gf_tile_zone_join": q_tile_zone_join,
@@ -2914,38 +2922,41 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_percentiles": q_percentiles,
         "gf_percentiles_exact": q_percentiles_exact,
         "gf_tile_catalog": q_tile_catalog,
-        # relational / windowed / temporal joins
-        "rel_pricing_summary": q_rel_pricing_summary,
-        "rel_top_customers": q_rel_top_customers,
+        "gf_ingest_cube": q_ingest_cube,
+        "gf_stateplane_vectors": q_stateplane_vectors,
+        # relational / windowed / temporal joins / resampling
         "rel_priority_lines": q_rel_priority_lines,
-        "events_asof_join": q_events_asof_join,
-        "events_error_window_join": q_events_error_window_join,
         "rel_urgent_customers": q_rel_urgent_customers,
         "rel_rollup_pricing": q_rel_rollup_pricing,
-        "doc_minhash_pinned": q_doc_minhash_pinned,
-        "ann_ivf_pinned": q_ann_ivf_pinned,
-        # document dedup / decontamination / corpus build
-        "doc_dedup_exact": q_doc_dedup_exact,
-        "doc_dedup_incremental": q_doc_dedup_incremental,
-        "doc_near_dedup_incremental": q_doc_near_dedup_incremental,
-        "doc_dup_verified": q_doc_dup_verified,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "doc_para_dedup": q_doc_para_dedup,
-        "doc_decontaminate_ngram": q_doc_decontaminate_ngram,
-        "doc_filter_chain": q_doc_filter_chain,
-        "doc_split": q_doc_split,
-        # text analysis / sketches / ANN / event aggregates
-        "doc_langid": q_doc_langid,
-        "doc_quality": q_doc_quality,
-        "doc_token_count": q_doc_token_count,
-        "doc_heavy_tokens": q_doc_heavy_tokens,
-        "ann_topk": q_ann_topk,
+        "events_asof_join": q_events_asof_join,
+        "events_error_window_join": q_events_error_window_join,
         "events_hourly": q_events_hourly,
         "events_funnel": q_events_funnel,
         "events_running_totals": q_events_running_totals,
-        "events_props_sum": q_events_props_sum,
+        "events_resampling": q_stats_resampling,
+        # document dedup / decontamination / corpus build / packing
+        "doc_minhash_pinned": q_doc_minhash_pinned,
+        "ann_ivf_pinned": q_ann_ivf_pinned,
+        "ann_topk": q_ann_topk,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_dedup_incremental": q_doc_dedup_incremental,
+        "doc_dup_verified": q_doc_dup_verified,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_decontaminate_ngram": q_doc_decontaminate_ngram,
+        "doc_filter_chain": q_doc_filter_chain,
+        "doc_corpus_build": q_corpus_build,
+        "doc_mix": q_doc_mix,
+        "doc_pack": q_doc_pack,
+        # text analysis / sketches
+        "doc_langid": q_doc_langid,
+        "doc_quality": q_doc_quality,
+        "doc_heavy_tokens": q_doc_heavy_tokens,
         # --- beyond the window: family siblings (all still SQL-backed,
         # verified by scripts/check_contract.py every round) ---
+        "gf_dominant_species": _pixel_metric_query("dominant_species", "dom_idx", scaled=False),
+        "gf_rare_species": _pixel_metric_query(
+            "rare_species", "n_rare", scaled=False, params={"occurrence_threshold": 0.05}
+        ),
         "gf_simpson": _pixel_metric_query("simpson_diversity", "simpson_u", scaled=True),
         "gf_evenness": _pixel_metric_query("evenness", "evenness_u", scaled=True),
         "gf_total_biomass": _pixel_metric_query("total_biomass", "total_u", scaled=True),
@@ -2976,30 +2987,28 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_coverage_topk": q_coverage_topk,
         "gf_store_validate": q_store_validate,
         "gf_focal_gradient": q_focal_gradient,
-        "gf_ingest_cube": q_ingest_cube,
         "gf_store_append": q_store_append,
         "events_hopping": q_events_hopping,
+        "events_props_sum": q_events_props_sum,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_customers": q_rel_top_customers,
         "rel_regional_revenue": q_rel_regional_revenue,
         "rel_quiet_customers": q_rel_quiet_customers,
-        "gf_tile_features": q_tile_features,
         "gf_tile_resize": q_tile_resize,
         "gf_identify": q_identify,
         "gf_normalize_clip": q_normalize_clip,
         "events_group_compare": q_events_group_compare,
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
+        "doc_near_dedup_incremental": q_doc_near_dedup_incremental,
+        "doc_para_dedup": q_doc_para_dedup,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_split": q_doc_split,
         "doc_chunks": q_doc_chunks,
         "doc_source_cap": q_doc_source_cap,
+        "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,
-        "doc_pack": q_doc_pack,
         "doc_redact": q_doc_redact,
-        "audio_features": q_audio_features,
-        "doc_mix": q_doc_mix,
-        "doc_corpus_build": q_corpus_build,
-        "events_resampling": q_stats_resampling,
-        "gf_csv_roundtrip": q_csv_roundtrip,
         "gf_s2_aggregate": q_s2_aggregate,
-        "gf_stateplane_vectors": q_stateplane_vectors,
         "gf_job_shannon": q_job_shannon,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_repetition": q_doc_repetition,
