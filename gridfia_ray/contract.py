@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 
 from gridfia_ray import fixtures
+from gridfia_ray.io import read_parquet_clean
 from gridfia_ray.kernels.base import KernelContext
 from gridfia_ray.kernels.registry import registry
 from gridfia_ray.pipelines.common import GridSpec
@@ -383,7 +384,7 @@ def q_events_group_compare(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.context import tune_context
 
     tune_context()
-    ev = rd.read_parquet(
+    ev = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
 
@@ -1040,7 +1041,7 @@ def _docs(sf_dir: str):
     from gridfia_ray.context import tune_context
 
     tune_context()
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
 
 
 def q_doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
@@ -1119,7 +1120,7 @@ def q_corpus_build(sf_dir: str) -> pd.DataFrame:
             for fn in os.listdir(os.path.join(tmp, d))
             if fn.endswith(".parquet")
         )
-        out = rd.read_parquet(files, columns=["doc_id"]).to_pandas()
+        out = read_parquet_clean(files, columns=["doc_id"]).to_pandas()
         return (
             pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64)})
             .sort_values("doc_id", ignore_index=True)
@@ -1289,7 +1290,7 @@ def q_job_shannon(sf_dir: str) -> pd.DataFrame:
             for fn in os.listdir(os.path.join(tmp, d))
             if fn.endswith(".parquet")
         )
-        shards = rd.read_parquet(files)
+        shards = read_parquet_clean(files)
         pix = M.metrics_to_pixels(shards).to_pandas()
         out = pix[["y", "x"]].copy()
         out["shannon_u"] = s6(pix["value"])
@@ -1512,7 +1513,7 @@ def _bench_snippets(sf_dir: str) -> list[str]:
     tune_context()
     import pyarrow as pa
 
-    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    src = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     rows = src.map_batches(
         # Arrow out: empty pandas blocks with an object column trip the
         # executor's size estimator on every poll
@@ -1826,7 +1827,7 @@ def _embeddings(sf_dir: str):
     from gridfia_ray.context import tune_context
 
     tune_context()
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 _ANN_QUERY_IDS = [0, 1, 2]
@@ -2007,10 +2008,10 @@ def _semi_anti_customers(sf_dir: str, anti: bool) -> pd.DataFrame:
     from gridfia_ray.pipelines.joins import broadcast_semi_join
 
     tune_context()
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
     )
-    urgent = rd.read_parquet(
+    urgent = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderpriority"],
     ).map_batches(
@@ -2053,7 +2054,7 @@ def q_rel_rollup_pricing(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.stages.agg_util import rollup_agg
 
     tune_context()
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
@@ -2102,7 +2103,7 @@ def q_events_props_sum(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.stages.agg_util import bucketed_agg
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
     )
     extracted = extract_json_int(events, "props", "k")
@@ -2140,7 +2141,7 @@ def q_events_running_totals(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.events import running_agg
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "ts", "value"],
     )
@@ -2181,7 +2182,7 @@ def q_events_daily_uniques(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.stages.dedup_util import bucketed_distinct
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
     )
 
@@ -2224,7 +2225,7 @@ def q_events_funnel(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.events import funnel_depths
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_type", "ts"],
     )
@@ -2249,7 +2250,7 @@ def q_events_top_by_user(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.sampling import grouped_topk
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "event_type", "value"],
     ).map_batches(
@@ -2281,7 +2282,7 @@ def q_events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.percentiles import grouped_percentiles_exact
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
     out = grouped_percentiles_exact(events, "event_type", "value", [2.0, 50.0, 98.0])
@@ -2301,7 +2302,7 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.context import tune_context
 
     tune_context()
-    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[["user_id", "ts", "value"]].copy()
@@ -2343,7 +2344,7 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.events import sessionize
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
     )
 
@@ -2376,7 +2377,7 @@ def q_events_hopping(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.events import hopping_window_agg
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
     )
 
@@ -2414,7 +2415,7 @@ def q_events_sample_per_user(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.sampling import sample_per_key
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
     )
 
@@ -2450,7 +2451,7 @@ def q_rel_pricing_summary(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.context import tune_context
 
     tune_context()
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=[
             "l_returnflag",
@@ -2534,7 +2535,7 @@ def q_rel_top_customers(sf_dir: str) -> pd.DataFrame:
             out = pd.DataFrame({"o_custkey": cust, "revenue_c": rev_c})
             return out.groupby("o_custkey", as_index=False).sum()
 
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -2628,7 +2629,7 @@ def q_rel_regional_revenue(sf_dir: str) -> pd.DataFrame:
             out = pd.DataFrame({"n_nationkey": s_nat[keep], "revenue_c": rev_c})
             return out.groupby("n_nationkey", as_index=False).sum()
 
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -2660,11 +2661,11 @@ def q_rel_priority_lines(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.stages.agg_util import bucketed_agg
 
     tune_context()
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
@@ -2713,11 +2714,11 @@ def q_rel_prompt_ship_lines(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.joins import shuffle_hash_join
 
     tune_context()
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_linenumber", "l_shipdate"],
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
@@ -2758,7 +2759,7 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.joins import asof_join
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -2812,7 +2813,7 @@ def q_events_error_window_join(sf_dir: str, band_width=None) -> pd.DataFrame:
     from gridfia_ray.pipelines.joins import interval_join
 
     tune_context()
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
     )

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from gridfia_ray.io import read_parquet_clean
+
 from gridfia_ray.state.manifest import RunManifest
 
 
@@ -65,7 +67,7 @@ def run_corpus_filter_checkpointed(
             keep = bucket_of(hashed, ["text_hash"], n_shards) == shard
             return batch.loc[keep]
 
-        docs = rd.read_parquet(docs_path).map_batches(
+        docs = read_parquet_clean(docs_path).map_batches(
             shard_filter, batch_format="pandas"
         )
         n_in = docs.count()
