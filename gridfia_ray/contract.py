@@ -1402,6 +1402,63 @@ def q_audio_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("clip_id", ignore_index=True)
 
 
+def q_video_frames(sf_dir: str) -> pd.DataFrame:
+    """Video-column pipeline end-to-end: MJPEG-in-ISO-BMFF clips (pure-
+    python box parser + T.81 decoder, ``codecs/mp4`` — video graduated
+    from the stub list) through the distributed ``FrameSampleActor``
+    pool (uniform-stride sampling over each track's own duration);
+    per-frame exact/scaled stats hash-compared against the pinned
+    sequential container-parse + decode replay."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.codecs.phash import content_hash64
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.multimodal import FrameSampleActor
+
+    tune_context()
+    clips = rd.read_parquet(oracle_pins.ensure_vidpin()["clips"])
+
+    def frame_stats(batch: pa.Table) -> pa.Table:
+        sums, mins, maxs, hashes = [], [], [], []
+        for i in range(batch.num_rows):
+            pix = batch["pix"][i].as_py()
+            arr = np.frombuffer(pix, dtype="<f4")
+            sums.append(int(np.rint(float(arr.sum()) * 16.0)))
+            mins.append(int(np.rint(float(arr.min()) * 16.0)))
+            maxs.append(int(np.rint(float(arr.max()) * 16.0)))
+            hashes.append(int(content_hash64(pix) & 0x7FFFFFFFFFFFFFFF))
+        return pa.table(
+            {
+                "clip_id": batch["image_id"].cast(pa.int64()),
+                "frame_idx": batch["frame_idx"].cast(pa.int64()),
+                "frame_ts_ms": batch["frame_ts_ms"].cast(pa.int64()),
+                "h": batch["h"].cast(pa.int64()),
+                "w": batch["w"].cast(pa.int64()),
+                "status": batch["status"],
+                "px_sum_u": pa.array(sums, pa.int64()),
+                "px_min_u": pa.array(mins, pa.int64()),
+                "px_max_u": pa.array(maxs, pa.int64()),
+                "pix_hash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    out = (
+        clips.map_batches(
+            FrameSampleActor, fn_constructor_kwargs={"n_frames": 4},
+            batch_format="pyarrow", concurrency=(1, 4),
+        )
+        .map_batches(frame_stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert (out["status"] == "ok").all()
+    return (
+        out.drop(columns=["status"])
+        .sort_values(["clip_id", "frame_idx"], ignore_index=True)
+    )
+
+
 def q_doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     """BPE-style pre-tokenizer count (RE2-compatible pattern shared
     verbatim with the SQL oracle)."""
@@ -2876,7 +2933,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     scaled-integer + the global two-phase dominance), global species
     stats, zonal stats/species/percentiles, overview pyramid, focal map
     algebra, the 4-sink raster roundtrip AND the CSV text roundtrip,
-    the lossy JPEG decode pool, WAV audio features, multimodal tile
+    the lossy JPEG decode pool, WAV audio features, MJPEG-in-BMFF video
+    frame sampling, multimodal tile
     features, warp + percentile sketch with pinned-parquet oracles,
     bbox window, spatial join, kNN-IDW, tile exact/near dedup, Moran's
     I, store lifecycle (zarr-cube migration ingest), State Plane CRS
@@ -2911,6 +2969,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_csv_roundtrip": q_csv_roundtrip,
         "gf_jpeg_decode": q_jpeg_decode,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "gf_tile_features": q_tile_features,
         # geo ops / joins / dedup / stats / lifecycle
         "gf_warp_mercator": q_warp_mercator,
@@ -2942,7 +3001,6 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_incremental": q_doc_dedup_incremental,
         "doc_dup_verified": q_doc_dup_verified,
-        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_decontaminate_ngram": q_doc_decontaminate_ngram,
         "doc_filter_chain": q_doc_filter_chain,
         "doc_corpus_build": q_corpus_build,
@@ -2954,6 +3012,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_heavy_tokens": q_doc_heavy_tokens,
         # --- beyond the window: family siblings (all still SQL-backed,
         # verified by scripts/check_contract.py every round) ---
+        "doc_dup_clusters": q_doc_dup_clusters,
         "gf_dominant_species": _pixel_metric_query("dominant_species", "dom_idx", scaled=False),
         "gf_rare_species": _pixel_metric_query(
             "rare_species", "n_rare", scaled=False, params={"occurrence_threshold": 0.05}
@@ -3442,6 +3501,10 @@ def build_oracle_sql() -> dict[str, str]:
     sql["audio_features"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_audpin()['features_expected']}') "
         f"ORDER BY clip_id"
+    )
+    sql["video_frames"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_vidpin()['frames_expected']}') "
+        f"ORDER BY clip_id, frame_idx"
     )
     # PII redaction: the identical RE2 patterns in the identical order,
     # counts taken per stage on the partially-redacted text (matching

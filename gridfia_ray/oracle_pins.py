@@ -43,6 +43,7 @@ from gridfia_ray.fixtures import FIXTURE_ROOT, GEN_VERSION
 DOCPIN_V = 2
 ANNPIN_V = 3
 AUDPIN_V = 2
+VIDPIN_V = 1
 
 ANN_PIN_QUERY_IDS = [5, 205, 1005]
 
@@ -671,6 +672,116 @@ def ensure_audpin() -> dict:
         return {"clips": "clips.parquet", "features_expected": "features_expected.parquet"}
 
     return _ensure_dir(f"audpin-v{GEN_VERSION}.{AUDPIN_V}", build)
+
+
+def _vidpin_clips() -> list[tuple[int, list[np.ndarray], float]]:
+    """40 deterministic grayscale MJPEG clips: smooth drifting wave
+    fields (JPEG-friendly), 3-10 frames, 1-8 fps, 16x16 to 48x32 px."""
+    rng = np.random.RandomState(41)
+    clips = []
+    for cid in range(40):
+        n = int(rng.randint(3, 11))
+        fps = float(rng.choice([1.0, 2.0, 4.0, 8.0]))
+        h = int(rng.choice([16, 24, 32]))
+        w = int(rng.choice([16, 32, 40, 48]))
+        fy, fx = rng.uniform(3, 8), rng.uniform(4, 9)
+        phase = rng.uniform(0, 6.28)
+        y, x = np.mgrid[0:h, 0:w]
+        frames = [
+            np.clip(
+                120.0
+                + 70.0 * np.sin(x / fx + phase + 0.7 * i)
+                + 50.0 * np.cos(y / fy - 0.4 * i),
+                0,
+                255,
+            )
+            for i in range(n)
+        ]
+        clips.append((cid, frames, fps))
+    return clips
+
+
+def ensure_vidpin() -> dict:
+    """{'clips', 'frames_expected'} parquet paths: MJPEG-in-BMFF video
+    payloads plus the pinned per-frame stats — a sequential replay of
+    exactly the container-parse + sample-select + T.81-decode math the
+    distributed ``FrameSampleActor`` pool runs (mp4 graduated from the
+    stub list; same standard as the wav/jpeg pins)."""
+
+    def build(tmp: str) -> dict:
+        from gridfia_ray.codecs.jpeg import encode_jpeg_gray
+        from gridfia_ray.codecs.mp4 import (
+            decode_frame_mjpeg,
+            encode_mp4_mjpeg,
+            parse_mp4,
+            sample_index_at,
+        )
+        from gridfia_ray.codecs.phash import content_hash64
+
+        n_frames_out = 4
+        ids, bufs, rows = [], [], []
+        for cid, frames, fps in _vidpin_clips():
+            h, w = frames[0].shape
+            jpegs = [encode_jpeg_gray(f, quality=95)[0] for f in frames]
+            buf = encode_mp4_mjpeg(jpegs, width=w, height=h, fps=fps)
+            ids.append(cid)
+            bufs.append(buf)
+            track = parse_mp4(buf)
+            seg = max(1, track.duration_ms) / n_frames_out
+            times = (np.arange(n_frames_out) * seg + seg / 2).astype(np.int64)
+            for j, t in enumerate(times):
+                arr = decode_frame_mjpeg(buf, track, sample_index_at(track, int(t)))
+                pix = arr.astype("<f4").tobytes()
+                rows.append(
+                    {
+                        "clip_id": cid,
+                        "frame_idx": j,
+                        "frame_ts_ms": int(t),
+                        "h": arr.shape[0],
+                        "w": arr.shape[1],
+                        "px_sum_u": int(np.rint(float(arr.sum()) * 16.0)),
+                        "px_min_u": int(np.rint(float(arr.min()) * 16.0)),
+                        "px_max_u": int(np.rint(float(arr.max()) * 16.0)),
+                        "pix_hash": int(content_hash64(pix) & 0x7FFFFFFFFFFFFFFF),
+                    }
+                )
+        pq.write_table(
+            pa.table(
+                {
+                    "image_id": pa.array([str(i) for i in ids], pa.string()),
+                    "clip_id": pa.array(ids, pa.int64()),
+                    "bytes": pa.array(bufs, pa.binary()),
+                    "fmt": pa.array(["mp4"] * len(ids), pa.string()),
+                }
+            ),
+            os.path.join(tmp, "clips.parquet"),
+        )
+        exp = pa.Table.from_pylist(rows).select(
+            ["clip_id", "frame_idx", "frame_ts_ms", "h", "w",
+             "px_sum_u", "px_min_u", "px_max_u", "pix_hash"]
+        )
+        exp = exp.cast(
+            pa.schema(
+                [
+                    ("clip_id", pa.int64()),
+                    ("frame_idx", pa.int64()),
+                    ("frame_ts_ms", pa.int64()),
+                    ("h", pa.int64()),
+                    ("w", pa.int64()),
+                    ("px_sum_u", pa.int64()),
+                    ("px_min_u", pa.int64()),
+                    ("px_max_u", pa.int64()),
+                    ("pix_hash", pa.int64()),
+                ]
+            )
+        )
+        pq.write_table(
+            exp.sort_by([("clip_id", "ascending"), ("frame_idx", "ascending")]),
+            os.path.join(tmp, "frames_expected.parquet"),
+        )
+        return {"clips": "clips.parquet", "frames_expected": "frames_expected.parquet"}
+
+    return _ensure_dir(f"vidpin-v{GEN_VERSION}.{VIDPIN_V}", build)
 
 
 def ensure_annpin() -> dict:

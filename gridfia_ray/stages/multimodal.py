@@ -24,8 +24,9 @@ from gridfia_ray.codecs.registry import FORMATS, decode_tile
 # jpeg graduated to a REAL codec (gridfia_ray.codecs.jpeg — pure-numpy
 # baseline T.81 grayscale, round-3 VERDICT #6) and wav to codecs.wav
 # (RIFF/PCM, round 4 — see AudioFeatureActor); only formats whose specs
-# genuinely need external libraries remain stubs
-STUB_FORMATS = ("webp", "mp4")
+# genuinely need external libraries remain stubs (mp4 graduated: the
+# ISO BMFF container + MJPEG sample codec are pure-python, codecs/mp4)
+STUB_FORMATS = ("webp",)
 
 
 class ResizeActor:
@@ -116,11 +117,16 @@ class FrameSampleActor:
     downstream tile stage (resize, features, phash dedup) applies to
     frames unchanged.
 
-    The codec itself needs ffmpeg (absent here): real decode raises
-    ``NotImplementedError`` per the build brief; ``fake=True``
+    Decode is REAL for ISO BMFF payloads carrying an MJPEG video
+    track (``codecs/mp4`` box parser + the pure-numpy T.81 decoder):
+    sample times are uniform-stride over the TRACK's own duration, the
+    nearest sample at-or-before each time is extracted from the stbl
+    tables and decoded to raw 0..255. Non-BMFF payloads (or non-MJPEG
+    sample codecs) need ffmpeg, absent here: they raise
+    ``NotImplementedError`` per the build brief. ``fake=True``
     deterministically synthesizes frames from the payload hash +
     frame index so sampling policy, fan-out and schema are testable
-    end to end."""
+    without any container."""
 
     def __init__(self, n_frames: int = 4, duration_ms: int = 10_000,
                  fake: bool = False, frame_size: int = 16):
@@ -128,29 +134,64 @@ class FrameSampleActor:
         self.duration_ms = int(duration_ms)
         self.fake = fake
         self.frame_size = int(frame_size)
+        self._tracks: dict[int, object] = {}
 
     def _sample_times(self) -> np.ndarray:
         """Uniform-stride mid-interval sample times (public standard:
         center of each of n equal segments)."""
-        seg = self.duration_ms / self.n_frames
+        return self._sample_times_for(self.duration_ms)
+
+    def _sample_times_for(self, duration_ms: int) -> np.ndarray:
+        seg = duration_ms / self.n_frames
         return (np.arange(self.n_frames) * seg + seg / 2).astype(np.int64)
 
     def _decode_frame(self, payload: bytes, ts_ms: int) -> np.ndarray:
+        from gridfia_ray.codecs import mp4 as _mp4
+
+        if _mp4.probe_is_mp4(payload):
+            track = self._track(payload)
+            return _mp4.decode_frame_mjpeg(
+                payload, track, _mp4.sample_index_at(track, int(ts_ms))
+            )
         if not self.fake:
             raise NotImplementedError(
-                "video decoding requires ffmpeg, not present in this "
-                "environment; run with fake=True for plumbing tests"
+                "non-BMFF video decoding requires ffmpeg, not present in "
+                "this environment; run with fake=True for plumbing tests"
             )
         seed = (content_hash64(payload) ^ (ts_ms * 0x9E3779B9)) & 0x7FFFFFFF
         rng = np.random.RandomState(seed)
         return rng.rand(self.frame_size, self.frame_size).astype(np.float32)
 
+    def _track(self, payload: bytes):
+        """Parse the box tree once per payload (per-actor LRU: a batch
+        visits each clip n_frames times)."""
+        from gridfia_ray.codecs import mp4 as _mp4
+
+        key = content_hash64(payload)
+        t = self._tracks.get(key)
+        if t is None:
+            t = _mp4.parse_mp4(payload)
+            while len(self._tracks) >= 256:
+                self._tracks.pop(next(iter(self._tracks)))
+            self._tracks[key] = t
+        return t
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from gridfia_ray.codecs import mp4 as _mp4
+
         ids, fidx, fts, pix, hs, ws, status = [], [], [], [], [], [], []
-        times = self._sample_times()
+        default_times = self._sample_times()
         for i in range(batch.num_rows):
             image_id = batch["image_id"][i].as_py()
             payload = batch["bytes"][i].as_py()
+            times = default_times
+            if _mp4.probe_is_mp4(payload):
+                try:
+                    times = self._sample_times_for(
+                        max(1, self._track(payload).duration_ms)
+                    )
+                except (ValueError, IndexError, KeyError):
+                    pass  # malformed container: per-frame decode flags it
             for j, t in enumerate(times):
                 ids.append(image_id)
                 fidx.append(j)
@@ -189,7 +230,8 @@ class ExternalMediaDecoder:
     (incl. baseline JPEG grayscale — decoded as raw 0..255 since media
     payloads carry no float caption scale) and for ``wav`` audio
     (RIFF/PCM via ``codecs.wav``, emitted as a 1×n sample plane so the
-    generic downstream stages apply); STUB for webp/video.
+    generic downstream stages apply) and for ``mp4`` MJPEG video
+    (poster-frame decode via ``codecs.mp4``); STUB only for webp.
 
     Plumbing is real throughout: binary in, (h, w, raw-f32) out,
     actor-pool state in ``__init__``. The stub formats need PIL/ffmpeg —
@@ -211,6 +253,14 @@ class ExternalMediaDecoder:
 
             samples, _rate = decode_wav_pcm16(payload)
             return samples[None, :]
+        if fmt == "mp4":
+            # poster-frame decode: first sample of the MJPEG track
+            from gridfia_ray.codecs import mp4 as _mp4
+
+            if not _mp4.probe_is_mp4(payload) and self.fake:
+                return self._fake_image(payload)
+            track = _mp4.parse_mp4(payload)
+            return _mp4.decode_frame_mjpeg(payload, track, 0)
         if fmt not in STUB_FORMATS:
             raise ValueError(f"unknown media format {fmt!r}")
         if not self.fake:
@@ -218,6 +268,9 @@ class ExternalMediaDecoder:
                 f"{fmt} decoding requires an external codec library not present "
                 "in this environment; run with fake=True for plumbing tests"
             )
+        return self._fake_image(payload)
+
+    def _fake_image(self, payload: bytes) -> np.ndarray:
         seed = content_hash64(payload) & 0x7FFFFFFF
         rng = np.random.RandomState(seed)
         return rng.rand(self.fake_size, self.fake_size).astype(np.float32)

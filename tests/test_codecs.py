@@ -354,3 +354,86 @@ class TestWav:
         out = AudioFeatureActor()(batch)
         assert out["status"].to_pylist() == ["ok", "decode_error:wav"]
         assert out["n_samples"].to_pylist()[0] == 1600
+
+
+class TestMp4Mjpeg:
+    """ISO BMFF container + MJPEG sample codec (codecs/mp4): the video
+    frame-sampling path with no external library."""
+
+    @staticmethod
+    def _frames(n=6, h=24, w=40):
+        y, x = np.mgrid[0:h, 0:w]
+        return [
+            np.clip(120 + 70 * np.sin(x / 6.0 + i) + 50 * np.cos(y / 4.0 - i), 0, 255)
+            for i in range(n)
+        ]
+
+    @classmethod
+    def _clip(cls, n=6, fps=2.0, h=24, w=40):
+        from gridfia_ray.codecs.jpeg import encode_jpeg_gray
+        from gridfia_ray.codecs.mp4 import encode_mp4_mjpeg
+
+        frames = cls._frames(n, h, w)
+        jpegs = [encode_jpeg_gray(f, quality=95)[0] for f in frames]
+        return encode_mp4_mjpeg(jpegs, width=w, height=h, fps=fps), jpegs, frames
+
+    def test_roundtrip_sample_table(self):
+        from gridfia_ray.codecs.mp4 import extract_sample, parse_mp4
+
+        buf, jpegs, _ = self._clip(n=6, fps=2.0)
+        t = parse_mp4(buf)
+        assert t.codec == "jpeg"
+        assert (t.width, t.height) == (40, 24)
+        assert t.n_samples == 6
+        assert t.duration_ms == 3000
+        assert t.ts_ms.tolist() == [0, 500, 1000, 1500, 2000, 2500]
+        for i, j in enumerate(jpegs):
+            assert extract_sample(buf, t, i) == j
+
+    def test_nearest_sample_lookup(self):
+        from gridfia_ray.codecs.mp4 import parse_mp4, sample_index_at
+
+        buf, _, _ = self._clip(n=4, fps=1.0)
+        t = parse_mp4(buf)
+        assert sample_index_at(t, 0) == 0
+        assert sample_index_at(t, 999) == 0
+        assert sample_index_at(t, 1000) == 1
+        assert sample_index_at(t, 10**8) == 3
+        assert sample_index_at(t, -5) == 0
+
+    def test_decode_psnr(self):
+        from gridfia_ray.codecs.mp4 import decode_frame_mjpeg, parse_mp4
+
+        buf, _, frames = self._clip(n=3)
+        t = parse_mp4(buf)
+        for i, src in enumerate(frames):
+            dec = decode_frame_mjpeg(buf, t, i)
+            vmin, vmax = src.min(), src.max()
+            g = np.rint((src - vmin) / (vmax - vmin) * 255.0)
+            assert psnr(dec, g) >= 40.0
+
+    def test_malformed_rejected(self):
+        from gridfia_ray.codecs.mp4 import encode_mp4_mjpeg, parse_mp4
+
+        with pytest.raises(ValueError):
+            parse_mp4(b"not an mp4 at all")
+        with pytest.raises(ValueError):
+            parse_mp4(b"\x00\x00\x00\x08ftyp")  # ftyp only, no moov
+        with pytest.raises(ValueError):
+            encode_mp4_mjpeg([], 8, 8)
+        with pytest.raises(ValueError):
+            encode_mp4_mjpeg([b"not-a-jpeg"], 8, 8)
+        buf, _, _ = self._clip(n=2)
+        with pytest.raises(ValueError):
+            parse_mp4(buf[: len(buf) // 2])  # truncated mid-moov... or mdat
+
+    def test_truncated_sample_data_detected(self):
+        """moov intact but mdat cut short: sample table points past EOF."""
+        from gridfia_ray.codecs.mp4 import parse_mp4
+
+        buf, _, _ = self._clip(n=2)
+        # moov is last; splice out 100 bytes of mdat payload and keep moov
+        moov_at = buf.rindex(b"moov") - 4
+        bad = buf[: moov_at - 100] + buf[moov_at:]
+        with pytest.raises(ValueError):
+            parse_mp4(bad)

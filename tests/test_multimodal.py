@@ -97,15 +97,17 @@ class TestExternalStub:
     def test_stub_mode_flags_rows(self):
         batch = pa.table(
             {
-                "image_id": ["x"],
-                "bytes": pa.array([b"zz"], pa.binary()),
-                "h": pa.array([0], pa.int32()),
-                "w": pa.array([0], pa.int32()),
-                "fmt": ["mp4"],
+                "image_id": ["x", "y"],
+                "bytes": pa.array([b"zz", b"zz"], pa.binary()),
+                "h": pa.array([0, 0], pa.int32()),
+                "w": pa.array([0, 0], pa.int32()),
+                "fmt": ["webp", "mp4"],
             }
         )
         out = ExternalMediaDecoder(fake=False)(batch)
-        assert out["status"].to_pylist() == ["stub:mp4"]
+        # webp remains a declared stub; mp4 is a real codec now, so a
+        # non-BMFF payload is a per-row decode error, not a stub
+        assert out["status"].to_pylist() == ["stub:webp", "decode_error:mp4"]
 
     def test_native_format_passthrough(self):
         from gridfia_ray.codecs.registry import encode_tile
@@ -196,3 +198,95 @@ class TestFrameSample:
         st = out["status"].to_pylist()
         assert st[0].startswith("decode_error:") and st[1].startswith("decode_error:")
         assert st[2] == "ok"
+
+
+class TestFrameSampleRealMp4:
+    """mp4 graduated from the stub list: FrameSampleActor decodes MJPEG
+    ISO BMFF payloads for real via codecs/mp4 + the T.81 decoder."""
+
+    @staticmethod
+    def _clip_batch():
+        from gridfia_ray.codecs.jpeg import encode_jpeg_gray
+        from gridfia_ray.codecs.mp4 import encode_mp4_mjpeg
+
+        y, x = np.mgrid[0:16, 0:24]
+        frames = [np.clip(100 + 90 * np.sin(x / 5.0 + i), 0, 255) for i in range(8)]
+        jpegs = [encode_jpeg_gray(f, quality=95)[0] for f in frames]
+        buf = encode_mp4_mjpeg(jpegs, width=24, height=16, fps=4.0)  # 2 s clip
+        return (
+            pa.table(
+                {
+                    "image_id": ["clip/real"],
+                    "bytes": pa.array([buf], pa.binary()),
+                    "fmt": ["mp4"],
+                }
+            ),
+            buf,
+            frames,
+        )
+
+    def test_real_decode_and_track_duration_times(self):
+        from gridfia_ray.codecs.mp4 import (
+            decode_frame_mjpeg,
+            parse_mp4,
+            sample_index_at,
+        )
+        from gridfia_ray.stages.multimodal import FrameSampleActor
+
+        batch, buf, _ = self._clip_batch()
+        out = FrameSampleActor(n_frames=4, fake=False)(batch)
+        assert out.num_rows == 4
+        assert out["status"].to_pylist() == ["ok"] * 4
+        # times follow the TRACK duration (2000 ms), not the default 10 s
+        assert out["frame_ts_ms"].to_pylist() == [250, 750, 1250, 1750]
+        assert out["h"].to_pylist() == [16] * 4 and out["w"].to_pylist() == [24] * 4
+        # each emitted frame equals the sequential parse+decode replay
+        track = parse_mp4(buf)
+        for j, t in enumerate(out["frame_ts_ms"].to_pylist()):
+            exp = decode_frame_mjpeg(buf, track, sample_index_at(track, t))
+            got = np.frombuffer(out["pix"][j].as_py(), dtype="<f4").reshape(16, 24)
+            assert np.array_equal(got, exp)
+
+    def test_distinct_samples_selected(self):
+        from gridfia_ray.stages.multimodal import FrameSampleActor
+
+        batch, _, _ = self._clip_batch()
+        out = FrameSampleActor(n_frames=4, fake=False)(batch)
+        pix = out["pix"].to_pylist()
+        assert len({p for p in pix}) == 4  # 8 samples / 4 picks -> all distinct
+
+    def test_malformed_bmff_flags_row(self):
+        from gridfia_ray.stages.multimodal import FrameSampleActor
+
+        batch = pa.table(
+            {
+                "image_id": ["bad"],
+                # valid ftyp probe, garbage after -> parse error per frame
+                "bytes": pa.array(
+                    [b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00garbage"], pa.binary()
+                ),
+                "fmt": ["mp4"],
+            }
+        )
+        out = FrameSampleActor(n_frames=2, fake=False)(batch)
+        assert all(s.startswith("decode_error:") for s in out["status"].to_pylist())
+
+    def test_poster_frame_via_external_decoder(self):
+        from gridfia_ray.codecs.mp4 import decode_frame_mjpeg, parse_mp4
+        from gridfia_ray.stages.multimodal import ExternalMediaDecoder
+
+        batch, buf, _ = self._clip_batch()
+        full = pa.table(
+            {
+                "image_id": batch["image_id"],
+                "bytes": batch["bytes"],
+                "h": pa.array([0], pa.int32()),
+                "w": pa.array([0], pa.int32()),
+                "fmt": batch["fmt"],
+            }
+        )
+        out = ExternalMediaDecoder(fake=False)(full)
+        assert out["status"].to_pylist() == ["ok"]
+        exp = decode_frame_mjpeg(buf, parse_mp4(buf), 0)
+        got = np.frombuffer(out["pix"][0].as_py(), dtype="<f4").reshape(16, 24)
+        assert np.array_equal(got, exp)
