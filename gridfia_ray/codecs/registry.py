@@ -12,7 +12,7 @@ import numpy as np
 
 from gridfia_ray.codecs import png16, raw
 
-FORMATS = ("raw-f32", "zlib-f32", "png", "tiff", "bmp", "jpeg")
+FORMATS = ("raw-f32", "zlib-f32", "png", "tiff", "bmp", "jpeg", "webp")
 
 
 def decode_tile(buf: bytes, fmt: str, h: int, w: int, meta: dict | None = None) -> np.ndarray:
@@ -37,6 +37,13 @@ def decode_tile(buf: bytes, fmt: str, h: int, w: int, meta: dict | None = None) 
 
         meta = meta or {}
         return jpeg.decode_jpeg_gray(
+            buf, meta.get("scale_vmin", 0.0), meta.get("scale_vmax", 0.0)
+        )
+    if fmt == "webp":
+        from gridfia_ray.codecs import webp
+
+        meta = meta or {}
+        return webp.decode_webp_tile(
             buf, meta.get("scale_vmin", 0.0), meta.get("scale_vmax", 0.0)
         )
     raise ValueError(f"unknown tile format {fmt!r}")
@@ -64,5 +71,10 @@ def encode_tile(arr: np.ndarray, fmt: str) -> tuple[bytes, dict]:
         from gridfia_ray.codecs import jpeg
 
         buf, vmin, vmax = jpeg.encode_jpeg_gray(arr)
+        return buf, {"scale_vmin": vmin, "scale_vmax": vmax}
+    if fmt == "webp":
+        from gridfia_ray.codecs import webp
+
+        buf, vmin, vmax = webp.encode_webp_tile(arr)
         return buf, {"scale_vmin": vmin, "scale_vmax": vmax}
     raise ValueError(f"unknown tile format {fmt!r}")

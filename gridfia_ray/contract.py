@@ -897,6 +897,38 @@ def q_jpeg_decode(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("image_id", ignore_index=True)
 
 
+def q_webp_decode(sf_dir: str) -> pd.DataFrame:
+    """WebP-lossless multimodal column end-to-end: the VP8L tile table
+    (full-spec pure-python decoder, codecs/webp.py — the last declared
+    stub, graduated) streamed through the standard decoder actor pool
+    with caption-scale dequantization, emitting per-tile micro-scaled
+    sums of the DECODED floats, hash-compared against the pinned
+    sequential replay (fixtures.ensure_webp_fixture)."""
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+
+    wf = fixtures.ensure_webp_fixture()
+    f = _fx()
+
+    def sums(batch):
+        import pyarrow as pa
+
+        out = []
+        for buf in batch["pix"].to_pylist():
+            vals = np.frombuffer(buf, dtype="<f4").astype(np.float64)
+            out.append(int(s6(vals).sum()))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "sum_u": pa.array(out, pa.int64()),
+            }
+        )
+
+    decoded = decoded_tiles(read_tiles(wf["tiles"]), f["spec"], include_total=True)
+    df = decoded.map_batches(sums, batch_format="pyarrow").to_pandas()
+    df["image_id"] = df["image_id"].astype(str)
+    return df.sort_values("image_id", ignore_index=True)
+
+
 def q_ingest_cube(sf_dir: str) -> pd.DataFrame:
     """S7 migration path as a driver roundtrip: materialize the seeded
     fixture cube as a reference-style zarr v3 (species, H, W) cube with
@@ -3013,6 +3045,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # --- beyond the window: family siblings (all still SQL-backed,
         # verified by scripts/check_contract.py every round) ---
         "doc_dup_clusters": q_doc_dup_clusters,
+        "gf_webp_decode": q_webp_decode,
         "gf_dominant_species": _pixel_metric_query("dominant_species", "dom_idx", scaled=False),
         "gf_rare_species": _pixel_metric_query(
             "rare_species", "n_rare", scaled=False, params={"occurrence_threshold": 0.05}
@@ -3429,6 +3462,10 @@ def build_oracle_sql() -> dict[str, str]:
     # fixtures.ensure_jpeg_fixture docstring for the exactness argument)
     sql["gf_jpeg_decode"] = (
         f"SELECT * FROM read_parquet('{fixtures.ensure_jpeg_fixture()['expected']}') "
+        f"ORDER BY image_id"
+    )
+    sql["gf_webp_decode"] = (
+        f"SELECT * FROM read_parquet('{fixtures.ensure_webp_fixture()['expected']}') "
         f"ORDER BY image_id"
     )
     # pinned sequential-replay oracles for the seed-deterministic

@@ -603,9 +603,10 @@ def fixture_meta(name: str) -> dict:
         return json.load(f)
 
 
-# bump when the JPEG codec or the expected-table layout changes — the
-# pinned oracle must be regenerated alongside the codec's bit behavior
+# bump when the JPEG/WebP codec or the expected-table layout changes —
+# the pinned oracle must be regenerated alongside the codec's bit behavior
 JPEG_ORACLE_V = 1
+WEBP_ORACLE_V = 1
 
 
 def ensure_jpeg_fixture() -> dict:
@@ -617,9 +618,19 @@ def ensure_jpeg_fixture() -> dict:
     gen, and the distributed caption-scale dequantization must
     reproduce the sequential replay bit-exactly. Returns
     {'tiles': parquet path, 'expected': parquet path}."""
+    return _ensure_codec_fixture("jpeg", JPEG_ORACLE_V)
+
+
+def ensure_webp_fixture() -> dict:
+    """Same contract for WebP-lossless (VP8L, codecs/webp): quantized
+    8-bit tile table + pinned sequential decode sums."""
+    return _ensure_codec_fixture("webp", WEBP_ORACLE_V)
+
+
+def _ensure_codec_fixture(fmt: str, version: int) -> dict:
     from gridfia_ray.codecs.registry import decode_tile
 
-    out = os.path.join(FIXTURE_ROOT, f"jpeg-t2-v{GEN_VERSION}.{JPEG_ORACLE_V}")
+    out = os.path.join(FIXTURE_ROOT, f"{fmt}-t2-v{GEN_VERSION}.{version}")
     marker = os.path.join(out, "_COMPLETE")
     paths = {
         "tiles": os.path.join(out, "tiles.parquet"),
@@ -628,11 +639,11 @@ def ensure_jpeg_fixture() -> dict:
     if os.path.exists(marker):
         return paths
     os.makedirs(FIXTURE_ROOT, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix=".jpeg-t2-", dir=FIXTURE_ROOT)
+    tmp = tempfile.mkdtemp(prefix=f".{fmt}-t2-", dir=FIXTURE_ROOT)
     try:
         scale = SCALES["t2"]
         cube, catalog = build_cube(scale)
-        table = tile_table_from_cube(cube, catalog, scale.tile, fmt="jpeg")
+        table = tile_table_from_cube(cube, catalog, scale.tile, fmt=fmt)
         pq.write_table(table, os.path.join(tmp, "tiles.parquet"), compression="zstd")
         ids, sums = [], []
         for row in table.to_pylist():

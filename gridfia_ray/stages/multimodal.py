@@ -2,15 +2,16 @@
 
 Image-as-binary is the engine's native payload (the ``bytes`` column).
 What is real here and runs in tests: the raw-f32/zlib/png16/tiff/bmp
-decoders plus the pure-numpy baseline-JPEG grayscale codec and the
-RIFF/PCM WAV audio codec (``gridfia_ray.codecs``), block-mean
-``ResizeActor``, statistical ``TileFeatureActor`` and
-``AudioFeatureActor``. The remaining external formats (webp/video
-frames) need libraries absent from this environment — their stages are
-STUBS with the full Ray-side plumbing (schema, batch path, actor
-signature) in place, raising ``NotImplementedError`` at decode exactly as
-flagged in the build brief, or producing a deterministic fake when
-``fake=True`` so downstream plumbing stays testable.
+decoders plus the pure-numpy baseline-JPEG grayscale codec, the
+RIFF/PCM WAV audio codec, the ISO BMFF (MP4) MJPEG video container and
+the VP8L (WebP lossless) decoder (``gridfia_ray.codecs``), block-mean
+``ResizeActor``, statistical ``TileFeatureActor``,
+``AudioFeatureActor`` and the real-decode ``FrameSampleActor``. Every
+format from the original stub list has graduated; the one payload
+VARIANT still needing an external library — lossy-VP8 webp — raises
+``NotImplementedError`` at decode and surfaces as a ``stub:webp`` row,
+and ``fake=True`` still produces deterministic pseudo-frames so
+downstream plumbing is testable without building containers.
 """
 
 from __future__ import annotations
@@ -21,12 +22,13 @@ import pyarrow as pa
 from gridfia_ray.codecs.phash import content_hash64
 from gridfia_ray.codecs.registry import FORMATS, decode_tile
 
-# jpeg graduated to a REAL codec (gridfia_ray.codecs.jpeg — pure-numpy
-# baseline T.81 grayscale, round-3 VERDICT #6) and wav to codecs.wav
-# (RIFF/PCM, round 4 — see AudioFeatureActor); only formats whose specs
-# genuinely need external libraries remain stubs (mp4 graduated: the
-# ISO BMFF container + MJPEG sample codec are pure-python, codecs/mp4)
-STUB_FORMATS = ("webp",)
+# every declared stub has graduated to a real pure-python codec: jpeg
+# (T.81 baseline, round-3 VERDICT #6), wav (RIFF/PCM), mp4 (ISO BMFF +
+# MJPEG samples), webp (full VP8L lossless decoder). The one remaining
+# genuinely-external case is the LOSSY webp payload (VP8 intra-frame
+# coding needs libwebp) — those rows surface as stub:webp via
+# NotImplementedError, per payload VARIANT rather than per format.
+STUB_FORMATS = ()
 
 
 class ResizeActor:
@@ -228,17 +230,18 @@ class FrameSampleActor:
 class ExternalMediaDecoder:
     """Media-payload decoder: REAL for every ``codecs.FORMATS`` entry
     (incl. baseline JPEG grayscale — decoded as raw 0..255 since media
-    payloads carry no float caption scale) and for ``wav`` audio
-    (RIFF/PCM via ``codecs.wav``, emitted as a 1×n sample plane so the
-    generic downstream stages apply) and for ``mp4`` MJPEG video
-    (poster-frame decode via ``codecs.mp4``); STUB only for webp.
+    payloads carry no float caption scale), for ``wav`` audio (RIFF/PCM
+    via ``codecs.wav``, emitted as a 1×n sample plane so the generic
+    downstream stages apply), for ``mp4`` MJPEG video (poster-frame
+    decode via ``codecs.mp4``) and for ``webp`` lossless (full VP8L
+    decoder, ``codecs.webp``).
 
     Plumbing is real throughout: binary in, (h, w, raw-f32) out,
-    actor-pool state in ``__init__``. The stub formats need PIL/ffmpeg —
-    unavailable here — so their decode raises ``NotImplementedError``
-    unless ``fake=True``, which produces a deterministic pseudo-image
-    seeded by the payload hash (keeps schema/batch-size/actor wiring
-    testable end to end).
+    actor-pool state in ``__init__``. Lossy-VP8 webp payloads — the one
+    variant that genuinely needs libwebp — raise ``NotImplementedError``
+    and surface as ``stub:webp`` rows; ``fake=True`` substitutes a
+    deterministic pseudo-image for non-container payloads (keeps
+    schema/batch-size/actor wiring testable end to end).
     """
 
     def __init__(self, fake: bool = False, fake_size: int = 16):
@@ -246,7 +249,9 @@ class ExternalMediaDecoder:
         self.fake_size = int(fake_size)
 
     def decode(self, payload: bytes, fmt: str) -> np.ndarray:
-        if fmt in FORMATS:
+        # webp is both a tile-store format (caption-scaled, via
+        # DecoderActor) and a media payload (raw gray, handled here)
+        if fmt in FORMATS and fmt != "webp":
             raise ValueError("use DecoderActor for native formats")
         if fmt == "wav":
             from gridfia_ray.codecs.wav import decode_wav_pcm16
@@ -261,14 +266,15 @@ class ExternalMediaDecoder:
                 return self._fake_image(payload)
             track = _mp4.parse_mp4(payload)
             return _mp4.decode_frame_mjpeg(payload, track, 0)
-        if fmt not in STUB_FORMATS:
-            raise ValueError(f"unknown media format {fmt!r}")
-        if not self.fake:
-            raise NotImplementedError(
-                f"{fmt} decoding requires an external codec library not present "
-                "in this environment; run with fake=True for plumbing tests"
-            )
-        return self._fake_image(payload)
+        if fmt == "webp":
+            # full VP8L (lossless) decoder; lossy VP8 raises
+            # NotImplementedError inside -> per-row stub:webp status
+            from gridfia_ray.codecs.webp import decode_webp_gray
+
+            if payload[:4] != b"RIFF" and self.fake:
+                return self._fake_image(payload)
+            return decode_webp_gray(payload)
+        raise ValueError(f"unknown media format {fmt!r}")
 
     def _fake_image(self, payload: bytes) -> np.ndarray:
         seed = content_hash64(payload) & 0x7FFFFFFF
@@ -282,7 +288,7 @@ class ExternalMediaDecoder:
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
             try:
-                if fmt in FORMATS:
+                if fmt in FORMATS and fmt != "webp":
                     arr = decode_tile(
                         batch["bytes"][i].as_py(),
                         fmt,

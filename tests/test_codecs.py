@@ -437,3 +437,30 @@ class TestMp4Mjpeg:
         bad = buf[: moov_at - 100] + buf[moov_at:]
         with pytest.raises(ValueError):
             parse_mp4(bad)
+
+
+class TestWebpTile:
+    """webp as a registry tile format (bmp8-style 8-bit scale)."""
+
+    def test_registry_roundtrip(self):
+        rng = np.random.RandomState(13)
+        arr = (rng.rand(20, 28) * 340.0 - 20.0).astype(np.float32)
+        buf, meta = encode_tile(arr, "webp")
+        dec = decode_tile(buf, "webp", 20, 28, meta)
+        # 8-bit quantized: within half a bin of the original
+        bin_w = (meta["scale_vmax"] - meta["scale_vmin"]) / 255.0
+        assert np.abs(dec - arr).max() <= bin_w / 2 + 1e-6
+        assert psnr(dec, arr) >= 40.0
+
+    def test_constant_tile(self):
+        arr = np.full((8, 8), 7.25, np.float32)
+        buf, meta = encode_tile(arr, "webp")
+        dec = decode_tile(buf, "webp", 8, 8, meta)
+        assert (dec == 7.25).all() or (dec == meta["scale_vmin"]).all()
+
+    def test_nan_encodes_as_vmin(self):
+        arr = np.array([[1.0, np.nan], [3.0, 2.0]], np.float32)
+        buf, meta = encode_tile(arr, "webp")
+        dec = decode_tile(buf, "webp", 2, 2, meta)
+        assert dec[0, 1] == meta["scale_vmin"]
+        assert abs(dec[1, 0] - 3.0) < 0.01

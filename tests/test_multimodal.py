@@ -46,10 +46,33 @@ class TestFeatures:
 
 
 class TestExternalStub:
-    def test_stub_raises_by_default(self):
-        dec = ExternalMediaDecoder()
+    def test_lossy_webp_raises_not_implemented(self):
+        """VP8L is a real decoder now; only lossy VP8 needs libwebp."""
+        import struct
+
+        chunk = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+        buf = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
         with pytest.raises(NotImplementedError):
-            dec.decode(b"RIFF....WEBP", "webp")
+            ExternalMediaDecoder().decode(buf, "webp")
+
+    def test_lossless_webp_is_real_now(self):
+        from gridfia_ray.codecs.webp import encode_webp_gray
+
+        rng = np.random.RandomState(9)
+        a = np.rint(rng.rand(12, 20) * 255)
+        batch = pa.table(
+            {
+                "image_id": ["w"],
+                "bytes": pa.array([encode_webp_gray(a)], pa.binary()),
+                "h": pa.array([12], pa.int32()),
+                "w": pa.array([20], pa.int32()),
+                "fmt": ["webp"],
+            }
+        )
+        out = ExternalMediaDecoder(fake=False)(batch)
+        assert out["status"].to_pylist() == ["ok"]
+        got = np.frombuffer(out["pix"][0].as_py(), "<f4").reshape(12, 20)
+        assert np.array_equal(got, a)  # lossless round trip through the pool
 
     def test_jpeg_is_real_now(self):
         """jpeg graduated from stub to the pure-numpy T.81 codec: a real
@@ -105,9 +128,9 @@ class TestExternalStub:
             }
         )
         out = ExternalMediaDecoder(fake=False)(batch)
-        # webp remains a declared stub; mp4 is a real codec now, so a
-        # non-BMFF payload is a per-row decode error, not a stub
-        assert out["status"].to_pylist() == ["stub:webp", "decode_error:mp4"]
+        # webp and mp4 are real codecs now: malformed payloads are
+        # per-row decode errors, not stubs
+        assert out["status"].to_pylist() == ["decode_error:webp", "decode_error:mp4"]
 
     def test_native_format_passthrough(self):
         from gridfia_ray.codecs.registry import encode_tile
