@@ -135,6 +135,90 @@ def hll_distinct(
     return hll_estimate(acc)
 
 
+def grouped_hll_distinct(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    value_cols: list[str],
+    *,
+    p: int = 12,
+    hash_fn=None,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Approximate per-group COUNT(DISTINCT value_cols) — the scale
+    path for "distinct users per day" when the exact bucketed-distinct
+    pass (one shuffled row per distinct member, O(distinct) exchange)
+    is too expensive. One streaming pass emits a 2^p-byte register row
+    per (block, group); one bucketed exchange max-merges registers per
+    group. Shuffle volume is O(groups_per_block × blocks × 2^p) —
+    independent of member cardinality — and, like the global sketch,
+    the merged registers are a pure function of each group's value SET,
+    so results are bit-deterministic across partitionings and cluster
+    sizes (pinned + invariance-tested).
+
+    Returns a Dataset of ``group_cols + [approx_distinct: float64]``.
+    ``hash_fn(sub_batch) -> uint64`` overrides the default md5 row hash
+    of ``value_cols``.
+    """
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    hasher = hash_fn or (lambda b: _hash_columns(b, value_cols))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: list[dict] = []
+        for key, sub in batch.groupby(group_cols, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            regs = hll_registers(np.asarray(hasher(sub), dtype=np.uint64), p)
+            rows.append(dict(zip(group_cols, key)) | {"regs": regs.tobytes()})
+        out = pd.DataFrame(rows, columns=[*group_cols, "regs"])
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs: list[dict] = []
+        for key, sub in g.groupby(group_cols, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            acc = np.zeros(m, dtype=np.uint8)
+            for buf in sub["regs"]:
+                np.maximum(acc, np.frombuffer(buf, dtype=np.uint8), out=acc)
+            outs.append(
+                dict(zip(group_cols, key)) | {"approx_distinct": hll_estimate(acc)}
+            )
+        return pd.DataFrame(outs, columns=[*group_cols, "approx_distinct"])
+
+    # pin the output Arrow schema (group dtypes from the input) so an
+    # all-empty bucket emits typed columns, not executor-churning nulls
+    import pyarrow as pa
+
+    sch = ds.schema()
+    tmap = dict(zip(sch.names, sch.types))
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:  # pandas-backed datasets report numpy dtypes / python types
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    out_schema = pa.schema(
+        [(c, _pa_type(tmap[c])) for c in group_cols]
+        + [("approx_distinct", pa.float64())]
+    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_bucket_map(
+        partials,
+        group_cols,
+        merge_bucket,
+        n_buckets=n_buckets,
+        coalesce=True,
+        out_schema=out_schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch + exact heavy hitters
 # ---------------------------------------------------------------------------

@@ -1974,6 +1974,24 @@ def q_doc_hll_pinned(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"vocab_est": np.asarray([int(round(est))], dtype=np.int64)})
 
 
+def q_ghll_pinned(sf_dir: str) -> pd.DataFrame:
+    """Grouped HLL (approximate distinct per group — the scale path for
+    per-day uniques) vs its pinned sequential register replay: the
+    bucketed max-merge is order-free, so every per-group estimate must
+    be bit-identical at any partitioning."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.analysis.sketches import grouped_hll_distinct
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    rows = rd.read_parquet(oracle_pins.ensure_ghllpin()["rows"])
+    out = grouped_hll_distinct(rows, ["day"], ["user_id"], p=12).to_pandas()
+    out["est_u"] = np.floor(out["approx_distinct"] * 1_000_000 + 0.5).astype(np.int64)
+    return out[["day", "est_u"]].sort_values("day", ignore_index=True)
+
+
 def q_ann_lsh_pinned(sf_dir: str) -> pd.DataFrame:
     """Distributed SRP-LSH candidate scan + global re-rank vs its
     pinned sequential replay on the planted clustered corpus."""
@@ -3119,6 +3137,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # twins sit inside the driver window above)
         "doc_simhash_pinned": q_doc_simhash_pinned,
         "doc_hll_pinned": q_doc_hll_pinned,
+        "ghll_pinned": q_ghll_pinned,
         "ann_lsh_pinned": q_ann_lsh_pinned,
         "emb_semantic_pinned": q_emb_semantic_pinned,
         "emb_near_dup_pinned": q_emb_near_dup_pinned,
@@ -3485,6 +3504,10 @@ def build_oracle_sql() -> dict[str, str]:
         f"SELECT * FROM read_parquet('{_dp['simhash_expected']}') ORDER BY a, b"
     )
     sql["doc_hll_pinned"] = f"SELECT * FROM read_parquet('{_dp['hll_expected']}')"
+    sql["ghll_pinned"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_ghllpin()['expected']}') "
+        f"ORDER BY day"
+    )
     sql["ann_lsh_pinned"] = (
         f"SELECT * FROM read_parquet('{_ap['lsh_expected']}') ORDER BY query_id, rank"
     )

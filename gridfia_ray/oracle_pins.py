@@ -44,6 +44,7 @@ DOCPIN_V = 2
 ANNPIN_V = 3
 AUDPIN_V = 2
 VIDPIN_V = 1
+GHLLPIN_V = 1
 
 ANN_PIN_QUERY_IDS = [5, 205, 1005]
 
@@ -672,6 +673,52 @@ def ensure_audpin() -> dict:
         return {"clips": "clips.parquet", "features_expected": "features_expected.parquet"}
 
     return _ensure_dir(f"audpin-v{GEN_VERSION}.{AUDPIN_V}", build)
+
+
+def ensure_ghllpin() -> dict:
+    """{'rows', 'expected'} parquet paths for the grouped-HLL sketch:
+    skewed (day, user_id) rows plus the pinned per-group estimates — a
+    sequential register replay (hll_registers + hll_estimate per group,
+    no Ray). Register max-merge is order-free and the row hash is
+    deterministic, so the distributed bucketed merge must reproduce the
+    replay bit-for-bit at any partitioning."""
+
+    def build(tmp: str) -> dict:
+        from gridfia_ray.analysis.sketches import (
+            _hash_columns,
+            hll_estimate,
+            hll_registers,
+        )
+
+        rng = np.random.RandomState(29)
+        days, users = [], []
+        sizes = {"2024-01-01": (20_000, 6_000), "2024-01-02": (3_000, 700),
+                 "2024-01-03": (250, 90), "2024-01-04": (12, 12),
+                 "2024-01-05": (1, 1)}
+        for day, (n_rows, card) in sizes.items():
+            days.append(np.repeat(day, n_rows))
+            users.append(rng.randint(0, card, n_rows).astype(np.int64))
+        df = pa.table(
+            {
+                "day": pa.array(np.concatenate(days), pa.string()),
+                "user_id": pa.array(np.concatenate(users), pa.int64()),
+            }
+        )
+        pq.write_table(df, os.path.join(tmp, "rows.parquet"))
+        import pandas as pd
+
+        pdf = df.to_pandas()
+        rows = []
+        for day, sub in pdf.groupby("day"):
+            est = hll_estimate(hll_registers(_hash_columns(sub, ["user_id"]), 12))
+            rows.append({"day": day, "est_u": int(np.floor(est * 1_000_000 + 0.5))})
+        exp = pa.Table.from_pylist(rows).cast(
+            pa.schema([("day", pa.string()), ("est_u", pa.int64())])
+        )
+        pq.write_table(exp.sort_by("day"), os.path.join(tmp, "expected.parquet"))
+        return {"rows": "rows.parquet", "expected": "expected.parquet"}
+
+    return _ensure_dir(f"ghllpin-v{GEN_VERSION}.{GHLLPIN_V}", build)
 
 
 def _vidpin_clips() -> list[tuple[int, list[np.ndarray], float]]:

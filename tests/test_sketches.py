@@ -174,3 +174,105 @@ class TestHeavyHitters:
         a = heavy_hitters_exact(rd.from_pandas(df).repartition(2), self._items_fn(), 300)
         b = heavy_hitters_exact(rd.from_pandas(df).repartition(11), self._items_fn(), 300)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGroupedHll:
+    @staticmethod
+    def _frame(seed=7):
+        rng = np.random.RandomState(seed)
+        # skewed group sizes: one hot group, several small ones
+        groups = np.concatenate(
+            [
+                np.repeat("day-hot", 30_000),
+                np.repeat("day-mid", 4_000),
+                np.repeat("day-a", 400),
+                np.repeat("day-b", 40),
+                np.repeat("day-one", 1),
+            ]
+        )
+        members = np.concatenate(
+            [
+                rng.randint(0, 9_000, 30_000),
+                rng.randint(0, 800, 4_000),
+                rng.randint(0, 150, 400),
+                rng.randint(0, 25, 40),
+                np.array([123]),
+            ]
+        ).astype(np.int64)
+        return pd.DataFrame({"grp": groups, "member": members})
+
+    def test_matches_exact_within_error(self, ray_session):
+        from gridfia_ray.analysis.sketches import grouped_hll_distinct
+
+        df = self._frame()
+        exact = df.groupby("grp")["member"].nunique()
+        out = (
+            grouped_hll_distinct(
+                rd.from_pandas(df).repartition(7), ["grp"], ["member"], p=12
+            )
+            .to_pandas()
+            .set_index("grp")["approx_distinct"]
+        )
+        assert set(out.index) == set(exact.index)
+        for g in exact.index:
+            rel = abs(out[g] - exact[g]) / max(1, exact[g])
+            assert rel < 5 * 1.04 / np.sqrt(4096), (g, out[g], exact[g])
+        # tiny groups hit linear counting: near-exact
+        assert abs(out["day-one"] - 1) < 0.01
+        assert abs(out["day-b"] - exact["day-b"]) <= 1
+
+    def test_partition_and_bucket_invariant(self, ray_session):
+        from gridfia_ray.analysis.sketches import grouped_hll_distinct
+
+        df = self._frame()
+        a = (
+            grouped_hll_distinct(
+                rd.from_pandas(df).repartition(3), ["grp"], ["member"], p=11,
+                n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("grp", ignore_index=True)
+        )
+        b = (
+            grouped_hll_distinct(
+                rd.from_pandas(df).repartition(23), ["grp"], ["member"], p=11,
+                n_buckets=32,
+            )
+            .to_pandas()
+            .sort_values("grp", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)  # bit-deterministic
+
+    def test_matches_sequential_register_replay(self, ray_session):
+        """The distributed merge must equal a single-process fold of
+        the same per-group registers (the pinned-oracle standard)."""
+        from gridfia_ray.analysis.sketches import (
+            _hash_columns,
+            grouped_hll_distinct,
+            hll_estimate,
+            hll_registers,
+        )
+
+        df = self._frame(seed=13)
+        p = 10
+        expected = {}
+        for g, sub in df.groupby("grp"):
+            regs = hll_registers(_hash_columns(sub, ["member"]), p)
+            expected[g] = hll_estimate(regs)
+        out = (
+            grouped_hll_distinct(
+                rd.from_pandas(df).repartition(9), ["grp"], ["member"], p=p
+            )
+            .to_pandas()
+            .set_index("grp")["approx_distinct"]
+        )
+        for g, e in expected.items():
+            assert out[g] == e, g
+
+    def test_bad_p_rejected(self, ray_session):
+        from gridfia_ray.analysis.sketches import grouped_hll_distinct
+
+        with pytest.raises(ValueError, match="p must be"):
+            grouped_hll_distinct(
+                rd.from_pandas(pd.DataFrame({"g": ["a"], "x": [1]})), ["g"], ["x"], p=17
+            )
