@@ -209,6 +209,14 @@ def parse_mp4(buf: bytes) -> Mp4Track:
 
 
 def _parse_video_trak(buf: bytes, mdia: tuple[int, int]) -> Mp4Track:
+    try:
+        return _parse_video_trak_inner(buf, mdia)
+    except (KeyError, IndexError, struct.error) as exc:
+        # crafted/corrupt sample tables surface as one error type
+        raise ValueError(f"mp4: malformed sample tables ({exc})") from exc
+
+
+def _parse_video_trak_inner(buf: bytes, mdia: tuple[int, int]) -> Mp4Track:
     mdhd = _find(buf, *mdia, b"mdhd")
     if mdhd is None:
         raise ValueError("mp4: no mdhd")
@@ -251,9 +259,10 @@ def _parse_video_trak(buf: bytes, mdia: tuple[int, int]) -> Mp4Track:
     runs = np.frombuffer(buf, dtype=">u4", count=2 * n_runs, offset=a + 8).astype(
         np.int64
     ).reshape(-1, 2)
-    deltas = np.repeat(runs[:, 1], runs[:, 0])
-    if len(deltas) != n:
+    if int(runs[:, 0].sum()) != n:  # check BEFORE materializing the
+        # expansion: a crafted run count must not drive a huge allocation
         raise ValueError("mp4: stts sample count disagrees with stsz")
+    deltas = np.repeat(runs[:, 1], runs[:, 0])
     dts = np.concatenate(([0], np.cumsum(deltas[:-1])))
 
     # stco/co64 → chunk offsets; stsc runs → sample-to-chunk
@@ -286,10 +295,14 @@ def _parse_video_trak(buf: bytes, mdia: tuple[int, int]) -> Mp4Track:
     if per_chunk.sum() < n:
         raise ValueError("mp4: stsc covers fewer samples than stsz")
 
-    sample_chunk = np.repeat(np.arange(n_chunks), per_chunk)[:n]
+    # map sample -> chunk via searchsorted on the cumulative chunk fill
+    # (allocation bounded by n even for crafted samples_per_chunk)
+    chunk_start_sample = np.concatenate(([0], np.cumsum(per_chunk)))[:-1]
+    sample_chunk = (
+        np.searchsorted(chunk_start_sample, np.arange(n), side="right") - 1
+    )
     # sample offset = chunk base + total size of earlier samples in the
     # same chunk (samples are contiguous within a chunk per the spec)
-    chunk_start_sample = np.concatenate(([0], np.cumsum(per_chunk)))[:-1]
     csum = np.concatenate(([0], np.cumsum(sizes[:-1])))
     offsets = chunk_off[sample_chunk] + (csum - csum[chunk_start_sample[sample_chunk]])
 

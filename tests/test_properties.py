@@ -182,3 +182,65 @@ class TestExtractJsonProperties:
             )
         norm = [x if x is not pd.NA and not pd.isna(x) else None for x in got]
         assert norm == want
+
+
+class TestWebpProperties:
+    """VP8L subset-encoder round trip and decoder fuzz safety."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        sg=st.booleans(),
+        lp=st.booleans(),
+    )
+    def test_roundtrip_exact(self, h, w, seed, sg, lp):
+        from gridfia_ray.codecs.webp import decode_webp_gray, encode_webp_gray
+
+        rng = np.random.RandomState(seed)
+        a = np.rint(rng.rand(h, w) * 255)
+        buf = encode_webp_gray(a, subtract_green=sg, left_predictor=lp)
+        assert np.array_equal(decode_webp_gray(buf), a)
+
+    @settings(max_examples=50, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=300))
+    def test_decoder_never_crashes_unexpectedly(self, junk):
+        """Arbitrary bytes (optionally wrapped in a plausible RIFF/VP8L
+        shell) must raise ValueError/NotImplementedError — never
+        IndexError/struct.error/infinite loop."""
+        import struct
+
+        from gridfia_ray.codecs.webp import decode_webp_gray
+
+        wrapped = (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(junk) + 1)
+            + b"WEBP"
+            + b"VP8L"
+            + struct.pack("<I", len(junk) + 1)
+            + b"\x2f"
+            + junk
+        )
+        for payload in (junk, wrapped):
+            try:
+                decode_webp_gray(payload)
+            except (ValueError, NotImplementedError):
+                pass
+
+    @settings(max_examples=50, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=300))
+    def test_mp4_parser_never_crashes_unexpectedly(self, junk):
+        from gridfia_ray.codecs.mp4 import parse_mp4
+
+        shells = (
+            junk,
+            b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom" + junk,
+        )
+        for payload in shells:
+            try:
+                parse_mp4(payload)
+            except (ValueError, IndexError):
+                # IndexError only from explicit range checks is fine;
+                # struct.error / KeyError / OverflowError are not
+                pass
