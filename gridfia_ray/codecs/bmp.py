@@ -27,16 +27,10 @@ _HDR_SIZE = 14 + 40 + 256 * 4
 
 def encode_bmp8(arr: np.ndarray) -> tuple[bytes, float, float]:
     """f32 array → (bmp bytes, vmin, vmax). NaN encodes as vmin."""
-    a = np.asarray(arr, dtype=np.float64)
-    h, w = a.shape
-    finite = a[np.isfinite(a)]
-    vmin = float(finite.min()) if finite.size else 0.0
-    vmax = float(finite.max()) if finite.size else 0.0
-    if vmax > vmin:
-        q = np.clip((a - vmin) / (vmax - vmin) * 255.0 + 0.5, 0, 255)
-    else:
-        q = np.zeros_like(a)
-    q = np.nan_to_num(q, nan=0.0).astype(np.uint8)
+    from gridfia_ray.codecs.raw import quantize_u8
+
+    h, w = np.asarray(arr).shape
+    q, vmin, vmax = quantize_u8(arr)
 
     stride = (w + 3) & ~3
     rows = np.zeros((h, stride), dtype=np.uint8)

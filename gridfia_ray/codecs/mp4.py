@@ -249,6 +249,11 @@ def _parse_video_trak_inner(buf: bytes, mdia: tuple[int, int]) -> Mp4Track:
     fixed = _U32.unpack_from(buf, a + 4)[0]
     n = _U32.unpack_from(buf, a + 8)[0]
     if fixed:
+        # bound n by the file before allocating anything n-sized: the
+        # samples must physically fit in the file (variable-size path
+        # is bounded the same way by frombuffer's own length check)
+        if n * fixed > len(buf):
+            raise ValueError("mp4: stsz sample count exceeds file size")
         sizes = np.full(n, fixed, dtype=np.int64)
     else:
         sizes = np.frombuffer(buf, dtype=">u4", count=n, offset=a + 12).astype(np.int64)
@@ -286,8 +291,18 @@ def _parse_video_trak_inner(buf: bytes, mdia: tuple[int, int]) -> Mp4Track:
         np.int64
     ).reshape(-1, 3)  # (first_chunk 1-based, samples_per_chunk, sdi)
 
-    # expand: samples_per_chunk for every chunk
-    per_chunk = np.empty(n_chunks, dtype=np.int64)
+    # expand: samples_per_chunk for every chunk. Validate run structure
+    # first — 1-based, strictly increasing first_chunk within range —
+    # so no chunk is left uncovered (zeros, not np.empty garbage) and
+    # no run writes through a negative index.
+    if n_sc == 0 or sc[0, 0] != 1:
+        raise ValueError("mp4: stsc must start at chunk 1")
+    firsts = sc[:, 0]
+    if (firsts[1:] <= firsts[:-1]).any() or firsts[-1] > n_chunks:
+        raise ValueError("mp4: stsc first_chunk not increasing / out of range")
+    if (sc[:, 1] <= 0).any():
+        raise ValueError("mp4: non-positive samples_per_chunk")
+    per_chunk = np.zeros(n_chunks, dtype=np.int64)
     for i in range(n_sc):
         first = sc[i, 0] - 1
         last = sc[i + 1, 0] - 1 if i + 1 < n_sc else n_chunks
@@ -308,7 +323,9 @@ def _parse_video_trak_inner(buf: bytes, mdia: tuple[int, int]) -> Mp4Track:
 
     ts_ms = (dts * 1000) // max(1, timescale)
     end = offsets + sizes
-    if len(end) and end.max() > len(buf):
+    # co64 values >= 2^63 wrap negative through the int64 cast — check
+    # both ends so a crafted offset can't slice from the buffer's tail
+    if len(end) and (offsets.min() < 0 or end.max() > len(buf)):
         raise ValueError("mp4: sample table points past end of file")
     return Mp4Track(
         codec=codec,

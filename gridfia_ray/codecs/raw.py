@@ -28,3 +28,18 @@ def encode_zlib_f32(arr: np.ndarray, level: int = 5) -> bytes:
 
 def decode_zlib_f32(buf: bytes, h: int, w: int) -> np.ndarray:
     return decode_raw_f32(zlib.decompress(buf), h, w)
+
+
+def quantize_u8(arr: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """The engine's shared 8-bit caption-scale quantization (bmp8/webp
+    rule): linear [vmin, vmax] -> 0..255 with +0.5 rounding, NaN/Inf
+    encodes as vmin. Returns (uint8 array, vmin, vmax)."""
+    a = np.asarray(arr, dtype=np.float64)
+    finite = a[np.isfinite(a)]
+    vmin = float(finite.min()) if finite.size else 0.0
+    vmax = float(finite.max()) if finite.size else 0.0
+    if vmax > vmin:
+        q = np.clip((a - vmin) / (vmax - vmin) * 255.0 + 0.5, 0, 255)
+    else:
+        q = np.zeros_like(a)
+    return np.nan_to_num(q, nan=0.0).astype(np.uint8), vmin, vmax

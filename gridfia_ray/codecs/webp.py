@@ -225,6 +225,8 @@ def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixCode:
             s0 = br.read(8)
         else:
             s0 = br.read(1)
+        if s0 >= alphabet_size:
+            raise ValueError("vp8l: simple-code symbol out of alphabet")
         lengths = [0] * alphabet_size
         if num_symbols == 1:
             lengths[s0] = 1  # zero bits consumed at decode (single)
@@ -232,6 +234,8 @@ def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixCode:
             s1 = br.read(8)
             if s0 == s1:
                 raise ValueError("vp8l: duplicate symbol in simple code")
+            if s1 >= alphabet_size:
+                raise ValueError("vp8l: simple-code symbol out of alphabet")
             lengths[s0] = 1
             lengths[s1] = 1
         return PrefixCode(lengths)
@@ -599,7 +603,10 @@ def _predict(mode: int, L: np.ndarray, T: np.ndarray, TL: np.ndarray, TR: np.nda
         return np.clip(v, 0, 255).astype(np.uint8)
     if mode == 13:  # ClampAddSubtractHalf
         ave = _avg2(L, T).astype(np.int32)
-        v = ave + (ave - TL.astype(np.int32)) // 2
+        # (a - b) / 2 in the spec is C division: truncation toward
+        # ZERO, not Python floor — they differ on odd negative deltas
+        d = ave - TL.astype(np.int32)
+        v = ave + np.sign(d) * (np.abs(d) // 2)
         return np.clip(v, 0, 255).astype(np.uint8)
     raise ValueError(f"vp8l: bad predictor mode {mode}")
 
@@ -838,15 +845,9 @@ def encode_webp_tile(arr: np.ndarray) -> tuple[bytes, float, float]:
     """f32 tile → (webp bytes, vmin, vmax) under the engine's 8-bit
     scale convention (same quantization as bmp8: linear to 0..255 with
     +0.5 rounding, NaN → vmin). Lossless within the quantized domain."""
-    a = np.asarray(arr, dtype=np.float64)
-    finite = a[np.isfinite(a)]
-    vmin = float(finite.min()) if finite.size else 0.0
-    vmax = float(finite.max()) if finite.size else 0.0
-    if vmax > vmin:
-        q = np.clip((a - vmin) / (vmax - vmin) * 255.0 + 0.5, 0, 255)
-    else:
-        q = np.zeros_like(a)
-    q = np.nan_to_num(q, nan=0.0).astype(np.uint8)
+    from gridfia_ray.codecs.raw import quantize_u8
+
+    q, vmin, vmax = quantize_u8(arr)
     return encode_webp_gray(q), vmin, vmax
 
 

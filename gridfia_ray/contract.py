@@ -864,17 +864,16 @@ def q_raster_roundtrip(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def q_jpeg_decode(sf_dir: str) -> pd.DataFrame:
-    """Lossy multimodal column end-to-end: the baseline-JPEG tile table
-    (pure-numpy T.81 codec, codecs/jpeg.py) streamed through the
-    standard decoder actor pool — species prune, caption parse,
-    registry dispatch, (vmin, vmax) dequantization — emitting per-tile
-    micro-scaled sums of the DECODED floats. JPEG is lossy but
-    deterministic, so the distributed pool must reproduce the pinned
-    sequential replay (fixtures.ensure_jpeg_fixture) bit-exactly."""
+def _codec_decode_query(fixture_paths: dict) -> pd.DataFrame:
+    """Shared body of the lossy-codec decode queries: stream the
+    fixture's tile table through the standard decoder actor pool —
+    species prune, caption parse, registry dispatch, (vmin, vmax)
+    dequantization — and emit per-tile micro-scaled sums of the DECODED
+    floats. The codecs are lossy but deterministic, so the distributed
+    pool must reproduce the fixture's pinned sequential replay
+    bit-exactly."""
     from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
 
-    jf = fixtures.ensure_jpeg_fixture()
     f = _fx()
 
     def sums(batch):
@@ -891,42 +890,25 @@ def q_jpeg_decode(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    decoded = decoded_tiles(read_tiles(jf["tiles"]), f["spec"], include_total=True)
+    decoded = decoded_tiles(
+        read_tiles(fixture_paths["tiles"]), f["spec"], include_total=True
+    )
     df = decoded.map_batches(sums, batch_format="pyarrow").to_pandas()
     df["image_id"] = df["image_id"].astype(str)
     return df.sort_values("image_id", ignore_index=True)
+
+
+def q_jpeg_decode(sf_dir: str) -> pd.DataFrame:
+    """Baseline-JPEG (pure-numpy T.81, codecs/jpeg.py) tile table
+    through the decoder pool vs its pinned sequential replay."""
+    return _codec_decode_query(fixtures.ensure_jpeg_fixture())
 
 
 def q_webp_decode(sf_dir: str) -> pd.DataFrame:
-    """WebP-lossless multimodal column end-to-end: the VP8L tile table
-    (full-spec pure-python decoder, codecs/webp.py — the last declared
-    stub, graduated) streamed through the standard decoder actor pool
-    with caption-scale dequantization, emitting per-tile micro-scaled
-    sums of the DECODED floats, hash-compared against the pinned
-    sequential replay (fixtures.ensure_webp_fixture)."""
-    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
-
-    wf = fixtures.ensure_webp_fixture()
-    f = _fx()
-
-    def sums(batch):
-        import pyarrow as pa
-
-        out = []
-        for buf in batch["pix"].to_pylist():
-            vals = np.frombuffer(buf, dtype="<f4").astype(np.float64)
-            out.append(int(s6(vals).sum()))
-        return pa.table(
-            {
-                "image_id": batch["image_id"],
-                "sum_u": pa.array(out, pa.int64()),
-            }
-        )
-
-    decoded = decoded_tiles(read_tiles(wf["tiles"]), f["spec"], include_total=True)
-    df = decoded.map_batches(sums, batch_format="pyarrow").to_pandas()
-    df["image_id"] = df["image_id"].astype(str)
-    return df.sort_values("image_id", ignore_index=True)
+    """WebP-lossless (full-spec VP8L decoder, codecs/webp.py — the last
+    declared stub, graduated) tile table through the decoder pool vs
+    its pinned sequential replay."""
+    return _codec_decode_query(fixtures.ensure_webp_fixture())
 
 
 def q_ingest_cube(sf_dir: str) -> pd.DataFrame:
@@ -1457,6 +1439,10 @@ def q_video_frames(sf_dir: str) -> pd.DataFrame:
         for i in range(batch.num_rows):
             pix = batch["pix"][i].as_py()
             arr = np.frombuffer(pix, dtype="<f4")
+            if arr.size == 0:  # decode_error sentinel row: emit zeros
+                # and let the status assertion below report it clearly
+                sums.append(0), mins.append(0), maxs.append(0), hashes.append(0)
+                continue
             sums.append(int(np.rint(float(arr.sum()) * 16.0)))
             mins.append(int(np.rint(float(arr.min()) * 16.0)))
             maxs.append(int(np.rint(float(arr.max()) * 16.0)))

@@ -166,10 +166,12 @@ class FrameSampleActor:
 
     def _track(self, payload: bytes):
         """Parse the box tree once per payload (per-actor LRU: a batch
-        visits each clip n_frames times)."""
+        visits each clip n_frames times). Keyed by (hash, length) — a
+        bare 64-bit content hash could collide across clips and silently
+        serve another clip's sample table."""
         from gridfia_ray.codecs import mp4 as _mp4
 
-        key = content_hash64(payload)
+        key = (content_hash64(payload), len(payload))
         t = self._tracks.get(key)
         if t is None:
             t = _mp4.parse_mp4(payload)

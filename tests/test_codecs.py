@@ -464,3 +464,43 @@ class TestWebpTile:
         dec = decode_tile(buf, "webp", 2, 2, meta)
         assert dec[0, 1] == meta["scale_vmin"]
         assert abs(dec[1, 0] - 3.0) < 0.01
+
+
+class TestMp4CraftedTables:
+    """Crafted sample tables must fail fast with ValueError — never
+    drive gigabyte allocations or return garbage offsets."""
+
+    def test_fixed_stsz_count_bomb(self):
+        import struct
+        import time
+
+        from gridfia_ray.codecs.jpeg import encode_jpeg_gray
+        from gridfia_ray.codecs.mp4 import encode_mp4_mjpeg, parse_mp4
+
+        frames = [np.full((8, 8), 100.0)]
+        buf = bytearray(
+            encode_mp4_mjpeg([encode_jpeg_gray(f)[0] for f in frames], 8, 8)
+        )
+        # splice the stsz full box: set sample_size=4, sample_count=50M
+        at = bytes(buf).index(b"stsz") + 4
+        struct.pack_into(">II", buf, at + 4, 4, 50_000_000)
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            parse_mp4(bytes(buf))
+        assert time.time() - t0 < 1.0  # fails fast, no giant allocation
+
+    def test_stsc_gap_and_zero_chunk_rejected(self):
+        import struct
+
+        from gridfia_ray.codecs.jpeg import encode_jpeg_gray
+        from gridfia_ray.codecs.mp4 import encode_mp4_mjpeg, parse_mp4
+
+        frames = [np.full((8, 8), 50.0), np.full((8, 8), 150.0)]
+        base = encode_mp4_mjpeg([encode_jpeg_gray(f)[0] for f in frames], 8, 8)
+        for first_chunk in (0, 2):  # 0 = negative index; 2 = chunk 1 uncovered
+            buf = bytearray(base)
+            at = bytes(buf).index(b"stsc") + 4
+            # full box: verflags(4) entry_count(4) then (first, per, sdi)
+            struct.pack_into(">I", buf, at + 8, first_chunk)
+            with pytest.raises(ValueError):
+                parse_mp4(bytes(buf))

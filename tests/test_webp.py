@@ -281,16 +281,36 @@ class TestHandcraftedPaths:
         with pytest.raises(ValueError):
             W.decode_vp8l(bw.flush() + b"\x00" * 8)
 
-    def test_select_and_clamp_predictors(self):
-        """Predictor modes 11/12/13 over a 2x2 image, one block."""
+    # hand-computed from the spec (NOT via _predict — a circular test
+    # could not catch predictor-math bugs like floor-vs-trunc division):
+    #   case A: L=90, T=140, TL=100
+    #     mode 11 Select: pT = 3|L-TL| = 30 <= pL = 3|T-TL| = 120 -> T = 140
+    #     mode 12: clip(90 + 140 - 100) = 130
+    #     mode 13: ave = (90+140)//2 = 115; d = 15; 115 + trunc(15/2) = 122
+    #   case B: L=0, T=22, TL=26  (negative ODD delta: trunc != floor)
+    #     mode 11: pT = 3|0-26| = 78 > pL = 3|22-26| = 12 -> L = 0
+    #     mode 12: clip(0 + 22 - 26) = 0
+    #     mode 13: ave = 11; d = -15; 11 + trunc(-15/2) = 11 - 7 = 4
+    _PRED_CASES = [
+        (90, 140, 100, {11: 140, 12: 130, 13: 122}),
+        (0, 22, 26, {11: 0, 12: 0, 13: 4}),
+    ]
+
+    @pytest.mark.parametrize("L,T,TL,expected", _PRED_CASES)
+    def test_predict_kernel_vs_spec(self, L, T, TL, expected):
+        ch = lambda v: np.array([255, v, v, v], dtype=np.uint8)
+        for mode, want in expected.items():
+            got = W._predict(mode, ch(L), ch(T), ch(TL), ch(0))
+            assert int(got[1]) == want, (mode, L, T, TL)
+
+    @pytest.mark.parametrize("L,T,TL,expected", _PRED_CASES)
+    def test_select_and_clamp_predictors(self, L, T, TL, expected):
+        """Predictor modes 11/12/13 over a 2x2 image, one block —
+        expected residuals derived from the hardcoded spec values."""
         for mode in (11, 12, 13):
-            src = np.array([[100, 140], [90, 0]], dtype=np.int64)
-            # compute the residual for (1,1) given its decoded neighbors
-            L, T, TL = 90, 140, 100
-            ch = lambda v: np.array([255, v, v, v], dtype=np.uint8)
-            pred = W._predict(mode, ch(L), ch(T), ch(TL), ch(100))
+            pred_val = expected[mode]
             target = 125
-            resid11 = (target - int(pred[1])) % 256
+            resid11 = (target - pred_val) % 256
             bw = W.BitWriter()
             _header(bw, 2, 2)
             bw.write(1, 1)
@@ -302,8 +322,9 @@ class TestHandcraftedPaths:
             bw.write(0, 1)
             bw.write(0, 1)
             bw.write(0, 1)
-            # residuals: (0,0) vs black, (0,1) vs L, (1,0) vs T, (1,1) vs mode
-            resid = [100, 40, (90 - 100) % 256, resid11]
+            # decoded image [[TL, T], [L, 125]]; residuals: (0,0) vs
+            # black, (0,1) vs left=TL, (1,0) vs top=TL, (1,1) vs mode
+            resid = [TL, (T - TL) % 256, (L - TL) % 256, resid11]
             gc = _emit_code(bw, sorted(set(resid)), green=True)
             rc = _emit_code(bw, sorted(set(resid)))  # red: same residuals
             bc = _emit_code(bw, sorted(set(resid)))  # blue: same residuals
@@ -315,7 +336,7 @@ class TestHandcraftedPaths:
                 W.write_symbol(bw, bc, v)
             argb = W.decode_vp8l(bw.flush())
             g = ((argb >> 8) & 0xFF).tolist()
-            assert g == [[100, 140], [90, 125]], (mode, g)
+            assert g == [[TL, T], [L, 125]], (mode, g)
             # r and b planes carry the same residuals -> decode identically
             assert ((argb >> 16) & 0xFF).tolist() == g
             assert (argb & 0xFF).tolist() == g
