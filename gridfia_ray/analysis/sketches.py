@@ -362,3 +362,171 @@ def heavy_hitters_exact(
     out = exact[exact["n"] >= threshold].copy()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("item").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch quantiles (Masson, Lee & Rim, VLDB 2019)
+# ---------------------------------------------------------------------------
+# Relative-error quantile sketch with FIXED geometric buckets: bucket(x)
+# = ceil(log_gamma(x)) for x > 0, gamma = (1 + alpha) / (1 - alpha).
+# Because the bucket boundaries are a pure function of alpha (no
+# data-dependent collapsing), per-block sketches merge by plain count
+# addition — associative, commutative, order-free — so, like the HLL
+# registers above, results are bit-deterministic across partitionings
+# and cluster sizes. Negative values mirror into their own bucket bank;
+# zeros (|x| below the subnormal cutoff) count separately.
+
+
+def _dd_gamma(alpha: float) -> float:
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+_DD_MIN = 1e-9  # |x| <= cutoff counts as zero (bounds the key range)
+
+
+_DD_BANK = 1 << 40  # separates the positive / zero / negative key banks
+
+
+def dd_bucket_keys(values: np.ndarray, alpha: float) -> np.ndarray:
+    """Vectorized bucket key per value, encoded so that int64 key order
+    equals VALUE order across signs: positives -> BANK + k, ~zero -> 0,
+    negatives -> -BANK - k (k = ceil(ln|x| / ln gamma), which is
+    negative for |x| < 1 — the banks keep the two sign ranges and the
+    zero bucket disjoint for every k)."""
+    v = np.asarray(values, dtype=np.float64)
+    if not np.isfinite(v).all():
+        raise ValueError("ddsketch: non-finite values")
+    lg = np.log(_dd_gamma(alpha))
+    keys = np.zeros(v.size, dtype=np.int64)
+    mag = np.abs(v)
+    nz = mag > _DD_MIN
+    k = np.ceil(np.log(mag[nz]) / lg).astype(np.int64)
+    if nz.any() and int(np.abs(k).max()) >= _DD_BANK // 2:
+        raise ValueError("ddsketch: alpha too small for the value range")
+    keys[nz] = np.where(v[nz] > 0, _DD_BANK + k, -_DD_BANK - k)
+    return keys
+
+
+def dd_quantiles_from_counts(
+    keys: np.ndarray, counts: np.ndarray, qs: list[float], alpha: float
+) -> np.ndarray:
+    """Quantiles from a merged (key -> count) table. Bucket value =
+    2*gamma^k/(gamma+1) (the relative-error midpoint); zero bucket = 0;
+    negative keys mirror."""
+    gamma = _dd_gamma(alpha)
+    order = np.argsort(keys, kind="stable")
+    k_sorted = keys[order]
+    c_sorted = counts[order].astype(np.int64)
+    # key order == value order under the banked encoding: negatives
+    # (-BANK - k: bigger magnitude -> bigger k -> smaller key) < 0-key
+    # < positives (BANK + k ascending with value).
+    total = int(c_sorted.sum())
+    if total == 0:
+        raise ValueError("ddsketch: empty sketch")
+    cum = np.cumsum(c_sorted)
+    out = []
+    for q in qs:
+        if not 0.0 <= q <= 100.0:
+            raise ValueError(f"quantile must be in [0, 100], got {q}")
+        rank = int(np.ceil(q / 100.0 * total))
+        rank = max(1, min(rank, total))
+        i = int(np.searchsorted(cum, rank))
+        key = int(k_sorted[i])
+        if key == 0:
+            out.append(0.0)
+        elif key > 0:
+            out.append(2.0 * gamma ** (key - _DD_BANK) / (gamma + 1.0))
+        else:
+            out.append(-2.0 * gamma ** (-key - _DD_BANK) / (gamma + 1.0))
+    return np.asarray(out, dtype=np.float64)
+
+
+def grouped_dd_quantiles(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    *,
+    alpha: float = 0.01,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Approximate per-group quantiles in ONE streaming pass — the
+    scale path next to ``percentiles.grouped_percentiles_exact`` (which
+    is exact but needs multiple refinement passes over the data). Each
+    block emits (group, bucket_key, count) rows; one bucketed exchange
+    sums counts per (group, key); quantiles come off the merged table
+    with the DDSketch relative-error guarantee: every returned value is
+    within relative error ``alpha`` of an exact quantile (sign-split
+    geometric buckets, VLDB'19). Deterministic and partition-invariant
+    by construction (pure count addition).
+
+    Returns ``group_cols + [q_<spec>: float64 ...]`` with one column
+    per requested quantile.
+    """
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    _dd_gamma(alpha)  # validate
+    qcols = [f"q{('%g' % q).replace('.', '_')}" for q in qs]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for key, sub in batch.groupby(group_cols, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            ks = dd_bucket_keys(sub[value_col].to_numpy(), alpha)
+            uk, cnt = np.unique(ks, return_counts=True)
+            f = pd.DataFrame({"__ddkey": uk, "__ddcount": cnt.astype(np.int64)})
+            for c, v in zip(group_cols, key):
+                f[c] = v
+            frames.append(f)
+        if not frames:
+            return pd.DataFrame(
+                {"__ddkey": pd.Series([], dtype=np.int64),
+                 "__ddcount": pd.Series([], dtype=np.int64)}
+                | {c: pd.Series([], dtype=batch[c].dtype) for c in group_cols}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, sub in g.groupby(group_cols, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            agg = sub.groupby("__ddkey", as_index=False)["__ddcount"].sum()
+            vals = dd_quantiles_from_counts(
+                agg["__ddkey"].to_numpy(),
+                agg["__ddcount"].to_numpy(),
+                qs,
+                alpha,
+            )
+            outs.append(dict(zip(group_cols, key)) | dict(zip(qcols, vals)))
+        return pd.DataFrame(outs, columns=[*group_cols, *qcols])
+
+    import pyarrow as pa
+
+    sch = ds.schema()
+    tmap = dict(zip(sch.names, sch.types))
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    out_schema = pa.schema(
+        [(c, _pa_type(tmap[c])) for c in group_cols]
+        + [(c, pa.float64()) for c in qcols]
+    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_bucket_map(
+        partials,
+        group_cols,
+        merge_bucket,
+        n_buckets=n_buckets,
+        coalesce=True,
+        out_schema=out_schema,
+    )

@@ -1978,6 +1978,29 @@ def q_ghll_pinned(sf_dir: str) -> pd.DataFrame:
     return out[["day", "est_u"]].sort_values("day", ignore_index=True)
 
 
+def q_ddq_pinned(sf_dir: str) -> pd.DataFrame:
+    """Grouped DDSketch quantiles (one-pass relative-error sketch — the
+    scale path next to the exact multi-pass quickselect) vs the pinned
+    sequential bucket-key replay: counts merge by addition, so every
+    per-group quantile must be bit-identical at any partitioning."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.analysis.sketches import grouped_dd_quantiles
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    rows = rd.read_parquet(oracle_pins.ensure_ddqpin()["rows"])
+    out = grouped_dd_quantiles(
+        rows, ["grp"], "v", [1.0, 50.0, 99.0], alpha=0.01
+    ).to_pandas()
+    for c in ("q1", "q50", "q99"):
+        out[f"{c}_u"] = np.floor(out[c] * 1_000_000 + 0.5).astype(np.int64)
+    return out[["grp", "q1_u", "q50_u", "q99_u"]].sort_values(
+        "grp", ignore_index=True
+    )
+
+
 def q_ann_lsh_pinned(sf_dir: str) -> pd.DataFrame:
     """Distributed SRP-LSH candidate scan + global re-rank vs its
     pinned sequential replay on the planted clustered corpus."""
@@ -3124,6 +3147,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_simhash_pinned": q_doc_simhash_pinned,
         "doc_hll_pinned": q_doc_hll_pinned,
         "ghll_pinned": q_ghll_pinned,
+        "ddq_pinned": q_ddq_pinned,
         "ann_lsh_pinned": q_ann_lsh_pinned,
         "emb_semantic_pinned": q_emb_semantic_pinned,
         "emb_near_dup_pinned": q_emb_near_dup_pinned,
@@ -3493,6 +3517,10 @@ def build_oracle_sql() -> dict[str, str]:
     sql["ghll_pinned"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_ghllpin()['expected']}') "
         f"ORDER BY day"
+    )
+    sql["ddq_pinned"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_ddqpin()['expected']}') "
+        f"ORDER BY grp"
     )
     sql["ann_lsh_pinned"] = (
         f"SELECT * FROM read_parquet('{_ap['lsh_expected']}') ORDER BY query_id, rank"

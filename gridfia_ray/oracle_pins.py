@@ -45,6 +45,7 @@ ANNPIN_V = 3
 AUDPIN_V = 2
 VIDPIN_V = 1
 GHLLPIN_V = 1
+DDQPIN_V = 1
 
 ANN_PIN_QUERY_IDS = [5, 205, 1005]
 
@@ -719,6 +720,70 @@ def ensure_ghllpin() -> dict:
         return {"rows": "rows.parquet", "expected": "expected.parquet"}
 
     return _ensure_dir(f"ghllpin-v{GEN_VERSION}.{GHLLPIN_V}", build)
+
+
+def ensure_ddqpin() -> dict:
+    """{'rows', 'expected'} parquet paths for the grouped DDSketch
+    quantiles: skewed per-group value distributions (lognormal tails,
+    signed values, zeros, sub-unit magnitudes) plus the pinned
+    estimates — a sequential replay of the bucket-key fold. Bucket
+    counts merge by plain addition (order-free), so the distributed
+    path must reproduce the replay bit-for-bit."""
+
+    def build(tmp: str) -> dict:
+        from gridfia_ray.analysis.sketches import (
+            dd_bucket_keys,
+            dd_quantiles_from_counts,
+        )
+
+        rng = np.random.RandomState(31)
+        qs = [1.0, 50.0, 99.0]
+        alpha = 0.01
+        groups = {
+            "latency": rng.lognormal(3, 1, 25_000),
+            "delta": np.concatenate(
+                [-rng.lognormal(0, 1, 2_000), np.zeros(100),
+                 rng.uniform(0.01, 0.9, 900)]
+            ),
+            "tiny": rng.uniform(0.0, 2.0, 37),
+        }
+        g_col, v_col = [], []
+        for g, v in groups.items():
+            g_col.append(np.repeat(g, len(v)))
+            v_col.append(v)
+        rows = pa.table(
+            {
+                "grp": pa.array(np.concatenate(g_col), pa.string()),
+                "v": pa.array(np.concatenate(v_col), pa.float64()),
+            }
+        )
+        pq.write_table(rows, os.path.join(tmp, "rows.parquet"))
+        exp_rows = []
+        for g, v in groups.items():
+            ks = dd_bucket_keys(v, alpha)
+            uk, cnt = np.unique(ks, return_counts=True)
+            vals = dd_quantiles_from_counts(uk, cnt, qs, alpha)
+            exp_rows.append(
+                {
+                    "grp": g,
+                    **{
+                        f"q{('%g' % q).replace('.', '_')}_u": int(
+                            np.floor(val * 1_000_000 + 0.5)
+                        )
+                        for q, val in zip(qs, vals)
+                    },
+                }
+            )
+        exp = pa.Table.from_pylist(exp_rows).cast(
+            pa.schema(
+                [("grp", pa.string()), ("q1_u", pa.int64()),
+                 ("q50_u", pa.int64()), ("q99_u", pa.int64())]
+            )
+        )
+        pq.write_table(exp.sort_by("grp"), os.path.join(tmp, "expected.parquet"))
+        return {"rows": "rows.parquet", "expected": "expected.parquet"}
+
+    return _ensure_dir(f"ddqpin-v{GEN_VERSION}.{DDQPIN_V}", build)
 
 
 def _vidpin_clips() -> list[tuple[int, list[np.ndarray], float]]:

@@ -276,3 +276,90 @@ class TestGroupedHll:
             grouped_hll_distinct(
                 rd.from_pandas(pd.DataFrame({"g": ["a"], "x": [1]})), ["g"], ["x"], p=17
             )
+
+
+class TestGroupedDDQuantiles:
+    @staticmethod
+    def _frame(seed=3):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "grp": np.repeat(["lat", "thr", "err"], [40_000, 8_000, 300]),
+                "v": np.concatenate(
+                    [
+                        rng.lognormal(3, 1, 40_000),  # latency-like
+                        np.abs(rng.standard_normal(8_000)) * 50,  # throughput-ish
+                        # signed + zeros + sub-unit magnitudes
+                        np.concatenate(
+                            [-rng.lognormal(0, 1, 200), np.zeros(50),
+                             rng.uniform(0.01, 0.5, 50)]
+                        ),
+                    ]
+                ),
+            }
+        )
+
+    def test_relative_error_guarantee_per_group(self, ray_session):
+        from gridfia_ray.analysis.sketches import grouped_dd_quantiles
+
+        df = self._frame()
+        qs = [1.0, 50.0, 99.0]
+        out = (
+            grouped_dd_quantiles(
+                rd.from_pandas(df).repartition(9), ["grp"], "v", qs, alpha=0.01
+            )
+            .to_pandas()
+            .set_index("grp")
+        )
+        for g, sub in df.groupby("grp"):
+            exact = np.percentile(sub["v"], qs, method="inverted_cdf")
+            for qc, e in zip(["q1", "q50", "q99"], exact):
+                got = out.loc[g, qc]
+                if e == 0.0:
+                    assert got == 0.0
+                else:
+                    assert abs(got - e) / abs(e) <= 0.011, (g, qc, got, e)
+
+    def test_partition_and_bucket_invariant(self, ray_session):
+        from gridfia_ray.analysis.sketches import grouped_dd_quantiles
+
+        df = self._frame(seed=11)
+        a = (
+            grouped_dd_quantiles(
+                rd.from_pandas(df).repartition(2), ["grp"], "v", [25.0, 75.0],
+                alpha=0.02, n_buckets=4,
+            )
+            .to_pandas().sort_values("grp", ignore_index=True)
+        )
+        b = (
+            grouped_dd_quantiles(
+                rd.from_pandas(df).repartition(31), ["grp"], "v", [25.0, 75.0],
+                alpha=0.02, n_buckets=32,
+            )
+            .to_pandas().sort_values("grp", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)  # bit-deterministic
+
+    def test_bad_inputs_rejected(self, ray_session):
+        from gridfia_ray.analysis.sketches import (
+            dd_bucket_keys,
+            dd_quantiles_from_counts,
+            grouped_dd_quantiles,
+        )
+
+        with pytest.raises(ValueError, match="alpha"):
+            grouped_dd_quantiles(
+                rd.from_pandas(pd.DataFrame({"g": ["a"], "v": [1.0]})),
+                ["g"], "v", [50.0], alpha=1.5,
+            )
+        with pytest.raises(ValueError, match="non-finite"):
+            dd_bucket_keys(np.array([1.0, np.nan]), 0.01)
+        with pytest.raises(ValueError, match="quantile"):
+            dd_quantiles_from_counts(
+                np.array([0], dtype=np.int64), np.array([1]), [101.0], 0.01
+            )
+        with pytest.raises(ValueError, match="empty"):
+            dd_quantiles_from_counts(
+                np.array([], dtype=np.int64), np.array([], dtype=np.int64),
+                [50.0], 0.01,
+            )
