@@ -187,6 +187,34 @@ def q_focal_gradient(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_hillshade(sf_dir: str) -> pd.DataFrame:
+    """DEM-style hillshade of the total-biomass raster: the Horn halo
+    exchange feeding the Lambertian shading map (pipelines/focal.
+    hillshade_tiles, formula pinned against ESRI's published worked
+    example in tests/test_focal.py). Oracle = pinned parquet built from
+    the fixture generator's independent pixel table via plain numpy
+    shifts (oracle_pins.ensure_hspin)."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.focal import hillshade_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    pixel_size = abs(f["meta"]["transform"][1])
+    out = hillshade_tiles(res, pixel_size).to_pandas()[["y", "x", "shade"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_warp_mercator(sf_dir: str) -> pd.DataFrame:
     """Distributed raster warp (pipelines/warp.py): reproject the
     total-biomass raster from the store's Albers grid onto a Web
@@ -3073,6 +3101,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # verified by scripts/check_contract.py every round) ---
         "doc_dup_clusters": q_doc_dup_clusters,
         "gf_webp_decode": q_webp_decode,
+        "gf_hillshade": q_hillshade,
         "gf_dominant_species": _pixel_metric_query("dominant_species", "dom_idx", scaled=False),
         "gf_rare_species": _pixel_metric_query(
             "rare_species", "n_rare", scaled=False, params={"occurrence_threshold": 0.05}
@@ -3521,6 +3550,10 @@ def build_oracle_sql() -> dict[str, str]:
     sql["ddq_pinned"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_ddqpin()['expected']}') "
         f"ORDER BY grp"
+    )
+    sql["gf_hillshade"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_hspin()['expected']}') "
+        f"ORDER BY y, x"
     )
     sql["ann_lsh_pinned"] = (
         f"SELECT * FROM read_parquet('{_ap['lsh_expected']}') ORDER BY query_id, rank"

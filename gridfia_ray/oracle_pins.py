@@ -46,6 +46,7 @@ AUDPIN_V = 2
 VIDPIN_V = 1
 GHLLPIN_V = 1
 DDQPIN_V = 1
+HSPIN_V = 1
 
 ANN_PIN_QUERY_IDS = [5, 205, 1005]
 
@@ -720,6 +721,56 @@ def ensure_ghllpin() -> dict:
         return {"rows": "rows.parquet", "expected": "expected.parquet"}
 
     return _ensure_dir(f"ghllpin-v{GEN_VERSION}.{GHLLPIN_V}", build)
+
+
+def ensure_hspin() -> dict:
+    """{'expected'} parquet path for the hillshade pipeline: total-
+    biomass raster rebuilt INDEPENDENTLY from the fixture generator's
+    pixel table (the same source every gf_* SQL oracle trusts), Horn
+    gradient via plain numpy shifts (not the engine's halo exchange),
+    then the shared shading leaf. ESRI's published worked example pins
+    the leaf itself in tests/test_focal.py."""
+
+    def build(tmp: str) -> dict:
+        import pandas as pd
+
+        from gridfia_ray import fixtures
+        from gridfia_ray.pipelines.focal import hillshade_from_gradient
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pixel_size = abs(meta["transform"][1])
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        grid = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        grid[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        # Horn components over interior pixels via shifts
+        a = grid[0:-2, 0:-2]; b = grid[0:-2, 1:-1]; c = grid[0:-2, 2:]
+        dd = grid[1:-1, 0:-2]; f = grid[1:-1, 2:]
+        g = grid[2:, 0:-2]; h = grid[2:, 1:-1]; i = grid[2:, 2:]
+        ddx = (c + 2 * f + i) - (a + 2 * dd + g)
+        ddy = (g + 2 * h + i) - (a + 2 * b + c)
+        shade = hillshade_from_gradient(
+            ddx.reshape(-1), ddy.reshape(-1), pixel_size
+        )
+        ys, xs = np.mgrid[1 : n - 1, 1 : n - 1]
+        exp = pa.table(
+            {
+                "y": pa.array(ys.reshape(-1), pa.int64()),
+                "x": pa.array(xs.reshape(-1), pa.int64()),
+                "shade": pa.array(shade, pa.int64()),
+            }
+        )
+        pq.write_table(exp, os.path.join(tmp, "expected.parquet"))
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"hspin-v{GEN_VERSION}.{HSPIN_V}", build)
 
 
 def ensure_ddqpin() -> dict:

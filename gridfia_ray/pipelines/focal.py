@@ -230,3 +230,68 @@ def focal_gradient_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         return {"ddx_u": ddx, "ddy_u": ddy}, interior
 
     return _halo_pipeline(result, "focal_gradient_tiles", window, empty, n_buckets)
+
+
+def hillshade_from_gradient(
+    ddx_u: np.ndarray,
+    ddy_u: np.ndarray,
+    pixel_size: float,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+) -> np.ndarray:
+    """Lambertian hillshade from micro-scaled Horn components (the
+    public Horn/ESRI formula): slope = atan(z·|∇|), aspect =
+    atan2(dz/dy, -dz/dx), shade = 255·(cos z̄·cos s + sin z̄·sin s·
+    cos(ā − aspect)) with z̄ = 90° − altitude and ā the math-convention
+    azimuth. Returns int64 0..255 (negatives clip to 0). A pure leaf —
+    the pinned oracle replays it on independently derived gradients."""
+    denom = 8.0 * pixel_size * 1e6
+    dzdx = np.asarray(ddx_u, np.float64) / denom * z_factor
+    dzdy = np.asarray(ddy_u, np.float64) / denom * z_factor
+    zen = np.deg2rad(90.0 - altitude_deg)
+    az = np.deg2rad(360.0 - azimuth_deg + 90.0)
+    slope = np.arctan(np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shade = 255.0 * (
+        np.cos(zen) * np.cos(slope)
+        + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+    )
+    return np.clip(np.floor(shade + 0.5), 0, 255).astype(np.int64)
+
+
+def hillshade_tiles(
+    result: rd.Dataset,
+    pixel_size: float,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """DEM-style hillshade over a result-tile raster: the Horn gradient
+    halo exchange (:func:`focal_gradient_tiles`) followed by a pure
+    vectorized shading map — no additional shuffle. Interior pixels
+    only (the gradient contract). Emits (metric, y, x, shade)."""
+    import pyarrow as pa
+
+    grad = focal_gradient_tiles(result, n_buckets=n_buckets)
+
+    def shade(batch: pa.Table) -> pa.Table:
+        s = hillshade_from_gradient(
+            batch["ddx_u"].to_numpy(zero_copy_only=False),
+            batch["ddy_u"].to_numpy(zero_copy_only=False),
+            pixel_size,
+            azimuth_deg=azimuth_deg,
+            altitude_deg=altitude_deg,
+            z_factor=z_factor,
+        )
+        return pa.table(
+            {
+                "metric": batch["metric"],
+                "y": batch["y"],
+                "x": batch["x"],
+                "shade": pa.array(s, pa.int64()),
+            }
+        )
+
+    return grad.map_batches(shade, batch_format="pyarrow")

@@ -112,3 +112,57 @@ class TestFocalGradient:
         got = focal_gradient_tiles(rd.from_pandas(df)).to_pandas()
         assert (got["ddx_u"] == 0).all() and (got["ddy_u"] == 0).all()
         assert len(got) == 4  # 2x2 interior
+
+
+class TestHillshade:
+    def test_esri_worked_example(self):
+        """The shading leaf must reproduce ESRI's published hillshade
+        worked example (azimuth 315, altitude 45, cellsize 5): the
+        3x3 elevation window's center shades to 154."""
+        from gridfia_ray.pipelines.focal import hillshade_from_gradient
+
+        win = np.array(
+            [[2450, 2461, 2483], [2452, 2461, 2483], [2447, 2455, 2477]],
+            dtype=np.float64,
+        )
+        a, b, c, d, f, g, h, i = (
+            win[0, 0], win[0, 1], win[0, 2], win[1, 0], win[1, 2],
+            win[2, 0], win[2, 1], win[2, 2],
+        )
+        # micro-scaled int components as the gradient pipeline emits
+        ddx_u = ((c + 2 * f + i) - (a + 2 * d + g)) * 1e6
+        ddy_u = ((g + 2 * h + i) - (a + 2 * b + c)) * 1e6
+        out = hillshade_from_gradient(
+            np.array([ddx_u]), np.array([ddy_u]), 5.0,
+            azimuth_deg=315.0, altitude_deg=45.0,
+        )
+        assert out.tolist() == [154]
+
+    def test_flat_and_orientation(self):
+        from gridfia_ray.pipelines.focal import hillshade_from_gradient
+
+        flat = hillshade_from_gradient(np.zeros(2), np.zeros(2), 30.0)
+        assert (flat == 180).all()  # round(255*cos(45 deg))
+        mag = 0.5 * 8 * 30 * 1e6  # dz/dx = dz/dy = 0.5
+        # dz/dx>0, dz/dy>0 -> descends toward NW -> faces the 315 light
+        facing = hillshade_from_gradient(np.array([mag]), np.array([mag]), 30.0)
+        away = hillshade_from_gradient(np.array([-mag]), np.array([-mag]), 30.0)
+        assert facing[0] > 180 > away[0] >= 0
+
+    def test_pipeline_matches_pinned_oracle(self, ray_session):
+        """Distributed halo-exchange hillshade == the numpy-shift
+        replay over the fixture generator's independent pixel table."""
+        import pyarrow.parquet as pq
+
+        from gridfia_ray import oracle_pins
+        from gridfia_ray.contract import q_hillshade
+
+        got = q_hillshade("unused")
+        exp = (
+            pq.read_table(oracle_pins.ensure_hspin()["expected"])
+            .to_pandas()
+            .sort_values(["y", "x"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) == 510 * 510
+        assert (got["shade"].to_numpy() == exp["shade"].to_numpy()).all()
