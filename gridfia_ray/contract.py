@@ -215,14 +215,11 @@ def q_hillshade(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
-def q_warp_mercator(sf_dir: str) -> pd.DataFrame:
-    """Distributed raster warp (pipelines/warp.py): reproject the
-    total-biomass raster from the store's Albers grid onto a Web
-    Mercator grid via the keyed gather + closed-form inverse transform.
-    Transcendental math → no SQL oracle (rows-only); exactness is
-    pinned against a single-process brute force and an identity
-    round-trip in tests/test_warp.py. Emits a deterministic per-dst-tile
-    summary."""
+def _warp_query(resampling: str) -> pd.DataFrame:
+    """Shared body of the warp queries: reproject the total-biomass
+    raster from the store's Albers grid onto a Web Mercator grid via
+    the keyed gather + closed-form inverse transform, emitting a
+    deterministic per-dst-tile summary (n_valid, micro-scaled sum)."""
     from gridfia_ray.geo.crs import transform_bbox
     from gridfia_ray.pipelines import metrics as M
     from gridfia_ray.pipelines.warp import warp_tiles
@@ -246,7 +243,9 @@ def q_warp_mercator(sf_dir: str) -> pd.DataFrame:
         "EPSG:3857",
     )
     dst = GridSpec(origin_x=bbox[0], origin_y=bbox[3], px=40.0, tile=spec.tile)
-    out = warp_tiles(res, spec, f["meta"]["crs"], dst, "EPSG:3857").to_pandas()
+    out = warp_tiles(
+        res, spec, f["meta"]["crs"], dst, "EPSG:3857", resampling=resampling
+    ).to_pandas()
     rows = []
     for _, r in out.iterrows():
         arr = np.frombuffer(r["pix"], np.float64)
@@ -263,6 +262,22 @@ def q_warp_mercator(sf_dir: str) -> pd.DataFrame:
     for c in res_df.columns:
         res_df[c] = res_df[c].astype(np.int64)
     return res_df.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
+
+
+def q_warp_mercator(sf_dir: str) -> pd.DataFrame:
+    """Distributed nearest-neighbor raster warp (pipelines/warp.py) vs
+    the pinned fixture-gen brute force (fixtures._write_warp_expected);
+    also pinned against a single-process brute force and an identity
+    round-trip in tests/test_warp.py."""
+    return _warp_query("nearest")
+
+
+def q_warp_bilinear(sf_dir: str) -> pd.DataFrame:
+    """Distributed BILINEAR warp: 4-corner blend in source pixel-center
+    space (shared `bilinear_blend` leaf) with nearest fallback at the
+    extent edge, vs the pinned sequential brute-force reprojection
+    (oracle_pins.ensure_warpblpin)."""
+    return _warp_query("bilinear")
 
 
 def q_tile_features(sf_dir: str) -> pd.DataFrame:
@@ -3102,6 +3117,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "gf_webp_decode": q_webp_decode,
         "gf_hillshade": q_hillshade,
+        "gf_warp_bilinear": q_warp_bilinear,
         "gf_dominant_species": _pixel_metric_query("dominant_species", "dom_idx", scaled=False),
         "gf_rare_species": _pixel_metric_query(
             "rare_species", "n_rare", scaled=False, params={"occurrence_threshold": 0.05}
@@ -3554,6 +3570,10 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_hillshade"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_hspin()['expected']}') "
         f"ORDER BY y, x"
+    )
+    sql["gf_warp_bilinear"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_warpblpin()['expected']}') "
+        f"ORDER BY tile_row, tile_col"
     )
     sql["ann_lsh_pinned"] = (
         f"SELECT * FROM read_parquet('{_ap['lsh_expected']}') ORDER BY query_id, rank"

@@ -47,6 +47,7 @@ VIDPIN_V = 1
 GHLLPIN_V = 1
 DDQPIN_V = 1
 HSPIN_V = 1
+WARPBLPIN_V = 1
 
 ANN_PIN_QUERY_IDS = [5, 205, 1005]
 
@@ -721,6 +722,84 @@ def ensure_ghllpin() -> dict:
         return {"rows": "rows.parquet", "expected": "expected.parquet"}
 
     return _ensure_dir(f"ghllpin-v{GEN_VERSION}.{GHLLPIN_V}", build)
+
+
+def ensure_warpblpin() -> dict:
+    """{'expected'} parquet path for the BILINEAR Web-Mercator warp:
+    single-process brute-force reprojection over the stitched seeded
+    cube (rebuilt via fixtures.build_cube — deterministic), 4-corner
+    blend through the SAME ``bilinear_blend`` leaf the pipeline runs,
+    nearest fallback where the 2x2 neighborhood leaves the extent.
+    Mirrors fixtures._write_warp_expected (the nearest-mode pin)."""
+
+    def build(tmp: str) -> dict:
+        from gridfia_ray.fixtures import CRS, ORIGIN_X, ORIGIN_Y, PX, SCALES, build_cube
+        from gridfia_ray.geo.crs import transform_bbox, transform_points
+        from gridfia_ray.pipelines.warp import bilinear_blend
+
+        scale = SCALES["t2"]
+        cube, _ = build_cube(scale)
+        n = scale.grid * scale.tile
+        G = cube[1:].astype(np.float64).sum(axis=0)
+        ext = float(n) * PX
+        bbox = transform_bbox(
+            (ORIGIN_X, ORIGIN_Y - ext, ORIGIN_X + ext, ORIGIN_Y), CRS, "EPSG:3857"
+        )
+        dst_px, D = 40.0, scale.tile
+        dst_x0, dst_y0 = bbox[0], bbox[3]
+        cell = dst_px * D
+
+        def sample(px_x, px_y):
+            v = np.full(px_x.size, np.nan)
+            ok = (px_x >= 0) & (px_y >= 0) & (px_x < n) & (px_y < n)
+            v[ok] = G[px_y[ok], px_x[ok]]
+            return v
+
+        n_cols = int(np.ceil((bbox[2] - bbox[0]) / cell)) + 2
+        n_rows = int(np.ceil((bbox[3] - bbox[1]) / cell)) + 2
+        rows = []
+        for tr in range(n_rows):
+            for tc in range(n_cols):
+                xs = dst_x0 + (tc * D + np.arange(D) + 0.5) * dst_px
+                ys = dst_y0 - (tr * D + np.arange(D) + 0.5) * dst_px
+                gx = np.broadcast_to(xs[None, :], (D, D)).ravel()
+                gy = np.broadcast_to(ys[:, None], (D, D)).ravel()
+                sx, sy = transform_points(gx, gy, "EPSG:3857", CRS)
+                nx = np.floor((sx - ORIGIN_X) / PX).astype(np.int64)
+                ny = np.floor((ORIGIN_Y - sy) / PX).astype(np.int64)
+                vals = sample(nx, ny)  # nearest fallback baseline
+                fx = (sx - ORIGIN_X) / PX - 0.5
+                fy = (ORIGIN_Y - sy) / PX - 0.5
+                x0 = np.floor(fx).astype(np.int64)
+                y0 = np.floor(fy).astype(np.int64)
+                v00, v10 = sample(x0, y0), sample(x0 + 1, y0)
+                v01, v11 = sample(x0, y0 + 1), sample(x0 + 1, y0 + 1)
+                full = (
+                    np.isfinite(v00) & np.isfinite(v10)
+                    & np.isfinite(v01) & np.isfinite(v11)
+                )
+                vals = np.where(
+                    full, bilinear_blend(v00, v10, v01, v11, fx - x0, fy - y0), vals
+                )
+                finite = np.isfinite(vals)
+                if not finite.any():
+                    continue
+                sum_u = int(
+                    np.floor(vals[finite] * 1_000_000 + 0.5).astype(np.int64).sum()
+                )
+                rows.append((tr, tc, int(finite.sum()), sum_u))
+        exp = pa.table(
+            {
+                "tile_row": pa.array([r[0] for r in rows], pa.int64()),
+                "tile_col": pa.array([r[1] for r in rows], pa.int64()),
+                "n_valid": pa.array([r[2] for r in rows], pa.int64()),
+                "sum_u": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(exp, os.path.join(tmp, "expected.parquet"))
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"warpblpin-v{GEN_VERSION}.{WARPBLPIN_V}", build)
 
 
 def ensure_hspin() -> dict:

@@ -35,6 +35,17 @@ from gridfia_ray.geo.crs import transform_bbox, transform_points
 from gridfia_ray.pipelines.common import GridSpec
 
 
+def bilinear_blend(v00, v10, v01, v11, wx, wy):
+    """The shared bilinear kernel — pipeline, pinned oracle and tests
+    must run the IDENTICAL expression so f64 results are bit-equal."""
+    return (
+        v00 * (1.0 - wx) * (1.0 - wy)
+        + v10 * wx * (1.0 - wy)
+        + v01 * (1.0 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
 def warp_tiles(
     result: rd.Dataset,
     src_spec: GridSpec,
@@ -42,11 +53,22 @@ def warp_tiles(
     dst_spec: GridSpec,
     dst_crs: str,
     n_buckets: int = 64,
+    resampling: str = "nearest",
 ) -> rd.Dataset:
-    """Nearest-neighbor warp of a result-tile dataset (metric, tile_row,
-    tile_col, h, w, pix, dtype) onto ``dst_spec``'s grid in ``dst_crs``.
-    Returns float64 destination tiles in the same schema (NaN =
-    no source coverage). Source tiles must match ``src_spec.tile``."""
+    """Warp a result-tile dataset (metric, tile_row, tile_col, h, w,
+    pix, dtype) onto ``dst_spec``'s grid in ``dst_crs``. Returns float64
+    destination tiles in the same schema (NaN = no source coverage).
+    Source tiles must match ``src_spec.tile``.
+
+    ``resampling``: ``"nearest"`` (value copy — categorical-safe) or
+    ``"bilinear"`` (4-corner weighted blend in source pixel-center
+    space via :func:`bilinear_blend`; destination pixels whose 2×2
+    neighborhood is not fully inside source coverage fall back to the
+    nearest source pixel, so coverage equals the nearest-neighbor
+    warp's). The gather pad grows by one SOURCE pixel for bilinear —
+    corner pixels can live one source pixel beyond the footprint."""
+    if resampling not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resampling {resampling!r}")
 
     def cover(batch: pa.Table) -> pa.Table:
         mets, trs, tcs, strs, stcs, bufs = [], [], [], [], [], []
@@ -81,6 +103,10 @@ def warp_tiles(
             # (a tile-sized margin fans every source tile out ~4x and
             # materializes all-NaN ring tiles)
             pad = dst_spec.px
+            if resampling == "bilinear":
+                # corners reach one SOURCE pixel past the sample point;
+                # a source pixel in dst units ≈ transformed width / w
+                pad += max((dx1 - dx0) / w, (dy1 - dy0) / h)
             c0 = int(np.floor((dx0 - pad - dst_spec.origin_x) / cell))
             c1 = int(np.floor((dx1 + pad - dst_spec.origin_x) / cell))
             r0 = int(np.floor((dst_spec.origin_y - (dy1 + pad)) / cell))
@@ -124,22 +150,48 @@ def warp_tiles(
         gx = np.broadcast_to(xs[None, :], (D, D)).ravel()
         gy = np.broadcast_to(ys[:, None], (D, D)).ravel()
         sx, sy = transform_points(gx, gy, dst_crs, src_crs)
+
+        def gather_vals(px_x: np.ndarray, px_y: np.ndarray) -> np.ndarray:
+            """Source-pixel values at global indices; NaN where the
+            index is negative or its tile wasn't gathered. Lookups are
+            grouped by source tile (few distinct tiles per dst tile)."""
+            vals = np.full(px_x.size, np.nan)
+            inb = (px_x >= 0) & (px_y >= 0)
+            s_tr = px_y // T
+            s_tc = px_x // T
+            wy = px_y % T
+            wx = px_x % T
+            key = s_tr * (1 << 32) + s_tc
+            for k in np.unique(key[inb]):
+                stile = srcs.get((int(k >> 32), int(k & 0xFFFFFFFF)))
+                if stile is None:
+                    continue  # outside the source extent → stays NaN
+                m = inb & (key == k)
+                vals[m] = stile[wy[m], wx[m]]
+            return vals
+
         # nearest source pixel (global indices; y grows downward)
-        px_x = np.floor((sx - src_spec.origin_x) / src_spec.px).astype(np.int64)
-        px_y = np.floor((src_spec.origin_y - sy) / src_spec.px).astype(np.int64)
-        out = np.full(D * D, np.nan)
-        s_tr = px_y // T
-        s_tc = px_x // T
-        wy = px_y % T
-        wx = px_x % T
-        # group lookups by source tile (few distinct tiles per dst tile)
-        key = s_tr * (1 << 32) + s_tc
-        for k in np.unique(key[(px_x >= 0) & (px_y >= 0)]):
-            stile = srcs.get((int(k >> 32), int(k & 0xFFFFFFFF)))
-            if stile is None:
-                continue  # outside the source extent → stays NaN
-            m = key == k
-            out[m] = stile[wy[m], wx[m]]
+        near_x = np.floor((sx - src_spec.origin_x) / src_spec.px).astype(np.int64)
+        near_y = np.floor((src_spec.origin_y - sy) / src_spec.px).astype(np.int64)
+        out = gather_vals(near_x, near_y)
+        if resampling == "bilinear":
+            # pixel-CENTER coordinates: fx = i means exactly on the
+            # center of source column i (aligned grids blend to a copy)
+            fx = (sx - src_spec.origin_x) / src_spec.px - 0.5
+            fy = (src_spec.origin_y - sy) / src_spec.px - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            bwx = fx - x0
+            bwy = fy - y0
+            v00 = gather_vals(x0, y0)
+            v10 = gather_vals(x0 + 1, y0)
+            v01 = gather_vals(x0, y0 + 1)
+            v11 = gather_vals(x0 + 1, y0 + 1)
+            blend = bilinear_blend(v00, v10, v01, v11, bwx, bwy)
+            # incomplete 2x2 neighborhood (extent edge / missing tile)
+            # falls back to the nearest value already in `out`
+            full = np.isfinite(v00) & np.isfinite(v10) & np.isfinite(v01) & np.isfinite(v11)
+            out = np.where(full, blend, out)
         if not np.isfinite(out).any():
             # footprint overlapped a source bbox but no pixel actually
             # landed in source coverage — per contract, such destination

@@ -111,3 +111,83 @@ class TestWarp:
         with pytest.raises(Exception, match="expected"):
             warp_tiles(rd.from_pandas(df), SRC, "ESRI:102039", SRC,
                        "ESRI:102039").to_pandas()
+
+
+class TestWarpBilinear:
+    def test_identity_grid_is_exact_copy(self, ray_session):
+        """Aligned grids: all blend weights are exactly 0, so bilinear
+        reproduces the source bit-for-bit (like nearest)."""
+        rng = np.random.RandomState(7)
+        df, grids = _tiles(rng)
+        out = warp_tiles(
+            rd.from_pandas(df).repartition(3), SRC, "ESRI:102039", SRC,
+            "ESRI:102039", n_buckets=4, resampling="bilinear",
+        ).to_pandas()
+        got = _unpack(out)
+        for key, arr in grids.items():
+            assert (got[key] == arr).all(), key
+
+    def test_matches_brute_force_blend(self, ray_session):
+        """Distributed bilinear == single-process replay via the SAME
+        bilinear_blend leaf over the stitched grid, incl. the nearest
+        fallback ring where the 2x2 neighborhood leaves the extent."""
+        from gridfia_ray.geo.crs import transform_bbox
+        from gridfia_ray.pipelines.warp import bilinear_blend
+
+        rng = np.random.RandomState(8)
+        df, grids = _tiles(rng)
+        ext = SRC.tile * SRC.px * 3
+        bbox = transform_bbox(
+            (SRC.origin_x, SRC.origin_y - ext, SRC.origin_x + ext, SRC.origin_y),
+            "ESRI:102039", "EPSG:3857",
+        )
+        dst = GridSpec(origin_x=bbox[0], origin_y=bbox[3], px=40.0, tile=16)
+        out = warp_tiles(
+            rd.from_pandas(df).repartition(4), SRC, "ESRI:102039", dst,
+            "EPSG:3857", n_buckets=8, resampling="bilinear",
+        ).to_pandas()
+        got = _unpack(out)
+        assert got
+        G = np.full((SRC.tile * 3, SRC.tile * 3), np.nan)
+        for (tr, tc), arr in grids.items():
+            G[tr * SRC.tile:(tr + 1) * SRC.tile, tc * SRC.tile:(tc + 1) * SRC.tile] = arr
+
+        def sample(px_x, px_y):
+            v = np.full(px_x.size, np.nan)
+            ok = (px_x >= 0) & (px_y >= 0) & (px_x < G.shape[1]) & (px_y < G.shape[0])
+            v[ok] = G[px_y[ok], px_x[ok]]
+            return v
+
+        n_blend = 0
+        for (tr, tc), warped in got.items():
+            xs = dst.origin_x + (tc * dst.tile + np.arange(dst.tile) + 0.5) * dst.px
+            ys = dst.origin_y - (tr * dst.tile + np.arange(dst.tile) + 0.5) * dst.px
+            gx = np.broadcast_to(xs[None, :], (dst.tile, dst.tile)).ravel()
+            gy = np.broadcast_to(ys[:, None], (dst.tile, dst.tile)).ravel()
+            sx, sy = transform_points(gx, gy, "EPSG:3857", "ESRI:102039")
+            nx = np.floor((sx - SRC.origin_x) / SRC.px).astype(np.int64)
+            ny = np.floor((SRC.origin_y - sy) / SRC.px).astype(np.int64)
+            want = sample(nx, ny)  # nearest fallback baseline
+            fx = (sx - SRC.origin_x) / SRC.px - 0.5
+            fy = (SRC.origin_y - sy) / SRC.px - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            v00, v10 = sample(x0, y0), sample(x0 + 1, y0)
+            v01, v11 = sample(x0, y0 + 1), sample(x0 + 1, y0 + 1)
+            full = (
+                np.isfinite(v00) & np.isfinite(v10)
+                & np.isfinite(v01) & np.isfinite(v11)
+            )
+            blend = bilinear_blend(v00, v10, v01, v11, fx - x0, fy - y0)
+            want = np.where(full, blend, want)
+            w = warped.ravel()
+            same = (w == want) | (np.isnan(w) & np.isnan(want))
+            assert same.all(), (tr, tc, int((~same).sum()))
+            n_blend += int(full.sum())
+        assert n_blend > 0  # the blended interior actually exercised
+
+    def test_bad_resampling_rejected(self, ray_session):
+        df, _ = _tiles(np.random.RandomState(0), grid=1)
+        with pytest.raises(ValueError, match="resampling"):
+            warp_tiles(rd.from_pandas(df), SRC, "ESRI:102039", SRC,
+                       "ESRI:102039", resampling="cubic")
