@@ -187,6 +187,30 @@ def q_focal_gradient(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_focal_tpi(sf_dir: str) -> pd.DataFrame:
+    """Topographic Position Index of the total-biomass raster
+    (pipelines/focal.focal_tpi_tiles — 9*center - window_sum, exact in
+    the micro-scaled integer domain), interior pixels only, vs the
+    windowed self-join oracle."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.focal import focal_tpi_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    out = focal_tpi_tiles(res).to_pandas()[["y", "x", "tpi9_u"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_hillshade(sf_dir: str) -> pd.DataFrame:
     """DEM-style hillshade of the total-biomass raster: the Horn halo
     exchange feeding the Lambertian shading map (pipelines/focal.
@@ -3118,6 +3142,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_webp_decode": q_webp_decode,
         "gf_hillshade": q_hillshade,
         "gf_warp_bilinear": q_warp_bilinear,
+        "gf_focal_tpi": q_focal_tpi,
         "gf_dominant_species": _pixel_metric_query("dominant_species", "dom_idx", scaled=False),
         "gf_rare_species": _pixel_metric_query(
             "rare_species", "n_rare", scaled=False, params={"occurrence_threshold": 0.05}
@@ -3328,6 +3353,17 @@ def build_oracle_sql() -> dict[str, str]:
           ON b.y BETWEEN a.y - 1 AND a.y + 1
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x"""
+    sql["gf_focal_tpi"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
+        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
+               CAST(9 * a.v - SUM(b.v) AS BIGINT) AS tpi9_u
+        FROM u a JOIN u b
+          ON b.y BETWEEN a.y - 1 AND a.y + 1
+         AND b.x BETWEEN a.x - 1 AND a.x + 1
+        GROUP BY a.y, a.x, a.v
+        HAVING COUNT(*) = 9"""
     sql["gf_focal_gradient"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),

@@ -295,3 +295,25 @@ def hillshade_tiles(
         )
 
     return grad.map_batches(shade, batch_format="pyarrow")
+
+
+def focal_tpi_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Topographic Position Index (Weiss 2001): center minus the mean
+    of its 8 neighbors, the standard DEM landform classifier — via the
+    same halo exchange. Emitted as the EXACT integer ``tpi9_u = 9*c -
+    window_sum`` in the micro-scaled domain (equal to 8 * TPI * 1e6 —
+    integer-exact, no division), interior pixels only (an edge pixel's
+    partial neighborhood would bias the mean)."""
+    empty = pd.DataFrame(
+        {"metric": pd.Series(dtype=str),
+         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+         "tpi9_u": pd.Series(dtype=np.int64)}
+    )
+
+    def window(P, pres, h, w):
+        center = P[1 : h + 1, 1 : w + 1]
+        tpi9 = 9 * center - _window_sums(P)
+        interior = _window_sums(pres) == 9
+        return {"tpi9_u": tpi9}, interior
+
+    return _halo_pipeline(result, "focal_tpi_tiles", window, empty, n_buckets)

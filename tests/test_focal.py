@@ -166,3 +166,36 @@ class TestHillshade:
         )
         assert len(got) == len(exp) == 510 * 510
         assert (got["shade"].to_numpy() == exp["shade"].to_numpy()).all()
+
+
+class TestFocalTpi:
+    def test_hand_computed_small_grid(self, ray_session):
+        """3x3 tiles of a known ramp: interior TPI9 = 9c - window sum."""
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.focal import focal_tpi_tiles
+
+        t = 4
+        G = (np.arange(8 * 8, dtype=np.int64) ** 2).reshape(8, 8)
+        rows = []
+        for tr in range(2):
+            for tc in range(2):
+                block = G[tr * t:(tr + 1) * t, tc * t:(tc + 1) * t]
+                rows.append(
+                    {"metric": "m", "tile_row": tr, "tile_col": tc, "h": t,
+                     "w": t, "pix": block.astype("<f8").tobytes(),
+                     "dtype": "float64"}
+                )
+        out = (
+            focal_tpi_tiles(rd.from_pandas(pd.DataFrame(rows)), n_buckets=2)
+            .to_pandas()
+            .set_index(["y", "x"])["tpi9_u"]
+        )
+        assert len(out) == 36  # (8-2)^2 interior pixels
+        for y in range(1, 7):
+            for x in range(1, 7):
+                S = int(G[y - 1:y + 2, x - 1:x + 2].sum())
+                # integer tiles scale exactly: s6(v) = v * 1e6
+                want = (9 * int(G[y, x]) - S) * 1_000_000
+                assert out.loc[(y, x)] == want, (y, x)
