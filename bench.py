@@ -256,11 +256,18 @@ def run_bench() -> dict:
 
         timed("zonal_percentiles", lambda: q_zonal_percentiles(SF_DIR))
 
-        # halo-exchange focal window + reprojection gather
-        from gridfia_ray.contract import q_focal_sum_3x3, q_warp_mercator
+        # halo-exchange focal windows + reprojection gathers
+        from gridfia_ray.contract import (
+            q_focal_sum_3x3,
+            q_hillshade,
+            q_warp_bilinear,
+            q_warp_mercator,
+        )
 
         timed("focal_sum", lambda: q_focal_sum_3x3(SF_DIR))
+        timed("hillshade", lambda: q_hillshade(SF_DIR))
         timed("warp_mercator", lambda: q_warp_mercator(SF_DIR))
+        timed("warp_bilinear", lambda: q_warp_bilinear(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     tile_secs = timings["zonal_stats"] + timings["metrics_fused"]
