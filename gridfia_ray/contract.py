@@ -2114,6 +2114,34 @@ def q_ann_ivf_pinned(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"], ignore_index=True)
 
 
+def q_ann_pq_pinned(sf_dir: str) -> pd.DataFrame:
+    """Distributed product quantization (driver-pool codebook training
+    on the deterministic hash sample, pure-map encode, per-block ADC
+    top-k combiner) vs its pinned sequential replay — books, codes and
+    ADC scores are bit-identical because both paths train on the SAME
+    hash-ordered pool and build per-query tables with the identical
+    einsum call (oracle_pins._replay_pq_topk)."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.ann.pq import pq_encode, pq_topk_cosine, train_pq
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    paths = oracle_pins.ensure_annpin()
+    mat, ids = oracle_pins.load_annpin_matrix()
+    pos = {int(d): i for i, d in enumerate(ids)}
+    qids = oracle_pins.ANN_PIN_QUERY_IDS
+    emb = rd.read_parquet(paths["embeddings"])
+    books = train_pq(emb, m=8, sample_size=2048, seed=1234)
+    codes = pq_encode(emb, books)
+    out = pq_topk_cosine(codes, books, mat[[pos[q] for q in qids]], qids, k=10)
+    df = out.to_pandas()
+    df["adc_u"] = np.floor(df["adc_score"] * 1e9 + 0.5).astype(np.int64)
+    df = df[["query_id", "rank", "vec_id", "adc_u"]].astype(np.int64)
+    return df.sort_values(["query_id", "rank"], ignore_index=True)
+
+
 def q_emb_semantic_pinned(sf_dir: str) -> pd.DataFrame:
     """Distributed SemDeDup (streamed rounded-centroid k-means +
     groupby-cluster prune) vs its pinned sequential replay."""
@@ -2180,6 +2208,22 @@ def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
         _embeddings(sf_dir), _query_vectors(sf_dir), _ANN_QUERY_IDS,
         k=10, k_cells=8, nprobe=4, seed=42,
     )
+    df = out.to_pandas()[["query_id", "vec_id", "rank"]].astype(np.int64)
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_ann_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ADC variant over the sf embeddings: m-byte
+    codes, per-block table-lookup scoring. Deterministic (driver-pool
+    training on the hash sample, per-query tables) but approximate by
+    construction → rows-only; recall vs the exact scan pinned in
+    tests/test_ann.py and bit-exactness in ann_pq_pinned."""
+    from gridfia_ray.ann.pq import pq_encode, pq_topk_cosine, train_pq
+
+    emb = _embeddings(sf_dir)
+    books = train_pq(emb, m=8, sample_size=2048, seed=1234)
+    codes = pq_encode(emb, books)
+    out = pq_topk_cosine(codes, books, _query_vectors(sf_dir), _ANN_QUERY_IDS, k=10)
     df = out.to_pandas()[["query_id", "vec_id", "rank"]].astype(np.int64)
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
@@ -3219,6 +3263,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "ghll_pinned": q_ghll_pinned,
         "ddq_pinned": q_ddq_pinned,
         "ann_lsh_pinned": q_ann_lsh_pinned,
+        "ann_pq_pinned": q_ann_pq_pinned,
         "emb_semantic_pinned": q_emb_semantic_pinned,
         "emb_near_dup_pinned": q_emb_near_dup_pinned,
         # --- rows-only by design (hash/heuristic ops; pytest oracles) ---
@@ -3227,6 +3272,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
     }
@@ -3622,6 +3668,9 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["emb_semantic_pinned"] = (
         f"SELECT * FROM read_parquet('{_ap['semantic_expected']}') ORDER BY vec_id"
+    )
+    sql["ann_pq_pinned"] = (
+        f"SELECT * FROM read_parquet('{_ap['pq_expected']}') ORDER BY query_id, rank"
     )
     from gridfia_ray.pipelines.sampling import rate_threshold_hex as _rth
 

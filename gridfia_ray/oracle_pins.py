@@ -41,7 +41,7 @@ from gridfia_ray.fixtures import FIXTURE_ROOT, GEN_VERSION
 
 # bump when any replayed algorithm's bit behavior changes
 DOCPIN_V = 2
-ANNPIN_V = 3
+ANNPIN_V = 4
 AUDPIN_V = 2
 VIDPIN_V = 1
 GHLLPIN_V = 1
@@ -1026,9 +1026,68 @@ def ensure_vidpin() -> dict:
     return _ensure_dir(f"vidpin-v{GEN_VERSION}.{VIDPIN_V}", build)
 
 
+def _replay_pq_topk(
+    vecs: np.ndarray,
+    ids: np.ndarray,
+    query_ids: list[int],
+    m: int = 8,
+    k: int = 10,
+    sample_size: int = 2048,
+    seed: int = 1234,
+) -> pa.Table:
+    """Sequential PQ train + encode + ADC search. The codebooks train
+    on the driver in BOTH paths (train_pq's Lloyd runs on the sampled
+    pool only), so reproducing the deterministic hash-sampled pool —
+    rows ordered by splitmix64(vec_id) — makes books, codes, tables and
+    scores bit-identical to the distributed run."""
+    from gridfia_ray.ann.ivf import _splitmix64
+    from gridfia_ray.ann.pq import _encode_matrix, train_books_from_pool
+    from gridfia_ray.ann.search import _normalize
+
+    vecs64 = np.asarray(vecs, np.float64)
+    h = _splitmix64(ids.view(np.uint64) if ids.dtype == np.int64 else ids.astype(np.uint64))
+    order = np.argsort(h, kind="stable")[:sample_size]
+    pool = _normalize(vecs64[order])
+    books = train_books_from_pool(pool, m, seed=seed)
+    vn = _normalize(vecs64)
+    codes = _encode_matrix(vn, books)
+    pos = {int(d): i for i, d in enumerate(ids)}
+    qn = _normalize(vecs64[[pos[q] for q in query_ids]])
+    dsub = vecs64.shape[1] // m
+    rows = []
+    cols = np.arange(m)
+    for qi, qid in enumerate(query_ids):
+        tables = np.einsum(
+            "sd,sjd->sj", qn[qi].reshape(m, dsub), books
+        )
+        scores = tables[cols[None, :], codes].sum(axis=1)
+        df = (
+            pa.table({"vec_id": pa.array(ids), "s": pa.array(scores)})
+            .to_pandas()
+            .sort_values(["s", "vec_id"], ascending=[False, True], kind="mergesort")
+            .head(k)
+        )
+        for r, (_, row) in enumerate(df.iterrows(), start=1):
+            rows.append(
+                {
+                    "query_id": int(qid),
+                    "rank": r,
+                    "vec_id": int(row["vec_id"]),
+                    "adc_u": int(np.floor(row["s"] * 1e9 + 0.5)),
+                }
+            )
+    t = pa.Table.from_pylist(rows)
+    return t.cast(
+        pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("vec_id", pa.int64()), ("adc_u", pa.int64())]
+        )
+    )
+
+
 def ensure_annpin() -> dict:
-    """{'embeddings', 'lsh_expected', 'neardup_expected'} parquet paths
-    (cached, atomic)."""
+    """{'embeddings', 'lsh_expected', 'neardup_expected', 'ivf_expected',
+    'semantic_expected', 'pq_expected'} parquet paths (cached, atomic)."""
 
     def build(tmp: str) -> dict:
         vecs, ids, labels = _annpin_arrays()
@@ -1061,12 +1120,17 @@ def ensure_annpin() -> dict:
             _replay_semantic_dedup(vecs, ids),
             os.path.join(tmp, "semantic_expected.parquet"),
         )
+        pq.write_table(
+            _replay_pq_topk(vecs, ids, ANN_PIN_QUERY_IDS),
+            os.path.join(tmp, "pq_expected.parquet"),
+        )
         return {
             "embeddings": "embeddings.parquet",
             "lsh_expected": "lsh_expected.parquet",
             "neardup_expected": "neardup_expected.parquet",
             "ivf_expected": "ivf_expected.parquet",
             "semantic_expected": "semantic_expected.parquet",
+            "pq_expected": "pq_expected.parquet",
         }
 
     return _ensure_dir(f"annpin-v{GEN_VERSION}.{ANNPIN_V}", build)

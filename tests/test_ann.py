@@ -124,3 +124,120 @@ class TestNearDup:
         found = set(zip(pairs.a, pairs.b))
         hits = sum((min(s, d), max(s, d)) in found for s, d in planted)
         assert hits >= 3  # SRP banding is probabilistic; prefilter must not be the cap
+
+
+class TestProductQuantization:
+    @staticmethod
+    def _clustered_ds(n=8000, dim=32, n_clusters=16, seed=9):
+        import ray.data as rd
+
+        rng = np.random.RandomState(seed)
+        centers = rng.standard_normal((n_clusters, dim)) * 3
+        X = centers[rng.randint(0, n_clusters, n)] + rng.standard_normal((n, dim))
+        df = pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)}
+        )
+        return rd.from_pandas(df), X
+
+    def test_adc_picks_true_neighbors(self, ray_session):
+        """Raw ADC reorders near-ties (that's the sketch's nature — see
+        TestPqRefined for identity recall after the exact re-rank), but
+        every pick must still be a genuinely near neighbor: all of
+        ADC's top-10 must land inside the exact top-500 of an 8000-row
+        corpus, and same-cluster at that."""
+        from gridfia_ray.ann.pq import pq_encode, pq_topk_cosine, train_pq
+        from gridfia_ray.ann.search import topk_cosine
+
+        # classic PQ geometry: 64-d, m=8 -> 8-d subspaces
+        ds, X = self._clustered_ds(dim=64)
+        books = train_pq(ds.repartition(6), m=8, sample_size=2048)
+        codes = pq_encode(ds.repartition(6), books).materialize()
+        qids = [0, 7, 42]
+        Q = X[qids]
+        approx = pq_topk_cosine(codes, books, Q, qids, k=10).to_pandas()
+        exact500 = topk_cosine(ds, Q, qids, k=500).to_pandas()
+        for q in qids:
+            a = set(approx[approx.query_id == q]["vec_id"])
+            e500 = set(exact500[exact500.query_id == q]["vec_id"])
+            assert len(a & e500) / 10 >= 0.9, q
+
+    def test_quality_vs_exact_scores(self, ray_session):
+        """True cosine of ADC's picks must be close to the exact
+        optimum — rank shuffling among near-ties is fine, picking
+        genuinely distant vectors is not."""
+        from gridfia_ray.ann.pq import pq_encode, pq_topk_cosine, train_pq
+        from gridfia_ray.ann.search import _normalize, topk_cosine
+
+        ds, X = self._clustered_ds(seed=11)
+        books = train_pq(ds, m=8, sample_size=2048)
+        codes = pq_encode(ds, books)
+        qids = [3, 99]
+        Q = X[qids]
+        approx = pq_topk_cosine(codes, books, Q, qids, k=10).to_pandas()
+        exact = topk_cosine(ds, Q, qids, k=10).to_pandas()
+        Xn = _normalize(X.astype(np.float64))
+        for i, q in enumerate(qids):
+            qv = Xn[q]
+            got = Xn[approx[approx.query_id == q]["vec_id"].to_numpy()] @ qv
+            best = Xn[exact[exact.query_id == q]["vec_id"].to_numpy()] @ qv
+            assert got.mean() >= 0.97 * best.mean(), q
+
+    def test_partition_invariant_bit_exact(self, ray_session):
+        from gridfia_ray.ann.pq import pq_encode, pq_topk_cosine, train_pq
+
+        ds, X = self._clustered_ds(n=3000)
+        qids = [1, 2]
+        outs = []
+        for parts in (2, 11):
+            d = ds.repartition(parts)
+            books = train_pq(d, m=8, sample_size=1024)
+            codes = pq_encode(d, books)
+            outs.append(
+                pq_topk_cosine(codes, books, X[qids], qids, k=10)
+                .to_pandas()
+                .sort_values(["query_id", "rank"], ignore_index=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_compression_ratio(self, ray_session):
+        """The point of PQ: m bytes per vector (32x smaller than f32x32)."""
+        from gridfia_ray.ann.pq import pq_encode, train_pq
+
+        ds, _ = self._clustered_ds(n=2000)
+        books = train_pq(ds, m=8, sample_size=512)
+        row = pq_encode(ds, books).take(1)[0]
+        assert len(row["codes"]) == 8
+
+    def test_bad_inputs(self, ray_session):
+        from gridfia_ray.ann.pq import train_pq
+
+        ds, _ = self._clustered_ds(n=600, dim=30)
+        with pytest.raises(ValueError, match="not divisible"):
+            train_pq(ds, m=8, sample_size=512)
+        ds2, _ = self._clustered_ds(n=400)
+        with pytest.raises(ValueError, match="smaller than the codebook"):
+            train_pq(ds2, m=8, sample_size=128)
+        with pytest.raises(ValueError, match="n_codes"):
+            train_pq(ds2, m=8, n_codes=512)
+
+
+class TestPqRefined:
+    def test_refined_recall(self, ray_session):
+        """ADC shortlist + exact re-rank recovers the true top-10 even
+        on near-tie-dense clusters where raw ADC identity-recall is
+        inherently low."""
+        from gridfia_ray.ann.pq import pq_encode, pq_topk_refined, train_pq
+        from gridfia_ray.ann.search import topk_cosine
+
+        ds, X = TestProductQuantization._clustered_ds(dim=64)
+        books = train_pq(ds, m=8, sample_size=2048)
+        codes = pq_encode(ds, books).materialize()
+        qids = [0, 7, 42]
+        Q = X[qids]
+        refined = pq_topk_refined(ds, codes, books, Q, qids, k=10, refine=400).to_pandas()
+        exact = topk_cosine(ds, Q, qids, k=10).to_pandas()
+        for q in qids:
+            a = set(refined[refined.query_id == q]["vec_id"])
+            e = set(exact[exact.query_id == q]["vec_id"])
+            assert len(a & e) / 10 >= 0.8, q
+            assert refined[refined.query_id == q].iloc[0]["vec_id"] == q
