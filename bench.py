@@ -198,6 +198,26 @@ def run_bench() -> dict:
         qids = qt["vec_id"].to_numpy().tolist()
         emb_ds = lambda: rd.read_parquet(emb_path)  # noqa: E731
         timed("ann_brute_400k", lambda: topk_cosine(emb_ds(), qvecs, qids, k=10).count())
+
+        # product quantization: train+encode once (the memory-scale
+        # path: 400k vectors -> 8 bytes each), then ADC search
+        from gridfia_ray.ann import pq as PQ
+
+        pq_state = {}
+
+        def _pq_encode():
+            books = PQ.train_pq(emb_ds(), m=8, sample_size=8192)
+            pq_state["books"] = books
+            pq_state["codes"] = PQ.pq_encode(emb_ds(), books).materialize()
+            return pq_state["codes"].count()
+
+        timed("ann_pq_encode_400k", _pq_encode)
+        timed(
+            "ann_pq_search_400k",
+            lambda: PQ.pq_topk_cosine(
+                pq_state["codes"], pq_state["books"], qvecs, qids, k=10
+            ).count(),
+        )
         import shutil
         import tempfile
 

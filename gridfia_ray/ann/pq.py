@@ -89,8 +89,10 @@ def train_books_from_pool(
         sub = pool[:, s * dsub : (s + 1) * dsub]
         c = _l2_kmeanspp(sub, n_codes, rng)
         for _ in range(n_iters):
-            # Lloyd under L2 on the pool only
-            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # Lloyd under L2 on the pool only; argmin via the expanded
+            # form (||x||² constant per row) — one GEMM instead of an
+            # n×k×d broadcast allocation per iteration
+            d2 = -2.0 * (sub @ c.T) + (c**2).sum(axis=1)[None, :]
             assign = np.argmin(d2, axis=1)
             for j in range(n_codes):
                 mask = assign == j

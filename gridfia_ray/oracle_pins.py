@@ -41,7 +41,10 @@ from gridfia_ray.fixtures import FIXTURE_ROOT, GEN_VERSION
 
 # bump when any replayed algorithm's bit behavior changes
 DOCPIN_V = 2
-ANNPIN_V = 4
+# v5: PQ Lloyd assignment switched to the expanded-form GEMM — float
+# ties can land differently than the broadcast form, so the pinned
+# expected tables must be regenerated with the new math
+ANNPIN_V = 5
 AUDPIN_V = 2
 VIDPIN_V = 1
 GHLLPIN_V = 1
