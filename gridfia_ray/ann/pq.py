@@ -249,3 +249,240 @@ def pq_topk_refined(
 
     sub = embeddings.map_batches(keep, batch_format="pyarrow")
     return topk_cosine(sub, queries, query_ids, k=k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + PQ codes inside — the classic big-ANN index
+# ---------------------------------------------------------------------------
+
+
+class _IvfPqEncoder:
+    """(vec_id, embedding, ivf_cell) → (vec_id, codes, ivf_cell)."""
+
+    def __init__(self, books: np.ndarray):
+        self.books = np.asarray(books, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch["embedding"]))
+        codes = _encode_matrix(vecs, self.books)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "codes": pa.array([c.tobytes() for c in codes], pa.binary()),
+                "ivf_cell": batch["ivf_cell"],
+            }
+        )
+
+
+def build_ivfpq_index(
+    embeddings: rd.Dataset,
+    out_dir: str,
+    k_cells: int,
+    m: int = 8,
+    *,
+    n_iters: int = 20,
+    seed: int = 42,
+    pq_sample_size: int = 8192,
+    pq_seed: int = 1234,
+) -> None:
+    """IVF-PQ (Jégou et al. §VI / the FAISS IVFPQ layout): a coarse
+    k-means quantizer partitions the corpus into cells, and each cell
+    stores only m-byte PQ codes — a probed search reads nprobe/k of an
+    already-32×-compressed store and never touches a full vector. This
+    variant codes the RAW vectors (not residuals): simpler, and the
+    exact re-rank (:func:`pq_topk_refined`) is the accuracy escape
+    hatch either way.
+
+    Layout mirrors the IVF store (hive ``cells/ivf_cell=<c>/``,
+    ``centroids.parquet``, plus ``books.parquet`` and ``meta.json``) so
+    runs are resumable per cell and appends land as new part files."""
+    import json
+    import os
+
+    import pyarrow.parquet as pqt
+
+    from gridfia_ray.ann.ivf import assign_cells, kmeans_fit
+    from gridfia_ray.stages.worker_state import worker_cached
+
+    centroids = kmeans_fit(
+        embeddings, k_cells, n_iters=n_iters, seed=seed,
+        train_size=max(4096, 256 * k_cells),
+    )
+    books = train_pq(embeddings, m, sample_size=pq_sample_size, seed=pq_seed)
+    enc = (
+        assign_cells(embeddings, centroids)
+        .map_batches(
+            worker_cached(_IvfPqEncoder, books=books),
+            batch_format="pyarrow",
+            batch_size=4096,
+            num_cpus=1,
+        )
+        .map_batches(
+            lambda b: b.append_column("cell_copy", b["ivf_cell"]),
+            batch_format="pyarrow",
+        )
+    )
+    n_sort_blocks = max(4, min(64, k_cells))
+    os.makedirs(out_dir, exist_ok=True)
+    enc.repartition(n_sort_blocks).sort("ivf_cell").write_parquet(
+        os.path.join(out_dir, "cells"), partition_cols=["ivf_cell"]
+    )
+    pqt.write_table(
+        pa.table(
+            {
+                "cell": pa.array(np.arange(len(centroids), dtype=np.int32)),
+                "centroid": pa.array(list(centroids), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(out_dir, "centroids.parquet"),
+    )
+    mm, n_codes, dsub = books.shape
+    pqt.write_table(
+        pa.table(
+            {
+                "subspace": pa.array(
+                    np.repeat(np.arange(mm, dtype=np.int32), n_codes)
+                ),
+                "code": pa.array(np.tile(np.arange(n_codes, dtype=np.int32), mm)),
+                "centroid": pa.array(
+                    list(books.reshape(mm * n_codes, dsub)), pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(out_dir, "books.parquet"),
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(
+            {"k_cells": int(k_cells), "m": int(mm), "n_codes": int(n_codes),
+             "dsub": int(dsub)},
+            f,
+        )
+
+
+def load_ivfpq(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids (k, d), books (m, n_codes, dsub)) from the store."""
+    import json
+    import os
+
+    import pyarrow.parquet as pqt
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    ct = pqt.read_table(os.path.join(index_dir, "centroids.parquet")).sort_by("cell")
+    centroids = np.stack([np.asarray(v, np.float64) for v in ct["centroid"].to_pylist()])
+    bt = pqt.read_table(os.path.join(index_dir, "books.parquet")).sort_by(
+        [("subspace", "ascending"), ("code", "ascending")]
+    )
+    books = np.stack(
+        [np.asarray(v, np.float64) for v in bt["centroid"].to_pylist()]
+    ).reshape(meta["m"], meta["n_codes"], meta["dsub"])
+    return centroids, books
+
+
+class _ProbedAdcTopK(_AdcTopK):
+    """ADC scorer that only scores each query against rows of the
+    cells it probes (the per-cell restriction is the IVF contract)."""
+
+    def __init__(self, books, queries, query_ids, probes, k):
+        super().__init__(books, queries, query_ids, k)
+        self.probes = [set(int(c) for c in row) for row in probes]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        cells = batch["cell_copy"].to_numpy()
+        codes = np.frombuffer(
+            b"".join(batch["codes"].to_pylist()), dtype=np.uint8
+        ).reshape(len(ids), self.m)
+        out_q, out_v, out_s = [], [], []
+        cols = np.arange(self.m)
+        for qi, qid in enumerate(self.query_ids):
+            mask = np.isin(cells, list(self.probes[qi]))
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            scores = self.tables[qi][cols[None, :], codes[mask]].sum(axis=1)
+            kk = min(self.k, len(sub_ids))
+            sel = (
+                np.argpartition(-scores, kk - 1)[:kk]
+                if kk < len(sub_ids)
+                else np.arange(len(sub_ids))
+            )
+            out_q.extend([qid] * len(sel))
+            out_v.extend(sub_ids[sel].tolist())
+            out_s.extend(scores[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "adc_score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def search_ivfpq_index(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+) -> tuple[rd.Dataset, list[str]]:
+    """Probed ADC search over an IVF-PQ store: reads ONLY the probed
+    cell partitions (file-level pruning) of the 32×-compressed store.
+    Returns (result, probed_dirs)."""
+    import os
+
+    from gridfia_ray.ann.ivf import _probe_cells
+    from gridfia_ray.stages.worker_state import worker_cached
+
+    centroids, books = load_ivfpq(index_dir)
+    probes = _probe_cells(centroids, queries, nprobe)
+    cells = sorted({int(c) for row in probes for c in row})
+    dirs = [
+        d
+        for c in cells
+        if os.path.isdir(d := os.path.join(index_dir, "cells", f"ivf_cell={c}"))
+    ]
+    files = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "adc_score": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        return rd.from_arrow(empty), dirs
+
+    def drop_hive(b: pa.Table) -> pa.Table:
+        if "ivf_cell" in b.column_names:
+            b = b.drop_columns(["ivf_cell"])
+        return b
+
+    ds = rd.read_parquet(files).map_batches(drop_hive, batch_format="pyarrow")
+    partials = ds.map_batches(
+        worker_cached(
+            _ProbedAdcTopK, books=books, queries=queries, query_ids=query_ids,
+            probes=probes, k=k,
+        ),
+        batch_format="pyarrow",
+        batch_size=8192,
+        num_cpus=1,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["adc_score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return out, dirs

@@ -2142,6 +2142,45 @@ def q_ann_pq_pinned(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"], ignore_index=True)
 
 
+def q_ann_ivfpq_pinned(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ composition (coarse rounded-centroid cells + m-byte PQ
+    codes per cell, probed ADC search reading only the probed
+    partitions) vs its pinned sequential replay — determinism inherits
+    from both parents (oracle_pins._replay_ivfpq_topk)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.ann.pq import build_ivfpq_index, search_ivfpq_index
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    paths = oracle_pins.ensure_annpin()
+    mat, ids = oracle_pins.load_annpin_matrix()
+    pos = {int(d): i for i, d in enumerate(ids)}
+    qids = oracle_pins.ANN_PIN_QUERY_IDS
+    tmp = tempfile.mkdtemp(prefix="ivfpq_pin_")
+    try:
+        build_ivfpq_index(
+            rd.read_parquet(paths["embeddings"]), tmp, k_cells=8, m=8,
+            n_iters=20, seed=42, pq_sample_size=2048, pq_seed=1234,
+        )
+        out, dirs = search_ivfpq_index(
+            tmp, mat[[pos[q] for q in qids]], qids, k=10, nprobe=4
+        )
+        # 3 queries x nprobe 4 may legitimately cover all 8 cells here;
+        # single-query file-level pruning is asserted in tests/test_ann
+        assert len(dirs) <= 8
+        df = out.to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    df["adc_u"] = np.floor(df["adc_score"] * 1e9 + 0.5).astype(np.int64)
+    df = df[["query_id", "rank", "vec_id", "adc_u"]].astype(np.int64)
+    return df.sort_values(["query_id", "rank"], ignore_index=True)
+
+
 def q_emb_semantic_pinned(sf_dir: str) -> pd.DataFrame:
     """Distributed SemDeDup (streamed rounded-centroid k-means +
     groupby-cluster prune) vs its pinned sequential replay."""
@@ -3264,6 +3303,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "ddq_pinned": q_ddq_pinned,
         "ann_lsh_pinned": q_ann_lsh_pinned,
         "ann_pq_pinned": q_ann_pq_pinned,
+        "ann_ivfpq_pinned": q_ann_ivfpq_pinned,
         "emb_semantic_pinned": q_emb_semantic_pinned,
         "emb_near_dup_pinned": q_emb_near_dup_pinned,
         # --- rows-only by design (hash/heuristic ops; pytest oracles) ---
@@ -3671,6 +3711,10 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["ann_pq_pinned"] = (
         f"SELECT * FROM read_parquet('{_ap['pq_expected']}') ORDER BY query_id, rank"
+    )
+    sql["ann_ivfpq_pinned"] = (
+        f"SELECT * FROM read_parquet('{_ap['ivfpq_expected']}') "
+        f"ORDER BY query_id, rank"
     )
     from gridfia_ray.pipelines.sampling import rate_threshold_hex as _rth
 

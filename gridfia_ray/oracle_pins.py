@@ -43,8 +43,9 @@ from gridfia_ray.fixtures import FIXTURE_ROOT, GEN_VERSION
 DOCPIN_V = 2
 # v5: PQ Lloyd assignment switched to the expanded-form GEMM — float
 # ties can land differently than the broadcast form, so the pinned
-# expected tables must be regenerated with the new math
-ANNPIN_V = 5
+# expected tables regenerated with the new math. v6: adds the IVF-PQ
+# composition replay.
+ANNPIN_V = 6
 AUDPIN_V = 2
 VIDPIN_V = 1
 GHLLPIN_V = 1
@@ -1088,9 +1089,76 @@ def _replay_pq_topk(
     )
 
 
+def _replay_ivfpq_topk(
+    vecs: np.ndarray,
+    ids: np.ndarray,
+    query_ids: list[int],
+    k_cells: int = 8,
+    m: int = 8,
+    k: int = 10,
+    nprobe: int = 4,
+    n_iters: int = 20,
+    seed: int = 42,
+    pq_sample_size: int = 2048,
+    pq_seed: int = 1234,
+) -> pa.Table:
+    """Sequential IVF-PQ: the rounded-centroid k-means replay (same
+    determinism argument as _replay_ivf_topk) partitions; the PQ replay
+    (same pool/einsum argument as _replay_pq_topk) codes and scores,
+    restricted to each query's probed cells."""
+    from gridfia_ray.ann.ivf import _probe_cells, _splitmix64
+    from gridfia_ray.ann.pq import _encode_matrix, train_books_from_pool
+    from gridfia_ray.ann.search import _normalize
+
+    vecs64 = np.asarray(vecs, np.float64)
+    vn = _normalize(vecs64)
+    c = _replay_kmeans(
+        vecs64, ids, k_cells, n_iters, seed,
+        max(4096, 256 * k_cells), 9, 1e-6,
+    )
+    h = _splitmix64(ids.view(np.uint64) if ids.dtype == np.int64 else ids.astype(np.uint64))
+    order = np.argsort(h, kind="stable")[:pq_sample_size]
+    books = train_books_from_pool(_normalize(vecs64[order]), m, seed=pq_seed)
+    codes = _encode_matrix(vn, books)
+    cells = np.argmax(vn @ c.T, axis=1)
+    pos = {int(d): i for i, d in enumerate(ids)}
+    qn = _normalize(vecs64[[pos[q] for q in query_ids]])
+    probes = _probe_cells(c, vecs64[[pos[q] for q in query_ids]], nprobe)
+    dsub = vecs64.shape[1] // m
+    cols = np.arange(m)
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        tables = np.einsum("sd,sjd->sj", qn[qi].reshape(m, dsub), books)
+        mask = np.isin(cells, probes[qi])
+        scores = tables[cols[None, :], codes[mask]].sum(axis=1)
+        sub_ids = ids[mask]
+        df = (
+            pa.table({"vec_id": pa.array(sub_ids), "s": pa.array(scores)})
+            .to_pandas()
+            .sort_values(["s", "vec_id"], ascending=[False, True], kind="mergesort")
+            .head(k)
+        )
+        for r, (_, row) in enumerate(df.iterrows(), start=1):
+            rows.append(
+                {
+                    "query_id": int(qid),
+                    "rank": r,
+                    "vec_id": int(row["vec_id"]),
+                    "adc_u": int(np.floor(row["s"] * 1e9 + 0.5)),
+                }
+            )
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("vec_id", pa.int64()), ("adc_u", pa.int64())]
+        )
+    )
+
+
 def ensure_annpin() -> dict:
     """{'embeddings', 'lsh_expected', 'neardup_expected', 'ivf_expected',
-    'semantic_expected', 'pq_expected'} parquet paths (cached, atomic)."""
+    'semantic_expected', 'pq_expected', 'ivfpq_expected'} parquet paths
+    (cached, atomic)."""
 
     def build(tmp: str) -> dict:
         vecs, ids, labels = _annpin_arrays()
@@ -1127,6 +1195,10 @@ def ensure_annpin() -> dict:
             _replay_pq_topk(vecs, ids, ANN_PIN_QUERY_IDS),
             os.path.join(tmp, "pq_expected.parquet"),
         )
+        pq.write_table(
+            _replay_ivfpq_topk(vecs, ids, ANN_PIN_QUERY_IDS),
+            os.path.join(tmp, "ivfpq_expected.parquet"),
+        )
         return {
             "embeddings": "embeddings.parquet",
             "lsh_expected": "lsh_expected.parquet",
@@ -1134,6 +1206,7 @@ def ensure_annpin() -> dict:
             "ivf_expected": "ivf_expected.parquet",
             "semantic_expected": "semantic_expected.parquet",
             "pq_expected": "pq_expected.parquet",
+            "ivfpq_expected": "ivfpq_expected.parquet",
         }
 
     return _ensure_dir(f"annpin-v{GEN_VERSION}.{ANNPIN_V}", build)
