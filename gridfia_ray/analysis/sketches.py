@@ -467,8 +467,13 @@ def grouped_dd_quantiles(
     """
     from gridfia_ray.stages.agg_util import bucketed_bucket_map
 
-    _dd_gamma(alpha)  # validate
+    _dd_gamma(alpha)  # validate on the driver, before any task launches
+    for q in qs:
+        if not 0.0 <= q <= 100.0:
+            raise ValueError(f"quantile must be in [0, 100], got {q}")
     qcols = [f"q{('%g' % q).replace('.', '_')}" for q in qs]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError(f"quantile specs collide after column naming: {qs}")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []

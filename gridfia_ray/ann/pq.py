@@ -59,8 +59,6 @@ def train_pq(
     hash-sampled pool (same sampling as IVF training — partition-
     invariant, cost independent of corpus size). Vectors are unit-
     normalized first (the cosine convention of this ANN family)."""
-    if not 1 <= n_codes <= 256:
-        raise ValueError(f"n_codes must be in [1, 256], got {n_codes}")
     pool = _normalize(_sample_pool(embeddings, sample_size))
     return train_books_from_pool(
         pool, m, n_codes=n_codes, n_iters=n_iters, seed=seed
@@ -75,6 +73,9 @@ def train_books_from_pool(
     sequential replay: single-threaded numpy over the (already unit-
     normalized) pool, so given the same pool both paths produce
     bit-identical codebooks."""
+    if not 1 <= n_codes <= 256:
+        # codes are uint8 — a larger book would silently wrap indices
+        raise ValueError(f"n_codes must be in [1, 256], got {n_codes}")
     d = pool.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -192,6 +193,22 @@ class _AdcTopK:
         )
 
 
+def _adc_final_topk(k: int):
+    """The per-query merge shared by every ADC search variant — one
+    definition so the tie-break (score desc, vec_id asc) can never
+    drift between the flat and the IVF-probed paths."""
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["adc_score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return final_topk
+
+
 def pq_topk_cosine(
     codes: rd.Dataset,
     books: np.ndarray,
@@ -210,16 +227,9 @@ def pq_topk_cosine(
         batch_size=8192,
         num_cpus=1,
     )
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["adc_score", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _adc_final_topk(k), batch_format="pandas"
+    )
 
 
 def pq_topk_refined(
@@ -257,19 +267,28 @@ def pq_topk_refined(
 
 
 class _IvfPqEncoder:
-    """(vec_id, embedding, ivf_cell) → (vec_id, codes, ivf_cell)."""
+    """Fused build stage — (vec_id, embedding) → (vec_id, codes,
+    ivf_cell, cell_copy) in ONE pass: the corpus is normalized once and
+    both the coarse assignment (same argmax expression as
+    ivf.assign_cells — ties to the lowest cell id) and the PQ encode
+    read that one matrix. cell_copy duplicates the hive partition key
+    as a data column for the readers (the IVF store convention)."""
 
-    def __init__(self, books: np.ndarray):
+    def __init__(self, centroids: np.ndarray, books: np.ndarray):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
         self.books = np.asarray(books, dtype=np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = _normalize(_as_matrix(batch["embedding"]))
+        cell = np.argmax(vecs @ self.centroids.T, axis=1).astype(np.int32)
         codes = _encode_matrix(vecs, self.books)
+        cell_arr = pa.array(cell)
         return pa.table(
             {
                 "vec_id": batch["vec_id"],
                 "codes": pa.array([c.tobytes() for c in codes], pa.binary()),
-                "ivf_cell": batch["ivf_cell"],
+                "ivf_cell": cell_arr,
+                "cell_copy": cell_arr,
             }
         )
 
@@ -301,7 +320,7 @@ def build_ivfpq_index(
 
     import pyarrow.parquet as pqt
 
-    from gridfia_ray.ann.ivf import assign_cells, kmeans_fit
+    from gridfia_ray.ann.ivf import kmeans_fit
     from gridfia_ray.stages.worker_state import worker_cached
 
     centroids = kmeans_fit(
@@ -309,18 +328,11 @@ def build_ivfpq_index(
         train_size=max(4096, 256 * k_cells),
     )
     books = train_pq(embeddings, m, sample_size=pq_sample_size, seed=pq_seed)
-    enc = (
-        assign_cells(embeddings, centroids)
-        .map_batches(
-            worker_cached(_IvfPqEncoder, books=books),
-            batch_format="pyarrow",
-            batch_size=4096,
-            num_cpus=1,
-        )
-        .map_batches(
-            lambda b: b.append_column("cell_copy", b["ivf_cell"]),
-            batch_format="pyarrow",
-        )
+    enc = embeddings.map_batches(
+        worker_cached(_IvfPqEncoder, centroids=centroids, books=books),
+        batch_format="pyarrow",
+        batch_size=4096,
+        num_cpus=1,
     )
     n_sort_blocks = max(4, min(64, k_cells))
     os.makedirs(out_dir, exist_ok=True)
@@ -385,7 +397,7 @@ class _ProbedAdcTopK(_AdcTopK):
 
     def __init__(self, books, queries, query_ids, probes, k):
         super().__init__(books, queries, query_ids, k)
-        self.probes = [set(int(c) for c in row) for row in probes]
+        self.probes = [np.asarray(row, dtype=np.int64) for row in probes]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
@@ -396,7 +408,7 @@ class _ProbedAdcTopK(_AdcTopK):
         out_q, out_v, out_s = [], [], []
         cols = np.arange(self.m)
         for qi, qid in enumerate(self.query_ids):
-            mask = np.isin(cells, list(self.probes[qi]))
+            mask = np.isin(cells, self.probes[qi])
             if not mask.any():
                 continue
             sub_ids = ids[mask]
@@ -475,14 +487,7 @@ def search_ivfpq_index(
         batch_size=8192,
         num_cpus=1,
     )
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["adc_score", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    out = partials.groupby("query_id").map_groups(
+        _adc_final_topk(k), batch_format="pandas"
+    )
     return out, dirs

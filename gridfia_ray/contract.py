@@ -2167,12 +2167,11 @@ def q_ann_ivfpq_pinned(sf_dir: str) -> pd.DataFrame:
             rd.read_parquet(paths["embeddings"]), tmp, k_cells=8, m=8,
             n_iters=20, seed=42, pq_sample_size=2048, pq_seed=1234,
         )
-        out, dirs = search_ivfpq_index(
+        out, _dirs = search_ivfpq_index(
             tmp, mat[[pos[q] for q in qids]], qids, k=10, nprobe=4
         )
-        # 3 queries x nprobe 4 may legitimately cover all 8 cells here;
-        # single-query file-level pruning is asserted in tests/test_ann
-        assert len(dirs) <= 8
+        # (3 queries x nprobe 4 may legitimately cover all 8 cells —
+        # single-query file-level pruning is asserted in tests/test_ann)
         df = out.to_pandas()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

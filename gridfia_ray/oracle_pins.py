@@ -44,8 +44,10 @@ DOCPIN_V = 2
 # v5: PQ Lloyd assignment switched to the expanded-form GEMM — float
 # ties can land differently than the broadcast form, so the pinned
 # expected tables regenerated with the new math. v6: adds the IVF-PQ
-# composition replay.
-ANNPIN_V = 6
+# composition replay. v7: the IVF-PQ replay now replicates the
+# pipeline's train_size Lloyd-corpus sampling (code-review finding:
+# the v6 replay trained on the full corpus and matched only by luck).
+ANNPIN_V = 7
 AUDPIN_V = 2
 VIDPIN_V = 1
 GHLLPIN_V = 1
@@ -306,16 +308,26 @@ def _replay_kmeans(
     sample_size: int = 4096,
     round_decimals: int = 9,
     tol: float = 1e-6,
+    train_size: int | None = None,
 ) -> np.ndarray:
-    """Sequential twin of ann/ivf.kmeans_fit (full-corpus Lloyd). The
-    distributed fold accumulates per-block float partials in a
-    different order than this single pass, but both round centroids to
-    ``round_decimals`` after every update — the ~1e-16 accumulation
-    jitter is absorbed by the 1e-9 grid, so the centroid SEQUENCE is
-    bit-identical across partitionings and against this replay."""
+    """Sequential twin of ann/ivf.kmeans_fit. The distributed fold
+    accumulates per-block float partials in a different order than this
+    single pass, but both round centroids to ``round_decimals`` after
+    every update — the ~1e-16 accumulation jitter is absorbed by the
+    1e-9 grid, so the centroid SEQUENCE is bit-identical across
+    partitionings and against this replay. ``train_size`` replicates
+    kmeans_fit's hash-threshold Lloyd-corpus sampling EXACTLY (E[kept]
+    = train_size; the pool is drawn from the filtered set, as in the
+    pipeline) — omitting it against a train_size build trains on a
+    different corpus and diverges."""
     from gridfia_ray.ann.ivf import _best_init, _splitmix64
     from gridfia_ray.ann.search import _normalize
 
+    if train_size is not None and train_size < len(ids):
+        thresh = np.uint64(int(train_size / len(ids) * 2.0**64))
+        keep = _splitmix64(ids.view(np.uint64)) < thresh
+        vecs64 = vecs64[keep]
+        ids = ids[keep]
     vn = _normalize(vecs64)
     h = _splitmix64(ids.view(np.uint64))
     pool = vecs64[np.argsort(h, kind="stable")[:sample_size]]
@@ -1114,7 +1126,8 @@ def _replay_ivfpq_topk(
     vn = _normalize(vecs64)
     c = _replay_kmeans(
         vecs64, ids, k_cells, n_iters, seed,
-        max(4096, 256 * k_cells), 9, 1e-6,
+        4096, 9, 1e-6,
+        train_size=max(4096, 256 * k_cells),  # build_ivfpq_index's arg
     )
     h = _splitmix64(ids.view(np.uint64) if ids.dtype == np.int64 else ids.astype(np.uint64))
     order = np.argsort(h, kind="stable")[:pq_sample_size]
