@@ -534,6 +534,28 @@ def q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_json_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """S17 sibling: the same per-species stats through Ray's native
+    NDJSON sink and source — integers must survive the JSON text
+    roundtrip and hash-match the independent SQL oracle."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    df = q_occurrence_stats(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gf_json_")
+    try:
+        rd.from_pandas(df).repartition(2).write_json(tmp)
+        back = rd.read_json(tmp).to_pandas()
+        for c in ["present_px", "n_px", "sum_biomass_u", "max_biomass_u"]:
+            back[c] = back[c].astype(np.int64)
+        back["species_code"] = back["species_code"].astype(str).str.zfill(4)
+        return back.sort_values("species_code", ignore_index=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_coverage_topk(sf_dir: str) -> pd.DataFrame:
     occ = q_occurrence_stats(sf_dir)
     cov = occ[["species_code"]].copy()
@@ -3222,6 +3244,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # verified by scripts/check_contract.py every round) ---
         "doc_dup_clusters": q_doc_dup_clusters,
         "gf_webp_decode": q_webp_decode,
+        "gf_json_roundtrip": q_json_roundtrip,
         "gf_hillshade": q_hillshade,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
@@ -3422,6 +3445,7 @@ def build_oracle_sql() -> dict[str, str]:
         FROM p GROUP BY species_code"""
     # the CSV text roundtrip must land on the identical stats table
     sql["gf_csv_roundtrip"] = sql["gf_occurrence_stats"]
+    sql["gf_json_roundtrip"] = sql["gf_occurrence_stats"]
     sql["gf_coverage_topk"] = f"""
         {species_cte}
         SELECT species_code,
