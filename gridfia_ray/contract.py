@@ -137,6 +137,37 @@ def q_downsample_2x(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_downsample_4x(sf_dir: str) -> pd.DataFrame:
+    """Pyramid levels COMPOSE: two chained 2× mass-conserving poolings
+    must equal one 4×4 block sum (the assemble docstring's claim,
+    verified against an independent 4×4 SQL oracle)."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.stages.assemble import downsample_result_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    lvl1 = downsample_result_tiles(res, factor=2, scaled_int=True)
+    # level-1 tiles are already scaled int64 — pool them as-is
+    lvl2 = downsample_result_tiles(lvl1, factor=2, scaled_int=False)
+    pix = M.metrics_to_pixels(lvl2).to_pandas()
+    out = pd.DataFrame(
+        {
+            "y": pix["y"].astype(np.int64),
+            "x": pix["x"].astype(np.int64),
+            "sum_u": pix["value"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_focal_sum_3x3(sf_dir: str) -> pd.DataFrame:
     """Focal (3×3 neighborhood) sum of the total-biomass raster via
     HALO EXCHANGE (pipelines/focal.py): every tile ships its border
@@ -3245,6 +3276,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
+        "gf_downsample_4x": q_downsample_4x,
         "gf_hillshade": q_hillshade,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
@@ -3491,6 +3523,12 @@ def build_oracle_sql() -> dict[str, str]:
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)
         SELECT CAST(y // 2 AS BIGINT) AS y, CAST(x // 2 AS BIGINT) AS x,
+               CAST(SUM({_sql_s6('total')}) AS BIGINT) AS sum_u
+        FROM tot GROUP BY 1, 2"""
+    sql["gf_downsample_4x"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)
+        SELECT CAST(y // 4 AS BIGINT) AS y, CAST(x // 4 AS BIGINT) AS x,
                CAST(SUM({_sql_s6('total')}) AS BIGINT) AS sum_u
         FROM tot GROUP BY 1, 2"""
     sql["gf_zonal_percentiles"] = f"""
