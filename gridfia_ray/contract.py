@@ -168,6 +168,52 @@ def q_downsample_4x(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_mosaic(sf_dir: str) -> pd.DataFrame:
+    """Mosaic two overlapping stores (stages/assemble.
+    mosaic_result_tiles, 'last' policy — the later-acquisition-
+    overrides rule): store B re-observes the west half of the grid with
+    doubled values; the mosaic must be B where B has tiles and A
+    elsewhere, hash-matched per pixel against a CASE oracle."""
+    import pyarrow as pa
+
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.stages.assemble import mosaic_result_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    ).materialize()
+    west = int(f["meta"]["grid"]) // 2
+
+    def reobserve(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pa.compute.less(batch["tile_col"], west))
+        pix = [
+            (np.frombuffer(b, np.float64) * 2.0).tobytes()
+            for b in keep["pix"].to_pylist()
+        ]
+        return keep.set_column(
+            keep.column_names.index("pix"), "pix", pa.array(pix, pa.binary())
+        )
+
+    b = res.map_batches(reobserve, batch_format="pyarrow")
+    merged = mosaic_result_tiles([res, b], policy="last")
+    pix = M.metrics_to_pixels(merged).to_pandas()
+    out = pd.DataFrame(
+        {
+            "y": pix["y"].astype(np.int64),
+            "x": pix["x"].astype(np.int64),
+            "sum_u": s6(pix["value"]),
+        }
+    )
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_focal_sum_3x3(sf_dir: str) -> pd.DataFrame:
     """Focal (3×3 neighborhood) sum of the total-biomass raster via
     HALO EXCHANGE (pipelines/focal.py): every tile ships its border
@@ -3277,6 +3323,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_downsample_4x": q_downsample_4x,
+        "gf_mosaic": q_mosaic,
         "gf_hillshade": q_hillshade,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
@@ -3525,6 +3572,15 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT CAST(y // 2 AS BIGINT) AS y, CAST(x // 2 AS BIGINT) AS x,
                CAST(SUM({_sql_s6('total')}) AS BIGINT) AS sum_u
         FROM tot GROUP BY 1, 2"""
+    _t = 64  # fixture tile size; west half = tile_col < grid/2
+    sql["gf_mosaic"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(CASE WHEN x < 4 * {_t}
+                    THEN FLOOR(2*total*1000000 + 0.5)
+                    ELSE FLOOR(total*1000000 + 0.5) END AS BIGINT) AS sum_u
+        FROM tot"""
     sql["gf_downsample_4x"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)

@@ -232,3 +232,81 @@ def explode_result_pixels(batch: pa.Table) -> pa.Table:
             "value": pa.array(np.concatenate(vals), pa.float64()),
         }
     )
+
+
+def mosaic_result_tiles(
+    sources: list, policy: str = "last", n_buckets: int = 64
+):
+    """Mosaic N result-tile datasets onto one grid (the gdal_merge /
+    mosaicking operation): tiles sharing a (metric, tile_row, tile_col)
+    key combine per ``policy`` —
+
+      * ``"last"``  — the highest-indexed source that has the tile wins
+                      (the standard later-acquisition-overrides rule);
+      * ``"sum"``   — elementwise sum (mass accumulates);
+      * ``"max"``   — elementwise max (best-observation composite).
+
+    One keyed exchange on the tile key; non-overlapping tiles pass
+    through untouched. ``sum``/``max`` require every overlapping tile
+    pair to share (h, w, dtype) and — for exactness — the scaled-int
+    domain; ``last`` never touches pixels at all. All policies are
+    deterministic and partition-invariant (source index, not arrival
+    order, breaks ties)."""
+    import ray.data as rd
+
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    if policy not in ("last", "sum", "max"):
+        raise ValueError(f"unknown mosaic policy {policy!r}")
+    if len(sources) < 2:
+        raise ValueError("mosaic needs at least two sources")
+
+    def tag(idx: int):
+        def add(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__src", pa.array(np.full(batch.num_rows, idx, np.int32))
+            )
+
+        return add
+
+    tagged = sources[0].map_batches(tag(0), batch_format="pyarrow")
+    for i, s in enumerate(sources[1:], start=1):
+        tagged = tagged.union(s.map_batches(tag(i), batch_format="pyarrow"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__src", kind="mergesort")
+        if policy == "last" or len(g) == 1:
+            out = g.iloc[[-1]]
+            return out.drop(columns=["__src"])
+        h0, w0, dt0 = int(g["h"].iloc[0]), int(g["w"].iloc[0]), g["dtype"].iloc[0]
+        if not ((g["h"] == h0).all() and (g["w"] == w0).all() and (g["dtype"] == dt0).all()):
+            raise ValueError(
+                f"mosaic {policy}: overlapping tiles disagree on shape/dtype "
+                f"at {(g['metric'].iloc[0], int(g['tile_row'].iloc[0]), int(g['tile_col'].iloc[0]))}"
+            )
+        arrs = [np.frombuffer(b, dtype=np.dtype(dt0)) for b in g["pix"]]
+        acc = arrs[0].copy()
+        for a in arrs[1:]:
+            acc = acc + a if policy == "sum" else np.maximum(acc, a)
+        out = g.iloc[[0]].drop(columns=["__src"]).copy()
+        out["pix"] = [acc.tobytes()]
+        return out
+
+    out_schema = pa.schema(
+        [
+            ("metric", pa.string()),
+            ("tile_row", pa.int64()),
+            ("tile_col", pa.int64()),
+            ("h", pa.int64()),
+            ("w", pa.int64()),
+            ("pix", pa.binary()),
+            ("dtype", pa.string()),
+        ]
+    )
+    return bucketed_group_map(
+        tagged,
+        ["metric", "tile_row", "tile_col"],
+        combine,
+        n_buckets=n_buckets,
+        out_schema=out_schema,
+    )

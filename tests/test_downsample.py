@@ -85,3 +85,77 @@ class TestDoubleScaleGuard:
         lvl1 = downsample_result_tiles(rd.from_pandas(df), 2)
         with pytest.raises(Exception, match="already in the scaled domain"):
             downsample_result_tiles(lvl1, 2).to_pandas()
+
+
+class TestMosaic:
+    @staticmethod
+    def _tiles(vals, keys, h=4, dtype=np.int64):
+        import ray.data as rd
+
+        rows = []
+        for (tr, tc), v in zip(keys, vals):
+            arr = np.full((h, h), v, dtype=dtype)
+            rows.append(
+                {"metric": "m", "tile_row": tr, "tile_col": tc, "h": h, "w": h,
+                 "pix": arr.tobytes(), "dtype": np.dtype(dtype).name}
+            )
+        return rd.from_pandas(pd.DataFrame(rows))
+
+    def _first_px(self, out):
+        return {
+            (int(r["tile_row"]), int(r["tile_col"])): int(
+                np.frombuffer(r["pix"], np.int64)[0]
+            )
+            for _, r in out.iterrows()
+        }
+
+    def test_policies(self, ray_session):
+        from gridfia_ray.stages.assemble import mosaic_result_tiles
+
+        A = self._tiles([1, 2, 3], [(0, 0), (0, 1), (1, 0)])
+        B = self._tiles([10, 20], [(0, 1), (1, 1)])
+        cases = {
+            "last": {(0, 0): 1, (0, 1): 10, (1, 0): 3, (1, 1): 20},
+            "sum": {(0, 0): 1, (0, 1): 12, (1, 0): 3, (1, 1): 20},
+            "max": {(0, 0): 1, (0, 1): 10, (1, 0): 3, (1, 1): 20},
+        }
+        for policy, expect in cases.items():
+            got = self._first_px(
+                mosaic_result_tiles([A, B], policy=policy).to_pandas()
+            )
+            assert got == expect, policy
+
+    def test_three_sources_and_source_order_wins(self, ray_session):
+        from gridfia_ray.stages.assemble import mosaic_result_tiles
+
+        A = self._tiles([1], [(0, 0)])
+        B = self._tiles([2], [(0, 0)])
+        C = self._tiles([3], [(0, 0)])
+        got = self._first_px(
+            mosaic_result_tiles([A, B, C], policy="last").to_pandas()
+        )
+        assert got == {(0, 0): 3}  # source INDEX, not arrival order
+
+    def test_shape_mismatch_rejected(self, ray_session):
+        import pytest as _pytest
+
+        from gridfia_ray.stages.assemble import mosaic_result_tiles
+
+        A = self._tiles([1], [(0, 0)], h=4)
+        B = self._tiles([2], [(0, 0)], h=8)
+        with _pytest.raises(Exception, match="disagree"):
+            mosaic_result_tiles([A, B], policy="sum").to_pandas()
+        # 'last' never touches pixels: mismatched shapes are fine
+        got = mosaic_result_tiles([A, B], policy="last").to_pandas()
+        assert int(got["h"].iloc[0]) == 8
+
+    def test_bad_inputs(self, ray_session):
+        import pytest as _pytest
+
+        from gridfia_ray.stages.assemble import mosaic_result_tiles
+
+        A = self._tiles([1], [(0, 0)])
+        with _pytest.raises(ValueError, match="policy"):
+            mosaic_result_tiles([A, A], policy="mean")
+        with _pytest.raises(ValueError, match="two sources"):
+            mosaic_result_tiles([A])
