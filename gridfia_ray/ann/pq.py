@@ -491,3 +491,34 @@ def search_ivfpq_index(
         _adc_final_topk(k), batch_format="pandas"
     )
     return out, dirs
+
+
+def search_ivfpq_refined(
+    index_dir: str,
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 200,
+) -> rd.Dataset:
+    """Two-stage IVF-PQ search: the probed ADC scan shortlists
+    ``refine`` candidates per query from the compressed store, then an
+    exact cosine re-rank over just those ids (broadcast-id semi-join on
+    the embeddings table) returns the final top-k — the full
+    IVFADC+R recipe. Exact vectors are read for at most
+    refine × n_queries rows regardless of corpus size."""
+    from gridfia_ray.ann.search import topk_cosine
+
+    cand, _ = search_ivfpq_index(
+        index_dir, queries, query_ids, k=refine, nprobe=nprobe
+    )
+    cand_ids = np.unique(cand.to_pandas()["vec_id"].to_numpy())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = np.isin(batch["vec_id"].to_numpy(), cand_ids)
+        return batch.filter(pa.array(m))
+
+    sub = embeddings.map_batches(keep, batch_format="pyarrow")
+    return topk_cosine(sub, queries, query_ids, k=k)

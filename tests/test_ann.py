@@ -305,3 +305,23 @@ class TestIvfPq:
         assert "embedding" not in sch.names
         t = pqt.read_table(f, columns=["codes"])
         assert len(t["codes"][0].as_py()) == 8
+
+
+class TestIvfPqRefined:
+    def test_refined_recall(self, ray_session, tmp_path):
+        """IVFADC+R: probed ADC shortlist + exact re-rank recovers the
+        true top-10 despite near-tie ADC reordering."""
+        from gridfia_ray.ann.pq import search_ivfpq_refined
+        from gridfia_ray.ann.search import topk_cosine
+
+        d, ds, X = TestIvfPq._store(tmp_path)
+        qids = [3, 77]
+        refined = search_ivfpq_refined(
+            d, ds, X[qids], qids, k=10, nprobe=4, refine=400
+        ).to_pandas()
+        exact = topk_cosine(ds, X[qids], qids, k=10).to_pandas()
+        for q in qids:
+            a = set(refined[refined.query_id == q]["vec_id"])
+            e = set(exact[exact.query_id == q]["vec_id"])
+            assert len(a & e) / 10 >= 0.8, q
+            assert refined[refined.query_id == q].iloc[0]["vec_id"] == q
