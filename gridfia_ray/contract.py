@@ -288,6 +288,30 @@ def q_focal_tpi(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_focal_aspect(sf_dir: str) -> pd.DataFrame:
+    """Aspect-octant raster of the total-biomass surface (pipelines/
+    focal.focal_aspect_tiles — exact integer 45°-sector classification
+    of the steepest-descent direction, no trig), interior pixels only,
+    vs an identical CASE chain over the windowed self-join oracle."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.focal import focal_aspect_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    out = focal_aspect_tiles(res).to_pandas()[["y", "x", "octant"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_hillshade(sf_dir: str) -> pd.DataFrame:
     """DEM-style hillshade of the total-biomass raster: the Horn halo
     exchange feeding the Lambertian shading map (pipelines/focal.
@@ -3327,6 +3351,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_hillshade": q_hillshade,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
+        "gf_focal_aspect": q_focal_aspect,
         "gf_dominant_species": _pixel_metric_query("dominant_species", "dom_idx", scaled=False),
         "gf_rare_species": _pixel_metric_query(
             "rare_species", "n_rare", scaled=False, params={"occurrence_threshold": 0.05}
@@ -3552,6 +3577,32 @@ def build_oracle_sql() -> dict[str, str]:
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x, a.v
         HAVING COUNT(*) = 9"""
+    sql["gf_focal_aspect"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u0 AS (SELECT y, x, {_sql_s6('total')} AS val FROM tot),
+        g AS (SELECT a.y, a.x,
+               -CAST(SUM(b.val * (b.x - a.x) * (2 - abs(b.y - a.y))) AS BIGINT)
+                 AS u,
+               CAST(SUM(b.val * (b.y - a.y) * (2 - abs(b.x - a.x))) AS BIGINT)
+                 AS v
+              FROM u0 a JOIN u0 b
+                ON b.y BETWEEN a.y - 1 AND a.y + 1
+               AND b.x BETWEEN a.x - 1 AND a.x + 1
+              GROUP BY a.y, a.x
+              HAVING COUNT(*) = 9)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(CASE
+                 WHEN u = 0 AND v = 0 THEN -1
+                 WHEN u >= 0 AND v > 0 AND u < v THEN 0
+                 WHEN u > 0 AND v > 0 AND u >= v THEN 1
+                 WHEN u > 0 AND v <= 0 AND u > -v THEN 2
+                 WHEN u > 0 AND v < 0 AND u <= -v THEN 3
+                 WHEN u <= 0 AND v < 0 AND -u < -v THEN 4
+                 WHEN u < 0 AND v < 0 AND -u >= -v THEN 5
+                 WHEN (u < 0 AND v = 0) OR (u < 0 AND v > 0 AND -u > v) THEN 6
+                 ELSE 7 END AS BIGINT) AS octant
+        FROM g"""
     sql["gf_focal_gradient"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),

@@ -317,3 +317,54 @@ def focal_tpi_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         return {"tpi9_u": tpi9}, interior
 
     return _halo_pipeline(result, "focal_tpi_tiles", window, empty, n_buckets)
+
+
+def aspect_octants(ddx_u: np.ndarray, ddy_u: np.ndarray) -> np.ndarray:
+    """8-way compass aspect (direction of steepest DESCENT) from Horn
+    components — the exact-integer discretization of the classic aspect
+    product: sector k covers [k*45°, (k+1)*45°) clockwise from north,
+    decided purely by sign/magnitude comparisons on the scaled-int
+    gradients (no trig, so a SQL CASE oracle reproduces it exactly).
+    Returns int64: 0..7 = N, NE, E, SE, S, SW, W, NW start sectors;
+    -1 = flat (zero gradient). The ESRI 22.5°-centered convention needs
+    tan(22.5°) and is inherently float; this is the deterministic
+    discrete form."""
+    u = -np.asarray(ddx_u, np.int64)  # descent east component
+    v = np.asarray(ddy_u, np.int64)  # descent north component
+    conds = [
+        (u == 0) & (v == 0),
+        (u >= 0) & (v > 0) & (u < v),    # [0, 45)
+        (u > 0) & (v > 0) & (u >= v),    # [45, 90)
+        (u > 0) & (v <= 0) & (u > -v),   # [90, 135)
+        (u > 0) & (v < 0) & (u <= -v),   # [135, 180)
+        (u <= 0) & (v < 0) & (-u < -v),  # [180, 225)
+        (u < 0) & (v < 0) & (-u >= -v),  # [225, 270)
+        ((u < 0) & (v == 0)) | ((u < 0) & (v > 0) & (-u > v)),  # [270, 315)
+        (u < 0) & (v > 0) & (-u <= v),   # [315, 360)
+    ]
+    return np.select(conds, [-1, 0, 1, 2, 3, 4, 5, 6, 7]).astype(np.int64)
+
+
+def focal_aspect_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Aspect-octant raster over a result-tile dataset: the Horn halo
+    exchange feeding the integer sector classifier — no extra shuffle.
+    Emits (metric, y, x, octant)."""
+    import pyarrow as pa
+
+    grad = focal_gradient_tiles(result, n_buckets=n_buckets)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        o = aspect_octants(
+            batch["ddx_u"].to_numpy(zero_copy_only=False),
+            batch["ddy_u"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "metric": batch["metric"],
+                "y": batch["y"],
+                "x": batch["x"],
+                "octant": pa.array(o, pa.int64()),
+            }
+        )
+
+    return grad.map_batches(classify, batch_format="pyarrow")

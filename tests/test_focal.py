@@ -199,3 +199,33 @@ class TestFocalTpi:
                 # integer tiles scale exactly: s6(v) = v * 1e6
                 want = (9 * int(G[y, x]) - S) * 1_000_000
                 assert out.loc[(y, x)] == want, (y, x)
+
+
+class TestAspectOctants:
+    def test_cardinal_and_diagonal_directions(self):
+        from gridfia_ray.pipelines.focal import aspect_octants
+
+        # (ddx, ddy) -> expected sector start (N=0 ... NW=7), -1 flat
+        cases = [
+            (0, 10, 0), (-10, 10, 1), (-10, 0, 2), (-10, -10, 3),
+            (0, -10, 4), (10, -10, 5), (10, 0, 6), (10, 10, 7), (0, 0, -1),
+        ]
+        for ddx, ddy, want in cases:
+            got = aspect_octants(np.array([ddx]), np.array([ddy]))[0]
+            assert got == want, (ddx, ddy, got, want)
+
+    def test_matches_atan2_partition_exhaustively(self):
+        """Integer sector rules == the float atan2 sector for every
+        gradient pair (and every pair maps to exactly one class)."""
+        from gridfia_ray.pipelines.focal import aspect_octants
+
+        rng = np.random.RandomState(0)
+        dd = rng.randint(-50, 51, size=(20000, 2)).astype(np.int64)
+        o = aspect_octants(dd[:, 0], dd[:, 1])
+        u = -dd[:, 0].astype(float)
+        v = dd[:, 1].astype(float)
+        theta = (np.degrees(np.arctan2(u, v)) + 360) % 360
+        want = np.where(
+            (u == 0) & (v == 0), -1, np.floor(theta / 45).astype(int) % 8
+        )
+        assert (o == want).all()
