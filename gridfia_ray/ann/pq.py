@@ -247,14 +247,26 @@ def pq_topk_refined(
     semi-join — refine × n_queries ids, never the corpus) returns the
     final top-k. Fixes ADC's rank shuffling among near-ties while still
     never scanning full vectors for more than ``refine`` rows/query."""
+    cand = pq_topk_cosine(codes, books, queries, query_ids, k=refine).to_pandas()
+    return _exact_rerank(embeddings, cand["vec_id"].to_numpy(), queries, query_ids, k)
+
+
+def _exact_rerank(
+    embeddings: rd.Dataset,
+    cand_vec_ids: np.ndarray,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int,
+) -> rd.Dataset:
+    """Exact cosine top-k over just the shortlisted ids: a broadcast-id
+    semi-join on the embeddings table (cand ids are refine × n_queries,
+    never the corpus), shared by both two-stage searches."""
     from gridfia_ray.ann.search import topk_cosine
 
-    cand = pq_topk_cosine(codes, books, queries, query_ids, k=refine).to_pandas()
-    cand_ids = np.unique(cand["vec_id"].to_numpy())  # small by construction
+    cand_ids = np.unique(cand_vec_ids)  # small by construction
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
-        m = np.isin(ids, cand_ids)
+        m = np.isin(batch["vec_id"].to_numpy(), cand_ids)
         return batch.filter(pa.array(m))
 
     sub = embeddings.map_batches(keep, batch_format="pyarrow")
@@ -509,16 +521,9 @@ def search_ivfpq_refined(
     the embeddings table) returns the final top-k — the full
     IVFADC+R recipe. Exact vectors are read for at most
     refine × n_queries rows regardless of corpus size."""
-    from gridfia_ray.ann.search import topk_cosine
-
     cand, _ = search_ivfpq_index(
         index_dir, queries, query_ids, k=refine, nprobe=nprobe
     )
-    cand_ids = np.unique(cand.to_pandas()["vec_id"].to_numpy())
-
-    def keep(batch: pa.Table) -> pa.Table:
-        m = np.isin(batch["vec_id"].to_numpy(), cand_ids)
-        return batch.filter(pa.array(m))
-
-    sub = embeddings.map_batches(keep, batch_format="pyarrow")
-    return topk_cosine(sub, queries, query_ids, k=k)
+    return _exact_rerank(
+        embeddings, cand.to_pandas()["vec_id"].to_numpy(), queries, query_ids, k
+    )

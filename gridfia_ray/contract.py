@@ -612,49 +612,37 @@ def q_occurrence_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-def q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+def _stats_roundtrip(sf_dir: str, prefix: str, write: str, read: str) -> pd.DataFrame:
     """S17 tabular export end-to-end: the per-species occurrence stats
-    written through Ray's native CSV sink and read back through the CSV
-    source — the exported integers must survive the text roundtrip and
-    hash-match the same independent SQL oracle as the direct plan."""
+    through a Ray-native text sink and back through the paired source —
+    exported integers must survive the text roundtrip and hash-match
+    the same independent SQL oracle as the direct plan."""
     import shutil
     import tempfile
 
     import ray.data as rd
 
     df = q_occurrence_stats(sf_dir)
-    tmp = tempfile.mkdtemp(prefix="gf_csv_")
+    tmp = tempfile.mkdtemp(prefix=prefix)
     try:
-        rd.from_pandas(df).repartition(2).write_csv(tmp)
-        back = rd.read_csv(tmp).to_pandas()
+        getattr(rd.from_pandas(df).repartition(2), write)(tmp)
+        back = getattr(rd, read)(tmp).to_pandas()
         for c in ["present_px", "n_px", "sum_biomass_u", "max_biomass_u"]:
             back[c] = back[c].astype(np.int64)
         back["species_code"] = back["species_code"].astype(str).str.zfill(4)
         return back.sort_values("species_code", ignore_index=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """S17 via Ray's native CSV sink/source (see _stats_roundtrip)."""
+    return _stats_roundtrip(sf_dir, "gf_csv_", "write_csv", "read_csv")
 
 
 def q_json_roundtrip(sf_dir: str) -> pd.DataFrame:
-    """S17 sibling: the same per-species stats through Ray's native
-    NDJSON sink and source — integers must survive the JSON text
-    roundtrip and hash-match the independent SQL oracle."""
-    import shutil
-    import tempfile
-
-    import ray.data as rd
-
-    df = q_occurrence_stats(sf_dir)
-    tmp = tempfile.mkdtemp(prefix="gf_json_")
-    try:
-        rd.from_pandas(df).repartition(2).write_json(tmp)
-        back = rd.read_json(tmp).to_pandas()
-        for c in ["present_px", "n_px", "sum_biomass_u", "max_biomass_u"]:
-            back[c] = back[c].astype(np.int64)
-        back["species_code"] = back["species_code"].astype(str).str.zfill(4)
-        return back.sort_values("species_code", ignore_index=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    """S17 via Ray's native NDJSON sink/source (see _stats_roundtrip)."""
+    return _stats_roundtrip(sf_dir, "gf_json_", "write_json", "read_json")
 
 
 def q_coverage_topk(sf_dir: str) -> pd.DataFrame:
@@ -3623,12 +3611,14 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT CAST(y // 2 AS BIGINT) AS y, CAST(x // 2 AS BIGINT) AS x,
                CAST(SUM({_sql_s6('total')}) AS BIGINT) AS sum_u
         FROM tot GROUP BY 1, 2"""
-    _t = 64  # fixture tile size; west half = tile_col < grid/2
+    # west half = tile_col < grid//2, derived from fixture meta so the
+    # oracle tracks q_mosaic if the fixture grid/tile ever changes
+    _west_px = (int(f["meta"]["grid"]) // 2) * int(t)
     sql["gf_mosaic"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)
         SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
-               CAST(CASE WHEN x < 4 * {_t}
+               CAST(CASE WHEN x < {_west_px}
                     THEN FLOOR(2*total*1000000 + 0.5)
                     ELSE FLOOR(total*1000000 + 0.5) END AS BIGINT) AS sum_u
         FROM tot"""

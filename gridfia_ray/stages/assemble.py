@@ -167,6 +167,16 @@ def downsample_result_tiles(result, factor: int = 2, scaled_int: bool = True):
                     axis=(1, 3)
                 )
                 dts.append("int64")
+            elif np.issubdtype(src_dtype, np.integer):
+                # Integer tiles (e.g. level-1 scaled-int pyramids) stay in
+                # int64 so chained levels compose bit-exactly even past
+                # 2**53, where a float64 accumulator would round.
+                pooled = (
+                    arr.astype(np.int64)
+                    .reshape(h // factor, factor, w // factor, factor)
+                    .sum(axis=(1, 3))
+                )
+                dts.append("int64")
             else:
                 pooled = (
                     arr.astype(np.float64)
@@ -275,6 +285,13 @@ def mosaic_result_tiles(
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("__src", kind="mergesort")
+        if g["__src"].duplicated().any():
+            raise ValueError(
+                "mosaic: duplicate tile within one source at "
+                f"{(g['metric'].iloc[0], int(g['tile_row'].iloc[0]), int(g['tile_col'].iloc[0]))}"
+                " — 'last' would be nondeterministic and 'sum' would "
+                "double-count; dedup the source first"
+            )
         if policy == "last" or len(g) == 1:
             out = g.iloc[[-1]]
             return out.drop(columns=["__src"])

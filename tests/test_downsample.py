@@ -56,11 +56,14 @@ class TestDownsample:
         df = _tiles(rng, n=1)
         lvl1 = downsample_result_tiles(rd.from_pandas(df), 2)
         lvl2 = downsample_result_tiles(lvl1, 2, scaled_int=False).to_pandas()
-        # level-2 ints summed as float64: exact (int sums « 2^53)
+        # integer input tiles stay in int64 so chained levels compose
+        # bit-exactly even past 2**53
         arr = _grid(df)[(0, 0)]
         u = np.floor(arr * 1e6 + 0.5).astype(np.int64)
-        want = u.reshape(4, 4, 4, 4).sum(axis=(1, 3)).astype(np.float64)
-        assert (_grid(lvl2)[(0, 0)] == want).all()
+        want = u.reshape(4, 4, 4, 4).sum(axis=(1, 3))
+        got = _grid(lvl2)[(0, 0)]
+        assert got.dtype == np.int64
+        assert (got == want).all()
 
     def test_float_mode(self, ray_session):
         rng = np.random.RandomState(2)

@@ -219,8 +219,8 @@ class TestAspectOctants:
         gradient pair (and every pair maps to exactly one class)."""
         from gridfia_ray.pipelines.focal import aspect_octants
 
-        rng = np.random.RandomState(0)
-        dd = rng.randint(-50, 51, size=(20000, 2)).astype(np.int64)
+        gx, gy = np.meshgrid(np.arange(-50, 51), np.arange(-50, 51))
+        dd = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.int64)
         o = aspect_octants(dd[:, 0], dd[:, 1])
         u = -dd[:, 0].astype(float)
         v = dd[:, 1].astype(float)
