@@ -697,6 +697,30 @@ def q_tile_zone_join(sf_dir: str) -> pd.DataFrame:
     return j.sort_values(["zone_id", "image_id"]).reset_index(drop=True)
 
 
+def q_rasterize(sf_dir: str) -> pd.DataFrame:
+    """Vector→raster burn (gdal_rasterize semantics; reference's
+    boundary-driven raster/vector bridge run the other way): every pixel
+    whose center lies in ≥1 zone gets the smallest containing zone_id.
+    Exploded to (y, x, zone_id) rows only for the oracle compare — at
+    scale the burn stays tiled."""
+    from gridfia_ray.pipelines import zonal as Z
+    from gridfia_ray.pipelines.metrics import metrics_to_pixels
+
+    f = _fx()
+    g = int(f["meta"]["grid"])
+    burned, cat = Z.rasterize_zones(Z.load_zones(f["zones"]), f["spec"], g, g)
+    pix = metrics_to_pixels(burned).to_pandas()
+    pix = pix[pix["value"] >= 0]
+    out = pd.DataFrame(
+        {
+            "y": pix["y"].astype(np.int64),
+            "x": pix["x"].astype(np.int64),
+            "zone_id": np.array(cat, dtype=object)[pix["value"].astype(int).to_numpy()],
+        }
+    )
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_knn_idw(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines import knn as K
 
@@ -3336,6 +3360,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_downsample_4x": q_downsample_4x,
         "gf_mosaic": q_mosaic,
+        "gf_rasterize": q_rasterize,
         "gf_hillshade": q_hillshade,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
@@ -3685,6 +3710,10 @@ def build_oracle_sql() -> dict[str, str]:
                {_sql_s6("SUM(p.biomass)")} AS sum_biomass_u
         FROM p JOIN read_parquet('{PZ}') z USING (y, x)
         GROUP BY z.zone_id, p.species_code"""
+    sql["gf_rasterize"] = f"""
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               MIN(zone_id) AS zone_id
+        FROM read_parquet('{PZ}') GROUP BY 1, 2"""
     sql["gf_bbox_extract"] = f"""
         SELECT y, x, {_sql_s6("biomass")} AS value_u
         FROM read_parquet('{P}')

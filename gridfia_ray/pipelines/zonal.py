@@ -35,43 +35,51 @@ from gridfia_ray.kernels import zonal as zr
 from gridfia_ray.pipelines.common import GridSpec, cluster_cpus, decoded_tiles, read_tiles
 
 
+def build_zone_cover(zones: list[dict], spec: GridSpec):
+    """Prepared polygons + cell→candidate-zones cover map (the broadcast
+    small side's per-worker index). Cover map value: list of
+    (zone_index, is_boundary). Interior cells (no polygon edge crosses
+    the cell, center inside) need NO per-pixel mask — only the
+    O(perimeter) boundary cells do. This is what makes zonal cost scale
+    with zone perimeter, not area. Shared by the zonal join and the
+    vector→raster burn."""
+    from gridfia_ray.geo.cells import morton_decode
+
+    grid = CellGrid(spec.origin_x, spec.origin_y, spec.cell_size)
+    zone_ids: list[str] = []
+    polys: list[PreparedPolygon] = []
+    cover: dict[int, list[tuple[int, bool]]] = {}
+    cs = grid.cell_size
+    for zi, z in enumerate(zones):
+        pp = PreparedPolygon.from_wkb(z["geometry_wkb"])
+        zone_ids.append(str(z["zone_id"]))
+        polys.append(pp)
+        cells = grid.cover_bbox(*pp.bbox)
+        cxs, cys = morton_decode(cells)
+        bx0 = spec.origin_x + cxs * cs
+        bx1 = bx0 + cs
+        by1 = spec.origin_y - cys * cs
+        by0 = by1 - cs
+        boundary = pp.crosses_boxes(bx0, by0, bx1, by1)
+        centers_in = pp.contains(bx0 + cs / 2.0, by0 + cs / 2.0)
+        for j, cid in enumerate(cells):
+            if boundary[j]:
+                cover.setdefault(int(cid), []).append((zi, True))
+            elif centers_in[j]:  # uniform cell fully inside
+                cover.setdefault(int(cid), []).append((zi, False))
+            # uniform + center outside → cell fully outside → skip
+    return grid, zone_ids, polys, cover
+
+
 class ZonalJoinActor:
     """Stateful join/refine stage. ``zones`` is a list of
     ``{zone_id, geometry_wkb}`` dicts (the broadcast small side)."""
 
     def __init__(self, zones: list[dict], spec: GridSpec, emit: str = "partials"):
-        from gridfia_ray.geo.cells import morton_decode
-
         self.spec = spec
-        self.grid = CellGrid(spec.origin_x, spec.origin_y, spec.cell_size)
-        self.zone_ids: list[str] = []
-        self.polys: list[PreparedPolygon] = []
-        # cover map value: list of (zone_index, is_boundary). Interior
-        # cells (no polygon edge crosses the cell, center inside) need NO
-        # per-pixel mask — only the O(perimeter) boundary cells do. This
-        # is what makes zonal cost scale with zone perimeter, not area.
-        self.cover: dict[int, list[tuple[int, bool]]] = {}
+        self.grid, self.zone_ids, self.polys, self.cover = build_zone_cover(zones, spec)
         self.emit = emit
         self._mask_cache: dict[tuple[int, int, int], np.ndarray] = {}
-        cs = self.grid.cell_size
-        for zi, z in enumerate(zones):
-            pp = PreparedPolygon.from_wkb(z["geometry_wkb"])
-            self.zone_ids.append(str(z["zone_id"]))
-            self.polys.append(pp)
-            cells = self.grid.cover_bbox(*pp.bbox)
-            cxs, cys = morton_decode(cells)
-            bx0 = spec.origin_x + cxs * cs
-            bx1 = bx0 + cs
-            by1 = spec.origin_y - cys * cs
-            by0 = by1 - cs
-            boundary = pp.crosses_boxes(bx0, by0, bx1, by1)
-            centers_in = pp.contains(bx0 + cs / 2.0, by0 + cs / 2.0)
-            for j, cid in enumerate(cells):
-                if boundary[j]:
-                    self.cover.setdefault(int(cid), []).append((zi, True))
-                elif centers_in[j]:  # uniform cell fully inside
-                    self.cover.setdefault(int(cid), []).append((zi, False))
-                # uniform + center outside → cell fully outside → skip
 
     def _mask(self, zi: int, tr: int, tc: int, h: int, w: int, x0: float, y0: float,
               pxw: float, pxh: float) -> np.ndarray:
@@ -430,3 +438,101 @@ def load_zones(zones_path: str) -> list[dict]:
         {"zone_id": z, "geometry_wkb": w}
         for z, w in zip(t["zone_id"].to_pylist(), t["geometry_wkb"].to_pylist())
     ]
+
+
+class RasterizeActor:
+    """Vector→raster burn stage (the inverse of the zonal join — gdal
+    rasterize semantics). Tile positions stream through; each tile
+    materializes an int32 raster where every pixel holds the index of
+    the lexicographically SMALLEST zone_id containing its center
+    (deterministic overlap rule), -1 outside all zones. Reuses the
+    prepared-polygon cover map, so cost scales with zone perimeter:
+    interior cells fill without any PIP test."""
+
+    def __init__(self, zones: list[dict], spec: GridSpec):
+        self.spec = spec
+        self.grid, self.zone_ids, self.polys, self.cover = build_zone_cover(zones, spec)
+        # burn ascending zone_id, first-writer-wins → per-pixel MIN zone
+        self._order = np.argsort(np.array(self.zone_ids, dtype=object), kind="stable")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
+        t = spec.tile
+        cs = spec.cell_size
+        trs = batch["tile_row"].to_numpy()
+        tcs = batch["tile_col"].to_numpy()
+        cells = self.grid.cell_id_rc(trs, tcs)
+        out_tr, out_tc, out_pix = [], [], []
+        for i in range(len(trs)):
+            tr, tc = int(trs[i]), int(tcs[i])
+            cands = self.cover.get(int(cells[i]), ())
+            if not cands:
+                continue  # no zone touches this tile — emit nothing
+            x0 = spec.origin_x + tc * cs
+            y0 = spec.origin_y - tr * cs
+            burn = np.full(t * t, -1, np.int32)
+            by_zi = dict(cands)
+            gx = gy = None  # pixel-center lattice, built once per tile
+            for zi in self._order:
+                zi = int(zi)
+                if zi not in by_zi:
+                    continue
+                if by_zi[zi]:
+                    if gx is None:
+                        cx = x0 + (np.arange(t, dtype=np.float64) + 0.5) * spec.px
+                        cy = y0 - (np.arange(t, dtype=np.float64) + 0.5) * spec.px
+                        gx = np.broadcast_to(cx[None, :], (t, t)).ravel()
+                        gy = np.broadcast_to(cy[:, None], (t, t)).ravel()
+                    m = self.polys[zi].contains(gx, gy) & (burn == -1)
+                else:  # interior cell: whole tile inside the zone
+                    m = burn == -1
+                burn[m] = zi
+            if (burn == -1).all():
+                continue
+            out_tr.append(tr)
+            out_tc.append(tc)
+            out_pix.append(burn.tobytes())
+        n = len(out_tr)
+        return pa.table(
+            {
+                "metric": pa.array(["zone_burn"] * n, pa.string()),
+                "tile_row": pa.array(out_tr, pa.int64()),
+                "tile_col": pa.array(out_tc, pa.int64()),
+                "h": pa.array([t] * n, pa.int64()),
+                "w": pa.array([t] * n, pa.int64()),
+                "pix": pa.array(out_pix, pa.binary()),
+                "dtype": pa.array(["int32"] * n, pa.string()),
+            }
+        )
+
+
+def rasterize_zones(
+    zones: list[dict], spec: GridSpec, grid_rows: int, grid_cols: int
+) -> tuple[rd.Dataset, list[str]]:
+    """Burn the zone side table onto the tile grid: result tiles with an
+    int32 zone INDEX per pixel (-1 = no zone), plus the zone_id catalog
+    mapping index→id (overlaps resolve to the smallest zone_id). Pure map over tile positions — zero
+    shuffle; tiles no zone touches never materialize. Output composes
+    with the result-tile toolchain (mosaic / downsample / explode /
+    write_geotiff)."""
+    from gridfia_ray.stages.worker_state import worker_cached
+
+    n = grid_rows * grid_cols
+
+    def positions(batch):
+        ids = batch["id"].to_numpy()
+        return pa.table(
+            {
+                "tile_row": pa.array(ids // grid_cols, pa.int64()),
+                "tile_col": pa.array(ids % grid_cols, pa.int64()),
+            }
+        )
+
+    grid_ds = rd.range(n).map_batches(positions, batch_format="pyarrow")
+    burned = grid_ds.map_batches(
+        worker_cached(RasterizeActor, zones=zones, spec=spec),
+        batch_format="pyarrow",
+    )
+    # catalog in INDEX order (pixel value i of the burn means zone_ids[i])
+    zone_ids = [str(z["zone_id"]) for z in zones]
+    return burned, zone_ids

@@ -98,3 +98,47 @@ class TestTileZoneJoin:
         expect = set(zip(o.zone_id, o.image_id))
         assert got_set == expect
         assert len(got) == len(got_set)  # no duplicate pairs
+
+
+class TestRasterize:
+    def test_burn_matches_membership_oracle(
+        self, ray_session, zones, spec, duck, t1_meta
+    ):
+        """Vector→raster burn: every pixel whose center is in ≥1 zone
+        carries the SMALLEST containing zone_id; everything else is
+        absent. Checked pixel-exact against the fixture's independent
+        membership table."""
+        from gridfia_ray.pipelines.metrics import metrics_to_pixels
+
+        g = int(t1_meta["grid"])
+        burned, cat = Z.rasterize_zones(zones, spec, g, g)
+        pix = metrics_to_pixels(burned).to_pandas()
+        assert (pix["metric"] == "zone_burn").all()
+        pix = pix[pix["value"] >= 0]
+        got = {
+            (int(y), int(x)): cat[int(v)]
+            for y, x, v in zip(pix["y"], pix["x"], pix["value"])
+        }
+        o = duck.execute(
+            "SELECT y, x, MIN(zone_id) zid FROM pixel_zones GROUP BY y, x"
+        ).df()
+        expect = {(int(r.y), int(r.x)): r.zid for r in o.itertuples()}
+        assert got == expect
+
+    def test_emitted_tile_set_is_exactly_touched_tiles(
+        self, ray_session, zones, spec, duck, t1_meta
+    ):
+        """The burn is sparse: a tile materializes iff ≥1 of its pixel
+        centers is inside a zone, and every emitted tile has ≥1 burned
+        pixel (all-(-1) tiles are dropped before they hit the stream)."""
+        g, t = int(t1_meta["grid"]), int(t1_meta["tile"])
+        burned, _ = Z.rasterize_zones(zones, spec, g, g)
+        df = burned.to_pandas()
+        got_tiles = set(zip(df["tile_row"].astype(int), df["tile_col"].astype(int)))
+        o = duck.execute(
+            f"SELECT DISTINCT y // {t} tr, x // {t} tc FROM pixel_zones"
+        ).df()
+        assert got_tiles == set(zip(o["tr"].astype(int), o["tc"].astype(int)))
+        for _, r in df.iterrows():
+            arr = np.frombuffer(r["pix"], dtype=np.int32)
+            assert (arr >= 0).any()
