@@ -312,6 +312,70 @@ def q_focal_aspect(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def _total_biomass_result(f: dict):
+    """Shared: the precise scaled total-biomass result tiles (input to
+    the raster-derivative queries below)."""
+    from gridfia_ray.pipelines import metrics as M
+
+    return M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+
+
+def q_connected_components(sf_dir: str) -> pd.DataFrame:
+    """Distributed 4-connected patch labeling of biomass > threshold
+    (pipelines/ccl.py: per-tile run union-find, O(perimeter) border
+    exchange, hash-min component merge, anchor-pixel canonical ids).
+    Oracle = pinned parquet from an independent single-process BFS
+    flood fill over the fixture generator's pixel table
+    (oracle_pins.ensure_cclpin)."""
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.ccl import connected_components
+
+    f = _fx()
+    labeled, _ = connected_components(
+        _total_biomass_result(f),
+        int(f["meta"]["grid"]),
+        threshold=oracle_pins.CCL_THRESHOLD,
+    )
+    pix = M.metrics_to_pixels(labeled).to_pandas()
+    pix = pix[pix["value"] >= 0]
+    out = pd.DataFrame(
+        {
+            "y": pix["y"].astype(np.int64),
+            "x": pix["x"].astype(np.int64),
+            # anchors < 2^53, so the float64 explode hop is exact
+            "component": pix["value"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
+def q_component_sizes(sf_dir: str) -> pd.DataFrame:
+    """The companion per-component size table from the same pipeline,
+    checked against an independent SQL aggregation of the BFS pin."""
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.pipelines.ccl import connected_components
+
+    f = _fx()
+    _, comps = connected_components(
+        _total_biomass_result(f),
+        int(f["meta"]["grid"]),
+        threshold=oracle_pins.CCL_THRESHOLD,
+    )
+    out = comps.to_pandas()
+    out["component"] = out["component"].astype(np.int64)
+    out["n_pixels"] = out["n_pixels"].astype(np.int64)
+    return out.sort_values("component").reset_index(drop=True)
+
+
 def q_hillshade(sf_dir: str) -> pd.DataFrame:
     """DEM-style hillshade of the total-biomass raster: the Horn halo
     exchange feeding the Lambertian shading map (pipelines/focal.
@@ -3361,6 +3425,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_downsample_4x": q_downsample_4x,
         "gf_mosaic": q_mosaic,
         "gf_rasterize": q_rasterize,
+        "gf_connected_components": q_connected_components,
+        "gf_component_sizes": q_component_sizes,
         "gf_hillshade": q_hillshade,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
@@ -3879,6 +3945,15 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_hillshade"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_hspin()['expected']}') "
         f"ORDER BY y, x"
+    )
+    sql["gf_connected_components"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_cclpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_component_sizes"] = (
+        f"SELECT component, COUNT(*) AS n_pixels "
+        f"FROM read_parquet('{_pins.ensure_cclpin()['expected']}') "
+        f"GROUP BY component ORDER BY component"
     )
     sql["gf_warp_bilinear"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_warpblpin()['expected']}') "

@@ -868,6 +868,65 @@ def ensure_hspin() -> dict:
     return _ensure_dir(f"hspin-v{GEN_VERSION}.{HSPIN_V}", build)
 
 
+CCL_THRESHOLD = 50.0  # biomass threshold defining patch foreground
+CCLPIN_V = 1
+
+
+def ensure_cclpin() -> dict:
+    """{'expected'} parquet for connected-component labeling: the
+    total-biomass raster rebuilt independently from the fixture
+    generator's pixel table, thresholded, then labeled by a plain
+    single-process BFS flood fill (NOT the engine's run-based
+    union-find / border-merge). Component id = the component's minimum
+    linear pixel index y·W + x — the same partition-invariant canonical
+    form the distributed pipeline emits, reachable by both
+    implementations independently."""
+
+    def build(tmp: str) -> dict:
+        from collections import deque
+
+        from gridfia_ray import fixtures
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        grid = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        grid[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        mask = grid > int(CCL_THRESHOLD * 1_000_000)
+        comp = np.full((n, n), -1, np.int64)
+        for sy, sx in zip(*np.nonzero(mask)):
+            if comp[sy, sx] >= 0:
+                continue
+            anchor = int(sy) * n + int(sx)  # first scan hit = min y·W+x
+            dq = deque([(int(sy), int(sx))])
+            comp[sy, sx] = anchor
+            while dq:
+                cy, cx = dq.popleft()
+                for ny, nx in ((cy - 1, cx), (cy + 1, cx), (cy, cx - 1), (cy, cx + 1)):
+                    if 0 <= ny < n and 0 <= nx < n and mask[ny, nx] and comp[ny, nx] < 0:
+                        comp[ny, nx] = anchor
+                        dq.append((ny, nx))
+        ys, xs = np.nonzero(comp >= 0)
+        exp = pa.table(
+            {
+                "y": pa.array(ys.astype(np.int64)),
+                "x": pa.array(xs.astype(np.int64)),
+                "component": pa.array(comp[ys, xs]),
+            }
+        )
+        pq.write_table(exp, os.path.join(tmp, "expected.parquet"))
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"cclpin-v{GEN_VERSION}.{CCLPIN_V}", build)
+
+
 def ensure_ddqpin() -> dict:
     """{'rows', 'expected'} parquet paths for the grouped DDSketch
     quantiles: skewed per-group value distributions (lognormal tails,

@@ -1,0 +1,409 @@
+"""Distributed connected-component labeling over a thresholded raster.
+
+The reference's rasters feed patch-level analyses (contiguous
+forest-patch delineation is the canonical downstream of its biomass /
+diversity grids — gridfia/core/processors/forest_metrics.py computes
+the per-pixel layers these patches are cut from); the reference itself
+stops at per-pixel metrics, so this is the scale-path raster op the
+brief's training-data plane calls for, built the way out-of-core GIS
+engines do it:
+
+  1. **per-tile labeling** (``map_batches``, zero shuffle): run-based
+     two-pass union-find — rows decompose into foreground runs
+     (vectorized), vertically overlapping runs union (4-connectivity);
+     cost is O(runs), not O(pixels · α).
+  2. **provisional global labels**: ``tile_id << 21 | local`` (bound
+     asserted) — unique without any coordination.
+  3. **border equivalences**: ONE bucketed exchange keyed on the shared
+     tile edge; only the 4·t edge pixels of each tile travel —
+     O(perimeter), never the raster.
+  4. **label-graph merge**: the same bounded driver union-find /
+     iterative bucketed hash-min propagation the doc-dedup clusters use
+     (``dedup.docs.dup_clusters[_distributed]``) — the graph has one
+     node per *border-crossing* label, not per pixel.
+  5. **canonical relabel**: final component id = the component's
+     minimum linear pixel index ``y * W + x`` (its "anchor pixel") — a
+     pure function of the component's shape, so the output is
+     partition-, tile- and schedule-invariant and independently
+     verifiable by a single-process flood fill (oracle_pins.ensure_cclpin).
+  6. **tile rewrite**: the root→anchor table is counted, bound-checked,
+     then broadcast (``ray.put`` once, read per worker) — the raster
+     itself shuffles zero times end to end.
+
+At 100 TB: pixel bytes never cross an exchange; moved rows are
+O(perimeter + labels + components).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+_LOCAL_BITS = 21  # per-tile label namespace (≥ t²/2 runs for t ≤ 2048)
+
+
+def label_tile(mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """4-connected component labels of a 2-D bool mask: int32 array,
+    background −1, labels compact 0..k−1 in first-pixel scan order.
+    Run-based two-pass: O(runs) unions, vectorized run extraction and
+    painting."""
+    h, w = mask.shape
+    pad = np.zeros((h, w + 2), np.int8)
+    pad[:, 1:-1] = mask
+    d = np.diff(pad, axis=1)
+    rs, cs = np.nonzero(d == 1)  # run starts (row-major scan order)
+    _, ce = np.nonzero(d == -1)  # matching exclusive ends
+    nruns = rs.size
+    if nruns == 0:
+        return np.full((h, w), -1, np.int32), 0
+    parent = np.arange(nruns, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    row_ptr = np.searchsorted(rs, np.arange(h + 1))
+    for r in range(1, h):
+        i, iend = row_ptr[r - 1], row_ptr[r]
+        j, jend = row_ptr[r], row_ptr[r + 1]
+        while i < iend and j < jend:
+            if cs[i] < ce[j] and cs[j] < ce[i]:  # column overlap → 4-conn
+                ri, rj = find(i), find(j)
+                if ri != rj:  # union by MIN run index → root = first run
+                    if ri < rj:
+                        parent[rj] = ri
+                    else:
+                        parent[ri] = rj
+            if ce[i] <= ce[j]:
+                i += 1
+            else:
+                j += 1
+    roots = np.fromiter((find(i) for i in range(nruns)), np.int64, nruns)
+    # root == min run index of its component, so ascending-root order IS
+    # first-pixel scan order: unique's sorted inverse compacts correctly
+    uniq, lab = np.unique(roots, return_inverse=True)
+    out = np.full(h * w, -1, np.int32)
+    lengths = ce - cs
+    flat_starts = rs * w + cs
+    offs = np.arange(lengths.sum()) - np.repeat(
+        np.cumsum(lengths) - lengths, lengths
+    )
+    out[np.repeat(flat_starts, lengths) + offs] = np.repeat(
+        lab.astype(np.int32), lengths
+    )
+    return out.reshape(h, w), len(uniq)
+
+
+class _TileLabeler:
+    """Stage 1: threshold + per-tile labeling + provisional global ids.
+
+    Float tiles are micro-scaled to int64 before the compare (the same
+    exactness policy as the focal/gradient ops — pipelines/focal.py):
+    the mask is then a pure integer predicate both the distributed path
+    and the single-process oracle compute identically. Integer tiles
+    are taken as already scaled."""
+
+    def __init__(self, threshold: float, grid_cols: int):
+        self.threshold_u = int(np.floor(threshold * 1_000_000 + 0.5))
+        self.grid_cols = grid_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_tr, out_tc, out_h, out_w, out_pix = [], [], [], [], []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            vals = np.frombuffer(
+                batch["pix"][i].as_py(), dtype=np.dtype(batch["dtype"][i].as_py())
+            ).reshape(h, w)
+            if vals.dtype.kind == "f":
+                vals = np.floor(
+                    vals.astype(np.float64) * 1_000_000 + 0.5
+                ).astype(np.int64)
+            lab, k = label_tile(vals > self.threshold_u)
+            if k >= (1 << _LOCAL_BITS):
+                raise ValueError(
+                    f"{k} components in one tile exceeds the {_LOCAL_BITS}-bit "
+                    "local label namespace — shrink the tile size"
+                )
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            tile_id = tr * self.grid_cols + tc
+            g = lab.astype(np.int64)
+            fg = g >= 0
+            g[fg] |= np.int64(tile_id) << _LOCAL_BITS
+            g[~fg] = -1
+            out_tr.append(tr)
+            out_tc.append(tc)
+            out_h.append(h)
+            out_w.append(w)
+            out_pix.append(g.tobytes())
+        n = len(out_tr)
+        return pa.table(
+            {
+                "metric": pa.array(["components"] * n, pa.string()),
+                "tile_row": pa.array(out_tr, pa.int64()),
+                "tile_col": pa.array(out_tc, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+                "w": pa.array(out_w, pa.int64()),
+                "pix": pa.array(out_pix, pa.binary()),
+                "dtype": pa.array(["int64"] * n, pa.string()),
+            }
+        )
+
+
+def _edge_strips(batch: pa.Table) -> pa.Table:
+    """Per tile: its 4 border strips, keyed by the SHARED edge so both
+    sides of every tile boundary land in one group. Edge (ekind, er, ec)
+    = the boundary between (er, ec) and its right ('v') / lower ('h')
+    neighbor. All-background strips are dropped (nothing to merge)."""
+    ek, er, ec, side, labs = [], [], [], [], []
+    for i in range(batch.num_rows):
+        h = int(batch["h"][i].as_py())
+        w = int(batch["w"][i].as_py())
+        g = np.frombuffer(batch["pix"][i].as_py(), dtype=np.int64).reshape(h, w)
+        tr = int(batch["tile_row"][i].as_py())
+        tc = int(batch["tile_col"][i].as_py())
+        for kind, r, c, s, strip in (
+            ("v", tr, tc, 0, g[:, -1]),  # my right edge
+            ("v", tr, tc - 1, 1, g[:, 0]),  # left neighbor's shared edge
+            ("h", tr, tc, 0, g[-1, :]),  # my bottom edge
+            ("h", tr - 1, tc, 1, g[0, :]),  # upper neighbor's shared edge
+        ):
+            if (strip >= 0).any():
+                ek.append(kind)
+                er.append(r)
+                ec.append(c)
+                side.append(s)
+                labs.append(strip.tobytes())
+    return pa.table(
+        {
+            "ekind": pa.array(ek, pa.string()),
+            "er": pa.array(er, pa.int64()),
+            "ec": pa.array(ec, pa.int64()),
+            "side": pa.array(side, pa.int64()),
+            "labs": pa.array(labs, pa.binary()),
+        }
+    )
+
+
+def _edge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One edge group → distinct cross-tile label equivalences."""
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64)})
+    if len(g) < 2:
+        return empty  # grid border, or the neighbor had no foreground
+    g = g.sort_values("side")
+    a = np.frombuffer(g["labs"].iloc[0], dtype=np.int64)
+    b = np.frombuffer(g["labs"].iloc[1], dtype=np.int64)
+    m = (a >= 0) & (b >= 0)
+    if not m.any():
+        return empty
+    pairs = np.unique(np.stack([a[m], b[m]], axis=1), axis=0)
+    return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+
+def _label_partials(batch: pa.Table) -> pa.Table:
+    """Per tile: (label, min global linear pixel index, pixel count) —
+    the anchor/size partials. W rides along so the reduce is pure."""
+    out_lab, out_minpix, out_cnt = [], [], []
+    for i in range(batch.num_rows):
+        h = int(batch["h"][i].as_py())
+        w = int(batch["w"][i].as_py())
+        W = int(batch["W"][i].as_py())
+        g = np.frombuffer(batch["pix"][i].as_py(), dtype=np.int64)
+        fg = g >= 0
+        if not fg.any():
+            continue
+        gy0 = int(batch["tile_row"][i].as_py()) * h
+        gx0 = int(batch["tile_col"][i].as_py()) * w
+        flat = np.nonzero(fg)[0]
+        pixidx = (gy0 + flat // w) * np.int64(W) + (gx0 + flat % w)
+        labs = g[fg]
+        order = np.argsort(labs, kind="stable")  # stable → min pixidx first
+        u, first, cnt = np.unique(labs[order], return_index=True, return_counts=True)
+        out_lab.append(u)
+        out_minpix.append(pixidx[order][first])
+        out_cnt.append(cnt.astype(np.int64))
+    if not out_lab:
+        return pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "minpix": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "label": pa.array(np.concatenate(out_lab), pa.int64()),
+            "minpix": pa.array(np.concatenate(out_minpix), pa.int64()),
+            "cnt": pa.array(np.concatenate(out_cnt), pa.int64()),
+        }
+    )
+
+
+class _Relabeler:
+    """Stage 6: provisional → canonical anchor labels, via the broadcast
+    root map (built once per worker from the object-store refs)."""
+
+    def __init__(self, roots_ref, anchors_ref):
+        roots = ray.get(roots_ref)  # (label → root) for border labels
+        anchors = ray.get(anchors_ref)  # (root → anchor), every root
+        self.r_keys = roots["label"]
+        self.r_vals = roots["root"]
+        self.a_keys = anchors["root"]
+        self.a_vals = anchors["anchor"]
+
+    def _lookup(self, keys: np.ndarray, vals: np.ndarray, q: np.ndarray,
+                default: np.ndarray | None) -> np.ndarray:
+        """Sorted-array map: q → vals where q ∈ keys, else default
+        (element-wise); default=None asserts full coverage."""
+        if len(keys) == 0:
+            if default is None:
+                raise KeyError("component root missing from the anchor map")
+            return default.copy()
+        pos = np.clip(np.searchsorted(keys, q), 0, len(keys) - 1)
+        hit = keys[pos] == q
+        if default is None:
+            if not hit.all():
+                raise KeyError("component root missing from the anchor map")
+            return vals[pos]
+        out = default.copy()
+        out[hit] = vals[pos][hit]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixs = []
+        for i in range(batch.num_rows):
+            g = np.frombuffer(batch["pix"][i].as_py(), dtype=np.int64).copy()
+            fg = g >= 0
+            if fg.any():
+                labs = g[fg]
+                roots = self._lookup(self.r_keys, self.r_vals, labs, labs)
+                g[fg] = self._lookup(self.a_keys, self.a_vals, roots, None)
+            pixs.append(g.tobytes())
+        return batch.set_column(
+            batch.schema.get_field_index("pix"), "pix", pa.array(pixs, pa.binary())
+        )
+
+
+def connected_components(
+    result: rd.Dataset,
+    grid_cols: int,
+    *,
+    threshold: float = 0.0,
+    n_buckets: int = 64,
+    max_driver_pairs: int = 5_000_000,
+    max_broadcast_labels: int = 20_000_000,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Label 4-connected components of ``value > threshold`` over a
+    single-metric result-tile dataset.
+
+    Returns ``(labeled_tiles, components)``: labeled tiles carry int64
+    canonical component ids per pixel (−1 background) where the id is
+    the component's minimum ``y·W + x`` (W = raster width in pixels);
+    ``components`` is ``(component, n_pixels)``.
+
+    Bounds: the border-pair fold and the root/anchor broadcast are
+    counted before any driver pull and raise beyond their bounds (the
+    beyond-bound component merge is ``dup_clusters_distributed``; a
+    beyond-bound anchor map needs the tile-keyed exchange variant —
+    raise rather than silently degrade, per the module rule).
+    """
+    from gridfia_ray.dedup.docs import dup_clusters
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_group_map
+
+    labeled = result.map_batches(
+        _TileLabeler(threshold, grid_cols), batch_format="pyarrow"
+    ).materialize()  # consumed 3× (edges, partials, rewrite)
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    pairs = bucketed_group_map(
+        labeled.map_batches(_edge_strips, batch_format="pyarrow"),
+        ["ekind", "er", "ec"],
+        _edge_pairs,
+        n_buckets=n_buckets,
+        out_schema=pair_schema,
+    )
+    # bounded driver union-find over BORDER labels (dup_clusters counts
+    # before it pulls); at the 100 TB end swap in dup_clusters_distributed
+    pairs = pairs.materialize()
+    if pairs.count() == 0:  # no component crosses a tile border
+        roots_df = pd.DataFrame(
+            {"label": np.array([], np.int64), "root": np.array([], np.int64)}
+        )
+    else:
+        roots_df = dup_clusters(pairs, max_driver_pairs=max_driver_pairs)
+        roots_df = roots_df.rename(columns={"doc_id": "label", "cluster_rep": "root"})
+
+    # anchor/size partials, reduced per provisional label first (tiles
+    # sharing a label pre-combine), then folded to roots
+    tile_w = labeled.map_batches(
+        lambda b: b.append_column(
+            "W",
+            pa.array(np.full(b.num_rows, grid_cols, np.int64) * b["w"].to_numpy()),
+        ),
+        batch_format="pyarrow",
+    )
+    per_label = bucketed_agg(
+        tile_w.map_batches(_label_partials, batch_format="pyarrow"),
+        ["label"],
+        {"minpix": ("minpix", "min"), "cnt": ("cnt", "sum")},
+        n_buckets=n_buckets,
+    ).materialize()
+    n_labels = per_label.count()
+    if n_labels > max_broadcast_labels:
+        raise ValueError(
+            f"{n_labels} provisional labels exceed max_broadcast_labels="
+            f"{max_broadcast_labels}; the anchor map needs the tile-keyed "
+            "exchange instead of a broadcast at this scale"
+        )
+    if n_labels == 0:  # empty mask: labeled tiles are already all −1
+        empty_comps = rd.from_arrow(
+            pa.table(
+                {"component": pa.array([], pa.int64()),
+                 "n_pixels": pa.array([], pa.int64())}
+            )
+        )
+        return labeled, empty_comps
+    pl = per_label.to_pandas()
+    lab = pl["label"].to_numpy(np.int64)
+    root_map = dict(zip(roots_df["label"], roots_df["root"]))
+    roots = np.array([root_map.get(int(x), int(x)) for x in lab], np.int64)
+    agg = pd.DataFrame(
+        {"root": roots, "minpix": pl["minpix"].to_numpy(np.int64),
+         "cnt": pl["cnt"].to_numpy(np.int64)}
+    ).groupby("root").agg(anchor=("minpix", "min"), n=("cnt", "sum"))
+
+    r_order = np.argsort(roots_df["label"].to_numpy(np.int64))
+    roots_bc = ray.put(
+        {
+            "label": roots_df["label"].to_numpy(np.int64)[r_order],
+            "root": roots_df["root"].to_numpy(np.int64)[r_order],
+        }
+    )
+    anchors_bc = ray.put(
+        {
+            "root": agg.index.to_numpy(np.int64),  # groupby → sorted
+            "anchor": agg["anchor"].to_numpy(np.int64),
+        }
+    )
+    from gridfia_ray.stages.worker_state import worker_cached
+
+    relabeled = labeled.map_batches(
+        worker_cached(_Relabeler, roots_ref=roots_bc, anchors_ref=anchors_bc),
+        batch_format="pyarrow",
+    )
+    components = rd.from_arrow(
+        pa.table(
+            {
+                "component": pa.array(agg["anchor"].to_numpy(np.int64)),
+                "n_pixels": pa.array(agg["n"].to_numpy(np.int64)),
+            }
+        )
+    )
+    return relabeled, components
