@@ -312,6 +312,45 @@ def q_focal_aspect(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_local_moran(sf_dir: str) -> pd.DataFrame:
+    """Anselin local Moran's I (LISA) of the total-biomass raster
+    (pipelines/local_stats.local_moran_tiles — exact-integer deviations
+    over the halo exchange, one global-scalar pre-pass), µ-unit
+    hash-exact vs the neighbor self-join oracle; quadrant labels are
+    pure integer sign tests (1=HH 2=LH 3=LL 4=HL)."""
+    from gridfia_ray.pipelines.local_stats import local_moran_tiles
+
+    f = _fx()
+    out = local_moran_tiles(_total_biomass_result(f)).to_pandas()
+    res = pd.DataFrame(
+        {
+            "y": out["y"].astype(np.int64),
+            "x": out["x"].astype(np.int64),
+            "i_u": s6(out["i_local"]),
+            "quad": out["quad"].astype(np.int64),
+        }
+    )
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
+def q_getis_gstar(sf_dir: str) -> pd.DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores of the total-biomass raster
+    (pipelines/local_stats.getis_gstar_tiles — self-inclusive binary
+    8-neighbor weights), µ-unit hash-exact vs the self-join oracle."""
+    from gridfia_ray.pipelines.local_stats import getis_gstar_tiles
+
+    f = _fx()
+    out = getis_gstar_tiles(_total_biomass_result(f)).to_pandas()
+    res = pd.DataFrame(
+        {
+            "y": out["y"].astype(np.int64),
+            "x": out["x"].astype(np.int64),
+            "gi_u": s6(out["gi_star"]),
+        }
+    )
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def _total_biomass_result(f: dict):
     """Shared: the precise scaled total-biomass result tiles (input to
     the raster-derivative queries below)."""
@@ -3344,7 +3383,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     frame sampling, multimodal tile
     features, warp + percentile sketch with pinned-parquet oracles,
     bbox window, spatial join, kNN-IDW, tile exact/near dedup, Moran's
-    I, store lifecycle (zarr-cube migration ingest), State Plane CRS
+    I, local autocorrelation (LISA local Moran + Getis-Ord Gi* hot
+    spots), store lifecycle (zarr-cube migration ingest), State Plane CRS
     EPSG vectors, large*large shuffle join, semi join, ROLLUP, as-of +
     interval joins, tumbling windows, funnels, running window
     functions, seeded bootstrap/permutation resampling, MinHash-LSH and
@@ -3353,7 +3393,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     filter chain AND the resumable sharded corpus build, corpus mixing,
     sequence packing, language ID, quality, and sketch-verified heavy
     hitters. Entries 51+ are family siblings already represented in
-    the window (remaining per-pixel kernels, hopping windows, anti
+    the window (remaining per-pixel kernels, zonal species breakdown,
+    the percentile sketch, hopping windows, anti
     join, broadcast chains, focal gradient, paragraph/near-incremental
     dedup, splits, token stats, the remaining pinned twins) plus the
     seven rows-only sf-table variants of the heuristic ops, which carry
@@ -3367,7 +3408,6 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_species_dominance": q_species_dominance,
         "gf_occurrence_stats": q_occurrence_stats,
         "gf_zonal_stats": q_zonal_stats,
-        "gf_zonal_species": q_zonal_species,
         "gf_zonal_percentiles": q_zonal_percentiles,
         "gf_downsample_2x": q_downsample_2x,
         "gf_focal_sum": q_focal_sum_3x3,
@@ -3386,7 +3426,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tile_dedup_exact": q_tile_dedup_exact,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_morans_i": q_morans_i,
-        "gf_percentiles": q_percentiles,
+        "gf_local_moran": q_local_moran,
+        "gf_getis_gstar": q_getis_gstar,
         "gf_percentiles_exact": q_percentiles_exact,
         "gf_tile_catalog": q_tile_catalog,
         "gf_ingest_cube": q_ingest_cube,
@@ -3420,6 +3461,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # --- beyond the window: family siblings (all still SQL-backed,
         # verified by scripts/check_contract.py every round) ---
         "doc_dup_clusters": q_doc_dup_clusters,
+        "gf_zonal_species": q_zonal_species,
+        "gf_percentiles": q_percentiles,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_downsample_4x": q_downsample_4x,
@@ -3696,6 +3739,61 @@ def build_oracle_sql() -> dict[str, str]:
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x
         HAVING COUNT(*) = 9"""
+    # local autocorrelation: every per-pixel building block is an exact
+    # BIGINT/HUGEINT; the single float division mirrors the pipeline's
+    # IEEE expression tree term for term (pipelines/local_stats.py),
+    # so the µ-unit quantization is bit-deterministic on both sides
+    sql["gf_local_moran"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        g AS (SELECT COUNT(*) AS n, SUM(v) AS s,
+                     SUM(CAST(v AS HUGEINT) * v) AS ssq FROM u),
+        nb AS (SELECT a.y, a.x, a.v, SUM(b.v) AS sn, COUNT(*) AS c
+               FROM u a JOIN u b
+                 ON b.y BETWEEN a.y - 1 AND a.y + 1
+                AND b.x BETWEEN a.x - 1 AND a.x + 1
+                AND NOT (b.y = a.y AND b.x = a.x)
+               GROUP BY a.y, a.x, a.v),
+        d AS (SELECT nb.y, nb.x,
+                     g.n * nb.v - g.s AS dev,
+                     g.n * nb.sn - nb.c * g.s AS nbrdev,
+                     nb.c AS c,
+                     g.n AS n,
+                     CAST(g.n AS HUGEINT) * g.n * g.ssq
+                       - CAST(g.n AS HUGEINT) * g.s * g.s AS ssd
+              FROM nb, g)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               {_sql_s6("(CAST(dev AS DOUBLE) * CAST(nbrdev AS DOUBLE) * n)"
+                        " / (CAST(c AS DOUBLE) * CAST(ssd AS DOUBLE))")} AS i_u,
+               CAST(CASE WHEN dev > 0 AND nbrdev > 0 THEN 1
+                         WHEN dev < 0 AND nbrdev > 0 THEN 2
+                         WHEN dev < 0 AND nbrdev < 0 THEN 3
+                         WHEN dev > 0 AND nbrdev < 0 THEN 4
+                         ELSE 0 END AS BIGINT) AS quad
+        FROM d"""
+    sql["gf_getis_gstar"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        g AS (SELECT COUNT(*) AS n, SUM(v) AS s,
+                     SUM(CAST(v AS HUGEINT) * v) AS ssq FROM u),
+        nb AS (SELECT a.y, a.x, SUM(b.v) AS sw, COUNT(*) AS w
+               FROM u a JOIN u b
+                 ON b.y BETWEEN a.y - 1 AND a.y + 1
+                AND b.x BETWEEN a.x - 1 AND a.x + 1
+               GROUP BY a.y, a.x),
+        d AS (SELECT nb.y, nb.x,
+                     g.n * nb.sw - nb.w * g.s AS num,
+                     g.n * g.ssq - CAST(g.s AS HUGEINT) * g.s AS a,
+                     g.n * nb.w - nb.w * nb.w AS bn,
+                     g.n AS n
+              FROM nb, g)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               {_sql_s6("CAST(num AS DOUBLE)"
+                        " / (sqrt(CAST(a AS DOUBLE))"
+                        " * sqrt(CAST(bn AS DOUBLE) / (n - 1)))")} AS gi_u
+        FROM d"""
     sql["gf_downsample_2x"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)

@@ -115,7 +115,14 @@ def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
     per-tile padded assembly → ``window_fn(vals, pres, h, w) ->
     (cols, keep)`` where ``cols`` is a dict of h×w output arrays
     (emitted alongside the standard metric/y/x columns) and ``keep`` is
-    an h×w boolean emission mask, or None to emit every pixel."""
+    an h×w boolean emission mask, or None to emit every pixel.
+
+    A ``window_fn`` that also declares a ``metric`` parameter receives
+    the tile's metric name — needed by kernels whose math depends on
+    per-metric global scalars (local autocorrelation)."""
+    import inspect
+
+    wants_metric = "metric" in inspect.signature(window_fn).parameters
 
     def assemble(group: pd.DataFrame) -> pd.DataFrame:
         center = (group["dy"] == 0) & (group["dx"] == 0)
@@ -150,7 +157,10 @@ def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
             strip = np.frombuffer(r["strip"], dtype=np.int64).reshape(n_r, n_c)
             vals[rs, cs] = strip
             pres[rs, cs] = 1
-        cols, keep = window_fn(vals, pres, h, w)
+        if wants_metric:
+            cols, keep = window_fn(vals, pres, h, w, metric=group["metric"].iloc[0])
+        else:
+            cols, keep = window_fn(vals, pres, h, w)
         tr = int(group["tile_row"].iloc[0])
         tc = int(group["tile_col"].iloc[0])
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -167,10 +177,16 @@ def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
 
     # pin the output Arrow schema explicitly — an all-empty bucket must
     # emit the same schema as a full one (inference from an empty object
-    # column would yield Arrow null and churn the executor)
+    # column would yield Arrow null and churn the executor); numeric
+    # dtypes come from the ``empty`` frame so float kernels (local
+    # autocorrelation) pin float64 instead of int64
     out_schema = pa.schema(
         [("metric", pa.string())]
-        + [(c, pa.int64()) for c in empty.columns if c != "metric"]
+        + [
+            (c, pa.from_numpy_dtype(empty[c].dtype))
+            for c in empty.columns
+            if c != "metric"
+        ]
     )
     return bucketed_group_map(
         _halo_explode(result, op),
