@@ -351,6 +351,21 @@ def q_getis_gstar(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_distance_transform(sf_dir: str) -> pd.DataFrame:
+    """L1 proximity raster (pipelines/distance.distance_transform_tiles
+    — separable two-pass banded scan, gdal_proximity semantics): pixel
+    steps to the nearest total-biomass pixel above 150. Exact int64
+    distances vs a MIN(|Δy|+|Δx|) cross-join oracle."""
+    from gridfia_ray.pipelines.distance import distance_transform_tiles
+
+    f = _fx()
+    out = distance_transform_tiles(
+        _total_biomass_result(f), threshold=150.0
+    ).to_pandas()
+    res = out[["y", "x", "dist"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def _total_biomass_result(f: dict):
     """Shared: the precise scaled total-biomass result tiles (input to
     the raster-derivative queries below)."""
@@ -3384,7 +3399,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     features, warp + percentile sketch with pinned-parquet oracles,
     bbox window, spatial join, kNN-IDW, tile exact/near dedup, Moran's
     I, local autocorrelation (LISA local Moran + Getis-Ord Gi* hot
-    spots), store lifecycle (zarr-cube migration ingest), State Plane CRS
+    spots), L1 proximity distance transform, store lifecycle
+    (zarr-cube migration ingest), State Plane CRS
     EPSG vectors, large*large shuffle join, semi join, ROLLUP, as-of +
     interval joins, tumbling windows, funnels, running window
     functions, seeded bootstrap/permutation resampling, MinHash-LSH and
@@ -3394,7 +3410,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     sequence packing, language ID, quality, and sketch-verified heavy
     hitters. Entries 51+ are family siblings already represented in
     the window (remaining per-pixel kernels, zonal species breakdown,
-    the percentile sketch, hopping windows, anti
+    the percentile sketch, MJPEG video frame sampling, hopping windows, anti
     join, broadcast chains, focal gradient, paragraph/near-incremental
     dedup, splits, token stats, the remaining pinned twins) plus the
     seven rows-only sf-table variants of the heuristic ops, which carry
@@ -3416,7 +3432,6 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_csv_roundtrip": q_csv_roundtrip,
         "gf_jpeg_decode": q_jpeg_decode,
         "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
         "gf_tile_features": q_tile_features,
         # geo ops / joins / dedup / stats / lifecycle
         "gf_warp_mercator": q_warp_mercator,
@@ -3428,6 +3443,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_morans_i": q_morans_i,
         "gf_local_moran": q_local_moran,
         "gf_getis_gstar": q_getis_gstar,
+        "gf_distance_transform": q_distance_transform,
         "gf_percentiles_exact": q_percentiles_exact,
         "gf_tile_catalog": q_tile_catalog,
         "gf_ingest_cube": q_ingest_cube,
@@ -3461,6 +3477,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # --- beyond the window: family siblings (all still SQL-backed,
         # verified by scripts/check_contract.py every round) ---
         "doc_dup_clusters": q_doc_dup_clusters,
+        "video_frames": q_video_frames,
         "gf_zonal_species": q_zonal_species,
         "gf_percentiles": q_percentiles,
         "gf_webp_decode": q_webp_decode,
@@ -3794,6 +3811,17 @@ def build_oracle_sql() -> dict[str, str]:
                         " / (sqrt(CAST(a AS DOUBLE))"
                         " * sqrt(CAST(bn AS DOUBLE) / (n - 1)))")} AS gi_u
         FROM d"""
+    # proximity: distances are pure integers, so the oracle is the
+    # brute-force min over the (small) feature set — no float anywhere
+    sql["gf_distance_transform"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        feat AS (SELECT y, x FROM u WHERE v > {int(150.0 * 1_000_000)})
+        SELECT CAST(u.y AS BIGINT) AS y, CAST(u.x AS BIGINT) AS x,
+               CAST(MIN(ABS(u.y - feat.y) + ABS(u.x - feat.x)) AS BIGINT)
+                 AS dist
+        FROM u CROSS JOIN feat GROUP BY u.y, u.x"""
     sql["gf_downsample_2x"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)
