@@ -366,6 +366,28 @@ def q_distance_transform(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_temporal_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-pixel biomass trend over a deterministic 5-year stack
+    (pipelines/temporal — synthetic dated stack with integer closed
+    forms, then one keyed exchange co-locating each tile's years and a
+    vectorized int64-exact OLS). slope µ-quantized, delta exact, both
+    hash-matched vs the SQL re-derivation of the identical stack."""
+    from gridfia_ray.pipelines.temporal import make_yearly_stack, temporal_trend_tiles
+
+    f = _fx()
+    stack = make_yearly_stack(_total_biomass_result(f), 5)
+    out = temporal_trend_tiles(stack).to_pandas()
+    res = pd.DataFrame(
+        {
+            "y": out["y"].astype(np.int64),
+            "x": out["x"].astype(np.int64),
+            "slope_u": s6(out["slope"]),
+            "delta": out["delta"].astype(np.int64),
+        }
+    )
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def _total_biomass_result(f: dict):
     """Shared: the precise scaled total-biomass result tiles (input to
     the raster-derivative queries below)."""
@@ -3393,14 +3415,13 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     the LLM-data-plane families — raster metric kernels (unscaled +
     scaled-integer + the global two-phase dominance), global species
     stats, zonal stats/species/percentiles, overview pyramid, focal map
-    algebra, the 4-sink raster roundtrip AND the CSV text roundtrip,
-    the lossy JPEG decode pool, WAV audio features, MJPEG-in-BMFF video
-    frame sampling, multimodal tile
+    algebra, the 4-sink raster roundtrip,
+    the lossy JPEG decode pool, WAV audio features, multimodal tile
     features, warp + percentile sketch with pinned-parquet oracles,
     bbox window, spatial join, kNN-IDW, tile exact/near dedup, Moran's
     I, local autocorrelation (LISA local Moran + Getis-Ord Gi* hot
-    spots), L1 proximity distance transform, store lifecycle
-    (zarr-cube migration ingest), State Plane CRS
+    spots), L1 proximity distance transform, per-pixel temporal trend,
+    store lifecycle (zarr-cube migration ingest), State Plane CRS
     EPSG vectors, large*large shuffle join, semi join, ROLLUP, as-of +
     interval joins, tumbling windows, funnels, running window
     functions, seeded bootstrap/permutation resampling, MinHash-LSH and
@@ -3410,7 +3431,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     sequence packing, language ID, quality, and sketch-verified heavy
     hitters. Entries 51+ are family siblings already represented in
     the window (remaining per-pixel kernels, zonal species breakdown,
-    the percentile sketch, MJPEG video frame sampling, hopping windows, anti
+    the percentile sketch, the CSV/NDJSON text roundtrips, MJPEG video
+    frame sampling, hopping windows, anti
     join, broadcast chains, focal gradient, paragraph/near-incremental
     dedup, splits, token stats, the remaining pinned twins) plus the
     seven rows-only sf-table variants of the heuristic ops, which carry
@@ -3429,7 +3451,6 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_focal_sum": q_focal_sum_3x3,
         # sinks / codecs / multimodal stages
         "gf_raster_roundtrip": q_raster_roundtrip,
-        "gf_csv_roundtrip": q_csv_roundtrip,
         "gf_jpeg_decode": q_jpeg_decode,
         "audio_features": q_audio_features,
         "gf_tile_features": q_tile_features,
@@ -3444,6 +3465,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_local_moran": q_local_moran,
         "gf_getis_gstar": q_getis_gstar,
         "gf_distance_transform": q_distance_transform,
+        "gf_temporal_trend": q_temporal_trend,
         "gf_percentiles_exact": q_percentiles_exact,
         "gf_tile_catalog": q_tile_catalog,
         "gf_ingest_cube": q_ingest_cube,
@@ -3477,6 +3499,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # --- beyond the window: family siblings (all still SQL-backed,
         # verified by scripts/check_contract.py every round) ---
         "doc_dup_clusters": q_doc_dup_clusters,
+        "gf_csv_roundtrip": q_csv_roundtrip,
         "video_frames": q_video_frames,
         "gf_zonal_species": q_zonal_species,
         "gf_percentiles": q_percentiles,
@@ -3811,6 +3834,30 @@ def build_oracle_sql() -> dict[str, str]:
                         " / (sqrt(CAST(a AS DOUBLE))"
                         " * sqrt(CAST(bn AS DOUBLE) / (n - 1)))")} AS gi_u
         FROM d"""
+    # temporal trend: the SQL re-derives the synthetic 5-year stack
+    # from the pixel table with the same integer closed forms, then the
+    # same int64-exact OLS sums; the single float division mirrors the
+    # pipeline's expression (pipelines/temporal.py)
+    sql["gf_temporal_trend"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        t AS (SELECT unnest(range(5)) AS yr),
+        stack AS (SELECT u.y, u.x, t.yr,
+                  u.v + t.yr * ((u.y*2654435761 + u.x*40503) % 1000000
+                                - 500000)
+                      + (t.yr*31 + u.x + u.y) % 7000 AS w
+                  FROM u CROSS JOIN t),
+        agg AS (SELECT y, x, COUNT(*) AS k, SUM(yr) AS st,
+                       SUM(yr*yr) AS st2, SUM(w) AS sv, SUM(yr*w) AS stv,
+                       MAX(CASE WHEN yr = 4 THEN w END)
+                         - MAX(CASE WHEN yr = 0 THEN w END) AS delta
+                FROM stack GROUP BY y, x)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               {_sql_s6("CAST(k*stv - st*sv AS DOUBLE) / (k*st2 - st*st)")}
+                 AS slope_u,
+               CAST(delta AS BIGINT) AS delta
+        FROM agg"""
     # proximity: distances are pure integers, so the oracle is the
     # brute-force min over the (small) feature set — no float anywhere
     sql["gf_distance_transform"] = f"""
