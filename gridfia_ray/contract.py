@@ -3287,6 +3287,185 @@ def q_rel_prompt_ship_lines(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
 
+def q_rel_returned_orders(sf_dir: str) -> pd.DataFrame:
+    """EXISTS with a LARGE key side (TPC-H Q4 shape): orders having at
+    least one returned line (l_returnflag = 'R'), counted per order
+    priority. The returned-orderkey set is a large fraction of all
+    orders — broadcast_semi_join dedupes it distributed and its
+    cardinality/byte guards auto-route to the hash-shuffle semi join
+    beyond the broadcast budget."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.joins import broadcast_semi_join
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    )
+
+    def returned_keys(batch):
+        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        return b.select(["l_orderkey"]).rename_columns(["o_orderkey"])
+
+    keys = li.map_batches(returned_keys, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    hit = broadcast_semi_join(orders, keys, on="o_orderkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_orderpriority", as_index=False).size()
+        return g.rename(columns={"size": "n_orders"})
+
+    out = bucketed_agg(
+        hit.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"n_orders": ("n_orders", "sum")},
+        n_buckets=4,
+    ).to_pandas()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_rel_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """Correlated-average subquery (TPC-H Q17 shape): for Brand#1
+    parts, revenue of lines with quantity below 20% of that part's
+    average quantity. Two streaming passes over lineitem — per-part
+    (Σqty, n) combiner into a tiny broadcast table, then the integer
+    predicate 5·qty_c·n < Σqty_c (exact cents, no float average)."""
+    import ray
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    import pyarrow.compute as pc
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).map_batches(  # brand filter runs distributed; only ~1/25 of the
+        # dimension's keys ever reach the driver for the broadcast
+        lambda b: b.filter(pc.equal(b["p_brand"], "Brand#1")).select(["p_partkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    brand_keys = np.sort(part["p_partkey"].to_numpy())
+    kref = ray.put(brand_keys)
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def brand_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        k = _ray.get(kref)
+        v = batch["l_partkey"].to_numpy()
+        pos = np.searchsorted(k, v)
+        ok = pos < k.size
+        hit = np.zeros(len(batch), dtype=bool)
+        hit[ok] = k[pos[ok]] == v[ok]
+        b = batch.loc[hit].copy()
+        b["qty_c"] = np.floor(b["l_quantity"] * 100 + 0.5).astype(np.int64)
+        b["price_c"] = np.floor(b["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+        return b[["l_partkey", "qty_c", "price_c"]]
+
+    lines = li.map_batches(brand_lines, batch_format="pandas").materialize()
+
+    def qty_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("l_partkey", as_index=False).agg(
+            s=("qty_c", "sum"), n=("qty_c", "size")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    stats = bucketed_agg(
+        lines.map_batches(qty_partial, batch_format="pandas"),
+        ["l_partkey"],
+        {"s": ("s", "sum"), "n": ("n", "sum")},
+        n_buckets=4,
+    ).to_pandas()  # ≤ one row per brand part — tiny by construction
+    stats = stats.sort_values("l_partkey")
+    sref = ray.put(
+        (
+            stats["l_partkey"].to_numpy(np.int64),
+            stats["s"].to_numpy(np.int64),
+            stats["n"].to_numpy(np.int64),
+        )
+    )
+
+    def small_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        pk, s, n = _ray.get(sref)
+        idx = np.searchsorted(pk, batch["l_partkey"].to_numpy())
+        small = 5 * batch["qty_c"].to_numpy() * n[idx] < s[idx]
+        b = batch.loc[small]
+        g = b.groupby("l_partkey", as_index=False).agg(
+            n_small=("qty_c", "size"), small_revenue_c=("price_c", "sum")
+        )
+        g["n_small"] = g["n_small"].astype(np.int64)
+        return g
+
+    out = bucketed_agg(
+        lines.map_batches(small_partial, batch_format="pandas"),
+        ["l_partkey"],
+        {"n_small": ("n_small", "sum"), "small_revenue_c": ("small_revenue_c", "sum")},
+        n_buckets=4,
+    ).to_pandas()
+    out = out.rename(columns={"l_partkey": "p_partkey"})
+    for c in ("p_partkey", "n_small", "small_revenue_c"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_rel_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """Argmax over a grouped aggregate (TPC-H Q15 shape): supplier(s)
+    with the maximum Q1-1996 revenue — per-suppkey cents combiner, tiny
+    bucketed merge, broadcast supplier-name attach, max + tie keep."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["l_shipdate"] >= pd.Timestamp("1996-01-01")) & (
+            batch["l_shipdate"] < pd.Timestamp("1996-04-01")
+        )
+        b = batch.loc[keep].copy()
+        b["revenue_c"] = np.floor(
+            b["l_extendedprice"] * (1.0 - b["l_discount"]) * 100 + 0.5
+        ).astype(np.int64)
+        return b.groupby("l_suppkey", as_index=False).agg(
+            revenue_c=("revenue_c", "sum")
+        )
+
+    rev = bucketed_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_suppkey"],
+        {"revenue_c": ("revenue_c", "sum")},
+        n_buckets=4,
+    ).to_pandas()  # one row per supplier — tiny
+    top = rev[rev["revenue_c"] == rev["revenue_c"].max()]
+    supp = read_parquet_clean(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = top.merge(supp, left_on="l_suppkey", right_on="s_suppkey")[
+        ["s_suppkey", "s_name", "revenue_c"]
+    ]
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
 def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
     """As-of join (event attribution): each click matched to the SAME
     user's latest view at-or-before the click. Ray Data has no asof
@@ -3501,6 +3680,9 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "gf_csv_roundtrip": q_csv_roundtrip,
         "video_frames": q_video_frames,
+        "rel_returned_orders": q_rel_returned_orders,
+        "rel_small_qty_revenue": q_rel_small_qty_revenue,
+        "rel_top_supplier": q_rel_top_supplier,
         "gf_zonal_species": q_zonal_species,
         "gf_percentiles": q_percentiles,
         "gf_webp_decode": q_webp_decode,
@@ -4756,6 +4938,39 @@ def build_oracle_sql() -> dict[str, str]:
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= o.o_orderdate
           AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY"""
+    sql["rel_returned_orders"] = """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority"""
+    sql["rel_small_qty_revenue"] = """
+        WITH pa AS (
+          SELECT l_partkey,
+                 SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem JOIN part
+            ON p_partkey = l_partkey AND p_brand = 'Brand#1'
+          GROUP BY l_partkey)
+        SELECT l.l_partkey AS p_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_small,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS small_revenue_c
+        FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+        WHERE 5 * CAST(FLOOR(l.l_quantity*100 + 0.5) AS BIGINT) * pa.n < pa.s
+        GROUP BY l.l_partkey"""
+    sql["rel_top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 SUM(CAST(FLOOR(l_extendedprice*(1.0 - l_discount)*100 + 0.5)
+                     AS BIGINT)) AS revenue_c
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, CAST(rev.revenue_c AS BIGINT) AS revenue_c
+        FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+        WHERE rev.revenue_c = (SELECT MAX(revenue_c) FROM rev)"""
     # events_asof_join: DuckDB's native ASOF JOIN is the independent
     # re-statement of pipelines/joins.asof_join (backward, inner,
     # allow-exact-match). The generator guarantees unique (user_id, ts)
