@@ -1829,6 +1829,51 @@ def q_doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_bpe_train_pinned(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer TRAINING (word-frequency table + per-
+    round pair-count argmax exchanges) vs the pinned sequential trainer
+    replay — merge lists must match rank-for-rank (determinism contract:
+    max count, then lexicographically smallest pair)."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.text.bpe import train_bpe
+
+    tune_context()
+    docs = rd.read_parquet(oracle_pins.ensure_bpepin()["documents"])
+    merges = train_bpe(docs, oracle_pins.BPE_PIN_MERGES)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(merges), dtype=np.int64),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+        }
+    )
+
+
+def q_bpe_tokenize_pinned(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenization (actor-pool merge replay, per-actor word
+    memoization) with the pinned merge list vs per-doc counts from the
+    sequential replay."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.text.bpe import tokenize_count
+
+    tune_context()
+    pin = oracle_pins.ensure_bpepin()
+    exp = _pq.read_table(pin["merges_expected"])
+    merges = list(zip(exp["left"].to_pylist(), exp["right"].to_pylist()))
+    docs = rd.read_parquet(pin["documents"])
+    out = tokenize_count(docs, merges, concurrency=2).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_token_freq(sf_dir: str) -> pd.DataFrame:
     """Distributed wordcount: top-50 corpus tokens by frequency
     (vocabulary building). Per-batch value_counts combiner → bucketed
@@ -3767,6 +3812,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # same distributed pipelines on deterministic planted corpora,
         # hash-checked against oracle_pins replays (minhash and IVF
         # twins sit inside the driver window above)
+        "bpe_train_pinned": q_bpe_train_pinned,
+        "bpe_tokenize_pinned": q_bpe_tokenize_pinned,
         "doc_simhash_pinned": q_doc_simhash_pinned,
         "doc_hll_pinned": q_doc_hll_pinned,
         "ghll_pinned": q_ghll_pinned,
@@ -4284,6 +4331,13 @@ def build_oracle_sql() -> dict[str, str]:
     _dp, _ap = _pins.ensure_docpin(), _pins.ensure_annpin()
     sql["doc_minhash_pinned"] = (
         f"SELECT * FROM read_parquet('{_dp['minhash_expected']}') ORDER BY a, b"
+    )
+    _bp = _pins.ensure_bpepin()
+    sql["bpe_train_pinned"] = (
+        f"SELECT * FROM read_parquet('{_bp['merges_expected']}') ORDER BY rank"
+    )
+    sql["bpe_tokenize_pinned"] = (
+        f"SELECT * FROM read_parquet('{_bp['counts_expected']}') ORDER BY doc_id"
     )
     sql["doc_simhash_pinned"] = (
         f"SELECT * FROM read_parquet('{_dp['simhash_expected']}') ORDER BY a, b"

@@ -1282,3 +1282,151 @@ def ensure_annpin() -> dict:
         }
 
     return _ensure_dir(f"annpin-v{GEN_VERSION}.{ANNPIN_V}", build)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training pin: deterministic morphology-rich corpus and a
+# fully independent SEQUENTIAL trainer replay (Counter-based, list-scan
+# merge apply — no shared code with text/bpe.py's string-replace form)
+# ---------------------------------------------------------------------------
+
+BPEPIN_V = 1
+BPE_PIN_MERGES = 40
+
+
+def _bpepin_table() -> pa.Table:
+    """320 deterministic docs of stem+suffix words (zipf-ish draws) so
+    merges learn real morphology (stems, '</w>' suffix units)."""
+    rng = np.random.RandomState(20240817)
+    stems = [
+        "forest", "biomass", "raster", "tile", "pixel", "zone", "species",
+        "shannon", "carbon", "canopy", "growth", "sample", "grid", "plot",
+    ]
+    suffixes = ["", "s", "ing", "ed", "ation", "al"]
+    sp = 1.0 / np.arange(1, len(stems) + 1) ** 1.3
+    sp /= sp.sum()
+    xp = 1.0 / np.arange(1, len(suffixes) + 1) ** 1.1
+    xp /= xp.sum()
+    ids, texts = [], []
+    for d in range(320):
+        n = 30 + int(rng.randint(0, 40))
+        ws = [
+            stems[rng.choice(len(stems), p=sp)]
+            + suffixes[rng.choice(len(suffixes), p=xp)]
+            for _ in range(n)
+        ]
+        ids.append(d)
+        texts.append(" ".join(ws))
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+
+
+def _replay_bpe(texts: list[str], n_merges: int) -> tuple[pa.Table, list]:
+    """Sequential BPE trainer: word Counter → per-round pair Counter →
+    (max count, lexicographically smallest pair) → list-scan merge."""
+    import re
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in texts:
+        for w in re.findall(r"\S+", t):
+            wc[w + "</w>"] += 1
+    words = {
+        w: (list(w[:-4]) + ["</w>"] if w.endswith("</w>") else list(w))
+        for w in wc
+    }
+    merges = []
+    for _ in range(n_merges):
+        pc_: Counter = Counter()
+        for w, syms in words.items():
+            f = wc[w]
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += f
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, syms in words.items():
+            if a not in syms:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    tbl = pa.table(
+        {
+            "rank": pa.array(np.arange(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+        }
+    )
+    return tbl, merges
+
+
+def _replay_bpe_counts(
+    ids: np.ndarray, texts: list[str], merges: list
+) -> pa.Table:
+    """Per-doc token counts by replaying the merge list per word with
+    the same list-scan apply."""
+    import re
+
+    cache: dict = {}
+
+    def n_tokens(w: str) -> int:
+        if w in cache:
+            return cache[w]
+        syms = list(w[:-4]) + ["</w>"] if w.endswith("</w>") else list(w)
+        for a, b in merges:
+            if a not in syms:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[w] = len(syms)
+        return cache[w]
+
+    counts = [
+        sum(n_tokens(w + "</w>") for w in re.findall(r"\S+", t)) for t in texts
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "n_tokens": pa.array(np.asarray(counts, np.int64), pa.int64()),
+        }
+    )
+
+
+def ensure_bpepin() -> dict:
+    """{'documents', 'merges_expected', 'counts_expected'} parquet
+    paths (cached, atomic)."""
+
+    def build(tmp: str) -> dict:
+        docs = _bpepin_table()
+        texts = docs["text"].to_pylist()
+        pq.write_table(docs, os.path.join(tmp, "documents.parquet"))
+        merges_tbl, merges = _replay_bpe(texts, BPE_PIN_MERGES)
+        pq.write_table(merges_tbl, os.path.join(tmp, "merges_expected.parquet"))
+        pq.write_table(
+            _replay_bpe_counts(docs["doc_id"].to_numpy(), texts, merges),
+            os.path.join(tmp, "counts_expected.parquet"),
+        )
+        return {
+            "documents": "documents.parquet",
+            "merges_expected": "merges_expected.parquet",
+            "counts_expected": "counts_expected.parquet",
+        }
+
+    return _ensure_dir(f"bpepin-v{GEN_VERSION}.{BPEPIN_V}", build)
