@@ -1829,6 +1829,21 @@ def q_doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_TFIDF_QUERY_IDS = [3, 17, 41]
+
+
+def q_doc_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF retrieval: top-10 documents per query doc by integer
+    tf-idf dot product (idf quantized to milli-nats, tf raw counts —
+    bit-exact vs the SQL oracle's identical integer arithmetic)."""
+    from gridfia_ray.text.tfidf import tfidf_topk
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return tfidf_topk(docs, _TFIDF_QUERY_IDS, k=10)
+
+
 def q_bpe_train_pinned(sf_dir: str) -> pd.DataFrame:
     """Distributed BPE tokenizer TRAINING (word-frequency table + per-
     round pair-count argmax exchanges) vs the pinned sequential trainer
@@ -3795,6 +3810,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_source_cap": q_doc_source_cap,
         "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_redact": q_doc_redact,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_job_shannon": q_job_shannon,
@@ -4581,6 +4597,34 @@ def build_oracle_sql() -> dict[str, str]:
         c AS (SELECT tok, COUNT(*) n FROM t GROUP BY tok)
         SELECT tok, CAST(n AS BIGINT) AS n FROM c
         ORDER BY n DESC, tok LIMIT 50"""
+    _tq = ", ".join(str(q) for q in _TFIDF_QUERY_IDS)
+    sql["doc_tfidf_topk"] = rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(CASE WHEN trim(COALESCE(text, '')) = '' THEN []
+                 ELSE regexp_split_to_array(trim(text), '\s+') END) tok
+          FROM documents),
+        qtf AS (SELECT doc_id qid, tok, COUNT(*) tf_q FROM toks
+                WHERE doc_id IN ({_tq}) GROUP BY 1, 2),
+        vocab AS (SELECT DISTINCT tok FROM qtf),
+        dfv AS (SELECT tok, COUNT(DISTINCT doc_id) dfc FROM toks
+                WHERE tok IN (SELECT tok FROM vocab) GROUP BY 1),
+        n AS (SELECT COUNT(*) n_docs FROM documents),
+        idf AS (SELECT tok,
+                       CAST(FLOOR(1000.0 * LN((n_docs + 1.0) / (dfc + 1.0))
+                                  + 1000.5) AS BIGINT) idf_c
+                FROM dfv, n),
+        dtf AS (SELECT doc_id, tok, COUNT(*) tf_d FROM toks
+                WHERE tok IN (SELECT tok FROM vocab)
+                  AND doc_id NOT IN ({_tq}) GROUP BY 1, 2),
+        sc AS (SELECT q.qid query_id, d.doc_id,
+                      CAST(SUM(d.tf_d * q.tf_q * i.idf_c * i.idf_c) AS BIGINT) score_c
+               FROM dtf d JOIN qtf q USING (tok) JOIN idf i USING (tok)
+               GROUP BY 1, 2),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY score_c DESC, doc_id) rn
+               FROM sc)
+        SELECT query_id, doc_id, score_c FROM rk
+        WHERE rn <= 10 AND score_c > 0 ORDER BY query_id, doc_id"""
     # NULL discipline: engine hashes fillna('') → COALESCE here, and
     # NOT EXISTS (a NULL inside NOT IN poisons the whole predicate)
     sql["doc_dedup_incremental"] = """

@@ -228,6 +228,8 @@ def tokenize_count(
     return docs.map_batches(
         BpeTokenizeCounter,
         fn_constructor_kwargs={"merges": merges},
-        concurrency=concurrency,
+        # autoscaling (min 1): a fixed pool sized to the cluster can
+        # pin every CPU and starve downstream stages on small clusters
+        concurrency=(1, concurrency),
         batch_format="pyarrow",
     )
