@@ -1829,6 +1829,19 @@ def q_doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style quality scoring: add-one bigram LM trained on the
+    lang='en' slice, every doc scored as integer micro-nat log-prob
+    sums (order-free int64 — bit-exact vs the SQL oracle)."""
+    from gridfia_ray.text.lm import perplexity_scores
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return perplexity_scores(docs, ref_filter="en", ref_col="lang")
+
+
 _TFIDF_QUERY_IDS = [3, 17, 41]
 
 
@@ -3811,6 +3824,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,
         "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_lm_perplexity": q_doc_lm_perplexity,
         "doc_redact": q_doc_redact,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_job_shannon": q_job_shannon,
@@ -4597,6 +4611,27 @@ def build_oracle_sql() -> dict[str, str]:
         c AS (SELECT tok, COUNT(*) n FROM t GROUP BY tok)
         SELECT tok, CAST(n AS BIGINT) AS n FROM c
         ORDER BY n DESC, tok LIMIT 50"""
+    sql["doc_lm_perplexity"] = r"""
+        WITH toks AS (SELECT doc_id, lang,
+                             regexp_split_to_array(trim(text), '\s+') L
+                      FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        bg AS (SELECT doc_id, lang, L[i] a, L[i + 1] b
+               FROM toks, UNNEST(generate_series(1, len(L) - 1)) AS t(i)
+               WHERE len(L) >= 2),
+        ref AS (SELECT a, b FROM bg WHERE lang = 'en'),
+        big AS (SELECT a, b, COUNT(*) c_ab FROM ref GROUP BY 1, 2),
+        ctx AS (SELECT a, COUNT(*) n_ctx FROM ref GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT tok) v
+                  FROM (SELECT unnest(L) tok FROM toks WHERE lang = 'en')),
+        sc AS (SELECT bg.doc_id,
+                      CAST(FLOOR(1e6 * LN((COALESCE(big.c_ab, 0) + 1.0)
+                                          / (COALESCE(ctx.n_ctx, 0) + v))
+                                 + 0.5) AS BIGINT) lp_c
+               FROM bg LEFT JOIN big USING (a, b)
+                       LEFT JOIN ctx USING (a), vocab)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
+               CAST(SUM(lp_c) AS BIGINT) lp_sum_c
+        FROM sc GROUP BY 1 ORDER BY doc_id"""
     _tq = ", ".join(str(q) for q in _TFIDF_QUERY_IDS)
     sql["doc_tfidf_topk"] = rf"""
         WITH toks AS (

@@ -178,6 +178,82 @@ def bucketed_group_map(
     )
 
 
+def bucketed_left_attach(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Left-attach keyed value columns onto a big dataset via ONE
+    co-bucketed exchange: both sides hash on ``on`` into the same
+    buckets, each bucket merges with one vectorized pandas left merge.
+
+    This is the join to use when the RIGHT side comes out of a bucketed
+    aggregation: ``Dataset.join`` dies on the schema-less empty blocks
+    empty buckets emit ("No match … for key field reference on right
+    side"), while the bucketed exchange — like every map stage — never
+    sees them. Neither side needs to fit anywhere; the right side must
+    be unique per key tuple (true for aggregation outputs — enforced
+    per bucket, raising on duplicates rather than multiplying rows).
+
+    Schemas are passed explicitly (not sniffed via ``Dataset.schema()``,
+    which can trigger partial execution on a lazy pipeline). Attached
+    columns come back nullable (left rows without a match)."""
+    val_cols = [f for f in right_schema.names if f not in on]
+    overlap = set(val_cols) & set(left_schema.names)
+    if overlap:
+        raise ValueError(f"bucketed_left_attach: column collision {sorted(overlap)}")
+    out_fields = list(left_schema) + [
+        right_schema.field(c) for c in val_cols
+    ]
+    union_schema = pa.schema(out_fields + [pa.field("__side", pa.string())])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {n: batch[n] for n in left_schema.names}
+        for c in val_cols:
+            cols[c] = pa.nulls(batch.num_rows, right_schema.field(c).type)
+        cols["__side"] = pa.array(["d"] * batch.num_rows, pa.string())
+        return pa.table(cols, schema=union_schema)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for f in left_schema:
+            cols[f.name] = (
+                batch[f.name]
+                if f.name in on
+                else pa.nulls(batch.num_rows, f.type)
+            )
+        for c in val_cols:
+            cols[c] = batch[c]
+        cols["__side"] = pa.array(["m"] * batch.num_rows, pa.string())
+        return pa.table(cols, schema=union_schema)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "d"]
+        r = g.loc[g["__side"] == "m", [*on, *val_cols]]
+        if r.duplicated(on).any():
+            raise ValueError(
+                "bucketed_left_attach: right side has duplicate keys — "
+                "it must be an aggregation output (unique per key)"
+            )
+        merged = l.drop(columns=["__side", *val_cols]).merge(r, on=on, how="left")
+        return merged
+
+    return bucketed_bucket_map(
+        tagged,
+        on,
+        per_bucket,
+        n_buckets=n_buckets,
+        out_schema=pa.schema(out_fields),
+    )
+
+
 def bucketed_bucket_map(
     ds: rd.Dataset,
     keys: list[str],
