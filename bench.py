@@ -270,6 +270,22 @@ def run_bench() -> dict:
         timed("doc_decontaminate_ngram", lambda: q_doc_decontaminate_ngram(SF_DIR))
         timed("emb_semantic_dedup", lambda: q_emb_semantic_dedup(SF_DIR))
 
+        # round-4 text additions: LM-perplexity quality scoring (two
+        # co-bucketed attaches + per-doc sum), TF-IDF retrieval (two
+        # corpus passes), BPE training (one corpus pass + 16 vocab-table
+        # merge rounds)
+        from gridfia_ray.contract import q_doc_lm_perplexity, q_doc_tfidf_topk
+        from gridfia_ray.text.bpe import train_bpe
+
+        timed("doc_lm_perplexity", lambda: q_doc_lm_perplexity(SF_DIR))
+        timed("doc_tfidf_topk", lambda: q_doc_tfidf_topk(SF_DIR))
+        timed(
+            "bpe_train_16",
+            lambda: train_bpe(
+                rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")), 16
+            ),
+        )
+
         # per-zone exact order statistics (packed keyed quickselect over
         # the fused decode+join+mask stage)
         from gridfia_ray.contract import q_zonal_percentiles

@@ -3496,6 +3496,83 @@ def q_rel_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def q_rel_sole_slow_supplier(sf_dir: str) -> pd.DataFrame:
+    """Self-joined EXISTS / NOT EXISTS on the fact table (TPC-H Q21
+    shape, returnflag standing in for the receipt-late predicate the
+    synthetic lineitem lacks): per supplier in NATION_3, count orders
+    where (a) at least two suppliers participated, (b) this supplier
+    had a returned line, (c) no other supplier did. One per-batch
+    (order, supplier, any_r) combiner, ONE exchange keyed on the
+    orderkey with a vectorized per-bucket verdict, a per-supplier
+    bucketed sum (bounded by the supplier dimension), then broadcast
+    name/nation attach on the driver-small counts."""
+    import pyarrow.parquet as pq
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_bucket_map, to_arrow
+
+    tune_context()
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        b = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "any_r": (batch["l_returnflag"] == "R").astype(np.int64),
+            }
+        )
+        return to_arrow(
+            b.groupby(["l_orderkey", "l_suppkey"], as_index=False)["any_r"].max()
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.groupby(["l_orderkey", "l_suppkey"], as_index=False)["any_r"].max()
+        st = g2.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"), n_r=("any_r", "sum")
+        )
+        ok = st[(st["n_supp"] >= 2) & (st["n_r"] == 1)].index
+        win = g2[g2["l_orderkey"].isin(ok) & (g2["any_r"] == 1)]
+        return pd.DataFrame(
+            {
+                "l_suppkey": win["l_suppkey"].to_numpy(np.int64),
+                "n": np.ones(len(win), np.int64),
+            }
+        )
+
+    winners = bucketed_bucket_map(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_orderkey"],
+        per_bucket,
+        n_buckets=32,
+        coalesce=True,
+    )
+    counts = bucketed_agg(
+        winners, ["l_suppkey"], {"numwait": ("n", "sum")}, n_buckets=8
+    ).to_pandas()  # bounded by the supplier DIMENSION, driver-small
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = counts.merge(sup, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    out = out[out["n_name"] == "NATION_3"][["s_name", "numwait"]]
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return (
+        out.sort_values(["numwait", "s_name"], ascending=[False, True], kind="mergesort")
+        .head(100)
+        .reset_index(drop=True)
+    )
+
+
 def q_rel_top_supplier(sf_dir: str) -> pd.DataFrame:
     """Argmax over a grouped aggregate (TPC-H Q15 shape): supplier(s)
     with the maximum Q1-1996 revenue — per-suppkey cents combiner, tiny
@@ -3756,6 +3833,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_returned_orders": q_rel_returned_orders,
         "rel_small_qty_revenue": q_rel_small_qty_revenue,
         "rel_top_supplier": q_rel_top_supplier,
+        "rel_sole_slow_supplier": q_rel_sole_slow_supplier,
         "gf_zonal_species": q_zonal_species,
         "gf_percentiles": q_percentiles,
         "gf_webp_decode": q_webp_decode,
@@ -5104,6 +5182,20 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, CAST(rev.revenue_c AS BIGINT) AS revenue_c
         FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
         WHERE rev.revenue_c = (SELECT MAX(revenue_c) FROM rev)"""
+    sql["rel_sole_slow_supplier"] = """
+        WITH ls AS (SELECT l_orderkey, l_suppkey,
+                           MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) any_r
+                    FROM lineitem GROUP BY 1, 2),
+        st AS (SELECT l_orderkey, COUNT(*) n_supp, SUM(any_r) n_r
+               FROM ls GROUP BY 1),
+        win AS (SELECT ls.l_suppkey FROM ls JOIN st USING (l_orderkey)
+                WHERE st.n_supp >= 2 AND st.n_r = 1 AND ls.any_r = 1),
+        cnt AS (SELECT l_suppkey, COUNT(*) numwait FROM win GROUP BY 1)
+        SELECT s_name, CAST(numwait AS BIGINT) numwait
+        FROM cnt JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        ORDER BY numwait DESC, s_name LIMIT 100"""
     # events_asof_join: DuckDB's native ASOF JOIN is the independent
     # re-statement of pipelines/joins.asof_join (backward, inner,
     # allow-exact-match). The generator guarantees unique (user_id, ts)

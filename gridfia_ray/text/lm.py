@@ -9,10 +9,9 @@ reference slice of the corpus itself (e.g. ``lang == 'en'``):
 
     p(b | a) = (c(a,b) + 1) / (ctx(a) + V)
 
-with ``c(a,b)`` the reference bigram count, ``ctx(a)`` the count of
-bigrams whose left token is ``a`` (the context count), and ``V`` the
-reference's distinct-token vocabulary size. Unseen bigrams/contexts
-fall out naturally (c=0, ctx=0).
+with ``c(a,b)`` the reference bigram count, ``ctx(a) = Σ_b c(a,b)``
+the context count, and ``V`` the reference's distinct-token vocabulary
+size. Unseen bigrams/contexts fall out naturally (c=0, ctx=0).
 
 Exactness contract: each bigram's log-probability is quantized to
 integer micro-nats, ``lp_c = floor(1e6·ln(p) + 0.5)``, BEFORE any
@@ -21,18 +20,24 @@ int64 arithmetic — bit-exact across partitionings and reproducible by
 an ANSI-SQL oracle running the identical expression. Perplexity is
 ``exp(-lp_sum_c / (1e6 · n_bigrams))``, derivable by the caller.
 
-Scale shape (10^12 docs):
+Scale shape (10^12 docs), four exchanges total:
 
-  * training is ONE pass over the reference slice: per-batch bigram /
-    context / distinct-token combiners feeding bucketed keyed sums —
-    the model tables are hash-partitioned datasets, never driver
-    state, never broadcast.
-  * scoring is per-DOC-BIGRAM rows (doc_id, a, b, k) flowing through
-    two hash-shuffle left joins (key (a,b) against the bigram table,
-    key (a) against the context table) and one bucketed per-doc sum —
-    three exchanges, each carrying one row per DISTINCT bigram per doc
-    (the per-doc Counter is itself a combiner). No driver folds, no
-    assumption that the LM fits anywhere.
+  * training: per-batch bigram combiners → ONE bucketed keyed sum
+    (the model is a hash-partitioned (a, b, c_ab) dataset, never
+    driver state, never broadcast) + one distinct-token exchange for
+    the scalar V.
+  * scoring: per-DOC-BIGRAM rows (doc_id, a, b, k) co-bucketed with
+    the model rows on ``a`` — every model row for a context lands in
+    that context's bucket, so ``ctx(a)`` is a LOCAL per-bucket sum
+    (it never exists as a table), the (a,b) merge is a local
+    vectorized pandas merge, and the bucket pre-aggregates per doc_id
+    before ONE final per-doc keyed sum. No Dataset.join (it rejects
+    the schema-less empty blocks bucketed aggregations emit for empty
+    buckets), no assumption the LM fits anywhere. Skew bound: one
+    bucket holds every model+doc row of its hottest context ``a`` —
+    the natural-language context distribution is Zipfian but each row
+    is a distinct-bigram partial, capping a bucket at
+    O(distinct bigrams of its contexts).
 """
 
 from __future__ import annotations
@@ -77,55 +82,55 @@ def _doc_bigram_rows(batch: pa.Table, text_col: str, with_doc: bool) -> pa.Table
 
 def train_bigram_lm(
     ref_docs: rd.Dataset, text_col: str = "text"
-) -> tuple[rd.Dataset, rd.Dataset, int]:
-    """(bigram table (a, b, c_ab), context table (a, ctx), vocab size V)
-    from one pass over the reference slice. The tables stay distributed;
-    V is the only scalar that reaches the driver."""
+) -> tuple[rd.Dataset, int]:
+    """(bigram table (a, b, c_ab), vocab size V) from one pass over the
+    reference slice. The table stays distributed; V is the only scalar
+    that reaches the driver. Context counts need no table of their own:
+    ``ctx(a) = Σ_b c_ab`` is summed locally inside the scoring exchange
+    (which buckets on ``a``)."""
     from gridfia_ray.stages.agg_util import bucketed_agg
 
     def partial(batch: pa.Table) -> pa.Table:
         return _doc_bigram_rows(batch, text_col, with_doc=False)
 
-    rows = ref_docs.map_batches(partial, batch_format="pyarrow").materialize()
+    rows = ref_docs.map_batches(partial, batch_format="pyarrow")
     bigrams = bucketed_agg(rows, ["a", "b"], {"c_ab": ("k", "sum")}, n_buckets=32)
-    contexts = bucketed_agg(rows, ["a"], {"ctx": ("k", "sum")}, n_buckets=32)
 
     def tok_partial(batch: pa.Table) -> pa.Table:
         s: set[str] = set()
         for t in batch[text_col].to_pylist():
             s.update(_WS.findall(t or ""))
-        return pa.table({"tok": pa.array(sorted(s), pa.string())})
+        return pa.table(
+            {
+                "tok": pa.array(sorted(s), pa.string()),
+                "one": pa.array(np.ones(len(s), np.int64)),
+            }
+        )
 
     distinct = bucketed_agg(
-        ref_docs.map_batches(tok_partial, batch_format="pyarrow")
-        .map_batches(
-            lambda b: b.append_column("one", pa.array(np.ones(b.num_rows, np.int64))),
-            batch_format="pyarrow",
-        ),
+        ref_docs.map_batches(tok_partial, batch_format="pyarrow"),
         ["tok"],
         {"n": ("one", "max")},
         n_buckets=32,
     )
-    v = int(distinct.count())
-    return bigrams, contexts, v
+    return bigrams, int(distinct.count())
 
 
 def score_perplexity(
     docs: rd.Dataset,
     bigrams: rd.Dataset,
-    contexts: rd.Dataset,
     vocab_size: int,
     text_col: str = "text",
+    n_buckets: int = 32,
 ) -> rd.Dataset:
-    """Per-doc (doc_id, n_bigrams, lp_sum_c) via two hash-shuffle left
-    joins and a bucketed per-doc sum. Docs with fewer than two tokens
-    emit no row (no bigram evidence — the caller's filter policy
-    decides their fate, not a fabricated score)."""
-    from gridfia_ray.stages.agg_util import (
-        bucketed_agg,
-        bucketed_left_attach,
-        to_arrow,
-    )
+    """Per-doc (doc_id, n_bigrams, lp_sum_c) via ONE exchange keyed on
+    the context token ``a`` (doc-bigram rows co-bucketed with model
+    rows; ctx sums, the (a,b) merge, the micro-nat quantization and a
+    per-doc pre-aggregation all run inside the bucket) plus one final
+    per-doc keyed sum. Docs with fewer than two tokens emit no row (no
+    bigram evidence — the caller's filter policy decides their fate,
+    not a fabricated score)."""
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_bucket_map
 
     if vocab_size <= 0:
         # V=0 means an empty reference corpus: every denominator could
@@ -135,50 +140,88 @@ def score_perplexity(
             "reference slice produced no tokens (wrong ref_filter?)"
         )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        return _doc_bigram_rows(batch, text_col, with_doc=True)
-
-    doc_rows = docs.map_batches(partial, batch_format="pyarrow")
-    # two co-bucketed left attaches (NOT Dataset.join: the model tables
-    # come out of bucketed aggregations whose empty buckets are
-    # schema-less blocks that Dataset.join rejects; the bucketed
-    # exchange never sees them)
-    sch_rows = pa.schema(
-        [("doc_id", pa.int64()), ("a", pa.string()), ("b", pa.string()), ("k", pa.int64())]
+    union_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("a", pa.string()),
+            ("b", pa.string()),
+            ("k", pa.int64()),
+            ("c_ab", pa.int64()),
+            ("__side", pa.string()),
+        ]
     )
-    sch_big = pa.schema(
-        [("a", pa.string()), ("b", pa.string()), ("c_ab", pa.int64())]
-    )
-    sch_ctx = pa.schema([("a", pa.string()), ("ctx", pa.int64())])
-    j1 = bucketed_left_attach(doc_rows, bigrams, ["a", "b"], sch_rows, sch_big)
-    sch_j1 = pa.schema(list(sch_rows) + [pa.field("c_ab", pa.int64())])
-    j2 = bucketed_left_attach(j1, contexts, ["a"], sch_j1, sch_ctx)
 
-    V = float(vocab_size)
-
-    def lp(batch: pd.DataFrame) -> pa.Table:
-        c_ab = batch["c_ab"].fillna(0).to_numpy(np.float64)
-        ctx = batch["ctx"].fillna(0).to_numpy(np.float64)
-        k = batch["k"].to_numpy(np.int64)
-        lp_c = np.floor(
-            1e6 * np.log((c_ab + 1.0) / (ctx + V)) + 0.5
-        ).astype(np.int64)
-        return to_arrow(
-            pd.DataFrame(
-                {
-                    "doc_id": batch["doc_id"].to_numpy(np.int64),
-                    "n_bigrams": k,
-                    "lp_sum_c": lp_c * k,
-                }
-            )
+    def doc_side(batch: pa.Table) -> pa.Table:
+        r = _doc_bigram_rows(batch, text_col, with_doc=True)
+        n = r.num_rows
+        return pa.table(
+            {
+                "doc_id": r["doc_id"],
+                "a": r["a"],
+                "b": r["b"],
+                "k": r["k"],
+                "c_ab": pa.nulls(n, pa.int64()),
+                "__side": pa.array(["d"] * n, pa.string()),
+            },
+            schema=union_schema,
         )
 
-    scored = j2.map_batches(lp, batch_format="pandas")
+    def model_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.nulls(n, pa.int64()),
+                "a": batch["a"],
+                "b": batch["b"],
+                "k": pa.nulls(n, pa.int64()),
+                "c_ab": batch["c_ab"],
+                "__side": pa.array(["m"] * n, pa.string()),
+            },
+            schema=union_schema,
+        )
+
+    tagged = docs.map_batches(doc_side, batch_format="pyarrow").union(
+        bigrams.map_batches(model_side, batch_format="pyarrow")
+    )
+    V = float(vocab_size)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["__side"] == "m"]
+        d = g[g["__side"] == "d"]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "n_bigrams": pd.Series(dtype=np.int64),
+                    "lp_sum_c": pd.Series(dtype=np.int64),
+                }
+            )
+        ctx = m.groupby("a")["c_ab"].sum()  # local: bucket holds ALL of a's model rows
+        d = d.merge(m[["a", "b", "c_ab"]], on=["a", "b"], how="left", suffixes=("", "_m"))
+        c_ab = d["c_ab_m"].fillna(0).to_numpy(np.float64)
+        ctx_a = ctx.reindex(d["a"]).fillna(0).to_numpy(np.float64)
+        k = d["k"].to_numpy(np.int64)
+        lp_c = np.floor(1e6 * np.log((c_ab + 1.0) / (ctx_a + V)) + 0.5).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(np.int64),
+                "n_bigrams": k,
+                "lp_sum_c": lp_c * k,
+            }
+        )
+        return out.groupby("doc_id", as_index=False).sum()
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()), ("lp_sum_c", pa.int64())]
+    )
+    partials = bucketed_bucket_map(
+        tagged, ["a"], per_bucket, n_buckets=n_buckets, out_schema=out_schema
+    )
     return bucketed_agg(
-        scored,
+        partials,
         ["doc_id"],
         {"n_bigrams": ("n_bigrams", "sum"), "lp_sum_c": ("lp_sum_c", "sum")},
-        n_buckets=32,
+        n_buckets=16,
     )
 
 
@@ -197,8 +240,8 @@ def perplexity_scores(
         lambda b: b.filter(pc.equal(b[ref_col], ref_filter)),
         batch_format="pyarrow",
     )
-    bigrams, contexts, v = train_bigram_lm(ref, text_col)
-    out = score_perplexity(docs, bigrams, contexts, v, text_col).to_pandas()
+    bigrams, v = train_bigram_lm(ref, text_col)
+    out = score_perplexity(docs, bigrams, v, text_col).to_pandas()
     out = out.astype(
         {"doc_id": np.int64, "n_bigrams": np.int64, "lp_sum_c": np.int64}
     )

@@ -432,3 +432,64 @@ class TestSemiJoinValidation:
         keys = pd.DataFrame({"k": [1]})
         with pytest.raises(ValueError, match="missing column 'k'"):
             broadcast_semi_join(_ds(left, 1), _ds(keys, 1), "k")
+
+
+class TestBucketedLeftAttach:
+    """agg_util.bucketed_left_attach — the keyed left join that, unlike
+    Dataset.join, tolerates the schema-less empty blocks bucketed
+    aggregations emit for empty buckets."""
+
+    def _run(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_left_attach
+
+        left = rd.from_pandas(
+            pd.DataFrame(
+                {"key": ["a", "b", "c", "a"], "x": np.arange(4, dtype=np.int64)}
+            )
+        ).repartition(3)
+        raw = rd.from_pandas(
+            pd.DataFrame({"key": ["a", "a", "b"], "v": np.array([1, 2, 5], np.int64)})
+        )
+        # right side from a bucketed agg with FAR more buckets than keys
+        # -> guaranteed schema-less empty blocks (the Dataset.join killer)
+        right = bucketed_agg(raw, ["key"], {"v": ("v", "sum")}, n_buckets=32)
+        lsch = pa.schema([("key", pa.string()), ("x", pa.int64())])
+        rsch = pa.schema([("key", pa.string()), ("v", pa.int64())])
+        return bucketed_left_attach(left, right, ["key"], lsch, rsch).to_pandas()
+
+    def test_left_rows_kept_and_values_attached(self, ray_session):
+        out = self._run(ray_session).sort_values("x", ignore_index=True)
+        assert len(out) == 4  # every left row survives
+        got = dict(zip(out["x"], out["v"]))
+        assert got[0] == 3 and got[3] == 3  # key a -> 1+2
+        assert got[1] == 5  # key b
+        assert pd.isna(got[2])  # key c unmatched -> null
+
+    def test_duplicate_right_keys_raise(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gridfia_ray.stages.agg_util import bucketed_left_attach
+
+        left = rd.from_pandas(pd.DataFrame({"key": ["a"], "x": np.array([0], np.int64)}))
+        right = rd.from_pandas(
+            pd.DataFrame({"key": ["a", "a"], "v": np.array([1, 2], np.int64)})
+        )
+        lsch = pa.schema([("key", pa.string()), ("x", pa.int64())])
+        rsch = pa.schema([("key", pa.string()), ("v", pa.int64())])
+        with pytest.raises(Exception, match="duplicate"):
+            bucketed_left_attach(left, right, ["key"], lsch, rsch).to_pandas()
+
+    def test_column_collision_raises(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gridfia_ray.stages.agg_util import bucketed_left_attach
+
+        ds = rd.from_pandas(pd.DataFrame({"key": ["a"], "x": np.array([0], np.int64)}))
+        sch = pa.schema([("key", pa.string()), ("x", pa.int64())])
+        with pytest.raises(ValueError, match="collision"):
+            bucketed_left_attach(ds, ds, ["key"], sch, sch)

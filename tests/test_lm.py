@@ -9,7 +9,7 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from gridfia_ray.text.lm import perplexity_scores, score_perplexity, train_bigram_lm
+from gridfia_ray.text.lm import perplexity_scores, train_bigram_lm
 
 
 def _ds(rows, parts=1):
@@ -30,12 +30,10 @@ class TestTrain:
                 {"doc_id": 1, "text": "b a", "lang": "en"},
             ]
         )
-        bigrams, contexts, v = train_bigram_lm(ds)
+        bigrams, v = train_bigram_lm(ds)
         bg = bigrams.to_pandas().set_index(["a", "b"])["c_ab"].to_dict()
-        cx = contexts.to_pandas().set_index("a")["ctx"].to_dict()
         # doc0 bigrams: (a,b)x2 (b,a)x1; doc1: (b,a)x1
         assert bg == {("a", "b"): 2, ("b", "a"): 2}
-        assert cx == {"a": 2, "b": 2}
         assert v == 2
 
 
