@@ -240,6 +240,36 @@ def q_focal_sum_3x3(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+_CONTOUR_LEVEL = 45.0
+
+
+def q_contour_cells(sf_dir: str) -> pd.DataFrame:
+    """Marching-squares contour classification of the total-biomass
+    raster at level 45 (pipelines/focal.contour_cells_tiles): one row
+    per 2×2 cell the isoline crosses, via the same halo exchange as the
+    focal kernels. Thresholds compare in the micro-int domain —
+    bit-exact vs the SQL four-way self-join oracle."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.focal import contour_cells_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    out = contour_cells_tiles(res, _CONTOUR_LEVEL).to_pandas()[
+        ["y", "x", "ms_case", "n_seg"]
+    ]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_focal_gradient(sf_dir: str) -> pd.DataFrame:
     """Horn 3×3 gradient components of the total-biomass raster
     (pipelines/focal.focal_gradient_tiles — same halo exchange as the
@@ -3881,6 +3911,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_coverage_topk": q_coverage_topk,
         "gf_store_validate": q_store_validate,
         "gf_focal_gradient": q_focal_gradient,
+        "gf_contour_cells": q_contour_cells,
         "gf_store_append": q_store_append,
         "events_hopping": q_events_hopping,
         "events_props_sum": q_events_props_sum,
@@ -4065,6 +4096,23 @@ def build_oracle_sql() -> dict[str, str]:
           ON b.y BETWEEN a.y - 1 AND a.y + 1
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x"""
+    _lvl_u = int(np.floor(_CONTOUR_LEVEL * 1_000_000 + 0.5))
+    sql["gf_contour_cells"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        c AS (SELECT tl.y, tl.x,
+                8 * CAST(tl.v >= {_lvl_u} AS INT)
+              + 4 * CAST(tr.v >= {_lvl_u} AS INT)
+              + 2 * CAST(br.v >= {_lvl_u} AS INT)
+              + 1 * CAST(bl.v >= {_lvl_u} AS INT) AS ms_case
+              FROM u tl JOIN u tr ON tr.y = tl.y     AND tr.x = tl.x + 1
+                        JOIN u bl ON bl.y = tl.y + 1 AND bl.x = tl.x
+                        JOIN u br ON br.y = tl.y + 1 AND br.x = tl.x + 1)
+        SELECT CAST(y AS BIGINT) y, CAST(x AS BIGINT) x,
+               CAST(ms_case AS BIGINT) ms_case,
+               CAST(CASE WHEN ms_case IN (5, 10) THEN 2 ELSE 1 END AS BIGINT) n_seg
+        FROM c WHERE ms_case > 0 AND ms_case < 15"""
     sql["gf_focal_tpi"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),

@@ -384,3 +384,130 @@ def focal_aspect_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         )
 
     return grad.map_batches(classify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Marching-squares contour extraction (raster → vector isolines) — the
+# gdal_contour analogue, completing the raster↔vector family alongside
+# rasterize (vector → raster) and connected components. Public algorithm
+# (Lorensen & Cline's 2-D case tables). Each 2×2 pixel cell belongs to
+# the tile owning its top-left pixel; the cell's other three corners come
+# from the SAME 3×3 halo exchange the focal kernels use, so tile-border
+# cells are exact and no cell is emitted twice.
+# ---------------------------------------------------------------------------
+
+# corner bits: TL=8, TR=4, BR=2, BL=1 (inside ⇔ value ≥ level).
+# edges: T=0 R=1 B=2 L=3. Saddles (5, 10) pair each inside corner with
+# its own two adjacent edges (no center disambiguation — documented,
+# deterministic, and mirrored by the test replay).
+_MS_SEGMENTS: dict[int, list[tuple[int, int]]] = {
+    1: [(3, 2)], 2: [(2, 1)], 3: [(3, 1)], 4: [(0, 1)],
+    5: [(0, 1), (2, 3)], 6: [(0, 2)], 7: [(0, 3)], 8: [(0, 3)],
+    9: [(0, 2)], 10: [(0, 3), (2, 1)],
+    11: [(0, 1)], 12: [(3, 1)], 13: [(2, 1)], 14: [(3, 2)],
+}
+
+
+def _ms_case(tl, tr, br, bl, level_u):
+    return (
+        8 * (tl >= level_u).astype(np.int64)
+        + 4 * (tr >= level_u).astype(np.int64)
+        + 2 * (br >= level_u).astype(np.int64)
+        + 1 * (bl >= level_u).astype(np.int64)
+    )
+
+
+def contour_cells_tiles(
+    result: rd.Dataset, level: float, n_buckets: int = 64
+) -> rd.Dataset:
+    """Integer marching-squares classification: one row per 2×2 cell the
+    ``level`` isoline crosses — (metric, y, x, ms_case, n_seg) with
+    (y, x) the cell's top-left pixel. Thresholding happens in the
+    micro-scaled int64 domain (corner ≥ level ⇔ floor(v·1e6+0.5) ≥
+    floor(level·1e6+0.5)), so the output is bit-exact vs a SQL
+    four-way self-join oracle. Cells needing absent pixels (global
+    raster edge) are not emitted."""
+    level_u = int(np.floor(level * 1_000_000 + 0.5))
+    empty = pd.DataFrame(
+        {"metric": pd.Series(dtype=str),
+         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+         "ms_case": pd.Series(dtype=np.int64), "n_seg": pd.Series(dtype=np.int64)}
+    )
+
+    def window(P, pres, h, w):
+        tl = P[1:h + 1, 1:w + 1]; tr = P[1:h + 1, 2:w + 2]
+        bl = P[2:h + 2, 1:w + 1]; br = P[2:h + 2, 2:w + 2]
+        have = (
+            pres[1:h + 1, 1:w + 1] & pres[1:h + 1, 2:w + 2]
+            & pres[2:h + 2, 1:w + 1] & pres[2:h + 2, 2:w + 2]
+        ) == 1
+        case = _ms_case(tl, tr, br, bl, level_u)
+        keep = have & (case > 0) & (case < 15)
+        n_seg = np.where((case == 5) | (case == 10), 2, 1).astype(np.int64)
+        return {"ms_case": case, "n_seg": n_seg}, keep
+
+    return _halo_pipeline(result, "contour_cells_tiles", window, empty, n_buckets)
+
+
+def contour_segments_tiles(
+    result: rd.Dataset, level: float, n_buckets: int = 64
+) -> rd.Dataset:
+    """Full contour GEOMETRY: per crossed cell, the isoline segment
+    endpoints in CELL-LOCAL pixel coordinates ∈ [0, 1] via linear
+    interpolation along the crossed edges (float64; up to two segments
+    per cell — the second is NaN except at saddles). Global
+    coordinates are (x + xi, y + yi) — the integer (y, x) columns
+    carry the cell's top-left pixel (the assembler can't thread the
+    tile offset into float columns). Interpolation runs in the
+    micro-int domain, t = (level_u − v_a) / (v_b − v_a), identical on
+    every partitioning. Segment chaining into polylines is a driver-
+    side concern at the caller's scale; the segment table itself is
+    the distributed product (one row per cell)."""
+    level_u = int(np.floor(level * 1_000_000 + 0.5))
+    seg_cols = ["x0", "y0", "x1", "y1", "x2", "y2", "x3", "y3"]
+    empty = pd.DataFrame(
+        {"metric": pd.Series(dtype=str),
+         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+         "ms_case": pd.Series(dtype=np.int64),
+         **{c: pd.Series(dtype=np.float64) for c in seg_cols}}
+    )
+
+    def window(P, pres, h, w):
+        tl = P[1:h + 1, 1:w + 1].astype(np.float64)
+        tr = P[1:h + 1, 2:w + 2].astype(np.float64)
+        bl = P[2:h + 2, 1:w + 1].astype(np.float64)
+        br = P[2:h + 2, 2:w + 2].astype(np.float64)
+        have = (
+            pres[1:h + 1, 1:w + 1] & pres[1:h + 1, 2:w + 2]
+            & pres[2:h + 2, 1:w + 1] & pres[2:h + 2, 2:w + 2]
+        ) == 1
+        case = _ms_case(
+            P[1:h + 1, 1:w + 1], P[1:h + 1, 2:w + 2],
+            P[2:h + 2, 2:w + 2], P[2:h + 2, 1:w + 1], level_u
+        )
+        keep = have & (case > 0) & (case < 15)
+
+        L = float(level_u)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_top = (L - tl) / (tr - tl)
+            t_right = (L - tr) / (br - tr)
+            t_bottom = (L - bl) / (br - bl)
+            t_left = (L - tl) / (bl - tl)
+        # edge -> (x_offset, y_offset) in cell-local pixel units
+        ex = [t_top, np.ones_like(t_top), t_bottom, np.zeros_like(t_top)]
+        ey = [np.zeros_like(t_top), t_right, np.ones_like(t_top), t_left]
+
+        out = {c: np.full((h, w), np.nan) for c in seg_cols}
+        for cs, segs in _MS_SEGMENTS.items():
+            m = keep & (case == cs)
+            if not m.any():
+                continue
+            for si, (e0, e1) in enumerate(segs):
+                base = 4 * si
+                out[seg_cols[base + 0]][m] = ex[e0][m]
+                out[seg_cols[base + 1]][m] = ey[e0][m]
+                out[seg_cols[base + 2]][m] = ex[e1][m]
+                out[seg_cols[base + 3]][m] = ey[e1][m]
+        return {"ms_case": case.astype(np.int64), **out}, keep
+
+    return _halo_pipeline(result, "contour_segments_tiles", window, empty, n_buckets)
