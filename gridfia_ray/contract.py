@@ -3603,6 +3603,56 @@ def q_rel_sole_slow_supplier(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_graph_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact PageRank (3 iterations, d=0.85) over the mirrored
+    customer↔supplier trade graph (distinct pairs from the orders ⋈
+    lineitem shuffle join, node ids namespaced 2·cust / 2·supp+1).
+    Every iteration is two keyed exchanges; ranks bit-match the
+    unrolled SQL oracle's identical floor divisions."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.graph import pagerank
+    from gridfia_ray.pipelines.joins import shuffle_hash_join
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    j = shuffle_hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[["o_custkey", "l_suppkey"]].drop_duplicates()
+        g["one"] = np.int64(1)
+        return g
+
+    pairs = bucketed_agg(
+        j.map_batches(pair_partial, batch_format="pandas"),
+        ["o_custkey", "l_suppkey"],
+        {"one": ("one", "max")},
+        n_buckets=16,
+    )
+
+    import pyarrow as pa
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([2 * c, 2 * s + 1]), pa.int64()),
+                "dst": pa.array(np.concatenate([2 * s + 1, 2 * c]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(mirror, batch_format="pyarrow")
+    out = pagerank(edges, n_iters=3).to_pandas()
+    out = out.astype({"node": np.int64, "rank_c": np.int64})
+    return out.sort_values("node", ignore_index=True)
+
+
 def q_rel_top_supplier(sf_dir: str) -> pd.DataFrame:
     """Argmax over a grouped aggregate (TPC-H Q15 shape): supplier(s)
     with the maximum Q1-1996 revenue — per-suppkey cents combiner, tiny
@@ -3864,6 +3914,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_small_qty_revenue": q_rel_small_qty_revenue,
         "rel_top_supplier": q_rel_top_supplier,
         "rel_sole_slow_supplier": q_rel_sole_slow_supplier,
+        "graph_pagerank": q_graph_pagerank,
         "gf_zonal_species": q_zonal_species,
         "gf_percentiles": q_percentiles,
         "gf_webp_decode": q_webp_decode,
@@ -5230,6 +5281,34 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, CAST(rev.revenue_c AS BIGINT) AS revenue_c
         FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
         WHERE rev.revenue_c = (SELECT MAX(revenue_c) FROM rev)"""
+    # 3 unrolled PageRank iterations, identical integer floor divisions
+    _pr_it = """
+        {out} AS (SELECT e.dst node,
+                         CAST((15 * 1000000000000) // (100 * nn)
+                              + SUM((85 * p.r) // (100 * d.deg)) AS BIGINT) r
+                  FROM edges e
+                  JOIN {prev} p ON p.node = e.src
+                  JOIN deg d ON d.src = e.src, n
+                  GROUP BY e.dst, nn)"""
+    sql["graph_pagerank"] = (
+        """
+        WITH e0 AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey s
+                    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        edges AS (SELECT 2 * c AS src, 2 * s + 1 AS dst FROM e0
+                  UNION ALL SELECT 2 * s + 1, 2 * c FROM e0),
+        deg AS (SELECT src, COUNT(*) deg FROM edges GROUP BY 1),
+        n AS (SELECT COUNT(*) nn FROM deg),
+        r0 AS (SELECT src AS node,
+                      CAST(1000000000000 // nn AS BIGINT) r FROM deg, n),
+        """
+        + _pr_it.format(out="r1", prev="r0")
+        + ","
+        + _pr_it.format(out="r2", prev="r1")
+        + ","
+        + _pr_it.format(out="r3", prev="r2")
+        + """
+        SELECT node, r AS rank_c FROM r3 ORDER BY node"""
+    )
     sql["rel_sole_slow_supplier"] = """
         WITH ls AS (SELECT l_orderkey, l_suppkey,
                            MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) any_r

@@ -1,0 +1,96 @@
+"""PageRank: hand-computed integer fixpoints, mass conservation,
+asymmetric-graph ordering, validation raises, partition invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gridfia_ray.pipelines.graph import degree_table, pagerank
+
+SCALE = 10**12
+
+
+def _edges(pairs, parts=2):
+    df = pd.DataFrame(pairs, columns=["src", "dst"]).astype(np.int64)
+    return rd.from_pandas(df).repartition(parts)
+
+
+def _replay(pairs, n_iters, damping=85, scale=SCALE):
+    """Sequential integer PageRank — same floor divisions, plain dicts."""
+    deg = {}
+    for s, _ in pairs:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    tele = ((100 - damping) * scale) // (100 * n)
+    r = {v: scale // n for v in deg}
+    for _ in range(n_iters):
+        nxt = {}
+        for s, d in pairs:
+            nxt[d] = nxt.get(d, 0) + (damping * r[s]) // (100 * deg[s])
+        r = {v: c + tele for v, c in nxt.items()}
+    return r
+
+
+class TestDegree:
+    def test_degree(self, ray_session):
+        got = degree_table(_edges([(0, 1), (0, 2), (2, 0)])).to_pandas()
+        assert dict(zip(got["src"], got["deg"])) == {0: 2, 2: 1}
+
+
+class TestPageRank:
+    def test_two_cycle_hand_computed(self, ray_session):
+        pairs = [(0, 1), (1, 0)]
+        got = pagerank(_edges(pairs), n_iters=3).to_pandas()
+        want = _replay(pairs, 3)
+        assert dict(zip(got["node"], got["rank_c"])) == want
+        # symmetric graph -> equal ranks summing to ~scale
+        assert got["rank_c"].nunique() == 1
+        assert abs(int(got["rank_c"].sum()) - SCALE) < 10
+
+    def test_hub_outranks_leaves(self, ray_session):
+        # star: hub 0 <-> leaves 1..4 (mirrored)
+        pairs = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+        got = pagerank(_edges(pairs), n_iters=4).to_pandas().set_index("node")
+        want = _replay(pairs, 4)
+        assert dict(got["rank_c"]) == want
+        assert got.loc[0, "rank_c"] > got.loc[1, "rank_c"]
+        leaves = got.loc[[1, 2, 3, 4], "rank_c"]
+        assert leaves.nunique() == 1
+
+    def test_matches_replay_on_random_graph(self, ray_session):
+        rng = np.random.RandomState(13)
+        pairs = set()
+        while len(pairs) < 60:
+            a, b = rng.randint(0, 12, 2)
+            if a != b:
+                pairs.add((int(a), int(b)))
+                pairs.add((int(b), int(a)))  # mirrored
+        pairs = sorted(pairs)
+        got = pagerank(_edges(pairs, parts=5), n_iters=3).to_pandas()
+        assert dict(zip(got["node"], got["rank_c"])) == _replay(pairs, 3)
+
+    def test_partition_invariant(self, ray_session):
+        pairs = [(i, (i + 1) % 9) for i in range(9)] + [
+            ((i + 1) % 9, i) for i in range(9)
+        ]
+        a = pagerank(_edges(pairs, parts=1), n_iters=3, n_buckets=4).to_pandas()
+        b = pagerank(_edges(pairs, parts=7), n_iters=3, n_buckets=16).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("node", ignore_index=True),
+            b.sort_values("node", ignore_index=True),
+        )
+
+    def test_dangling_mass_raises(self, ray_session):
+        # 0 -> 1 and 1 has no out-edge: mass sent to a sink
+        with pytest.raises(Exception, match="no\\s+.*out-edges|mirror"):
+            pagerank(_edges([(0, 1), (0, 2), (2, 0)]), n_iters=2).to_pandas()
+
+    def test_source_only_node_raises(self, ray_session):
+        # 2 -> 0 but nothing points at 2: its rank row vanishes
+        with pytest.raises(Exception, match="in-edge|mirror"):
+            pagerank(_edges([(0, 1), (1, 0), (2, 0)]), n_iters=2).to_pandas()
+
+    def test_bad_damping_rejected(self, ray_session):
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(_edges([(0, 1), (1, 0)]), damping_pct=100)
