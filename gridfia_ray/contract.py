@@ -3603,14 +3603,11 @@ def q_rel_sole_slow_supplier(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def q_graph_pagerank(sf_dir: str) -> pd.DataFrame:
-    """Integer-exact PageRank (3 iterations, d=0.85) over the mirrored
-    customer↔supplier trade graph (distinct pairs from the orders ⋈
-    lineitem shuffle join, node ids namespaced 2·cust / 2·supp+1).
-    Every iteration is two keyed exchanges; ranks bit-match the
-    unrolled SQL oracle's identical floor divisions."""
+def _trade_edges(sf_dir: str):
+    """Mirrored customer↔supplier trade graph: distinct pairs from the
+    orders ⋈ lineitem shuffle join, node ids namespaced 2·cust /
+    2·supp+1, one directed edge each way."""
     from gridfia_ray.context import tune_context
-    from gridfia_ray.pipelines.graph import pagerank
     from gridfia_ray.pipelines.joins import shuffle_hash_join
     from gridfia_ray.stages.agg_util import bucketed_agg
 
@@ -3647,9 +3644,29 @@ def q_graph_pagerank(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    edges = pairs.map_batches(mirror, batch_format="pyarrow")
-    out = pagerank(edges, n_iters=3).to_pandas()
+    return pairs.map_batches(mirror, batch_format="pyarrow")
+
+
+def q_graph_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact PageRank (3 iterations, d=0.85, fused Pregel
+    supersteps) over the mirrored customer↔supplier trade graph; ranks
+    bit-match the unrolled SQL oracle's identical floor divisions."""
+    from gridfia_ray.pipelines.graph import pagerank
+
+    out = pagerank(_trade_edges(sf_dir), n_iters=3).to_pandas()
     out = out.astype({"node": np.int64, "rank_c": np.int64})
+    return out.sort_values("node", ignore_index=True)
+
+
+def q_graph_bfs(sf_dir: str) -> pd.DataFrame:
+    """Single-source BFS: the 3-hop neighborhood of customer 1 (node 2)
+    over the mirrored trade graph — frontier supersteps (expand +
+    exact settle) with the depth bound exercising the data-dependent
+    loop; exact vs the recursive-CTE shortest-hop oracle."""
+    from gridfia_ray.pipelines.graph import bfs_distances
+
+    out = bfs_distances(_trade_edges(sf_dir), source=2, max_depth=3).to_pandas()
+    out = out.astype({"node": np.int64, "dist": np.int64})
     return out.sort_values("node", ignore_index=True)
 
 
@@ -3915,6 +3932,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_top_supplier": q_rel_top_supplier,
         "rel_sole_slow_supplier": q_rel_sole_slow_supplier,
         "graph_pagerank": q_graph_pagerank,
+        "graph_bfs": q_graph_bfs,
         "gf_zonal_species": q_zonal_species,
         "gf_percentiles": q_percentiles,
         "gf_webp_decode": q_webp_decode,
@@ -5309,6 +5327,19 @@ def build_oracle_sql() -> dict[str, str]:
         + """
         SELECT node, r AS rank_c FROM r3 ORDER BY node"""
     )
+    sql["graph_bfs"] = """
+        WITH RECURSIVE e0 AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey s
+                    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        edges AS (SELECT 2 * c AS src, 2 * s + 1 AS dst FROM e0
+                  UNION ALL SELECT 2 * s + 1, 2 * c FROM e0),
+        walk(node, dist) AS (
+            SELECT 2, 0
+            UNION
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.dist < 3)
+        SELECT node, CAST(MIN(dist) AS BIGINT) dist
+        FROM walk GROUP BY node ORDER BY node"""
     sql["rel_sole_slow_supplier"] = """
         WITH ls AS (SELECT l_orderkey, l_suppkey,
                            MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) any_r

@@ -215,3 +215,168 @@ def pagerank(
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Single-source BFS (shortest hop counts) — the frontier-superstep twin
+# of PageRank's fixed-iteration shape: iterations are DATA-DEPENDENT
+# (until the frontier drains), with the driver holding only the loop
+# counter and the frontier count (the classic k-means/Lloyd control
+# shape: distributed state, scalar driver decisions).
+# ---------------------------------------------------------------------------
+
+_BFS_EDGE_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),   # src for edge rows / node for frontier rows
+        ("dst", pa.int64()),
+        ("dist", pa.int64()),
+        ("__side", pa.string()),  # 'e' edge | 'f' frontier
+    ]
+)
+
+_BFS_STATE_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("dist", pa.int64()),
+        ("__side", pa.string()),  # 'p' proposal | 'k' known
+    ]
+)
+
+
+def bfs_distances(
+    edges: rd.Dataset,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 16,
+    max_iters: int = 10_000,
+    max_depth: int | None = None,
+) -> rd.Dataset:
+    """Hop distances from ``source`` over a directed edge table —
+    (node, dist) for every REACHABLE node (the source itself at 0), or
+    for the ``max_depth``-hop neighborhood when a depth bound is given
+    (the graph-feature-engineering shape: each bounded round still
+    proves the frontier machinery, without paying diameter rounds).
+
+    Two exchanges per round. EXPAND: the frontier co-buckets with the
+    edge rows on node == src and proposes every out-neighbor at
+    dist+1 (per-bucket min dedup — a bucket holds ALL of its frontier
+    nodes' out-edges). SETTLE: proposals co-bucket with the known set
+    on the proposed node; per bucket, the minimum proposal per node
+    survives and anything already known is dropped — the bucket holds
+    ALL known rows for its nodes, so the anti-join is exact (a
+    single-exchange variant that filtered against only the expand
+    bucket's local known set would re-admit nodes discovered in other
+    buckets with inflated distances). The round's output is exactly
+    the next frontier; the driver sees one scalar per round (its
+    count) and stops at zero. The known set is an accumulating union —
+    no exchange ever rewrites it."""
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    if max_iters < 1:
+        raise ValueError("bfs_distances: max_iters must be >= 1")
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch[src],
+                "dst": batch[dst],
+                "dist": pa.nulls(n, pa.int64()),
+                "__side": pa.array(["e"] * n, pa.string()),
+            },
+            schema=_BFS_EDGE_SCHEMA,
+        )
+
+    ed = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def as_state(ds: rd.Dataset, side: str, schema: pa.Schema) -> rd.Dataset:
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {
+                "key": batch["node"],
+                "dist": batch["dist"],
+                "__side": pa.array([side] * batch.num_rows, pa.string()),
+            }
+            if "dst" in schema.names:
+                cols = {
+                    "key": batch["node"],
+                    "dst": pa.nulls(batch.num_rows, pa.int64()),
+                    "dist": batch["dist"],
+                    "__side": cols["__side"],
+                }
+            return pa.table(cols, schema=schema)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    nd_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["__side"] == "e"]
+        f = g[g["__side"] == "f"]
+        if len(f) == 0 or len(e) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=np.int64), "dist": pd.Series(dtype=np.int64)}
+            )
+        fd = dict(zip(f["key"].to_numpy(np.int64), f["dist"].to_numpy(np.int64)))
+        hit = e[e["key"].isin(fd)]
+        prop = pd.DataFrame(
+            {
+                "node": hit["dst"].to_numpy(np.int64),
+                "dist": hit["key"].map(fd).to_numpy(np.int64) + 1,
+            }
+        )
+        return prop.groupby("node", as_index=False)["dist"].min()
+
+    def settle(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["__side"] == "p"]
+        if len(p) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=np.int64), "dist": pd.Series(dtype=np.int64)}
+            )
+        known = set(g.loc[g["__side"] == "k", "key"].to_numpy(np.int64))
+        m = p.groupby("key", as_index=False)["dist"].min()
+        m = m[~m["key"].isin(known)]
+        return pd.DataFrame(
+            {"node": m["key"].to_numpy(np.int64), "dist": m["dist"].to_numpy(np.int64)}
+        )
+
+    seed = rd.from_arrow(
+        pa.table(
+            {"node": pa.array([int(source)], pa.int64()),
+             "dist": pa.array([0], pa.int64())}
+        )
+    )
+    frontier = seed
+    known = seed  # accumulating union of (node, dist) datasets
+    parts: list[rd.Dataset] = [seed]
+
+    depth = 0
+    for _ in range(max_iters):
+        if max_depth is not None and depth >= max_depth:
+            break
+        tagged = as_state(frontier, "f", _BFS_EDGE_SCHEMA).union(ed)
+        proposals = bucketed_bucket_map(
+            tagged, ["key"], expand, n_buckets=n_buckets, out_schema=nd_schema
+        )
+        nxt = bucketed_bucket_map(
+            as_state(proposals, "p", _BFS_STATE_SCHEMA).union(
+                as_state(known, "k", _BFS_STATE_SCHEMA)
+            ),
+            ["key"],
+            settle,
+            n_buckets=n_buckets,
+            out_schema=nd_schema,
+        ).materialize()
+        if int(nxt.count()) == 0:
+            break
+        frontier = nxt
+        known = known.union(nxt)
+        parts.append(nxt)
+        depth += 1
+    else:
+        raise ValueError("bfs_distances: max_iters exceeded before convergence")
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

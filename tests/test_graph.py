@@ -94,3 +94,48 @@ class TestPageRank:
     def test_bad_damping_rejected(self, ray_session):
         with pytest.raises(ValueError, match="damping"):
             pagerank(_edges([(0, 1), (1, 0)]), damping_pct=100)
+
+
+class TestBfs:
+    def _bfs(self, pairs, source, parts=3, **kw):
+        from gridfia_ray.pipelines.graph import bfs_distances
+
+        return (
+            bfs_distances(_edges(pairs, parts=parts), source, **kw)
+            .to_pandas().sort_values("node", ignore_index=True)
+        )
+
+    def test_path_graph(self, ray_session):
+        # 0 -> 1 -> 2 -> 3 (directed chain)
+        got = self._bfs([(0, 1), (1, 2), (2, 3), (3, 3)], 0)
+        assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_shortest_wins_over_longer_path(self, ray_session):
+        # 0->1->2->4 and 0->3->4: node 4 must settle at dist 2, not 3
+        pairs = [(0, 1), (1, 2), (2, 4), (0, 3), (3, 4), (4, 4)]
+        got = self._bfs(pairs, 0)
+        assert dict(zip(got["node"], got["dist"]))[4] == 2
+
+    def test_unreachable_nodes_absent(self, ray_session):
+        got = self._bfs([(0, 1), (1, 0), (5, 6), (6, 5)], 0)
+        assert set(got["node"]) == {0, 1}
+
+    def test_cycle_terminates(self, ray_session):
+        got = self._bfs([(0, 1), (1, 2), (2, 0)], 0)
+        assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 1, 2: 2}
+
+    def test_max_depth_bounds_neighborhood(self, ray_session):
+        pairs = [(i, i + 1) for i in range(6)] + [(6, 6)]
+        got = self._bfs(pairs, 0, max_depth=2)
+        assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 1, 2: 2}
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.RandomState(17)
+        pairs = set()
+        while len(pairs) < 40:
+            a, b = rng.randint(0, 15, 2)
+            pairs.add((int(a), int(b)))
+        pairs = sorted(pairs)
+        a = self._bfs(pairs, 0, parts=1, n_buckets=4)
+        b = self._bfs(pairs, 0, parts=9, n_buckets=16)
+        pd.testing.assert_frame_equal(a, b)
