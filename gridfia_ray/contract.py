@@ -3670,6 +3670,73 @@ def q_graph_bfs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node", ignore_index=True)
 
 
+_TRI_RATE = 0.2
+
+
+def q_graph_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count over the hash-sparsified supplier co-supply
+    graph (DOULION-style deterministic edge sampling — md5 rank shared
+    verbatim with the oracle — over distinct supplier pairs sharing a
+    part). Degree-oriented node-iterator: wedge volume is Σ outdeg²
+    with outdeg = O(√m) regardless of hub skew."""
+    import pyarrow as pa
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.graph import triangle_count
+    from gridfia_ray.pipelines.sampling import md5_rank, rate_threshold_hex
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_bucket_map
+
+    tune_context()
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
+    )
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.drop_duplicates()
+        g["one"] = np.int64(1)
+        return g
+
+    ps = bucketed_agg(
+        li.map_batches(pair_partial, batch_format="pandas"),
+        ["l_partkey", "l_suppkey"],
+        {"one": ("one", "max")},
+        n_buckets=16,
+    )
+
+    def co_supply(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("l_partkey", sort=False):
+            s = np.sort(grp["l_suppkey"].to_numpy(np.int64))
+            if len(s) < 2:
+                continue
+            ii, jj = np.triu_indices(len(s), k=1)
+            outs.append(pd.DataFrame({"u": s[ii], "v": s[jj]}))
+        if not outs:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64),
+                 "one": pd.Series(dtype=np.int64)}
+            )
+        out = pd.concat(outs, ignore_index=True).drop_duplicates()
+        out["one"] = np.int64(1)
+        return out
+
+    pair_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("one", pa.int64())])
+    pairs = bucketed_bucket_map(
+        ps, ["l_partkey"], co_supply, n_buckets=16, out_schema=pair_schema
+    )
+    edges = bucketed_agg(pairs, ["u", "v"], {"one": ("one", "max")}, n_buckets=16)
+
+    thr = rate_threshold_hex(_TRI_RATE)
+
+    def sparsify(batch: pd.DataFrame) -> pd.DataFrame:
+        r = md5_rank([batch["u"], batch["v"]]).str[:8]
+        return batch.loc[(r < thr).to_numpy(), ["u", "v"]]
+
+    kept = edges.map_batches(sparsify, batch_format="pandas")
+    n = triangle_count(kept)
+    return pd.DataFrame({"n_triangles": np.asarray([n], np.int64)})
+
+
 def q_rel_top_supplier(sf_dir: str) -> pd.DataFrame:
     """Argmax over a grouped aggregate (TPC-H Q15 shape): supplier(s)
     with the maximum Q1-1996 revenue — per-suppkey cents combiner, tiny
@@ -3933,6 +4000,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_sole_slow_supplier": q_rel_sole_slow_supplier,
         "graph_pagerank": q_graph_pagerank,
         "graph_bfs": q_graph_bfs,
+        "graph_triangles": q_graph_triangles,
         "gf_zonal_species": q_zonal_species,
         "gf_percentiles": q_percentiles,
         "gf_webp_decode": q_webp_decode,
@@ -5327,6 +5395,18 @@ def build_oracle_sql() -> dict[str, str]:
         + """
         SELECT node, r AS rank_c FROM r3 ORDER BY node"""
     )
+    from gridfia_ray.pipelines.sampling import rate_threshold_hex as _rth
+
+    sql["graph_triangles"] = f"""
+        WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
+        e0 AS (SELECT DISTINCT a.s u, b.s v
+               FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        e AS (SELECT u, v FROM e0
+              WHERE substr(md5(CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)),
+                           1, 8) < '{_rth(_TRI_RATE)}')
+        SELECT CAST(COUNT(*) AS BIGINT) n_triangles
+        FROM e ab JOIN e bc ON ab.v = bc.u
+                  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v"""
     sql["graph_bfs"] = """
         WITH RECURSIVE e0 AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey s
                     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),

@@ -380,3 +380,230 @@ def bfs_distances(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — degree-oriented node-iterator (Schank & Wagner
+# 2005; the MapReduce form is Suri & Vassilvitskii 2011). Orientation by
+# (degree, id) is THE skew defense: every edge points from the
+# lower-degree endpoint to the higher, so a hub's Θ(deg²) wedge
+# explosion becomes Σ outdeg² with outdeg = O(√m) on any graph — the
+# canonical example of handling power-law skew by restructuring the
+# computation instead of salting it.
+# ---------------------------------------------------------------------------
+
+
+def triangle_count(
+    edges: rd.Dataset, u: str = "u", v: str = "v", n_buckets: int = 16
+) -> int:
+    """Exact global triangle count over a DISTINCT canonical undirected
+    edge table (u < v per row). Five keyed exchanges, all
+    Arrow/pandas-vectorized per bucket:
+
+      1. degree: endpoints explode, one bucketed sum.
+      2. attach: exploded edge rows co-bucket with degree rows on the
+         endpoint; each row picks up its endpoint's degree.
+      3. orient: rows co-bucket on the (u, v) pair; each edge re-joins
+         its two degree-carrying halves and points from the smaller
+         (deg, id) endpoint to the larger, KEEPING both degrees.
+      4. wedges: oriented edges co-bucket on src; every out-neighbor
+         pair becomes a wedge keyed in the CLOSING edge's own
+         orientation (degrees carried from step 3 — the bucket never
+         needs remote state).
+      5. close: wedges co-bucket with oriented edges on (src, dst);
+         matches count per bucket, one scalar sum to the driver.
+    """
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_bucket_map
+
+    def explode(batch: pa.Table) -> pa.Table:
+        uu = batch[u].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = batch[v].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([uu, vv])),
+                "one": pa.array(np.ones(2 * len(uu), np.int64)),
+            }
+        )
+
+    deg = bucketed_agg(
+        edges.map_batches(explode, batch_format="pyarrow"),
+        ["node"],
+        {"deg": ("one", "sum")},
+        n_buckets=n_buckets,
+    )
+
+    half_schema = pa.schema(
+        [("key", pa.int64()), ("eu", pa.int64()), ("ev", pa.int64()),
+         ("deg", pa.int64()), ("__side", pa.string())]
+    )
+
+    def halves(batch: pa.Table) -> pa.Table:
+        uu = batch[u].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = batch[v].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (uu >= vv).any():
+            # canonical u < v is load-bearing: a mirrored duplicate
+            # (v, u) would orient to the same directed edge and double-
+            # count every triangle through it, silently
+            raise ValueError(
+                "triangle_count: edge table is not distinct canonical "
+                "(needs u < v per row)"
+            )
+        n = len(uu)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([uu, vv])),
+                "eu": pa.array(np.concatenate([uu, uu])),
+                "ev": pa.array(np.concatenate([vv, vv])),
+                "deg": pa.nulls(2 * n, pa.int64()),
+                "__side": pa.array(["h"] * (2 * n), pa.string()),
+            },
+            schema=half_schema,
+        )
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["node"],
+                "eu": pa.nulls(n, pa.int64()),
+                "ev": pa.nulls(n, pa.int64()),
+                "deg": batch["deg"],
+                "__side": pa.array(["d"] * n, pa.string()),
+            },
+            schema=half_schema,
+        )
+
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        h = g[g["__side"] == "h"]
+        d = g[g["__side"] == "d"]
+        if len(h) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("eu", "ev", "key", "deg")}
+            )
+        lut = dict(zip(d["key"].to_numpy(np.int64), d["deg"].to_numpy(np.int64)))
+        kk = h["key"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "eu": h["eu"].to_numpy(np.int64),
+                "ev": h["ev"].to_numpy(np.int64),
+                "key": kk,
+                "deg": np.array([lut[k] for k in kk], np.int64),
+            }
+        )
+
+    half_out = pa.schema(
+        [("eu", pa.int64()), ("ev", pa.int64()), ("key", pa.int64()), ("deg", pa.int64())]
+    )
+    with_deg = bucketed_bucket_map(
+        edges.map_batches(halves, batch_format="pyarrow").union(
+            deg.map_batches(deg_rows, batch_format="pyarrow")
+        ),
+        ["key"],
+        attach_deg,
+        n_buckets=n_buckets,
+        out_schema=half_out,
+    )
+
+    def orient(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64)
+                 for c in ("src", "dst", "deg_src", "deg_dst")}
+            )
+        # each edge re-joins its two degree-carrying halves positionally
+        gg = g.sort_values(["eu", "ev", "key"], kind="mergesort")
+        eu = gg["eu"].to_numpy(np.int64)[::2]
+        ev = gg["ev"].to_numpy(np.int64)[::2]
+        k0 = gg["key"].to_numpy(np.int64)
+        d0 = gg["deg"].to_numpy(np.int64)
+        if len(gg) % 2 or not (
+            ((k0[::2] == eu) & (k0[1::2] == ev))
+            | ((k0[::2] == ev) & (k0[1::2] == eu))
+        ).all():
+            raise ValueError("triangle_count: edge table is not distinct canonical")
+        du = np.where(k0[::2] == eu, d0[::2], d0[1::2])
+        dv = np.where(k0[1::2] == ev, d0[1::2], d0[::2])
+        u_first = (du < dv) | ((du == dv) & (eu < ev))
+        return pd.DataFrame(
+            {
+                "src": np.where(u_first, eu, ev),
+                "dst": np.where(u_first, ev, eu),
+                "deg_src": np.where(u_first, du, dv),
+                "deg_dst": np.where(u_first, dv, du),
+            }
+        )
+
+    or_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()),
+         ("deg_src", pa.int64()), ("deg_dst", pa.int64())]
+    )
+    oriented = bucketed_bucket_map(
+        with_deg, ["eu", "ev"], orient, n_buckets=n_buckets, out_schema=or_schema
+    ).materialize()
+
+    wedge_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("n", pa.int64()),
+         ("__side", pa.string())]
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("src", sort=False):
+            nb = grp[["dst", "deg_dst"]].to_numpy()
+            if len(nb) < 2:
+                continue
+            # order out-neighbors by the closing edge's own orientation
+            order = np.lexsort((nb[:, 0], nb[:, 1]))
+            nb = nb[order]
+            ii, jj = np.triu_indices(len(nb), k=1)
+            outs.append(
+                pd.DataFrame(
+                    {"src": nb[ii, 0].astype(np.int64),
+                     "dst": nb[jj, 0].astype(np.int64)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64),
+                 "n": pd.Series(dtype=np.int64), "__side": pd.Series(dtype=str)}
+            )
+        out = pd.concat(outs, ignore_index=True)
+        out = out.groupby(["src", "dst"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["__side"] = "w"
+        return out
+
+    wedge_rows = bucketed_bucket_map(
+        oriented, ["src"], wedges, n_buckets=n_buckets, out_schema=wedge_schema
+    )
+
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "src": batch["src"],
+                "dst": batch["dst"],
+                "n": pa.nulls(n, pa.int64()),
+                "__side": pa.array(["e"] * n, pa.string()),
+            },
+            schema=wedge_schema,
+        )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["__side"] == "w"]
+        e = g[g["__side"] == "e"]
+        if len(w) == 0 or len(e) == 0:
+            return pd.DataFrame({"n_tri": pd.Series(dtype=np.int64)})
+        eset = e[["src", "dst"]].merge(w, on=["src", "dst"])
+        return pd.DataFrame({"n_tri": [np.int64(eset["n"].sum())]})
+
+    counts = bucketed_bucket_map(
+        wedge_rows.union(oriented.map_batches(edge_tag, batch_format="pyarrow")),
+        ["src", "dst"],
+        close,
+        n_buckets=n_buckets,
+        out_schema=pa.schema([("n_tri", pa.int64())]),
+    )
+    return int(counts.sum("n_tri") or 0)

@@ -139,3 +139,50 @@ class TestBfs:
         a = self._bfs(pairs, 0, parts=1, n_buckets=4)
         b = self._bfs(pairs, 0, parts=9, n_buckets=16)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestTriangles:
+    def _tri(self, pairs, parts=3, **kw):
+        from gridfia_ray.pipelines.graph import triangle_count
+
+        return triangle_count(_edges(pairs, parts=parts), u="src", v="dst", **kw)
+
+    def test_single_triangle(self, ray_session):
+        assert self._tri([(0, 1), (0, 2), (1, 2)]) == 1
+
+    def test_square_no_diagonal(self, ray_session):
+        assert self._tri([(0, 1), (1, 2), (2, 3), (0, 3)]) == 0
+
+    def test_complete_graphs(self, ray_session):
+        import itertools
+        import math
+
+        for n in (4, 7):
+            pairs = list(itertools.combinations(range(n), 2))
+            assert self._tri(pairs) == math.comb(n, 3)
+
+    def test_hub_skew(self, ray_session):
+        # star + one rim edge: hub 0 with 30 leaves, leaves 1-2 joined
+        pairs = [(0, i) for i in range(1, 31)] + [(1, 2)]
+        assert self._tri(pairs) == 1
+
+    def test_partition_invariant_random(self, ray_session):
+        import itertools
+
+        rng = np.random.RandomState(23)
+        pairs = [p for p in itertools.combinations(range(14), 2)
+                 if rng.rand() < 0.45]
+        a = self._tri(pairs, parts=1, n_buckets=4)
+        b = self._tri(pairs, parts=7, n_buckets=16)
+        assert a == b
+        # independent brute force
+        es = set(pairs)
+        brute = sum(
+            1 for x, y, z in itertools.combinations(range(14), 3)
+            if (x, y) in es and (y, z) in es and (x, z) in es
+        )
+        assert a == brute
+
+    def test_non_canonical_rejected(self, ray_session):
+        with pytest.raises(Exception, match="canonical"):
+            self._tri([(1, 0), (0, 2), (1, 2)])  # (1, 0) not u < v
