@@ -197,6 +197,8 @@ class BpeTokenizeCounter:
     """Actor-pool tokenizer: merges load once per actor, per-word
     segmentations memoize across batches; emits (doc_id, n_tokens)."""
 
+    _CACHE_CAP = 2_000_000  # ~100 MB worst case; Zipf makes hits cheap
+
     def __init__(self, merges: list[tuple[str, str]]):
         self._merges = [(str(a), str(b)) for a, b in merges]
         self._cache: dict[str, int] = {}
@@ -205,6 +207,11 @@ class BpeTokenizeCounter:
         n = self._cache.get(word)
         if n is None:
             n = len(apply_merges(word, self._merges))
+            if len(self._cache) >= self._CACHE_CAP:
+                # bound actor memory on unbounded vocabularies: evict in
+                # insertion order (dict popitem is LIFO; the Zipf head
+                # re-inserts immediately, the long tail never returns)
+                self._cache.pop(next(iter(self._cache)))
             self._cache[word] = n
         return n
 
