@@ -270,9 +270,9 @@ def run_bench() -> dict:
         timed("doc_decontaminate_ngram", lambda: q_doc_decontaminate_ngram(SF_DIR))
         timed("emb_semantic_dedup", lambda: q_emb_semantic_dedup(SF_DIR))
 
-        # round-4 text additions: LM-perplexity quality scoring (two
-        # co-bucketed attaches + per-doc sum), TF-IDF retrieval (two
-        # corpus passes), BPE training (one corpus pass + 16 vocab-table
+        # round-4 text additions: LM-perplexity quality scoring (train
+        # + score fused to four exchanges), TF-IDF retrieval (three
+        # corpus scans), BPE training (one corpus pass + 16 vocab-table
         # merge rounds)
         from gridfia_ray.contract import q_doc_lm_perplexity, q_doc_tfidf_topk
         from gridfia_ray.text.bpe import train_bpe

@@ -91,7 +91,9 @@ def pagerank(
     (mirror the edges for an undirected graph): a dangling node would
     silently drop its mass and a source-only node would lose its rank
     row between supersteps — both raise inside the superstep instead of
-    corrupting the fixpoint. Returns (node, rank_c)."""
+    corrupting the fixpoint. (With ``n_iters=1`` no superstep runs, so
+    neither validation fires — the single-round result is still exact
+    for conforming graphs.) Returns (node, rank_c)."""
     from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_bucket_map
 
     if not (0 < damping_pct < 100):
@@ -100,14 +102,18 @@ def pagerank(
         raise ValueError("pagerank: n_iters must be >= 1")
 
     def edge_rows(batch: pa.Table) -> pa.Table:
+        # integer sentinels, NOT nulls, for the other side's columns: a
+        # nullable int64 column round-trips arrow→pandas as float64 in
+        # the bucket consumer, silently corrupting ids/values ≥ 2^53
         n = batch.num_rows
+        zeros = pa.array(np.zeros(n, np.int64))
         return pa.table(
             {
                 "key": batch[src],
                 "dst": batch[dst],
-                "deg": pa.nulls(n, pa.int64()),
-                "c": pa.nulls(n, pa.int64()),
-                "first": pa.nulls(n, pa.int64()),
+                "deg": zeros,
+                "c": zeros,
+                "first": zeros,
                 "__side": pa.array(["e"] * n, pa.string()),
             },
             schema=_ED_SCHEMA,
@@ -155,16 +161,23 @@ def pagerank(
     def superstep(g: pd.DataFrame) -> pd.DataFrame:
         m = g[g["__side"] == "m"]
         e = g[g["__side"] == "e"]
-        r = m.groupby("key")["c"].sum().astype(np.int64) + tele
-        if len(e) == 0:
-            if len(m) > 0:
+        # a node's messages AND its out-edges share its bucket, so this
+        # per-bucket subset check is exact: ANY message key without an
+        # edge row is a dangling node, whether or not the bucket holds
+        # other nodes' edges (a len(e)==0-only guard misses collisions)
+        if len(m) > 0:
+            dangling = ~m["key"].isin(e["key"])
+            if dangling.any():
                 raise ValueError(
-                    "pagerank: rank mass addressed to a node with no "
-                    "out-edges — mirror the graph or drop dangling nodes"
+                    "pagerank: rank mass addressed to node(s) with no "
+                    f"out-edges (e.g. {int(m.loc[dangling, 'key'].iloc[0])})"
+                    " — mirror the graph or drop dangling nodes"
                 )
+        if len(e) == 0:
             return pd.DataFrame(
                 {"key": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
             )
+        r = m.groupby("key")["c"].sum().astype(np.int64) + tele
         rr = r.reindex(e["key"])
         if rr.isna().any():
             raise ValueError(
@@ -181,13 +194,14 @@ def pagerank(
 
     def tag_msgs(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        zeros = pa.array(np.zeros(n, np.int64))
         return pa.table(
             {
                 "key": batch["key"],
-                "dst": pa.nulls(n, pa.int64()),
-                "deg": pa.nulls(n, pa.int64()),
+                "dst": zeros,
+                "deg": zeros,
                 "c": batch["c"],
-                "first": pa.nulls(n, pa.int64()),
+                "first": zeros,
                 "__side": pa.array(["m"] * n, pa.string()),
             },
             schema=_ED_SCHEMA,
@@ -282,7 +296,9 @@ def bfs_distances(
             {
                 "key": batch[src],
                 "dst": batch[dst],
-                "dist": pa.nulls(n, pa.int64()),
+                # sentinel, not null: nullable int64 degrades to
+                # float64 in the pandas bucket consumer (bad ≥ 2^53)
+                "dist": pa.array(np.full(n, -1, np.int64)),
                 "__side": pa.array(["e"] * n, pa.string()),
             },
             schema=_BFS_EDGE_SCHEMA,
@@ -300,7 +316,7 @@ def bfs_distances(
             if "dst" in schema.names:
                 cols = {
                     "key": batch["node"],
-                    "dst": pa.nulls(batch.num_rows, pa.int64()),
+                    "dst": pa.array(np.full(batch.num_rows, -1, np.int64)),
                     "dist": batch["dist"],
                     "__side": cols["__side"],
                 }
@@ -454,7 +470,7 @@ def triangle_count(
                 "key": pa.array(np.concatenate([uu, vv])),
                 "eu": pa.array(np.concatenate([uu, uu])),
                 "ev": pa.array(np.concatenate([vv, vv])),
-                "deg": pa.nulls(2 * n, pa.int64()),
+                "deg": pa.array(np.full(2 * n, -1, np.int64)),
                 "__side": pa.array(["h"] * (2 * n), pa.string()),
             },
             schema=half_schema,
@@ -465,8 +481,8 @@ def triangle_count(
         return pa.table(
             {
                 "key": batch["node"],
-                "eu": pa.nulls(n, pa.int64()),
-                "ev": pa.nulls(n, pa.int64()),
+                "eu": pa.array(np.full(n, -1, np.int64)),
+                "ev": pa.array(np.full(n, -1, np.int64)),
                 "deg": batch["deg"],
                 "__side": pa.array(["d"] * n, pa.string()),
             },
@@ -480,14 +496,21 @@ def triangle_count(
             return pd.DataFrame(
                 {c: pd.Series(dtype=np.int64) for c in ("eu", "ev", "key", "deg")}
             )
-        lut = dict(zip(d["key"].to_numpy(np.int64), d["deg"].to_numpy(np.int64)))
-        kk = h["key"].to_numpy(np.int64)
+        lut = pd.Series(
+            d["deg"].to_numpy(np.int64), index=d["key"].to_numpy(np.int64)
+        )
+        degs = lut.reindex(h["key"].to_numpy(np.int64))
+        if degs.isna().any():
+            raise ValueError(
+                "triangle_count: endpoint missing from the degree table "
+                "(edge and degree exchanges disagree)"
+            )
         return pd.DataFrame(
             {
                 "eu": h["eu"].to_numpy(np.int64),
                 "ev": h["ev"].to_numpy(np.int64),
-                "key": kk,
-                "deg": np.array([lut[k] for k in kk], np.int64),
+                "key": h["key"].to_numpy(np.int64),
+                "deg": degs.to_numpy(np.int64),
             }
         )
 
@@ -585,7 +608,7 @@ def triangle_count(
             {
                 "src": batch["src"],
                 "dst": batch["dst"],
-                "n": pa.nulls(n, pa.int64()),
+                "n": pa.array(np.zeros(n, np.int64)),
                 "__side": pa.array(["e"] * n, pa.string()),
             },
             schema=wedge_schema,

@@ -200,7 +200,12 @@ def bucketed_left_attach(
 
     Schemas are passed explicitly (not sniffed via ``Dataset.schema()``,
     which can trigger partial execution on a lazy pipeline). Attached
-    columns come back nullable (left rows without a match)."""
+    columns come back nullable (left rows without a match) — note that
+    nullable int64 converts to float64 in downstream pandas stages, so
+    values ≥ 2^53 need an Arrow-format consumer or a fillna+cast at the
+    first map. Directly tested utility; the lm/pagerank pipelines that
+    motivated it later fused their attach into their own exchange, so
+    reach for it when a fused exchange isn't worth the custom code."""
     val_cols = [f for f in right_schema.names if f not in on]
     overlap = set(val_cols) & set(left_schema.names)
     if overlap:

@@ -160,7 +160,9 @@ def score_perplexity(
                 "a": r["a"],
                 "b": r["b"],
                 "k": r["k"],
-                "c_ab": pa.nulls(n, pa.int64()),
+                # sentinel, not null: a nullable int64 column becomes
+                # float64 in the pandas bucket consumer (bad ≥ 2^53)
+                "c_ab": pa.array(np.full(n, -1, np.int64)),
                 "__side": pa.array(["d"] * n, pa.string()),
             },
             schema=union_schema,
@@ -170,10 +172,10 @@ def score_perplexity(
         n = batch.num_rows
         return pa.table(
             {
-                "doc_id": pa.nulls(n, pa.int64()),
+                "doc_id": pa.array(np.full(n, -1, np.int64)),
                 "a": batch["a"],
                 "b": batch["b"],
-                "k": pa.nulls(n, pa.int64()),
+                "k": pa.array(np.full(n, -1, np.int64)),
                 "c_ab": batch["c_ab"],
                 "__side": pa.array(["m"] * n, pa.string()),
             },

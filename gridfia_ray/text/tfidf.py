@@ -4,11 +4,14 @@ the classic sparse lexical retrieval the reference's tabular export
 surface has no analogue for (SURVEY §2.9 text family; Sparck Jones
 1972 / SMART ltc weighting, integer-exact variant).
 
-Scale shape (why this distributes at 10^12 docs):
+Scale shape (why this distributes at 10^12 docs) — three corpus scans
+(query-row extraction, document frequencies, scoring; pass pre-filtered
+``query_docs`` to drop the first):
 
   * the QUERY side is tiny by contract (a handful of seed documents).
-    Their term vectors are built from a doc-id-filtered read and
-    broadcast — never a join.
+    Their term vectors come from a vectorized id-filtered scan (or the
+    caller's own pushed-down read via ``query_docs``) and broadcast —
+    never a join.
   * document frequencies are computed for QUERY-VOCAB TOKENS ONLY in
     one corpus pass: a per-batch presence Counter over the vocabulary
     intersection (plus the batch doc count) feeds a bucketed keyed
@@ -76,7 +79,12 @@ def df_for_vocab(
     batch; the exchange result is bounded by the query vocabulary."""
     from gridfia_ray.stages.agg_util import bucketed_agg
 
-    _N_SENTINEL = "\x00__n_docs__"  # docs never contain NUL tokens
+    _N_SENTINEL = "\x00__n_docs__"
+    if _N_SENTINEL in vocab:
+        # \S+ DOES match NUL, so a pathological corpus token could
+        # collide with the in-band doc-count sentinel and silently
+        # inflate n_docs while zeroing that token's df — refuse it
+        raise ValueError("df_for_vocab: vocabulary contains the reserved sentinel")
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -178,13 +186,18 @@ def tfidf_topk(
     k: int = 10,
     text_col: str = "text",
     concurrency: int = 4,
+    query_docs: rd.Dataset | None = None,
 ) -> pd.DataFrame:
     """Top-k documents per query doc by integer tf-idf dot product
     (score = Σ_t tf_d·tf_q·idf_c², ties → ascending doc_id; query docs
     excluded from candidates). Returns (query_id, doc_id, score_c)
     sorted by (query_id, doc_id); zero-score rows are dropped (no
-    shared vocabulary ⇒ not a match)."""
-    qvecs = query_term_vectors(docs, query_ids, text_col)
+    shared vocabulary ⇒ not a match). ``query_docs`` (a pre-filtered
+    dataset containing just the query rows, e.g. from a predicate-
+    pushdown read) skips the query-extraction scan of the corpus."""
+    qvecs = query_term_vectors(
+        docs if query_docs is None else query_docs, query_ids, text_col
+    )
     vocab = sorted(set().union(*[set(c) for c in qvecs.values()]))
     dfreq, n_docs = df_for_vocab(docs, set(vocab), text_col)
     idf = np.array([idf_milli(dfreq.get(t, 0), n_docs) for t in vocab], np.int64)

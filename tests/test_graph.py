@@ -95,6 +95,15 @@ class TestPageRank:
         with pytest.raises(ValueError, match="damping"):
             pagerank(_edges([(0, 1), (1, 0)]), damping_pct=100)
 
+    def test_dangling_raises_even_in_shared_bucket(self, ray_session):
+        # n_buckets=1 forces the dangling node's messages into a bucket
+        # that ALSO holds edge rows — the per-bucket subset check must
+        # still fire (a len(e)==0-only guard would silently drop mass)
+        with pytest.raises(Exception, match="out-edges|mirror"):
+            pagerank(
+                _edges([(0, 1), (0, 2), (2, 0)]), n_iters=2, n_buckets=1
+            ).to_pandas()
+
 
 class TestBfs:
     def _bfs(self, pairs, source, parts=3, **kw):
