@@ -2735,6 +2735,46 @@ def q_rel_rollup_pricing(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_rel_cube_orders(sf_dir: str) -> pd.DataFrame:
+    """CUBE aggregate (all 2^n key subsets in ONE streaming pass): per
+    (orderstatus, orderpriority), each margin, and grand total — counts
+    and integer-cents totals (stages/agg_util.cube_agg). The reference
+    exposes only single-level grouping (summary stats per species,
+    forest_metrics.py); CUBE is the multi-dimensional generalization a
+    warehouse user expects from the relational surface."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import cube_agg
+
+    tune_context()
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_c": np.floor(batch["o_totalprice"] * 100 + 0.5).astype(np.int64),
+            }
+        )
+
+    out = cube_agg(
+        orders.map_batches(to_cents, batch_format="pandas"),
+        ["o_orderstatus", "o_orderpriority"],
+        local_map={"n": ("price_c", "size"), "sum_price_c": ("price_c", "sum")},
+        merge_map={"n": ("n", "sum"), "sum_price_c": ("sum_price_c", "sum")},
+    ).to_pandas()
+    for c in ("n", "sum_price_c"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["o_orderstatus", "o_orderpriority", "n", "sum_price_c"]]
+        .sort_values(["o_orderstatus", "o_orderpriority"])
+        .reset_index(drop=True)
+    )
+
+
 def q_events_props_sum(sf_dir: str) -> pd.DataFrame:
     """Semi-structured extraction: pull the integer field ``k`` out of
     the JSON ``props`` column (vectorized regex fast path,
@@ -3671,18 +3711,16 @@ def q_graph_bfs(sf_dir: str) -> pd.DataFrame:
 
 
 _TRI_RATE = 0.2
+_CC_RATE = 0.02
 
 
-def q_graph_triangles(sf_dir: str) -> pd.DataFrame:
-    """Exact triangle count over the hash-sparsified supplier co-supply
-    graph (DOULION-style deterministic edge sampling — md5 rank shared
-    verbatim with the oracle — over distinct supplier pairs sharing a
-    part). Degree-oriented node-iterator: wedge volume is Σ outdeg²
-    with outdeg = O(√m) regardless of hub skew."""
+def _co_supply_edges(sf_dir: str, rate: float):
+    """Distinct canonical supplier co-supply pairs (u < v share a
+    part), DOULION-sparsified at ``rate`` by the md5 rank shared
+    verbatim with the SQL oracles. Returns a Dataset[u, v]."""
     import pyarrow as pa
 
     from gridfia_ray.context import tune_context
-    from gridfia_ray.pipelines.graph import triangle_count
     from gridfia_ray.pipelines.sampling import md5_rank, rate_threshold_hex
     from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_bucket_map
 
@@ -3726,15 +3764,40 @@ def q_graph_triangles(sf_dir: str) -> pd.DataFrame:
     )
     edges = bucketed_agg(pairs, ["u", "v"], {"one": ("one", "max")}, n_buckets=16)
 
-    thr = rate_threshold_hex(_TRI_RATE)
+    thr = rate_threshold_hex(rate)
 
     def sparsify(batch: pd.DataFrame) -> pd.DataFrame:
         r = md5_rank([batch["u"], batch["v"]]).str[:8]
         return batch.loc[(r < thr).to_numpy(), ["u", "v"]]
 
-    kept = edges.map_batches(sparsify, batch_format="pandas")
-    n = triangle_count(kept)
+    return edges.map_batches(sparsify, batch_format="pandas")
+
+
+def q_graph_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count over the hash-sparsified supplier co-supply
+    graph (DOULION-style deterministic edge sampling — md5 rank shared
+    verbatim with the oracle — over distinct supplier pairs sharing a
+    part). Degree-oriented node-iterator: wedge volume is Σ outdeg²
+    with outdeg = O(√m) regardless of hub skew."""
+    from gridfia_ray.pipelines.graph import triangle_count
+
+    n = triangle_count(_co_supply_edges(sf_dir, _TRI_RATE))
     return pd.DataFrame({"n_triangles": np.asarray([n], np.int64)})
+
+
+def q_graph_components(sf_dir: str) -> pd.DataFrame:
+    """Weakly connected components of the co-supply graph sparsified to
+    2% (sparse enough to fragment into many components): iterative
+    hash-min label propagation — the shared Pregel machinery behind
+    duplicate clustering — vs the recursive-CTE min-label closure
+    oracle. Component id = min supplier key of the component."""
+    from gridfia_ray.pipelines.graph import connected_components
+
+    out = connected_components(
+        _co_supply_edges(sf_dir, _CC_RATE), src="u", dst="v", n_buckets=16
+    ).to_pandas()
+    out = out.astype({"node": np.int64, "component": np.int64})
+    return out.sort_values("node", ignore_index=True)
 
 
 def q_rel_top_supplier(sf_dir: str) -> pd.DataFrame:
@@ -3929,7 +3992,16 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     join, broadcast chains, focal gradient, paragraph/near-incremental
     dedup, splits, token stats, the remaining pinned twins) plus the
     seven rows-only sf-table variants of the heuristic ops, which carry
-    pytest oracles and pinned twins instead."""
+    pytest oracles and pinned twins instead.
+
+    Late-round-4 window swaps (each displaced entry's family keeps
+    another in-window representative, and all displaced entries stay
+    fully verified by the complete contract run): gf_getis_gstar →
+    graph_pagerank (new graph-analytics family), gf_zonal_percentiles →
+    doc_lm_perplexity (LM quality scoring), events_resampling →
+    doc_tfidf_topk (retrieval), events_running_totals →
+    bpe_train_pinned (tokenizer training), gf_tile_features →
+    gf_contour_cells (raster→vector contours)."""
     qs: dict[str, Callable[[str], pd.DataFrame]] = {
         # --- driver window (50): one green row per operator family ---
         # raster metric kernels (M1-M15)
@@ -3939,14 +4011,14 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_species_dominance": q_species_dominance,
         "gf_occurrence_stats": q_occurrence_stats,
         "gf_zonal_stats": q_zonal_stats,
-        "gf_zonal_percentiles": q_zonal_percentiles,
+        "doc_lm_perplexity": q_doc_lm_perplexity,
         "gf_downsample_2x": q_downsample_2x,
         "gf_focal_sum": q_focal_sum_3x3,
         # sinks / codecs / multimodal stages
         "gf_raster_roundtrip": q_raster_roundtrip,
         "gf_jpeg_decode": q_jpeg_decode,
         "audio_features": q_audio_features,
-        "gf_tile_features": q_tile_features,
+        "gf_contour_cells": q_contour_cells,
         # geo ops / joins / dedup / stats / lifecycle
         "gf_warp_mercator": q_warp_mercator,
         "gf_bbox_extract": q_bbox_extract,
@@ -3956,7 +4028,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_morans_i": q_morans_i,
         "gf_local_moran": q_local_moran,
-        "gf_getis_gstar": q_getis_gstar,
+        "graph_pagerank": q_graph_pagerank,
         "gf_distance_transform": q_distance_transform,
         "gf_temporal_trend": q_temporal_trend,
         "gf_percentiles_exact": q_percentiles_exact,
@@ -3971,8 +4043,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_error_window_join": q_events_error_window_join,
         "events_hourly": q_events_hourly,
         "events_funnel": q_events_funnel,
-        "events_running_totals": q_events_running_totals,
-        "events_resampling": q_stats_resampling,
+        "bpe_train_pinned": q_bpe_train_pinned,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         # document dedup / decontamination / corpus build / packing
         "doc_minhash_pinned": q_doc_minhash_pinned,
         "ann_ivf_pinned": q_ann_ivf_pinned,
@@ -4002,7 +4074,14 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "graph_bfs": q_graph_bfs,
         "graph_triangles": q_graph_triangles,
         "gf_zonal_species": q_zonal_species,
+        "gf_getis_gstar": q_getis_gstar,
+        "gf_zonal_percentiles": q_zonal_percentiles,
+        "events_resampling": q_stats_resampling,
+        "events_running_totals": q_events_running_totals,
+        "gf_tile_features": q_tile_features,
         "gf_percentiles": q_percentiles,
+        "rel_cube_orders": q_rel_cube_orders,
+        "graph_components": q_graph_components,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_downsample_4x": q_downsample_4x,
@@ -4048,7 +4127,6 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_coverage_topk": q_coverage_topk,
         "gf_store_validate": q_store_validate,
         "gf_focal_gradient": q_focal_gradient,
-        "gf_contour_cells": q_contour_cells,
         "gf_store_append": q_store_append,
         "events_hopping": q_events_hopping,
         "events_props_sum": q_events_props_sum,
@@ -5192,6 +5270,14 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+    sql["rel_cube_orders"] = """
+        SELECT COALESCE(o_orderstatus, '<ALL>') AS o_orderstatus,
+               COALESCE(o_orderpriority, '<ALL>') AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_price_c
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
     sql["events_running_totals"] = """
         SELECT event_id,
                CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
@@ -5407,6 +5493,20 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT CAST(COUNT(*) AS BIGINT) n_triangles
         FROM e ab JOIN e bc ON ab.v = bc.u
                   JOIN e ac ON ac.u = ab.u AND ac.v = bc.v"""
+    sql["graph_components"] = f"""
+        WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
+        e0 AS (SELECT DISTINCT a.s u, b.s v
+               FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        e AS (SELECT u, v FROM e0
+              WHERE substr(md5(CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)),
+                           1, 8) < '{_rth(_CC_RATE)}'),
+        ed AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        cc(node, rep) AS (
+          SELECT DISTINCT u, u FROM ed
+          UNION
+          SELECT ed.v, cc.rep FROM cc JOIN ed ON cc.node = ed.u WHERE cc.rep < ed.v
+        )
+        SELECT node, MIN(rep) AS component FROM cc GROUP BY node"""
     sql["graph_bfs"] = """
         WITH RECURSIVE e0 AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey s
                     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),

@@ -615,7 +615,18 @@ def dup_clusters_distributed(
         lab_ref = labels
         msgs = (
             edges.map_batches(
-                lambda b: b.rename(columns={"src": "node"}), batch_format="pandas"
+                # carry a placeholder rep so edge and label blocks share
+                # ONE schema — heterogeneous pandas blocks churn the
+                # executor's schema cache and upcast rep to float64 in
+                # mixed buckets
+                lambda b: pd.DataFrame(
+                    {
+                        "node": b["src"],
+                        "dst": b["dst"],
+                        "rep": np.zeros(len(b), np.int64),
+                    }
+                ),
+                batch_format="pandas",
             )
             # join label onto the edge source via bucketed merge
             .union(

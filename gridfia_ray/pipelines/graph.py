@@ -630,3 +630,43 @@ def triangle_count(
         out_schema=pa.schema([("n_tri", pa.int64())]),
     )
     return int(counts.sum("n_tri") or 0)
+
+
+def connected_components(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 64,
+    max_iters: int = 50,
+) -> rd.Dataset:
+    """Weakly connected components over an edge table — (node,
+    component) for every node with at least one edge, component = the
+    minimum node id of its component.
+
+    Thin graph-surface wrapper over the shared iterative hash-min label
+    propagation (:func:`gridfia_ray.dedup.docs.dup_clusters_distributed`
+    — the Pregel algorithm is identical for duplicate-pair clustering
+    and general WCC, so there is exactly one implementation). Edge
+    direction is ignored (the propagation mirrors every edge); node ids
+    must be non-negative int64 (the underlying label stream uses -1 as
+    its message sentinel). Raises rather than returning unconverged
+    labels when the graph diameter exceeds ``max_iters``."""
+    from gridfia_ray.dedup.docs import dup_clusters_distributed
+
+    pairs = edges.map_batches(
+        lambda b, s=src, d=dst: pd.DataFrame(
+            {"a": b[s].to_numpy(np.int64), "b": b[d].to_numpy(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    return dup_clusters_distributed(
+        pairs, n_buckets=n_buckets, max_iters=max_iters
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["doc_id"].to_numpy(np.int64),
+                "component": b["cluster_rep"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -78,10 +78,56 @@ def rollup_agg(
 ) -> rd.Dataset:
     """Multi-level (ROLLUP) aggregation in ONE streaming pass: every
     batch emits partials for every grouping prefix — (k1..kn), (k1..
-    kn-1), …, () — with rolled-up key columns set to ``all_token``,
-    then one bucketed keyed merge combines all levels together. n+1
-    grouping sets cost one pass over the data plus (n+1)× the partial
-    rows, never n+1 scans.
+    kn-1), …, () — then one bucketed keyed merge combines all levels.
+    See :func:`grouping_sets_agg` for the general contract."""
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+    prefixes = [keys[:i] for i in range(len(keys), -1, -1)]  # full … empty
+    return grouping_sets_agg(
+        ds, keys, prefixes, local_map, merge_map, n_buckets, all_token
+    )
+
+
+def cube_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    local_map: dict[str, tuple[str, str]],
+    merge_map: dict[str, tuple[str, str]],
+    n_buckets: int = 32,
+    all_token: str = "<ALL>",
+) -> rd.Dataset:
+    """SQL ``GROUP BY CUBE``: every subset of ``keys`` (2^n grouping
+    sets) in one streaming pass. Subset order is most-specific-first
+    (the rollup convention); partial-row volume is 2^n × the full
+    grouping's, so keep n small (the SQL planner has the same cost)."""
+    if not keys:
+        raise ValueError("cube needs at least one key")
+    if len(keys) > 6:
+        raise ValueError(f"cube over {len(keys)} keys is 2^{len(keys)} grouping sets")
+    n = len(keys)
+    subsets = [
+        [k for j, k in enumerate(keys) if mask & (1 << j)]
+        for mask in range((1 << n) - 1, -1, -1)
+    ]
+    return grouping_sets_agg(
+        ds, keys, subsets, local_map, merge_map, n_buckets, all_token
+    )
+
+
+def grouping_sets_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    sets: list[list[str]],
+    local_map: dict[str, tuple[str, str]],
+    merge_map: dict[str, tuple[str, str]],
+    n_buckets: int = 32,
+    all_token: str = "<ALL>",
+) -> rd.Dataset:
+    """SQL ``GROUP BY GROUPING SETS``: one streaming pass where every
+    batch emits partials for every grouping set in ``sets`` (key
+    columns absent from a set come back as ``all_token``), then one
+    bucketed keyed merge combines all sets together. k grouping sets
+    cost one scan plus k× the partial rows, never k scans.
 
     ``local_map`` aggregates raw rows per batch (e.g. count via
     ``("col", "size")``); ``merge_map`` merges partials (count → sum) —
@@ -89,10 +135,19 @@ def rollup_agg(
     contract. Key columns come back stringified (the SQL oracle shape:
     ``COALESCE(CAST(k AS VARCHAR), '<ALL>')``); rows whose key value
     equals ``all_token`` would be ambiguous and are rejected.
-    """
-    if not keys:
-        raise ValueError("rollup needs at least one key")
-    prefixes = [keys[:i] for i in range(len(keys), -1, -1)]  # full … empty
+    Duplicate grouping sets are rejected (their merged partials would
+    silently double-count, where SQL emits duplicate result rows)."""
+    if not sets:
+        raise ValueError("grouping_sets_agg needs at least one grouping set")
+    seen = set()
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s} has unknown keys {sorted(unknown)}")
+        fs = frozenset(s)
+        if fs in seen:
+            raise ValueError(f"duplicate grouping set {sorted(s)}")
+        seen.add(fs)
 
     def partial(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0:
@@ -104,15 +159,15 @@ def rollup_agg(
         if batch[keys].isna().any().any():
             # pandas groupby silently drops NULL keys from sublevels
             # while the () total still counts them — internally
-            # inconsistent AND divergent from SQL ROLLUP (which groups
-            # NULLs, colliding with the all_token after COALESCE).
-            # Fail loudly; fill or filter NULL keys first.
+            # inconsistent AND divergent from SQL ROLLUP/CUBE (which
+            # group NULLs, colliding with the all_token after
+            # COALESCE). Fail loudly; fill or filter NULL keys first.
             raise ValueError(
-                "rollup_agg: NULL values in key columns are ambiguous "
-                "under rollup — fill or filter them first"
+                "grouping_sets_agg: NULL values in key columns are "
+                "ambiguous under rollup/cube — fill or filter them first"
             )
         outs = []
-        for kept in prefixes:
+        for kept in sets:
             if kept:
                 g = batch.groupby(kept, as_index=False).agg(**local_map)
             else:

@@ -195,3 +195,52 @@ class TestTriangles:
     def test_non_canonical_rejected(self, ray_session):
         with pytest.raises(Exception, match="canonical"):
             self._tri([(1, 0), (0, 2), (1, 2)])  # (1, 0) not u < v
+
+
+class TestConnectedComponents:
+    def _cc(self, pairs, parts=3, **kw):
+        from gridfia_ray.pipelines.graph import connected_components
+
+        kw.setdefault("n_buckets", 4)  # toy graphs: exchange overhead, not data
+        out = connected_components(_edges(pairs, parts), **kw).to_pandas()
+        return dict(
+            zip(out["node"].astype(np.int64), out["component"].astype(np.int64))
+        )
+
+    def test_two_components_min_label(self, ray_session):
+        got = self._cc([(5, 3), (3, 9), (10, 20), (20, 30)])
+        assert got == {3: 3, 5: 3, 9: 3, 10: 10, 20: 10, 30: 10}
+
+    def test_direction_ignored(self, ray_session):
+        # a chain pointing "backwards" still forms one component
+        got = self._cc([(4, 3), (3, 2), (2, 1)])
+        assert set(got.values()) == {1}
+
+    def test_matches_union_find_on_random_graph(self, ray_session):
+        rng = np.random.RandomState(7)
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, 60, size=(80, 2))
+            if a != b
+        ]
+        got = self._cc(pairs, parts=5)
+
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+        want = {n: find(n) for n in parent}
+        assert got == want
+
+    def test_partition_invariant(self, ray_session):
+        pairs = [(0, 1), (1, 2), (7, 8), (8, 9), (9, 7), (42, 43)]
+        assert self._cc(pairs, parts=1) == self._cc(pairs, parts=7)

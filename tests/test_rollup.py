@@ -6,7 +6,7 @@ import pytest
 import ray.data as rd
 
 from gridfia_ray.pipelines.events import extract_json_int
-from gridfia_ray.stages.agg_util import rollup_agg
+from gridfia_ray.stages.agg_util import cube_agg, grouping_sets_agg, rollup_agg
 
 
 class TestRollupAgg:
@@ -78,6 +78,79 @@ class TestRollupAgg:
         with pytest.raises(ValueError, match="at least one key"):
             rollup_agg(rd.from_pandas(pd.DataFrame({"v": [1]})), [],
                        local_map={}, merge_map={})
+
+
+class TestCubeAndGroupingSets:
+    _frame = TestRollupAgg._frame
+
+    def _pandas_sets(self, df, sets):
+        rows = []
+        for kept in sets:
+            if kept:
+                g = df.groupby(kept)["v"].agg(n="size", s="sum").reset_index()
+            else:
+                g = pd.DataFrame({"n": [len(df)], "s": [df["v"].sum()]})
+            for k in ("a", "b"):
+                g[k] = g[k].astype(str) if k in kept else "<ALL>"
+            rows.append(g[["a", "b", "n", "s"]])
+        return (
+            pd.concat(rows, ignore_index=True)
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+
+    def test_cube_matches_pandas_all_subsets(self, ray_session):
+        df = self._frame(seed=3)
+        got = (
+            cube_agg(
+                rd.from_pandas(df).repartition(5),
+                ["a", "b"],
+                local_map={"n": ("v", "size"), "s": ("v", "sum")},
+                merge_map={"n": ("n", "sum"), "s": ("s", "sum")},
+                n_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+            .astype({"n": np.int64, "s": np.int64})
+        )
+        want = self._pandas_sets(df, [["a", "b"], ["a"], ["b"], []])
+        pd.testing.assert_frame_equal(got, want)
+        # the margin rollup lacks: b-only rows
+        assert ((got["a"] == "<ALL>") & (got["b"] != "<ALL>")).sum() == 2
+
+    def test_grouping_sets_explicit(self, ray_session):
+        df = self._frame(seed=4)
+        got = (
+            grouping_sets_agg(
+                rd.from_pandas(df).repartition(3),
+                ["a", "b"],
+                [["b"], []],
+                local_map={"n": ("v", "size"), "s": ("v", "sum")},
+                merge_map={"n": ("n", "sum"), "s": ("s", "sum")},
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+            .astype({"n": np.int64, "s": np.int64})
+        )
+        pd.testing.assert_frame_equal(got, self._pandas_sets(df, [["b"], []]))
+
+    def test_duplicate_set_rejected(self, ray_session):
+        df = pd.DataFrame({"a": ["x"], "b": ["p"], "v": np.int64([1])})
+        with pytest.raises(ValueError, match="duplicate grouping set"):
+            grouping_sets_agg(
+                rd.from_pandas(df), ["a", "b"], [["a"], ["a"]],
+                local_map={"n": ("v", "size")}, merge_map={"n": ("n", "sum")},
+            )
+
+    def test_unknown_key_rejected(self, ray_session):
+        df = pd.DataFrame({"a": ["x"], "v": np.int64([1])})
+        with pytest.raises(ValueError, match="unknown keys"):
+            grouping_sets_agg(
+                rd.from_pandas(df), ["a"], [["zz"]],
+                local_map={"n": ("v", "size")}, merge_map={"n": ("n", "sum")},
+            )
 
 
 class TestExtractJsonInt:
