@@ -986,6 +986,24 @@ def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
     return out[["a", "b"]].astype(np.int64).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_emb_gram(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA sufficient statistics: the exact int64 d×d
+    second-moment (Gram) matrix of the quantized embeddings — each
+    batch ships a d² partial (bytes, never vectors), one tiny bucketed
+    sum merges them (analysis/pca.gram_matrix_int). Bit-exact vs the
+    DuckDB unnest-lockstep self-join doing the identical quantization.
+    The centered eigensolve riding on these statistics is pytest-oracled
+    vs numpy (tests/test_pca.py)."""
+    from gridfia_ray.analysis.pca import gram_matrix_int
+
+    out = (
+        gram_matrix_int(_embeddings(sf_dir), "embedding", scale=1000, n_buckets=8)
+        .to_pandas()
+        .astype({"i": np.int64, "j": np.int64, "dot": np.int64})
+    )
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
 def q_emb_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     """SemDeDup (cluster-then-prune) over the embeddings table: per
     vector its k-means cluster and keep verdict. k-means is not
@@ -4082,6 +4100,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_percentiles": q_percentiles,
         "rel_cube_orders": q_rel_cube_orders,
         "graph_components": q_graph_components,
+        "emb_gram": q_emb_gram,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_downsample_4x": q_downsample_4x,
@@ -5278,6 +5297,18 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    # unnest + generate_subscripts advance in lockstep, so (vec_id, i)
+    # indexes each embedding element; CAST to DOUBLE first matches the
+    # pipeline's float32 → float64 widening before quantization
+    sql["emb_gram"] = """
+        WITH q AS (SELECT vec_id,
+                          generate_subscripts(embedding, 1) - 1 AS i,
+                          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000
+                                     + 0.5) AS BIGINT) AS qv
+                   FROM embeddings)
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+        FROM q a JOIN q b USING (vec_id)
+        GROUP BY a.i, b.i"""
     sql["events_running_totals"] = """
         SELECT event_id,
                CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
