@@ -815,6 +815,34 @@ def q_json_roundtrip(sf_dir: str) -> pd.DataFrame:
     return _stats_roundtrip(sf_dir, "gf_json_", "write_json", "read_json")
 
 
+def q_ipc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """S17 via the engine's own Arrow IPC (Feather v2) sink/source
+    (io.write_ipc / io.read_ipc — Ray has no native IPC pair): blocks
+    written as .arrow files inside the map tasks, streamed back through
+    read_binary_files + in-task decode. Same oracle as the direct
+    occurrence-stats plan; interop with plain pyarrow.feather is pinned
+    in tests/test_ipc.py."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from gridfia_ray.io import read_ipc, write_ipc
+
+    df = q_occurrence_stats(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gf_ipc_")
+    try:
+        manifest = write_ipc(rd.from_pandas(df).repartition(2), tmp)
+        assert int(manifest["num_rows"].sum()) == len(df)
+        back = read_ipc(tmp).to_pandas()
+        for c in ["present_px", "n_px", "sum_biomass_u", "max_biomass_u"]:
+            back[c] = back[c].astype(np.int64)
+        back["species_code"] = back["species_code"].astype(str).str.zfill(4)
+        return back.sort_values("species_code", ignore_index=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_coverage_topk(sf_dir: str) -> pd.DataFrame:
     occ = q_occurrence_stats(sf_dir)
     cov = occ[["species_code"]].copy()
@@ -2264,6 +2292,17 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
         return out
 
     out = _docs(sf_dir).map_batches(counts, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_compress_ratio(sf_dir: str) -> pd.DataFrame:
+    """zlib compression-ratio quality signal (text/ops.compression_stats):
+    integer (raw_len, zlib_len, ratio_milli) per doc. Deterministic but
+    not SQL-expressible (DuckDB has no zlib) → rows-only here; exactly
+    oracled vs a sequential zlib replay in tests/test_text_ops.py."""
+    from gridfia_ray.text.ops import compression_stats
+
+    out = _docs(sf_dir).map_batches(compression_stats, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -4101,8 +4140,10 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_cube_orders": q_rel_cube_orders,
         "graph_components": q_graph_components,
         "emb_gram": q_emb_gram,
+        "doc_compress_ratio": q_doc_compress_ratio,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
+        "gf_ipc_roundtrip": q_ipc_roundtrip,
         "gf_downsample_4x": q_downsample_4x,
         "gf_mosaic": q_mosaic,
         "gf_rasterize": q_rasterize,
@@ -4314,6 +4355,7 @@ def build_oracle_sql() -> dict[str, str]:
     # the CSV text roundtrip must land on the identical stats table
     sql["gf_csv_roundtrip"] = sql["gf_occurrence_stats"]
     sql["gf_json_roundtrip"] = sql["gf_occurrence_stats"]
+    sql["gf_ipc_roundtrip"] = sql["gf_occurrence_stats"]
     sql["gf_coverage_topk"] = f"""
         {species_cte}
         SELECT species_code,

@@ -202,6 +202,33 @@ def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def compression_stats(batch: pd.DataFrame, level: int = 6) -> pd.DataFrame:
+    """zlib compression-ratio quality signal: machine-generated or
+    boilerplate-heavy text compresses far below natural prose, making
+    ``compressed/raw`` a cheap repetition filter (used alongside the
+    Gopher-style ratios in public pre-training pipelines, e.g.
+    RefinedWeb/Dolma). Per doc: ``raw_len`` (UTF-8 bytes), ``zlib_len``
+    at a pinned level, and ``ratio_milli = (1000·zlib_len) // raw_len``
+    — all integers, fully determined by input + level, so the operator
+    is exactly reproducible by a sequential replay (tests/test_text_ops)
+    though not SQL-expressible (DuckDB has no zlib surface). C-speed per
+    doc via the zlib module; doc granularity like the other quality
+    scorers."""
+    import zlib
+
+    texts = batch["text"].fillna("")
+    raw = [t.encode("utf-8") for t in texts]
+    raw_len = np.asarray([len(b) for b in raw], np.int64)
+    zlib_len = np.asarray([len(zlib.compress(b, level)) for b in raw], np.int64)
+    out = batch[["doc_id"]].copy()
+    out["raw_len"] = raw_len
+    out["zlib_len"] = zlib_len
+    # empty doc: zlib emits a ~8-byte header; define ratio 0 rather
+    # than divide-by-zero (filters treat empty docs separately anyway)
+    out["ratio_milli"] = np.where(raw_len > 0, (1000 * zlib_len) // np.maximum(raw_len, 1), 0).astype(np.int64)
+    return out
+
+
 def chunk_documents(
     docs: "rd.Dataset",
     chunk_tokens: int = 128,

@@ -252,3 +252,53 @@ class TestRedactPII:
         out = redact_pii(batch)
         assert out["text_redacted"][0] == "café<IP> end"
         assert out["text_redacted"][1] == batch["text"][1]  # untouched
+
+
+class TestCompressionStats:
+    def test_matches_sequential_zlib_on_sf_docs(self, ray_session):
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        from gridfia_ray.text.ops import compression_stats
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        got = (
+            rd.from_pandas(docs)
+            .repartition(5)
+            .map_batches(compression_stats, batch_format="pandas")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = docs.sort_values("doc_id").reset_index(drop=True)
+        raw = [t.encode("utf-8") for t in want["text"].fillna("")]
+        assert got["raw_len"].tolist() == [len(b) for b in raw]
+        assert got["zlib_len"].tolist() == [len(zlib.compress(b, 6)) for b in raw]
+        assert (
+            got["ratio_milli"]
+            == np.where(
+                got["raw_len"] > 0,
+                (1000 * got["zlib_len"]) // got["raw_len"].clip(lower=1),
+                0,
+            )
+        ).all()
+
+    def test_repetitive_text_compresses_below_prose(self, ray_session):
+        from gridfia_ray.text.ops import compression_stats
+
+        rng = np.random.RandomState(0)
+        prose = " ".join(
+            "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), 8)) for _ in range(200)
+        )
+        df = pd.DataFrame(
+            {
+                "doc_id": np.int64([0, 1, 2]),
+                "text": ["spam ham " * 400, prose, ""],
+            }
+        )
+        out = compression_stats(df)
+        assert out["ratio_milli"].iloc[0] < out["ratio_milli"].iloc[1] / 3
+        assert out["ratio_milli"].iloc[2] == 0 and out["raw_len"].iloc[2] == 0
