@@ -2792,6 +2792,92 @@ def q_rel_rollup_pricing(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_rel_order_count_dist(sf_dir: str) -> pd.DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT join —
+    customers with zero qualifying orders must appear at c_count=0 —
+    then the distribution of counts. Scale shape: per-batch count
+    combiner on orders → tiny keyed merge; then the left attach AND the
+    histogram are fused into ONE co-bucketed exchange (customer keys
+    ride the counts' bucket stream, each bucket emits its partial
+    histogram), finished by a tiny keyed merge. Neither base table is
+    ever fully shuffled and no per-customer row survives the fused
+    exchange."""
+    import pyarrow as pa
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_orderpriority"] != "1-URGENT"]
+        g = b.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame(
+            {"c_custkey": g["o_custkey"].astype(np.int64), "c_count": g["size"].astype(np.int64)}
+        )
+
+    counts = bucketed_agg(
+        orders.map_batches(count_partial, batch_format="pandas"),
+        ["c_custkey"],
+        {"c_count": ("c_count", "sum")},
+        n_buckets=16,
+    )
+
+    # left attach + histogram FUSED into the same exchange: customer
+    # keys ride the counts' bucket stream with the sentinel c_count=-1
+    # (counts are >=1 by construction), each bucket emits its partial
+    # histogram directly — zero-order customers surface as c_count=0
+    # without a second exchange carrying per-customer rows
+    row_schema = pa.schema([("c_custkey", pa.int64()), ("c_count", pa.int64())])
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                "c_count": pa.array(
+                    np.full(batch.num_rows, -1, np.int64), pa.int64()
+                ),
+            },
+            schema=row_schema,
+        )
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["c_count"] == -1, ["c_custkey"]]
+        cnt = g.loc[g["c_count"] != -1, ["c_custkey", "c_count"]]
+        merged = keys.merge(cnt, on="c_custkey", how="left")
+        c = merged["c_count"].fillna(0).astype(np.int64)
+        h = c.value_counts().sort_index()
+        return pd.DataFrame(
+            {"c_count": h.index.to_numpy(np.int64), "n_cust": h.to_numpy(np.int64)}
+        )
+
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    tagged = cust.map_batches(tag_cust, batch_format="pyarrow").union(counts)
+    partial_hist = bucketed_bucket_map(
+        tagged,
+        ["c_custkey"],
+        bucket_hist,
+        n_buckets=16,
+        out_schema=pa.schema([("c_count", pa.int64()), ("n_cust", pa.int64())]),
+    )
+    out = bucketed_agg(
+        partial_hist,
+        ["c_count"],
+        {"n_cust": ("n_cust", "sum")},
+        n_buckets=8,
+    ).to_pandas()
+    out = out.astype({"c_count": np.int64, "n_cust": np.int64})
+    return out.sort_values("c_count", ignore_index=True)
+
+
 def q_rel_cube_orders(sf_dir: str) -> pd.DataFrame:
     """CUBE aggregate (all 2^n key subsets in ONE streaming pass): per
     (orderstatus, orderpriority), each margin, and grand total — counts
@@ -4138,6 +4224,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tile_features": q_tile_features,
         "gf_percentiles": q_percentiles,
         "rel_cube_orders": q_rel_cube_orders,
+        "rel_order_count_dist": q_rel_order_count_dist,
         "graph_components": q_graph_components,
         "emb_gram": q_emb_gram,
         "doc_compress_ratio": q_doc_compress_ratio,
@@ -5339,6 +5426,15 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    sql["rel_order_count_dist"] = """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM (SELECT c.c_custkey,
+                     CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON o.o_custkey = c.c_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey)
+        GROUP BY c_count"""
     # unnest + generate_subscripts advance in lockstep, so (vec_id, i)
     # indexes each embedding element; CAST to DOUBLE first matches the
     # pipeline's float32 → float64 widening before quantization
