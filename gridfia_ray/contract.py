@@ -2878,6 +2878,28 @@ def q_rel_order_count_dist(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_count", ignore_index=True)
 
 
+def q_rel_ntile_orders(sf_dir: str) -> pd.DataFrame:
+    """Global ORDER-BY window: exact NTILE(7) over order value (ties
+    broken by orderkey — SQL ORDER BY v, id) WITHOUT a global sort:
+    quickselect boundary values, one below-count/tied-gather pass, one
+    stateless assignment pass (pipelines/rank.ntile_exact). The global
+    window complements the PARTITIONed window family in
+    pipelines/events.py."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.rank import ntile_exact
+
+    tune_context()
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    out = (
+        ntile_exact(orders, "o_totalprice", "o_orderkey", 7)
+        .to_pandas()
+        .astype({"o_orderkey": np.int64, "tile": np.int64})
+    )
+    return out[["o_orderkey", "tile"]].sort_values("o_orderkey", ignore_index=True)
+
+
 def q_rel_cube_orders(sf_dir: str) -> pd.DataFrame:
     """CUBE aggregate (all 2^n key subsets in ONE streaming pass): per
     (orderstatus, orderpriority), each margin, and grand total — counts
@@ -4225,6 +4247,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_percentiles": q_percentiles,
         "rel_cube_orders": q_rel_cube_orders,
         "rel_order_count_dist": q_rel_order_count_dist,
+        "rel_ntile_orders": q_rel_ntile_orders,
         "graph_components": q_graph_components,
         "emb_gram": q_emb_gram,
         "doc_compress_ratio": q_doc_compress_ratio,
@@ -5426,6 +5449,11 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    sql["rel_ntile_orders"] = """
+        SELECT o_orderkey,
+               CAST(NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                 AS tile
+        FROM orders"""
     sql["rel_order_count_dist"] = """
         SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_cust
         FROM (SELECT c.c_custkey,
