@@ -4206,14 +4206,14 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_rollup_pricing": q_rel_rollup_pricing,
         "events_asof_join": q_events_asof_join,
         "events_error_window_join": q_events_error_window_join,
-        "events_hourly": q_events_hourly,
+        "rel_ntile_orders": q_rel_ntile_orders,
         "events_funnel": q_events_funnel,
         "bpe_train_pinned": q_bpe_train_pinned,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         # document dedup / decontamination / corpus build / packing
         "doc_minhash_pinned": q_doc_minhash_pinned,
         "ann_ivf_pinned": q_ann_ivf_pinned,
-        "ann_topk": q_ann_topk,
+        "emb_gram": q_emb_gram,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_incremental": q_doc_dedup_incremental,
         "doc_dup_verified": q_doc_dup_verified,
@@ -4247,9 +4247,9 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_percentiles": q_percentiles,
         "rel_cube_orders": q_rel_cube_orders,
         "rel_order_count_dist": q_rel_order_count_dist,
-        "rel_ntile_orders": q_rel_ntile_orders,
+        "ann_topk": q_ann_topk,
         "graph_components": q_graph_components,
-        "emb_gram": q_emb_gram,
+        "events_hourly": q_events_hourly,
         "doc_compress_ratio": q_doc_compress_ratio,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
