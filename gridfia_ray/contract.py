@@ -1978,6 +1978,79 @@ def q_bpe_tokenize_pinned(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_cdc_pinned(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunking (gear rolling hash, FastCDC-family
+    min/avg/max discipline, text/cdc.py): the vectorized 64-shifted-adds
+    chunker vs the pinned byte-at-a-time stateful gear walk — chunk
+    offsets, lengths and md5-64 fingerprints must match bit-for-bit.
+    The pin corpus plants prefix edits and cross-doc splices, so the
+    expected table itself certifies the shift-invariance fixed-size
+    chunking lacks."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.text.cdc import cdc_chunk_batch
+
+    tune_context()
+    pin = oracle_pins.ensure_cdcpin()
+    mn, av, mx = oracle_pins.CDC_PIN_SIZES
+    out = (
+        rd.read_parquet(pin["documents"])
+        .map_batches(
+            lambda b: cdc_chunk_batch(b, mn, av, mx), batch_format="pandas"
+        )
+        .to_pandas()
+        .astype(np.int64)
+    )
+    return out.sort_values(["doc_id", "chunk_id"], ignore_index=True)
+
+
+def q_doc_cdc_dedup_pinned(sf_dir: str) -> pd.DataFrame:
+    """Sub-document (chunk-level) dedup over the CDC chunk table: dup
+    chunk groups (hash, n_copies) via per-batch count combiner + tiny
+    keyed merge; the planted prefix-edit/splice corpus guarantees a
+    non-trivial group set. Oracle: GROUP BY/HAVING over the pinned
+    expected chunk table."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import bucketed_agg
+    from gridfia_ray.text.cdc import cdc_chunk_batch
+
+    tune_context()
+    pin = oracle_pins.ensure_cdcpin()
+    mn, av, mx = oracle_pins.CDC_PIN_SIZES
+    chunks = rd.read_parquet(pin["documents"]).map_batches(
+        lambda b: cdc_chunk_batch(b, mn, av, mx), batch_format="pandas"
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("chunk_hash", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "chunk_hash": g["chunk_hash"].astype(np.int64),
+                "n_copies": g["size"].astype(np.int64),
+            }
+        )
+
+    agg = bucketed_agg(
+        chunks.map_batches(count_partial, batch_format="pandas"),
+        ["chunk_hash"],
+        {"n_copies": ("n_copies", "sum")},
+        n_buckets=8,
+    )
+    out = (
+        agg.map_batches(
+            lambda b: b[b["n_copies"] > 1], batch_format="pandas"
+        )
+        .to_pandas()
+        .astype({"chunk_hash": np.int64, "n_copies": np.int64})
+    )
+    return out.sort_values("chunk_hash", ignore_index=True)
+
+
 def q_doc_token_freq(sf_dir: str) -> pd.DataFrame:
     """Distributed wordcount: top-50 corpus tokens by frequency
     (vocabulary building). Per-batch value_counts combiner → bucketed
@@ -4251,6 +4324,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "graph_components": q_graph_components,
         "events_hourly": q_events_hourly,
         "doc_compress_ratio": q_doc_compress_ratio,
+        "doc_cdc_pinned": q_doc_cdc_pinned,
+        "doc_cdc_dedup_pinned": q_doc_cdc_dedup_pinned,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -4881,6 +4956,16 @@ def build_oracle_sql() -> dict[str, str]:
     sql["bpe_tokenize_pinned"] = (
         f"SELECT * FROM read_parquet('{_bp['counts_expected']}') ORDER BY doc_id"
     )
+    _cdcp = _pins.ensure_cdcpin()
+    sql["doc_cdc_pinned"] = (
+        f"SELECT * FROM read_parquet('{_cdcp['cdc_expected']}') "
+        f"ORDER BY doc_id, chunk_id"
+    )
+    sql["doc_cdc_dedup_pinned"] = f"""
+        SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM read_parquet('{_cdcp['cdc_expected']}')
+        GROUP BY chunk_hash HAVING COUNT(*) > 1
+        ORDER BY chunk_hash"""
     sql["doc_simhash_pinned"] = (
         f"SELECT * FROM read_parquet('{_dp['simhash_expected']}') ORDER BY a, b"
     )

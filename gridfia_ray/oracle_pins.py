@@ -1430,3 +1430,113 @@ def ensure_bpepin() -> dict:
         }
 
     return _ensure_dir(f"bpepin-v{GEN_VERSION}.{BPEPIN_V}", build)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+CDCPIN_V = 1
+CDC_PIN_SIZES = (32, 64, 256)  # min / avg / max bytes
+
+
+def _cdcpin_table() -> pa.Table:
+    """160 deterministic docs exercising the CDC dedup property: 100
+    base docs (200–3000 chars of word-ish text), 30 prefix-edited twins
+    (insertion shifts every byte offset — fixed-size chunking loses all
+    alignment, CDC must re-find the shared chunks) and 30 docs that
+    splice a long passage from one base doc into another (cross-doc
+    shared chunks)."""
+    rng = np.random.RandomState(23)
+    vocab = np.array([f"w{i:02d}" for i in range(80)])
+    base: list[str] = []
+    for _ in range(100):
+        n_tok = int(rng.randint(50, 750))
+        base.append(" ".join(vocab[rng.randint(0, 80, n_tok)]))
+    texts = list(base)
+    for i in range(30):
+        ins = " ".join(vocab[rng.randint(0, 80, int(rng.randint(3, 20)))])
+        texts.append(ins + " " + base[(i * 3) % 100])
+    for i in range(30):
+        donor = base[(i * 7) % 100]
+        host = base[(i * 11 + 1) % 100]
+        cutpoint = len(host) // 2
+        texts.append(host[:cutpoint] + " " + donor[: max(160, len(donor) // 2)] + host[cutpoint:])
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _replay_cdc(ids: np.ndarray, texts: list[str]) -> pa.Table:
+    """Byte-at-a-time gear walk — the textbook STATEFUL formulation
+    ``h = (h << 1) + G[b] (mod 2^64)``, cutting at the first position
+    ≥ min_size into the chunk where ``h & (avg-1) == 0``, forced at
+    max_size — independent of the pipeline's 64-shifted-adds
+    vectorization and sparse-candidate greedy walk (text/cdc.py). Only
+    the gear table and the md5-64 chunk fingerprint are shared (they
+    ARE the spec constants)."""
+    import hashlib
+
+    from gridfia_ray.text.cdc import gear_table
+
+    min_size, avg_size, max_size = CDC_PIN_SIZES
+    G = [int(x) for x in gear_table()]
+    mask64 = (1 << 64) - 1
+    amask = avg_size - 1
+    r_ids, r_cks, r_sts, r_lns, r_hs = [], [], [], [], []
+
+    def h64(b: bytes) -> int:
+        v = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    for doc_id, text in zip(ids, texts):
+        data = text.encode("utf-8")
+        h = 0
+        start = 0
+        cuts: list[int] = []
+        for pos in range(len(data)):
+            h = ((h << 1) + G[data[pos]]) & mask64
+            size = pos + 1 - start
+            if (size >= min_size and (h & amask) == 0) or size == max_size:
+                cuts.append(pos + 1)
+                start = pos + 1
+        if start < len(data):
+            cuts.append(len(data))
+        start = 0
+        for ck, end in enumerate(cuts):
+            r_ids.append(int(doc_id))
+            r_cks.append(ck)
+            r_sts.append(start)
+            r_lns.append(end - start)
+            r_hs.append(h64(data[start:end]))
+            start = end
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(r_ids, np.int64), pa.int64()),
+            "chunk_id": pa.array(np.asarray(r_cks, np.int64), pa.int64()),
+            "start": pa.array(np.asarray(r_sts, np.int64), pa.int64()),
+            "length": pa.array(np.asarray(r_lns, np.int64), pa.int64()),
+            "chunk_hash": pa.array(np.asarray(r_hs, np.int64), pa.int64()),
+        }
+    )
+
+
+def ensure_cdcpin() -> dict:
+    """{'documents', 'cdc_expected'} parquet paths (cached, atomic)."""
+
+    def build(tmp: str) -> dict:
+        docs = _cdcpin_table()
+        pq.write_table(docs, os.path.join(tmp, "documents.parquet"))
+        pq.write_table(
+            _replay_cdc(docs["doc_id"].to_numpy(), docs["text"].to_pylist()),
+            os.path.join(tmp, "cdc_expected.parquet"),
+        )
+        return {
+            "documents": "documents.parquet",
+            "cdc_expected": "cdc_expected.parquet",
+        }
+
+    return _ensure_dir(f"cdcpin-v{GEN_VERSION}.{CDCPIN_V}", build)
