@@ -279,6 +279,30 @@ def run_bench() -> dict:
 
         timed("doc_lm_perplexity", lambda: q_doc_lm_perplexity(SF_DIR))
         timed("doc_tfidf_topk", lambda: q_doc_tfidf_topk(SF_DIR))
+
+        # round-4 late additions: content-defined chunking over the sf
+        # documents, exact global NTILE, PCA moment statistics, and the
+        # fused Q13-shaped left-join distribution
+        from gridfia_ray.contract import (
+            q_doc_compress_ratio,
+            q_emb_gram,
+            q_rel_ntile_orders,
+            q_rel_order_count_dist,
+        )
+        from gridfia_ray.text.cdc import cdc_chunk_batch
+
+        timed(
+            "doc_cdc_chunks",
+            lambda: rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .map_batches(
+                lambda b: cdc_chunk_batch(b, 64, 256, 1024), batch_format="pandas"
+            )
+            .count(),
+        )
+        timed("doc_compress_ratio", lambda: q_doc_compress_ratio(SF_DIR))
+        timed("rel_ntile_orders", lambda: q_rel_ntile_orders(SF_DIR))
+        timed("rel_order_count_dist", lambda: q_rel_order_count_dist(SF_DIR))
+        timed("emb_gram", lambda: q_emb_gram(SF_DIR))
         timed(
             "bpe_train_16",
             lambda: train_bpe(

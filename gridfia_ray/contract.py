@@ -1032,6 +1032,36 @@ def q_emb_gram(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def q_emb_pca_pinned(sf_dir: str) -> pd.DataFrame:
+    """Centered PCA fit (one-pass distributed moment statistics →
+    driver eigensolve with pinned component signs) + stateless
+    projection, vs the pinned sequential replay over the planted
+    anisotropic corpus. Moments are int64-exact (partition-order-free);
+    projections compare in µ-units — per-batch vs full-matrix GEMMs may
+    differ in the last float bit (the repo's s6 convention)."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.analysis.pca import pca_fit, pca_project
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    pin = oracle_pins.ensure_pcapin()
+    emb = rd.read_parquet(pin["embeddings"])
+    model = pca_fit(
+        emb, k=oracle_pins.PCA_PIN_K, scale=oracle_pins.PCA_PIN_SCALE, n_buckets=4
+    )
+    proj = pca_project(emb, model).to_pandas()
+    k = oracle_pins.PCA_PIN_K
+    ids = np.repeat(proj["vec_id"].to_numpy(np.int64), k)
+    pcs = np.tile(np.arange(k, dtype=np.int64), len(proj))
+    vals = np.floor(
+        np.stack(proj["pc"].to_numpy()).ravel() * 1_000_000 + 0.5
+    ).astype(np.int64)
+    out = pd.DataFrame({"vec_id": ids, "pc_idx": pcs, "val_u": vals})
+    return out.sort_values(["vec_id", "pc_idx"], ignore_index=True)
+
+
 def q_emb_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     """SemDeDup (cluster-then-prune) over the embeddings table: per
     vector its k-means cluster and keep verdict. k-means is not
@@ -4326,6 +4356,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_compress_ratio": q_doc_compress_ratio,
         "doc_cdc_pinned": q_doc_cdc_pinned,
         "doc_cdc_dedup_pinned": q_doc_cdc_dedup_pinned,
+        "emb_pca_pinned": q_emb_pca_pinned,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -4966,6 +4997,11 @@ def build_oracle_sql() -> dict[str, str]:
         FROM read_parquet('{_cdcp['cdc_expected']}')
         GROUP BY chunk_hash HAVING COUNT(*) > 1
         ORDER BY chunk_hash"""
+    _pcap = _pins.ensure_pcapin()
+    sql["emb_pca_pinned"] = (
+        f"SELECT * FROM read_parquet('{_pcap['pca_expected']}') "
+        f"ORDER BY vec_id, pc_idx"
+    )
     sql["doc_simhash_pinned"] = (
         f"SELECT * FROM read_parquet('{_dp['simhash_expected']}') ORDER BY a, b"
     )

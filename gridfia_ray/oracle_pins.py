@@ -1540,3 +1540,78 @@ def ensure_cdcpin() -> dict:
         }
 
     return _ensure_dir(f"cdcpin-v{GEN_VERSION}.{CDCPIN_V}", build)
+
+
+# ---------------------------------------------------------------------------
+# PCA fit + projection
+# ---------------------------------------------------------------------------
+
+PCAPIN_V = 1
+PCA_PIN_K = 3
+PCA_PIN_SCALE = 10**6
+
+
+def _pcapin_table() -> pa.Table:
+    """500 × 8 planted embeddings with an anisotropic, well-separated
+    spectrum and a nonzero mean — eigenvectors are stable and the
+    centering path is actually exercised."""
+    rng = np.random.RandomState(31)
+    x = rng.randn(500, 8) * np.linspace(3.0, 0.3, 8)[None, :]
+    x += np.linspace(-1.0, 1.0, 8)[None, :]
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(500, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in x], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def _replay_pca_projection(tbl: pa.Table) -> pa.Table:
+    """Sequential PCA replay: one full-matrix int64 moment computation
+    (order-free — the int quantization is WHY the distributed partials
+    are bit-identical), the same pinned-sign eigensolve spec, one
+    full-matrix projection GEMM. Projections compare in µ-units (the
+    repo's s6 convention) because per-batch vs full-matrix GEMMs may
+    round differently at the last bit."""
+    vecs = np.stack(
+        [np.asarray(v, np.float32) for v in tbl["embedding"].to_pylist()]
+    ).astype(np.float64)
+    q = np.floor(vecs * PCA_PIN_SCALE + 0.5).astype(np.int64)
+    n, d = q.shape
+    gram = q.T @ q
+    mean_q = q.sum(axis=0).astype(np.float64) / n
+    cov = (gram.astype(np.float64) - n * np.outer(mean_q, mean_q)) / (n - 1)
+    cov /= float(PCA_PIN_SCALE) ** 2
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_PIN_K]
+    comps = evecs[:, order].T
+    for r in range(comps.shape[0]):
+        if comps[r, np.argmax(np.abs(comps[r]))] < 0:
+            comps[r] = -comps[r]
+    proj = (vecs - mean_q / PCA_PIN_SCALE) @ comps.T  # (n, k)
+    ids = np.repeat(tbl["vec_id"].to_numpy(), PCA_PIN_K)
+    pcs = np.tile(np.arange(PCA_PIN_K, dtype=np.int64), n)
+    vals = np.floor(proj.ravel() * 1_000_000 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "pc_idx": pa.array(pcs, pa.int64()),
+            "val_u": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+def ensure_pcapin() -> dict:
+    """{'embeddings', 'pca_expected'} parquet paths (cached, atomic)."""
+
+    def build(tmp: str) -> dict:
+        tbl = _pcapin_table()
+        pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"))
+        pq.write_table(
+            _replay_pca_projection(tbl), os.path.join(tmp, "pca_expected.parquet")
+        )
+        return {"embeddings": "embeddings.parquet", "pca_expected": "pca_expected.parquet"}
+
+    return _ensure_dir(f"pcapin-v{GEN_VERSION}.{PCAPIN_V}", build)

@@ -128,3 +128,21 @@ class TestProject:
         d_x = np.linalg.norm(x[:30, None] - x[None, :30], axis=-1)
         d_p = np.linalg.norm(p[:30, None] - p[None, :30], axis=-1)
         np.testing.assert_allclose(d_p, d_x, atol=1e-8)
+
+
+class TestPinnedReplay:
+    def test_distributed_matches_pinned_replay(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from gridfia_ray import oracle_pins
+        from gridfia_ray.contract import q_emb_pca_pinned
+
+        pin = oracle_pins.ensure_pcapin()
+        want = (
+            pq.read_table(pin["pca_expected"])
+            .to_pandas()
+            .sort_values(["vec_id", "pc_idx"])
+            .reset_index(drop=True)
+        )
+        got = q_emb_pca_pinned("unused")
+        pd.testing.assert_frame_equal(got, want)
