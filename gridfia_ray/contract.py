@@ -2981,6 +2981,58 @@ def q_rel_order_count_dist(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_count", ignore_index=True)
 
 
+def q_rel_outer_counts(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN of two per-customer aggregates (urgent-order
+    count ⟗ finished-order count, -1 for the missing side). Both sides
+    key on the same column, so the scale-right plan FUSES the join into
+    the aggregation: one combiner pass emits both counts, one tiny keyed
+    merge, and a zero-count on a side marks exactly the rows that
+    side's filtered aggregate never produced — bit-identical to the SQL
+    FULL OUTER JOIN without a second exchange. (The general two-table
+    case goes through pipelines/joins.shuffle_hash_join, whose
+    join_type passthrough — full/left/right outer — is pinned in
+    tests/test_joins.py.)"""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_orderstatus"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].astype(np.int64),
+                "n_urgent": (batch["o_orderpriority"] == "1-URGENT").astype(np.int64),
+                "n_f": (batch["o_orderstatus"] == "F").astype(np.int64),
+            }
+        )
+        g = b.groupby("o_custkey", as_index=False).sum()
+        return g[(g["n_urgent"] > 0) | (g["n_f"] > 0)]
+
+    agg = bucketed_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"n_urgent": ("n_urgent", "sum"), "n_f": ("n_f", "sum")},
+        n_buckets=16,
+    )
+
+    def null_fill(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out.loc[out["n_urgent"] == 0, "n_urgent"] = -1
+        out.loc[out["n_f"] == 0, "n_f"] = -1
+        return out
+
+    out = (
+        agg.map_batches(null_fill, batch_format="pandas")
+        .to_pandas()
+        .astype({"o_custkey": np.int64, "n_urgent": np.int64, "n_f": np.int64})
+    )
+    return out.sort_values("o_custkey", ignore_index=True)
+
+
 def q_rel_ntile_orders(sf_dir: str) -> pd.DataFrame:
     """Global ORDER-BY window: exact NTILE(7) over order value (ties
     broken by orderkey — SQL ORDER BY v, id) WITHOUT a global sort:
@@ -4357,6 +4409,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_cdc_pinned": q_doc_cdc_pinned,
         "doc_cdc_dedup_pinned": q_doc_cdc_dedup_pinned,
         "emb_pca_pinned": q_emb_pca_pinned,
+        "rel_outer_counts": q_rel_outer_counts,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -5570,6 +5623,15 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    sql["rel_outer_counts"] = """
+        WITH a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
+                   FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+             b AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_f
+                   FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+        SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+               COALESCE(n_urgent, -1) AS n_urgent,
+               COALESCE(n_f, -1) AS n_f
+        FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey"""
     sql["rel_ntile_orders"] = """
         SELECT o_orderkey,
                CAST(NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)

@@ -493,3 +493,38 @@ class TestBucketedLeftAttach:
         sch = pa.schema([("key", pa.string()), ("x", pa.int64())])
         with pytest.raises(ValueError, match="collision"):
             bucketed_left_attach(ds, ds, ["key"], sch, sch)
+
+
+class TestOuterJoinPassthrough:
+    """shuffle_hash_join's join_type passthrough to Ray's native hash
+    shuffle: outer variants emit null-filled non-matching rows."""
+
+    def _sides(self):
+        import ray.data as rd
+
+        l = pd.DataFrame({"k": np.int64([1, 2, 3]), "a": np.int64([10, 20, 30])})
+        r = pd.DataFrame({"k": np.int64([2, 3, 4]), "b": np.int64([200, 300, 400])})
+        return rd.from_pandas(l), rd.from_pandas(r)
+
+    def _run(self, join_type):
+        from gridfia_ray.pipelines.joins import shuffle_hash_join
+
+        l, r = self._sides()
+        out = shuffle_hash_join(l, r, on=["k"], join_type=join_type).to_pandas()
+        return out.sort_values("k").reset_index(drop=True)
+
+    def test_full_outer(self, ray_session):
+        out = self._run("full_outer")
+        assert out["k"].tolist() == [1, 2, 3, 4]
+        assert pd.isna(out["b"].iloc[0]) and pd.isna(out["a"].iloc[3])
+        assert out["a"].iloc[1] == 20 and out["b"].iloc[1] == 200
+
+    def test_left_outer(self, ray_session):
+        out = self._run("left_outer")
+        assert out["k"].tolist() == [1, 2, 3]
+        assert pd.isna(out["b"].iloc[0]) and out["b"].iloc[2] == 300
+
+    def test_right_outer(self, ray_session):
+        out = self._run("right_outer")
+        assert out["k"].tolist() == [2, 3, 4]
+        assert pd.isna(out["a"].iloc[2]) and out["a"].iloc[0] == 20
