@@ -568,21 +568,28 @@ def dup_clusters_distributed(
     pairs: rd.Dataset, n_buckets: int = 64, max_iters: int = 50
 ) -> rd.Dataset:
     """Connected components WITHOUT a driver fold — iterative min-label
-    propagation (the classic Pregel/hash-min algorithm): every node
-    starts labeled with itself; each round, labels flow across edges
-    and every node keeps the minimum seen; fixpoint when a round
-    changes nothing. Rounds ≤ the longest min-label path (graph
-    diameter); duplicate clusters are short chains in practice.
+    propagation (the classic Pregel/hash-min algorithm): labels flow
+    across edges each round, every node keeps the minimum seen,
+    fixpoint when a round changes nothing. Rounds ≤ the longest
+    min-label path (graph diameter); duplicate clusters are short
+    chains in practice.
 
-    Per round: ONE bucketed merge of (labels ∪ edge-messages) keyed on
-    the node — the same bucketed-agg altitude as every other keyed
-    reduce here. Labels and edges stay Datasets throughout; the driver
-    holds only the per-round change count.
+    Round structure (two exchanges, delta-driven):
+
+    * labels initialize to ``min(node, neighbors)`` in the setup
+      exchange — the first classic round for free;
+    * messages route only from nodes whose label CHANGED last round
+      (a stable label was already delivered the round it was set, so
+      resending is pure waste — message volume decays with the frontier
+      instead of staying O(E) every round);
+    * the min-merge and the change detection are FUSED into one
+      exchange: each bucket emits (node, new label, changed flag), the
+      driver folds only the flag sum (one scalar per round).
 
     Use ``dup_clusters`` (bounded driver union-find) when the pair set
     is provably small; this is the beyond-bound path. Node ids must be
     non-negative (the sentinel ``dst = -1`` marks label rows inside the
-    merged stream).
+    routing stream).
     """
     if max_iters < 1:
         # the for/else convergence raise below reads the last round's
@@ -600,42 +607,56 @@ def dup_clusters_distributed(
         batch_format="pandas",
     ).materialize()
 
+    # init = min(node, neighbors): the edge row (src, dst) contributes
+    # both candidates to src's label, so the setup exchange performs the
+    # first classic propagation round for free
     labels = bucketed_agg(
         edges.map_batches(
-            lambda b: pd.DataFrame({"node": b["src"], "rep": b["src"]}),
+            lambda b: pd.DataFrame(
+                {
+                    "node": np.concatenate(
+                        [b["src"].to_numpy(np.int64)] * 2
+                    ),
+                    "rep": np.concatenate(
+                        [b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64)]
+                    ),
+                }
+            ),
             batch_format="pandas",
         ),
         ["node"],
         {"rep": ("rep", "min")},
         n_buckets=n_buckets,
     ).materialize()
+    changed_lab = labels  # round 1: every label is fresh
+
+    from gridfia_ray.stages.dedup_util import bucket_of
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = bucket_of(b, ["node"], n_buckets)
+        return b
 
     for _ in range(max_iters):
-        # messages: each edge forwards its source's current label
-        lab_ref = labels
-        msgs = (
-            edges.map_batches(
-                # carry a placeholder rep so edge and label blocks share
-                # ONE schema — heterogeneous pandas blocks churn the
-                # executor's schema cache and upcast rep to float64 in
-                # mixed buckets
+        # exchange 1: route last round's FRESH labels across edges —
+        # a stable label was already delivered the round it was set.
+        # Placeholder rep on edge rows keeps ONE block schema (mixed
+        # schemas churn the executor cache and upcast rep to float64).
+        msgs = edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["src"],
+                    "dst": b["dst"],
+                    "rep": np.zeros(len(b), np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ).union(
+            changed_lab.map_batches(
                 lambda b: pd.DataFrame(
-                    {
-                        "node": b["src"],
-                        "dst": b["dst"],
-                        "rep": np.zeros(len(b), np.int64),
-                    }
+                    {"node": b["node"], "dst": -1, "rep": b["rep"]}
                 ),
                 batch_format="pandas",
-            )
-            # join label onto the edge source via bucketed merge
-            .union(
-                lab_ref.map_batches(
-                    lambda b: pd.DataFrame(
-                        {"node": b["node"], "dst": -1, "rep": b["rep"]}
-                    ),
-                    batch_format="pandas",
-                )
             )
         )
 
@@ -645,50 +666,69 @@ def dup_clusters_distributed(
             fwd = edge.merge(lab, on="node")[["dst", "rep"]].rename(
                 columns={"dst": "node"}
             )
-            return pd.concat([lab, fwd], ignore_index=True)
+            return fwd
 
-        from gridfia_ray.stages.dedup_util import bucket_of
-
-        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["__bucket"] = bucket_of(b, ["node"], n_buckets)
-            return b
-
-        candidates = (
+        fwd = (
             msgs.map_batches(add_bucket, batch_format="pandas")
             .repartition(n_buckets)
             .groupby("__bucket")
             .map_groups(propagate, batch_format="pandas")
         )
-        new_labels = bucketed_agg(
-            candidates, ["node"], {"rep": ("rep", "min")}, n_buckets=n_buckets
-        ).materialize()
-        # convergence: any label decreased this round?
-        joined = new_labels.union(
+
+        # exchange 2, FUSED min-merge + change detection: messages and
+        # current labels co-bucket on node; each bucket emits the new
+        # label and a changed flag, so convergence costs one scalar
+        # fold, not a third exchange
+        cand = fwd.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "rep": b["rep"], "is_old": np.zeros(len(b), np.int64)}
+            ),
+            batch_format="pandas",
+        ).union(
             labels.map_batches(
-                lambda b: pd.DataFrame({"node": b["node"], "rep": -b["rep"] - 1}),
+                lambda b: pd.DataFrame(
+                    {"node": b["node"], "rep": b["rep"], "is_old": np.ones(len(b), np.int64)}
+                ),
                 batch_format="pandas",
             )
         )
 
-        def count_changed(group: pd.DataFrame) -> pd.DataFrame:
-            g = group.copy()
-            g["new"] = np.where(g["rep"] >= 0, g["rep"], np.nan)
-            g["old"] = np.where(g["rep"] < 0, -g["rep"] - 1, np.nan)
-            per = g.groupby("node").agg(new=("new", "min"), old=("old", "min"))
-            return pd.DataFrame({"n": [int((per["new"] != per["old"]).sum())]})
+        def min_change(group: pd.DataFrame) -> pd.DataFrame:
+            g = group
+            old_rep = np.where(g["is_old"].to_numpy() == 1, g["rep"].to_numpy(), np.iinfo(np.int64).max)
+            per = pd.DataFrame(
+                {"node": g["node"].to_numpy(), "new": g["rep"].to_numpy(), "old": old_rep}
+            ).groupby("node", as_index=False).min()
+            # every message targets an edge endpoint, and every endpoint
+            # has a label row — a missing old label is a routing bug
+            if (per["old"] == np.iinfo(np.int64).max).any():
+                raise AssertionError("message for a node with no label row")
+            return pd.DataFrame(
+                {
+                    "node": per["node"].astype(np.int64),
+                    "rep": per["new"].astype(np.int64),
+                    "chg": (per["new"] < per["old"]).astype(np.int64),
+                }
+            )
 
-        changed = (
-            joined.map_batches(add_bucket, batch_format="pandas")
-            .repartition(min(8, n_buckets))
+        out = (
+            cand.map_batches(add_bucket, batch_format="pandas")
+            .repartition(n_buckets)
             .groupby("__bucket")
-            .map_groups(count_changed, batch_format="pandas")
-            .to_pandas()["n"]
-            .sum()
+            .map_groups(min_change, batch_format="pandas")
+            .materialize()
         )
-        labels = new_labels
+        changed = int(out.sum("chg") or 0)
+        labels = out.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "rep": b["rep"]}),
+            batch_format="pandas",
+        )
         if changed == 0:
             break
+        changed_lab = out.map_batches(
+            lambda b: b.loc[b["chg"] == 1, ["node", "rep"]],
+            batch_format="pandas",
+        )
     else:
         # the module rule is raise-rather-than-silently-degrade
         # (dup_clusters does the same for its pair bound): labels that
