@@ -2981,6 +2981,40 @@ def q_rel_order_count_dist(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_count", ignore_index=True)
 
 
+def q_rel_except_customers(sf_dir: str) -> pd.DataFrame:
+    """SQL set operation (DISTINCT semantics): customers with an urgent
+    order EXCEPT customers with a finished order — per-batch distinct
+    combiner, one co-bucketed membership exchange
+    (pipelines/setops.keyed_set_op; intersect/union variants pinned in
+    tests/test_setops.py)."""
+    import pyarrow.compute as pc
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.setops import keyed_set_op
+
+    tune_context()
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_orderstatus"],
+    )
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    finished = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = (
+        keyed_set_op(urgent, finished, ["o_custkey"], "except")
+        .to_pandas()
+        .astype({"o_custkey": np.int64})
+    )
+    return out.sort_values("o_custkey", ignore_index=True)
+
+
 def q_rel_outer_counts(sf_dir: str) -> pd.DataFrame:
     """FULL OUTER JOIN of two per-customer aggregates (urgent-order
     count ⟗ finished-order count, -1 for the missing side). Both sides
@@ -4410,6 +4444,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_cdc_dedup_pinned": q_doc_cdc_dedup_pinned,
         "emb_pca_pinned": q_emb_pca_pinned,
         "rel_outer_counts": q_rel_outer_counts,
+        "rel_except_customers": q_rel_except_customers,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -5623,6 +5658,10 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    sql["rel_except_customers"] = """
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'"""
     sql["rel_outer_counts"] = """
         WITH a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
                    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
