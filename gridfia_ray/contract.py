@@ -2981,6 +2981,31 @@ def q_rel_order_count_dist(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_count", ignore_index=True)
 
 
+def q_rel_pivot_status(sf_dir: str) -> pd.DataFrame:
+    """SQL PIVOT (wide layout of a two-key GROUP BY): order counts per
+    priority row × status column — the per-batch partial emits the wide
+    row directly, one tiny keyed merge finishes
+    (stages/agg_util.pivot_agg)."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import pivot_agg
+
+    tune_context()
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderstatus"],
+    )
+    out = pivot_agg(
+        orders,
+        ["o_orderpriority"],
+        "o_orderstatus",
+        ["O", "F", "P"],
+        ("o_orderstatus", "size"),
+    ).to_pandas()
+    for c in ("o_orderstatus_O", "o_orderstatus_F", "o_orderstatus_P"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderpriority", ignore_index=True)
+
+
 def q_rel_except_customers(sf_dir: str) -> pd.DataFrame:
     """SQL set operation (DISTINCT semantics): customers with an urgent
     order EXCEPT customers with a finished order — per-batch distinct
@@ -4445,6 +4470,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "emb_pca_pinned": q_emb_pca_pinned,
         "rel_outer_counts": q_rel_outer_counts,
         "rel_except_customers": q_rel_except_customers,
+        "rel_pivot_status": q_rel_pivot_status,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -5658,6 +5684,15 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    sql["rel_pivot_status"] = """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+                 AS o_orderstatus_O,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                 AS o_orderstatus_F,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+                 AS o_orderstatus_P
+        FROM orders GROUP BY o_orderpriority"""
     sql["rel_except_customers"] = """
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         EXCEPT

@@ -346,3 +346,56 @@ def bucketed_bucket_map(
     if coalesce:
         tagged = tagged.repartition(n_buckets)
     return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def pivot_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    pivot_col: str,
+    pivot_values: list[str],
+    value_expr: tuple[str, str],
+    n_buckets: int = 32,
+    strict: bool = False,
+) -> rd.Dataset:
+    """SQL PIVOT: one output row per key tuple, one column per listed
+    ``pivot_values`` entry, each holding ``value_expr = (col, 'sum' |
+    'size')`` aggregated over the rows whose ``pivot_col`` equals that
+    entry — the wide layout of a (keys + pivot) GROUP BY, computed the
+    same way: the per-batch partial emits the wide row directly (one
+    vectorized mask per pivot value), one tiny keyed merge finishes.
+    Like SQL PIVOT ... IN (...), the value list is explicit; rows with
+    unlisted pivot values are ignored (``strict=True`` raises instead).
+    Output columns are ``f"{pivot_col}_{v}"``."""
+    col, fn = value_expr
+    if fn not in ("sum", "size"):
+        raise ValueError(f"value_expr agg must be 'sum' or 'size', got {fn!r}")
+    if len(set(pivot_values)) != len(pivot_values):
+        raise ValueError("pivot_values contains duplicates")
+    out_cols = [f"{pivot_col}_{v}" for v in pivot_values]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if strict:
+            extra = set(batch[pivot_col].unique()) - set(pivot_values)
+            if extra:
+                raise ValueError(
+                    f"pivot_agg strict: unlisted {pivot_col} values {sorted(extra)[:5]}"
+                )
+        vals = (
+            batch[col].to_numpy()
+            if fn == "sum"
+            else np.ones(len(batch), np.int64)
+        )
+        wide = {k: batch[k] for k in keys}
+        pv = batch[pivot_col].to_numpy()
+        for v, oc in zip(pivot_values, out_cols):
+            wide[oc] = np.where(pv == v, vals, 0)
+        return (
+            pd.DataFrame(wide).groupby(keys, as_index=False)[out_cols].sum()
+        )
+
+    return bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys,
+        {oc: (oc, "sum") for oc in out_cols},
+        n_buckets=n_buckets,
+    )

@@ -191,3 +191,61 @@ class TestEdgeFixes:
         )
         assert pd.isna(got["k"].iloc[0]) and pd.isna(got["k"].iloc[1])
         assert got["k"].iloc[2] == 12
+
+
+class TestPivotAgg:
+    def _run(self, df, values, parts=4, **kw):
+        from gridfia_ray.stages.agg_util import pivot_agg
+
+        return (
+            pivot_agg(
+                rd.from_pandas(df).repartition(parts),
+                ["k"], "p", values, ("v", "sum"), n_buckets=4, **kw
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    def _frame(self, seed=0, n=500):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], n),
+                "p": rng.choice(["x", "y", "z"], n),
+                "v": rng.randint(0, 50, n).astype(np.int64),
+            }
+        )
+
+    def test_matches_pandas_pivot_table(self, ray_session):
+        df = self._frame()
+        got = self._run(df, ["x", "y", "z"])
+        want = (
+            df.pivot_table(index="k", columns="p", values="v", aggfunc="sum", fill_value=0)
+            .reset_index()
+        )
+        for c in ("x", "y", "z"):
+            assert got[f"p_{c}"].astype(np.int64).tolist() == want[c].tolist()
+
+    def test_unlisted_values_ignored_or_strict(self, ray_session):
+        from gridfia_ray.stages.agg_util import pivot_agg
+
+        df = self._frame(seed=1)
+        got = self._run(df, ["x", "y"])  # z rows ignored
+        sub = df[df["p"].isin(["x", "y"])]
+        want = sub.groupby("k")["v"].sum()
+        assert (
+            got.set_index("k")[["p_x", "p_y"]].sum(axis=1).astype(np.int64).to_dict()
+            == want.to_dict()
+        )
+        with pytest.raises(Exception, match="unlisted"):
+            self._run(df, ["x", "y"], strict=True)
+
+    def test_validation(self, ray_session):
+        from gridfia_ray.stages.agg_util import pivot_agg
+
+        df = self._frame(seed=2)
+        with pytest.raises(ValueError, match="duplicates"):
+            self._run(df, ["x", "x"])
+        with pytest.raises(ValueError, match="agg must be"):
+            pivot_agg(rd.from_pandas(df), ["k"], "p", ["x"], ("v", "mean"))
