@@ -2981,6 +2981,34 @@ def q_rel_order_count_dist(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_count", ignore_index=True)
 
 
+def q_rel_validate_orders(sf_dir: str) -> pd.DataFrame:
+    """Declarative data-quality report (pipelines/validate.py): five
+    expectations over orders — null check, range check, domain check,
+    regex shape check (one shared combiner scan) and key uniqueness
+    (one bucketed distinct exchange) — exact violation counts vs the
+    FILTER-clause oracle. The table-shaped counterpart of the
+    reference's structural store validation (S11)."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.validate import validate_table
+
+    tune_context()
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+    out = validate_table(
+        orders,
+        [
+            {"rule": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+            {"rule": "price_min", "kind": "min", "col": "o_totalprice", "value": 1000.0},
+            {"rule": "status_domain", "kind": "in_set", "col": "o_orderstatus", "values": ["O", "F"]},
+            {"rule": "priority_shape", "kind": "regex", "col": "o_orderpriority", "pattern": "[1-5]-[A-Z]+"},
+            {"rule": "custkey_unique", "kind": "unique", "col": "o_custkey"},
+        ],
+    )
+    return out.sort_values("rule", ignore_index=True)
+
+
 def q_rel_pivot_status(sf_dir: str) -> pd.DataFrame:
     """SQL PIVOT (wide layout of a two-key GROUP BY): order counts per
     priority row × status column — the per-batch partial emits the wide
@@ -4471,6 +4499,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_outer_counts": q_rel_outer_counts,
         "rel_except_customers": q_rel_except_customers,
         "rel_pivot_status": q_rel_pivot_status,
+        "rel_validate_orders": q_rel_validate_orders,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -5684,6 +5713,24 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    sql["rel_validate_orders"] = """
+        SELECT 'custkey_not_null' AS rule,
+               CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+                 AS violations FROM orders
+        UNION ALL SELECT 'price_min',
+               CAST(COUNT(*) FILTER (WHERE o_totalprice < 1000) AS BIGINT)
+               FROM orders
+        UNION ALL SELECT 'status_domain',
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
+               FROM orders
+        UNION ALL SELECT 'priority_shape',
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL OR NOT
+                    regexp_full_match(o_orderpriority, '[1-5]-[A-Z]+')) AS BIGINT)
+               FROM orders
+        UNION ALL SELECT 'custkey_unique',
+               CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT)
+               FROM orders"""
     sql["rel_pivot_status"] = """
         SELECT o_orderpriority,
                CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
