@@ -1963,6 +1963,20 @@ def q_doc_tfidf_topk(sf_dir: str) -> pd.DataFrame:
     return tfidf_topk(docs, _TFIDF_QUERY_IDS, k=10)
 
 
+def q_doc_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 retrieval (Okapi/Lucene scorer): top-10 documents per query
+    doc, integer-exact — k1=6/5 and b=3/4 as exact rationals fold the
+    length normalization into ONE int64 floor division per (doc, term),
+    idf quantized to milli-nats, so scores bit-match the SQL oracle's
+    identical integer arithmetic (text/bm25.py)."""
+    from gridfia_ray.text.bm25 import bm25_topk
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, _TFIDF_QUERY_IDS, k=10)
+
+
 def q_bpe_train_pinned(sf_dir: str) -> pd.DataFrame:
     """Distributed BPE tokenizer TRAINING (word-frequency table + per-
     round pair-count argmax exchanges) vs the pinned sequential trainer
@@ -4500,6 +4514,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_except_customers": q_rel_except_customers,
         "rel_pivot_status": q_rel_pivot_status,
         "rel_validate_orders": q_rel_validate_orders,
+        "doc_bm25_topk": q_doc_bm25_topk,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -5430,6 +5445,42 @@ def build_oracle_sql() -> dict[str, str]:
         sc AS (SELECT q.qid query_id, d.doc_id,
                       CAST(SUM(d.tf_d * q.tf_q * i.idf_c * i.idf_c) AS BIGINT) score_c
                FROM dtf d JOIN qtf q USING (tok) JOIN idf i USING (tok)
+               GROUP BY 1, 2),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY score_c DESC, doc_id) rn
+               FROM sc)
+        SELECT query_id, doc_id, score_c FROM rk
+        WHERE rn <= 10 AND score_c > 0 ORDER BY query_id, doc_id"""
+    # same CTE skeleton as tfidf; '//' is DuckDB's BIGINT floor
+    # division — the whole score path stays in integer arithmetic
+    sql["doc_bm25_topk"] = rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(CASE WHEN trim(COALESCE(text, '')) = '' THEN []
+                 ELSE regexp_split_to_array(trim(text), '\s+') END) tok
+          FROM documents),
+        qtf AS (SELECT doc_id qid, tok, COUNT(*) tf_q FROM toks
+                WHERE doc_id IN ({_tq}) GROUP BY 1, 2),
+        vocab AS (SELECT DISTINCT tok FROM qtf),
+        dfv AS (SELECT tok, COUNT(DISTINCT doc_id) dfc FROM toks
+                WHERE tok IN (SELECT tok FROM vocab) GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs FROM documents),
+        corp AS (SELECT CAST(COUNT(*) AS BIGINT) lnum FROM toks),
+        idf AS (SELECT tok,
+                       CAST(FLOOR(1000.0 * LN(1.0 + (n_docs - dfc + 0.5)
+                                              / (dfc + 0.5)) + 0.5) AS BIGINT) idf_c
+                FROM dfv, n),
+        lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) dlen FROM toks GROUP BY 1),
+        dtf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) tf_d FROM toks
+                WHERE tok IN (SELECT tok FROM vocab)
+                  AND doc_id NOT IN ({_tq}) GROUP BY 1, 2),
+        ntf AS (SELECT d.doc_id, d.tok,
+                       (44 * 1000 * d.tf_d * corp.lnum)
+                       // (20 * d.tf_d * corp.lnum + 6 * corp.lnum
+                           + 18 * l.dlen * n.n_docs) AS ntf_c
+                FROM dtf d JOIN lens l USING (doc_id), corp, n),
+        sc AS (SELECT q.qid query_id, nt.doc_id,
+                      CAST(SUM(q.tf_q * i.idf_c * nt.ntf_c) AS BIGINT) score_c
+               FROM ntf nt JOIN qtf q USING (tok) JOIN idf i USING (tok)
                GROUP BY 1, 2),
         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                             ORDER BY score_c DESC, doc_id) rn
