@@ -3318,6 +3318,23 @@ def q_events_daily_uniques(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True)
 
 
+def q_events_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix (pipelines/events.retention_cohorts):
+    users cohort by first active epoch week; (cohort, offset, n_users)
+    counts actives N weeks later. One user-keyed exchange (first week +
+    distinct weeks computed inside the bucket) + a tiny keyed merge;
+    integer epoch weeks shared verbatim with the oracle."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import retention_cohorts
+
+    tune_context()
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    out = retention_cohorts(ev).to_pandas().astype(np.int64)
+    return out.sort_values(["cohort_week", "week_offset"], ignore_index=True)
+
+
 def q_events_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered conversion funnel view→click→purchase: per user the
     depth reached with strict temporal ordering between steps
@@ -4515,6 +4532,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_pivot_status": q_rel_pivot_status,
         "rel_validate_orders": q_rel_validate_orders,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "events_retention": q_events_retention,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -5764,6 +5782,16 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    sql["events_retention"] = """
+        WITH uw AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 604800000000 AS week
+                    FROM events),
+        f AS (SELECT user_id, MIN(week) AS w0 FROM uw GROUP BY 1)
+        SELECT f.w0 AS cohort_week,
+               CAST(uw.week - f.w0 AS BIGINT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM uw JOIN f USING (user_id)
+        GROUP BY 1, 2"""
     sql["rel_validate_orders"] = """
         SELECT 'custkey_not_null' AS rule,
                CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)

@@ -289,3 +289,71 @@ def running_agg(
     from gridfia_ray.stages.agg_util import bucketed_bucket_map
 
     return bucketed_bucket_map(events, [key], per_bucket, n_buckets)
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def retention_cohorts(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Cohort retention matrix: users cohort by their FIRST active week,
+    and (cohort_week, week_offset, n_users) counts how many of each
+    cohort were active ``week_offset`` weeks later (offset 0 = the
+    cohort week itself, so it equals the cohort size).
+
+    Weeks are integer epoch weeks (``epoch_us // 7 days`` — the shared
+    integer definition the SQL oracle reproduces verbatim; no calendar
+    library in the hot path). Scale shape: ONE exchange keyed on the
+    user (first week and the user's distinct active weeks computed
+    together inside the bucket, emitting per-bucket partial counts —
+    per-user rows never leave their bucket), then one tiny keyed merge
+    over (cohort_week, week_offset)."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user": batch[user_col].to_numpy(np.int64),
+                # explicit µs unit: pandas may hold the column as
+                # datetime64[ns] OR [us] depending on the Arrow source
+                "week": batch[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+                // _WEEK_US,
+            }
+        ).drop_duplicates()  # combiner: per-batch distinct (user, week)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["user", "week"])
+        w0 = d.groupby("user")["week"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_week": w0.to_numpy(np.int64),
+                "week_offset": (d["week"].to_numpy(np.int64) - w0.to_numpy(np.int64)),
+            }
+        )
+        cnt = out.groupby(["cohort_week", "week_offset"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "cohort_week": cnt["cohort_week"].astype(np.int64),
+                "week_offset": cnt["week_offset"].astype(np.int64),
+                "n_users": cnt["size"].astype(np.int64),
+            }
+        )
+
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_bucket_map
+
+    partials = bucketed_bucket_map(
+        events.map_batches(project, batch_format="pandas"),
+        ["user"],
+        per_bucket,
+        n_buckets=n_buckets,
+        coalesce=True,
+    )
+    return bucketed_agg(
+        partials,
+        ["cohort_week", "week_offset"],
+        {"n_users": ("n_users", "sum")},
+        n_buckets=8,
+    )

@@ -4,6 +4,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data as rd
 
 from gridfia_ray.pipelines.events import sessionize, tumbling_window_agg
 
@@ -337,3 +338,65 @@ class TestExtractJsonInt:
         want_k = want["k"].astype("Int64").fillna(-999).tolist()
         assert got_k == want_k
         assert got_k == [7, -999, 1, 5, -999, -999, -999, -999, -8]
+
+
+class TestRetentionCohorts:
+    def _events(self, rows):
+        # rows: (user, day) pairs -> timestamps inside epoch weeks
+        df = pd.DataFrame(
+            {
+                "user_id": np.asarray([r[0] for r in rows], np.int64),
+                "ts": pd.to_datetime(
+                    [np.datetime64("2024-01-04") + np.timedelta64(r[1], "D") for r in rows]
+                ),
+            }
+        )
+        return rd.from_pandas(df)
+
+    def _run(self, rows, parts=3):
+        from gridfia_ray.pipelines.events import retention_cohorts
+
+        out = (
+            retention_cohorts(self._events(rows).repartition(parts), n_buckets=4)
+            .to_pandas()
+            .astype(np.int64)
+            .sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True)
+        )
+        return list(
+            out[["week_offset", "n_users"]].itertuples(index=False, name=None)
+        ), out
+
+    def test_hand_computed_matrix(self, ray_session):
+        # user 1: weeks 0,1,3; user 2: weeks 0,1; user 3: week 1 only
+        rows = [(1, 0), (1, 7), (1, 21), (2, 1), (2, 8), (3, 9), (1, 2)]
+        pairs, out = self._run(rows)
+        # cohort A (week of day 0): offsets 0->2users, 1->2, 3->1
+        # cohort B (week of day 9, user 3): offset 0 -> 1
+        offs = {}
+        for (c, o), n in zip(
+            out[["cohort_week", "week_offset"]].itertuples(index=False, name=None),
+            out["n_users"],
+        ):
+            offs[(c - out["cohort_week"].min(), o)] = int(n)
+        assert offs == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (1, 0): 1}
+
+    def test_offset_zero_equals_cohort_size(self, ray_session):
+        rng = np.random.RandomState(2)
+        rows = [(int(u), int(d)) for u, d in zip(rng.randint(0, 30, 300), rng.randint(0, 60, 300))]
+        _, out = self._run(rows, parts=6)
+        zero = out[out["week_offset"] == 0].set_index("cohort_week")["n_users"]
+        # each user appears in exactly one cohort at offset 0
+        assert int(zero.sum()) == len({u for u, _ in rows})
+
+    def test_duplicate_events_count_once(self, ray_session):
+        rows = [(1, 0), (1, 0), (1, 0), (1, 7), (1, 7)]
+        _, out = self._run(rows)
+        assert out["n_users"].tolist() == [1, 1]
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.RandomState(3)
+        rows = [(int(u), int(d)) for u, d in zip(rng.randint(0, 15, 200), rng.randint(0, 40, 200))]
+        a, _ = self._run(rows, parts=1)
+        b, _ = self._run(rows, parts=9)
+        assert a == b
