@@ -2995,6 +2995,49 @@ def q_rel_order_count_dist(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_count", ignore_index=True)
 
 
+def q_rel_correlation(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation (quantity vs whole-dollar price per
+    returnflag) from EXACT integer moments: one combiner pass emits the
+    six per-group int64 sums (n, Σx, Σy, Σx², Σy², Σxy), a tiny keyed
+    merge folds them, and r evaluates the identical double expression
+    on both sides (µ-unit compare). The moments are order-free ints, so
+    the only float step is shared verbatim with the oracle — no
+    accumulation-order drift, unlike comparing against SQL corr()."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(batch["l_quantity"].to_numpy(np.float64) + 0.5).astype(np.int64)
+        y = np.floor(batch["l_extendedprice"].to_numpy(np.float64) + 0.5).astype(np.int64)
+        b = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n": np.ones(len(batch), np.int64),
+                "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
+            }
+        )
+        return b.groupby("l_returnflag", as_index=False).sum()
+
+    m = bucketed_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag"],
+        {c: (c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")},
+        n_buckets=4,
+    ).to_pandas()
+    n = m["n"].astype(np.float64)
+    sx, sy = m["sx"].astype(np.float64), m["sy"].astype(np.float64)
+    sxx, syy, sxy = (m[c].astype(np.float64) for c in ("sxx", "syy", "sxy"))
+    r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    out = pd.DataFrame({"l_returnflag": m["l_returnflag"], "r_u": s6(r)})
+    return out.sort_values("l_returnflag", ignore_index=True)
+
+
 def q_rel_validate_orders(sf_dir: str) -> pd.DataFrame:
     """Declarative data-quality report (pipelines/validate.py): five
     expectations over orders — null check, range check, domain check,
@@ -4533,6 +4576,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_validate_orders": q_rel_validate_orders,
         "doc_bm25_topk": q_doc_bm25_topk,
         "events_retention": q_events_retention,
+        "rel_correlation": q_rel_correlation,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -5782,6 +5826,29 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    sql["rel_correlation"] = """
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS BIGINT) n,
+                 CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) sx,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) sy,
+                 CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) sxx,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) syy,
+                 CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) sxy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag,
+               CAST(FLOOR(
+                 ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 * 1000000 + 0.5) AS BIGINT) AS r_u
+        FROM m"""
     sql["events_retention"] = """
         WITH uw AS (SELECT DISTINCT user_id,
                            epoch_us(ts) // 604800000000 AS week

@@ -105,3 +105,24 @@ class TestJobSpec:
 
         with pytest.raises(CalculationFailed):
             JobSpec.from_dict({"tiles_path": "/x", "calculations": []})
+
+
+class TestGroupedCorrelation:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        # the contract query's moment math vs np.corrcoef on the same
+        # quantized values, via the same public entry point
+        import duckdb
+
+        from gridfia_ray.contract import q_rel_correlation
+
+        sf = "/root/testdata/sf0.001"
+        out = q_rel_correlation(sf)
+        li = duckdb.sql(
+            f"SELECT l_returnflag, CAST(FLOOR(l_quantity+0.5) AS BIGINT) x,"
+            f" CAST(FLOOR(l_extendedprice+0.5) AS BIGINT) y"
+            f" FROM read_parquet('{sf}/lineitem.parquet')"
+        ).df()
+        for flag, sub in li.groupby("l_returnflag"):
+            want = np.corrcoef(sub["x"], sub["y"])[0, 1]
+            got = out.loc[out["l_returnflag"] == flag, "r_u"].iloc[0] / 1e6
+            assert abs(got - want) < 2e-6, (flag, got, want)
