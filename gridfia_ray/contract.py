@@ -2022,6 +2022,33 @@ def q_bpe_tokenize_pinned(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_normalize_pinned(sf_dir: str) -> pd.DataFrame:
+    """Unicode NFC canonicalization (text/ops.normalize_text) over the
+    planted hazard corpus (decomposed accents, ligatures, fullwidth
+    forms, NBSP) — cross-validated against DuckDB's ICU
+    ``nfc_normalize``, a genuinely independent Unicode implementation
+    computing live in the oracle (not a replay of ours). Compares the
+    md5 of the normalized text plus the code-point count per doc."""
+    import hashlib
+
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.text.ops import normalize_text
+
+    tune_context()
+    pin = oracle_pins.ensure_normpin()
+    out = (
+        rd.read_parquet(pin["documents"])
+        .map_batches(normalize_text, batch_format="pandas")
+        .to_pandas()
+    )
+    out["h"] = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in out["text"]]
+    out = out[["doc_id", "n_chars", "h"]].astype({"doc_id": np.int64, "n_chars": np.int64})
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_doc_cdc_pinned(sf_dir: str) -> pd.DataFrame:
     """Content-defined chunking (gear rolling hash, FastCDC-family
     min/avg/max discipline, text/cdc.py): the vectorized 64-shifted-adds
@@ -4577,6 +4604,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_bm25_topk": q_doc_bm25_topk,
         "events_retention": q_events_retention,
         "rel_correlation": q_rel_correlation,
+        "doc_normalize_pinned": q_doc_normalize_pinned,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -5222,6 +5250,14 @@ def build_oracle_sql() -> dict[str, str]:
         f"SELECT * FROM read_parquet('{_pcap['pca_expected']}') "
         f"ORDER BY vec_id, pc_idx"
     )
+    # the oracle COMPUTES here: ICU nfc_normalize vs our unicodedata
+    _np_ = _pins.ensure_normpin()
+    sql["doc_normalize_pinned"] = f"""
+        SELECT doc_id,
+               CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars,
+               md5(nfc_normalize(text)) AS h
+        FROM read_parquet('{_np_['documents']}')
+        ORDER BY doc_id"""
     sql["doc_simhash_pinned"] = (
         f"SELECT * FROM read_parquet('{_dp['simhash_expected']}') ORDER BY a, b"
     )

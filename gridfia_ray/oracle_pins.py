@@ -1615,3 +1615,51 @@ def ensure_pcapin() -> dict:
         return {"embeddings": "embeddings.parquet", "pca_expected": "pca_expected.parquet"}
 
     return _ensure_dir(f"pcapin-v{GEN_VERSION}.{PCAPIN_V}", build)
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization
+# ---------------------------------------------------------------------------
+
+NORMPIN_V = 1
+
+
+def _normpin_table() -> pa.Table:
+    """120 docs planted with every normalization hazard: decomposed
+    accents (e + combining acute), precomposed twins, compatibility
+    ligatures/fullwidth forms, NBSP vs space, mixed case — the inputs
+    whose exact-hash dedup keys MUST collide after canonicalization.
+    The oracle side is DuckDB's ICU ``nfc_normalize`` — an independent
+    Unicode implementation, not a replay of ours."""
+    rng = np.random.RandomState(41)
+    hazards = [
+        "école", "école",          # NFD vs NFC 'école'
+        "café", "café",
+        "ﬁnance", "finance",             # ﬁ ligature (NFKC-only)
+        "４２", "42",                 # fullwidth digits
+        "ÅNGSTRÖM", "ÅNGSTRÖM",
+        "x y", "x y",                    # NBSP vs space
+        "MiXeD CaSe", "mixed case",
+    ]
+    words = [f"w{i:02d}" for i in range(40)]
+    texts = []
+    for i in range(120):
+        base = " ".join(np.random.RandomState(41 + i).choice(words, 8))
+        texts.append(base + " " + hazards[i % len(hazards)])
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def ensure_normpin() -> dict:
+    """{'documents'} parquet path (cached, atomic). No expected table:
+    the oracle computes nfc_normalize live in DuckDB/ICU."""
+
+    def build(tmp: str) -> dict:
+        pq.write_table(_normpin_table(), os.path.join(tmp, "documents.parquet"))
+        return {"documents": "documents.parquet"}
+
+    return _ensure_dir(f"normpin-v{GEN_VERSION}.{NORMPIN_V}", build)

@@ -202,6 +202,36 @@ def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def normalize_text(
+    batch: pd.DataFrame, form: str = "NFC", casefold: bool = False
+) -> pd.DataFrame:
+    """Unicode canonicalization before hashing/dedup: the same visible
+    string can arrive precomposed or decomposed (é vs e+◌́), with
+    compatibility forms (ﬁ, fullwidth digits), or case variants — all
+    of which defeat exact-hash dedup unless normalized first. Returns
+    (doc_id, text, n_chars) with ``text`` normalized to ``form``
+    (optionally casefolded); n_chars counts post-normalization code
+    points. Per-doc unicodedata.normalize is a C call; the NFC path is
+    cross-validated against DuckDB's independent ICU implementation in
+    the contract (doc_normalize_pinned)."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    texts = [
+        unicodedata.normalize(form, t) for t in batch["text"].fillna("")
+    ]
+    if casefold:
+        texts = [t.casefold() for t in texts]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "text": pd.Series(texts, dtype=str),
+            "n_chars": pd.Series([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+
+
 def compression_stats(batch: pd.DataFrame, level: int = 6) -> pd.DataFrame:
     """zlib compression-ratio quality signal: machine-generated or
     boilerplate-heavy text compresses far below natural prose, making

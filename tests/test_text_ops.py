@@ -302,3 +302,32 @@ class TestCompressionStats:
         out = compression_stats(df)
         assert out["ratio_milli"].iloc[0] < out["ratio_milli"].iloc[1] / 3
         assert out["ratio_milli"].iloc[2] == 0 and out["raw_len"].iloc[2] == 0
+
+
+class TestNormalizeText:
+    def test_nfc_collapses_decomposed_twins(self, ray_session):
+        from gridfia_ray.text.ops import normalize_text
+
+        df = pd.DataFrame(
+            {"doc_id": np.int64([0, 1]), "text": ["école", "école"]}
+        )
+        out = normalize_text(df)
+        assert out["text"].iloc[0] == out["text"].iloc[1]
+        assert out["n_chars"].tolist() == [5, 5]
+
+    def test_nfkc_and_casefold(self, ray_session):
+        from gridfia_ray.text.ops import normalize_text
+
+        df = pd.DataFrame(
+            {"doc_id": np.int64([0, 1]), "text": ["ﬁNANCE ４２", "finance 42"]}
+        )
+        nfc = normalize_text(df)  # NFC keeps ligature/fullwidth distinct
+        assert nfc["text"].iloc[0] != nfc["text"].iloc[1].upper()
+        nfkc = normalize_text(df, form="NFKC", casefold=True)
+        assert nfkc["text"].iloc[0] == nfkc["text"].iloc[1]
+
+    def test_bad_form_rejected(self, ray_session):
+        from gridfia_ray.text.ops import normalize_text
+
+        with pytest.raises(ValueError, match="normalization form"):
+            normalize_text(pd.DataFrame({"doc_id": np.int64([0]), "text": ["x"]}), form="NFX")
