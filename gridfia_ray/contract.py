@@ -3065,6 +3065,61 @@ def q_rel_correlation(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag", ignore_index=True)
 
 
+def q_rel_zscore(sf_dir: str) -> pd.DataFrame:
+    """Feature standardization (z-score) of order totals in ONE moment
+    pass + ONE stateless map: the (n, Σx, Σx²) moments are exact int64
+    (whole-dollar quantization) folded by a tiny keyed merge; every
+    row's z then evaluates the identical double expression on both
+    sides (µ-unit compare) — the ML feature-scaling op, exact where SQL
+    built-in STDDEV would drift by accumulation order."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def moment_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(batch["o_totalprice"].to_numpy(np.float64) + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "g": np.zeros(1, np.int64),
+                "n": np.asarray([len(x)], np.int64),
+                "sx": np.asarray([x.sum()], np.int64),
+                "sxx": np.asarray([(x * x).sum()], np.int64),
+            }
+        )
+
+    m = (
+        bucketed_agg(
+            orders.map_batches(moment_partial, batch_format="pandas"),
+            ["g"],
+            {"n": ("n", "sum"), "sx": ("sx", "sum"), "sxx": ("sxx", "sum")},
+            n_buckets=1,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    n, sx, sxx = float(m["n"]), float(m["sx"]), float(m["sxx"])
+    mean = sx / n
+    std = np.sqrt((sxx - sx * sx / n) / (n - 1.0))
+
+    def zmap(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(batch["o_totalprice"].to_numpy(np.float64) + 0.5).astype(np.int64)
+        z = (x.astype(np.float64) - mean) / std
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(np.int64),
+                "z_u": np.floor(z * 1_000_000 + 0.5).astype(np.int64),
+            }
+        )
+
+    out = orders.map_batches(zmap, batch_format="pandas").to_pandas()
+    out = out.astype({"o_orderkey": np.int64, "z_u": np.int64})
+    return out.sort_values("o_orderkey", ignore_index=True)
+
+
 def q_rel_validate_orders(sf_dir: str) -> pd.DataFrame:
     """Declarative data-quality report (pipelines/validate.py): five
     expectations over orders — null check, range check, domain check,
@@ -4605,6 +4660,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_retention": q_events_retention,
         "rel_correlation": q_rel_correlation,
         "doc_normalize_pinned": q_doc_normalize_pinned,
+        "rel_zscore": q_rel_zscore,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -5862,6 +5918,17 @@ def build_oracle_sql() -> dict[str, str]:
                  AS sum_price_c
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    sql["rel_zscore"] = """
+        WITH q AS (SELECT o_orderkey,
+                          CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) x FROM orders),
+        m AS (SELECT CAST(COUNT(*) AS DOUBLE) n,
+                     CAST(SUM(x) AS DOUBLE) sx,
+                     CAST(SUM(x * x) AS DOUBLE) sxx FROM q)
+        SELECT o_orderkey,
+               CAST(FLOOR(((CAST(x AS DOUBLE) - sx / n)
+                           / SQRT((sxx - sx * sx / n) / (n - 1.0)))
+                          * 1000000 + 0.5) AS BIGINT) AS z_u
+        FROM q, m"""
     sql["rel_correlation"] = """
         WITH m AS (
           SELECT l_returnflag,
