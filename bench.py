@@ -303,6 +303,16 @@ def run_bench() -> dict:
         timed("rel_ntile_orders", lambda: q_rel_ntile_orders(SF_DIR))
         timed("rel_order_count_dist", lambda: q_rel_order_count_dist(SF_DIR))
         timed("emb_gram", lambda: q_emb_gram(SF_DIR))
+
+        from gridfia_ray.contract import (
+            q_doc_bm25_topk,
+            q_events_retention,
+            q_rel_validate_orders,
+        )
+
+        timed("doc_bm25_topk", lambda: q_doc_bm25_topk(SF_DIR))
+        timed("events_retention", lambda: q_events_retention(SF_DIR))
+        timed("rel_validate_orders", lambda: q_rel_validate_orders(SF_DIR))
         timed(
             "bpe_train_16",
             lambda: train_bpe(
