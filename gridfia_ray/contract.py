@@ -2122,6 +2122,38 @@ def q_doc_cdc_dedup_pinned(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("chunk_hash", ignore_index=True)
 
 
+def q_doc_cdc_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Sub-document exact dedup with REWRITE (Lee et al. 2022 shape,
+    CDC-chunk granularity, text/cdc.cdc_dedup_docs): corpus-wide first
+    occurrence wins, later copies of a chunk are cut out and each doc
+    reassembled from its kept byte ranges — three text-free exchanges
+    plus the reassembly. Oracle: the identical first-occurrence rule +
+    string_agg reassembly in SQL over the pinned expected chunk table
+    (ASCII pin corpus ⇒ SQL character offsets == byte offsets)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.text.cdc import cdc_dedup_docs
+
+    tune_context()
+    pin = oracle_pins.ensure_cdcpin()
+    mn, av, mx = oracle_pins.CDC_PIN_SIZES
+    out = (
+        cdc_dedup_docs(
+            rd.read_parquet(pin["documents"]), mn, av, mx, n_buckets=8
+        )
+        .to_pandas()
+    )
+    out["h"] = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in out["text"]]
+    out = out[["doc_id", "h", "n_kept", "n_dropped"]].astype(
+        {"doc_id": np.int64, "n_kept": np.int64, "n_dropped": np.int64}
+    )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_doc_token_freq(sf_dir: str) -> pd.DataFrame:
     """Distributed wordcount: top-50 corpus tokens by frequency
     (vocabulary building). Per-batch value_counts combiner → bucketed
@@ -4661,6 +4693,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_correlation": q_rel_correlation,
         "doc_normalize_pinned": q_doc_normalize_pinned,
         "rel_zscore": q_rel_zscore,
+        "doc_cdc_dedup_docs": q_doc_cdc_dedup_docs,
         "gf_webp_decode": q_webp_decode,
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
@@ -5301,6 +5334,24 @@ def build_oracle_sql() -> dict[str, str]:
         FROM read_parquet('{_cdcp['cdc_expected']}')
         GROUP BY chunk_hash HAVING COUNT(*) > 1
         ORDER BY chunk_hash"""
+    sql["doc_cdc_dedup_docs"] = f"""
+        WITH ch AS (SELECT * FROM read_parquet('{_cdcp['cdc_expected']}')),
+        docs AS (SELECT * FROM read_parquet('{_cdcp['documents']}')),
+        w AS (SELECT chunk_hash, MIN(doc_id * 2097152 + chunk_id) mk
+              FROM ch GROUP BY 1),
+        k AS (SELECT ch.* FROM ch JOIN w USING (chunk_hash)
+              WHERE ch.doc_id * 2097152 + ch.chunk_id = w.mk),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_total
+                FROM ch GROUP BY 1),
+        re AS (SELECT k.doc_id,
+                      string_agg(substr(d.text, CAST(k."start" AS INT) + 1,
+                                        CAST(k."length" AS INT)),
+                                 '' ORDER BY k.chunk_id) t,
+                      CAST(COUNT(*) AS BIGINT) n_kept
+               FROM k JOIN docs d USING (doc_id) GROUP BY 1)
+        SELECT re.doc_id, md5(COALESCE(re.t, '')) h, re.n_kept,
+               tot.n_total - re.n_kept AS n_dropped
+        FROM re JOIN tot USING (doc_id)"""
     _pcap = _pins.ensure_pcapin()
     sql["emb_pca_pinned"] = (
         f"SELECT * FROM read_parquet('{_pcap['pca_expected']}') "

@@ -86,3 +86,64 @@ class TestDistributed:
             )
 
         pd.testing.assert_frame_equal(run(1), run(7))
+
+
+class TestCdcDedupDocs:
+    def _run(self, texts, parts=3, **kw):
+        from gridfia_ray.text.cdc import cdc_dedup_docs
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        kw.setdefault("n_buckets", 4)
+        out = (
+            cdc_dedup_docs(rd.from_pandas(df).repartition(parts), **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return out
+
+    def test_first_doc_untouched_exact_copy_dropped(self, ray_session):
+        rng = np.random.RandomState(7)
+        base = " ".join(f"w{i:03d}" for i in rng.randint(0, 500, 400))
+        out = self._run([base, base, "totally different text " * 20])
+        got = out.set_index("doc_id")
+        assert got.loc[0, "text"] == base          # first occurrence intact
+        assert got.loc[0, "n_dropped"] == 0
+        assert 1 not in got.index or got.loc[1, "text"] == ""  # copy gone
+        assert got.loc[2, "n_dropped"] == 0
+
+    def test_shared_passage_removed_once(self, ray_session):
+        rng = np.random.RandomState(8)
+        passage = " ".join(f"p{i:02d}" for i in rng.randint(0, 60, 200))
+        a = "alpha head " + passage + " alpha tail"
+        b = "beta head completely other " + passage + " beta tail"
+        out = self._run([a, b]).set_index("doc_id")
+        assert out.loc[0, "text"] == a
+        assert out.loc[1, "n_dropped"] > 0
+        assert passage not in out.loc[1, "text"]  # shared body cut from doc 1
+        assert "beta head" in out.loc[1, "text"]
+
+    def test_kept_counts_equal_distinct_hashes(self, ray_session):
+        from gridfia_ray.text.cdc import cdc_chunk_batch
+
+        rng = np.random.RandomState(9)
+        texts = []
+        base = " ".join(f"q{i:02d}" for i in rng.randint(0, 40, 300))
+        for i in range(6):
+            texts.append(f"pre{i} " + base)
+        out = self._run(texts)
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        distinct = cdc_chunk_batch(df)["chunk_hash"].nunique()
+        assert int(out["n_kept"].sum()) == distinct
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.RandomState(10)
+        base = " ".join(f"z{i:02d}" for i in rng.randint(0, 30, 250))
+        texts = [f"h{i} " + base + f" t{i}" for i in range(8)]
+        a = self._run(texts, parts=1)
+        b = self._run(texts, parts=7)
+        pd.testing.assert_frame_equal(a, b)
