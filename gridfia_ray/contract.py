@@ -482,6 +482,25 @@ def q_component_sizes(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("component").reset_index(drop=True)
 
 
+def q_flow_accumulation(sf_dir: str) -> pd.DataFrame:
+    """D8 flow routing over the total-biomass raster
+    (pipelines/flow.py): direction via the halo exchange (unweighted
+    max-drop, fixed octant tie-break), accumulation via tile-local
+    topological solves + cross-tile superstep settling to the exact
+    fixed point. Oracle = pinned parquet from an independent
+    single-process replay (global descending-z push loop, no tiling —
+    oracle_pins.ensure_flowpin)."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.flow import flow_accumulate, flow_direction_packed
+
+    f = _fx()
+    packed = flow_direction_packed(_total_biomass_result(f))
+    out = flow_accumulate(packed).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_hillshade(sf_dir: str) -> pd.DataFrame:
     """DEM-style hillshade of the total-biomass raster: the Horn halo
     exchange feeding the Lambertian shading map (pipelines/focal.
@@ -4665,7 +4684,6 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_small_qty_revenue": q_rel_small_qty_revenue,
         "rel_top_supplier": q_rel_top_supplier,
         "rel_sole_slow_supplier": q_rel_sole_slow_supplier,
-        "graph_pagerank": q_graph_pagerank,
         "graph_bfs": q_graph_bfs,
         "graph_triangles": q_graph_triangles,
         "gf_zonal_species": q_zonal_species,
@@ -4703,6 +4721,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_connected_components": q_connected_components,
         "gf_component_sizes": q_component_sizes,
         "gf_hillshade": q_hillshade,
+        "gf_flow_accumulation": q_flow_accumulation,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
         "gf_focal_aspect": q_focal_aspect,
@@ -5383,6 +5402,10 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["gf_connected_components"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_cclpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_flow_accumulation"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_flowpin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_component_sizes"] = (

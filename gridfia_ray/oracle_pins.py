@@ -1663,3 +1663,72 @@ def ensure_normpin() -> dict:
         return {"documents": "documents.parquet"}
 
     return _ensure_dir(f"normpin-v{GEN_VERSION}.{NORMPIN_V}", build)
+
+
+FLOWPIN_V = 1
+
+
+def ensure_flowpin() -> dict:
+    """{'expected'} parquet for D8 flow routing: the total-biomass
+    raster rebuilt independently from the fixture generator's pixel
+    table, directions by a per-pixel priority-order scan and
+    accumulation by a single GLOBAL descending-z push loop over the
+    whole raster — no tiling, no halo, no supersteps (the engine
+    decomposes the same math into tile-local solves + cross-tile
+    settling rounds; pipelines/flow.py)."""
+
+    def build(tmp: str) -> dict:
+        from gridfia_ray import fixtures
+        from gridfia_ray.pipelines.flow import D8_OFFSETS
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        grid = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        grid[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        # directions: vectorized shifts, priority order = first max
+        best_drop = np.zeros((n, n), dtype=np.int64)
+        d8 = np.full((n, n), -1, dtype=np.int64)
+        pad = np.zeros((n + 2, n + 2), dtype=np.int64)
+        pad[1:-1, 1:-1] = grid
+        pres = np.zeros((n + 2, n + 2), dtype=np.int64)
+        pres[1:-1, 1:-1] = 1
+        for code, (dy, dx) in enumerate(D8_OFFSETS):
+            nz = pad[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n]
+            np_ = pres[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n]
+            drop = grid - nz
+            better = (np_ == 1) & (drop > 0) & (drop > best_drop)
+            best_drop[better] = drop[better]
+            d8[better] = code
+        # accumulation: one global topological (descending-z) push pass
+        acc = np.zeros(n * n, dtype=np.int64)
+        d8f = d8.ravel().tolist()
+        accl = acc.tolist()
+        order = np.argsort(-grid.ravel(), kind="stable")
+        for lin in order.tolist():
+            code = d8f[lin]
+            if code < 0:
+                continue
+            dy, dx = D8_OFFSETS[code]
+            y, x = divmod(lin, n)
+            accl[(y + dy) * n + (x + dx)] += accl[lin] + 1
+        ys, xs = np.mgrid[0:n, 0:n]
+        exp = pa.table(
+            {
+                "y": pa.array(ys.reshape(-1), pa.int64()),
+                "x": pa.array(xs.reshape(-1), pa.int64()),
+                "dir": pa.array(d8.reshape(-1), pa.int64()),
+                "acc": pa.array(np.asarray(accl, dtype=np.int64), pa.int64()),
+            }
+        )
+        pq.write_table(exp, os.path.join(tmp, "expected.parquet"))
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"flowpin-v{GEN_VERSION}.{FLOWPIN_V}", build)

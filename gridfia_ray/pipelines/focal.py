@@ -109,6 +109,48 @@ def _halo_explode(result: rd.Dataset, op: str) -> rd.Dataset:
     return result.map_batches(explode, batch_format="pyarrow")
 
 
+def strips_to_padded(
+    group: pd.DataFrame, op: str
+) -> "tuple[np.ndarray, np.ndarray, int, int] | None":
+    """Assemble one tile's strip group into padded ``(h+2, w+2)`` int64
+    value + presence arrays. Returns None when no center tile lives at
+    this address (strips addressed past the raster edge). Shared by the
+    per-pixel halo pipeline below and the packed flow-routing stage
+    (pipelines/flow.py)."""
+    center = (group["dy"] == 0) & (group["dx"] == 0)
+    if not center.any():
+        return None
+    if int(center.sum()) > 1:
+        raise ValueError(
+            f"{op}: duplicate tile "
+            f"({group['tile_row'].iloc[0]}, {group['tile_col'].iloc[0]}) "
+            f"for metric {group['metric'].iloc[0]!r} — strips would "
+            f"overwrite nondeterministically"
+        )
+    hs, ws = group["h"].unique(), group["w"].unique()
+    if len(hs) != 1 or len(ws) != 1:
+        raise ValueError(
+            f"{op}: mixed tile shapes {sorted(hs)}×{sorted(ws)} "
+            f"meet at tile ({group['tile_row'].iloc[0]}, "
+            f"{group['tile_col'].iloc[0]}) — the halo protocol needs one"
+        )
+    h, w = int(hs[0]), int(ws[0])
+    vals = np.zeros((h + 2, w + 2), dtype=np.int64)
+    pres = np.zeros((h + 2, w + 2), dtype=np.int64)
+    for _, r in group.iterrows():
+        dy, dx = int(r["dy"]), int(r["dx"])
+        # the strip came FROM tile (target - (dy,dx)); it fills the
+        # halo band on the side the source sits on
+        rs = slice(1, h + 1) if dy == 0 else (slice(h + 1, h + 2) if dy == -1 else slice(0, 1))
+        cs = slice(1, w + 1) if dx == 0 else (slice(w + 1, w + 2) if dx == -1 else slice(0, 1))
+        n_r = h if dy == 0 else 1
+        n_c = w if dx == 0 else 1
+        strip = np.frombuffer(r["strip"], dtype=np.int64).reshape(n_r, n_c)
+        vals[rs, cs] = strip
+        pres[rs, cs] = 1
+    return vals, pres, h, w
+
+
 def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
                    n_buckets: int) -> rd.Dataset:
     """Shared halo-exchange pipeline: explode → one keyed exchange →
@@ -125,38 +167,11 @@ def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
     wants_metric = "metric" in inspect.signature(window_fn).parameters
 
     def assemble(group: pd.DataFrame) -> pd.DataFrame:
-        center = (group["dy"] == 0) & (group["dx"] == 0)
-        if not center.any():
+        padded = strips_to_padded(group, op)
+        if padded is None:
             # strips addressed past the raster edge: no tile lives here
             return empty
-        if int(center.sum()) > 1:
-            raise ValueError(
-                f"{op}: duplicate tile "
-                f"({group['tile_row'].iloc[0]}, {group['tile_col'].iloc[0]}) "
-                f"for metric {group['metric'].iloc[0]!r} — strips would "
-                f"overwrite nondeterministically"
-            )
-        hs, ws = group["h"].unique(), group["w"].unique()
-        if len(hs) != 1 or len(ws) != 1:
-            raise ValueError(
-                f"{op}: mixed tile shapes {sorted(hs)}×{sorted(ws)} "
-                f"meet at tile ({group['tile_row'].iloc[0]}, "
-                f"{group['tile_col'].iloc[0]}) — the halo protocol needs one"
-            )
-        h, w = int(hs[0]), int(ws[0])
-        vals = np.zeros((h + 2, w + 2), dtype=np.int64)
-        pres = np.zeros((h + 2, w + 2), dtype=np.int64)
-        for _, r in group.iterrows():
-            dy, dx = int(r["dy"]), int(r["dx"])
-            # the strip came FROM tile (target - (dy,dx)); it fills the
-            # halo band on the side the source sits on
-            rs = slice(1, h + 1) if dy == 0 else (slice(h + 1, h + 2) if dy == -1 else slice(0, 1))
-            cs = slice(1, w + 1) if dx == 0 else (slice(w + 1, w + 2) if dx == -1 else slice(0, 1))
-            n_r = h if dy == 0 else 1
-            n_c = w if dx == 0 else 1
-            strip = np.frombuffer(r["strip"], dtype=np.int64).reshape(n_r, n_c)
-            vals[rs, cs] = strip
-            pres[rs, cs] = 1
+        vals, pres, h, w = padded
         if wants_metric:
             cols, keep = window_fn(vals, pres, h, w, metric=group["metric"].iloc[0])
         else:

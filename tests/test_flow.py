@@ -1,0 +1,160 @@
+"""D8 flow direction + accumulation: closed forms, tie-break, brute
+force over multi-tile rasters, cross-tile settling, partition
+invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gridfia_ray.pipelines.flow import (
+    D8_OFFSETS,
+    d8_directions,
+    flow_accumulate,
+    flow_direction_packed,
+)
+
+
+def _tiles_from_grid(g: np.ndarray, th: int, tw: int) -> pd.DataFrame:
+    """Result-tile rows (float64 pix; the explode stage µ-scales)."""
+    H, W = g.shape
+    assert H % th == 0 and W % tw == 0
+    rows = []
+    for tr in range(H // th):
+        for tc in range(W // tw):
+            arr = g[tr * th : (tr + 1) * th, tc * tw : (tc + 1) * tw]
+            rows.append(
+                {
+                    "metric": "total_biomass",
+                    "tile_row": tr,
+                    "tile_col": tc,
+                    "h": th,
+                    "w": tw,
+                    "pix": np.ascontiguousarray(arr, dtype=np.float64).tobytes(),
+                    "dtype": "float64",
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def brute_flow(g: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Independent single-process replay: directions via per-pixel scan
+    in priority order, accumulation by global descending-z pushes."""
+    u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+    H, W = u.shape
+    d8 = np.full((H, W), -1, dtype=np.int64)
+    for y in range(H):
+        for x in range(W):
+            best = 0
+            for code, (dy, dx) in enumerate(D8_OFFSETS):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < H and 0 <= nx < W:
+                    drop = u[y, x] - u[ny, nx]
+                    if drop > best:
+                        best = drop
+                        d8[y, x] = code
+    acc = np.zeros((H, W), dtype=np.int64)
+    order = np.argsort(-u.ravel(), kind="stable")
+    for lin in order.tolist():
+        y, x = divmod(lin, W)
+        code = d8[y, x]
+        if code < 0:
+            continue
+        dy, dx = D8_OFFSETS[code]
+        acc[y + dy, x + dx] += acc[y, x] + 1
+    return d8, acc
+
+
+def _run(g: np.ndarray, th: int, tw: int, n_parts: int = 4) -> pd.DataFrame:
+    df = _tiles_from_grid(g, th, tw)
+    packed = flow_direction_packed(
+        rd.from_pandas(df).repartition(n_parts), n_buckets=8
+    )
+    out = flow_accumulate(packed).to_pandas()
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
+class TestDirections:
+    def test_east_slope_all_flow_east(self):
+        # z decreases with x: every pixel's steepest in-grid drop is E,
+        # except the last column (E off-grid; SE/NE also off-grid) = pit
+        h, w = 4, 5
+        vals = np.zeros((h + 2, w + 2), dtype=np.int64)
+        pres = np.zeros((h + 2, w + 2), dtype=np.int64)
+        vals[1 : h + 1, 1 : w + 1] = (10 - np.arange(w)) * 100
+        pres[1 : h + 1, 1 : w + 1] = 1
+        d8 = d8_directions(vals, pres, h, w)
+        assert (d8[:, :-1] == 0).all()  # E
+        assert (d8[:, -1] == -1).all()  # edge pit
+
+    def test_priority_tie_break(self):
+        # equal drops E and S → E wins (priority order)
+        vals = np.zeros((3 + 2, 3 + 2), dtype=np.int64)
+        pres = np.zeros((3 + 2, 3 + 2), dtype=np.int64)
+        z = np.array([[9, 9, 9], [9, 9, 5], [9, 5, 9]], dtype=np.int64)
+        vals[1:4, 1:4] = z
+        pres[1:4, 1:4] = 1
+        d8 = d8_directions(vals, pres, 3, 3)
+        assert d8[1, 1] == 0  # E beats S despite equal drop 4
+
+    def test_flat_is_pit(self):
+        vals = np.full((5, 5), 7, dtype=np.int64)
+        pres = np.ones((5, 5), dtype=np.int64)
+        d8 = d8_directions(vals, pres, 3, 3)
+        assert (d8 == -1).all()
+
+
+class TestAccumulation:
+    def test_east_plane_closed_form(self, ray_session):
+        # single row flow: acc(y, x) = x (cells strictly west, same row)
+        g = np.tile((20.0 - np.arange(8)) * 3.0, (8, 1))
+        out = _run(g, 4, 4)
+        a = out.set_index(["y", "x"])
+        for y in range(8):
+            for x in range(8):
+                assert a.loc[(y, x), "acc"] == x, (y, x)
+        # direction column: E everywhere except last column pits
+        assert (out[out["x"] < 7]["dir"] == 0).all()
+        assert (out[out["x"] == 7]["dir"] == -1).all()
+
+    def test_matches_brute_force_random(self, ray_session):
+        rng = np.random.RandomState(7)
+        g = rng.rand(12, 12) * 90
+        want_dir, want_acc = brute_flow(g)
+        out = _run(g, 4, 4, n_parts=3)
+        got_dir = out.pivot(index="y", columns="x", values="dir").to_numpy()
+        got_acc = out.pivot(index="y", columns="x", values="acc").to_numpy()
+        np.testing.assert_array_equal(got_dir, want_dir)
+        np.testing.assert_array_equal(got_acc, want_acc)
+
+    def test_cross_tile_zigzag_settles(self, ray_session):
+        # a single descending path snaking between two tile columns:
+        # forces several cross-boundary settling rounds
+        H, W = 8, 8
+        g = np.zeros((H, W))
+        path = []
+        for y in range(H):
+            xs = range(W) if y % 2 == 0 else range(W - 1, -1, -1)
+            path.extend((y, x) for x in xs)
+        for i, (y, x) in enumerate(path):
+            g[y, x] = 1000.0 - i  # strictly decreasing along the snake
+        want_dir, want_acc = brute_flow(g)
+        out = _run(g, 4, 4)
+        got_acc = out.pivot(index="y", columns="x", values="acc").to_numpy()
+        np.testing.assert_array_equal(got_acc, want_acc)
+        # the snake's last cell accumulates every other cell
+        assert got_acc[path[-1][0], path[-1][1]] == H * W - 1
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(21)
+        g = rng.rand(16, 16) * 50
+        a = _run(g, 4, 4, n_parts=2)
+        b = _run(g, 8, 8, n_parts=5)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_nonconvergence_guard(self, ray_session):
+        g = np.tile((20.0 - np.arange(8)) * 3.0, (8, 1))
+        df = _tiles_from_grid(g, 4, 4)
+        packed = flow_direction_packed(rd.from_pandas(df), n_buckets=4)
+        with pytest.raises(RuntimeError, match="did not settle"):
+            flow_accumulate(packed, max_rounds=1)
