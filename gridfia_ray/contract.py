@@ -482,6 +482,36 @@ def q_component_sizes(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("component").reset_index(drop=True)
 
 
+def q_sieve(sf_dir: str) -> pd.DataFrame:
+    """GDAL-style sieve filter: components under min_size erased to
+    background (pipelines/ccl.sieve_components — counted broadcast of
+    the undersized-id set with a co-bucketed auto-route beyond the
+    bound). Oracle = SQL GROUP BY/HAVING derivation over the SAME
+    independent BFS pin the CCL queries trust — the sieve semantics are
+    re-derived in SQL, not replayed."""
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.ccl import connected_components, sieve_components
+
+    f = _fx()
+    labeled, comps = connected_components(
+        _total_biomass_result(f),
+        int(f["meta"]["grid"]),
+        threshold=oracle_pins.CCL_THRESHOLD,
+    )
+    sieved = sieve_components(labeled, comps, min_size=2)
+    pix = M.metrics_to_pixels(sieved).to_pandas()
+    pix = pix[pix["value"] >= 0]
+    out = pd.DataFrame(
+        {
+            "y": pix["y"].astype(np.int64),
+            "x": pix["x"].astype(np.int64),
+            "component": pix["value"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_flow_accumulation(sf_dir: str) -> pd.DataFrame:
     """D8 flow routing over the total-biomass raster
     (pipelines/flow.py): direction via the halo exchange (unweighted
@@ -4722,6 +4752,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_component_sizes": q_component_sizes,
         "gf_hillshade": q_hillshade,
         "gf_flow_accumulation": q_flow_accumulation,
+        "gf_sieve": q_sieve,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
         "gf_focal_aspect": q_focal_aspect,
@@ -5406,6 +5437,14 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["gf_flow_accumulation"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_flowpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_sieve"] = (
+        f"SELECT y, x, component "
+        f"FROM read_parquet('{_pins.ensure_cclpin()['expected']}') "
+        f"WHERE component IN (SELECT component "
+        f"  FROM read_parquet('{_pins.ensure_cclpin()['expected']}') "
+        f"  GROUP BY component HAVING COUNT(*) >= 2) "
         f"ORDER BY y, x"
     )
     sql["gf_component_sizes"] = (

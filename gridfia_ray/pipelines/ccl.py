@@ -39,6 +39,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -407,3 +408,170 @@ def connected_components(
         )
     )
     return relabeled, components
+
+
+def sieve_components(
+    labeled: rd.Dataset,
+    components: rd.Dataset,
+    min_size: int,
+    *,
+    n_buckets: int = 64,
+    max_broadcast_ids: int = 2_000_000,
+) -> rd.Dataset:
+    """GDAL-sieve-style small-patch removal: pixels whose component
+    holds fewer than ``min_size`` pixels become background (−1).
+
+    Input is the ``(labeled_tiles, components)`` pair from
+    :func:`connected_components`; output is labeled tiles of the same
+    schema with undersized components erased.
+
+    Routing: the undersized-id set is COUNTED distributed first. Under
+    ``max_broadcast_ids`` it broadcasts (8 B/id, so the id bound is a
+    byte bound) and the rewrite is a pure map — zero extra exchange.
+    Beyond the bound the engine auto-routes (no raise): a tiny
+    co-bucketed probe exchange marks each tile's undersized labels
+    (rows = distinct labels per tile, O(components), never O(pixels)),
+    then one tile-keyed exchange ships each tile once alongside its
+    undersized list and rewrites in place.
+    """
+    if min_size <= 1:
+        return labeled
+    undersized = components.filter(
+        lambda r: r["n_pixels"] < min_size
+    ).materialize()
+    n_under = undersized.count()
+    if n_under == 0:
+        return labeled
+
+    tile_schema = pa.schema(
+        [
+            ("metric", pa.string()),
+            ("tile_row", pa.int64()),
+            ("tile_col", pa.int64()),
+            ("h", pa.int64()),
+            ("w", pa.int64()),
+            ("pix", pa.binary()),
+            ("dtype", pa.string()),
+        ]
+    )
+
+    def rewrite(g: np.ndarray, drop: np.ndarray) -> np.ndarray:
+        out = g.copy()
+        if drop.size:
+            out[np.isin(g, drop)] = -1
+        return out
+
+    if n_under <= max_broadcast_ids:
+        drop_ref = ray.put(
+            np.sort(
+                undersized.to_pandas()["component"].to_numpy(np.int64)
+            )
+        )
+
+        def erase(batch: pa.Table) -> pa.Table:
+            drop = ray.get(drop_ref)
+            pix = []
+            for i in range(batch.num_rows):
+                g = np.frombuffer(batch["pix"][i].as_py(), dtype=np.int64)
+                pix.append(rewrite(g, drop).tobytes())
+            return batch.set_column(
+                batch.column_names.index("pix"), "pix", pa.array(pix, pa.binary())
+            )
+
+        return labeled.map_batches(erase, batch_format="pyarrow")
+
+    # beyond-bound route: probe exchange (tile → its undersized labels)
+    # then one tile-keyed rewrite exchange
+    from gridfia_ray.stages.agg_util import bucketed_group_map, bucketed_left_attach
+
+    def tile_labels(batch: pa.Table) -> pa.Table:
+        trs, tcs, comps = [], [], []
+        for i in range(batch.num_rows):
+            g = np.frombuffer(batch["pix"][i].as_py(), dtype=np.int64)
+            u = np.unique(g)
+            u = u[u >= 0]
+            trs.extend([int(batch["tile_row"][i].as_py())] * len(u))
+            tcs.extend([int(batch["tile_col"][i].as_py())] * len(u))
+            comps.extend(u.tolist())
+        return pa.table(
+            {
+                "tile_row": pa.array(trs, pa.int64()),
+                "tile_col": pa.array(tcs, pa.int64()),
+                "component": pa.array(comps, pa.int64()),
+            }
+        )
+
+    probe_schema = pa.schema(
+        [
+            ("tile_row", pa.int64()),
+            ("tile_col", pa.int64()),
+            ("component", pa.int64()),
+        ]
+    )
+    flagged = bucketed_left_attach(
+        labeled.map_batches(tile_labels, batch_format="pyarrow"),
+        undersized.map_batches(
+            lambda b: pa.table(
+                {
+                    "component": b["component"],
+                    "under": pa.array(np.ones(b.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["component"],
+        left_schema=probe_schema,
+        right_schema=pa.schema([("component", pa.int64()), ("under", pa.int8())]),
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: b.filter(pc.equal(pc.fill_null(b["under"], 0), 1)),
+        batch_format="pyarrow",
+    )
+
+    # union tiles + their undersized-label rows on the tile key
+    union_schema = pa.schema(
+        list(tile_schema) + [pa.field("component", pa.int64())]
+    )
+
+    def tag_tile(batch: pa.Table) -> pa.Table:
+        cols = {f.name: batch[f.name] for f in tile_schema}
+        cols["component"] = pa.nulls(batch.num_rows, pa.int64())
+        return pa.table(cols, schema=union_schema)
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        cols: dict = {}
+        for f in tile_schema:
+            if f.name in ("tile_row", "tile_col"):
+                cols[f.name] = batch[f.name]
+            else:
+                cols[f.name] = pa.nulls(batch.num_rows, f.type)
+        cols["component"] = batch["component"]
+        return pa.table(cols, schema=union_schema)
+
+    tagged = labeled.map_batches(tag_tile, batch_format="pyarrow").union(
+        flagged.map_batches(tag_probe, batch_format="pyarrow")
+    )
+
+    def per_tile(group: pd.DataFrame) -> pd.DataFrame:
+        is_tile = group["pix"].notna()
+        tiles = group[is_tile]
+        drop = group.loc[~is_tile, "component"].to_numpy(np.int64)
+        drop = np.sort(drop)
+        if len(tiles) != 1:
+            raise ValueError(
+                f"sieve_components: {len(tiles)} tiles at "
+                f"({group['tile_row'].iloc[0]}, {group['tile_col'].iloc[0]})"
+            )
+        r = tiles.iloc[0]
+        g = np.frombuffer(r["pix"], dtype=np.int64)
+        out = r.to_frame().T[[f.name for f in tile_schema]].copy()
+        out["pix"] = [rewrite(g, drop).tobytes()]
+        return out
+
+    return bucketed_group_map(
+        tagged,
+        ["tile_row", "tile_col"],
+        per_tile,
+        n_buckets=n_buckets,
+        out_schema=tile_schema,
+    )

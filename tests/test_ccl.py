@@ -152,3 +152,47 @@ class TestDistributedCCL:
             )
             outs.append(_reassemble(labeled, G, T))
         assert (outs[0] == outs[1]).all()
+
+
+class TestSieve:
+    def _run(self, rng, min_size, **kw):
+        from gridfia_ray.pipelines.ccl import sieve_components
+
+        G, T = 3, 8
+        grid = (rng.rand(G * T, G * T) < 0.35).astype(np.int64) * 100
+        tiles = _tiles_from_grid(grid, G, T)
+        labeled, comps = connected_components(tiles, G, threshold=0.0)
+        sieved = sieve_components(labeled, comps, min_size, **kw)
+        got = _reassemble(sieved, G, T)
+        # brute: anchors, erase components under min_size
+        want = brute_anchors(grid > 0)
+        flat = want.ravel()
+        keep_ids = [
+            c for c in np.unique(flat[flat >= 0])
+            if (flat == c).sum() >= min_size
+        ]
+        want2 = np.where(np.isin(want, keep_ids), want, -1)
+        return got, want2
+
+    def test_matches_brute_broadcast_path(self, ray_session):
+        got, want = self._run(np.random.RandomState(3), min_size=4)
+        np.testing.assert_array_equal(got, want)
+
+    def test_matches_brute_exchange_path(self, ray_session):
+        # max_broadcast_ids=0 forces the co-bucketed probe + rewrite route
+        got, want = self._run(
+            np.random.RandomState(3), min_size=4, max_broadcast_ids=0
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_min_size_one_is_identity(self, ray_session):
+        from gridfia_ray.pipelines.ccl import sieve_components
+
+        G, T = 2, 6
+        rng = np.random.RandomState(5)
+        grid = (rng.rand(G * T, G * T) < 0.3).astype(np.int64) * 7
+        tiles = _tiles_from_grid(grid, G, T)
+        labeled, comps = connected_components(tiles, G, threshold=0.0)
+        a = _reassemble(labeled, G, T)
+        b = _reassemble(sieve_components(labeled, comps, 1), G, T)
+        np.testing.assert_array_equal(a, b)
