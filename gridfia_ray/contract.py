@@ -482,6 +482,45 @@ def q_component_sizes(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("component").reset_index(drop=True)
 
 
+def q_augment_rot90(sf_dir: str) -> pd.DataFrame:
+    """Global 90°-clockwise rotation of the total-biomass raster
+    (stages/augment.augment_result_tiles): per-tile array rotation +
+    arithmetic tile-key remap — zero shuffle at any corpus size thanks
+    to the tile-aligned layout. Oracle = the coordinate remap
+    out[x, N-1-y] = in[y, x] written directly in SQL over the fixture
+    generator's pixel table."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.stages.augment import augment_result_tiles
+
+    f = _fx()
+    g = int(f["meta"]["grid"])
+    rot = augment_result_tiles(_total_biomass_result(f), "rot90cw", g, g)
+    pix = M.metrics_to_pixels(rot).to_pandas()
+    out = pd.DataFrame(
+        {
+            "y": pix["y"].astype(np.int64),
+            "x": pix["x"].astype(np.int64),
+            "total_u": s6(pix["value"]),
+        }
+    )
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
+def q_patchify(sf_dir: str) -> pd.DataFrame:
+    """ViT-style patch extraction: non-overlapping 16×16 patches of the
+    total-biomass raster with exact µ-scaled per-patch statistics
+    (stages/augment.patchify_result_tiles — pure map, global patch
+    ids). Oracle = SQL GROUP BY y//16, x//16 over the pixel table."""
+    from gridfia_ray.stages.augment import patchify_result_tiles
+
+    f = _fx()
+    out = patchify_result_tiles(_total_biomass_result(f), 16).to_pandas()
+    out = out.drop(columns=["metric"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["patch_row", "patch_col"]).reset_index(drop=True)
+
+
 def q_sieve(sf_dir: str) -> pd.DataFrame:
     """GDAL-style sieve filter: components under min_size erased to
     background (pipelines/ccl.sieve_components — counted broadcast of
@@ -4753,6 +4792,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_hillshade": q_hillshade,
         "gf_flow_accumulation": q_flow_accumulation,
         "gf_sieve": q_sieve,
+        "gf_augment_rot90": q_augment_rot90,
+        "gf_patchify": q_patchify,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
         "gf_focal_aspect": q_focal_aspect,
@@ -5139,6 +5180,23 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT CAST(y // 2 AS BIGINT) AS y, CAST(x // 2 AS BIGINT) AS x,
                CAST(SUM({_sql_s6('total')}) AS BIGINT) AS sum_u
         FROM tot GROUP BY 1, 2"""
+    # rot90cw coordinate remap: out[x, N-1-y] = in[y, x]
+    _n_px = int(f["meta"]["grid"]) * int(f["meta"]["tile"])
+    sql["gf_augment_rot90"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)
+        SELECT CAST(x AS BIGINT) AS y, CAST({_n_px - 1} - y AS BIGINT) AS x,
+               {_sql_s6('total')} AS total_u
+        FROM tot"""
+    sql["gf_patchify"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        px AS (SELECT y // 16 AS pr, x // 16 AS pc,
+                      {_sql_s6('total')} AS u FROM tot)
+        SELECT CAST(pr AS BIGINT) AS patch_row, CAST(pc AS BIGINT) AS patch_col,
+               COUNT(*) AS n_px, CAST(SUM(u) AS BIGINT) AS sum_u,
+               MIN(u) AS min_u, MAX(u) AS max_u
+        FROM px GROUP BY 1, 2"""
     # west half = tile_col < grid//2, derived from fixture meta so the
     # oracle tracks q_mosaic if the fixture grid/tile ever changes
     _west_px = (int(f["meta"]["grid"]) // 2) * int(t)
