@@ -3662,6 +3662,30 @@ def q_events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["event_type", "q_pct"]).reset_index(drop=True)
 
 
+def q_events_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Regular-grid LOCF resampling (pipelines/events.gapfill_locf):
+    per user, hourly grid instants between the first and last event,
+    each carrying the latest at-or-before value with a deterministic
+    (ts, event_id) tie-break — the distributed time-series gap-fill.
+    Oracle = the identical integer grid + ROW_NUMBER pick in SQL."""
+    import ray.data as rd  # noqa: F401
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import gapfill_locf
+
+    tune_context()
+    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
+    out = gapfill_locf(events).to_pandas()
+    res = pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "grid_ts": out["grid_ts"].astype(np.int64),
+            "value_u": s6(out["value"]),
+        }
+    )
+    return res.sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+
+
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -4767,6 +4791,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "ann_topk": q_ann_topk,
         "graph_components": q_graph_components,
         "events_hourly": q_events_hourly,
+        "events_gapfill": q_events_gapfill,
         "doc_compress_ratio": q_doc_compress_ratio,
         "doc_cdc_pinned": q_doc_cdc_pinned,
         "doc_cdc_dedup_pinned": q_doc_cdc_dedup_pinned,
@@ -6254,6 +6279,23 @@ def build_oracle_sql() -> dict[str, str]:
           SELECT event_type, 98 AS q_pct, quantile_disc(value, 0.98) AS v
           FROM events GROUP BY event_type
         )"""
+    sql["events_gapfill"] = f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value, event_id
+                   FROM events),
+        b AS (SELECT user_id,
+                     ((MIN(tu) + 3599999999) // 3600000000) * 3600000000 AS t0,
+                     (MAX(tu) // 3600000000) * 3600000000 AS t1
+              FROM e GROUP BY user_id),
+        g AS (SELECT user_id, UNNEST(range(t0, t1 + 1, 3600000000)) AS grid_ts
+              FROM b WHERE t1 >= t0),
+        sel AS (SELECT g.user_id, g.grid_ts, e.value,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY g.user_id, g.grid_ts
+                         ORDER BY e.tu DESC, e.event_id DESC) AS rn
+                FROM g JOIN e ON e.user_id = g.user_id AND e.tu <= g.grid_ts)
+        SELECT user_id, CAST(grid_ts AS BIGINT) AS grid_ts,
+               {_sql_s6('value')} AS value_u
+        FROM sel WHERE rn = 1 ORDER BY user_id, grid_ts"""
     sql["events_hourly"] = """
         SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                COUNT(*) AS n_events,

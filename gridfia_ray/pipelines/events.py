@@ -357,3 +357,83 @@ def retention_cohorts(
         {"n_users": ("n_users", "sum")},
         n_buckets=8,
     )
+
+
+def gapfill_locf(
+    events: rd.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    step_us: int = 3_600_000_000,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Regular-grid resampling with last-observation-carried-forward:
+    per key, emit one row per grid instant (integer multiples of
+    ``step_us`` epoch-µs) between ceil(min_ts/step)·step and
+    floor(max_ts/step)·step, carrying the value of the LATEST event
+    at-or-before the instant — deterministic ties by (ts, id) max, the
+    same rule the SQL oracle's ROW_NUMBER ORDER BY reproduces.
+
+    Scale shape: ONE bucketed exchange on the key (the sessionize
+    assumption: a key's rows co-locate), then per key one sort +
+    ``searchsorted`` — grid points are generated inside the bucket and
+    never shuffled. Output size = Σ per-key grid length, independent of
+    event count; value is PICKED, not aggregated, so float equality is
+    exact."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch[key].to_numpy(np.int64),
+                "tu": batch[ts_col]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy(),
+                "v": batch[value_col].to_numpy(np.float64),
+                "i": batch[id_col].to_numpy(np.int64),
+            }
+        )
+
+    step = int(step_us)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "tu", "i"], kind="mergesort")
+        ks, tss, vs = [], [], []
+        for k, sub in g.groupby("k", sort=False):
+            tu = sub["tu"].to_numpy(np.int64)
+            t0 = -(-tu[0] // step) * step  # ceil to grid
+            t1 = (tu[-1] // step) * step  # floor to grid
+            if t1 < t0:
+                continue
+            grid = np.arange(t0, t1 + 1, step, dtype=np.int64)
+            # last event at-or-before each instant; sorted (tu, i) makes
+            # side='right' pick the max-(ts, id) among equal timestamps
+            idx = np.searchsorted(tu, grid, side="right") - 1
+            ks.append(np.full(len(grid), k, np.int64))
+            tss.append(grid)
+            vs.append(sub["v"].to_numpy(np.float64)[idx])
+        if not ks:
+            return pd.DataFrame(
+                {
+                    key: np.array([], np.int64),
+                    "grid_ts": np.array([], np.int64),
+                    "value": np.array([], np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                key: np.concatenate(ks),
+                "grid_ts": np.concatenate(tss),
+                "value": np.concatenate(vs),
+            }
+        )
+
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    return bucketed_bucket_map(
+        events.map_batches(project, batch_format="pandas"),
+        ["k"],
+        per_bucket,
+        n_buckets,
+    )

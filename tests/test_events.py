@@ -400,3 +400,54 @@ class TestRetentionCohorts:
         a, _ = self._run(rows, parts=1)
         b, _ = self._run(rows, parts=9)
         assert a == b
+
+
+class TestGapfillLocf:
+    def _run(self, df):
+        import ray.data as rd
+
+        from gridfia_ray.pipelines.events import gapfill_locf
+
+        out = gapfill_locf(
+            rd.from_pandas(df).repartition(3), step_us=100, n_buckets=4
+        ).to_pandas()
+        return out.sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+
+    @staticmethod
+    def _df(rows):
+        import pandas as pd
+
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us", "value"])
+        df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+        return df[["event_id", "user_id", "ts", "value"]]
+
+    def test_locf_and_grid_bounds(self, ray_session):
+        # user 1: events at 50, 130, 420 → grid 100..400 step 100
+        df = self._df(
+            [(0, 1, 50, 1.0), (1, 1, 130, 2.0), (2, 1, 420, 3.0)]
+        )
+        out = self._run(df)
+        assert out["grid_ts"].tolist() == [100, 200, 300, 400]
+        assert out["value"].tolist() == [1.0, 2.0, 2.0, 2.0]
+
+    def test_tie_break_max_event_id(self, ray_session):
+        # two events at the same µs: the larger event_id wins
+        df = self._df([(5, 2, 100, 7.0), (9, 2, 100, 8.0), (6, 2, 250, 1.0)])
+        out = self._run(df)
+        assert out[out["grid_ts"] == 100]["value"].iloc[0] == 8.0
+        assert out[out["grid_ts"] == 200]["value"].iloc[0] == 8.0
+
+    def test_key_without_grid_point_emits_nothing(self, ray_session):
+        # all events inside (100, 200): ceil(min)=200 > floor(max)=100
+        df = self._df(
+            [(0, 3, 110, 1.0), (1, 3, 190, 2.0), (2, 4, 100, 5.0)]
+        )
+        out = self._run(df)
+        assert (out["user_id"] == 3).sum() == 0
+        assert out[out["user_id"] == 4]["grid_ts"].tolist() == [100]
+
+    def test_event_on_grid_point_included(self, ray_session):
+        df = self._df([(0, 5, 200, 4.0)])
+        out = self._run(df)
+        assert out["grid_ts"].tolist() == [200]
+        assert out["value"].iloc[0] == 4.0
