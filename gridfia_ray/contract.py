@@ -4038,6 +4038,56 @@ def q_rel_regional_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_rel_bloom_join(sf_dir: str) -> pd.DataFrame:
+    """Bloom-PREFILTERED shuffle join (pipelines/joins.
+    bloom_prefilter_join): lineitem ⋈ high-value orders, with a
+    distributed-built fixed-size bitmap of the right key set shipped to
+    the left scan so non-matching lines never enter the all-to-all
+    exchange. Exact by construction (false positives are discarded by
+    the join itself) — the oracle is the PLAIN SQL inner join. Per
+    return flag: line count and revenue cents."""
+    import ray.data as rd  # noqa: F401
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.joins import bloom_prefilter_join
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_returnflag"],
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    ).filter(expr="o_totalprice > 400000.0")
+    joined = bloom_prefilter_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n_lines": np.int64(1),
+                "revenue_c": np.floor(
+                    batch["l_extendedprice"] * 100 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        return b.groupby("l_returnflag", as_index=False).sum()
+
+    out = bucketed_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag"],
+        {"n_lines": ("n_lines", "sum"), "revenue_c": ("revenue_c", "sum")},
+        n_buckets=8,
+    ).to_pandas()
+    for c in ("n_lines", "revenue_c"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def q_rel_priority_lines(sf_dir: str) -> pd.DataFrame:
     """Large×large SHUFFLE join: lineitem ⋈ orders on the orderkey via
     the keyed hash-shuffle join (``pipelines/joins.shuffle_hash_join``)
@@ -4744,6 +4794,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_stateplane_vectors": q_stateplane_vectors,
         # relational / windowed / temporal joins / resampling
         "rel_priority_lines": q_rel_priority_lines,
+        "rel_bloom_join": q_rel_bloom_join,
         "rel_urgent_customers": q_rel_urgent_customers,
         "rel_rollup_pricing": q_rel_rollup_pricing,
         "events_asof_join": q_events_asof_join,
@@ -6370,6 +6421,13 @@ def build_oracle_sql() -> dict[str, str]:
         JOIN region r ON n.n_regionkey = r.r_regionkey
         WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
         GROUP BY n.n_name"""
+    sql["rel_bloom_join"] = """
+        SELECT l_returnflag, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000.0
+        GROUP BY l_returnflag ORDER BY l_returnflag"""
     sql["rel_priority_lines"] = """
         SELECT o.o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 
@@ -510,3 +511,148 @@ def asof_join(
         return _typed_output(out, out_schema)
 
     return grouped.map_groups(merge, batch_format="pyarrow")
+
+
+# --- Bloom-prefiltered join -------------------------------------------------
+
+_B1 = np.uint64(0xC2B2AE3D27D4EB4F)
+_B2 = np.uint64(0x165667B19E3779F9)
+
+
+def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent avalanche hashes (uint64) for double hashing."""
+    x = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = (x ^ (x >> np.uint64(33))) * _B1
+        h1 = (h1 ^ (h1 >> np.uint64(29))) * _B2
+        h1 = h1 ^ (h1 >> np.uint64(32))
+        h2 = (x + np.uint64(0x9E3779B97F4A7C15)) * _B2
+        h2 = (h2 ^ (h2 >> np.uint64(31))) * _B1
+        h2 = h2 ^ (h2 >> np.uint64(30))
+    return h1, h2
+
+
+def _bloom_indices(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """All k bit indices for each key (double hashing), flat uint64."""
+    h1, h2 = _bloom_hashes(keys)
+    with np.errstate(over="ignore"):
+        idx = (
+            h1[:, None] + np.arange(1, k + 1, dtype=np.uint64)[None, :] * h2[:, None]
+        ) % np.uint64(m_bits)
+    return idx.ravel()
+
+
+def build_bloom_filter(
+    keys_ds: rd.Dataset,
+    on: str,
+    *,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+    n_buckets: int = 64,
+) -> np.ndarray:
+    """Distributed Bloom-filter build over an int64 key column: each
+    block emits its DISTINCT bit indices packed per bitmap slice, one
+    keyed exchange ORs each slice in parallel, and the driver
+    concatenates exactly ``n_buckets`` slice rows — the driver never
+    holds more than the m_bits/8-byte bitmap itself (a sizing CONFIG,
+    not a data-dependent pull). Returns the bitmap as uint8[m_bits/8]."""
+    if m_bits % (8 * n_buckets):
+        raise ValueError("m_bits must be divisible by 8*n_buckets")
+    slice_bits = m_bits // n_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        idx = np.unique(_bloom_indices(keys, m_bits, k))
+        sl = (idx // np.uint64(slice_bits)).astype(np.int64)
+        bounds = np.searchsorted(sl, np.arange(n_buckets + 1, dtype=np.int64))
+        slices, offs = [], []
+        for b in range(n_buckets):
+            lo, hi = bounds[b], bounds[b + 1]
+            if lo == hi:
+                continue
+            rel = (idx[lo:hi] - np.uint64(b) * np.uint64(slice_bits)).astype(
+                np.uint32
+            )
+            slices.append(rel.tobytes())
+            offs.append(b)
+        return pa.table(
+            {
+                "slice": pa.array(offs, pa.int64()),
+                "idxs": pa.array(slices, pa.binary()),
+            }
+        )
+
+    def or_slice(group: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(slice_bits, dtype=bool)
+        for buf in group["idxs"]:
+            bits[np.frombuffer(buf, dtype=np.uint32)] = True
+        return pd.DataFrame(
+            {
+                "slice": [int(group["slice"].iloc[0])],
+                "bitmap": [np.packbits(bits, bitorder="little").tobytes()],
+            }
+        )
+
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    out_schema = pa.schema([("slice", pa.int64()), ("bitmap", pa.binary())])
+    rows = bucketed_group_map(
+        keys_ds.map_batches(partial, batch_format="pyarrow"),
+        ["slice"],
+        or_slice,
+        n_buckets=min(n_buckets, 16),
+        out_schema=out_schema,
+    ).to_pandas()
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    sb = slice_bits // 8
+    for r in rows.itertuples(index=False):
+        bitmap[int(r.slice) * sb : (int(r.slice) + 1) * sb] = np.frombuffer(
+            r.bitmap, dtype=np.uint8
+        )
+    return bitmap
+
+
+def bloom_prefilter_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    *,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Shuffle hash join with a Bloom PREFILTER on the left side — the
+    standard engine optimization when the right side's key set is too
+    large for an exact broadcast semi-join but a fixed-size bitmap
+    (m_bits/8 bytes, a config) is cheap to ship: left rows whose key
+    cannot be in the right side never enter the all-to-all exchange.
+
+    EXACT by construction: Bloom false positives pass extra rows into
+    the join, which discards them — the output is bit-identical to the
+    plain ``shuffle_hash_join`` (the contract oracle is the plain SQL
+    inner join). Keys must be int64. Sizing: ~10 bits/distinct right
+    key keeps the false-positive rate ≈1%%; an undersized bitmap only
+    costs shuffle volume, never correctness."""
+    ron = right_on or on
+    bitmap_ref = ray.put(
+        build_bloom_filter(
+            right.select_columns([ron]), ron, m_bits=m_bits, k=k
+        )
+    )
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bitmap = ray.get(bitmap_ref)
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        idx = _bloom_indices(keys, m_bits, k).reshape(len(keys), k)
+        byte = bitmap[(idx >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        return batch.filter(pa.array(bit.all(axis=1)))
+
+    return shuffle_hash_join(
+        left.map_batches(prefilter, batch_format="pyarrow"),
+        right,
+        on=[on],
+        right_on=[ron] if right_on else None,
+        num_partitions=num_partitions,
+    )
