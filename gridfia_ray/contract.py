@@ -570,6 +570,26 @@ def q_flow_accumulation(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_watershed(sf_dir: str) -> pd.DataFrame:
+    """Watershed basin delineation over the D8 directions
+    (pipelines/flow.watershed): basin = global linear index of the pit
+    each cell drains to, labeled via ONE border-resolution exchange +
+    driver path compression + one broadcast labeling pass (no
+    supersteps — the ring mapping is static). Oracle = the same pinned
+    flow replay's ascending-z basin resolve
+    (oracle_pins.ensure_flowpin)."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.flow import flow_direction_packed, watershed
+
+    f = _fx()
+    width = int(f["meta"]["grid"]) * int(f["meta"]["tile"])
+    packed = flow_direction_packed(_total_biomass_result(f))
+    out = watershed(packed, width).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_hillshade(sf_dir: str) -> pd.DataFrame:
     """DEM-style hillshade of the total-biomass raster: the Horn halo
     exchange feeding the Lambertian shading map (pipelines/focal.
@@ -4867,6 +4887,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_component_sizes": q_component_sizes,
         "gf_hillshade": q_hillshade,
         "gf_flow_accumulation": q_flow_accumulation,
+        "gf_watershed": q_watershed,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
         "gf_patchify": q_patchify,
@@ -5570,7 +5591,13 @@ def build_oracle_sql() -> dict[str, str]:
         f"ORDER BY y, x"
     )
     sql["gf_flow_accumulation"] = (
-        f"SELECT * FROM read_parquet('{_pins.ensure_flowpin()['expected']}') "
+        f"SELECT y, x, dir, acc "
+        f"FROM read_parquet('{_pins.ensure_flowpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_watershed"] = (
+        f"SELECT y, x, basin "
+        f"FROM read_parquet('{_pins.ensure_flowpin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_sieve"] = (

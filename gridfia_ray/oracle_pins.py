@@ -1665,17 +1665,19 @@ def ensure_normpin() -> dict:
     return _ensure_dir(f"normpin-v{GEN_VERSION}.{NORMPIN_V}", build)
 
 
-FLOWPIN_V = 1
+FLOWPIN_V = 2
 
 
 def ensure_flowpin() -> dict:
     """{'expected'} parquet for D8 flow routing: the total-biomass
     raster rebuilt independently from the fixture generator's pixel
-    table, directions by a per-pixel priority-order scan and
-    accumulation by a single GLOBAL descending-z push loop over the
-    whole raster — no tiling, no halo, no supersteps (the engine
-    decomposes the same math into tile-local solves + cross-tile
-    settling rounds; pipelines/flow.py)."""
+    table, directions by a per-pixel priority-order scan, accumulation
+    by a single GLOBAL descending-z push loop and basin labels by the
+    mirrored ascending-z resolve — no tiling, no halo, no supersteps
+    (the engine decomposes the same math into tile-local solves +
+    cross-tile settling rounds; pipelines/flow.py). Basin id = the
+    linear index y·N + x of the pit the cell drains to (a pit is its
+    own basin)."""
 
     def build(tmp: str) -> dict:
         from gridfia_ray import fixtures
@@ -1719,6 +1721,16 @@ def ensure_flowpin() -> dict:
             dy, dx = D8_OFFSETS[code]
             y, x = divmod(lin, n)
             accl[(y + dy) * n + (x + dx)] += accl[lin] + 1
+        # basins: ascending-z resolve (downstream is settled first)
+        basin = [0] * (n * n)
+        for lin in order.tolist()[::-1]:
+            code = d8f[lin]
+            if code < 0:
+                basin[lin] = lin  # pit: its own basin
+            else:
+                dy, dx = D8_OFFSETS[code]
+                y, x = divmod(lin, n)
+                basin[lin] = basin[(y + dy) * n + (x + dx)]
         ys, xs = np.mgrid[0:n, 0:n]
         exp = pa.table(
             {
@@ -1726,6 +1738,7 @@ def ensure_flowpin() -> dict:
                 "x": pa.array(xs.reshape(-1), pa.int64()),
                 "dir": pa.array(d8.reshape(-1), pa.int64()),
                 "acc": pa.array(np.asarray(accl, dtype=np.int64), pa.int64()),
+                "basin": pa.array(np.asarray(basin, dtype=np.int64), pa.int64()),
             }
         )
         pq.write_table(exp, os.path.join(tmp, "expected.parquet"))

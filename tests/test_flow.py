@@ -12,6 +12,7 @@ from gridfia_ray.pipelines.flow import (
     d8_directions,
     flow_accumulate,
     flow_direction_packed,
+    watershed,
 )
 
 
@@ -158,3 +159,87 @@ class TestAccumulation:
         packed = flow_direction_packed(rd.from_pandas(df), n_buckets=4)
         with pytest.raises(RuntimeError, match="did not settle"):
             flow_accumulate(packed, max_rounds=1)
+
+
+def brute_basin(g: np.ndarray) -> np.ndarray:
+    """Independent replay: basin = pit at the end of each cell's path,
+    resolved ascending-z (downstream first)."""
+    d8, _ = brute_flow(g)
+    u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+    H, W = u.shape
+    basin = np.zeros(H * W, dtype=np.int64)
+    order = np.argsort(-u.ravel(), kind="stable")
+    for lin in order.tolist()[::-1]:
+        y, x = divmod(lin, W)
+        code = d8[y, x]
+        if code < 0:
+            basin[lin] = lin
+        else:
+            dy, dx = D8_OFFSETS[code]
+            basin[lin] = basin[(y + dy) * W + (x + dx)]
+    return basin.reshape(H, W)
+
+
+def _run_basin(g: np.ndarray, th: int, tw: int, n_parts: int = 4) -> pd.DataFrame:
+    df = _tiles_from_grid(g, th, tw)
+    packed = flow_direction_packed(
+        rd.from_pandas(df).repartition(n_parts), n_buckets=8
+    )
+    out = watershed(packed, width=g.shape[1]).to_pandas()
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
+class TestWatershed:
+    def test_east_plane_one_basin_per_row(self, ray_session):
+        # every row drains east to its last-column pit
+        g = np.tile((20.0 - np.arange(8)) * 3.0, (8, 1))
+        out = _run_basin(g, 4, 4)
+        b = out.pivot(index="y", columns="x", values="basin").to_numpy()
+        for y in range(8):
+            assert (b[y, :] == y * 8 + 7).all()
+
+    def test_snake_single_basin(self, ray_session):
+        # one strictly descending path through every cell: the global
+        # minimum is the only pit, so ALL cells share its basin — the
+        # forwarding chains cross many tile borders
+        H, W = 8, 8
+        g = np.zeros((H, W))
+        path = []
+        for y in range(H):
+            xs = range(W) if y % 2 == 0 else range(W - 1, -1, -1)
+            path.extend((y, x) for x in xs)
+        for i, (y, x) in enumerate(path):
+            g[y, x] = 1000.0 - i
+        out = _run_basin(g, 4, 4)
+        py, px = path[-1]
+        assert (out["basin"] == py * W + px).all()
+
+    def test_matches_brute_force_random(self, ray_session):
+        rng = np.random.RandomState(13)
+        g = rng.rand(12, 12) * 90
+        want = brute_basin(g)
+        got = (
+            _run_basin(g, 4, 4, n_parts=3)
+            .pivot(index="y", columns="x", values="basin")
+            .to_numpy()
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(29)
+        g = rng.rand(16, 16) * 50
+        a = _run_basin(g, 4, 4, n_parts=2)
+        b = _run_basin(g, 8, 8, n_parts=5)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_pits_label_themselves(self, ray_session):
+        rng = np.random.RandomState(31)
+        g = rng.rand(8, 8) * 50
+        out = _run_basin(g, 4, 4)
+        d = out.set_index(["y", "x"])
+        # watershed output has no dir column; recompute pits from brute
+        d8, _ = brute_flow(g)
+        for y in range(8):
+            for x in range(8):
+                if d8[y, x] < 0:
+                    assert d.loc[(y, x), "basin"] == y * 8 + x
