@@ -2579,6 +2579,54 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_outlier_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust per-source length-outlier scrub: median + MAD of n_chars
+    per source (pipelines/percentiles.grouped_mad_exact — two exact
+    grouped selection rounds, values never shuffle), then one broadcast
+    flag pass keeping docs with |n_chars − med| > 3·MAD. The robust-z
+    data-cleaning staple: unlike mean/σ, the cut is immune to the very
+    outliers being hunted. Integer n_chars keep every comparison
+    hash-exact vs the DuckDB quantile_disc oracle."""
+    import ray
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.percentiles import grouped_mad_exact
+
+    tune_context()
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    stats = grouped_mad_exact(docs, "source", "n_chars")
+    ref = ray.put(
+        {
+            "med": dict(zip(stats["source"], stats["median"])),
+            "mad": dict(zip(stats["source"], stats["mad"])),
+        }
+    )
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(ref)
+        v = batch["n_chars"].to_numpy(np.float64)
+        med = batch["source"].map(s["med"]).to_numpy(np.float64)
+        mad = batch["source"].map(s["mad"]).to_numpy(np.float64)
+        return batch.loc[np.abs(v - med) > 3.0 * mad]
+
+    out = docs.map_batches(flag, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=np.int64),
+                "source": pd.Series(dtype=str),
+                "n_chars": pd.Series(dtype=np.int64),
+            }
+        )
+    out = out[["doc_id", "source", "n_chars"]]
+    for c in ("doc_id", "n_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_compress_ratio(sf_dir: str) -> pd.DataFrame:
     """zlib compression-ratio quality signal (text/ops.compression_stats):
     integer (raw_len, zlib_len, ratio_milli) per doc. Deterministic but
@@ -4864,6 +4912,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_gapfill": q_events_gapfill,
         "doc_compress_ratio": q_doc_compress_ratio,
+        "doc_outlier_mad": q_doc_outlier_mad,
         "doc_cdc_pinned": q_doc_cdc_pinned,
         "doc_cdc_dedup_pinned": q_doc_cdc_dedup_pinned,
         "emb_pca_pinned": q_emb_pca_pinned,
@@ -5943,6 +5992,18 @@ def build_oracle_sql() -> dict[str, str]:
           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
         FROM documents"""
+    sql["doc_outlier_mad"] = """
+        WITH med AS (
+          SELECT source, quantile_disc(n_chars, 0.5) AS m
+          FROM documents GROUP BY source),
+        dev AS (
+          SELECT d.doc_id, d.source, d.n_chars, ABS(d.n_chars - med.m) AS a
+          FROM documents d JOIN med USING (source)),
+        mad AS (SELECT source, quantile_disc(a, 0.5) AS s FROM dev GROUP BY source)
+        SELECT dev.doc_id, dev.source, dev.n_chars
+        FROM dev JOIN mad USING (source)
+        WHERE dev.a > 3 * mad.s
+        ORDER BY dev.doc_id"""
     sql["doc_repetition"] = r"""
         WITH l AS (SELECT doc_id, string_split(text, chr(10)) lines FROM documents),
         t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []

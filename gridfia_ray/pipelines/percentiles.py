@@ -565,6 +565,63 @@ def grouped_percentiles_exact(
     )
 
 
+def grouped_mad_exact(
+    ds: "rd.Dataset",
+    key_col: str,
+    value_col: str,
+    **kw,
+) -> pd.DataFrame:
+    """Per-group robust location/scale: median and MAD (median absolute
+    deviation), both EXACT under quantile_disc semantics (the k-th
+    smallest, k = ceil(n/2)) — the robust-z basis data-cleaning
+    pipelines use to scrub length/score outliers without the mean's
+    sensitivity to the very outliers being hunted.
+
+    Two grouped selection rounds of :func:`grouped_percentiles_exact`:
+    round one finds each group's median; the tiny (≤ ``max_groups``)
+    key→median table broadcasts into a derived ``|x − med(key)|``
+    column for round two. Values never shuffle in either round (the
+    histogram partials are the only exchange), so the driver state
+    stays groups × brackets. For integer or µ-scaled inputs every step
+    is exact: |Δ| of int64 values below 2⁵³ is exactly representable.
+
+    Returns a DataFrame (key, median, mad), one row per group."""
+    import ray
+
+    ds = ds.select_columns([key_col, value_col]).materialize()
+    med = grouped_percentiles_exact(
+        ds, key_col, value_col, [50.0], cache=False, **kw
+    )
+    med_map = dict(zip(med[key_col].tolist(), med["value"].tolist()))
+    mref = ray.put(med_map)
+
+    def absdev(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mref)
+        center = batch[key_col].map(m).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                key_col: batch[key_col],
+                "__absdev": np.abs(
+                    batch[value_col].to_numpy(np.float64) - center
+                ),
+            }
+        )
+
+    mad = grouped_percentiles_exact(
+        ds.map_batches(absdev, batch_format="pandas"),
+        key_col,
+        "__absdev",
+        [50.0],
+        cache=False,
+        **kw,
+    )
+    out = med.drop(columns=["q_pct"]).rename(columns={"value": "median"})
+    return out.merge(
+        mad.drop(columns=["q_pct"]).rename(columns={"value": "mad"}),
+        on=key_col,
+    )
+
+
 def normalize_percentile_clip(
     arr: np.ndarray, p_lo: float, p_hi: float
 ) -> np.ndarray:

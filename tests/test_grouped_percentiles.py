@@ -142,3 +142,54 @@ class TestKeyDtypes:
         assert sorted(got["g"]) == [big, big + 1]
         vals = dict(zip(got["g"], got["value"]))
         assert vals[big] == 1.0 and vals[big + 1] == 3.0  # k=ceil(.5*50)=25 → 1st of 50
+
+
+class TestGroupedMAD:
+    def _brute(self, df):
+        rows = []
+        for g, sub in df.groupby("g"):
+            v = np.sort(sub["v"].to_numpy(np.float64))
+            k = max(1, int(np.ceil(0.5 * v.size)))
+            med = v[k - 1]
+            a = np.sort(np.abs(sub["v"].to_numpy(np.float64) - med))
+            mad = a[max(1, int(np.ceil(0.5 * a.size))) - 1]
+            rows.append((g, med, mad))
+        return sorted(rows)
+
+    def test_matches_brute_force(self, ray_session):
+        from gridfia_ray.pipelines.percentiles import grouped_mad_exact
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(
+            {"g": rng.choice(["a", "b", "c", "d"], 4000),
+             "v": rng.randint(0, 500, 4000).astype(np.float64)}
+        )
+        out = grouped_mad_exact(rd.from_pandas(df).repartition(5), "g", "v")
+        got = sorted(zip(out["g"], out["median"], out["mad"]))
+        assert got == self._brute(df)
+
+    def test_outlier_scrub_semantics(self, ray_session):
+        # a planted far outlier is flagged; MAD itself barely moves
+        from gridfia_ray.pipelines.percentiles import grouped_mad_exact
+
+        base = np.arange(1.0, 100.0)  # 1..99, med 50, MAD 25
+        df = pd.DataFrame({"g": ["s"] * 100, "v": np.append(base, 10_000.0)})
+        out = grouped_mad_exact(rd.from_pandas(df).repartition(3), "g", "v")
+        med, mad = float(out["median"][0]), float(out["mad"][0])
+        assert med == 50.0 and mad == 25.0
+        assert np.abs(10_000.0 - med) > 3 * mad  # planted outlier cut
+        assert np.abs(99.0 - med) <= 3 * mad  # distribution tail kept
+
+    def test_partition_invariance(self, ray_session):
+        from gridfia_ray.pipelines.percentiles import grouped_mad_exact
+
+        rng = np.random.RandomState(17)
+        df = pd.DataFrame(
+            {"g": rng.randint(0, 5, 2000), "v": rng.randn(2000) * 40}
+        )
+        a = grouped_mad_exact(rd.from_pandas(df).repartition(2), "g", "v")
+        b = grouped_mad_exact(rd.from_pandas(df).repartition(9), "g", "v")
+        pd.testing.assert_frame_equal(
+            a.sort_values("g").reset_index(drop=True),
+            b.sort_values("g").reset_index(drop=True),
+        )
