@@ -1210,6 +1210,23 @@ def q_zonal_species(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["zone_id", "species_code"]).reset_index(drop=True)
 
 
+def q_zonal_majority(sf_dir: str) -> pd.DataFrame:
+    """ArcGIS-style MAJORITY/MINORITY/VARIETY zonal reducers
+    (pipelines/zonal.zonal_majority): per zone the species with the
+    most / fewest present pixels, ties toward the smaller code, plus
+    the distinct-present-species count. Same combiner exchange as the
+    other zonal reducers; the arg-extremes fold over zones × species."""
+    from gridfia_ray.pipelines.zonal import load_zones, zonal_majority
+
+    f = _fx()
+    zones = load_zones(os.path.join(f["dir"], "zones.parquet"))
+    out = zonal_majority(f["tiles"], zones, f["spec"])
+    out["zone_id"] = out["zone_id"].astype(str)
+    for c in ("majority_px", "minority_px", "variety"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("zone_id").reset_index(drop=True)
+
+
 _BBOX_PX = {"y0": 96, "y1": 288, "x0": 64, "x1": 224}  # spans tile borders
 
 
@@ -4899,6 +4916,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "graph_bfs": q_graph_bfs,
         "graph_triangles": q_graph_triangles,
         "gf_zonal_species": q_zonal_species,
+        "gf_zonal_majority": q_zonal_majority,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
         "events_resampling": q_stats_resampling,
@@ -5417,6 +5435,28 @@ def build_oracle_sql() -> dict[str, str]:
                {_sql_s6("SUM(p.biomass)")} AS sum_biomass_u
         FROM p JOIN read_parquet('{PZ}') z USING (y, x)
         GROUP BY z.zone_id, p.species_code"""
+    sql["gf_zonal_majority"] = f"""
+        {species_cte},
+        c AS (
+          SELECT z.zone_id, p.species_code, COUNT(*) AS px
+          FROM p JOIN read_parquet('{PZ}') z USING (y, x)
+          WHERE p.biomass > 0
+          GROUP BY z.zone_id, p.species_code),
+        r AS (
+          SELECT zone_id, species_code, px,
+            ROW_NUMBER() OVER (PARTITION BY zone_id
+                               ORDER BY px DESC, species_code) rhi,
+            ROW_NUMBER() OVER (PARTITION BY zone_id
+                               ORDER BY px ASC, species_code) rlo,
+            COUNT(*) OVER (PARTITION BY zone_id) variety
+          FROM c)
+        SELECT hi.zone_id,
+               hi.species_code AS majority_species, hi.px AS majority_px,
+               lo.species_code AS minority_species, lo.px AS minority_px,
+               hi.variety
+        FROM r hi JOIN r lo USING (zone_id)
+        WHERE hi.rhi = 1 AND lo.rlo = 1
+        ORDER BY hi.zone_id"""
     sql["gf_rasterize"] = f"""
         SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
                MIN(zone_id) AS zone_id

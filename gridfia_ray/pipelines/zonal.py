@@ -414,6 +414,43 @@ def zonal_stats(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
     return rd.from_pandas(out)
 
 
+def zonal_majority(tiles_path, zones: list[dict], spec: GridSpec) -> pd.DataFrame:
+    """ArcGIS-style MAJORITY / MINORITY / VARIETY zonal reducers over
+    the species presence layers: per zone, the species with the most /
+    fewest present pixels (``biomass > 0``; ties broken toward the
+    smaller species_code) plus the count of distinct present species.
+    The heavy reduction is the same (zone, species) combiner exchange
+    as ``zonal_stats``; the argmax/argmin folds over the zones ×
+    species table, which is small by construction."""
+    zs = zone_species_table(tiles_path, zones, spec).to_pandas()
+    return _majority_fold(zs)
+
+
+def _majority_fold(zs: pd.DataFrame) -> pd.DataFrame:
+    zs = zs[zs["present_px"] > 0]
+    rows = []
+    for zid, g in zs.groupby("zone_id", sort=True):
+        # sort once: (count desc, code asc) puts the majority first and
+        # the minority last-of-its-count; re-sort ascending for minority
+        hi = g.sort_values(
+            ["present_px", "species_code"], ascending=[False, True], kind="mergesort"
+        ).iloc[0]
+        lo = g.sort_values(
+            ["present_px", "species_code"], ascending=[True, True], kind="mergesort"
+        ).iloc[0]
+        rows.append(
+            {
+                "zone_id": zid,
+                "majority_species": hi["species_code"],
+                "majority_px": int(hi["present_px"]),
+                "minority_species": lo["species_code"],
+                "minority_px": int(lo["present_px"]),
+                "variety": int(len(g)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def tile_zone_join(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
     """The exact join rows: (zone_id, image_id) for every tile with at
     least one pixel center inside the zone — the north rule's

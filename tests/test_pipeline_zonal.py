@@ -142,3 +142,28 @@ class TestRasterize:
         for _, r in df.iterrows():
             arr = np.frombuffer(r["pix"], dtype=np.int32)
             assert (arr >= 0).any()
+
+
+class TestZonalMajority:
+    def test_fold_tie_breaks_and_variety(self):
+        import pandas as pd
+
+        from gridfia_ray.pipelines.zonal import _majority_fold
+
+        zs = pd.DataFrame(
+            {
+                "zone_id": ["a"] * 3 + ["b"] * 2,
+                "species_code": ["0110", "0131", "0202", "0110", "0131"],
+                # zone a: tie 7/7 at top -> smaller code wins majority;
+                # 0202 present 0 px -> excluded from candidates & variety
+                "present_px": [7, 7, 0, 3, 9],
+            }
+        )
+        out = _majority_fold(zs).set_index("zone_id")
+        assert out.loc["a", "majority_species"] == "0110"
+        assert out.loc["a", "majority_px"] == 7
+        assert out.loc["a", "minority_species"] == "0110"  # tie low too
+        assert out.loc["a", "variety"] == 2
+        assert out.loc["b", "majority_species"] == "0131"
+        assert out.loc["b", "minority_species"] == "0110"
+        assert out.loc["b", "minority_px"] == 3
