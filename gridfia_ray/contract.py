@@ -482,6 +482,27 @@ def q_component_sizes(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("component").reset_index(drop=True)
 
 
+def q_component_props(sf_dir: str) -> pd.DataFrame:
+    """Region properties over the CCL labeling (pipelines/ccl.
+    component_props): per component the pixel count, global bbox and
+    integer coordinate sums (regionprops essentials — all-int64 so the
+    comparison is hash-exact). Oracle = SQL aggregation of the SAME
+    independent BFS pin the other CCL queries trust."""
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.pipelines.ccl import component_props, connected_components
+
+    f = _fx()
+    labeled, _ = connected_components(
+        _total_biomass_result(f),
+        int(f["meta"]["grid"]),
+        threshold=oracle_pins.CCL_THRESHOLD,
+    )
+    out = component_props(labeled).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("component").reset_index(drop=True)
+
+
 def q_augment_rot90(sf_dir: str) -> pd.DataFrame:
     """Global 90°-clockwise rotation of the total-biomass raster
     (stages/augment.augment_result_tiles): per-tile array rotation +
@@ -4952,6 +4973,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_rasterize": q_rasterize,
         "gf_connected_components": q_connected_components,
         "gf_component_sizes": q_component_sizes,
+        "gf_component_props": q_component_props,
         "gf_hillshade": q_hillshade,
         "gf_flow_accumulation": q_flow_accumulation,
         "gf_watershed": q_watershed,
@@ -5699,6 +5721,14 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["gf_component_sizes"] = (
         f"SELECT component, COUNT(*) AS n_pixels "
+        f"FROM read_parquet('{_pins.ensure_cclpin()['expected']}') "
+        f"GROUP BY component ORDER BY component"
+    )
+    sql["gf_component_props"] = (
+        f"SELECT component, COUNT(*) AS n_pixels, "
+        f"MIN(y) AS min_y, MAX(y) AS max_y, "
+        f"MIN(x) AS min_x, MAX(x) AS max_x, "
+        f"CAST(SUM(y) AS BIGINT) AS sum_y, CAST(SUM(x) AS BIGINT) AS sum_x "
         f"FROM read_parquet('{_pins.ensure_cclpin()['expected']}') "
         f"GROUP BY component ORDER BY component"
     )

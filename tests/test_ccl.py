@@ -196,3 +196,45 @@ class TestSieve:
         a = _reassemble(labeled, G, T)
         b = _reassemble(sieve_components(labeled, comps, 1), G, T)
         np.testing.assert_array_equal(a, b)
+
+
+class TestComponentProps:
+    def test_matches_brute_regionprops(self, ray_session):
+        import pandas as pd
+
+        from gridfia_ray.pipelines.ccl import component_props
+
+        G, T = 4, 16
+        N = G * T
+        rng = np.random.RandomState(19)
+        grid = (rng.rand(N, N) * 100).astype(np.float64)
+        thr = 55.0
+        labeled, _ = connected_components(
+            _tiles_from_grid(grid, G, T), G, threshold=thr, n_buckets=8
+        )
+        got = (
+            component_props(labeled)
+            .to_pandas()
+            .sort_values("component")
+            .reset_index(drop=True)
+        )
+        mask = np.floor(grid * 1_000_000 + 0.5).astype(np.int64) > int(
+            thr * 1_000_000
+        )
+        exp = brute_anchors(mask)
+        ys, xs = np.nonzero(exp >= 0)
+        df = pd.DataFrame({"c": exp[ys, xs], "y": ys, "x": xs})
+        want = (
+            df.groupby("c")
+            .agg(
+                n_pixels=("y", "size"),
+                min_y=("y", "min"), max_y=("y", "max"),
+                min_x=("x", "min"), max_x=("x", "max"),
+                sum_y=("y", "sum"), sum_x=("x", "sum"),
+            )
+            .reset_index()
+            .rename(columns={"c": "component"})
+        )
+        pd.testing.assert_frame_equal(
+            got.astype(np.int64), want.astype(np.int64)
+        )
