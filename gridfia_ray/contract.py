@@ -835,6 +835,21 @@ def q_normalize_clip(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_hist_equalize(sf_dir: str) -> pd.DataFrame:
+    """Global histogram equalization of the total-biomass raster
+    (pipelines/histeq.equalize_result): exact integer transfer over a
+    256-bin global histogram — two tiny combiner exchanges (min/max/n,
+    then the ≤256-row histogram) + one broadcast remap. Oracle = the
+    identical integer bin/CDF/LUT arithmetic in SQL windows."""
+    from gridfia_ray.pipelines.histeq import equalize_result
+
+    f = _fx()
+    out = equalize_result(_total_biomass_result(f)).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_events_group_compare(sf_dir: str) -> pd.DataFrame:
     """A7 comparison stats over the events table: purchase vs click
     value distributions. Exports the EXACT components — Mann-Whitney U
@@ -5027,6 +5042,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tile_resize": q_tile_resize,
         "gf_identify": q_identify,
         "gf_normalize_clip": q_normalize_clip,
+        "gf_hist_equalize": q_hist_equalize,
         "events_group_compare": q_events_group_compare,
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "doc_near_dedup_incremental": q_doc_near_dedup_incremental,
@@ -5202,6 +5218,23 @@ def build_oracle_sql() -> dict[str, str]:
           ON b.y BETWEEN a.y - 1 AND a.y + 1
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x"""
+    sql["gf_hist_equalize"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        mm AS (SELECT MIN(v) lo, MAX(v) hi, COUNT(*) n FROM u),
+        b AS (SELECT u.y, u.x, ((u.v - mm.lo) * 256) // (mm.hi - mm.lo + 1) AS bin
+              FROM u, mm),
+        h AS (SELECT bin, COUNT(*) c FROM b GROUP BY bin),
+        cdf AS (SELECT bin, SUM(c) OVER (ORDER BY bin) cum FROM h),
+        cm AS (SELECT MIN(cum) cmin FROM cdf),
+        lut AS (SELECT cdf.bin,
+                  CAST(CASE WHEN mm.n = cm.cmin THEN 0
+                       ELSE ((cdf.cum - cm.cmin) * 255) // (mm.n - cm.cmin)
+                  END AS BIGINT) AS eq
+                FROM cdf, cm, mm)
+        SELECT CAST(b.y AS BIGINT) AS y, CAST(b.x AS BIGINT) AS x, lut.eq
+        FROM b JOIN lut USING (bin)"""
     _lvl_u = int(np.floor(_CONTOUR_LEVEL * 1_000_000 + 0.5))
     sql["gf_contour_cells"] = f"""
         {species_cte},
