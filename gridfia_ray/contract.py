@@ -294,6 +294,30 @@ def q_focal_gradient(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_focal_median(sf_dir: str) -> pd.DataFrame:
+    """3×3 median despeckle of the total-biomass raster
+    (pipelines/focal.focal_median_tiles — same halo exchange, interior
+    pixels only; the median of 9 µ-ints is an order statistic so the
+    pair is hash-exact vs the quantile_disc self-join oracle)."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.focal import focal_median_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    out = focal_median_tiles(res).to_pandas()[["y", "x", "med_u"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_focal_tpi(sf_dir: str) -> pd.DataFrame:
     """Topographic Position Index of the total-biomass raster
     (pipelines/focal.focal_tpi_tiles — 9*center - window_sum, exact in
@@ -4997,6 +5021,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_patchify": q_patchify,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
+        "gf_focal_median": q_focal_median,
         "gf_focal_aspect": q_focal_aspect,
         "gf_dominant_species": _pixel_metric_query("dominant_species", "dom_idx", scaled=False),
         "gf_rare_species": _pixel_metric_query(
@@ -5235,6 +5260,16 @@ def build_oracle_sql() -> dict[str, str]:
                 FROM cdf, cm, mm)
         SELECT CAST(b.y AS BIGINT) AS y, CAST(b.x AS BIGINT) AS x, lut.eq
         FROM b JOIN lut USING (bin)"""
+    sql["gf_focal_median"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
+        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
+               CAST(quantile_disc(b.v, 0.5) AS BIGINT) AS med_u
+        FROM u a JOIN u b
+          ON b.y BETWEEN a.y - 1 AND a.y + 1
+         AND b.x BETWEEN a.x - 1 AND a.x + 1
+        GROUP BY a.y, a.x HAVING COUNT(*) = 9"""
     _lvl_u = int(np.floor(_CONTOUR_LEVEL * 1_000_000 + 0.5))
     sql["gf_contour_cells"] = f"""
         {species_cte},

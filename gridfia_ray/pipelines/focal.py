@@ -233,6 +233,33 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     return _halo_pipeline(result, "focal_sum_tiles", window, empty, n_buckets)
 
 
+def focal_median_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """3×3 median (despeckle) filter over a result-tile raster via the
+    same halo exchange: per interior pixel the 5th smallest of its 9
+    µ-scaled int64 window values (exact — the median of 9 integers is
+    an order statistic, no interpolation). Only INTERIOR pixels (all 9
+    neighbors present) are emitted, matching the gradient's edge
+    policy. The classic salt-and-pepper scrub of the image-filter
+    family."""
+    empty = pd.DataFrame(
+        {"metric": pd.Series(dtype=str),
+         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+         "med_u": pd.Series(dtype=np.int64)}
+    )
+
+    def window(P, pres, h, w):
+        stack = np.stack(
+            [P[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+        )
+        med = np.partition(stack, 4, axis=0)[4]
+        nbrs = np.stack(
+            [pres[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+        ).sum(axis=0)
+        return {"med_u": med}, nbrs == 9
+
+    return _halo_pipeline(result, "focal_median_tiles", window, empty, n_buckets)
+
+
 def focal_gradient_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     """Horn (1981) 3×3 gradient components over a result-tile raster —
     the slope/aspect building block of DEM-style map algebra — via the

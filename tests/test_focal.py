@@ -229,3 +229,42 @@ class TestAspectOctants:
             (u == 0) & (v == 0), -1, np.floor(theta / 45).astype(int) % 8
         )
         assert (o == want).all()
+
+
+class TestFocalMedian:
+    def test_matches_brute_force(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_median_tiles
+
+        rng = np.random.RandomState(23)
+        df, g = _raster(rng)
+        got = focal_median_tiles(
+            rd.from_pandas(df).repartition(4), n_buckets=8
+        ).to_pandas()
+        u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+        H, W = g.shape
+        assert len(got) == (H - 2) * (W - 2)  # interior only
+        for _, r in got.iterrows():
+            y, x = int(r["y"]), int(r["x"])
+            win = np.sort(u[y - 1 : y + 2, x - 1 : x + 2].ravel())
+            assert int(r["med_u"]) == int(win[4]), (y, x)
+
+    def test_salt_noise_removed(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_median_tiles
+
+        # constant field with one hot speck: the median erases it
+        df_rows = []
+        g = np.full((16, 16), 10.0)
+        g[7, 9] = 9999.0
+        for tr in range(2):
+            for tc in range(2):
+                arr = g[tr * 8 : (tr + 1) * 8, tc * 8 : (tc + 1) * 8]
+                df_rows.append(
+                    {"metric": "total_biomass", "tile_row": tr, "tile_col": tc,
+                     "h": 8, "w": 8,
+                     "pix": np.ascontiguousarray(arr).tobytes(),
+                     "dtype": "float64"}
+                )
+        out = focal_median_tiles(
+            rd.from_pandas(pd.DataFrame(df_rows)), n_buckets=4
+        ).to_pandas()
+        assert (out["med_u"] == 10_000_000).all()
