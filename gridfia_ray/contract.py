@@ -1287,6 +1287,22 @@ def q_zonal_majority(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("zone_id").reset_index(drop=True)
 
 
+def q_zonal_histogram(sf_dir: str) -> pd.DataFrame:
+    """ArcGIS-style zonal histogram (pipelines/zonal.zonal_histogram):
+    per (zone, 10-unit value bin) the nonzero species-pixel count,
+    binned in the exact µ-int domain. Combiner + tiny merge; output
+    bounded by zones × occupied bins."""
+    from gridfia_ray.pipelines.zonal import load_zones, zonal_histogram
+
+    f = _fx()
+    zones = load_zones(os.path.join(f["dir"], "zones.parquet"))
+    out = zonal_histogram(f["tiles"], zones, f["spec"], bin_width=10.0).to_pandas()
+    out["zone_id"] = out["zone_id"].astype(str)
+    for c in ("bin", "n_px"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["zone_id", "bin"]).reset_index(drop=True)
+
+
 _BBOX_PX = {"y0": 96, "y1": 288, "x0": 64, "x1": 224}  # spans tile borders
 
 
@@ -3903,6 +3919,32 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
+def q_events_window_dedup(sf_dir: str) -> pd.DataFrame:
+    """Streaming duplicate-event suppression (pipelines/events.
+    window_dedup): drop an event whose immediate same-(user, type)
+    predecessor lies within 1 h — LAG semantics, one sort + one diff
+    per co-located bucket, exact integer-µs comparison both sides."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import window_dedup
+
+    tune_context()
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    out = window_dedup(
+        events, 3600.0, keys=["user_id", "event_type"]
+    ).to_pandas()
+    res = pd.DataFrame(
+        {
+            "event_id": out["event_id"].astype(np.int64),
+            "user_id": out["user_id"].astype(np.int64),
+            "event_type": out["event_type"].astype(str),
+        }
+    )
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
 def q_events_hopping(sf_dir: str) -> pd.DataFrame:
     """Hopping windows (60 min window, 15 min hop): each event in 4
     overlapping windows; integer-cents sums for bit-exact compare."""
@@ -4977,6 +5019,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "gf_zonal_species": q_zonal_species,
         "gf_zonal_majority": q_zonal_majority,
+        "gf_zonal_histogram": q_zonal_histogram,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
         "events_resampling": q_stats_resampling,
@@ -5092,6 +5135,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_top_by_user": q_events_top_by_user,
         "events_daily_uniques": q_events_daily_uniques,
         "events_sessions": q_events_sessions,
+        "events_window_dedup": q_events_window_dedup,
         "events_sample_per_user": q_events_sample_per_user,
         # pinned sequential-replay twins of the hash/heuristic ops: the
         # same distributed pipelines on deterministic planted corpora,
@@ -5547,6 +5591,14 @@ def build_oracle_sql() -> dict[str, str]:
         FROM r hi JOIN r lo USING (zone_id)
         WHERE hi.rhi = 1 AND lo.rlo = 1
         ORDER BY hi.zone_id"""
+    sql["gf_zonal_histogram"] = f"""
+        {species_cte}
+        SELECT z.zone_id, {_sql_s6('p.biomass')} // 10000000 AS bin,
+               COUNT(*) AS n_px
+        FROM p JOIN read_parquet('{PZ}') z USING (y, x)
+        WHERE p.biomass > 0
+        GROUP BY z.zone_id, bin
+        ORDER BY z.zone_id, bin"""
     sql["gf_rasterize"] = f"""
         SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
                MIN(zone_id) AS zone_id
@@ -6579,6 +6631,16 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
                MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY 1, 2"""
+    sql["events_window_dedup"] = """
+        WITH o AS (
+          SELECT event_id, user_id, event_type, ts,
+                 LAG(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) pts
+          FROM events)
+        SELECT event_id, user_id, event_type
+        FROM o
+        WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 3600000000::BIGINT
+        ORDER BY event_id"""
     sql["events_sessions"] = """
         WITH d AS (
           SELECT user_id, ts, value,

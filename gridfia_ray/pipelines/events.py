@@ -154,6 +154,39 @@ def sessionize(
     return bucketed_bucket_map(events, [key], per_bucket, n_buckets)
 
 
+def window_dedup(
+    events: rd.Dataset,
+    window_seconds: float,
+    keys: list[str] | None = None,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Streaming duplicate-event suppression: drop an event when the
+    PREVIOUS event with the identical key tuple (default user_id,
+    event_type, value — i.e. an identical payload, the at-least-once
+    retry signature) sits within ``window_seconds`` before it. LAG
+    semantics — each event compares to its immediate same-key
+    predecessor, kept or not — so the rule is one vectorized diff, is
+    partition-order independent, and matches the SQL LAG oracle
+    exactly. Ties on ts order by event_id (the later id is the dup).
+
+    Same bucket shape as :func:`sessionize`: keys co-locate into
+    ``n_buckets`` buckets, one sort + one diff per bucket."""
+    keys = keys or ["user_id", "event_type", "value"]
+    window_us = int(round(window_seconds * 1_000_000))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*keys, "ts", "event_id"], kind="mergesort")
+        same = pd.Series(True, index=g.index)
+        for k in keys:
+            same &= g[k].eq(g[k].shift())
+        diff_us = g["ts"].astype("datetime64[us]").astype("int64").diff()
+        return g.loc[~(same & (diff_us <= window_us))]
+
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    return bucketed_bucket_map(events, keys[:1], per_bucket, n_buckets)
+
+
 def funnel_depths(
     events: rd.Dataset,
     steps: list[str],

@@ -414,6 +414,63 @@ def zonal_stats(tiles_path, zones: list[dict], spec: GridSpec) -> rd.Dataset:
     return rd.from_pandas(out)
 
 
+def zonal_histogram(
+    tiles_path,
+    zones: list[dict],
+    spec: GridSpec,
+    bin_width: float,
+    *,
+    n_buckets: int = 8,
+) -> rd.Dataset:
+    """ArcGIS-style ZONAL HISTOGRAM: per (zone, value bin) the count of
+    nonzero species-pixel values, ``bin = µ(v) // µ(bin_width)`` in the
+    micro-scaled int64 domain (exact — the same scaling policy as the
+    focal/CCL ops). The per-batch combiner counts (zone, bin) pairs
+    over the packed zone-value rows, then one tiny bucketed merge; the
+    output is bounded by zones × occupied bins, never pixels."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width!r}")
+    w_u = int(np.floor(bin_width * 1_000_000 + 0.5))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        zs, bs, cs = [], [], []
+        for i in range(batch.num_rows):
+            buf = batch["vals"][i].as_py()
+            if not buf:
+                continue
+            v = np.frombuffer(buf, "<f4").astype(np.float64)
+            u = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+            b, c = np.unique(u // w_u, return_counts=True)
+            zs.append(np.full(b.size, batch["zone_id"][i].as_py(), dtype=object))
+            bs.append(b)
+            cs.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "zone_id": pa.array(
+                    np.concatenate(zs) if zs else [], pa.string()
+                ),
+                "bin": pa.array(
+                    np.concatenate(bs) if bs else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "n_px": pa.array(
+                    np.concatenate(cs) if cs else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    rows = zone_value_rows(tiles_path, zones, spec)
+    return bucketed_agg(
+        rows.map_batches(partial, batch_format="pyarrow"),
+        ["zone_id", "bin"],
+        {"n_px": ("n_px", "sum")},
+        n_buckets=n_buckets,
+    )
+
+
 def zonal_majority(tiles_path, zones: list[dict], spec: GridSpec) -> pd.DataFrame:
     """ArcGIS-style MAJORITY / MINORITY / VARIETY zonal reducers over
     the species presence layers: per zone, the species with the most /

@@ -451,3 +451,79 @@ class TestGapfillLocf:
         out = self._run(df)
         assert out["grid_ts"].tolist() == [200]
         assert out["value"].iloc[0] == 4.0
+
+
+class TestWindowDedup:
+    def _events(self, rows):
+        # rows: (event_id, user_id, event_type, sec, value)
+        base = pd.Timestamp("2026-01-01")
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "ts": [base + pd.Timedelta(seconds=r[3]) for r in rows],
+                "value": [r[4] for r in rows],
+            }
+        )
+
+    def _run(self, df, window, keys, n_parts=3):
+        from gridfia_ray.pipelines.events import window_dedup
+
+        out = window_dedup(
+            rd.from_pandas(df).repartition(n_parts), window, keys=keys, n_buckets=4
+        ).to_pandas()
+        return sorted(out["event_id"].tolist())
+
+    def test_lag_semantics_chain(self, ray_session):
+        # retries at +5s and +9s: BOTH drop under LAG (each within 10s
+        # of its immediate predecessor), the +25s event survives
+        df = self._events(
+            [(1, 7, "c", 0, 1.0), (2, 7, "c", 5, 1.0),
+             (3, 7, "c", 9, 1.0), (4, 7, "c", 25, 1.0)]
+        )
+        assert self._run(df, 10.0, ["user_id", "event_type", "value"]) == [1, 4]
+
+    def test_payload_key_separates(self, ray_session):
+        # same instant, different value => different payload, both kept
+        df = self._events([(1, 7, "c", 0, 1.0), (2, 7, "c", 1, 2.0)])
+        assert self._run(df, 10.0, ["user_id", "event_type", "value"]) == [1, 2]
+
+    def test_tie_on_ts_keeps_smaller_id(self, ray_session):
+        df = self._events([(9, 7, "c", 0, 1.0), (3, 7, "c", 0, 1.0)])
+        assert self._run(df, 10.0, ["user_id", "event_type", "value"]) == [3]
+
+    def test_matches_duckdb_lag_oracle(self, ray_session):
+        rng = np.random.RandomState(8)
+        n = 2000
+        df = self._events(
+            [
+                (i, int(rng.randint(0, 20)), str(rng.choice(["a", "b"])),
+                 int(rng.randint(0, 5000)), 1.0)
+                for i in range(n)
+            ]
+        )
+        got = self._run(df, 60.0, ["user_id", "event_type"])
+        want = duckdb.sql(
+            """WITH o AS (
+                 SELECT event_id,
+                        LAG(ts) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) pts, ts
+                 FROM df)
+               SELECT event_id FROM o
+               WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 60000000
+               ORDER BY event_id"""
+        ).df()["event_id"].tolist()
+        assert got == want
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(12)
+        df = self._events(
+            [
+                (i, int(rng.randint(0, 6)), "t", int(rng.randint(0, 900)), 1.0)
+                for i in range(500)
+            ]
+        )
+        a = self._run(df, 30.0, ["user_id", "event_type"], n_parts=2)
+        b = self._run(df, 30.0, ["user_id", "event_type"], n_parts=9)
+        assert a == b
