@@ -339,6 +339,18 @@ def run_bench() -> dict:
         timed("warp_mercator", lambda: q_warp_mercator(SF_DIR))
         timed("warp_bilinear", lambda: q_warp_bilinear(SF_DIR))
 
+        # hydrology pair over the packed D8 tiles (superstep settling +
+        # single-exchange basin labeling) and the global-contrast remap
+        from gridfia_ray.contract import (
+            q_flow_accumulation,
+            q_hist_equalize,
+            q_watershed,
+        )
+
+        timed("flow_accumulation", lambda: q_flow_accumulation(SF_DIR))
+        timed("watershed", lambda: q_watershed(SF_DIR))
+        timed("hist_equalize", lambda: q_hist_equalize(SF_DIR))
+
     total = round(sum(timings.values()), 3)
     tile_secs = timings["zonal_stats"] + timings["metrics_fused"]
     result = {

@@ -105,6 +105,92 @@ def topk_cosine(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def knn_graph(
+    embeddings: rd.Dataset,
+    k: int = 10,
+    *,
+    max_broadcast_bytes: int = 1 << 30,
+) -> rd.Dataset:
+    """Exact k-NN GRAPH: for EVERY vector its k nearest neighbors by
+    cosine, self excluded, deterministic (cosine desc, vec_id asc)
+    tie-break — the neighbor-graph builder that SemDeDup-style cluster
+    dedup and graph-based retrieval consume.
+
+    Shape: the normalized corpus matrix broadcasts ONCE (``ray.put``,
+    byte-counted BEFORE the pull — an exact graph is all-pairs math, so
+    the reference matrix must be worker-resident; at f64 it holds to
+    ~2·10⁷ rows × 64 dims under the default 1 GiB bound). Each batch
+    computes its (B × N) block product against the broadcast and keeps
+    its own top-k — ONE corpus pass, no shuffle, N·k edge rows out.
+    Beyond the bound this raises: the scale path is the IVF composition
+    (``ann.ivf.build_ivf_index`` + per-cell probes), which trades
+    exactness for locality."""
+    import ray
+
+    embeddings = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    n = embeddings.count()
+    # the byte estimate is exact: n rows × d float64 + n int64 ids
+    first = embeddings.take_batch(1, batch_format="pyarrow")
+    d = _as_matrix(first["embedding"]).shape[1]
+    est = n * d * 8 + n * 8
+    if est > max_broadcast_bytes:
+        raise ValueError(
+            f"knn_graph: corpus matrix ~{est >> 20} MiB exceeds "
+            f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB — use the "
+            "IVF composition (ann.ivf) for approximate graphs at this scale"
+        )
+    ref_df = embeddings.to_pandas()
+    ids = ref_df["vec_id"].to_numpy(np.int64)
+    mat = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in ref_df["embedding"]])
+    )
+    pos = {int(v): i for i, v in enumerate(ids)}
+    ref = ray.put({"ids": ids, "mat": mat, "pos": pos})
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "nbr_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        r = ray.get(ref)
+        vecs = _normalize(_as_matrix(batch["embedding"]))
+        bids = batch["vec_id"].to_numpy()
+        sims = vecs @ r["mat"].T  # (B, N)
+        # exclude self
+        rows = np.arange(len(bids))
+        cols = np.array([r["pos"][int(v)] for v in bids])
+        sims[rows, cols] = -np.inf
+        kk = min(k, sims.shape[1] - 1)
+        out_v, out_n, out_r, out_s = [], [], [], []
+        cand = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for bi in range(len(bids)):
+            c = cand[bi]
+            s = sims[bi, c]
+            order = np.lexsort((r["ids"][c], -s))
+            sel = c[order]
+            out_v.append(np.full(kk, bids[bi], np.int64))
+            out_n.append(r["ids"][sel])
+            out_r.append(np.arange(1, kk + 1, dtype=np.int64))
+            out_s.append(sims[bi, sel])
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "nbr_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "rank": pa.array(np.concatenate(out_r), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(block, batch_format="pyarrow", batch_size=1024)
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH (scale path)
 # ---------------------------------------------------------------------------

@@ -318,6 +318,32 @@ def q_focal_median(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_focal_majority(sf_dir: str) -> pd.DataFrame:
+    """3×3 MAJORITY filter over the CATEGORICAL dominant-species raster
+    (pipelines/focal.focal_majority_tiles — ArcGIS Majority Filter
+    semantics, ties toward the smaller value, interior-only): the
+    categorical-despeckle companion of the median filter. Oracle = mode
+    with the identical tie-break via windowed counts over the M11
+    dominant-index derivation."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.focal import focal_majority_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "dominant_species", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    out = focal_majority_tiles(res).to_pandas()[["y", "x", "maj"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_focal_tpi(sf_dir: str) -> pd.DataFrame:
     """Topographic Position Index of the total-biomass raster
     (pipelines/focal.focal_tpi_tiles — 9*center - window_sum, exact in
@@ -3086,6 +3112,19 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_emb_knn_graph(sf_dir: str) -> pd.DataFrame:
+    """Exact k-NN graph over the embeddings table (ann/search.
+    knn_graph): every vector's 5 nearest neighbors by cosine, self
+    excluded, (cosine desc, id asc) tie-break — one broadcast + one
+    corpus pass, no shuffle. Compared on (vec_id, nbr_id, rank) vs the
+    DuckDB list_cosine_similarity self-join."""
+    from gridfia_ray.ann.search import knn_graph
+
+    out = knn_graph(_embeddings(sf_dir), k=5).to_pandas()
+    df = out[["vec_id", "nbr_id", "rank"]].astype(np.int64)
+    return df.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
 def q_ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     """Approximate variant (SRP-LSH candidates + exact re-rank)."""
     from gridfia_ray.ann.search import lsh_topk_cosine
@@ -5037,6 +5076,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_cdc_pinned": q_doc_cdc_pinned,
         "doc_cdc_dedup_pinned": q_doc_cdc_dedup_pinned,
         "emb_pca_pinned": q_emb_pca_pinned,
+        "emb_knn_graph": q_emb_knn_graph,
         "rel_outer_counts": q_rel_outer_counts,
         "rel_except_customers": q_rel_except_customers,
         "rel_pivot_status": q_rel_pivot_status,
@@ -5065,6 +5105,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
         "gf_focal_median": q_focal_median,
+        "gf_focal_majority": q_focal_majority,
         "gf_focal_aspect": q_focal_aspect,
         "gf_dominant_species": _pixel_metric_query("dominant_species", "dom_idx", scaled=False),
         "gf_rare_species": _pixel_metric_query(
@@ -5314,6 +5355,31 @@ def build_oracle_sql() -> dict[str, str]:
           ON b.y BETWEEN a.y - 1 AND a.y + 1
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x HAVING COUNT(*) = 9"""
+    sql["gf_focal_majority"] = f"""
+        {species_cte},
+        r AS (SELECT y, x, species_code,
+                MAX(biomass) OVER (PARTITION BY y, x) mx,
+                ROW_NUMBER() OVER (PARTITION BY y, x
+                                   ORDER BY biomass DESC, species_code) rn
+              FROM p),
+        cat AS (SELECT species_code, ROW_NUMBER() OVER (ORDER BY species_code) - 1 ci
+                FROM (SELECT DISTINCT species_code FROM read_parquet('{P}'))),
+        u AS (SELECT r.y, r.x,
+                CAST(CASE WHEN r.mx > 0 THEN c.ci ELSE 0 END AS BIGINT) v
+              FROM r JOIN cat c USING (species_code) WHERE r.rn = 1),
+        c2 AS (SELECT a.y AS y, a.x AS x, b.v, COUNT(*) cnt
+               FROM u a JOIN u b
+                 ON b.y BETWEEN a.y - 1 AND a.y + 1
+                AND b.x BETWEEN a.x - 1 AND a.x + 1
+               GROUP BY 1, 2, 3),
+        t AS (SELECT y, x, SUM(cnt) tot FROM c2 GROUP BY 1, 2),
+        w AS (SELECT c2.y, c2.x, c2.v,
+                ROW_NUMBER() OVER (PARTITION BY c2.y, c2.x
+                                   ORDER BY c2.cnt DESC, c2.v) rn
+              FROM c2 JOIN t USING (y, x) WHERE t.tot = 9)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(v AS BIGINT) AS maj
+        FROM w WHERE rn = 1"""
     _lvl_u = int(np.floor(_CONTOUR_LEVEL * 1_000_000 + 0.5))
     sql["gf_contour_cells"] = f"""
         {species_cte},
@@ -6405,6 +6471,17 @@ def build_oracle_sql() -> dict[str, str]:
           (SELECT query_id, vec_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rank
            FROM s) WHERE rank <= 10"""
+    sql["emb_knn_graph"] = """
+        WITH s AS (
+          SELECT a.vec_id, b.vec_id nbr_id,
+                 list_cosine_similarity(a.embedding, b.embedding) sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        SELECT vec_id, nbr_id, rank FROM
+          (SELECT vec_id, nbr_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, nbr_id) rank
+           FROM s) WHERE rank <= 5
+        ORDER BY vec_id, rank"""
     sql["rel_urgent_customers"] = """
         SELECT c_custkey, CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c
         FROM customer c

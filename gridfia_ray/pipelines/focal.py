@@ -43,9 +43,14 @@ def _window_sums(padded: np.ndarray) -> np.ndarray:
     return c[3 : 3 + h, 3 : 3 + w] - c[3 : 3 + h, : w] - c[:h, 3 : 3 + w] + c[:h, :w]
 
 
-def _halo_explode(result: rd.Dataset, op: str) -> rd.Dataset:
+def _halo_explode(
+    result: rd.Dataset, op: str, allow_integer: bool = False
+) -> rd.Dataset:
     """Shared halo-exchange emit stage: every result tile → itself plus
-    8 border strips, micro-scaled int64, keyed to the receiving tile."""
+    8 border strips, micro-scaled int64, keyed to the receiving tile.
+    ``allow_integer`` passes integer tiles through UNSCALED (categorical
+    rasters — labels, dominant indices — where µ-scaling is meaningless
+    and the arithmetic kernels' inflate-guard doesn't apply)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         mets, trs, tcs, dys, dxs, hs, ws, bufs = [], [], [], [], [], [], [], []
@@ -66,18 +71,28 @@ def _halo_explode(result: rd.Dataset, op: str) -> rd.Dataset:
                 )
             src_dtype = np.dtype(batch["dtype"][i].as_py())
             if np.issubdtype(src_dtype, np.integer):
-                raise ValueError(
-                    f"{op} on an integer tile — the input is "
-                    "already in the scaled domain and re-scaling would "
-                    "inflate sums 1e6×; feed float metric tiles"
-                )
-            arr = np.frombuffer(batch["pix"][i].as_py(), dtype=src_dtype).reshape(h, w)
-            if np.isnan(arr).any():
-                raise ValueError(
-                    f"{op}: tile ({tr}, {tc}) of {met!r} contains "
-                    f"NaN — floor(NaN·1e6) is int64 garbage; mask or fill first"
-                )
-            u = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+                if not allow_integer:
+                    raise ValueError(
+                        f"{op} on an integer tile — the input is "
+                        "already in the scaled domain and re-scaling would "
+                        "inflate sums 1e6×; feed float metric tiles"
+                    )
+                arr = np.frombuffer(
+                    batch["pix"][i].as_py(), dtype=src_dtype
+                ).reshape(h, w)
+                u = arr.astype(np.int64)  # categorical: no µ-scale
+            else:
+                arr = np.frombuffer(
+                    batch["pix"][i].as_py(), dtype=src_dtype
+                ).reshape(h, w)
+                if np.isnan(arr).any():
+                    raise ValueError(
+                        f"{op}: tile ({tr}, {tc}) of {met!r} contains "
+                        f"NaN — floor(NaN·1e6) is int64 garbage; mask or fill first"
+                    )
+                u = np.floor(
+                    arr.astype(np.float64) * 1_000_000 + 0.5
+                ).astype(np.int64)
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
                     nr, nc = tr + dy, tc + dx
@@ -152,7 +167,7 @@ def strips_to_padded(
 
 
 def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
-                   n_buckets: int) -> rd.Dataset:
+                   n_buckets: int, allow_integer: bool = False) -> rd.Dataset:
     """Shared halo-exchange pipeline: explode → one keyed exchange →
     per-tile padded assembly → ``window_fn(vals, pres, h, w) ->
     (cols, keep)`` where ``cols`` is a dict of h×w output arrays
@@ -204,7 +219,7 @@ def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
         ]
     )
     return bucketed_group_map(
-        _halo_explode(result, op),
+        _halo_explode(result, op, allow_integer=allow_integer),
         ["metric", "tile_row", "tile_col"],
         assemble,
         n_buckets=n_buckets,
@@ -258,6 +273,42 @@ def focal_median_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         return {"med_u": med}, nbrs == 9
 
     return _halo_pipeline(result, "focal_median_tiles", window, empty, n_buckets)
+
+
+def focal_majority_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """3×3 MAJORITY (modal) filter — the ArcGIS Majority Filter for
+    categorical rasters (labels, dominant-species indices): per
+    interior pixel the most frequent of its 9 window values, ties
+    broken toward the SMALLEST value. Vectorized mode: sort the shifted
+    stack along the window axis, run-length by cumulative equality, and
+    take the first maximal run's end (ascending order makes "first" ≡
+    "smallest modal value"). Same halo exchange and interior-only edge
+    policy as the median/gradient kernels."""
+    empty = pd.DataFrame(
+        {"metric": pd.Series(dtype=str),
+         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+         "maj": pd.Series(dtype=np.int64)}
+    )
+
+    def window(P, pres, h, w):
+        stack = np.stack(
+            [P[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+        )
+        s = np.sort(stack, axis=0)
+        run = np.ones_like(s)
+        for kk in range(1, 9):
+            run[kk] = np.where(s[kk] == s[kk - 1], run[kk - 1] + 1, 1)
+        first_max = np.argmax(run, axis=0)  # first max = smallest modal value
+        maj = np.take_along_axis(s, first_max[None], axis=0)[0]
+        nbrs = np.stack(
+            [pres[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+        ).sum(axis=0)
+        return {"maj": maj}, nbrs == 9
+
+    return _halo_pipeline(
+        result, "focal_majority_tiles", window, empty, n_buckets,
+        allow_integer=True,
+    )
 
 
 def focal_gradient_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:

@@ -325,3 +325,61 @@ class TestIvfPqRefined:
             e = set(exact[exact.query_id == q]["vec_id"])
             assert len(a & e) / 10 >= 0.8, q
             assert refined[refined.query_id == q].iloc[0]["vec_id"] == q
+
+
+import ray.data as rd  # noqa: E402  (knn-graph tests)
+
+
+class TestKnnGraph:
+
+    def test_matches_brute_force(self, ray_session):
+        import pandas as pd
+
+        from gridfia_ray.ann.search import knn_graph
+
+        rng = np.random.RandomState(5)
+        n, d, k = 120, 16, 4
+        m = rng.randn(n, d)
+        df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                           "embedding": [v.astype(np.float32) for v in m]})
+        out = (
+            knn_graph(rd.from_pandas(df).repartition(4), k=k)
+            .to_pandas()
+            .sort_values(["vec_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == n * k
+        # brute in f32-input/f64-math like the pipeline
+        norm32 = m.astype(np.float32).astype(np.float64)
+        norm32 = norm32 / np.linalg.norm(norm32, axis=1, keepdims=True)
+        sims = norm32 @ norm32.T
+        np.fill_diagonal(sims, -np.inf)
+        for i in range(n):
+            order = np.lexsort((np.arange(n), -sims[i]))[:k]
+            got = out[out["vec_id"] == i]["nbr_id"].tolist()
+            assert got == order.tolist(), i
+
+    def test_mutual_planted_pair(self, ray_session):
+        import pandas as pd
+
+        from gridfia_ray.ann.search import knn_graph
+
+        rng = np.random.RandomState(9)
+        m = rng.randn(50, 8)
+        m[7] = m[3] + 1e-4 * rng.randn(8)  # planted near-dup
+        df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64),
+                           "embedding": [v.astype(np.float32) for v in m]})
+        out = knn_graph(rd.from_pandas(df), k=1).to_pandas()
+        top = dict(zip(out["vec_id"], out["nbr_id"]))
+        assert top[3] == 7 and top[7] == 3
+
+    def test_broadcast_bound_raises(self, ray_session):
+        import pandas as pd
+        import pytest as _pt
+
+        from gridfia_ray.ann.search import knn_graph
+
+        df = pd.DataFrame({"vec_id": np.arange(100, dtype=np.int64),
+                           "embedding": [np.ones(64, np.float32)] * 100})
+        with _pt.raises(ValueError, match="max_broadcast_bytes"):
+            knn_graph(rd.from_pandas(df), k=2, max_broadcast_bytes=1024)

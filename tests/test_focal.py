@@ -268,3 +268,46 @@ class TestFocalMedian:
             rd.from_pandas(pd.DataFrame(df_rows)), n_buckets=4
         ).to_pandas()
         assert (out["med_u"] == 10_000_000).all()
+
+
+class TestFocalMajority:
+    def _int_tiles(self, g: np.ndarray, th: int, tw: int) -> pd.DataFrame:
+        rows = []
+        for tr in range(g.shape[0] // th):
+            for tc in range(g.shape[1] // tw):
+                arr = g[tr * th : (tr + 1) * th, tc * tw : (tc + 1) * tw]
+                rows.append(
+                    {"metric": "dominant_species", "tile_row": tr, "tile_col": tc,
+                     "h": th, "w": tw,
+                     "pix": np.ascontiguousarray(arr, dtype=np.int64).tobytes(),
+                     "dtype": "int64"}
+                )
+        return pd.DataFrame(rows)
+
+    def test_matches_brute_mode(self, ray_session):
+        from collections import Counter
+
+        from gridfia_ray.pipelines.focal import focal_majority_tiles
+
+        rng = np.random.RandomState(31)
+        g = rng.randint(0, 4, size=(16, 16)).astype(np.int64)
+        out = focal_majority_tiles(
+            rd.from_pandas(self._int_tiles(g, 4, 4)).repartition(3), n_buckets=8
+        ).to_pandas()
+        assert len(out) == 14 * 14
+        for _, r in out.iterrows():
+            y, x = int(r["y"]), int(r["x"])
+            win = g[y - 1 : y + 2, x - 1 : x + 2].ravel()
+            cnt = Counter(win.tolist())
+            best = max(cnt.values())
+            want = min(v for v, c in cnt.items() if c == best)  # tie -> min
+            assert int(r["maj"]) == want, (y, x)
+
+    def test_integer_tiles_pass_unscaled(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_majority_tiles
+
+        g = np.full((8, 8), 3, dtype=np.int64)
+        out = focal_majority_tiles(
+            rd.from_pandas(self._int_tiles(g, 4, 4)), n_buckets=4
+        ).to_pandas()
+        assert (out["maj"] == 3).all()  # not 3,000,000
