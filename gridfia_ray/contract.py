@@ -4984,7 +4984,9 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     doc_lm_perplexity (LM quality scoring), events_resampling →
     doc_tfidf_topk (retrieval), events_running_totals →
     bpe_train_pinned (tokenizer training), gf_tile_features →
-    gf_contour_cells (raster→vector contours)."""
+    gf_contour_cells (raster→vector contours), gf_tile_near_dup →
+    gf_watershed (new hydrology family; tile dedup keeps
+    gf_tile_dedup_exact in-window)."""
     qs: dict[str, Callable[[str], pd.DataFrame]] = {
         # --- driver window (50): one green row per operator family ---
         # raster metric kernels (M1-M15)
@@ -5008,7 +5010,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tile_zone_join": q_tile_zone_join,
         "gf_knn_idw": q_knn_idw,
         "gf_tile_dedup_exact": q_tile_dedup_exact,
-        "gf_tile_near_dup": q_tile_near_dup,
+        "gf_watershed": q_watershed,
         "gf_morans_i": q_morans_i,
         "gf_local_moran": q_local_moran,
         "graph_pagerank": q_graph_pagerank,
@@ -5098,7 +5100,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_component_props": q_component_props,
         "gf_hillshade": q_hillshade,
         "gf_flow_accumulation": q_flow_accumulation,
-        "gf_watershed": q_watershed,
+        "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
         "gf_patchify": q_patchify,
