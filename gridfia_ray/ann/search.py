@@ -129,6 +129,17 @@ def knn_graph(
 
     embeddings = embeddings.select_columns(["vec_id", "embedding"]).materialize()
     n = embeddings.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "nbr_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
     # the byte estimate is exact: n rows × d float64 + n int64 ids
     first = embeddings.take_batch(1, batch_format="pyarrow")
     d = _as_matrix(first["embedding"]).shape[1]

@@ -410,6 +410,17 @@ def grouped_percentiles_exact(
             f"cardinality"
         )
     stats = grouped.to_pandas()
+    if n_groups == 0:
+        # Ray's to_pandas() on a zero-row result drops the columns
+        # entirely — return the typed empty frame instead of indexing
+        # into a columnless one
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=object),
+                "q_pct": pd.Series(dtype=np.float64),
+                "value": pd.Series(dtype=np.float64),
+            }
+        )
 
     # one selection slot per (group, quantile). Column-wise extraction,
     # NOT iterrows: a row Series takes the frame's common dtype, which

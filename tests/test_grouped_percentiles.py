@@ -193,3 +193,18 @@ class TestGroupedMAD:
             a.sort_values("g").reset_index(drop=True),
             b.sort_values("g").reset_index(drop=True),
         )
+
+
+def test_empty_input_returns_typed_empty(ray_session):
+    from gridfia_ray.pipelines.percentiles import (
+        grouped_mad_exact,
+        grouped_percentiles_exact,
+    )
+
+    empty = pd.DataFrame(
+        {"g": pd.Series(dtype=str), "v": pd.Series(dtype=np.float64)}
+    )
+    out = grouped_percentiles_exact(rd.from_pandas(empty), "g", "v", [50.0])
+    assert list(out.columns) == ["g", "q_pct", "value"] and len(out) == 0
+    mad = grouped_mad_exact(rd.from_pandas(empty), "g", "v")
+    assert list(mad.columns) == ["g", "median", "mad"] and len(mad) == 0
