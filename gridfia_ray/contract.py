@@ -3958,6 +3958,29 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
+def q_events_time_to_convert(sf_dir: str) -> pd.DataFrame:
+    """Funnel latency (pipelines/events.time_to_convert): per user the
+    µs delay from the first view to the first purchase at-or-after it,
+    converted users only — one bucketed exchange, integer-µs math."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import time_to_convert
+
+    tune_context()
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    out = time_to_convert(events, "view", "purchase").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype=np.int64),
+             "delay_us": pd.Series(dtype=np.int64)}
+        )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["delay_us"] = out["delay_us"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_events_window_dedup(sf_dir: str) -> pd.DataFrame:
     """Streaming duplicate-event suppression (pipelines/events.
     window_dedup): drop an event whose immediate same-(user, type)
@@ -5179,6 +5202,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_daily_uniques": q_events_daily_uniques,
         "events_sessions": q_events_sessions,
         "events_window_dedup": q_events_window_dedup,
+        "events_time_to_convert": q_events_time_to_convert,
         "events_sample_per_user": q_events_sample_per_user,
         # pinned sequential-replay twins of the hash/heuristic ops: the
         # same distributed pipelines on deterministic planted corpora,
@@ -6710,6 +6734,16 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
                MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY 1, 2"""
+    sql["events_time_to_convert"] = """
+        WITH v AS (SELECT user_id, MIN(ts) t0 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) t1
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts >= v.t0
+              GROUP BY e.user_id)
+        SELECT c.user_id, epoch_us(c.t1) - epoch_us(v.t0) AS delay_us
+        FROM c JOIN v USING (user_id)
+        ORDER BY c.user_id"""
     sql["events_window_dedup"] = """
         WITH o AS (
           SELECT event_id, user_id, event_type, ts,

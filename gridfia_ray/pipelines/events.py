@@ -238,6 +238,51 @@ def funnel_depths(
     )
 
 
+def time_to_convert(
+    events: rd.Dataset,
+    from_type: str,
+    to_type: str,
+    type_col: str = "event_type",
+    key: str = "user_id",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Funnel latency: per key the integer-µs delay between its FIRST
+    ``from_type`` event and the first ``to_type`` event at-or-after it
+    (converted keys only) — the time-to-convert companion of
+    :func:`funnel_depths`. Same bucket shape as ``sessionize``: keys
+    co-locate into ``n_buckets`` buckets, per-bucket work is two
+    vectorized groupby-mins and one merge. Timestamps compare as int64
+    microseconds on both sides, so the result is hash-exact against an
+    epoch_us SQL oracle."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({key: g[key], "t": us, "typ": g[type_col]})
+        t0 = (
+            g.loc[g["typ"] == from_type]
+            .groupby(key, as_index=False)["t"]
+            .min()
+            .rename(columns={"t": "t0"})
+        )
+        conv = g.loc[g["typ"] == to_type, [key, "t"]].merge(t0, on=key)
+        conv = conv.loc[conv["t"] >= conv["t0"]]
+        if len(conv) == 0:
+            return pd.DataFrame(
+                {key: pd.Series(dtype=g[key].dtype),
+                 "delay_us": pd.Series(dtype=np.int64)}
+            )
+        out = conv.groupby(key, as_index=False).agg(
+            t1=("t", "min"), t0=("t0", "first")
+        )
+        return pd.DataFrame(
+            {key: out[key], "delay_us": (out["t1"] - out["t0"]).astype(np.int64)}
+        )
+
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    return bucketed_bucket_map(events, [key], per_bucket, n_buckets)
+
+
 def extract_json_int(
     events: rd.Dataset, col: str, key: str, out_col: str | None = None
 ) -> rd.Dataset:

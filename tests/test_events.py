@@ -527,3 +527,48 @@ class TestWindowDedup:
         a = self._run(df, 30.0, ["user_id", "event_type"], n_parts=2)
         b = self._run(df, 30.0, ["user_id", "event_type"], n_parts=9)
         assert a == b
+
+
+class TestTimeToConvert:
+    def _run(self, rows, n_parts=3):
+        from gridfia_ray.pipelines.events import time_to_convert
+
+        base = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_type": [r[1] for r in rows],
+                "ts": [base + pd.Timedelta(seconds=r[2]) for r in rows],
+            }
+        )
+        out = time_to_convert(
+            rd.from_pandas(df).repartition(n_parts), "view", "purchase", n_buckets=4
+        ).to_pandas()
+        return dict(zip(out["user_id"].astype(int), out["delay_us"].astype(int)))
+
+    def test_basic_latency(self, ray_session):
+        got = self._run([(1, "view", 10), (1, "purchase", 70)])
+        assert got == {1: 60_000_000}
+
+    def test_purchase_before_view_ignored(self, ray_session):
+        # the pre-view purchase doesn't count; the post-view one does
+        got = self._run(
+            [(1, "purchase", 5), (1, "view", 10), (1, "purchase", 25)]
+        )
+        assert got == {1: 15_000_000}
+
+    def test_first_view_anchors(self, ray_session):
+        got = self._run(
+            [(1, "view", 10), (1, "view", 50), (1, "purchase", 60)]
+        )
+        assert got == {1: 50_000_000}
+
+    def test_unconverted_excluded(self, ray_session):
+        got = self._run(
+            [(1, "view", 10), (2, "view", 5), (2, "purchase", 8)]
+        )
+        assert 1 not in got and got[2] is not None
+
+    def test_same_instant_converts(self, ray_session):
+        got = self._run([(3, "view", 10), (3, "purchase", 10)])
+        assert got == {3: 0}
