@@ -202,6 +202,127 @@ def knn_graph(
     return embeddings.map_batches(block, batch_format="pyarrow", batch_size=1024)
 
 
+def knn_graph_ivf(
+    embeddings: rd.Dataset,
+    k: int = 10,
+    *,
+    n_cells: int = 64,
+    nprobe: int = 4,
+    n_iters: int = 10,
+    seed: int = 42,
+    sample_size: int = 4096,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """APPROXIMATE k-NN graph — :func:`knn_graph`'s scale path, with NO
+    corpus broadcast. Sampled spherical k-means partitions the space;
+    every vector is INDEXED in its home cell (stable-argsort first hit,
+    ties → lowest cell) and QUERIES its ``nprobe`` nearest cells; each
+    cell solves its local (queries × members) block exactly; one tiny
+    keyed merge folds each vector's candidates. A (query, neighbor)
+    pair can only meet in the neighbor's single home cell, so the merge
+    never deduplicates.
+
+    Costs: the exchange ships (nprobe+1)·corpus packed vectors; no
+    worker ever holds more than its bucket's cells. Recall < 1 by
+    construction (a true neighbor indexed in an unprobed cell is
+    missed) and rises with nprobe; at ``nprobe = n_cells`` the result
+    equals the exact graph."""
+    import ray
+
+    from gridfia_ray.ann.ivf import kmeans_fit
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    if not 1 <= nprobe <= n_cells:
+        raise ValueError(f"nprobe must be in [1, n_cells], got {nprobe}")
+    embeddings = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    centroids = kmeans_fit(
+        embeddings, n_cells, n_iters=n_iters, seed=seed, sample_size=sample_size
+    )
+    cref = ray.put(centroids)
+
+    def fan(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        vn = _normalize(_as_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        sims = vn @ c.T
+        # stable sort: equal-similarity ties keep ascending cell order,
+        # so order[:, 0] reproduces assign_cells' argmax first-hit rule
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        cells, roles, vids, bufs = [], [], [], []
+        for i in range(len(ids)):
+            buf = vn[i].astype("<f4").tobytes()
+            cells.append(int(order[i, 0]))
+            roles.append(0)  # indexed in the home cell
+            vids.append(int(ids[i]))
+            bufs.append(buf)
+            for j in range(nprobe):
+                cells.append(int(order[i, j]))
+                roles.append(1)  # queries every probed cell (incl. home)
+                vids.append(int(ids[i]))
+                bufs.append(buf)
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int32()),
+                "role": pa.array(roles, pa.int8()),
+                "vec_id": pa.array(vids, pa.int64()),
+                "v": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_q, out_n, out_s = [], [], []
+        for _, sub in g.groupby("cell", sort=False):
+            idx = sub[sub["role"] == 0]
+            qs = sub[sub["role"] == 1]
+            if len(idx) == 0 or len(qs) == 0:
+                continue
+            im = np.stack([np.frombuffer(b, "<f4") for b in idx["v"]]).astype(
+                np.float64
+            )
+            qm = np.stack([np.frombuffer(b, "<f4") for b in qs["v"]]).astype(
+                np.float64
+            )
+            i_ids = idx["vec_id"].to_numpy(np.int64)
+            q_ids = qs["vec_id"].to_numpy(np.int64)
+            sims = qm @ im.T
+            sims[q_ids[:, None] == i_ids[None, :]] = -np.inf
+            kk = min(k, im.shape[0])
+            cand = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for qi in range(len(q_ids)):
+                c = cand[qi]
+                keep = sims[qi, c] > -np.inf  # drop the self slot
+                out_q.append(np.full(int(keep.sum()), q_ids[qi], np.int64))
+                out_n.append(i_ids[c[keep]])
+                out_s.append(sims[qi, c[keep]])
+        if not out_q:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype=np.int64),
+                 "nbr_id": pd.Series(dtype=np.int64),
+                 "cosine": pd.Series(dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {"vec_id": np.concatenate(out_q), "nbr_id": np.concatenate(out_n),
+             "cosine": np.concatenate(out_s)}
+        )
+
+    cand = bucketed_bucket_map(
+        embeddings.map_batches(fan, batch_format="pyarrow"),
+        ["cell"],
+        per_bucket,
+        n_buckets=min(n_buckets, n_cells),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "nbr_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cand.groupby("vec_id").map_groups(final_topk, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH (scale path)
 # ---------------------------------------------------------------------------

@@ -3125,6 +3125,21 @@ def q_emb_knn_graph(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["vec_id", "rank"]).reset_index(drop=True)
 
 
+def q_emb_knn_graph_ivf(sf_dir: str) -> pd.DataFrame:
+    """APPROXIMATE k-NN graph, the no-broadcast scale path (ann/search.
+    knn_graph_ivf): k-means cells, home-cell indexing + nprobe query
+    fan-out, per-cell exact blocks, tiny keyed merge. Approximate by
+    construction → rows-only here; recall vs the exact graph and the
+    nprobe=n_cells ≡ exact equivalence are pinned in tests/test_ann.py."""
+    from gridfia_ray.ann.search import knn_graph_ivf
+
+    out = knn_graph_ivf(
+        _embeddings(sf_dir), k=5, n_cells=16, nprobe=4, seed=7
+    ).to_pandas()
+    df = out[["vec_id", "nbr_id", "rank"]].astype(np.int64)
+    return df.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
 def q_ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     """Approximate variant (SRP-LSH candidates + exact re-rank)."""
     from gridfia_ray.ann.search import lsh_topk_cosine
@@ -5224,6 +5239,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_knn_graph_ivf": q_emb_knn_graph_ivf,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "emb_near_dup": q_emb_near_dup,

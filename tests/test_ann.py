@@ -383,3 +383,69 @@ class TestKnnGraph:
                            "embedding": [np.ones(64, np.float32)] * 100})
         with _pt.raises(ValueError, match="max_broadcast_bytes"):
             knn_graph(rd.from_pandas(df), k=2, max_broadcast_bytes=1024)
+
+
+class TestKnnGraphIvf:
+    def _corpus(self, n=300, d=16, seed=3):
+        rng = np.random.RandomState(seed)
+        # clustered corpus: IVF probing is meaningful
+        centers = rng.randn(6, d) * 4
+        m = centers[rng.randint(0, 6, n)] + rng.randn(n, d)
+        return pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64),
+             "embedding": [v.astype(np.float32) for v in m]}
+        )
+
+    def test_full_probe_equals_exact(self, ray_session):
+        from gridfia_ray.ann.search import knn_graph, knn_graph_ivf
+
+        df = self._corpus()
+        exact = (
+            knn_graph(rd.from_pandas(df), k=4)
+            .to_pandas()[["vec_id", "nbr_id", "rank"]]
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        )
+        appr = (
+            knn_graph_ivf(
+                rd.from_pandas(df).repartition(4), k=4, n_cells=8, nprobe=8
+            )
+            .to_pandas()[["vec_id", "nbr_id", "rank"]]
+            .astype(np.int64)
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(appr, exact.astype(np.int64))
+
+    def test_recall_reasonable_at_low_nprobe(self, ray_session):
+        from gridfia_ray.ann.search import knn_graph, knn_graph_ivf
+
+        df = self._corpus()
+        exact = knn_graph(rd.from_pandas(df), k=4).to_pandas()
+        appr = knn_graph_ivf(
+            rd.from_pandas(df), k=4, n_cells=8, nprobe=3
+        ).to_pandas()
+        truth = {(int(a), int(b)) for a, b in zip(exact["vec_id"], exact["nbr_id"])}
+        got = {(int(a), int(b)) for a, b in zip(appr["vec_id"], appr["nbr_id"])}
+        recall = len(truth & got) / len(truth)
+        assert recall > 0.8, recall
+
+    def test_partition_invariance(self, ray_session):
+        from gridfia_ray.ann.search import knn_graph_ivf
+
+        df = self._corpus(seed=11)
+        a = (
+            knn_graph_ivf(rd.from_pandas(df).repartition(2), k=3, n_cells=8, nprobe=2)
+            .to_pandas()[["vec_id", "nbr_id", "rank"]]
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            knn_graph_ivf(rd.from_pandas(df).repartition(9), k=3, n_cells=8, nprobe=2)
+            .to_pandas()[["vec_id", "nbr_id", "rank"]]
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_nprobe_validation(self, ray_session):
+        from gridfia_ray.ann.search import knn_graph_ivf
+
+        with pytest.raises(ValueError, match="nprobe"):
+            knn_graph_ivf(rd.from_pandas(self._corpus()), k=2, n_cells=4, nprobe=9)
