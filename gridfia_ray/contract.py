@@ -468,6 +468,26 @@ def q_temporal_trend(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_temporal_composite(sf_dir: str) -> pd.DataFrame:
+    """Per-pixel median/min/max composite over the same deterministic
+    5-year stack (pipelines/temporal.temporal_composite_tiles) — the
+    cloud-free compositing reducer; the median of 5 int64 epochs is an
+    exact order statistic, hash-matched vs quantile_disc over the SQL
+    re-derivation of the identical stack."""
+    from gridfia_ray.pipelines.temporal import (
+        make_yearly_stack,
+        temporal_composite_tiles,
+    )
+
+    f = _fx()
+    stack = make_yearly_stack(_total_biomass_result(f), 5)
+    out = temporal_composite_tiles(stack).to_pandas()
+    out = out[["y", "x", "med_u", "min_u", "max_u"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def _total_biomass_result(f: dict):
     """Shared: the precise scaled total-biomass result tiles (input to
     the raster-derivative queries below)."""
@@ -5138,6 +5158,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_component_props": q_component_props,
         "gf_hillshade": q_hillshade,
         "gf_flow_accumulation": q_flow_accumulation,
+        "gf_temporal_composite": q_temporal_composite,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
@@ -5569,6 +5590,21 @@ def build_oracle_sql() -> dict[str, str]:
                  AS slope_u,
                CAST(delta AS BIGINT) AS delta
         FROM agg"""
+    sql["gf_temporal_composite"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        t AS (SELECT unnest(range(5)) AS yr),
+        stack AS (SELECT u.y, u.x, t.yr,
+                  u.v + t.yr * ((u.y*2654435761 + u.x*40503) % 1000000
+                                - 500000)
+                      + (t.yr*31 + u.x + u.y) % 7000 AS w
+                  FROM u CROSS JOIN t)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(quantile_disc(w, 0.5) AS BIGINT) AS med_u,
+               CAST(MIN(w) AS BIGINT) AS min_u,
+               CAST(MAX(w) AS BIGINT) AS max_u
+        FROM stack GROUP BY y, x"""
     # proximity: distances are pure integers, so the oracle is the
     # brute-force min over the (small) feature set — no float anywhere
     sql["gf_distance_transform"] = f"""

@@ -94,6 +94,58 @@ def make_yearly_stack(result: rd.Dataset, n_years: int) -> rd.Dataset:
     return result.map_batches(explode, batch_format="pyarrow")
 
 
+def temporal_composite_tiles(stack: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Per-pixel MEDIAN / MIN / MAX composite over a dated tile stack —
+    the classic remote-sensing cloud-free compositing reducer (median
+    across epochs rejects transient outliers). Same ONE bucketed
+    exchange as the trend fold; the median is the quantile_disc order
+    statistic (k = ceil(K/2)-th smallest), exact in int64 for any K.
+    Rows out: (metric, y, x, med_u, min_u, max_u)."""
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        yrs = group["year"].to_numpy()
+        if len(yrs) < 1 or len(np.unique(yrs)) != len(yrs):
+            raise ValueError(
+                "temporal_composite: need distinct years per tile, got "
+                f"{yrs.tolist()} at tile ({group['tile_row'].iloc[0]}, "
+                f"{group['tile_col'].iloc[0]})"
+            )
+        h = int(group["h"].iloc[0])
+        w = int(group["w"].iloc[0])
+        cube = np.stack(
+            [
+                np.frombuffer(r["pix"], dtype=np.dtype(r["dtype"])).reshape(h, w)
+                for _, r in group.iterrows()
+            ]
+        ).astype(np.int64)
+        k = cube.shape[0]
+        rank = int(np.ceil(k / 2)) - 1  # quantile_disc(0.5) order statistic
+        med = np.partition(cube, rank, axis=0)[rank]
+        tr = int(group["tile_row"].iloc[0])
+        tc = int(group["tile_col"].iloc[0])
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        return pd.DataFrame(
+            {
+                "metric": group["metric"].iloc[0],
+                "y": (yy + tr * h).ravel().astype(np.int64),
+                "x": (xx + tc * w).ravel().astype(np.int64),
+                "med_u": med.ravel(),
+                "min_u": cube.min(axis=0).ravel(),
+                "max_u": cube.max(axis=0).ravel(),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("metric", pa.string()), ("y", pa.int64()), ("x", pa.int64()),
+         ("med_u", pa.int64()), ("min_u", pa.int64()), ("max_u", pa.int64())]
+    )
+    return bucketed_group_map(
+        stack, ["metric", "tile_row", "tile_col"], fold,
+        n_buckets=n_buckets, out_schema=out_schema,
+    )
+
+
 def temporal_trend_tiles(stack: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     """Per-pixel OLS trend over a dated tile stack → rows (metric, y,
     x, slope: float64, delta: int64). Every group must hold one tile

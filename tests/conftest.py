@@ -20,7 +20,16 @@ def ray_session():
         logging_level="ERROR",
     )
     yield ray
+    # drop lingering Dataset/ObjectRef cycles BEFORE the raylet client
+    # goes away — refs collected after shutdown segfault in _raylet.so
+    import gc
+
+    gc.collect()
+    import time
+
+    time.sleep(0.5)  # let Data executor threads drain their last refs
     ray.shutdown()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")

@@ -95,3 +95,64 @@ class TestTemporalTrend:
                 for t in (0, 1, 1)]
         with pytest.raises(Exception, match="distinct years"):
             temporal_trend_tiles(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+
+
+class TestTemporalComposite:
+    def test_median_min_max_brute(self, ray_session):
+        import pandas as pd
+
+        from gridfia_ray.pipelines.temporal import (
+            make_yearly_stack,
+            temporal_composite_tiles,
+        )
+
+        rng = np.random.RandomState(41)
+        g = rng.rand(8, 8) * 100
+        rows = []
+        for tr in range(2):
+            for tc in range(2):
+                arr = g[tr * 4 : (tr + 1) * 4, tc * 4 : (tc + 1) * 4]
+                rows.append(
+                    {"metric": "total_biomass", "tile_row": tr, "tile_col": tc,
+                     "h": 4, "w": 4,
+                     "pix": np.ascontiguousarray(arr, dtype=np.float64).tobytes(),
+                     "dtype": "float64"}
+                )
+        stack = make_yearly_stack(rd.from_pandas(pd.DataFrame(rows)), 5)
+        out = (
+            temporal_composite_tiles(stack, n_buckets=4)
+            .to_pandas()
+            .set_index(["y", "x"])
+        )
+        u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+        for y in range(8):
+            for x in range(8):
+                coef = (y * 2654435761 + x * 40503) % 1_000_000 - 500_000
+                vals = np.array(
+                    [u[y, x] + t * coef + (t * 31 + x + y) % 7000 for t in range(5)]
+                )
+                s = np.sort(vals)
+                assert out.loc[(y, x), "med_u"] == s[2]
+                assert out.loc[(y, x), "min_u"] == s[0]
+                assert out.loc[(y, x), "max_u"] == s[4]
+
+    def test_even_k_takes_lower_middle(self, ray_session):
+        import pandas as pd
+
+        from gridfia_ray.pipelines.temporal import (
+            make_yearly_stack,
+            temporal_composite_tiles,
+        )
+
+        rows = [{"metric": "m", "tile_row": 0, "tile_col": 0, "h": 2, "w": 2,
+                 "pix": np.full((2, 2), 10.0).tobytes(), "dtype": "float64"}]
+        stack = make_yearly_stack(rd.from_pandas(pd.DataFrame(rows)), 4)
+        out = temporal_composite_tiles(stack, n_buckets=2).to_pandas()
+        u0 = 10_000_000
+        for _, r in out.iterrows():
+            y, x = int(r["y"]), int(r["x"])
+            coef = (y * 2654435761 + x * 40503) % 1_000_000 - 500_000
+            vals = np.sort(
+                [u0 + t * coef + (t * 31 + x + y) % 7000 for t in range(4)]
+            )
+            assert int(r["med_u"]) == vals[1]  # k=ceil(4/2)=2 -> 2nd smallest
