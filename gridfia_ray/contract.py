@@ -1133,6 +1133,25 @@ def q_rasterize(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_zonal_raster_stats(sf_dir: str) -> pd.DataFrame:
+    """ArcGIS-style ZonalStatistics over the CONTINUOUS total-biomass
+    raster (pipelines/zonal.zonal_result_stats): per zone the pixel
+    count, min, max and sum of the µ-values, zone layer = the rasterize
+    burn (overlaps → smallest zone_id). One keyed value↔burn exchange +
+    a tiny merge; all columns exact int64."""
+    from gridfia_ray.pipelines import zonal as Z
+
+    f = _fx()
+    g = int(f["meta"]["grid"])
+    out = Z.zonal_result_stats(
+        _total_biomass_result(f), Z.load_zones(f["zones"]), f["spec"], g, g
+    )
+    for c in ("n_px", "min_u", "max_u", "sum_u"):
+        out[c] = out[c].astype(np.int64)
+    out["zone_id"] = out["zone_id"].astype(str)
+    return out
+
+
 def q_knn_idw(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines import knn as K
 
@@ -5119,6 +5138,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_species": q_zonal_species,
         "gf_zonal_majority": q_zonal_majority,
         "gf_zonal_histogram": q_zonal_histogram,
+        "gf_zonal_raster_stats": q_zonal_raster_stats,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
         "events_resampling": q_stats_resampling,
@@ -5713,6 +5733,16 @@ def build_oracle_sql() -> dict[str, str]:
                {_sql_s6("SUM(p.biomass)")} AS sum_biomass_u
         FROM p JOIN read_parquet('{PZ}') z USING (y, x)
         GROUP BY z.zone_id, p.species_code"""
+    sql["gf_zonal_raster_stats"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        z AS (SELECT y, x, MIN(zone_id) AS zone_id
+              FROM read_parquet('{PZ}') GROUP BY y, x)
+        SELECT z.zone_id, COUNT(*) AS n_px, MIN(u.v) AS min_u,
+               MAX(u.v) AS max_u, CAST(SUM(u.v) AS BIGINT) AS sum_u
+        FROM u JOIN z USING (y, x)
+        GROUP BY z.zone_id ORDER BY z.zone_id"""
     sql["gf_zonal_majority"] = f"""
         {species_cte},
         c AS (

@@ -600,6 +600,98 @@ class RasterizeActor:
         )
 
 
+def zonal_result_stats(
+    result: rd.Dataset,
+    zones: list[dict],
+    spec: GridSpec,
+    grid_rows: int,
+    grid_cols: int,
+    *,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """ArcGIS-style ZonalStatistics over a CONTINUOUS result raster:
+    per zone the pixel count, min, max and sum of the µ-scaled values
+    (mean = sum/n, left to the caller so every emitted column stays
+    exact int64). The zone layer is the :func:`rasterize_zones` burn
+    (overlaps → smallest zone_id); value and burn tiles co-locate with
+    ONE keyed exchange on the tile key, per-tile partials are segmented
+    ``reduceat`` over the burn-sorted pixels, and a tiny bucketed merge
+    folds zones × 4 int columns."""
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_group_map
+
+    burned, zone_ids = rasterize_zones(zones, spec, grid_rows, grid_cols)
+    both = result.union(burned)
+
+    part_schema = pa.schema(
+        [("zi", pa.int64()), ("n_px", pa.int64()), ("min_u", pa.int64()),
+         ("max_u", pa.int64()), ("sum_u", pa.int64())]
+    )
+    empty = pa.table(
+        {f.name: pa.array([], f.type) for f in part_schema}, schema=part_schema
+    ).to_pandas()
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        brn = group[group["metric"] == "zone_burn"]
+        val = group[group["metric"] != "zone_burn"]
+        if len(brn) == 0 or len(val) == 0:
+            return empty  # zone-less tile, or burn past the raster
+        if len(brn) > 1 or len(val) > 1:
+            raise ValueError(
+                f"zonal_result_stats: tile ({group['tile_row'].iloc[0]}, "
+                f"{group['tile_col'].iloc[0]}) has {len(val)} value / "
+                f"{len(brn)} burn tiles — expected one each"
+            )
+        v = val.iloc[0]
+        arr = np.frombuffer(v["pix"], dtype=np.dtype(v["dtype"]))
+        if arr.dtype.kind == "f":
+            u = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(
+                np.int64
+            )
+        else:
+            u = arr.astype(np.int64)
+        z = np.frombuffer(brn.iloc[0]["pix"], dtype=np.int32).astype(np.int64)
+        if z.size != u.size:
+            raise ValueError(
+                "zonal_result_stats: burn/value tile shapes disagree "
+                f"({z.size} vs {u.size} px)"
+            )
+        m = z >= 0
+        if not m.any():
+            return empty
+        zi, uv = z[m], u[m]
+        order = np.argsort(zi, kind="stable")
+        uz, first = np.unique(zi[order], return_index=True)
+        us = uv[order]
+        return pd.DataFrame(
+            {
+                "zi": uz,
+                "n_px": np.diff(np.append(first, us.size)).astype(np.int64),
+                "min_u": np.minimum.reduceat(us, first),
+                "max_u": np.maximum.reduceat(us, first),
+                "sum_u": np.add.reduceat(us, first),
+            }
+        )
+
+    partials = bucketed_group_map(
+        both, ["tile_row", "tile_col"], fold,
+        n_buckets=n_buckets, out_schema=part_schema,
+    )
+    agg = bucketed_agg(
+        partials,
+        ["zi"],
+        {
+            "n_px": ("n_px", "sum"),
+            "min_u": ("min_u", "min"),
+            "max_u": ("max_u", "max"),
+            "sum_u": ("sum_u", "sum"),
+        },
+        n_buckets=4,
+    ).to_pandas()  # zones × 4 ints — small by construction
+    agg["zone_id"] = [zone_ids[int(i)] for i in agg["zi"]]
+    out = agg[["zone_id", "n_px", "min_u", "max_u", "sum_u"]]
+    return out.sort_values("zone_id").reset_index(drop=True)
+
+
 def rasterize_zones(
     zones: list[dict], spec: GridSpec, grid_rows: int, grid_cols: int
 ) -> tuple[rd.Dataset, list[str]]:

@@ -167,3 +167,50 @@ class TestZonalMajority:
         assert out.loc["b", "majority_species"] == "0131"
         assert out.loc["b", "minority_species"] == "0110"
         assert out.loc["b", "minority_px"] == 3
+
+
+class TestZonalResultStats:
+    def test_matches_pixel_oracle(self, ray_session, t1_dir, duck):
+        import os
+
+        import numpy as np
+
+        from gridfia_ray import fixtures
+        from gridfia_ray.kernels.registry import registry
+        from gridfia_ray.pipelines import metrics as M
+        from gridfia_ray.pipelines import zonal as Z
+        from gridfia_ray.pipelines.common import GridSpec
+
+        meta = fixtures.fixture_meta("t1")
+        spec = GridSpec.from_fixture_meta(meta)
+        catalog = ["0000"] + sorted(
+            s["species_code"] for s in meta["species"] if s["species_code"] != "0000"
+        )
+        res = M.run_metrics(
+            os.path.join(t1_dir, "tiles"),
+            registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+            spec,
+            catalog,
+            n_tiles_hint=meta["n_tiles"],
+            n_species_hint=meta["n_species"],
+            precise=True,
+        )
+        g = int(meta["grid"])
+        got = Z.zonal_result_stats(
+            res, Z.load_zones(os.path.join(t1_dir, "zones.parquet")), spec, g, g
+        )
+        want = duck.execute(
+            """WITH p AS (SELECT * FROM pixels WHERE species_code <> '0000'),
+               tot AS (SELECT y, x, SUM(biomass) total FROM p GROUP BY y, x),
+               u AS (SELECT y, x,
+                     CAST(FLOOR(total*1000000 + 0.5) AS BIGINT) v FROM tot),
+               z AS (SELECT y, x, MIN(zone_id) zone_id FROM pixel_zones
+                     GROUP BY y, x)
+               SELECT z.zone_id, COUNT(*) n_px, MIN(u.v) min_u,
+                      MAX(u.v) max_u, CAST(SUM(u.v) AS BIGINT) sum_u
+               FROM u JOIN z USING (y, x)
+               GROUP BY z.zone_id ORDER BY z.zone_id"""
+        ).df()
+        assert len(got) == len(want) > 0
+        for c in ("n_px", "min_u", "max_u", "sum_u"):
+            assert (got[c].to_numpy() == want[c].to_numpy(np.int64)).all(), c
