@@ -1133,6 +1133,39 @@ def q_rasterize(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_quantile_classes(sf_dir: str) -> pd.DataFrame:
+    """Cartographic quantile classification of the total-biomass raster
+    — every pixel's exact global NTILE(5) class (ties by pixel id) via
+    pipelines/rank.ntile_exact, i.e. the quantile-breaks renderer
+    computed WITHOUT a global sort. Hash-exact vs SQL NTILE."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.rank import ntile_exact
+
+    f = _fx()
+    n_px = int(f["meta"]["grid"]) * int(f["meta"]["tile"])
+    pix = M.metrics_to_pixels(_total_biomass_result(f))
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pid": (b["y"] * n_px + b["x"]).astype(np.int64),
+                "v_u": s6(b["value"]),
+            }
+        )
+
+    out = ntile_exact(
+        pix.map_batches(prep, batch_format="pandas"), "v_u", "pid", 5
+    ).to_pandas()
+    res = pd.DataFrame(
+        {
+            "y": (out["pid"] // n_px).astype(np.int64),
+            "x": (out["pid"] % n_px).astype(np.int64),
+            "class": out["tile"].astype(np.int64),
+        }
+    )
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_zonal_raster_stats(sf_dir: str) -> pd.DataFrame:
     """ArcGIS-style ZonalStatistics over the CONTINUOUS total-biomass
     raster (pipelines/zonal.zonal_result_stats): per zone the pixel
@@ -5139,6 +5172,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_majority": q_zonal_majority,
         "gf_zonal_histogram": q_zonal_histogram,
         "gf_zonal_raster_stats": q_zonal_raster_stats,
+        "gf_quantile_classes": q_quantile_classes,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
         "events_resampling": q_stats_resampling,
@@ -5733,6 +5767,14 @@ def build_oracle_sql() -> dict[str, str]:
                {_sql_s6("SUM(p.biomass)")} AS sum_biomass_u
         FROM p JOIN read_parquet('{PZ}') z USING (y, x)
         GROUP BY z.zone_id, p.species_code"""
+    sql["gf_quantile_classes"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(NTILE(5) OVER (ORDER BY v, y * {_n_px} + x) AS BIGINT)
+                 AS class
+        FROM u"""
     sql["gf_zonal_raster_stats"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
