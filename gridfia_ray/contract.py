@@ -681,6 +681,40 @@ def q_watershed(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_change_patches(sf_dir: str) -> pd.DataFrame:
+    """Two-epoch change detection: the year-0→1 delta of the synthetic
+    stack (pipelines/temporal.temporal_delta_tiles, |delta| mode)
+    thresholded and CCL-labeled into change patches — the standard
+    remote-sensing change-map composition, exercising epoch
+    differencing → threshold → distributed labeling end to end. Oracle
+    = pinned BFS flood fill over the independently re-derived delta
+    mask (oracle_pins.ensure_changepin)."""
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.ccl import connected_components
+    from gridfia_ray.pipelines.temporal import (
+        make_yearly_stack,
+        temporal_delta_tiles,
+    )
+
+    f = _fx()
+    stack = make_yearly_stack(_total_biomass_result(f), 2)
+    absd = temporal_delta_tiles(stack, absolute=True)
+    labeled, _ = connected_components(
+        absd, int(f["meta"]["grid"]), threshold=oracle_pins.CHANGE_THRESHOLD
+    )
+    pix = M.metrics_to_pixels(labeled).to_pandas()
+    pix = pix[pix["value"] >= 0]
+    out = pd.DataFrame(
+        {
+            "y": pix["y"].astype(np.int64),
+            "x": pix["x"].astype(np.int64),
+            "component": pix["value"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_hillshade(sf_dir: str) -> pd.DataFrame:
     """DEM-style hillshade of the total-biomass raster: the Horn halo
     exchange feeding the Lambertian shading map (pipelines/focal.
@@ -5213,6 +5247,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_hillshade": q_hillshade,
         "gf_flow_accumulation": q_flow_accumulation,
         "gf_temporal_composite": q_temporal_composite,
+        "gf_change_patches": q_change_patches,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
@@ -6040,6 +6075,10 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_flow_accumulation"] = (
         f"SELECT y, x, dir, acc "
         f"FROM read_parquet('{_pins.ensure_flowpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_change_patches"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_changepin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_watershed"] = (

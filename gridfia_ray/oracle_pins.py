@@ -927,6 +927,60 @@ def ensure_cclpin() -> dict:
     return _ensure_dir(f"cclpin-v{GEN_VERSION}.{CCLPIN_V}", build)
 
 
+CHANGEPIN_V = 1
+CHANGE_THRESHOLD = 0.3  # units of |delta| that count as real change
+
+
+def ensure_changepin() -> dict:
+    """{'expected'} parquet for two-epoch change-patch detection: the
+    year-0 → year-1 delta of the synthetic stack (pipelines/temporal.
+    make_yearly_stack closed forms) rebuilt independently from the
+    fixture generator's pixel table, |delta| thresholded, then labeled
+    by the same plain BFS flood fill the CCL pin trusts (NOT the
+    engine's union-find / border merge). delta(y, x) =
+    coef(y, x) + ((31+x+y) mod 7000 − (x+y) mod 7000)."""
+
+    def build(tmp: str) -> dict:
+        from collections import deque
+
+        from gridfia_ray import fixtures
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        yy, xx = np.mgrid[0:n, 0:n]
+        yy = yy.astype(np.int64)
+        xx = xx.astype(np.int64)
+        coef = (yy * 2654435761 + xx * 40503) % 1_000_000 - 500_000
+        delta = coef + ((31 + xx + yy) % 7000 - (xx + yy) % 7000)
+        mask = np.abs(delta) > int(CHANGE_THRESHOLD * 1_000_000)
+        comp = np.full((n, n), -1, np.int64)
+        for sy, sx in zip(*np.nonzero(mask)):
+            if comp[sy, sx] >= 0:
+                continue
+            anchor = int(sy) * n + int(sx)  # first scan hit = min y·W+x
+            dq = deque([(int(sy), int(sx))])
+            comp[sy, sx] = anchor
+            while dq:
+                cy, cx = dq.popleft()
+                for ny, nx in ((cy - 1, cx), (cy + 1, cx), (cy, cx - 1), (cy, cx + 1)):
+                    if 0 <= ny < n and 0 <= nx < n and mask[ny, nx] and comp[ny, nx] < 0:
+                        comp[ny, nx] = anchor
+                        dq.append((ny, nx))
+        ys, xs = np.nonzero(comp >= 0)
+        exp = pa.table(
+            {
+                "y": pa.array(ys.astype(np.int64)),
+                "x": pa.array(xs.astype(np.int64)),
+                "component": pa.array(comp[ys, xs]),
+            }
+        )
+        pq.write_table(exp, os.path.join(tmp, "expected.parquet"))
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"changepin-v{GEN_VERSION}.{CHANGEPIN_V}", build)
+
+
 def ensure_ddqpin() -> dict:
     """{'rows', 'expected'} parquet paths for the grouped DDSketch
     quantiles: skewed per-group value distributions (lognormal tails,

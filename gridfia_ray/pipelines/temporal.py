@@ -146,6 +146,60 @@ def temporal_composite_tiles(stack: rd.Dataset, n_buckets: int = 64) -> rd.Datas
     )
 
 
+def temporal_delta_tiles(
+    stack: rd.Dataset, *, absolute: bool = False, n_buckets: int = 64
+) -> rd.Dataset:
+    """Two-epoch (or first→last) raster differencing: per tile the
+    int64 µ-delta ``v(t_max) − v(t_min)`` (``absolute=True`` emits
+    |delta| — the change-magnitude raster that feeds thresholding /
+    CCL change-patch detection). One keyed exchange co-locating each
+    tile's epochs; output is composable int64 result tiles."""
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    out_schema = pa.schema(
+        [("metric", pa.string()), ("tile_row", pa.int64()),
+         ("tile_col", pa.int64()), ("h", pa.int64()), ("w", pa.int64()),
+         ("pix", pa.binary()), ("dtype", pa.string())]
+    )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("year")
+        yrs = group["year"].to_numpy()
+        if len(yrs) < 2 or len(np.unique(yrs)) != len(yrs):
+            raise ValueError(
+                "temporal_delta: need ≥2 distinct years per tile, got "
+                f"{yrs.tolist()} at tile ({group['tile_row'].iloc[0]}, "
+                f"{group['tile_col'].iloc[0]})"
+            )
+        h = int(group["h"].iloc[0])
+        w = int(group["w"].iloc[0])
+        first = np.frombuffer(
+            group.iloc[0]["pix"], dtype=np.dtype(group.iloc[0]["dtype"])
+        ).astype(np.int64)
+        last = np.frombuffer(
+            group.iloc[-1]["pix"], dtype=np.dtype(group.iloc[-1]["dtype"])
+        ).astype(np.int64)
+        d = last - first
+        if absolute:
+            d = np.abs(d)
+        return pd.DataFrame(
+            {
+                "metric": [group["metric"].iloc[0]],
+                "tile_row": [int(group["tile_row"].iloc[0])],
+                "tile_col": [int(group["tile_col"].iloc[0])],
+                "h": [h],
+                "w": [w],
+                "pix": [d.tobytes()],
+                "dtype": ["int64"],
+            }
+        )
+
+    return bucketed_group_map(
+        stack, ["metric", "tile_row", "tile_col"], fold,
+        n_buckets=n_buckets, out_schema=out_schema,
+    )
+
+
 def temporal_trend_tiles(stack: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     """Per-pixel OLS trend over a dated tile stack → rows (metric, y,
     x, slope: float64, delta: int64). Every group must hold one tile

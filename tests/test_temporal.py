@@ -156,3 +156,58 @@ class TestTemporalComposite:
                 [u0 + t * coef + (t * 31 + x + y) % 7000 for t in range(4)]
             )
             assert int(r["med_u"]) == vals[1]  # k=ceil(4/2)=2 -> 2nd smallest
+
+
+class TestTemporalDelta:
+    def test_delta_matches_brute(self, ray_session):
+        import pandas as pd
+
+        from gridfia_ray.pipelines.temporal import (
+            make_yearly_stack,
+            temporal_delta_tiles,
+        )
+
+        rng = np.random.RandomState(43)
+        df, g = _result(rng)
+        stack = make_yearly_stack(rd.from_pandas(df).repartition(3), 3)
+        out = temporal_delta_tiles(stack, n_buckets=4).to_pandas()
+        cube = _brute_stack(g, 3)
+        want = cube[-1] - cube[0]
+        for _, r in out.iterrows():
+            tr, tc = int(r["tile_row"]), int(r["tile_col"])
+            d = np.frombuffer(r["pix"], dtype=np.int64).reshape(5, 5)
+            np.testing.assert_array_equal(
+                d, want[tr * 5 : (tr + 1) * 5, tc * 5 : (tc + 1) * 5]
+            )
+            assert r["dtype"] == "int64"
+
+    def test_absolute_mode(self, ray_session):
+        import pandas as pd
+
+        from gridfia_ray.pipelines.temporal import (
+            make_yearly_stack,
+            temporal_delta_tiles,
+        )
+
+        rng = np.random.RandomState(47)
+        df, g = _result(rng, tiles_y=1, tiles_x=1)
+        stack = make_yearly_stack(rd.from_pandas(df), 2)
+        out = temporal_delta_tiles(stack, absolute=True, n_buckets=2).to_pandas()
+        cube = _brute_stack(g, 2)
+        d = np.frombuffer(out.iloc[0]["pix"], dtype=np.int64).reshape(5, 5)
+        np.testing.assert_array_equal(d, np.abs(cube[1] - cube[0]))
+
+    def test_single_year_raises(self, ray_session):
+        import pandas as pd
+        import pytest as _pt
+
+        from gridfia_ray.pipelines.temporal import (
+            make_yearly_stack,
+            temporal_delta_tiles,
+        )
+
+        rng = np.random.RandomState(53)
+        df, _ = _result(rng, tiles_y=1, tiles_x=1)
+        stack = make_yearly_stack(rd.from_pandas(df), 1)
+        with _pt.raises(Exception, match="distinct years"):
+            temporal_delta_tiles(stack, n_buckets=2).to_pandas()
