@@ -2946,6 +2946,22 @@ def q_doc_dup_clusters(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_canonical_dedup(sf_dir: str) -> pd.DataFrame:
+    """Near-dup dedup with canonical selection (dedup/docs.
+    canonical_dedup_docs): one survivor per Jaccard cluster — the
+    LONGEST doc, ties to the smaller id — plus every unclustered doc.
+    The winner pick is a packed-int64 per-cluster MAX combiner; oracle
+    = the recursive-CTE closure + a ROW_NUMBER quality pick."""
+    from gridfia_ray.dedup.docs import canonical_dedup_docs
+
+    out = canonical_dedup_docs(_docs(sf_dir), k=3, threshold=0.5).to_pandas()
+    return (
+        pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64)})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.dedup.docs import simhash_pairs
 
@@ -5194,6 +5210,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # --- beyond the window: family siblings (all still SQL-backed,
         # verified by scripts/check_contract.py every round) ---
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_canonical_dedup": q_doc_canonical_dedup,
         "gf_csv_roundtrip": q_csv_roundtrip,
         "video_frames": q_video_frames,
         "rel_returned_orders": q_rel_returned_orders,
@@ -6651,6 +6668,25 @@ def build_oracle_sql() -> dict[str, str]:
           SELECT ed.b, cc.rep FROM cc JOIN ed ON cc.node = ed.a WHERE cc.rep < ed.b
         )
         SELECT node AS doc_id, MIN(rep) AS cluster_rep FROM cc GROUP BY node"""
+    sql["doc_canonical_dedup"] = f"""
+        WITH RECURSIVE {_dup_ctes},
+        prs AS (SELECT a, b FROM j WHERE jac >= 0.5),
+        ed AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        cc(node, rep) AS (
+          SELECT DISTINCT a, a FROM ed
+          UNION
+          SELECT ed.b, cc.rep FROM cc JOIN ed ON cc.node = ed.a WHERE cc.rep < ed.b
+        ),
+        clus AS (SELECT node AS doc_id, MIN(rep) AS rep FROM cc GROUP BY node),
+        best AS (SELECT c.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.rep
+                                      ORDER BY d.n_chars DESC, d.doc_id) rn
+                 FROM clus c JOIN documents d USING (doc_id))
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM clus)
+        UNION ALL
+        SELECT doc_id FROM best WHERE rn = 1
+        ORDER BY doc_id"""
     sql["ann_topk"] = """
         WITH q AS (SELECT vec_id qid, embedding e FROM embeddings WHERE vec_id IN (0, 1, 2)),
         s AS (SELECT q.qid query_id, v.vec_id,

@@ -171,6 +171,12 @@ def minhash_lsh_pairs(
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # an empty bucket arrives as a COLUMNLESS frame (pandas blocks
+        # drop the schema at zero rows) — guard before indexing
+        if len(g) == 0 or "doc_id" not in g.columns:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+            )
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
             return pd.DataFrame(
@@ -271,6 +277,9 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 8) -> r
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "doc_id" not in g.columns:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
         g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
         if len(g) < 2:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
@@ -364,6 +373,12 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({"shingle": vals, "doc_id": ids})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # an empty bucket arrives as a COLUMNLESS frame (pandas blocks
+        # drop the schema at zero rows) — guard before indexing
+        if len(g) == 0 or "doc_id" not in g.columns:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+            )
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
             return pd.DataFrame(
@@ -540,6 +555,11 @@ def dup_clusters(pairs: rd.Dataset, max_driver_pairs: int = 5_000_000) -> pd.Dat
             "use dup_clusters_distributed for components at this scale"
         )
     df = pairs.to_pandas()
+    if len(df) == 0:  # columnless at zero rows — nothing to cluster
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "cluster_rep": pd.Series(dtype=np.int64)}
+        )
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -745,3 +765,76 @@ def dup_clusters_distributed(
         ),
         batch_format="pandas",
     )
+
+
+def canonical_dedup_docs(
+    docs: rd.Dataset,
+    k: int = 3,
+    threshold: float = 0.5,
+    quality_col: str = "n_chars",
+) -> rd.Dataset:
+    """Near-dup dedup with CANONICAL SELECTION: cluster the exact
+    n-gram Jaccard pairs, then keep exactly ONE representative per
+    cluster — the highest-quality doc (``quality_col`` desc, doc_id
+    asc) — plus every unclustered doc. The corpus-cleaning policy real
+    pipelines run: unlike "keep min doc_id", the survivor is the BEST
+    duplicate, not the first.
+
+    Shape: the (doc_id → cluster) map is bounded by the dup closure
+    (``dup_clusters`` counts before it pulls) and broadcasts; the
+    winner pick packs (quality, −doc_id) into one int64 so it folds as
+    a plain per-cluster MAX combiner; the final keep filter is a pure
+    map. Quality and ids must fit 31 bits each (checked) for the
+    lexicographic packing to be exact."""
+    import ray
+
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold)
+    clus = dup_clusters(pairs)
+    if len(clus) == 0:
+        return docs
+    rep_of = dict(zip(clus["doc_id"].astype(np.int64), clus["cluster_rep"].astype(np.int64)))
+    rep_ref = ray.put(rep_of)
+    _LIM = 1 << 31
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(rep_ref)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        q = batch[quality_col].to_numpy(np.int64)
+        rep = np.array([m.get(int(i), -1) for i in ids], dtype=np.int64)
+        sel = rep >= 0
+        if not sel.any():
+            return pd.DataFrame(
+                {"rep": pd.Series(dtype=np.int64),
+                 "packed": pd.Series(dtype=np.int64)}
+            )
+        if (q[sel] >= _LIM).any() or (q[sel] < 0).any() or (ids[sel] >= _LIM).any():
+            raise ValueError(
+                "canonical_dedup_docs: quality/doc_id outside [0, 2^31) — "
+                "the lexicographic int64 packing would be inexact"
+            )
+        packed = q[sel] * _LIM + (_LIM - 1 - ids[sel])
+        return pd.DataFrame({"rep": rep[sel], "packed": packed})
+
+    best = bucketed_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["rep"],
+        {"packed": ("packed", "max")},
+        n_buckets=8,
+    ).to_pandas()  # one row per cluster — same bound as the cluster map
+    winners = set(
+        (_LIM - 1 - (best["packed"].to_numpy(np.int64) % _LIM)).tolist()
+    )
+    win_ref = ray.put(winners)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(rep_ref)
+        w = ray.get(win_ref)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        mask = np.array(
+            [int(i) not in m or int(i) in w for i in ids], dtype=bool
+        )
+        return batch.loc[mask]
+
+    return docs.map_batches(keep, batch_format="pandas")

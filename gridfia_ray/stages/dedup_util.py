@@ -155,10 +155,12 @@ def attach_pair_attrs(
     # k rows), so the bound is conservative: a degenerate pair explosion
     # routes to the distributed join without ever materializing ids on
     # the driver. Same pattern as dup_clusters (dedup/docs.py).
-    id_parts_ds = pairs.map_batches(
-        lambda b: pd.DataFrame({id_col: pd.concat([b["a"], b["b"]]).unique()}),
-        batch_format="pandas",
-    ).materialize()
+    def id_parts(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "a" not in b.columns:  # columnless empty block
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64)})
+        return pd.DataFrame({id_col: pd.concat([b["a"], b["b"]]).unique()})
+
+    id_parts_ds = pairs.map_batches(id_parts, batch_format="pandas").materialize()
     n_ids_bound = id_parts_ds.count()
 
     # byte-aware guard: mean attr row width from ONE sampled block (no
@@ -172,9 +174,22 @@ def attach_pair_attrs(
         mean_attr_width = 0.0
     est_broadcast_bytes = n_ids_bound * mean_attr_width
 
+    if n_ids_bound == 0:
+        # zero pairs: emit one TYPED empty block carrying the attr
+        # columns so downstream verify stages see their schema
+        def empty_out(batch: pd.DataFrame) -> pd.DataFrame:
+            cols = {"a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64)}
+            for c in attr_cols:
+                cols[f"{c}_a"] = pd.Series(dtype=object)
+                cols[f"{c}_b"] = pd.Series(dtype=object)
+            return pd.DataFrame(cols)
+
+        return pairs.map_batches(empty_out, batch_format="pandas")
+
     if n_ids_bound <= max_broadcast_ids and est_broadcast_bytes <= max_broadcast_bytes:
-        ids = id_parts_ds.to_pandas()[id_col].unique()
-        id_set = set(ids.tolist())
+        idf = id_parts_ds.to_pandas()  # columnless when zero pairs
+        id_set = set(idf[id_col].tolist()) if len(idf) else set()
 
         def filt(batch: pd.DataFrame) -> pa.Table:
             # Arrow out: an empty pandas block with object columns trips

@@ -248,3 +248,50 @@ class TestDupClusters:
                 .reset_index(drop=True)
             )
             pd.testing.assert_frame_equal(got, want)
+
+
+import ray.data as rd  # noqa: E402  (canonical-dedup tests)
+
+
+class TestCanonicalDedup:
+    def test_best_quality_survives(self, ray_session):
+        from gridfia_ray.dedup.docs import canonical_dedup_docs
+
+        # docs 1/2/3 near-identical (one cluster), 2 is longest; 9 unique
+        t = "the quick brown fox jumps over the lazy dog again and again"
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 9],
+                "text": [t, t + " extra tail words here", t + " x", "completely different content with no overlap whatsoever in it"],
+            }
+        )
+        docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+        out = canonical_dedup_docs(
+            rd.from_pandas(docs).repartition(2), k=3, threshold=0.5
+        ).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == [2, 9]
+
+    def test_quality_tie_keeps_smaller_id(self, ray_session):
+        from gridfia_ray.dedup.docs import canonical_dedup_docs
+
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = pd.DataFrame(
+            {"doc_id": [5, 4], "text": [t, t], }
+        )
+        docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+        out = canonical_dedup_docs(rd.from_pandas(docs), k=3, threshold=0.5).to_pandas()
+        assert out["doc_id"].tolist() == [4]
+
+    def test_no_dups_is_identity(self, ray_session):
+        from gridfia_ray.dedup.docs import canonical_dedup_docs
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["one sentence about apples and orchards in autumn",
+                         "unrelated prose describing maritime navigation rules"],
+            }
+        )
+        docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+        out = canonical_dedup_docs(rd.from_pandas(docs), k=3, threshold=0.5).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == [1, 2]
