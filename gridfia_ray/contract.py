@@ -446,6 +446,22 @@ def q_distance_transform(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_distance_transform_l2(sf_dir: str) -> pd.DataFrame:
+    """Exact squared-Euclidean proximity raster (pipelines/distance.
+    distance_transform_l2_tiles — shared vertical pass + blocked
+    vectorized column envelope, FH semantics in integers): min
+    (Δy)²+(Δx)² to the nearest total-biomass pixel above 150, vs a
+    MIN cross-join oracle."""
+    from gridfia_ray.pipelines.distance import distance_transform_l2_tiles
+
+    f = _fx()
+    out = distance_transform_l2_tiles(
+        _total_biomass_result(f), threshold=150.0
+    ).to_pandas()
+    res = out[["y", "x", "dist2"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_temporal_trend(sf_dir: str) -> pd.DataFrame:
     """Per-pixel biomass trend over a deterministic 5-year stack
     (pipelines/temporal — synthetic dated stack with integer closed
@@ -5265,6 +5281,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_flow_accumulation": q_flow_accumulation,
         "gf_temporal_composite": q_temporal_composite,
         "gf_change_patches": q_change_patches,
+        "gf_distance_transform_l2": q_distance_transform_l2,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
@@ -5721,6 +5738,16 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT CAST(u.y AS BIGINT) AS y, CAST(u.x AS BIGINT) AS x,
                CAST(MIN(ABS(u.y - feat.y) + ABS(u.x - feat.x)) AS BIGINT)
                  AS dist
+        FROM u CROSS JOIN feat GROUP BY u.y, u.x"""
+    sql["gf_distance_transform_l2"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        feat AS (SELECT y, x FROM u WHERE v > {int(150.0 * 1_000_000)})
+        SELECT CAST(u.y AS BIGINT) AS y, CAST(u.x AS BIGINT) AS x,
+               CAST(MIN((u.y - feat.y) * (u.y - feat.y)
+                        + (u.x - feat.x) * (u.x - feat.x)) AS BIGINT)
+                 AS dist2
         FROM u CROSS JOIN feat GROUP BY u.y, u.x"""
     sql["gf_downsample_2x"] = f"""
         {species_cte},

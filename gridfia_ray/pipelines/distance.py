@@ -76,36 +76,30 @@ def _u_of(batch_row_pix: bytes, dtype: str, h: int, w: int) -> np.ndarray:
     return np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
 
 
-def distance_transform_tiles(
-    result: rd.Dataset, threshold: float, n_buckets: int = 64
-) -> rd.Dataset:
-    """L1 distance-to-nearest-feature per pixel over a result-tile
-    dataset → rows (metric, y, x, dist). Features are pixels whose
-    micro-scaled value exceeds ``floor(threshold·1e6 + 0.5)`` — the
-    same integer predicate the SQL oracle applies. Raises if a metric
-    has no feature pixel anywhere (the transform is undefined)."""
+def _assemble_band(group: pd.DataFrame, axis: str):
+    """Stack a band's tiles along ``axis`` in key order; raise on
+    gaps (a sparse store would silently read as feature-free)."""
+    key = "tile_row" if axis == "v" else "tile_col"
+    group = group.sort_values(key)
+    ks = group[key].to_numpy()
+    if not (ks == np.arange(len(ks))).all():
+        raise ValueError(
+            f"distance_transform: non-contiguous {key} set "
+            f"{ks.tolist()} — sparse stores are not supported"
+        )
+    hs, ws = group["h"].unique(), group["w"].unique()
+    if len(hs) != 1 or len(ws) != 1:
+        raise ValueError("distance_transform: mixed tile shapes in a band")
+    return group, int(hs[0]), int(ws[0])
+
+
+def _vertical_d1_tiles(result: rd.Dataset, thr_u: int, n_buckets: int) -> rd.Dataset:
+    """Shared pass A: per column band the vertical distance to the
+    nearest feature pixel, re-tiled as int64 ``d1`` buffers."""
     from gridfia_ray.stages.agg_util import bucketed_group_map
 
-    thr_u = int(np.floor(threshold * 1_000_000 + 0.5))
-
-    def assemble_band(group: pd.DataFrame, axis: str):
-        """Stack a band's tiles along ``axis`` in key order; raise on
-        gaps (a sparse store would silently read as feature-free)."""
-        key = "tile_row" if axis == "v" else "tile_col"
-        group = group.sort_values(key)
-        ks = group[key].to_numpy()
-        if not (ks == np.arange(len(ks))).all():
-            raise ValueError(
-                f"distance_transform: non-contiguous {key} set "
-                f"{ks.tolist()} — sparse stores are not supported"
-            )
-        hs, ws = group["h"].unique(), group["w"].unique()
-        if len(hs) != 1 or len(ws) != 1:
-            raise ValueError("distance_transform: mixed tile shapes in a band")
-        return group, int(hs[0]), int(ws[0])
-
     def pass_a(group: pd.DataFrame) -> pd.DataFrame:
-        group, h, w = assemble_band(group, "v")
+        group, h, w = _assemble_band(group, "v")
         band = np.vstack(
             [
                 _u_of(r["pix"], r["dtype"], h, w) > thr_u
@@ -132,13 +126,27 @@ def distance_transform_tiles(
          ("tile_col", pa.int64()), ("h", pa.int64()), ("w", pa.int64()),
          ("d1", pa.binary())]
     )
-    tiles_d1 = bucketed_group_map(
+    return bucketed_group_map(
         result, ["metric", "tile_col"], pass_a,
         n_buckets=n_buckets, out_schema=empty_a,
     )
 
+
+def distance_transform_tiles(
+    result: rd.Dataset, threshold: float, n_buckets: int = 64
+) -> rd.Dataset:
+    """L1 distance-to-nearest-feature per pixel over a result-tile
+    dataset → rows (metric, y, x, dist). Features are pixels whose
+    micro-scaled value exceeds ``floor(threshold·1e6 + 0.5)`` — the
+    same integer predicate the SQL oracle applies. Raises if a metric
+    has no feature pixel anywhere (the transform is undefined)."""
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    thr_u = int(np.floor(threshold * 1_000_000 + 0.5))
+    tiles_d1 = _vertical_d1_tiles(result, thr_u, n_buckets)
+
     def pass_b(group: pd.DataFrame) -> pd.DataFrame:
-        group, h, w = assemble_band(group, "h")
+        group, h, w = _assemble_band(group, "h")
         band = np.hstack(
             [
                 np.frombuffer(r["d1"], dtype=np.int64).reshape(h, w)
@@ -169,6 +177,82 @@ def distance_transform_tiles(
     empty_b = pa.schema(
         [("metric", pa.string()), ("y", pa.int64()), ("x", pa.int64()),
          ("dist", pa.int64())]
+    )
+    return bucketed_group_map(
+        tiles_d1, ["metric", "tile_row"], pass_b,
+        n_buckets=n_buckets, out_schema=empty_b,
+    )
+
+
+def distance_transform_l2_tiles(
+    result: rd.Dataset,
+    threshold: float,
+    n_buckets: int = 64,
+    block: int = 64,
+) -> rd.Dataset:
+    """EXACT squared-EUCLIDEAN distance transform: per pixel the
+    minimum (Δy)² + (Δx)² to any feature pixel — the image-processing
+    standard (Felzenszwalb-Huttenlocher semantics) kept in integers so
+    the ``MIN((Δy)² + (Δx)²)`` cross-join oracle matches bit for bit.
+
+    Same two banded passes as the L1 transform (pass A is SHARED): the
+    L2² column reduction is D(y, x) = min_{x'} (d1(y, x')² + (x − x')²)
+    computed per row band as a blocked vectorized min over x' — exact,
+    O(h·W²/…) flops per band. Scale note: beyond ~10⁴-pixel band widths
+    swap the blocked min for the FH lower-envelope hull per row (O(W)
+    sequential); the banded partitioning and pass A are unchanged."""
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    thr_u = int(np.floor(threshold * 1_000_000 + 0.5))
+    tiles_d1 = _vertical_d1_tiles(result, thr_u, n_buckets)
+
+    def pass_b(group: pd.DataFrame) -> pd.DataFrame:
+        group, h, w = _assemble_band(group, "h")
+        d1 = np.hstack(
+            [
+                np.frombuffer(r["d1"], dtype=np.int64).reshape(h, w)
+                for _, r in group.iterrows()
+            ]
+        )
+        W = d1.shape[1]
+        # no-feature columns carry d1 = _INF whose square overflows
+        # int64 — swap in a 2⁶² sentinel instead of squaring. Legit
+        # squared distances stay < 2⁶⁰ for any raster under 2³⁰ pixels
+        # a side, and sentinel + (x−x')² < 2⁶³, so the sentinel can
+        # never shadow or fake a reachable minimum
+        _BIG = np.int64(1) << 62
+        nf = d1 >= _INF
+        d2 = np.where(nf, np.int64(0), d1)
+        d2 = d2 * d2
+        d2[nf] = _BIG
+        x = np.arange(W, dtype=np.int64)
+        dist = np.full((h, W), _BIG, dtype=np.int64)
+        for b0 in range(0, W, block):
+            blk = slice(b0, min(b0 + block, W))
+            off = (x[None, :] - x[blk][:, None]) ** 2  # (B, W)
+            cand = (d2[:, blk][:, :, None] + off[None, :, :]).min(axis=1)
+            np.minimum(dist, cand, out=dist)
+        if dist.min() >= _BIG:
+            raise ValueError(
+                "distance_transform_l2: no feature pixel in the raster "
+                f"for metric {group['metric'].iloc[0]!r} at threshold"
+            )
+        tr = int(group["tile_row"].iloc[0])
+        yy, xx = np.meshgrid(
+            np.arange(h, dtype=np.int64), x, indexing="ij"
+        )
+        return pd.DataFrame(
+            {
+                "metric": group["metric"].iloc[0],
+                "y": (yy + tr * h).ravel(),
+                "x": xx.ravel(),
+                "dist2": dist.ravel(),
+            }
+        )
+
+    empty_b = pa.schema(
+        [("metric", pa.string()), ("y", pa.int64()), ("x", pa.int64()),
+         ("dist2", pa.int64())]
     )
     return bucketed_group_map(
         tiles_d1, ["metric", "tile_row"], pass_b,

@@ -92,3 +92,53 @@ class TestDistanceTransform:
             distance_transform_tiles(
                 rd.from_pandas(pd.DataFrame(rows)), threshold=50.0
             ).to_pandas()
+
+
+class TestDistanceTransformL2:
+    def _brute2(self, g, threshold):
+        u = np.floor(g * 1e6 + 0.5).astype(np.int64)
+        thr_u = int(np.floor(threshold * 1e6 + 0.5))
+        fy, fx = np.nonzero(u > thr_u)
+        H, W = g.shape
+        out = np.zeros((H, W), dtype=np.int64)
+        for y in range(H):
+            for x in range(W):
+                out[y, x] = np.min((fy - y) ** 2 + (fx - x) ** 2)
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        from gridfia_ray.pipelines.distance import distance_transform_l2_tiles
+
+        rng = np.random.RandomState(2)
+        df, g = _raster(rng)
+        got = (
+            distance_transform_l2_tiles(
+                rd.from_pandas(df).repartition(4), threshold=50.0, n_buckets=8
+            )
+            .to_pandas().set_index(["y", "x"])["dist2"]
+        )
+        want = self._brute2(g, 50.0)
+        assert len(got) == g.size
+        for y in range(g.shape[0]):
+            for x in range(g.shape[1]):
+                assert got.loc[(y, x)] == want[y, x], (y, x)
+
+    def test_small_block_size_identical(self, ray_session):
+        # the blocked envelope must be block-size invariant
+        from gridfia_ray.pipelines.distance import distance_transform_l2_tiles
+
+        rng = np.random.RandomState(3)
+        df, g = _raster(rng)
+        a = (distance_transform_l2_tiles(rd.from_pandas(df), 50.0, block=3)
+             .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        b = (distance_transform_l2_tiles(rd.from_pandas(df), 50.0, block=64)
+             .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_no_features_raises(self, ray_session):
+        from gridfia_ray.pipelines.distance import distance_transform_l2_tiles
+
+        rng = np.random.RandomState(4)
+        df, _ = _raster(rng, p_feature=0.0)
+        with pytest.raises(Exception, match="no feature"):
+            distance_transform_l2_tiles(rd.from_pandas(df), 50.0).to_pandas()
