@@ -168,6 +168,36 @@ def q_downsample_4x(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_downsample_majority(sf_dir: str) -> pd.DataFrame:
+    """Categorical overview level (stages/assemble.
+    downsample_majority_tiles): 2×2 block MODE pooling of the
+    dominant-species raster, ties toward the smaller index — GDAL
+    ``mode`` resampling, zero shuffle. Oracle = windowed mode counts
+    over the M11 derivation grouped by (y//2, x//2)."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.stages.assemble import downsample_majority_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "dominant_species", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    out = M.metrics_to_pixels(downsample_majority_tiles(res, 2)).to_pandas()
+    res_df = pd.DataFrame(
+        {
+            "y": out["y"].astype(np.int64),
+            "x": out["x"].astype(np.int64),
+            "maj": out["value"].astype(np.int64),
+        }
+    )
+    return res_df.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_mosaic(sf_dir: str) -> pd.DataFrame:
     """Mosaic two overlapping stores (stages/assemble.
     mosaic_result_tiles, 'last' policy — the later-acquisition-
@@ -2792,6 +2822,53 @@ def q_doc_heavy_tokens(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_top_tokens_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source top-5 tokens by frequency — the grouped wordcount a
+    corpus-composition report runs. (source, token) count combiner →
+    bucketed keyed sum → grouped_topk (count desc, token asc); key
+    cardinality unbounded (no driver state)."""
+    from gridfia_ray.pipelines.sampling import grouped_topk
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        rows_s, rows_t = [], []
+        for src, txt in zip(b["source"], b["text"]):
+            t = (txt or "").strip()
+            if t:
+                toks = re.split(r"\s+", t)
+                rows_s.extend([src] * len(toks))
+                rows_t.extend(toks)
+        if not rows_s:
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=str), "tok": pd.Series(dtype=str),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        out = (
+            pd.DataFrame({"source": rows_s, "tok": rows_t})
+            .value_counts()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    agg = bucketed_agg(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["source", "tok"],
+        {"n": ("n", "sum")},
+    )
+    out = grouped_topk(
+        agg, "source", 5, "n", descending=True, tie_cols=["tok"]
+    ).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return (
+        out[["source", "tok", "n"]]
+        .sort_values(["source", "n", "tok"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_para_dedup(sf_dir: str) -> pd.DataFrame:
     """Cross-document paragraph dedup (keep first occurrence):
     boilerplate removal. Exact string compare vs the SQL oracle."""
@@ -5272,6 +5349,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_json_roundtrip": q_json_roundtrip,
         "gf_ipc_roundtrip": q_ipc_roundtrip,
         "gf_downsample_4x": q_downsample_4x,
+        "gf_downsample_majority": q_downsample_majority,
         "gf_mosaic": q_mosaic,
         "gf_rasterize": q_rasterize,
         "gf_connected_components": q_connected_components,
@@ -5346,6 +5424,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_source_cap": q_doc_source_cap,
         "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,
+        "doc_top_tokens_by_source": q_doc_top_tokens_by_source,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "doc_redact": q_doc_redact,
@@ -5541,6 +5620,27 @@ def build_oracle_sql() -> dict[str, str]:
           ON b.y BETWEEN a.y - 1 AND a.y + 1
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x HAVING COUNT(*) = 9"""
+    sql["gf_downsample_majority"] = f"""
+        {species_cte},
+        r AS (SELECT y, x, species_code,
+                MAX(biomass) OVER (PARTITION BY y, x) mx,
+                ROW_NUMBER() OVER (PARTITION BY y, x
+                                   ORDER BY biomass DESC, species_code) rn
+              FROM p),
+        cat AS (SELECT species_code, ROW_NUMBER() OVER (ORDER BY species_code) - 1 ci
+                FROM (SELECT DISTINCT species_code FROM read_parquet('{P}'))),
+        u AS (SELECT r.y, r.x,
+                CAST(CASE WHEN r.mx > 0 THEN c.ci ELSE 0 END AS BIGINT) v
+              FROM r JOIN cat c USING (species_code) WHERE r.rn = 1),
+        blk AS (SELECT y // 2 AS y2, x // 2 AS x2, v, COUNT(*) cnt
+                FROM u GROUP BY 1, 2, 3),
+        w AS (SELECT y2, x2, v,
+                ROW_NUMBER() OVER (PARTITION BY y2, x2
+                                   ORDER BY cnt DESC, v) rn
+              FROM blk)
+        SELECT CAST(y2 AS BIGINT) AS y, CAST(x2 AS BIGINT) AS x,
+               CAST(v AS BIGINT) AS maj
+        FROM w WHERE rn = 1"""
     sql["gf_focal_majority"] = f"""
         {species_cte},
         r AS (SELECT y, x, species_code,
@@ -6368,6 +6468,19 @@ def build_oracle_sql() -> dict[str, str]:
         c AS (SELECT tok, COUNT(*) n FROM t GROUP BY tok)
         SELECT tok, CAST(n AS BIGINT) AS n FROM c
         ORDER BY n DESC, tok LIMIT 50"""
+    sql["doc_top_tokens_by_source"] = r"""
+        WITH t AS (SELECT source,
+                     unnest(CASE WHEN trim(text) = '' THEN []
+                       ELSE regexp_split_to_array(trim(text), '\s+') END) tok
+                   FROM documents),
+        c AS (SELECT source, tok, COUNT(*) n FROM t GROUP BY source, tok),
+        r AS (SELECT source, tok, n,
+                ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n DESC, tok) rn
+              FROM c)
+        SELECT source, tok, CAST(n AS BIGINT) AS n
+        FROM r WHERE rn <= 5
+        ORDER BY source, n DESC, tok"""
     sql["doc_lm_perplexity"] = r"""
         WITH toks AS (SELECT doc_id, lang,
                              regexp_split_to_array(trim(text), '\s+') L

@@ -327,3 +327,72 @@ def mosaic_result_tiles(
         n_buckets=n_buckets,
         out_schema=out_schema,
     )
+
+
+def downsample_majority_tiles(result, factor: int = 2):
+    """Overview level for CATEGORICAL rasters (labels, dominant-species
+    indices): ``factor``×``factor`` block MODE pooling, ties toward the
+    SMALLEST value — GDAL's ``mode`` resampling. Pure ``map_batches``
+    like the sum pyramid (a block never crosses its tile, NO shuffle at
+    any corpus size); integer tiles pass through unscaled, float tiles
+    µ-scale first (mode is scale-invariant, so the µ hop only matters
+    for the emitted dtype). Vectorized mode: sort the f² block values,
+    run-length by cumulative equality, first maximal run's end =
+    smallest modal value."""
+    if factor < 2:
+        raise ValueError(f"factor must be >= 2, got {factor}")
+
+    def pool(batch: pa.Table) -> pa.Table:
+        metrics, trs, tcs, hs, ws, pixs, dts = [], [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            if h % factor or w % factor:
+                raise ValueError(
+                    f"downsample factor {factor} does not divide tile "
+                    f"{h}x{w} — partial edge blocks are not supported"
+                )
+            src_dtype = np.dtype(batch["dtype"][i].as_py())
+            arr = np.frombuffer(
+                batch["pix"][i].as_py(), dtype=src_dtype
+            ).reshape(h, w)
+            if np.issubdtype(src_dtype, np.integer):
+                u = arr.astype(np.int64)
+            else:
+                u = np.floor(
+                    arr.astype(np.float64) * 1_000_000 + 0.5
+                ).astype(np.int64)
+            f2 = factor * factor
+            blocks = (
+                u.reshape(h // factor, factor, w // factor, factor)
+                .transpose(0, 2, 1, 3)
+                .reshape(h // factor, w // factor, f2)
+            )
+            s = np.sort(blocks, axis=2)
+            run = np.ones_like(s)
+            for kk in range(1, f2):
+                run[:, :, kk] = np.where(
+                    s[:, :, kk] == s[:, :, kk - 1], run[:, :, kk - 1] + 1, 1
+                )
+            first_max = np.argmax(run, axis=2)  # first max = smallest mode
+            maj = np.take_along_axis(s, first_max[:, :, None], axis=2)[:, :, 0]
+            metrics.append(batch["metric"][i].as_py())
+            trs.append(int(batch["tile_row"][i].as_py()))
+            tcs.append(int(batch["tile_col"][i].as_py()))
+            hs.append(h // factor)
+            ws.append(w // factor)
+            pixs.append(np.ascontiguousarray(maj).tobytes())
+            dts.append("int64")
+        return pa.table(
+            {
+                "metric": pa.array(metrics, pa.string()),
+                "tile_row": pa.array(trs, pa.int64()),
+                "tile_col": pa.array(tcs, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "pix": pa.array(pixs, pa.binary()),
+                "dtype": pa.array(dts, pa.string()),
+            }
+        )
+
+    return result.map_batches(pool, batch_format="pyarrow")
