@@ -162,3 +162,41 @@ class TestMosaic:
             mosaic_result_tiles([A, A], policy="mean")
         with _pytest.raises(ValueError, match="two sources"):
             mosaic_result_tiles([A])
+
+
+class TestDownsampleMajority:
+    def _tiles(self, g):
+        import pandas as pd
+
+        return pd.DataFrame(
+            [{"metric": "m", "tile_row": 0, "tile_col": 0,
+              "h": g.shape[0], "w": g.shape[1],
+              "pix": np.ascontiguousarray(g, dtype=np.int64).tobytes(),
+              "dtype": "int64"}]
+        )
+
+    def test_mode_and_tie_break(self, ray_session):
+        from gridfia_ray.stages.assemble import downsample_majority_tiles
+
+        g = np.array(
+            [[3, 3, 7, 5],
+             [1, 2, 5, 7],   # block A: {3,3,1,2} -> 3; block B: {7,5,5,7} tie -> 5
+             [9, 9, 0, 0],
+             [9, 4, 0, 8]],  # block C: {9,9,9,4} -> 9; block D: {0,0,0,8} -> 0
+            dtype=np.int64,
+        )
+        out = downsample_majority_tiles(
+            rd.from_pandas(self._tiles(g)), 2
+        ).to_pandas()
+        got = np.frombuffer(out.iloc[0]["pix"], dtype=np.int64).reshape(2, 2)
+        np.testing.assert_array_equal(got, [[3, 5], [9, 0]])
+        assert out.iloc[0]["h"] == 2 and out.iloc[0]["dtype"] == "int64"
+
+    def test_factor_must_divide(self, ray_session):
+        import pytest as _pt
+
+        from gridfia_ray.stages.assemble import downsample_majority_tiles
+
+        g = np.zeros((6, 6), dtype=np.int64)
+        with _pt.raises(Exception, match="does not divide"):
+            downsample_majority_tiles(rd.from_pandas(self._tiles(g)), 4).to_pandas()
