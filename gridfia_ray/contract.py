@@ -2356,6 +2356,24 @@ def q_doc_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return bm25_topk(docs, _TFIDF_QUERY_IDS, k=10)
 
 
+def q_doc_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (ann/hybrid.py):
+    BM25 top-20 (integer milli-nat scorer) ∥ quantized-MIPS top-20
+    (floor(v·2^20+0.5) int64 dot products — zero float ranking
+    ambiguity) fused as Σ 10^6 // (60 + rank), top-10 per query. The
+    SQL oracle recomputes BOTH rank lists and the fusion with the
+    identical integer arithmetic."""
+    from gridfia_ray.ann.hybrid import hybrid_topk
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    emb = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return hybrid_topk(docs, emb, _TFIDF_QUERY_IDS, k=10, k_each=20)
+
+
 def q_bpe_train_pinned(sf_dir: str) -> pd.DataFrame:
     """Distributed BPE tokenizer TRAINING (word-frequency table + per-
     round pair-count argmax exchanges) vs the pinned sequential trainer
@@ -5239,7 +5257,9 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     bpe_train_pinned (tokenizer training), gf_tile_features →
     gf_contour_cells (raster→vector contours), gf_tile_near_dup →
     gf_watershed (new hydrology family; tile dedup keeps
-    gf_tile_dedup_exact in-window)."""
+    gf_tile_dedup_exact in-window); doc_tfidf_topk → doc_hybrid_rrf
+    (the retrieval slot now carries BM25 + quantized-MIPS + RRF fusion
+    in one integer-exact query; tfidf stays a verified sibling)."""
     qs: dict[str, Callable[[str], pd.DataFrame]] = {
         # --- driver window (50): one green row per operator family ---
         # raster metric kernels (M1-M15)
@@ -5283,7 +5303,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_ntile_orders": q_rel_ntile_orders,
         "events_funnel": q_events_funnel,
         "bpe_train_pinned": q_bpe_train_pinned,
-        "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_hybrid_rrf": q_doc_hybrid_rrf,
         # document dedup / decontamination / corpus build / packing
         "doc_minhash_pinned": q_doc_minhash_pinned,
         "ann_ivf_pinned": q_ann_ivf_pinned,
@@ -5340,6 +5360,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_pivot_status": q_rel_pivot_status,
         "rel_validate_orders": q_rel_validate_orders,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         "events_retention": q_events_retention,
         "rel_correlation": q_rel_correlation,
         "doc_normalize_pinned": q_doc_normalize_pinned,
@@ -6531,8 +6552,10 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id, score_c FROM rk
         WHERE rn <= 10 AND score_c > 0 ORDER BY query_id, doc_id"""
     # same CTE skeleton as tfidf; '//' is DuckDB's BIGINT floor
-    # division — the whole score path stays in integer arithmetic
-    sql["doc_bm25_topk"] = rf"""
+    # division — the whole score path stays in integer arithmetic.
+    # The skeleton (…→ sc = integer BM25 scores) is shared by the pure
+    # BM25 oracle and the hybrid-RRF oracle below.
+    _bm25_ctes = rf"""
         WITH toks AS (
           SELECT doc_id, unnest(CASE WHEN trim(COALESCE(text, '')) = '' THEN []
                  ELSE regexp_split_to_array(trim(text), '\s+') END) tok
@@ -6560,12 +6583,49 @@ def build_oracle_sql() -> dict[str, str]:
         sc AS (SELECT q.qid query_id, nt.doc_id,
                       CAST(SUM(q.tf_q * i.idf_c * nt.ntf_c) AS BIGINT) score_c
                FROM ntf nt JOIN qtf q USING (tok) JOIN idf i USING (tok)
-               GROUP BY 1, 2),
+               GROUP BY 1, 2)"""
+    sql["doc_bm25_topk"] = rf"""{_bm25_ctes},
         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                             ORDER BY score_c DESC, doc_id) rn
                FROM sc)
         SELECT query_id, doc_id, score_c FROM rk
         WHERE rn <= 10 AND score_c > 0 ORDER BY query_id, doc_id"""
+    # hybrid RRF: BM25 ranks (the shared skeleton) + quantized-MIPS
+    # ranks (floor(v·2^20+0.5) int64 dots — DuckDB's 1-based list index
+    # over unnest(range(...)) pairs dimensions), fused with the same
+    # 10^6 // (60 + rank) integer contribution as ann/hybrid.rrf_fuse
+    sql["doc_hybrid_rrf"] = rf"""{_bm25_ctes},
+        lex AS (SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score_c DESC, doc_id) rn
+                FROM sc WHERE score_c > 0 QUALIFY rn <= 20),
+        eq AS (SELECT vec_id qid, i,
+                      CAST(FLOOR(embedding[i] * 1048576.0 + 0.5) AS BIGINT) qv
+               FROM embeddings,
+                    LATERAL (SELECT unnest(range(1, len(embedding)+1)) i) _
+               WHERE vec_id IN ({_tq})),
+        ed AS (SELECT vec_id, i,
+                      CAST(FLOOR(embedding[i] * 1048576.0 + 0.5) AS BIGINT) dv
+               FROM embeddings,
+                    LATERAL (SELECT unnest(range(1, len(embedding)+1)) i) _
+               WHERE vec_id NOT IN ({_tq})),
+        dots AS (SELECT eq.qid query_id, ed.vec_id doc_id, SUM(eq.qv * ed.dv) dot
+                 FROM eq JOIN ed USING (i) GROUP BY 1, 2),
+        vec AS (SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY dot DESC, doc_id) rn
+                FROM dots QUALIFY rn <= 20),
+        fused AS (SELECT COALESCE(l.query_id, v.query_id) query_id,
+                         COALESCE(l.doc_id, v.doc_id) doc_id,
+                         COALESCE(1000000 // (60 + l.rn), 0)
+                         + COALESCE(1000000 // (60 + v.rn), 0) AS rrf_c
+                  FROM lex l FULL OUTER JOIN vec v
+                    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        frk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY rrf_c DESC, doc_id) rn
+                FROM fused)
+        SELECT query_id, doc_id, CAST(rrf_c AS BIGINT) rrf_c FROM frk
+        WHERE rn <= 10 ORDER BY query_id, doc_id"""
     # NULL discipline: engine hashes fillna('') → COALESCE here, and
     # NOT EXISTS (a NULL inside NOT IN poisons the whole predicate)
     sql["doc_dedup_incremental"] = """
