@@ -2219,6 +2219,21 @@ def q_doc_mix(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_doc_stratified(sf_dir: str) -> pd.DataFrame:
+    """Proportional stratified sample (pipelines/sampling.
+    stratified_sample): the ⌈n_g/10⌉ smallest-md5-rank docs per source
+    — exact integer allocation per stratum (float ceil(0.1·n) flips on
+    multiples of 10; both sides use (n+9)//10)."""
+    from gridfia_ray.pipelines.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(sf_dir), "source", 1, 10, ["doc_id"]
+    ).to_pandas()
+    out = out[["doc_id", "source"]]
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_audio_features(sf_dir: str) -> pd.DataFrame:
     """Audio-column pipeline end-to-end: WAV/PCM clips (pure-numpy RIFF
     codec — wav graduated from the stub list) through the distributed
@@ -5351,6 +5366,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "doc_compress_ratio": q_doc_compress_ratio,
         "doc_outlier_mad": q_doc_outlier_mad,
+        "doc_stratified": q_doc_stratified,
         "doc_cdc_pinned": q_doc_cdc_pinned,
         "doc_cdc_dedup_pinned": q_doc_cdc_dedup_pinned,
         "emb_pca_pinned": q_emb_pca_pinned,
@@ -6305,6 +6321,19 @@ def build_oracle_sql() -> dict[str, str]:
         WHERE substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
               < CASE source {_mix_cases} ELSE '{_rth(_MIX_DEFAULT)}' END
         ORDER BY doc_id"""
+    # exact per-stratum allocation: (n+9)//10 is the integer ceil both
+    # sides compute — never float CEIL(0.1*n)
+    sql["doc_stratified"] = """
+        WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) n
+                   FROM documents GROUP BY 1),
+        r AS (SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR))
+                     ) rn
+              FROM documents)
+        SELECT r.doc_id, r.source FROM r JOIN c USING (source)
+        WHERE rn <= (n + 9) // 10 ORDER BY doc_id"""
     # EXTERNAL oracle: EPSG Guidance Note 7-2's own worked-example
     # numbers as literals (TM: OSGB 50°30'N 0°30'E; LCC-2SP: NAD27 Texas
     # South Central 28°30'N 96°W in ftUS; HOM-B: Timbalai/RSO Borneo)

@@ -212,3 +212,74 @@ def mix_by_key(
         return batch[r < t]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    key: str,
+    frac_num: int,
+    frac_den: int,
+    rank_cols: list[str],
+    n_buckets: int = 32,
+    max_keys: int = 100_000,
+) -> rd.Dataset:
+    """Proportional stratified sample: the ⌈n_g · frac⌉ rows with the
+    smallest md5 rank from every ``key`` group — exact per-stratum
+    allocation (every stratum keeps ≥ 1 row), unlike the fixed-rate
+    :func:`mix_by_key` (binomial per-group counts) or the fixed-k
+    :func:`sample_per_key`.
+
+    The fraction is an exact rational ``frac_num/frac_den`` and the
+    allocation is pure integer math — ``(n·num + den − 1) // den`` —
+    because float ``ceil(0.1·n)`` flips on exact multiples (IEEE 0.1 >
+    1/10, so 0.1·50 ceils to 6); the SQL oracle writes the identical
+    integer division.
+
+    Two passes by necessity (allocation needs group sizes): a grouped
+    count (tiny result: one row per stratum, guarded by ``max_keys``
+    BEFORE the driver pull — beyond it, co-bucket the counts instead of
+    broadcasting; raise rather than silently degrade), then the
+    :func:`sample_per_key` combiner shape with a per-key k: each batch
+    contributes ≤ k_g rows per stratum to the shuffle (batch-local
+    winners under the global (key, rank) order are a superset of the
+    global winners), and a key-hash-bucketed merge finalizes.
+    """
+    if frac_num < 1 or frac_den < 1 or frac_num > frac_den:
+        raise ValueError(f"frac must be a rational in (0, 1]: {frac_num}/{frac_den}")
+    counts_ds = ds.groupby(key).count()
+    n_keys = counts_ds.count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"stratified_sample: {n_keys} strata exceed max_keys={max_keys}; "
+            "co-bucket the allocation table instead of broadcasting it"
+        )
+    kmap = {
+        r[key]: (int(r["count()"]) * frac_num + frac_den - 1) // frac_den
+        for r in counts_ds.take_all()
+    }
+
+    def select(batch: pd.DataFrame, kcap: "dict | None" = None) -> pd.DataFrame:
+        kk = batch[key].map(kmap)
+        if kk.isna().any():
+            raise ValueError("stratified_sample: key absent from the count pass")
+        cc = batch.groupby(key, sort=False).cumcount().to_numpy()
+        return batch[cc < kk.to_numpy()]
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__rank"] = md5_rank([batch[c] for c in [key, *rank_cols]])
+        batch = batch.sort_values([key, "__rank"], kind="mergesort")
+        batch = select(batch).copy()
+        batch["__bucket"] = bucket_of(batch, [key], n_buckets)
+        return batch
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values([key, "__rank"], kind="mergesort")
+        return select(group).drop(columns=["__bucket", "__rank"])
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -190,3 +190,81 @@ class TestMixByKey:
         assert rate_threshold_hex(1.0) == "g0000000"
         assert rate_threshold_hex(0.0) == "00000000"
         assert "ffffffff" < rate_threshold_hex(1.0)  # sorts above all hex
+
+
+class TestStratifiedSample:
+    def _ds(self, n_per, parts=1):
+        rows = []
+        i = 0
+        for src, n in n_per.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        df = pd.DataFrame(rows, columns=["doc_id", "source"])
+        df["doc_id"] = df["doc_id"].astype(np.int64)
+        return rd.from_pandas(df).repartition(parts), df
+
+    def _brute(self, df, num, den):
+        out = []
+        for src, g in df.groupby("source"):
+            k = (len(g) * num + den - 1) // den
+            ranks = g.assign(
+                r=[
+                    hashlib.md5(f"{s}|{d}".encode()).hexdigest()
+                    for s, d in zip(g["source"], g["doc_id"])
+                ]
+            ).sort_values("r")
+            out.append(ranks.head(k)[["doc_id", "source"]])
+        return (
+            pd.concat(out).sort_values("doc_id").reset_index(drop=True)
+        )
+
+    def test_exact_allocation_vs_brute(self, ray_session):
+        from gridfia_ray.pipelines.sampling import stratified_sample
+
+        ds, df = self._ds({"a": 50, "b": 7, "c": 1}, parts=6)
+        got = (
+            stratified_sample(ds, "source", 1, 10, ["doc_id"])
+            .to_pandas()[["doc_id", "source"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # ceil: 50→5, 7→1, 1→1 (every stratum keeps >= 1)
+        assert got.groupby("source").size().to_dict() == {"a": 5, "b": 1, "c": 1}
+        pd.testing.assert_frame_equal(got, self._brute(df, 1, 10))
+
+    def test_integer_ceil_on_exact_multiples(self, ray_session):
+        # IEEE ceil(0.1*50) == 6; the integer path must give 5
+        from gridfia_ray.pipelines.sampling import stratified_sample
+
+        ds, _ = self._ds({"a": 50})
+        got = stratified_sample(ds, "source", 1, 10, ["doc_id"]).to_pandas()
+        assert len(got) == 5
+
+    def test_partition_invariance(self, ray_session):
+        from gridfia_ray.pipelines.sampling import stratified_sample
+
+        ds1, _ = self._ds({"a": 33, "b": 20}, parts=1)
+        ds2, _ = self._ds({"a": 33, "b": 20}, parts=11)
+        a = (
+            stratified_sample(ds1, "source", 3, 7, ["doc_id"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            stratified_sample(ds2, "source", 3, 7, ["doc_id"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_validation(self, ray_session):
+        from gridfia_ray.pipelines.sampling import stratified_sample
+
+        ds, _ = self._ds({"a": 3})
+        with pytest.raises(ValueError, match="rational"):
+            stratified_sample(ds, "source", 3, 2, ["doc_id"])
+        with pytest.raises(ValueError, match="max_keys"):
+            stratified_sample(ds, "source", 1, 2, ["doc_id"], max_keys=0)
