@@ -1792,6 +1792,38 @@ def q_ingest_cube(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_store_compact(sf_dir: str) -> pd.DataFrame:
+    """Store compaction/migration (pipelines/ingest.compact_store): the
+    seeded cube as ONE monolithic parquet → distributed hash-shuffle →
+    aligned per-species directory layout, then the shared decode
+    reducer over the compacted store — any row the shuffle drops,
+    duplicates or mis-sorts moves the hash vs the fixture generator's
+    independent pixel table."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from gridfia_ray.pipelines.ingest import compact_store
+
+    f = _fx()
+    tile = int(f["meta"]["tile"])
+    cube, catalog = fixtures.build_cube(fixtures.SCALES[FIXTURE])
+    cube = cube.astype(np.float32)
+    tmp = tempfile.mkdtemp(prefix="gf_compact_")
+    try:
+        mono = os.path.join(tmp, "tiles-monolithic.parquet")
+        _pq.write_table(
+            fixtures.tile_table_from_cube(cube, catalog, tile), mono, compression="zstd"
+        )
+        dst = os.path.join(tmp, "tiles")
+        manifest = compact_store(mono, dst)
+        assert len(manifest) == cube.shape[0]
+        return _store_species_sums(dst, f["spec"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _store_species_sums(store: str, spec: GridSpec) -> pd.DataFrame:
     """Distributed per-species (n_tiles, s6 pixel sum) over a tile
     store: per-batch combiner partials (bounded by species × batches),
@@ -5441,6 +5473,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_store_validate": q_store_validate,
         "gf_focal_gradient": q_focal_gradient,
         "gf_store_append": q_store_append,
+        "gf_store_compact": q_store_compact,
         "events_hopping": q_events_hopping,
         "events_props_sum": q_events_props_sum,
         "rel_pricing_summary": q_rel_pricing_summary,
@@ -6162,6 +6195,8 @@ def build_oracle_sql() -> dict[str, str]:
         GROUP BY species_code ORDER BY species_code"""
     # append lifecycle lands on the identical full-store invariant
     sql["gf_store_append"] = sql["gf_ingest_cube"]
+    # compaction (monolithic → aligned per-species) preserves content
+    sql["gf_store_compact"] = sql["gf_ingest_cube"]
     # lossy-codec roundtrip: pinned sequential decode replay (see
     # fixtures.ensure_jpeg_fixture docstring for the exactness argument)
     sql["gf_jpeg_decode"] = (

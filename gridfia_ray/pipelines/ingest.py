@@ -157,3 +157,85 @@ def ingest_zarr_cube(
         .to_pandas()
     )
     return int(summary["n_tiles"].sum())
+
+
+def compact_store(
+    src,
+    dst: str,
+    row_group_size: int = 32,
+) -> pd.DataFrame:
+    """Tile-store compaction/migration: any tile table (a monolithic
+    parquet file, or a directory fragmented by many appends) → the
+    aligned per-species directory layout (``part-{code}.parquet``,
+    rows in image_id tile order, fixed row groups) that takes the
+    zero-shuffle metrics fast path and file-level species pruning.
+
+    Distributed: one hash-shuffle co-locates each species' rows (the
+    payload bytes must physically move — that IS the compaction), one
+    writer task per species sorts its group and writes the part file
+    atomically (tmp + rename). Resumable: species whose part file
+    already exists in ``dst`` are pruned BEFORE the shuffle (cheap
+    vectorized prefix filter at the read), so a crashed run pays only
+    the remaining species.
+
+    Returns the manifest (species_code, n_rows, path) covering both
+    written and previously-complete species, ordered by code.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from gridfia_ray.pipelines.common import read_tiles
+
+    os.makedirs(dst, exist_ok=True)
+    done = sorted(
+        f[len("part-"):-len(".parquet")]
+        for f in os.listdir(dst)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+
+    def species_of(batch: pa.Table) -> pa.Array:
+        return pc.list_element(pc.split_pattern(batch["image_id"], "/"), 0)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        sp = species_of(batch)
+        if done:
+            batch = batch.filter(pc.invert(pc.is_in(sp, value_set=pa.array(done))))
+            sp = species_of(batch)
+        return batch.append_column("__species", sp)
+
+    def write_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"species_code": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64())})
+        code = group["__species"][0].as_py()
+        out = group.drop_columns(["__species"]).sort_by("image_id")
+        target = os.path.join(dst, f"part-{code}.parquet")
+        tmp = target + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp, compression="zstd", row_group_size=row_group_size)
+        os.replace(tmp, target)
+        return pa.table({"species_code": pa.array([code]),
+                         "n_rows": pa.array([out.num_rows], pa.int64())})
+
+    manifest = (
+        read_tiles(src)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__species")
+        .map_groups(write_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for code in done:
+        n = pq.ParquetFile(os.path.join(dst, f"part-{code}.parquet")).metadata.num_rows
+        manifest = pd.concat(
+            [manifest, pd.DataFrame({"species_code": [code], "n_rows": [n]})],
+            ignore_index=True,
+        )
+    manifest["path"] = [
+        os.path.join(dst, f"part-{c}.parquet") for c in manifest["species_code"]
+    ]
+    manifest["n_rows"] = manifest["n_rows"].astype(np.int64)
+    counts = manifest["n_rows"].unique()
+    if len(manifest) and len(counts) != 1:
+        raise InvalidTileTable(
+            f"compacted store misaligned: per-species rows {sorted(counts)}"
+        )
+    return manifest.sort_values("species_code", ignore_index=True)

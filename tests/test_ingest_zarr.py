@@ -113,3 +113,85 @@ class TestZarrIngest:
         with pytest.raises(InvalidTileTable):
             ingest_zarr_cube(zroot, str(tmp_path / "y"), tile=64,
                              catalog=[("0001", "one")])  # wrong catalog size
+
+
+class TestCompactStore:
+    def _mono(self, tmp_path, cube, catalog, tile):
+        import pyarrow.parquet as pq
+
+        mono = str(tmp_path / "mono.parquet")
+        pq.write_table(
+            fixtures.tile_table_from_cube(cube.astype(np.float32), catalog, tile), mono
+        )
+        return mono
+
+    def test_monolithic_to_aligned(self, ray_session, tmp_path, cube_and_catalog):
+        import pyarrow.parquet as pq
+
+        from gridfia_ray.pipelines.ingest import compact_store
+
+        cube, catalog = cube_and_catalog
+        tile = 64
+        mono = self._mono(tmp_path, cube, catalog, tile)
+        dst = str(tmp_path / "store")
+        manifest = compact_store(mono, dst)
+        assert manifest["species_code"].tolist() == sorted(c for c, _ in catalog)
+        # per-species files exist, tile-ordered, fixed row groups
+        for code, _ in catalog:
+            f = pq.ParquetFile(os.path.join(dst, f"part-{code}.parquet"))
+            ids = f.read(columns=["image_id"])["image_id"].to_pylist()
+            assert ids == sorted(ids)
+            assert f.metadata.row_group(0).num_rows <= 32
+        # content identical to the source (same multiset of rows)
+        src = pq.read_table(mono).sort_by("image_id")
+        got = pq.read_table(dst).sort_by("image_id")
+        assert src.equals(got)
+
+    def test_resume_skips_done_species(self, ray_session, tmp_path, cube_and_catalog):
+        import pyarrow.parquet as pq
+
+        from gridfia_ray.pipelines.ingest import compact_store
+
+        cube, catalog = cube_and_catalog
+        mono = self._mono(tmp_path, cube, catalog, 64)
+        dst = str(tmp_path / "store")
+        os.makedirs(dst)
+        # pre-complete one species with a SENTINEL extra column value —
+        # if compaction rewrote it, the sentinel would vanish
+        code0 = catalog[1][0]
+        pre = (
+            pq.read_table(mono)
+            .filter(
+                np.array(
+                    [i.startswith(code0 + "/") for i in pq.read_table(mono)["image_id"].to_pylist()]
+                )
+            )
+            .sort_by("image_id")
+        )
+        pq.write_table(pre, os.path.join(dst, f"part-{code0}.parquet"))
+        before = os.path.getmtime(os.path.join(dst, f"part-{code0}.parquet"))
+        manifest = compact_store(mono, dst)
+        after = os.path.getmtime(os.path.join(dst, f"part-{code0}.parquet"))
+        assert before == after  # untouched
+        assert len(manifest) == len(catalog)
+        assert manifest.loc[manifest["species_code"] == code0, "n_rows"].iloc[0] == pre.num_rows
+
+    def test_misaligned_raises(self, ray_session, tmp_path, cube_and_catalog):
+        import pyarrow.parquet as pq
+
+        from gridfia_ray.pipelines.ingest import compact_store
+
+        cube, catalog = cube_and_catalog
+        mono = self._mono(tmp_path, cube, catalog, 64)
+        t = pq.read_table(mono)
+        # drop one row of one species → per-species counts disagree
+        mask = np.ones(t.num_rows, dtype=bool)
+        drop_at = next(
+            i for i, v in enumerate(t["image_id"].to_pylist())
+            if v.startswith(catalog[1][0] + "/")
+        )
+        mask[drop_at] = False
+        broken = str(tmp_path / "broken.parquet")
+        pq.write_table(t.filter(np.array(mask)), broken)
+        with pytest.raises(InvalidTileTable, match="misaligned"):
+            compact_store(broken, str(tmp_path / "store2"))
