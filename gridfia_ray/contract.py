@@ -2290,6 +2290,30 @@ def q_audio_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("clip_id", ignore_index=True)
 
 
+def q_audio_spectrogram(sf_dir: str) -> pd.DataFrame:
+    """Integer STFT spectrogram (stages/multimodal.SpectrogramActor):
+    Hann 64-sample frames at hop 32, 8 quantized DFT bins, per-bin
+    int64 energy — the distributed actor pool must reproduce the
+    sequential pin replay bit-for-bit (all-shift-and-multiply math)."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.multimodal import SpectrogramActor
+
+    tune_context()
+    clips = rd.read_parquet(oracle_pins.ensure_audpin()["clips"])
+    out = (
+        clips.map_batches(SpectrogramActor, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()
+    )
+    assert (out["status"] == "ok").all()
+    out = out.drop(columns=["status"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("clip_id", ignore_index=True)
+
+
 def q_video_frames(sf_dir: str) -> pd.DataFrame:
     """Video-column pipeline end-to-end: MJPEG-in-ISO-BMFF clips (pure-
     python box parser + T.81 decoder, ``codecs/mp4`` — video graduated
@@ -5373,6 +5397,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_canonical_dedup": q_doc_canonical_dedup,
         "gf_csv_roundtrip": q_csv_roundtrip,
         "video_frames": q_video_frames,
+        "audio_spectrogram": q_audio_spectrogram,
         "rel_returned_orders": q_rel_returned_orders,
         "rel_small_qty_revenue": q_rel_small_qty_revenue,
         "rel_top_supplier": q_rel_top_supplier,
@@ -6399,6 +6424,10 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["audio_features"] = (
         f"SELECT * FROM read_parquet('{_pins.ensure_audpin()['features_expected']}') "
+        f"ORDER BY clip_id"
+    )
+    sql["audio_spectrogram"] = (
+        f"SELECT * FROM read_parquet('{_pins.ensure_audpin()['spectrogram_expected']}') "
         f"ORDER BY clip_id"
     )
     sql["video_frames"] = (

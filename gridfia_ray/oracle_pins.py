@@ -48,7 +48,7 @@ DOCPIN_V = 2
 # pipeline's train_size Lloyd-corpus sampling (code-review finding:
 # the v6 replay trained on the full corpus and matched only by luck).
 ANNPIN_V = 7
-AUDPIN_V = 2
+AUDPIN_V = 3  # v3: + spectrogram_expected (integer STFT energies)
 VIDPIN_V = 1
 GHLLPIN_V = 1
 DDQPIN_V = 1
@@ -664,15 +664,21 @@ def ensure_audpin() -> dict:
 
     def build(tmp: str) -> dict:
         from gridfia_ray.codecs.wav import decode_wav_pcm16, encode_wav_pcm16
-        from gridfia_ray.stages.multimodal import audio_features
+        from gridfia_ray.stages.multimodal import (
+            audio_features,
+            spectrogram_features,
+            spectrogram_tables,
+        )
 
-        ids, bufs, rows = [], [], []
+        tables = spectrogram_tables()
+        ids, bufs, rows, specs = [], [], [], []
         for cid, x, rate in _audpin_clips():
             buf = encode_wav_pcm16(x, rate)
             ids.append(cid)
             bufs.append(buf)
             samples, r = decode_wav_pcm16(buf)
             rows.append({"clip_id": cid, **audio_features(samples, r)})
+            specs.append({"clip_id": cid, **spectrogram_features(samples, tables)})
         pq.write_table(
             pa.table(
                 {
@@ -689,7 +695,16 @@ def ensure_audpin() -> dict:
              "zero_crossings"]
         )
         pq.write_table(exp.sort_by("clip_id"), os.path.join(tmp, "features_expected.parquet"))
-        return {"clips": "clips.parquet", "features_expected": "features_expected.parquet"}
+        spec = pa.Table.from_pylist(specs)
+        spec = spec.select(["clip_id", "n_frames", *[f"e{b}" for b in range(8)]])
+        pq.write_table(
+            spec.sort_by("clip_id"), os.path.join(tmp, "spectrogram_expected.parquet")
+        )
+        return {
+            "clips": "clips.parquet",
+            "features_expected": "features_expected.parquet",
+            "spectrogram_expected": "spectrogram_expected.parquet",
+        }
 
     return _ensure_dir(f"audpin-v{GEN_VERSION}.{AUDPIN_V}", build)
 

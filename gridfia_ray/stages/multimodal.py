@@ -347,6 +347,95 @@ def audio_features(samples: np.ndarray, rate: int) -> dict:
     }
 
 
+_SPEC_NFFT = 64  # frame length (samples)
+_SPEC_HOP = 32  # 50% overlap
+_SPEC_BINS = 8  # DFT bins 0..7 (energy summary, not full resolution)
+_SPEC_Q = 14  # table quantization: floor(v·2^14 + 0.5)
+
+
+def spectrogram_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quantized Hann window + DFT cos/sin tables (int64 at 2^14) — THE
+    tables, built identically by the pin replay and every actor (same
+    elementwise np.cos call shape, so they are bit-identical)."""
+    n = _SPEC_NFFT
+    k = np.arange(_SPEC_BINS, dtype=np.float64)[:, None]
+    t = np.arange(n, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * k * t / n
+    cos_q = np.floor(np.cos(ang) * (1 << _SPEC_Q) + 0.5).astype(np.int64)
+    sin_q = np.floor(np.sin(ang) * (1 << _SPEC_Q) + 0.5).astype(np.int64)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n, dtype=np.float64) / n)
+    w_q = np.floor(w * (1 << _SPEC_Q) + 0.5).astype(np.int64)
+    return cos_q, sin_q, w_q
+
+
+def spectrogram_features(
+    samples: np.ndarray,
+    tables: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> dict:
+    """Per-clip integer STFT energy summary: Hann-windowed 64-sample
+    frames at hop 32, 8 DFT bins, per-bin energy summed over frames —
+    ALL arithmetic int64 (quantize → multiply → arithmetic shift), so
+    the distributed pool reproduces the sequential pin bit-for-bit.
+
+    Headroom: q15 samples (≤2^15) × q14 window >>14 ≤ 2^15; a 64-term
+    dot with q14 tables ≤ 2^35, >>14 ≤ 2^21; squared ≤ 2^43; summed
+    over ≤2^20 frames ≤ 2^63 — no wraparound inside any supported clip.
+    """
+    cos_q, sin_q, w_q = tables if tables is not None else spectrogram_tables()
+    x = np.asarray(samples, np.float64)
+    xq = np.floor(x * 32768.0 + 0.5).astype(np.int64)
+    n = int(xq.size)
+    out = {"n_frames": 0, **{f"e{b}": 0 for b in range(_SPEC_BINS)}}
+    if n < _SPEC_NFFT:
+        return out
+    nf = 1 + (n - _SPEC_NFFT) // _SPEC_HOP
+    idx = np.arange(nf)[:, None] * _SPEC_HOP + np.arange(_SPEC_NFFT)[None, :]
+    wx = (xq[idx] * w_q[None, :]) >> _SPEC_Q  # (nf, 64)
+    re = (wx @ cos_q.T) >> _SPEC_Q  # (nf, 8) — exact int64 matmul
+    im = (wx @ sin_q.T) >> _SPEC_Q
+    tot = (re * re + im * im).sum(axis=0)
+    out["n_frames"] = nf
+    for b in range(_SPEC_BINS):
+        out[f"e{b}"] = int(tot[b])
+    return out
+
+
+class SpectrogramActor:
+    """Audio spectrogram stage (actor pool): WAV/PCM rows → per-clip
+    frame count + 8 integer bin energies. Tables build once per actor
+    (``__init__``), decode errors flag their row via ``status``."""
+
+    def __init__(self):
+        self.tables = spectrogram_tables()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        from gridfia_ray.codecs.wav import decode_wav_pcm16
+
+        keys = ["n_frames", *[f"e{b}" for b in range(_SPEC_BINS)]]
+        cols: dict[str, list] = {k: [] for k in keys}
+        status = []
+        for i in range(batch.num_rows):
+            try:
+                samples, _rate = decode_wav_pcm16(batch["bytes"][i].as_py())
+                f = spectrogram_features(samples, self.tables)
+                for k in keys:
+                    cols[k].append(f[k])
+                status.append("ok")
+            except (ValueError, struct.error):
+                for k in keys:
+                    cols[k].append(0)
+                status.append("decode_error:wav")
+        return pa.table(
+            {
+                "clip_id": batch["clip_id"],
+                **{k: pa.array(v, pa.int64()) for k, v in cols.items()},
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+
 class AudioFeatureActor:
     """Audio-column feature extraction (REAL — wav graduated from the
     stub list): WAV/PCM payload rows (clip_id, bytes) → per-clip

@@ -313,3 +313,76 @@ class TestFrameSampleRealMp4:
         exp = decode_frame_mjpeg(buf, parse_mp4(buf), 0)
         got = np.frombuffer(out["pix"][0].as_py(), dtype="<f4").reshape(16, 24)
         assert np.array_equal(got, exp)
+
+
+class TestSpectrogram:
+    def test_pure_tone_concentrates_in_its_bin(self):
+        from gridfia_ray.stages.multimodal import (
+            _SPEC_NFFT,
+            spectrogram_features,
+        )
+
+        # bin k corresponds to frequency k/NFFT cycles per sample
+        n = 2048
+        k = 3
+        x = 0.7 * np.sin(2 * np.pi * k * np.arange(n) / _SPEC_NFFT)
+        f = spectrogram_features(x)
+        energies = [f[f"e{b}"] for b in range(8)]
+        assert np.argmax(energies) == k
+        # Hann leakage: adjacent bins carry ~1/4 of the center energy,
+        # everything further is negligible
+        for b in (k - 1, k + 1):
+            assert energies[b] == pytest.approx(energies[k] / 4, rel=0.05)
+        far = sum(e for b, e in enumerate(energies) if abs(b - k) > 1)
+        assert far < energies[k] / 100
+
+    def test_short_and_silent_clips(self):
+        from gridfia_ray.stages.multimodal import spectrogram_features
+
+        f = spectrogram_features(np.zeros(10))  # shorter than one frame
+        assert f["n_frames"] == 0 and all(f[f"e{b}"] == 0 for b in range(8))
+        f = spectrogram_features(np.zeros(1000))
+        assert f["n_frames"] == 1 + (1000 - 64) // 32
+        assert all(f[f"e{b}"] == 0 for b in range(8))
+
+    def test_full_scale_headroom(self):
+        from gridfia_ray.stages.multimodal import spectrogram_features
+
+        # worst case: full-scale DC-ish signal, long clip — no wraparound
+        x = np.ones(200_000) * 0.999969482421875  # 32767/32768
+        f = spectrogram_features(x)
+        assert f["e0"] > 0
+        assert all(f[f"e{b}"] >= 0 for b in range(8))
+
+    def test_actor_matches_sequential(self, ray_session):
+        import ray.data as rd
+
+        from gridfia_ray.codecs.wav import decode_wav_pcm16, encode_wav_pcm16
+        from gridfia_ray.stages.multimodal import (
+            SpectrogramActor,
+            spectrogram_features,
+        )
+
+        rng = np.random.RandomState(5)
+        clips = [rng.uniform(-0.9, 0.9, rng.randint(50, 900)) for _ in range(12)]
+        bufs = [encode_wav_pcm16(c, 8000) for c in clips]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "clip_id": pa.array(range(12), pa.int64()),
+                    "bytes": pa.array(bufs, pa.binary()),
+                }
+            )
+        ).repartition(4)
+        out = (
+            ds.map_batches(SpectrogramActor, batch_format="pyarrow", concurrency=(1, 2))
+            .to_pandas()
+            .sort_values("clip_id")
+            .reset_index(drop=True)
+        )
+        assert (out["status"] == "ok").all()
+        for i, buf in enumerate(bufs):
+            samples, _ = decode_wav_pcm16(buf)
+            exp = spectrogram_features(samples)
+            for k, v in exp.items():
+                assert out.loc[i, k] == v, (i, k)
