@@ -1000,6 +1000,33 @@ def q_hist_equalize(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_hist_match(sf_dir: str) -> pd.DataFrame:
+    """Histogram matching (pipelines/histeq.match_result): epoch-1 of
+    the deterministic 2-year stack radiometrically normalized onto
+    epoch-0 — the cross-epoch normalization step before change
+    detection. Exact integer transfer (cross-multiplied CDF compare,
+    Python-int driver / HUGEINT SQL); oracle re-derives both epochs and
+    the identical bin/CDF/LUT arithmetic in SQL windows."""
+    import pyarrow.compute as pc
+
+    from gridfia_ray.pipelines.histeq import match_result
+    from gridfia_ray.pipelines.temporal import make_yearly_stack
+
+    f = _fx()
+    stack = make_yearly_stack(_total_biomass_result(f), 2).materialize()
+
+    def epoch(t: int):
+        return stack.map_batches(
+            lambda b, tt=t: b.filter(pc.equal(b["year"], tt)),
+            batch_format="pyarrow",
+        )
+
+    out = match_result(epoch(1), epoch(0)).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_events_group_compare(sf_dir: str) -> pd.DataFrame:
     """A7 comparison stats over the events table: purchase vs click
     value distributions. Exports the EXACT components — Mann-Whitney U
@@ -5509,6 +5536,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_identify": q_identify,
         "gf_normalize_clip": q_normalize_clip,
         "gf_hist_equalize": q_hist_equalize,
+        "gf_hist_match": q_hist_match,
         "events_group_compare": q_events_group_compare,
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "doc_near_dedup_incremental": q_doc_near_dedup_incremental,
@@ -5705,6 +5733,38 @@ def build_oracle_sql() -> dict[str, str]:
                 FROM cdf, cm, mm)
         SELECT CAST(b.y AS BIGINT) AS y, CAST(b.x AS BIGINT) AS x, lut.eq
         FROM b JOIN lut USING (bin)"""
+    # histogram matching: the two epochs re-derived exactly as
+    # make_yearly_stack(t=0 / t=1) writes them; dense ref CDF via a
+    # scaffolded window; the transfer compares cross-multiplied CDFs in
+    # HUGEINT (the engine uses Python ints — same exact arithmetic)
+    sql["gf_hist_match"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        e0 AS (SELECT y, x, v + (x + y) % 7000 AS v FROM u),
+        e1 AS (SELECT y, x, v + ((y*2654435761 + x*40503) % 1000000 - 500000)
+                          + (31 + x + y) % 7000 AS v FROM u),
+        mms AS (SELECT MIN(v) lo, MAX(v) hi, COUNT(*) n FROM e1),
+        mmr AS (SELECT MIN(v) lo, MAX(v) hi, COUNT(*) n FROM e0),
+        bs AS (SELECT e1.y, e1.x,
+                      ((e1.v - mms.lo) * 256) // (mms.hi - mms.lo + 1) AS bin
+               FROM e1, mms),
+        br AS (SELECT ((e0.v - mmr.lo) * 256) // (mmr.hi - mmr.lo + 1) AS bin
+               FROM e0, mmr),
+        hs AS (SELECT bin, COUNT(*) c FROM bs GROUP BY bin),
+        cs AS (SELECT bin, SUM(c) OVER (ORDER BY bin) cum FROM hs),
+        hr AS (SELECT bin, COUNT(*) c FROM br GROUP BY bin),
+        scaffold AS (SELECT unnest(range(256)) AS bin),
+        crd AS (SELECT s.bin, SUM(COALESCE(hr.c, 0)) OVER (ORDER BY s.bin) cum
+                FROM scaffold s LEFT JOIN hr USING (bin)),
+        lut AS (SELECT cs.bin, MIN(crd.bin) AS m
+                FROM cs, crd, mms, mmr
+                WHERE CAST(crd.cum AS HUGEINT) * mms.n
+                      >= CAST(cs.cum AS HUGEINT) * mmr.n
+                GROUP BY cs.bin)
+        SELECT CAST(bs.y AS BIGINT) AS y, CAST(bs.x AS BIGINT) AS x,
+               CAST(lut.m AS BIGINT) AS m
+        FROM bs JOIN lut USING (bin)"""
     sql["gf_focal_median"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),

@@ -72,3 +72,64 @@ class TestHistEq:
         np.testing.assert_array_equal(
             _run(g, 4, 4, n_parts=2), _run(g, 8, 8, n_parts=7)
         )
+
+
+class TestHistMatch:
+    def _brute(self, src: np.ndarray, ref: np.ndarray, bins=256) -> np.ndarray:
+        """Sequential integer replay of match_result over µ-grids."""
+        s = np.floor(src.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+        r = np.floor(ref.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+        lo_s, w_s = int(s.min()), int(s.max()) - int(s.min()) + 1
+        lo_r, w_r = int(r.min()), int(r.max()) - int(r.min()) + 1
+        bs = (s - lo_s) * bins // w_s
+        br = (r - lo_r) * bins // w_r
+        cs = np.cumsum(np.bincount(bs.ravel(), minlength=bins))
+        cr = np.cumsum(np.bincount(br.ravel(), minlength=bins))
+        n_s, n_r = int(s.size), int(r.size)
+        lut = np.empty(bins, dtype=np.int64)
+        j = 0
+        for b in range(bins):
+            while j < bins - 1 and int(cr[j]) * n_s < int(cs[b]) * n_r:
+                j += 1
+            lut[b] = j
+        return lut[bs]
+
+    def _run(self, src, ref, parts=3):
+        from gridfia_ray.pipelines.histeq import match_result
+
+        ds_s = rd.from_pandas(_tiles_from_grid(src, 8, 8)).repartition(parts)
+        ds_r = rd.from_pandas(_tiles_from_grid(ref, 8, 8)).repartition(parts)
+        out = match_result(ds_s, ds_r).to_pandas().sort_values(["y", "x"])
+        H, W = src.shape
+        return out["m"].to_numpy(np.int64).reshape(H, W)
+
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.RandomState(9)
+        src = rng.gamma(2.0, 20.0, (32, 32))  # skewed
+        ref = rng.uniform(0, 300, (32, 32))  # flat-ish
+        np.testing.assert_array_equal(self._run(src, ref), self._brute(src, ref))
+
+    def test_self_match_is_monotone_identityish(self, ray_session):
+        # matching a raster onto itself keeps pixel ORDER (monotone in
+        # the source bins) and lands each pixel in its own bin
+        rng = np.random.RandomState(3)
+        g = rng.uniform(0, 100, (16, 16))
+        m = self._run(g, g)
+        s = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+        bins = (s - s.min()) * 256 // (int(s.max() - s.min()) + 1)
+        np.testing.assert_array_equal(m, bins)
+
+    def test_flat_reference_collapses(self, ray_session):
+        rng = np.random.RandomState(4)
+        src = rng.uniform(0, 50, (16, 16))
+        ref = np.full((16, 16), 7.5)
+        m = self._run(src, ref)
+        assert set(np.unique(m)) <= {0}
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(5)
+        src = rng.uniform(0, 90, (24, 24))
+        ref = rng.gamma(3.0, 5.0, (24, 24))
+        np.testing.assert_array_equal(
+            self._run(src, ref, parts=1), self._run(src, ref, parts=9)
+        )
