@@ -2995,6 +2995,26 @@ def q_doc_para_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_substr_dedup(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style duplicate-span removal (Lee et al. ACL 2022,
+    text/substr.py): every 10-token window occurring more than once in
+    the corpus keeps only its first occurrence; all other occurrences
+    are cut from their documents and the survivors re-joined. One
+    bucketed window exchange (16 B/window rows) + one doc_id co-bucket
+    rewrite — no broadcast, no driver fold. Exact string compare vs
+    the SQL window-replay oracle."""
+    from gridfia_ray.text.substr import substr_dedup_docs
+
+    out = substr_dedup_docs(_docs(sf_dir), min_len=_SUBSTR_LEN).to_pandas()
+    out = out[["doc_id", "n_tokens", "n_removed", "text_clean"]]
+    for c in ("doc_id", "n_tokens", "n_removed"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SUBSTR_LEN = 10
+
+
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     """Integer-exact quality counts (ratios derive from these)."""
     import re
@@ -5541,6 +5561,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "doc_near_dedup_incremental": q_doc_near_dedup_incremental,
         "doc_para_dedup": q_doc_para_dedup,
+        "doc_substr_dedup": q_doc_substr_dedup,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_split": q_doc_split,
         "doc_chunks": q_doc_chunks,
@@ -6799,6 +6820,33 @@ def build_oracle_sql() -> dict[str, str]:
               WHERE k.c = 1 OR p.doc_id*1000000 + p.idx = k.keep_key)
         SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text_clean
         FROM f GROUP BY doc_id"""
+    # doc_substr_dedup: the ExactSubstr window replay — same md5 window
+    # keying, same MIN(doc*1e6+pos) canonical-first rule, same interval
+    # union, entirely in SQL (text/substr.py semantics, L = 10)
+    _SL = _SUBSTR_LEN
+    sql["doc_substr_dedup"] = f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+                   FROM documents WHERE text IS NOT NULL),
+        tok AS (SELECT doc_id, i AS idx, toks[i] AS tok
+                FROM t, LATERAL (SELECT unnest(range(1, len(toks)+1)) i) _),
+        win AS (SELECT doc_id, i AS pos,
+                       md5(array_to_string(toks[i:i+{_SL - 1}], ' ')) h
+                FROM t, LATERAL (SELECT unnest(range(1, len(toks)-{_SL}+2)) i) _
+                WHERE len(toks) >= {_SL}),
+        k AS (SELECT h, MIN(doc_id*1000000 + pos) keep_key, COUNT(*) c
+              FROM win GROUP BY 1),
+        dup AS (SELECT w.doc_id, w.pos FROM win w JOIN k USING (h)
+                WHERE k.c > 1 AND w.doc_id*1000000 + w.pos <> k.keep_key),
+        cov AS (SELECT DISTINCT doc_id, idx FROM
+                (SELECT doc_id, unnest(range(pos, pos+{_SL})) idx FROM dup))
+        SELECT tok.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(COUNT(cov.idx) AS BIGINT) AS n_removed,
+          COALESCE(string_agg(CASE WHEN cov.idx IS NULL THEN tok.tok END,
+                              ' ' ORDER BY tok.idx), '') AS text_clean
+        FROM tok LEFT JOIN cov
+          ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+        GROUP BY tok.doc_id"""
     sql["doc_quality"] = r"""
         SELECT doc_id,
           CAST(length(text) AS BIGINT) AS n_chars,
