@@ -492,6 +492,23 @@ def q_distance_transform_l2(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_euclidean_allocation(sf_dir: str) -> pd.DataFrame:
+    """Euclidean allocation (pipelines/distance.euclidean_allocation_
+    tiles): per pixel the identity of the nearest total-biomass seed
+    pixel above 150 plus its exact squared distance, ties broken
+    lexicographically on (dist², seed_y, seed_x) — the ArcGIS
+    EucAllocation analogue, hash-matched against a ROW_NUMBER
+    cross-join oracle."""
+    from gridfia_ray.pipelines.distance import euclidean_allocation_tiles
+
+    f = _fx()
+    out = euclidean_allocation_tiles(
+        _total_biomass_result(f), threshold=150.0
+    ).to_pandas()
+    res = out[["y", "x", "seed_y", "seed_x", "dist2"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_temporal_trend(sf_dir: str) -> pd.DataFrame:
     """Per-pixel biomass trend over a deterministic 5-year stack
     (pipelines/temporal — synthetic dated stack with integer closed
@@ -5501,6 +5518,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_temporal_composite": q_temporal_composite,
         "gf_change_patches": q_change_patches,
         "gf_distance_transform_l2": q_distance_transform_l2,
+        "gf_euclidean_allocation": q_euclidean_allocation,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
@@ -6025,6 +6043,25 @@ def build_oracle_sql() -> dict[str, str]:
                         + (u.x - feat.x) * (u.x - feat.x)) AS BIGINT)
                  AS dist2
         FROM u CROSS JOIN feat GROUP BY u.y, u.x"""
+    # allocation: nearest-seed identity with the (d2, seed_y, seed_x)
+    # lexicographic tie rule — ROW_NUMBER replays it exactly
+    sql["gf_euclidean_allocation"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        feat AS (SELECT y, x FROM u WHERE v > {int(150.0 * 1_000_000)}),
+        alloc AS (SELECT u.y, u.x, feat.y AS sy, feat.x AS sx,
+                  (u.y - feat.y) * (u.y - feat.y)
+                    + (u.x - feat.x) * (u.x - feat.x) AS d2,
+                  ROW_NUMBER() OVER (PARTITION BY u.y, u.x
+                    ORDER BY (u.y - feat.y) * (u.y - feat.y)
+                             + (u.x - feat.x) * (u.x - feat.x),
+                             feat.y, feat.x) AS rn
+                  FROM u CROSS JOIN feat)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(sy AS BIGINT) AS seed_y, CAST(sx AS BIGINT) AS seed_x,
+               CAST(d2 AS BIGINT) AS dist2
+        FROM alloc WHERE rn = 1"""
     sql["gf_downsample_2x"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x)

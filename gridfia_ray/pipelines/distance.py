@@ -258,3 +258,162 @@ def distance_transform_l2_tiles(
         tiles_d1, ["metric", "tile_row"], pass_b,
         n_buckets=n_buckets, out_schema=empty_b,
     )
+
+
+def _vertical_d1sy_tiles(result: rd.Dataset, thr_u: int, n_buckets: int) -> rd.Dataset:
+    """Pass-A twin carrying the seed IDENTITY: per column the vertical
+    distance to the nearest feature pixel AND the global row index of
+    that seed (ties — equidistant above/below — resolve to the ABOVE
+    seed, i.e. the smaller y, matching the (dist, y, x) lexicographic
+    rule the allocation oracle orders by). ``sy = −1`` marks a
+    feature-free column."""
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    def pass_a(group: pd.DataFrame) -> pd.DataFrame:
+        group, h, w = _assemble_band(group, "v")
+        band = np.vstack(
+            [
+                _u_of(r["pix"], r["dtype"], h, w) > thr_u
+                for _, r in group.iterrows()
+            ]
+        )
+        H = band.shape[0]
+        idx = np.arange(H, dtype=np.int64)[:, None]
+        above = np.maximum.accumulate(
+            np.where(band, idx, np.int64(-1) - _INF), axis=0
+        )
+        d_above = idx - above
+        rev = np.maximum.accumulate(
+            np.where(band[::-1], idx, np.int64(-1) - _INF), axis=0
+        )
+        d_below = (idx - rev)[::-1]
+        below = (np.int64(H - 1) - rev)[::-1]
+        d1 = np.minimum(np.minimum(d_above, d_below), _INF)
+        sy = np.where(d_above <= d_below, above, below)
+        sy = np.where(d1 >= _INF, np.int64(-1), sy)
+        out = []
+        for i, (_, r) in enumerate(group.iterrows()):
+            sl = slice(i * h, (i + 1) * h)
+            out.append(
+                {
+                    "metric": r["metric"],
+                    "tile_row": int(r["tile_row"]),
+                    "tile_col": int(r["tile_col"]),
+                    "h": h,
+                    "w": w,
+                    "d1": d1[sl].tobytes(),
+                    "sy": sy[sl].tobytes(),
+                }
+            )
+        return pd.DataFrame(out)
+
+    empty_a = pa.schema(
+        [("metric", pa.string()), ("tile_row", pa.int64()),
+         ("tile_col", pa.int64()), ("h", pa.int64()), ("w", pa.int64()),
+         ("d1", pa.binary()), ("sy", pa.binary())]
+    )
+    return bucketed_group_map(
+        result, ["metric", "tile_col"], pass_a,
+        n_buckets=n_buckets, out_schema=empty_a,
+    )
+
+
+def euclidean_allocation_tiles(
+    result: rd.Dataset,
+    threshold: float,
+    n_buckets: int = 64,
+    block: int = 64,
+) -> rd.Dataset:
+    """Euclidean ALLOCATION (the ArcGIS companion to the distance
+    transform): per pixel the IDENTITY (seed_y, seed_x) of the nearest
+    feature pixel plus its exact squared distance. Ties break
+    lexicographically on (dist², seed_y, seed_x) — the deterministic
+    rule ``ROW_NUMBER() OVER (ORDER BY d2, feat.y, feat.x)`` replays in
+    SQL, so the whole raster hash-matches.
+
+    Same banded shape as the L2 transform: the shared vertical pass
+    additionally carries each column's seed row (min-y on up/down
+    ties); the horizontal pass finds the exact minimum cost per pixel,
+    then a second blocked sweep selects, among the cost-achieving
+    columns, the minimum packed (seed_y · W + seed_x) — packed argmin ≡
+    lexicographic argmin because both coordinates are < 2³¹ (guarded).
+    """
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    thr_u = int(np.floor(threshold * 1_000_000 + 0.5))
+    tiles = _vertical_d1sy_tiles(result, thr_u, n_buckets)
+
+    def pass_b(group: pd.DataFrame) -> pd.DataFrame:
+        group, h, w = _assemble_band(group, "h")
+        d1 = np.hstack(
+            [
+                np.frombuffer(r["d1"], dtype=np.int64).reshape(h, w)
+                for _, r in group.iterrows()
+            ]
+        )
+        sy = np.hstack(
+            [
+                np.frombuffer(r["sy"], dtype=np.int64).reshape(h, w)
+                for _, r in group.iterrows()
+            ]
+        )
+        W = d1.shape[1]
+        if W >= (1 << 31) or sy.max() >= (1 << 31):
+            raise ValueError(
+                "euclidean_allocation: raster side beyond 2^31 pixels "
+                "overflows the packed (seed_y, seed_x) argmin key"
+            )
+        _BIG = np.int64(1) << 62
+        nf = d1 >= _INF
+        d2 = np.where(nf, np.int64(0), d1)
+        d2 = d2 * d2
+        d2[nf] = _BIG
+        x = np.arange(W, dtype=np.int64)
+        dist = np.full((h, W), _BIG, dtype=np.int64)
+        for b0 in range(0, W, block):
+            blk = slice(b0, min(b0 + block, W))
+            off = (x[None, :] - x[blk][:, None]) ** 2  # (B, W)
+            cand = (d2[:, blk][:, :, None] + off[None, :, :]).min(axis=1)
+            np.minimum(dist, cand, out=dist)
+        if dist.min() >= _BIG:
+            raise ValueError(
+                "euclidean_allocation: no feature pixel in the raster "
+                f"for metric {group['metric'].iloc[0]!r} at threshold"
+            )
+        # sweep 2: among cost-achieving source columns take the minimum
+        # packed seed id — exact lexicographic (seed_y, seed_x)
+        comp = sy * np.int64(W) + x[None, :]  # (h, W) seed id per column
+        comp = np.where(nf, _BIG, comp)
+        best = np.full((h, W), _BIG, dtype=np.int64)
+        for b0 in range(0, W, block):
+            blk = slice(b0, min(b0 + block, W))
+            off = (x[None, :] - x[blk][:, None]) ** 2
+            cost = d2[:, blk][:, :, None] + off[None, :, :]  # (h, B, W)
+            cid = np.where(
+                cost == dist[:, None, :], comp[:, blk][:, :, None], _BIG
+            )
+            np.minimum(best, cid.min(axis=1), out=best)
+        tr = int(group["tile_row"].iloc[0])
+        yy, xx = np.meshgrid(
+            np.arange(h, dtype=np.int64), x, indexing="ij"
+        )
+        return pd.DataFrame(
+            {
+                "metric": group["metric"].iloc[0],
+                "y": (yy + tr * h).ravel(),
+                "x": xx.ravel(),
+                "seed_y": (best // W).ravel(),
+                "seed_x": (best % W).ravel(),
+                "dist2": dist.ravel(),
+            }
+        )
+
+    empty_b = pa.schema(
+        [("metric", pa.string()), ("y", pa.int64()), ("x", pa.int64()),
+         ("seed_y", pa.int64()), ("seed_x", pa.int64()),
+         ("dist2", pa.int64())]
+    )
+    return bucketed_group_map(
+        tiles, ["metric", "tile_row"], pass_b,
+        n_buckets=n_buckets, out_schema=empty_b,
+    )
