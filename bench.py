@@ -170,6 +170,16 @@ def run_bench() -> dict:
             ).count(),
         )
 
+        # ExactSubstr duplicate-span removal (window exchange + rewrite)
+        from gridfia_ray.text.substr import substr_dedup_docs
+
+        timed(
+            "doc_substr_dedup",
+            lambda: substr_dedup_docs(
+                rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+            ).count(),
+        )
+
         # exact global percentiles (distributed quickselect, 3 passes)
         from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
         from gridfia_ray.pipelines.percentiles import percentiles_exact

@@ -509,6 +509,26 @@ def q_euclidean_allocation(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_cost_distance(sf_dir: str) -> pd.DataFrame:
+    """Chamfer-3/4 integer cost distance (pipelines/costdist.
+    cost_distance_tiles): minimum accumulated traversal cost from any
+    total-biomass source pixel above 150, link cost 3·(c(a)+c(b))
+    orthogonal / 4·(c(a)+c(b)) diagonal, via halo-strip supersteps.
+    Oracle = a sequential heapq Dijkstra replay with the identical
+    integer weights (oracle_pins.ensure_costpin)."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.costdist import cost_distance_tiles
+
+    f = _fx()
+    out = cost_distance_tiles(
+        _total_biomass_result(f),
+        source_threshold=oracle_pins.COST_SOURCE_THRESHOLD,
+        coarsen=4,  # 8×8 tile grid → 2×2 super-tiles: ~4× fewer rounds
+    ).to_pandas()
+    res = out[["y", "x", "cdist"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_temporal_trend(sf_dir: str) -> pd.DataFrame:
     """Per-pixel biomass trend over a deterministic 5-year stack
     (pipelines/temporal — synthetic dated stack with integer closed
@@ -5519,6 +5539,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_change_patches": q_change_patches,
         "gf_distance_transform_l2": q_distance_transform_l2,
         "gf_euclidean_allocation": q_euclidean_allocation,
+        "gf_cost_distance": q_cost_distance,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
@@ -6443,6 +6464,11 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_watershed"] = (
         f"SELECT y, x, basin "
         f"FROM read_parquet('{_pins.ensure_flowpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_cost_distance"] = (
+        f"SELECT y, x, cdist "
+        f"FROM read_parquet('{_pins.ensure_costpin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_sieve"] = (

@@ -1814,3 +1814,76 @@ def ensure_flowpin() -> dict:
         return {"expected": "expected.parquet"}
 
     return _ensure_dir(f"flowpin-v{GEN_VERSION}.{FLOWPIN_V}", build)
+
+
+COSTPIN_V = 1
+COST_SOURCE_THRESHOLD = 150.0
+
+
+def ensure_costpin() -> dict:
+    """{'expected'} parquet for chamfer-3/4 cost distance: the
+    total-biomass raster rebuilt independently from the fixture
+    generator's pixel table, then a plain heapq DIJKSTRA over the
+    8-connected grid with the identical integer link costs
+    (3·(c(a)+c(b)) orthogonal, 4·(c(a)+c(b)) diagonal; sources =
+    µ-value > threshold at distance 0) — no tiling, no halo, no
+    supersteps (the engine decomposes the same metric into tile-local
+    min-plus scans + cross-tile settling rounds; pipelines/costdist).
+    """
+
+    def build(tmp: str) -> dict:
+        import heapq
+
+        from gridfia_ray import fixtures
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        grid = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        grid[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        thr_u = int(np.floor(COST_SOURCE_THRESHOLD * 1_000_000 + 0.5))
+        c = grid.ravel().tolist()
+        INF = 1 << 62
+        dist = [INF] * (n * n)
+        heap = []
+        for lin in np.nonzero(grid.ravel() > thr_u)[0].tolist():
+            dist[lin] = 0
+            heap.append((0, lin))
+        if not heap:
+            raise RuntimeError("costpin: no source pixel above threshold")
+        heapq.heapify(heap)
+        nbrs = [(-1, -1, 4), (-1, 0, 3), (-1, 1, 4), (0, -1, 3),
+                (0, 1, 3), (1, -1, 4), (1, 0, 3), (1, 1, 4)]
+        while heap:
+            dd, lin = heapq.heappop(heap)
+            if dd > dist[lin]:
+                continue
+            y, x = divmod(lin, n)
+            cl = c[lin]
+            for dy, dx, wgt in nbrs:
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < n and 0 <= nx < n:
+                    nl = ny * n + nx
+                    nd = dd + wgt * (cl + c[nl])
+                    if nd < dist[nl]:
+                        dist[nl] = nd
+                        heapq.heappush(heap, (nd, nl))
+        ys, xs = np.mgrid[0:n, 0:n]
+        exp = pa.table(
+            {
+                "y": pa.array(ys.reshape(-1).astype(np.int64)),
+                "x": pa.array(xs.reshape(-1).astype(np.int64)),
+                "cdist": pa.array(np.asarray(dist, dtype=np.int64)),
+            }
+        )
+        pq.write_table(exp, os.path.join(tmp, "expected.parquet"))
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"costpin-v{GEN_VERSION}.{COSTPIN_V}", build)

@@ -1,0 +1,383 @@
+"""Cost distance (ArcGIS CostDistance / GRASS r.cost analogue): per
+pixel the minimum ACCUMULATED traversal cost to reach any source pixel
+over the 8-connected grid, where stepping between adjacent pixels a→b
+costs ``3·(c(a)+c(b))`` orthogonally and ``4·(c(a)+c(b))`` diagonally —
+the classic Borgefors chamfer-3/4 integer weighting (≈ the Euclidean
+·(c(a)+c(b))/2 link cost scaled by 6), kept entirely in int64 so a
+sequential Dijkstra replay matches bit for bit.
+
+Distributed shape — the BFS/flow-accumulation superstep family:
+
+* state = one row per tile carrying the int64 cost and best-dist
+  buffers; sources (µ-value > threshold) start at 0, everything else
+  at ``_INF``.
+* each superstep is ONE keyed exchange: every tile's 1-px border
+  strips (dist + cost) ship to its 8 neighbors, tiles co-bucket with
+  their incoming strips, and a vectorized tile-local solve relaxes to
+  the tile's fixpoint given the frozen halo:
+    - vertical/diagonal propagation row-by-row (vectorized across the
+      row), and the within-row weighted propagation as an exact
+      min-plus scan: d_LR = P + min.accumulate(d − P) with P the
+      prefix sum of step weights — the scan unrolls to
+      min_{x'≤x}(d[x'] + P[x] − P[x']), the true sequential recursion;
+    - forward/backward sweeps alternate until the tile is stable.
+  Halo cells are READ-ONLY sources: their values are restored after
+  every row update, so no path is ever cached THROUGH a halo cell
+  (paths that exit and re-enter a tile are discovered over successive
+  supersteps instead — asynchronous Bellman-Ford, monotone and exact
+  at the fixpoint).
+* the driver holds one integer per round (the changed-tile count);
+  convergence in O(tile-graph diameter) rounds, the same bound as the
+  flow/BFS supersteps.
+
+Scale note: state is O(raster), strips are O(perimeter), and every
+round is one bucketed exchange — no broadcast, no driver fold. Skewed
+cost fields only affect round COUNT (long geodesics), not exchange
+volume.
+
+No counterpart in the GridFIA reference; this is the standard raster-
+engine companion to the proximity family (SURVEY §2.4), and the
+weighted generalization of ``pipelines/distance``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+#: unreachable sentinel. Real accumulated costs stay far below:
+#: path ≤ 2·10⁶ steps × weight ≤ 8·(10⁹+10⁹) < 2⁵⁴.
+_INF = np.int64(1) << 60
+
+_W_ORTH = np.int64(3)
+_W_DIAG = np.int64(4)
+
+_STATE = pa.schema(
+    [
+        ("metric", pa.string()),
+        ("tile_row", pa.int64()),
+        ("tile_col", pa.int64()),
+        ("h", pa.int64()),
+        ("w", pa.int64()),
+        ("y0", pa.int64()),  # global pixel offset of the tile's origin
+        ("x0", pa.int64()),
+        ("kind", pa.int64()),  # 0 = tile, 1 = border strip
+        ("side", pa.int64()),  # strip placement (receiver view), -1 for tiles
+        ("cost", pa.binary()),
+        ("dist", pa.binary()),
+        ("changed", pa.int64()),
+    ]
+)
+
+_OUT = pa.schema(
+    [("metric", pa.string()), ("y", pa.int64()), ("x", pa.int64()),
+     ("cdist", pa.int64())]
+)
+
+
+def _minplus_row(d: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Exact left-to-right weighted relaxation along one row: step into
+    x from x−1 costs 3·(c[x−1]+c[x])."""
+    s = np.zeros_like(c)
+    s[1:] = _W_ORTH * (c[:-1] + c[1:])
+    P = np.cumsum(s)
+    return np.minimum(d, P + np.minimum.accumulate(d - P))
+
+
+def _local_solve(dist_p: np.ndarray, cost_p: np.ndarray) -> None:
+    """Relax the PADDED dist array in place to the tile-local fixpoint.
+    Interior rows/cols are 1..h, 1..w; the halo ring is read-only."""
+    H, W = dist_p.shape
+    halo_l = dist_p[:, 0].copy()
+    halo_r = dist_p[:, -1].copy()
+
+    def sweep(rows, off) -> bool:
+        changed = False
+        for y in rows:
+            prev_d, prev_c = dist_p[y + off], cost_p[y + off]
+            row_c = cost_p[y]
+            cand = prev_d + _W_ORTH * (prev_c + row_c)
+            diag = np.full(W, _INF, np.int64)
+            diag[1:] = prev_d[:-1] + _W_DIAG * (prev_c[:-1] + row_c[1:])
+            np.minimum(cand, diag, out=cand)
+            diag[:] = _INF
+            diag[:-1] = prev_d[1:] + _W_DIAG * (prev_c[1:] + row_c[:-1])
+            np.minimum(cand, diag, out=cand)
+            new = np.minimum(dist_p[y], cand)
+            new = _minplus_row(new, row_c)
+            new = _minplus_row(new[::-1], row_c[::-1])[::-1]
+            # halo columns are read-only sources, never caches
+            new[0] = halo_l[y]
+            new[-1] = halo_r[y]
+            if not changed and (new < dist_p[y]).any():
+                changed = True
+            dist_p[y] = new
+        return changed
+
+    limit = 4 * (H + W) + 16
+    for _ in range(limit):
+        ch = sweep(range(1, H - 1), -1)
+        ch |= sweep(range(H - 2, 0, -1), +1)
+        if not ch:
+            return
+    raise RuntimeError("cost_distance: tile-local solve did not converge")
+
+
+def _strip_rows(r: pd.Series) -> list[dict]:
+    h, w = int(r["h"]), int(r["w"])
+    dist = np.frombuffer(r["dist"], np.int64).reshape(h, w)
+    cost = np.frombuffer(r["cost"], np.int64).reshape(h, w)
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            dtr, dtc = int(r["tile_row"]) + dy, int(r["tile_col"]) + dx
+            if dtr < 0 or dtc < 0:
+                continue
+            ys = {-1: slice(0, 1), 0: slice(0, h), 1: slice(h - 1, h)}[dy]
+            xs = {-1: slice(0, 1), 0: slice(0, w), 1: slice(w - 1, w)}[dx]
+            out.append(
+                {
+                    "metric": r["metric"],
+                    "tile_row": dtr,
+                    "tile_col": dtc,
+                    "h": 0,
+                    "w": 0,
+                    "y0": 0,
+                    "x0": 0,
+                    "kind": 1,
+                    # placement from the receiver's perspective
+                    "side": (-dy + 1) * 3 + (-dx + 1),
+                    "cost": cost[ys, xs].tobytes(),
+                    "dist": dist[ys, xs].tobytes(),
+                    "changed": 0,
+                }
+            )
+    return out
+
+
+def _place(pad: np.ndarray, side: int, vals: np.ndarray) -> None:
+    h, w = pad.shape[0] - 2, pad.shape[1] - 2
+    dy, dx = side // 3 - 1, side % 3 - 1
+    yy = {-1: slice(0, 1), 0: slice(1, h + 1), 1: slice(h + 1, h + 2)}[dy]
+    xx = {-1: slice(0, 1), 0: slice(1, w + 1), 1: slice(w + 1, w + 2)}[dx]
+    ny = 1 if dy else h
+    nx = 1 if dx else w
+    pad[yy, xx] = vals.reshape(ny, nx)
+
+
+def _solve_group(group: pd.DataFrame) -> pd.DataFrame:
+    tiles = group[group["kind"] == 0]
+    if len(tiles) == 0:  # strips aimed past the raster edge
+        return pd.DataFrame({f.name: [] for f in _STATE})
+    r = tiles.iloc[0]
+    h, w = int(r["h"]), int(r["w"])
+    dist = np.frombuffer(r["dist"], np.int64).reshape(h, w)
+    cost = np.frombuffer(r["cost"], np.int64).reshape(h, w)
+    dist_p = np.full((h + 2, w + 2), _INF, np.int64)
+    cost_p = np.zeros((h + 2, w + 2), np.int64)
+    dist_p[1:-1, 1:-1] = dist
+    cost_p[1:-1, 1:-1] = cost
+    for _, s in group[group["kind"] == 1].iterrows():
+        _place(dist_p, int(s["side"]), np.frombuffer(s["dist"], np.int64))
+        _place(cost_p, int(s["side"]), np.frombuffer(s["cost"], np.int64))
+    _local_solve(dist_p, cost_p)
+    new = dist_p[1:-1, 1:-1]
+    return pd.DataFrame(
+        [
+            {
+                "metric": r["metric"],
+                "tile_row": int(r["tile_row"]),
+                "tile_col": int(r["tile_col"]),
+                "h": h,
+                "w": w,
+                "y0": int(r["y0"]),
+                "x0": int(r["x0"]),
+                "kind": 0,
+                "side": -1,
+                "cost": r["cost"],
+                "dist": new.tobytes(),
+                "changed": int((new != dist).any()),
+            }
+        ]
+    )
+
+
+def _coarsen_state(state: rd.Dataset, factor: int, n_buckets: int) -> rd.Dataset:
+    """Merge ``factor``×``factor`` tile blocks into super-tiles (ONE
+    keyed exchange). Convergence rounds scale with the TILE-graph
+    diameter, so coarsening divides the round count by ``factor`` at
+    the price of ``factor``²-larger per-task solves — the knob that
+    trades superstep latency against task memory/parallelism."""
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__sr"] = batch["tile_row"] // factor
+        batch["__sc"] = batch["tile_col"] // factor
+        return batch
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        y0 = int(group["y0"].min())
+        x0 = int(group["x0"].min())
+        H = int((group["y0"] - y0 + group["h"]).max())
+        W = int((group["x0"] - x0 + group["w"]).max())
+        cost = np.zeros((H, W), np.int64)
+        dist = np.full((H, W), _INF, np.int64)
+        covered = np.zeros((H, W), bool)
+        for _, r in group.iterrows():
+            oy, ox = int(r["y0"]) - y0, int(r["x0"]) - x0
+            h, w = int(r["h"]), int(r["w"])
+            cost[oy:oy + h, ox:ox + w] = np.frombuffer(r["cost"], np.int64).reshape(h, w)
+            dist[oy:oy + h, ox:ox + w] = np.frombuffer(r["dist"], np.int64).reshape(h, w)
+            covered[oy:oy + h, ox:ox + w] = True
+        if not covered.all():
+            raise ValueError(
+                "cost_distance: coarsen block is not a full rectangle "
+                "(sparse or non-contiguous tile set)"
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "metric": group["metric"].iloc[0],
+                    "tile_row": int(group["__sr"].iloc[0]),
+                    "tile_col": int(group["__sc"].iloc[0]),
+                    "h": H,
+                    "w": W,
+                    "y0": y0,
+                    "x0": x0,
+                    "kind": 0,
+                    "side": -1,
+                    "cost": cost.tobytes(),
+                    "dist": dist.tobytes(),
+                    "changed": int(group["changed"].sum()),
+                }
+            ]
+        )
+
+    return bucketed_group_map(
+        state.map_batches(key, batch_format="pandas"),
+        ["metric", "__sr", "__sc"],
+        assemble,
+        n_buckets=n_buckets,
+        out_schema=_STATE,
+    )
+
+
+def cost_distance_tiles(
+    result: rd.Dataset,
+    source_threshold: float,
+    n_buckets: int = 64,
+    max_rounds: int = 256,
+    coarsen: int = 1,
+) -> rd.Dataset:
+    """Chamfer-3/4 integer cost distance over a result-tile dataset →
+    rows (metric, y, x, cdist). Sources are pixels whose micro-scaled
+    value exceeds ``floor(threshold·1e6 + 0.5)``; the traversal cost of
+    a pixel is its micro-scaled value itself (must be ≥ 0). Raises if
+    no source pixel exists anywhere."""
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    thr_u = int(np.floor(source_threshold * 1_000_000 + 0.5))
+
+    def init(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in batch.iterrows():
+            h, w = int(r["h"]), int(r["w"])
+            arr = np.frombuffer(r["pix"], np.dtype(r["dtype"])).reshape(h, w)
+            u = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+            if (u < 0).any():
+                raise ValueError(
+                    "cost_distance: negative traversal cost in tile "
+                    f"({r['tile_row']}, {r['tile_col']})"
+                )
+            src = u > thr_u
+            dist = np.where(src, np.int64(0), _INF)
+            out.append(
+                {
+                    "metric": r["metric"],
+                    "tile_row": int(r["tile_row"]),
+                    "tile_col": int(r["tile_col"]),
+                    "h": h,
+                    "w": w,
+                    "y0": int(r["tile_row"]) * h,
+                    "x0": int(r["tile_col"]) * w,
+                    "kind": 0,
+                    "side": -1,
+                    "cost": u.tobytes(),
+                    "dist": dist.tobytes(),
+                    "changed": int(src.sum()),
+                }
+            )
+        return pd.DataFrame(out)
+
+    from gridfia_ray.stages.agg_util import to_arrow
+
+    state = result.map_batches(
+        lambda b: to_arrow(init(b), _STATE), batch_format="pandas"
+    ).materialize()
+    if int(state.sum("changed") or 0) == 0:
+        raise ValueError("cost_distance: no source pixel above threshold")
+    if coarsen > 1:
+        state = _coarsen_state(state, coarsen, n_buckets).materialize()
+    # fewer buckets than live tiles: empty sort partitions emit
+    # schema-less blocks that churn the executor's schema tracking
+    loop_buckets = max(1, min(n_buckets, state.count() // 2 or 1))
+
+    def strips(batch: pd.DataFrame) -> pa.Table:
+        rows: list[dict] = []
+        for _, r in batch.iterrows():
+            rows.extend(_strip_rows(r))
+        return to_arrow(pd.DataFrame(rows, columns=[f.name for f in _STATE]), _STATE)
+
+    for _ in range(max_rounds):
+        merged = state.union(
+            state.map_batches(strips, batch_format="pandas")
+        )
+        state = bucketed_group_map(
+            merged,
+            ["metric", "tile_row", "tile_col"],
+            _solve_group,
+            n_buckets=loop_buckets,
+            out_schema=_STATE,
+        ).materialize()
+        if int(state.sum("changed") or 0) == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"cost_distance: no convergence in {max_rounds} supersteps"
+        )
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        batch = tbl.to_pandas() if tbl.num_rows else None
+        frames = []
+        if batch is not None:
+            for _, r in batch.iterrows():
+                h, w = int(r["h"]), int(r["w"])
+                dist = np.frombuffer(r["dist"], np.int64).reshape(h, w)
+                if (dist >= _INF).any():
+                    raise ValueError(
+                        "cost_distance: unreachable pixels after convergence"
+                    )
+                yy, xx = np.meshgrid(
+                    np.arange(h, dtype=np.int64), np.arange(w, dtype=np.int64),
+                    indexing="ij",
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "metric": r["metric"],
+                            "y": (yy + int(r["y0"])).ravel(),
+                            "x": (xx + int(r["x0"])).ravel(),
+                            "cdist": dist.ravel(),
+                        }
+                    )
+                )
+        if not frames:
+            return to_arrow(pd.DataFrame(columns=[f.name for f in _OUT]), _OUT)
+        return to_arrow(pd.concat(frames, ignore_index=True), _OUT)
+
+    return state.map_batches(explode, batch_format="pyarrow")

@@ -1,0 +1,135 @@
+"""Chamfer-3/4 cost distance (pipelines/costdist) vs a brute-force
+Dijkstra oracle, plus coarsening equivalence, partition invariance and
+the guard rails."""
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gridfia_ray.pipelines.costdist import cost_distance_tiles
+
+
+def _raster(rng, tiles_y=2, tiles_x=3, h=5, w=5, p_source=0.05):
+    rows = []
+    g = np.zeros((tiles_y * h, tiles_x * w))
+    for tr in range(tiles_y):
+        for tc in range(tiles_x):
+            arr = np.where(rng.rand(h, w) < p_source, 80.0, 0.0) + 3.0 * rng.rand(h, w)
+            g[tr * h:(tr + 1) * h, tc * w:(tc + 1) * w] = arr
+            rows.append(
+                {"metric": "total_biomass", "tile_row": tr, "tile_col": tc,
+                 "h": h, "w": w, "pix": arr.tobytes(), "dtype": "float64"}
+            )
+    return pd.DataFrame(rows), g
+
+
+def _brute(g, threshold):
+    u = np.floor(g * 1e6 + 0.5).astype(np.int64)
+    thr_u = int(np.floor(threshold * 1e6 + 0.5))
+    H, W = g.shape
+    c = u.ravel().tolist()
+    INF = 1 << 62
+    dist = [INF] * (H * W)
+    heap = [(0, int(lin)) for lin in np.nonzero(u.ravel() > thr_u)[0]]
+    for _, lin in heap:
+        dist[lin] = 0
+    heapq.heapify(heap)
+    nbrs = [(-1, -1, 4), (-1, 0, 3), (-1, 1, 4), (0, -1, 3),
+            (0, 1, 3), (1, -1, 4), (1, 0, 3), (1, 1, 4)]
+    while heap:
+        dd, lin = heapq.heappop(heap)
+        if dd > dist[lin]:
+            continue
+        y, x = divmod(lin, W)
+        for dy, dx, wgt in nbrs:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < H and 0 <= nx < W:
+                nl = ny * W + nx
+                nd = dd + wgt * (c[lin] + c[nl])
+                if nd < dist[nl]:
+                    dist[nl] = nd
+                    heapq.heappush(heap, (nd, nl))
+    return np.asarray(dist, np.int64).reshape(H, W)
+
+
+def _run(df, threshold=50.0, **kw):
+    return (
+        cost_distance_tiles(rd.from_pandas(df), threshold, **kw)
+        .to_pandas()
+        .sort_values(["y", "x"])
+        .reset_index(drop=True)
+    )
+
+
+class TestCostDistance:
+    def test_matches_dijkstra(self, ray_session):
+        rng = np.random.RandomState(11)
+        df, g = _raster(rng)
+        got = _run(df, n_buckets=8)
+        want = _brute(g, 50.0)
+        assert len(got) == g.size
+        grid = np.full(g.shape, -1, np.int64)
+        grid[got["y"], got["x"]] = got["cdist"]
+        np.testing.assert_array_equal(grid, want)
+
+    def test_sources_are_zero_and_costs_positive(self, ray_session):
+        rng = np.random.RandomState(12)
+        df, g = _raster(rng, p_source=0.15)
+        got = _run(df)
+        u = np.floor(g * 1e6 + 0.5).astype(np.int64)
+        src = got.apply(lambda r: u[int(r["y"]), int(r["x"])] > 50_000_000, axis=1)
+        assert (got.loc[src, "cdist"] == 0).all()
+        assert (got.loc[~src, "cdist"] > 0).all()
+
+    def test_coarsen_equivalent(self, ray_session):
+        rng = np.random.RandomState(13)
+        df, _ = _raster(rng, tiles_y=4, tiles_x=4, h=4, w=4)
+        a = _run(df, coarsen=1, n_buckets=8)
+        b = _run(df, coarsen=2, n_buckets=8)
+        c = _run(df, coarsen=4, n_buckets=4)
+        pd.testing.assert_frame_equal(a, b)
+        pd.testing.assert_frame_equal(a, c)
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.RandomState(14)
+        df, _ = _raster(rng, tiles_y=3, tiles_x=2, h=4, w=4)
+        a = (cost_distance_tiles(rd.from_pandas(df).repartition(2), 50.0, n_buckets=3)
+             .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        b = (cost_distance_tiles(rd.from_pandas(df).repartition(6), 50.0, n_buckets=5)
+             .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_zero_cost_corridor(self, ray_session):
+        # a free corridor must carry distance 0 along it from the source
+        arr = np.full((4, 8), 5.0)
+        arr[2, :] = 0.0
+        arr[2, 0] = 99.0  # source sits on the corridor
+        df = pd.DataFrame([{ "metric": "m", "tile_row": 0, "tile_col": 0,
+                             "h": 4, "w": 8, "pix": arr.tobytes(),
+                             "dtype": "float64"}])
+        got = _run(df).set_index(["y", "x"])
+        # stepping from the expensive source pixel into the corridor
+        # costs 3·(99e6 + 0); every further corridor step costs 0
+        assert got.loc[(2, 1), "cdist"] == 3 * 99_000_000
+        assert got.loc[(2, 7), "cdist"] == 3 * 99_000_000
+
+    def test_no_sources_raises(self, ray_session):
+        arr = np.ones((4, 4))
+        df = pd.DataFrame([{ "metric": "m", "tile_row": 0, "tile_col": 0,
+                             "h": 4, "w": 4, "pix": arr.tobytes(),
+                             "dtype": "float64"}])
+        with pytest.raises(Exception, match="no source pixel"):
+            cost_distance_tiles(rd.from_pandas(df), 50.0).to_pandas()
+
+    def test_negative_cost_raises(self, ray_session):
+        arr = np.ones((4, 4))
+        arr[1, 1] = -2.0
+        arr[0, 0] = 99.0
+        df = pd.DataFrame([{ "metric": "m", "tile_row": 0, "tile_col": 0,
+                             "h": 4, "w": 4, "pix": arr.tobytes(),
+                             "dtype": "float64"}])
+        with pytest.raises(Exception, match="negative traversal cost"):
+            cost_distance_tiles(rd.from_pandas(df), 50.0).to_pandas()
