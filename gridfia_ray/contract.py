@@ -398,6 +398,22 @@ def q_focal_tpi(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_focal_curvature(sf_dir: str) -> pd.DataFrame:
+    """Zevenbergen–Thorne general curvature of the total-biomass
+    raster (pipelines/focal.focal_curvature_tiles — the exact
+    4-neighbor integer Laplacian lap4_u), interior pixels only, vs the
+    windowed self-join oracle."""
+    from gridfia_ray.pipelines.focal import focal_curvature_tiles
+
+    f = _fx()
+    out = focal_curvature_tiles(_total_biomass_result(f)).to_pandas()[
+        ["y", "x", "lap4_u"]
+    ]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_focal_aspect(sf_dir: str) -> pd.DataFrame:
     """Aspect-octant raster of the total-biomass surface (pipelines/
     focal.focal_aspect_tiles — exact integer 45°-sector classification
@@ -5546,6 +5562,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_patchify": q_patchify,
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
+        "gf_focal_curvature": q_focal_curvature,
         "gf_focal_median": q_focal_median,
         "gf_focal_majority": q_focal_majority,
         "gf_focal_aspect": q_focal_aspect,
@@ -5908,6 +5925,20 @@ def build_oracle_sql() -> dict[str, str]:
           ON b.y BETWEEN a.y - 1 AND a.y + 1
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x, a.v
+        HAVING COUNT(*) = 9"""
+    sql["gf_focal_curvature"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
+        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
+               CAST(SUM(b.v * (CASE
+                   WHEN abs(b.y - a.y) + abs(b.x - a.x) = 1 THEN 1
+                   WHEN b.y = a.y AND b.x = a.x THEN -4
+                   ELSE 0 END)) AS BIGINT) AS lap4_u
+        FROM u a JOIN u b
+          ON b.y BETWEEN a.y - 1 AND a.y + 1
+         AND b.x BETWEEN a.x - 1 AND a.x + 1
+        GROUP BY a.y, a.x
         HAVING COUNT(*) = 9"""
     sql["gf_focal_aspect"] = f"""
         {species_cte},

@@ -428,6 +428,35 @@ def focal_tpi_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     return _halo_pipeline(result, "focal_tpi_tiles", window, empty, n_buckets)
 
 
+def focal_curvature_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Zevenbergen & Thorne (1987) GENERAL curvature over a result-tile
+    dataset — ArcGIS Curvature's −2(D+E) core, kept exact as the
+    4-neighbor integer Laplacian in the micro-scaled domain:
+    ``lap4_u = N + S + E + W − 4·center`` (= −2·L²·curvature·10⁶ up to
+    the cell-size constant), via the same halo exchange as TPI.
+    Interior pixels only; completes the slope/aspect/hillshade/TPI
+    surface family."""
+    empty = pd.DataFrame(
+        {"metric": pd.Series(dtype=str),
+         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+         "lap4_u": pd.Series(dtype=np.int64)}
+    )
+
+    def window(P, pres, h, w):
+        c = P[1 : h + 1, 1 : w + 1]
+        lap4 = (
+            P[0:h, 1 : w + 1]          # N
+            + P[2 : h + 2, 1 : w + 1]  # S
+            + P[1 : h + 1, 0:w]        # W
+            + P[1 : h + 1, 2 : w + 2]  # E
+            - 4 * c
+        )
+        interior = _window_sums(pres) == 9
+        return {"lap4_u": lap4}, interior
+
+    return _halo_pipeline(result, "focal_curvature_tiles", window, empty, n_buckets)
+
+
 def aspect_octants(ddx_u: np.ndarray, ddy_u: np.ndarray) -> np.ndarray:
     """8-way compass aspect (direction of steepest DESCENT) from Horn
     components — the exact-integer discretization of the classic aspect

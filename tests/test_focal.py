@@ -311,3 +311,30 @@ class TestFocalMajority:
             rd.from_pandas(self._int_tiles(g, 4, 4)), n_buckets=4
         ).to_pandas()
         assert (out["maj"] == 3).all()  # not 3,000,000
+
+
+class TestFocalCurvature:
+    def test_matches_brute_force(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_curvature_tiles
+
+        rng = np.random.RandomState(21)
+        df, g = _raster(rng, tiles_y=2, tiles_x=2, h=6, w=6)
+        got = (focal_curvature_tiles(rd.from_pandas(df).repartition(3), n_buckets=8)
+               .to_pandas().set_index(["y", "x"])["lap4_u"])
+        u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+        H, W = g.shape
+        assert len(got) == (H - 2) * (W - 2)  # interior only
+        for y in range(1, H - 1):
+            for x in range(1, W - 1):
+                want = u[y - 1, x] + u[y + 1, x] + u[y, x - 1] + u[y, x + 1] - 4 * u[y, x]
+                assert got.loc[(y, x)] == want, (y, x)
+
+    def test_flat_surface_zero(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_curvature_tiles
+
+        arr = np.full((6, 6), 7.25)
+        df = pd.DataFrame([{ "metric": "m", "tile_row": 0, "tile_col": 0,
+                             "h": 6, "w": 6, "pix": arr.tobytes(),
+                             "dtype": "float64"}])
+        got = focal_curvature_tiles(rd.from_pandas(df)).to_pandas()
+        assert (got["lap4_u"] == 0).all()
