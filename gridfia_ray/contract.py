@@ -1345,6 +1345,51 @@ def q_zonal_raster_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_tabulate_area(sf_dir: str) -> pd.DataFrame:
+    """ArcGIS TabulateArea (pipelines/zonal.tabulate_area): cross-tab
+    pixel counts between the rasterized zone layer and the exact global
+    NTILE(5) classes of the total-biomass raster — zone × quantile
+    class areas in one pid-bucketed exchange, vs the pixel-geometry +
+    SQL-NTILE oracle."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines import zonal as Z
+    from gridfia_ray.pipelines.rank import ntile_exact
+
+    f = _fx()
+    g = int(f["meta"]["grid"])
+    n_px = g * int(f["meta"]["tile"])
+    pix = M.metrics_to_pixels(_total_biomass_result(f))
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pid": (b["y"] * n_px + b["x"]).astype(np.int64),
+                "v_u": s6(b["value"]),
+            }
+        )
+
+    classed = ntile_exact(
+        pix.map_batches(prep, batch_format="pandas"), "v_u", "pid", 5
+    )
+
+    def sel(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pid": b["pid"].astype(np.int64), "class": b["tile"].astype(np.int64)}
+        )
+
+    out = Z.tabulate_area(
+        classed.map_batches(sel, batch_format="pandas"),
+        Z.load_zones(f["zones"]),
+        f["spec"],
+        g,
+        g,
+    )
+    out["zone_id"] = out["zone_id"].astype(str)
+    for c in ("class", "n_px"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def q_knn_idw(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines import knn as K
 
@@ -5508,6 +5553,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_majority": q_zonal_majority,
         "gf_zonal_histogram": q_zonal_histogram,
         "gf_zonal_raster_stats": q_zonal_raster_stats,
+        "gf_tabulate_area": q_tabulate_area,
         "gf_quantile_classes": q_quantile_classes,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
@@ -6229,6 +6275,19 @@ def build_oracle_sql() -> dict[str, str]:
                MAX(u.v) AS max_u, CAST(SUM(u.v) AS BIGINT) AS sum_u
         FROM u JOIN z USING (y, x)
         GROUP BY z.zone_id ORDER BY z.zone_id"""
+    sql["gf_tabulate_area"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        cl AS (SELECT y, x,
+               CAST(NTILE(5) OVER (ORDER BY v, y * {_n_px} + x) AS BIGINT)
+                 AS class
+               FROM u),
+        z AS (SELECT y, x, MIN(zone_id) AS zone_id
+              FROM read_parquet('{PZ}') GROUP BY y, x)
+        SELECT z.zone_id, cl.class, CAST(COUNT(*) AS BIGINT) AS n_px
+        FROM cl JOIN z USING (y, x)
+        GROUP BY 1, 2"""
     sql["gf_zonal_majority"] = f"""
         {species_cte},
         c AS (

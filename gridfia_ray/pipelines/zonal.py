@@ -722,3 +722,110 @@ def rasterize_zones(
     # catalog in INDEX order (pixel value i of the burn means zone_ids[i])
     zone_ids = [str(z["zone_id"]) for z in zones]
     return burned, zone_ids
+
+
+def tabulate_area(
+    class_rows: rd.Dataset,
+    zones: list[dict],
+    spec: GridSpec,
+    grid_rows: int,
+    grid_cols: int,
+    *,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """ArcGIS TabulateArea: cross-tabulated pixel counts between the
+    rasterized zone layer and an integer per-pixel class raster —
+    per (zone, class) the number of pixels where both coincide.
+
+    ``class_rows`` carries (pid, class): pid = y·(grid_cols·tile)+x and
+    class ≥ 0 (e.g. the exact NTILE classes of pipelines/rank). The
+    zone layer is the :func:`rasterize_zones` burn (overlaps → smallest
+    zone_id). ONE pid-bucketed exchange co-locates burn pixels with
+    class rows; each bucket inner-merges on pid and emits (zone, class)
+    count partials — every pid lives in exactly one bucket, so partials
+    are disjoint per bucket and the driver folds only
+    buckets × zones × classes rows (provably small)."""
+    from gridfia_ray.stages.agg_util import to_arrow
+    from gridfia_ray.stages.dedup_util import bucket_of
+
+    burned, zone_ids = rasterize_zones(zones, spec, grid_rows, grid_cols)
+    W = grid_cols * spec.tile
+
+    pair_schema = pa.schema(
+        [("pid", pa.int64()), ("zi", pa.int64()), ("cls", pa.int64())]
+    )
+
+    def burn_explode(b: pd.DataFrame) -> pa.Table:
+        pids, zis = [], []
+        for _, r in b.iterrows():
+            h, w = int(r["h"]), int(r["w"])
+            zi = np.frombuffer(r["pix"], np.int32).reshape(h, w)
+            yy, xx = np.nonzero(zi >= 0)
+            if len(yy) == 0:
+                continue
+            pid = (yy.astype(np.int64) + int(r["tile_row"]) * h) * W + (
+                xx.astype(np.int64) + int(r["tile_col"]) * w
+            )
+            pids.append(pid)
+            zis.append(zi[yy, xx].astype(np.int64))
+        if pids:
+            df = pd.DataFrame(
+                {"pid": np.concatenate(pids), "zi": np.concatenate(zis)}
+            )
+        else:
+            df = pd.DataFrame(
+                {"pid": pd.Series(dtype=np.int64), "zi": pd.Series(dtype=np.int64)}
+            )
+        df["cls"] = np.int64(-1)
+        return to_arrow(df, pair_schema)
+
+    def class_side(b: pd.DataFrame) -> pa.Table:
+        cls = b["class"].to_numpy(np.int64)
+        if (cls < 0).any():
+            raise ValueError("tabulate_area: class values must be >= 0")
+        df = pd.DataFrame(
+            {
+                "pid": b["pid"].to_numpy(np.int64),
+                "zi": np.full(len(b), -1, np.int64),
+                "cls": cls,
+            }
+        )
+        return to_arrow(df, pair_schema)
+
+    both = burned.map_batches(burn_explode, batch_format="pandas").union(
+        class_rows.map_batches(class_side, batch_format="pandas")
+    )
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = bucket_of(batch, ["pid"], n_buckets)
+        return batch
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        zs = g.loc[g["zi"] >= 0, ["pid", "zi"]]
+        cs = g.loc[g["cls"] >= 0, ["pid", "cls"]]
+        m = zs.merge(cs, on="pid", how="inner")
+        out = m.groupby(["zi", "cls"]).size().reset_index(name="n_px")
+        return out.astype(np.int64)
+
+    partials = (
+        both.map_batches(bucket, batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("__bucket")
+        .map_groups(count_pairs, batch_format="pandas")
+        .to_pandas()  # bounded: buckets × zones × classes
+    )
+    if len(partials) == 0:
+        return pd.DataFrame(
+            {"zone_id": pd.Series(dtype=str),
+             "class": pd.Series(dtype=np.int64),
+             "n_px": pd.Series(dtype=np.int64)}
+        )
+    agg = partials.groupby(["zi", "cls"], as_index=False)["n_px"].sum()
+    return pd.DataFrame(
+        {
+            "zone_id": [zone_ids[int(i)] for i in agg["zi"]],
+            "class": agg["cls"].astype(np.int64),
+            "n_px": agg["n_px"].astype(np.int64),
+        }
+    ).sort_values(["zone_id", "class"]).reset_index(drop=True)

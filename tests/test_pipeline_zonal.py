@@ -214,3 +214,102 @@ class TestZonalResultStats:
         assert len(got) == len(want) > 0
         for c in ("n_px", "min_u", "max_u", "sum_u"):
             assert (got[c].to_numpy() == want[c].to_numpy(np.int64)).all(), c
+
+
+class TestTabulateArea:
+    def test_matches_pixel_oracle(self, ray_session, t1_dir, duck):
+        """Zone × NTILE(5)-class cross-tab vs the independent pixel-
+        geometry + SQL-window replay on the t1 fixture."""
+        import os
+
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from gridfia_ray import fixtures
+        from gridfia_ray.kernels.registry import registry
+        from gridfia_ray.pipelines import metrics as M
+        from gridfia_ray.pipelines import zonal as Z
+        from gridfia_ray.pipelines.common import GridSpec
+        from gridfia_ray.pipelines.rank import ntile_exact
+
+        meta = fixtures.fixture_meta("t1")
+        spec = GridSpec.from_fixture_meta(meta)
+        catalog = ["0000"] + sorted(
+            s["species_code"] for s in meta["species"] if s["species_code"] != "0000"
+        )
+        res = M.run_metrics(
+            os.path.join(t1_dir, "tiles"),
+            registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+            spec,
+            catalog,
+            n_tiles_hint=meta["n_tiles"],
+            n_species_hint=meta["n_species"],
+            precise=True,
+        )
+        g = int(meta["grid"])
+        n_px = g * int(meta["tile"])
+        pix = M.metrics_to_pixels(res)
+
+        def prep(b):
+            return pd.DataFrame(
+                {
+                    "pid": (b["y"] * n_px + b["x"]).astype(np.int64),
+                    "v_u": np.floor(
+                        b["value"].to_numpy(np.float64) * 1_000_000 + 0.5
+                    ).astype(np.int64),
+                }
+            )
+
+        classed = ntile_exact(
+            pix.map_batches(prep, batch_format="pandas"), "v_u", "pid", 3
+        )
+
+        def sel(b):
+            return pd.DataFrame(
+                {"pid": b["pid"].astype(np.int64), "class": b["tile"].astype(np.int64)}
+            )
+
+        got = Z.tabulate_area(
+            classed.map_batches(sel, batch_format="pandas"),
+            Z.load_zones(os.path.join(t1_dir, "zones.parquet")),
+            spec,
+            g,
+            g,
+            n_buckets=4,
+        )
+        want = duck.execute(
+            f"""WITH p AS (SELECT * FROM pixels WHERE species_code <> '0000'),
+               tot AS (SELECT y, x, SUM(biomass) total FROM p GROUP BY y, x),
+               u AS (SELECT y, x,
+                     CAST(FLOOR(total*1000000 + 0.5) AS BIGINT) v FROM tot),
+               cl AS (SELECT y, x,
+                      CAST(NTILE(3) OVER (ORDER BY v, y*{n_px}+x) AS BIGINT) AS class
+                      FROM u),
+               z AS (SELECT y, x, MIN(zone_id) zone_id FROM pixel_zones
+                     GROUP BY y, x)
+               SELECT z.zone_id, cl.class, CAST(COUNT(*) AS BIGINT) AS n_px
+               FROM cl JOIN z USING (y, x)
+               GROUP BY 1, 2 ORDER BY 1, 2"""
+        ).df()
+        want["zone_id"] = want["zone_id"].astype(str)
+        for c in ("class", "n_px"):
+            want[c] = want[c].astype(np.int64)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+        # counts partition each zone's burned pixels
+        assert (got.groupby("zone_id")["n_px"].sum() > 0).all()
+
+    def test_class_validation(self, ray_session, zones, spec, t1_meta):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pt
+        import ray.data as rd
+
+        from gridfia_ray.pipelines import zonal as Z
+
+        g = int(t1_meta["grid"])
+        bad = rd.from_pandas(pd.DataFrame({"pid": [0, 1], "class": [1, -2]}))
+        with _pt.raises(Exception, match="class values must be >= 0"):
+            Z.tabulate_area(bad, zones, spec, g, g)
