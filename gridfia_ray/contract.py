@@ -545,6 +545,26 @@ def q_cost_distance(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_cost_backlink(sf_dir: str) -> pd.DataFrame:
+    """Cost back-link raster (pipelines/costdist.cost_backlink_tiles):
+    per pixel the D8 code of the first step on the least-cost path back
+    to the nearest source (−1 at sources), ties first-min-wins in D8
+    order. One extra strip exchange over the converged cost state;
+    oracle = the same argmin rule over the Dijkstra pin's distance
+    grid."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.costdist import cost_backlink_tiles
+
+    f = _fx()
+    out = cost_backlink_tiles(
+        _total_biomass_result(f),
+        source_threshold=oracle_pins.COST_SOURCE_THRESHOLD,
+        coarsen=4,
+    ).to_pandas()
+    res = out[["y", "x", "backlink"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_temporal_trend(sf_dir: str) -> pd.DataFrame:
     """Per-pixel biomass trend over a deterministic 5-year stack
     (pipelines/temporal — synthetic dated stack with integer closed
@@ -5602,6 +5622,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_distance_transform_l2": q_distance_transform_l2,
         "gf_euclidean_allocation": q_euclidean_allocation,
         "gf_cost_distance": q_cost_distance,
+        "gf_cost_backlink": q_cost_backlink,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
@@ -6558,6 +6579,11 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["gf_cost_distance"] = (
         f"SELECT y, x, cdist "
+        f"FROM read_parquet('{_pins.ensure_costpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_cost_backlink"] = (
+        f"SELECT y, x, backlink "
         f"FROM read_parquet('{_pins.ensure_costpin()['expected']}') "
         f"ORDER BY y, x"
     )

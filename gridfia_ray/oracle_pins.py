@@ -1816,7 +1816,7 @@ def ensure_flowpin() -> dict:
     return _ensure_dir(f"flowpin-v{GEN_VERSION}.{FLOWPIN_V}", build)
 
 
-COSTPIN_V = 1
+COSTPIN_V = 2  # v2: + backlink (first-min-wins D8 argmin over the dist grid)
 COST_SOURCE_THRESHOLD = 150.0
 
 
@@ -1875,12 +1875,35 @@ def ensure_costpin() -> dict:
                     if nd < dist[nl]:
                         dist[nl] = nd
                         heapq.heappush(heap, (nd, nl))
+        # backlink: first-min-wins D8 argmin of dist(n) + w·(c(n)+c(p))
+        # over the converged distance grid (the engine's identical rule)
+        from gridfia_ray.pipelines.flow import D8_OFFSETS
+
+        D = np.asarray(dist, dtype=np.int64).reshape(n, n)
+        C = grid
+        Dp = np.full((n + 2, n + 2), INF, np.int64)
+        Cp = np.zeros((n + 2, n + 2), np.int64)
+        Dp[1:-1, 1:-1] = D
+        Cp[1:-1, 1:-1] = C
+        best = np.full((n, n), INF, np.int64)
+        code = np.full((n, n), -1, np.int64)
+        for k, (dy, dx) in enumerate(D8_OFFSETS):
+            wgt = 3 if dy == 0 or dx == 0 else 4
+            cand = (
+                Dp[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n]
+                + wgt * (Cp[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n] + C)
+            )
+            better = cand < best
+            best[better] = cand[better]
+            code[better] = k
+        code[D == 0] = -1
         ys, xs = np.mgrid[0:n, 0:n]
         exp = pa.table(
             {
                 "y": pa.array(ys.reshape(-1).astype(np.int64)),
                 "x": pa.array(xs.reshape(-1).astype(np.int64)),
                 "cdist": pa.array(np.asarray(dist, dtype=np.int64)),
+                "backlink": pa.array(code.reshape(-1)),
             }
         )
         pq.write_table(exp, os.path.join(tmp, "expected.parquet"))

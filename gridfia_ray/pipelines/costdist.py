@@ -169,10 +169,12 @@ def _place(pad: np.ndarray, side: int, vals: np.ndarray) -> None:
     pad[yy, xx] = vals.reshape(ny, nx)
 
 
-def _solve_group(group: pd.DataFrame) -> pd.DataFrame:
+def _padded_from_group(group: pd.DataFrame):
+    """(tile_row_series, h, w, dist_p, cost_p) for a (tile + strips)
+    group, or None when no tile lives at these coordinates."""
     tiles = group[group["kind"] == 0]
     if len(tiles) == 0:  # strips aimed past the raster edge
-        return pd.DataFrame({f.name: [] for f in _STATE})
+        return None
     r = tiles.iloc[0]
     h, w = int(r["h"]), int(r["w"])
     dist = np.frombuffer(r["dist"], np.int64).reshape(h, w)
@@ -184,6 +186,14 @@ def _solve_group(group: pd.DataFrame) -> pd.DataFrame:
     for _, s in group[group["kind"] == 1].iterrows():
         _place(dist_p, int(s["side"]), np.frombuffer(s["dist"], np.int64))
         _place(cost_p, int(s["side"]), np.frombuffer(s["cost"], np.int64))
+    return r, h, w, dist, dist_p, cost_p
+
+
+def _solve_group(group: pd.DataFrame) -> pd.DataFrame:
+    padded = _padded_from_group(group)
+    if padded is None:
+        return pd.DataFrame({f.name: [] for f in _STATE})
+    r, h, w, dist, dist_p, cost_p = padded
     _local_solve(dist_p, cost_p)
     new = dist_p[1:-1, 1:-1]
     return pd.DataFrame(
@@ -267,18 +277,16 @@ def _coarsen_state(state: rd.Dataset, factor: int, n_buckets: int) -> rd.Dataset
     )
 
 
-def cost_distance_tiles(
+def _converged_cost_state(
     result: rd.Dataset,
     source_threshold: float,
-    n_buckets: int = 64,
-    max_rounds: int = 256,
-    coarsen: int = 1,
+    n_buckets: int,
+    max_rounds: int,
+    coarsen: int,
 ) -> rd.Dataset:
-    """Chamfer-3/4 integer cost distance over a result-tile dataset →
-    rows (metric, y, x, cdist). Sources are pixels whose micro-scaled
-    value exceeds ``floor(threshold·1e6 + 0.5)``; the traversal cost of
-    a pixel is its micro-scaled value itself (must be ≥ 0). Raises if
-    no source pixel exists anywhere."""
+    """Run the superstep relaxation to the global fixpoint; returns the
+    converged tile-state dataset (shared by the distance and backlink
+    surfaces)."""
     from gridfia_ray.stages.agg_util import bucketed_group_map
 
     thr_u = int(np.floor(source_threshold * 1_000_000 + 0.5))
@@ -350,6 +358,26 @@ def cost_distance_tiles(
         raise RuntimeError(
             f"cost_distance: no convergence in {max_rounds} supersteps"
         )
+    return state
+
+
+def cost_distance_tiles(
+    result: rd.Dataset,
+    source_threshold: float,
+    n_buckets: int = 64,
+    max_rounds: int = 256,
+    coarsen: int = 1,
+) -> rd.Dataset:
+    """Chamfer-3/4 integer cost distance over a result-tile dataset →
+    rows (metric, y, x, cdist). Sources are pixels whose micro-scaled
+    value exceeds ``floor(threshold·1e6 + 0.5)``; the traversal cost of
+    a pixel is its micro-scaled value itself (must be ≥ 0). Raises if
+    no source pixel exists anywhere."""
+    from gridfia_ray.stages.agg_util import to_arrow
+
+    state = _converged_cost_state(
+        result, source_threshold, n_buckets, max_rounds, coarsen
+    )
 
     def explode(tbl: pa.Table) -> pa.Table:
         batch = tbl.to_pandas() if tbl.num_rows else None
@@ -381,3 +409,88 @@ def cost_distance_tiles(
         return to_arrow(pd.concat(frames, ignore_index=True), _OUT)
 
     return state.map_batches(explode, batch_format="pyarrow")
+
+
+_BL_OUT = pa.schema(
+    [("metric", pa.string()), ("y", pa.int64()), ("x", pa.int64()),
+     ("backlink", pa.int64())]
+)
+
+
+def cost_backlink_tiles(
+    result: rd.Dataset,
+    source_threshold: float,
+    n_buckets: int = 64,
+    max_rounds: int = 256,
+    coarsen: int = 1,
+) -> rd.Dataset:
+    """Cost back-link raster (ArcGIS CostBackLink): for every
+    non-source pixel the D8 code (``pipelines/flow.D8_OFFSETS`` order)
+    of the neighbor n minimizing ``dist(n) + w·(c(n)+c(p))`` — the
+    first step of the least-cost path back to the nearest source; −1
+    at sources. Ties break first-min-wins in D8 order (strict <), so
+    the surface is bit-deterministic and the Dijkstra pin reproduces
+    it from its own distance grid. At the fixpoint that minimum EQUALS
+    dist(p) — asserted, which doubles as a convergence audit. One
+    extra strip exchange over the converged state."""
+    from gridfia_ray.pipelines.flow import D8_OFFSETS
+    from gridfia_ray.stages.agg_util import bucketed_group_map, to_arrow
+
+    state = _converged_cost_state(
+        result, source_threshold, n_buckets, max_rounds, coarsen
+    )
+    n_tiles = state.count()
+    loop_buckets = max(1, min(n_buckets, n_tiles // 2 or 1))
+
+    def strips(batch: pd.DataFrame) -> pa.Table:
+        rows: list[dict] = []
+        for _, r in batch.iterrows():
+            rows.extend(_strip_rows(r))
+        return to_arrow(
+            pd.DataFrame(rows, columns=[f.name for f in _STATE]), _STATE
+        )
+
+    def backlink_group(group: pd.DataFrame) -> pd.DataFrame:
+        padded = _padded_from_group(group)
+        if padded is None:
+            return pd.DataFrame({f.name: [] for f in _BL_OUT})
+        r, h, w, dist, dist_p, cost_p = padded
+        c = cost_p[1:-1, 1:-1]
+        best = np.full((h, w), _INF, np.int64)
+        code = np.full((h, w), -1, np.int64)
+        for k, (dy, dx) in enumerate(D8_OFFSETS):
+            wgt = _W_ORTH if dy == 0 or dx == 0 else _W_DIAG
+            nd = dist_p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            nc = cost_p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            cand = nd + wgt * (nc + c)
+            better = cand < best
+            best[better] = cand[better]
+            code[better] = k
+        src = dist == 0
+        code[src] = -1
+        if ((~src) & (best != dist)).any():
+            raise RuntimeError(
+                "cost_backlink: state is not at the cost-distance "
+                "fixpoint (best neighbor relaxation != dist)"
+            )
+        yy, xx = np.meshgrid(
+            np.arange(h, dtype=np.int64), np.arange(w, dtype=np.int64),
+            indexing="ij",
+        )
+        return pd.DataFrame(
+            {
+                "metric": r["metric"],
+                "y": (yy + int(r["y0"])).ravel(),
+                "x": (xx + int(r["x0"])).ravel(),
+                "backlink": code.ravel(),
+            }
+        )
+
+    merged = state.union(state.map_batches(strips, batch_format="pandas"))
+    return bucketed_group_map(
+        merged,
+        ["metric", "tile_row", "tile_col"],
+        backlink_group,
+        n_buckets=loop_buckets,
+        out_schema=_BL_OUT,
+    )

@@ -133,3 +133,48 @@ class TestCostDistance:
                              "dtype": "float64"}])
         with pytest.raises(Exception, match="negative traversal cost"):
             cost_distance_tiles(rd.from_pandas(df), 50.0).to_pandas()
+
+
+class TestCostBacklink:
+    def test_backlink_paths_reach_sources_at_exact_cost(self, ray_session):
+        from gridfia_ray.pipelines.costdist import cost_backlink_tiles
+        from gridfia_ray.pipelines.flow import D8_OFFSETS
+
+        rng = np.random.RandomState(15)
+        df, g = _raster(rng, tiles_y=2, tiles_x=2, h=5, w=5, p_source=0.08)
+        dist = _brute(g, 50.0)
+        bl = (cost_backlink_tiles(rd.from_pandas(df), 50.0, n_buckets=4)
+              .to_pandas().set_index(["y", "x"])["backlink"])
+        u = np.floor(g * 1e6 + 0.5).astype(np.int64)
+        H, W = g.shape
+        assert len(bl) == g.size
+        for y in range(H):
+            for x in range(W):
+                if dist[y, x] == 0:
+                    assert bl.loc[(y, x)] == -1
+                    continue
+                # walk the backlink chain: costs must telescope to 0
+                cy, cx, acc, steps = y, x, 0, 0
+                while dist[cy, cx] > 0:
+                    k = int(bl.loc[(cy, cx)])
+                    assert k >= 0, (cy, cx)
+                    dy, dx = D8_OFFSETS[k]
+                    wgt = 3 if dy == 0 or dx == 0 else 4
+                    ny, nx = cy + dy, cx + dx
+                    acc += wgt * (u[cy, cx] + u[ny, nx])
+                    cy, cx = ny, nx
+                    steps += 1
+                    assert steps <= H * W
+                assert acc == dist[y, x], (y, x)
+
+    def test_backlink_coarsen_and_partition_invariant(self, ray_session):
+        from gridfia_ray.pipelines.costdist import cost_backlink_tiles
+
+        rng = np.random.RandomState(16)
+        df, _ = _raster(rng, tiles_y=2, tiles_x=2, h=4, w=4)
+        a = (cost_backlink_tiles(rd.from_pandas(df).repartition(2), 50.0, n_buckets=3)
+             .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        b = (cost_backlink_tiles(rd.from_pandas(df).repartition(4), 50.0,
+                                 n_buckets=5, coarsen=2)
+             .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
