@@ -5495,12 +5495,17 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     gf_watershed (new hydrology family; tile dedup keeps
     gf_tile_dedup_exact in-window); doc_tfidf_topk → doc_hybrid_rrf
     (the retrieval slot now carries BM25 + quantized-MIPS + RRF fusion
-    in one integer-exact query; tfidf stays a verified sibling)."""
+    in one integer-exact query; tfidf stays a verified sibling);
+    gf_shannon → doc_substr_dedup (ExactSubstr span dedup — new dedup
+    technique; the pixel-metric family keeps gf_richness in-window and
+    shannon stays a verified sibling); gf_local_moran →
+    gf_cost_distance (new weighted-geodesic family with the Dijkstra
+    pin; autocorrelation keeps gf_morans_i in-window)."""
     qs: dict[str, Callable[[str], pd.DataFrame]] = {
         # --- driver window (50): one green row per operator family ---
         # raster metric kernels (M1-M15)
         "gf_richness": _pixel_metric_query("species_richness", "richness", scaled=False),
-        "gf_shannon": _pixel_metric_query("shannon_diversity", "shannon_u", scaled=True),
+        "doc_substr_dedup": q_doc_substr_dedup,
         # global / zonal / raster ops
         "gf_species_dominance": q_species_dominance,
         "gf_occurrence_stats": q_occurrence_stats,
@@ -5521,7 +5526,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tile_dedup_exact": q_tile_dedup_exact,
         "gf_watershed": q_watershed,
         "gf_morans_i": q_morans_i,
-        "gf_local_moran": q_local_moran,
+        "gf_cost_distance": q_cost_distance,
         "graph_pagerank": q_graph_pagerank,
         "gf_distance_transform": q_distance_transform,
         "gf_temporal_trend": q_temporal_trend,
@@ -5621,8 +5626,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_change_patches": q_change_patches,
         "gf_distance_transform_l2": q_distance_transform_l2,
         "gf_euclidean_allocation": q_euclidean_allocation,
-        "gf_cost_distance": q_cost_distance,
         "gf_cost_backlink": q_cost_backlink,
+        "gf_local_moran": q_local_moran,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
@@ -5638,6 +5643,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
             "rare_species", "n_rare", scaled=False, params={"occurrence_threshold": 0.05}
         ),
         "gf_simpson": _pixel_metric_query("simpson_diversity", "simpson_u", scaled=True),
+        "gf_shannon": _pixel_metric_query("shannon_diversity", "shannon_u", scaled=True),
         "gf_evenness": _pixel_metric_query("evenness", "evenness_u", scaled=True),
         "gf_total_biomass": _pixel_metric_query("total_biomass", "total_u", scaled=True),
         "gf_total_comparison": _pixel_metric_query(
@@ -5684,7 +5690,6 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_prompt_ship_lines": q_rel_prompt_ship_lines,
         "doc_near_dedup_incremental": q_doc_near_dedup_incremental,
         "doc_para_dedup": q_doc_para_dedup,
-        "doc_substr_dedup": q_doc_substr_dedup,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_split": q_doc_split,
         "doc_chunks": q_doc_chunks,
