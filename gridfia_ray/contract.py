@@ -565,6 +565,42 @@ def q_cost_backlink(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_cost_allocation(sf_dir: str) -> pd.DataFrame:
+    """Cost allocation (pipelines/costdist.cost_allocation_tiles): per
+    pixel the pid of the source its least-cost path reaches, over the
+    +1.0-shifted total-biomass raster (strictly positive costs — the
+    allocation precondition). The backlink field packs as (z=dist,
+    dir=backlink) and the watershed border-resolution machinery labels
+    the chains; oracle = the sequential Dijkstra + argmin + ascending-
+    dist chain replay (oracle_pins.ensure_allocpin)."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.costdist import cost_allocation_tiles
+
+    f = _fx()
+    width = int(f["meta"]["grid"]) * int(f["meta"]["tile"])
+
+    def shift(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        pix = []
+        for _, r in b.iterrows():
+            arr = np.frombuffer(r["pix"], np.dtype(r["dtype"]))
+            pix.append((arr + 1.0).tobytes())
+        out["pix"] = pix
+        return out
+
+    shifted = _total_biomass_result(f).map_batches(
+        shift, batch_format="pandas"
+    )
+    out = cost_allocation_tiles(
+        shifted,
+        source_threshold=oracle_pins.ALLOC_SOURCE_THRESHOLD,
+        width=width,
+        coarsen=4,
+    ).to_pandas()
+    res = out[["y", "x", "alloc"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_temporal_trend(sf_dir: str) -> pd.DataFrame:
     """Per-pixel biomass trend over a deterministic 5-year stack
     (pipelines/temporal — synthetic dated stack with integer closed
@@ -5627,6 +5663,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_distance_transform_l2": q_distance_transform_l2,
         "gf_euclidean_allocation": q_euclidean_allocation,
         "gf_cost_backlink": q_cost_backlink,
+        "gf_cost_allocation": q_cost_allocation,
         "gf_local_moran": q_local_moran,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
@@ -6590,6 +6627,11 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_cost_backlink"] = (
         f"SELECT y, x, backlink "
         f"FROM read_parquet('{_pins.ensure_costpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_cost_allocation"] = (
+        f"SELECT y, x, alloc "
+        f"FROM read_parquet('{_pins.ensure_allocpin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_sieve"] = (

@@ -1910,3 +1910,104 @@ def ensure_costpin() -> dict:
         return {"expected": "expected.parquet"}
 
     return _ensure_dir(f"costpin-v{GEN_VERSION}.{COSTPIN_V}", build)
+
+
+ALLOCPIN_V = 1
+ALLOC_SOURCE_THRESHOLD = 151.0  # on the +1-shifted (strictly positive) grid
+
+
+def ensure_allocpin() -> dict:
+    """{'expected'} parquet for cost ALLOCATION: the +1.0-shifted
+    total-biomass grid (strictly positive costs, the allocation
+    precondition), sequential Dijkstra, the first-min-wins D8 backlink
+    argmin, then every chain followed to its source in ascending-dist
+    order (strict descent makes one pass exact) — no tiling, no border
+    exchange (the engine labels the same field via the watershed
+    machinery; pipelines/costdist.cost_allocation_tiles)."""
+
+    def build(tmp: str) -> dict:
+        import heapq
+
+        from gridfia_ray import fixtures
+        from gridfia_ray.pipelines.flow import D8_OFFSETS
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        grid = np.full((n, n), 1_000_000, dtype=np.int64)  # µ(v + 1.0)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        grid[tot["y"].to_numpy(), tot["x"].to_numpy()] += u.astype(np.int64)
+        thr_u = int(np.floor(ALLOC_SOURCE_THRESHOLD * 1_000_000 + 0.5))
+        c = grid.ravel().tolist()
+        INF = 1 << 62
+        dist = [INF] * (n * n)
+        heap = []
+        for lin in np.nonzero(grid.ravel() > thr_u)[0].tolist():
+            dist[lin] = 0
+            heap.append((0, lin))
+        if not heap:
+            raise RuntimeError("allocpin: no source pixel above threshold")
+        heapq.heapify(heap)
+        nbrs = [(-1, -1, 4), (-1, 0, 3), (-1, 1, 4), (0, -1, 3),
+                (0, 1, 3), (1, -1, 4), (1, 0, 3), (1, 1, 4)]
+        while heap:
+            dd, lin = heapq.heappop(heap)
+            if dd > dist[lin]:
+                continue
+            y, x = divmod(lin, n)
+            cl = c[lin]
+            for dy, dx, wgt in nbrs:
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < n and 0 <= nx < n:
+                    nl = ny * n + nx
+                    nd = dd + wgt * (cl + c[nl])
+                    if nd < dist[nl]:
+                        dist[nl] = nd
+                        heapq.heappush(heap, (nd, nl))
+        D = np.asarray(dist, dtype=np.int64).reshape(n, n)
+        Dp = np.full((n + 2, n + 2), INF, np.int64)
+        Cp = np.zeros((n + 2, n + 2), np.int64)
+        Dp[1:-1, 1:-1] = D
+        Cp[1:-1, 1:-1] = grid
+        best = np.full((n, n), INF, np.int64)
+        code = np.full((n, n), -1, np.int64)
+        for k, (dy, dx) in enumerate(D8_OFFSETS):
+            wgt = 3 if dy == 0 or dx == 0 else 4
+            cand = (
+                Dp[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n]
+                + wgt * (Cp[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n] + grid)
+            )
+            better = cand < best
+            best[better] = cand[better]
+            code[better] = k
+        code[D == 0] = -1
+        # ascending-dist chain resolve: downstream settles first
+        alloc = np.full(n * n, -1, dtype=np.int64)
+        codef = code.ravel().tolist()
+        order = np.argsort(D.ravel(), kind="stable").tolist()
+        for lin in order:
+            k = codef[lin]
+            if k < 0:
+                alloc[lin] = lin  # source labels itself
+            else:
+                dy, dx = D8_OFFSETS[k]
+                y, x = divmod(lin, n)
+                alloc[lin] = alloc[(y + dy) * n + (x + dx)]
+        ys, xs = np.mgrid[0:n, 0:n]
+        exp = pa.table(
+            {
+                "y": pa.array(ys.reshape(-1).astype(np.int64)),
+                "x": pa.array(xs.reshape(-1).astype(np.int64)),
+                "alloc": pa.array(alloc),
+            }
+        )
+        pq.write_table(exp, os.path.join(tmp, "expected.parquet"))
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"allocpin-v{GEN_VERSION}.{ALLOCPIN_V}", build)

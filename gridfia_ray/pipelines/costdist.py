@@ -494,3 +494,115 @@ def cost_backlink_tiles(
         n_buckets=loop_buckets,
         out_schema=_BL_OUT,
     )
+
+
+def cost_allocation_tiles(
+    result: rd.Dataset,
+    source_threshold: float,
+    width: int,
+    n_buckets: int = 64,
+    max_rounds: int = 256,
+    coarsen: int = 1,
+) -> rd.Dataset:
+    """Cost ALLOCATION (ArcGIS CostAllocation): for every pixel the
+    global linear pid (y·width + x) of the source its least-cost path
+    terminates at — the weighted generalization of Euclidean
+    allocation. Returns rows (y, x, alloc).
+
+    Requires strictly POSITIVE traversal costs: a zero-cost adjacent
+    pair makes the backlink field tie-cyclic (dist does not strictly
+    decrease along links), so any zero/negative cost raises. With
+    positive costs every backlink strictly decreases the converged
+    distance, which is exactly the invariant the watershed
+    border-resolution machinery needs — the backlink raster packs as
+    (z = dist, dir = backlink) tiles and ``pipelines/flow.watershed``
+    labels every chain: one border exchange, a bounded driver
+    path-compression fold, one broadcast labeling pass."""
+    from gridfia_ray.pipelines.flow import D8_OFFSETS, watershed
+    from gridfia_ray.stages.agg_util import bucketed_group_map, to_arrow
+
+    state = _converged_cost_state(
+        result, source_threshold, n_buckets, max_rounds, coarsen
+    )
+    n_tiles = state.count()
+    loop_buckets = max(1, min(n_buckets, n_tiles // 2 or 1))
+
+    packed_schema = pa.schema(
+        [("metric", pa.string()), ("tile_row", pa.int64()),
+         ("tile_col", pa.int64()), ("h", pa.int64()), ("w", pa.int64()),
+         ("z", pa.binary()), ("dir", pa.binary())]
+    )
+
+    def strips(batch: pd.DataFrame) -> pa.Table:
+        rows: list[dict] = []
+        for _, r in batch.iterrows():
+            rows.extend(_strip_rows(r))
+        return to_arrow(
+            pd.DataFrame(rows, columns=[f.name for f in _STATE]), _STATE
+        )
+
+    def pack_group(group: pd.DataFrame) -> pd.DataFrame:
+        padded = _padded_from_group(group)
+        if padded is None:
+            return pd.DataFrame({f.name: [] for f in packed_schema})
+        r, h, w, dist, dist_p, cost_p = padded
+        if int(r["y0"]) != int(r["tile_row"]) * h or (
+            int(r["x0"]) != int(r["tile_col"]) * w
+        ):
+            raise ValueError(
+                "cost_allocation: coarsen factor must divide the tile "
+                "grid (watershed labeling derives offsets from tile "
+                "coordinates)"
+            )
+        cost = cost_p[1:-1, 1:-1]
+        if (cost <= 0).any():
+            raise ValueError(
+                "cost_allocation: traversal costs must be strictly "
+                "positive (zero-cost plateaus make backlinks cyclic)"
+            )
+        c = cost
+        best = np.full((h, w), _INF, np.int64)
+        code = np.full((h, w), -1, np.int8)
+        for k, (dy, dx) in enumerate(D8_OFFSETS):
+            wgt = _W_ORTH if dy == 0 or dx == 0 else _W_DIAG
+            nd = dist_p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            nc = cost_p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            cand = nd + wgt * (nc + c)
+            better = cand < best
+            best[better] = cand[better]
+            code[better] = k
+        src = dist == 0
+        code[src] = -1
+        if ((~src) & (best != dist)).any():
+            raise RuntimeError(
+                "cost_allocation: state is not at the cost-distance "
+                "fixpoint (best neighbor relaxation != dist)"
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "metric": r["metric"],
+                    "tile_row": int(r["tile_row"]),
+                    "tile_col": int(r["tile_col"]),
+                    "h": h,
+                    "w": w,
+                    "z": dist.tobytes(),
+                    "dir": code.tobytes(),
+                }
+            ]
+        )
+
+    merged = state.union(state.map_batches(strips, batch_format="pandas"))
+    packed = bucketed_group_map(
+        merged,
+        ["metric", "tile_row", "tile_col"],
+        pack_group,
+        n_buckets=loop_buckets,
+        out_schema=packed_schema,
+    )
+    out = watershed(packed, width)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["y", "x", "alloc"])
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -178,3 +178,89 @@ class TestCostBacklink:
                                  n_buckets=5, coarsen=2)
              .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestCostAllocation:
+    @staticmethod
+    def _brute_alloc(g, threshold):
+        from gridfia_ray.pipelines.flow import D8_OFFSETS
+
+        dist = _brute(g, threshold)
+        u = np.floor(g * 1e6 + 0.5).astype(np.int64)
+        H, W = g.shape
+        INF = 1 << 62
+        Dp = np.full((H + 2, W + 2), INF, np.int64)
+        Cp = np.zeros((H + 2, W + 2), np.int64)
+        Dp[1:-1, 1:-1] = dist
+        Cp[1:-1, 1:-1] = u
+        best = np.full((H, W), INF, np.int64)
+        code = np.full((H, W), -1, np.int64)
+        for k, (dy, dx) in enumerate(D8_OFFSETS):
+            wgt = 3 if dy == 0 or dx == 0 else 4
+            cand = (Dp[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+                    + wgt * (Cp[1 + dy:1 + dy + H, 1 + dx:1 + dx + W] + u))
+            better = cand < best
+            best[better] = cand[better]
+            code[better] = k
+        code[dist == 0] = -1
+        alloc = np.full(H * W, -1, np.int64)
+        codef = code.ravel().tolist()
+        for lin in np.argsort(dist.ravel(), kind="stable").tolist():
+            k = codef[lin]
+            y, x = divmod(lin, W)
+            if k < 0:
+                alloc[lin] = lin
+            else:
+                dy, dx = D8_OFFSETS[k]
+                alloc[lin] = alloc[(y + dy) * W + (x + dx)]
+        return alloc.reshape(H, W)
+
+    def test_matches_chain_replay(self, ray_session):
+        from gridfia_ray.pipelines.costdist import cost_allocation_tiles
+
+        rng = np.random.RandomState(17)
+        df, g = _raster(rng, tiles_y=2, tiles_x=2, h=5, w=5, p_source=0.08)
+        g = g + 1.0  # strictly positive costs (allocation precondition)
+        df["pix"] = [
+            (np.frombuffer(p, np.float64) + 1.0).tobytes() for p in df["pix"]
+        ]
+        W = g.shape[1]
+        got = (cost_allocation_tiles(rd.from_pandas(df), 51.0, width=W,
+                                     n_buckets=4)
+               .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        want = self._brute_alloc(g, 51.0)
+        grid = np.full(g.shape, -2, np.int64)
+        grid[got["y"], got["x"]] = got["alloc"]
+        np.testing.assert_array_equal(grid, want)
+        # every allocation target is a source pixel
+        u = np.floor(g * 1e6 + 0.5).astype(np.int64)
+        for pid in np.unique(got["alloc"]):
+            assert u[pid // W, pid % W] > 51_000_000
+
+    def test_coarsen_invariant(self, ray_session):
+        from gridfia_ray.pipelines.costdist import cost_allocation_tiles
+
+        rng = np.random.RandomState(18)
+        df, g = _raster(rng, tiles_y=2, tiles_x=2, h=4, w=4)
+        df["pix"] = [
+            (np.frombuffer(p, np.float64) + 1.0).tobytes() for p in df["pix"]
+        ]
+        W = g.shape[1]
+        a = (cost_allocation_tiles(rd.from_pandas(df), 51.0, width=W, n_buckets=3)
+             .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        b = (cost_allocation_tiles(rd.from_pandas(df), 51.0, width=W,
+                                   n_buckets=5, coarsen=2)
+             .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_zero_cost_raises(self, ray_session):
+        from gridfia_ray.pipelines.costdist import cost_allocation_tiles
+
+        arr = np.ones((4, 4))
+        arr[1, 1] = 0.0
+        arr[0, 0] = 99.0
+        df = pd.DataFrame([{ "metric": "m", "tile_row": 0, "tile_col": 0,
+                             "h": 4, "w": 4, "pix": arr.tobytes(),
+                             "dtype": "float64"}])
+        with pytest.raises(Exception, match="strictly"):
+            cost_allocation_tiles(rd.from_pandas(df), 50.0, width=4).to_pandas()
