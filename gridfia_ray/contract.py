@@ -1446,6 +1446,22 @@ def q_tabulate_area(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_zonal_geometry(sf_dir: str) -> pd.DataFrame:
+    """ArcGIS ZonalGeometry (pipelines/zonal.zonal_geometry): per zone
+    the exact pixel area, centroid coordinate sums and 4-edge
+    perimeter, from the rasterize burn through the focal halo exchange
+    — vs the pixel-geometry adjacency oracle."""
+    from gridfia_ray.pipelines import zonal as Z
+
+    f = _fx()
+    g = int(f["meta"]["grid"])
+    out = Z.zonal_geometry(Z.load_zones(f["zones"]), f["spec"], g, g)
+    out["zone_id"] = out["zone_id"].astype(str)
+    for c in ("n_px", "sum_y", "sum_x", "perim"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def q_knn_idw(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines import knn as K
 
@@ -5615,6 +5631,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_histogram": q_zonal_histogram,
         "gf_zonal_raster_stats": q_zonal_raster_stats,
         "gf_tabulate_area": q_tabulate_area,
+        "gf_zonal_geometry": q_zonal_geometry,
         "gf_quantile_classes": q_quantile_classes,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
@@ -6351,6 +6368,22 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT z.zone_id, cl.class, CAST(COUNT(*) AS BIGINT) AS n_px
         FROM cl JOIN z USING (y, x)
         GROUP BY 1, 2"""
+    sql["gf_zonal_geometry"] = f"""
+        WITH z AS (SELECT y, x, MIN(zone_id) AS zone_id
+                   FROM read_parquet('{PZ}') GROUP BY y, x),
+        e AS (SELECT a.y, a.x, a.zone_id,
+              (SELECT COUNT(*) FROM z b
+               WHERE b.zone_id = a.zone_id AND (
+                 (b.y = a.y + 1 AND b.x = a.x) OR
+                 (b.y = a.y - 1 AND b.x = a.x) OR
+                 (b.y = a.y AND b.x = a.x + 1) OR
+                 (b.y = a.y AND b.x = a.x - 1))) AS same
+              FROM z a)
+        SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(4 - same) AS BIGINT) AS perim
+        FROM e GROUP BY zone_id ORDER BY zone_id"""
     sql["gf_zonal_majority"] = f"""
         {species_cte},
         c AS (

@@ -313,3 +313,40 @@ class TestTabulateArea:
         bad = rd.from_pandas(pd.DataFrame({"pid": [0, 1], "class": [1, -2]}))
         with _pt.raises(Exception, match="class values must be >= 0"):
             Z.tabulate_area(bad, zones, spec, g, g)
+
+
+class TestZonalGeometry:
+    def test_matches_pixel_oracle(self, ray_session, zones, spec, t1_meta, duck):
+        import numpy as np
+        import pandas as pd
+
+        from gridfia_ray.pipelines import zonal as Z
+
+        g = int(t1_meta["grid"])
+        got = Z.zonal_geometry(zones, spec, g, g, n_buckets=4)
+        want = duck.execute(
+            """WITH z AS (SELECT y, x, MIN(zone_id) zone_id FROM pixel_zones
+                     GROUP BY y, x),
+               e AS (SELECT a.y, a.x, a.zone_id,
+                     (SELECT COUNT(*) FROM z b
+                      WHERE b.zone_id = a.zone_id AND (
+                        (b.y = a.y + 1 AND b.x = a.x) OR
+                        (b.y = a.y - 1 AND b.x = a.x) OR
+                        (b.y = a.y AND b.x = a.x + 1) OR
+                        (b.y = a.y AND b.x = a.x - 1))) AS same
+                     FROM z a)
+               SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+                      CAST(SUM(y) AS BIGINT) AS sum_y,
+                      CAST(SUM(x) AS BIGINT) AS sum_x,
+                      CAST(SUM(4 - same) AS BIGINT) AS perim
+               FROM e GROUP BY zone_id ORDER BY zone_id"""
+        ).df()
+        want["zone_id"] = want["zone_id"].astype(str)
+        for c in ("n_px", "sum_y", "sum_x", "perim"):
+            want[c] = want[c].astype(np.int64)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+        # a zone's perimeter is at least that of a square of equal area
+        for r in got.itertuples():
+            assert r.perim >= int(np.ceil(4 * np.sqrt(r.n_px)))
