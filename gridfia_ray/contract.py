@@ -1462,6 +1462,21 @@ def q_zonal_geometry(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_zone_neighbors(sf_dir: str) -> pd.DataFrame:
+    """ArcGIS PolygonNeighbors (pipelines/zonal.zone_neighbors): per
+    adjacent zone pair the exact shared 4-edge count, each edge counted
+    once (south+east scan) — vs the pixel-geometry adjacency oracle."""
+    from gridfia_ray.pipelines import zonal as Z
+
+    f = _fx()
+    g = int(f["meta"]["grid"])
+    out = Z.zone_neighbors(Z.load_zones(f["zones"]), f["spec"], g, g)
+    for c in ("zone_a", "zone_b"):
+        out[c] = out[c].astype(str)
+    out["shared_edges"] = out["shared_edges"].astype(np.int64)
+    return out
+
+
 def q_knn_idw(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines import knn as K
 
@@ -5632,6 +5647,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_raster_stats": q_zonal_raster_stats,
         "gf_tabulate_area": q_tabulate_area,
         "gf_zonal_geometry": q_zonal_geometry,
+        "gf_zone_neighbors": q_zone_neighbors,
         "gf_quantile_classes": q_quantile_classes,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
@@ -6384,6 +6400,17 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(SUM(x) AS BIGINT) AS sum_x,
                CAST(SUM(4 - same) AS BIGINT) AS perim
         FROM e GROUP BY zone_id ORDER BY zone_id"""
+    sql["gf_zone_neighbors"] = f"""
+        WITH z AS (SELECT y, x, MIN(zone_id) AS zone_id
+                   FROM read_parquet('{PZ}') GROUP BY y, x)
+        SELECT LEAST(a.zone_id, b.zone_id) AS zone_a,
+               GREATEST(a.zone_id, b.zone_id) AS zone_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_edges
+        FROM z a JOIN z b
+          ON (b.y = a.y + 1 AND b.x = a.x)
+          OR (b.y = a.y AND b.x = a.x + 1)
+        WHERE a.zone_id <> b.zone_id
+        GROUP BY 1, 2"""
     sql["gf_zonal_majority"] = f"""
         {species_cte},
         c AS (

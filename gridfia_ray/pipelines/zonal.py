@@ -921,3 +921,82 @@ def zonal_geometry(
         }
     )
     return out.sort_values("zone_id").reset_index(drop=True)
+
+
+def zone_neighbors(
+    zones: list[dict],
+    spec: GridSpec,
+    grid_rows: int,
+    grid_cols: int,
+    *,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """ArcGIS PolygonNeighbors over the rasterized zone layer: for every
+    pair of zones that share a 4-connected pixel edge, the exact count
+    of shared edges (the discrete shared-boundary length). Each
+    undirected edge counts ONCE: only the south and east directions are
+    scanned, so the same edge never appears from both endpoints — and
+    cross-tile edges are seen exactly once too (the other tile would
+    see them northward/westward). Pairs order by zone_id string
+    (za < zb). Same halo exchange + tiny merge as zonal_geometry."""
+    from gridfia_ray.pipelines.focal import _halo_explode, strips_to_padded
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_group_map
+
+    burned, zone_ids = rasterize_zones(zones, spec, grid_rows, grid_cols)
+    rank = np.argsort(np.argsort(np.array(zone_ids, dtype=object), kind="stable"))
+
+    part_schema = pa.schema(
+        [("za", pa.int64()), ("zb", pa.int64()), ("shared_edges", pa.int64())]
+    )
+    empty = pa.table(
+        {f.name: pa.array([], f.type) for f in part_schema}, schema=part_schema
+    ).to_pandas()
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        padded = strips_to_padded(group, "zone_neighbors")
+        if padded is None:
+            return empty
+        vals, pres, h, w = padded
+        z = np.where(pres == 1, vals, np.int64(-1))
+        c = z[1 : h + 1, 1 : w + 1]
+        pas, pbs = [], []
+        for dy, dx in ((1, 0), (0, 1)):  # south + east: each edge once
+            nb = z[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            m = (c >= 0) & (nb >= 0) & (c != nb)
+            if m.any():
+                a, b = c[m], nb[m]
+                swap = rank[a] > rank[b]
+                pas.append(np.where(swap, b, a))
+                pbs.append(np.where(swap, a, b))
+        if not pas:
+            return empty
+        df = pd.DataFrame(
+            {"za": np.concatenate(pas), "zb": np.concatenate(pbs)}
+        )
+        out = df.groupby(["za", "zb"]).size().reset_index(name="shared_edges")
+        return out.astype(np.int64)
+
+    parts = bucketed_group_map(
+        _halo_explode(burned, "zone_neighbors", allow_integer=True),
+        ["metric", "tile_row", "tile_col"],
+        assemble,
+        n_buckets=n_buckets,
+        out_schema=part_schema,
+    )
+    agg = bucketed_agg(
+        parts, ["za", "zb"], {"shared_edges": ("shared_edges", "sum")},
+        n_buckets=n_buckets,
+    ).to_pandas()  # bounded: one row per adjacent zone pair
+    if len(agg) == 0:
+        return pd.DataFrame(
+            {"zone_a": pd.Series(dtype=str), "zone_b": pd.Series(dtype=str),
+             "shared_edges": pd.Series(dtype=np.int64)}
+        )
+    out = pd.DataFrame(
+        {
+            "zone_a": [zone_ids[int(i)] for i in agg["za"]],
+            "zone_b": [zone_ids[int(i)] for i in agg["zb"]],
+            "shared_edges": agg["shared_edges"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["zone_a", "zone_b"]).reset_index(drop=True)

@@ -350,3 +350,35 @@ class TestZonalGeometry:
         # a zone's perimeter is at least that of a square of equal area
         for r in got.itertuples():
             assert r.perim >= int(np.ceil(4 * np.sqrt(r.n_px)))
+
+
+class TestZoneNeighbors:
+    def test_matches_pixel_oracle(self, ray_session, zones, spec, t1_meta, duck):
+        import numpy as np
+        import pandas as pd
+
+        from gridfia_ray.pipelines import zonal as Z
+
+        g = int(t1_meta["grid"])
+        got = Z.zone_neighbors(zones, spec, g, g, n_buckets=4)
+        want = duck.execute(
+            """WITH z AS (SELECT y, x, MIN(zone_id) zone_id FROM pixel_zones
+                     GROUP BY y, x)
+               SELECT LEAST(a.zone_id, b.zone_id) AS zone_a,
+                      GREATEST(a.zone_id, b.zone_id) AS zone_b,
+                      CAST(COUNT(*) AS BIGINT) AS shared_edges
+               FROM z a JOIN z b
+                 ON (b.y = a.y + 1 AND b.x = a.x)
+                 OR (b.y = a.y AND b.x = a.x + 1)
+               WHERE a.zone_id <> b.zone_id
+               GROUP BY 1, 2 ORDER BY 1, 2"""
+        ).df()
+        for c in ("zone_a", "zone_b"):
+            want[c] = want[c].astype(str)
+        want["shared_edges"] = want["shared_edges"].astype(np.int64)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+        # pairs are canonical (a < b) and unique
+        assert (got["zone_a"] < got["zone_b"]).all()
+        assert not got.duplicated(["zone_a", "zone_b"]).any()
