@@ -1212,6 +1212,24 @@ def q_occurrence_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Species co-occurrence matrix (pipelines/metrics.
+    cooccurrence_matrix): per unordered species pair the pixel count
+    where both layers are present — one keyed tile exchange + per-tile
+    boolean-outer-product (GEMM) combiners, vs the pixel self-join
+    oracle."""
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+    from gridfia_ray.pipelines.metrics import cooccurrence_matrix
+
+    f = _fx()
+    decoded = decoded_tiles(read_tiles(f["tiles"]), f["spec"], include_total=False)
+    out = cooccurrence_matrix(decoded)
+    out["sa"] = out["sa"].astype(str)
+    out["sb"] = out["sb"].astype(str)
+    out["n_both"] = out["n_both"].astype(np.int64)
+    return out
+
+
 def _stats_roundtrip(sf_dir: str, prefix: str, write: str, read: str) -> pd.DataFrame:
     """S17 tabular export end-to-end: the per-species occurrence stats
     through a Ray-native text sink and back through the paired source —
@@ -5567,7 +5585,12 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     technique; the pixel-metric family keeps gf_richness in-window and
     shannon stays a verified sibling); gf_local_moran →
     gf_cost_distance (new weighted-geodesic family with the Dijkstra
-    pin; autocorrelation keeps gf_morans_i in-window)."""
+    pin; autocorrelation keeps gf_morans_i in-window); doc_dup_verified
+    moved to the sibling list (the dedup family holds exact +
+    incremental + substr in-window; the n-gram-Jaccard PPJoin query
+    stays fully verified) — this also fixes a silent off-by-one that
+    had left the 51-entry "window" cutting doc_heavy_tokens out of the
+    driver's recorded 50."""
     qs: dict[str, Callable[[str], pd.DataFrame]] = {
         # --- driver window (50): one green row per operator family ---
         # raster metric kernels (M1-M15)
@@ -5618,7 +5641,6 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "emb_gram": q_emb_gram,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_incremental": q_doc_dedup_incremental,
-        "doc_dup_verified": q_doc_dup_verified,
         "doc_decontaminate_ngram": q_doc_decontaminate_ngram,
         "doc_filter_chain": q_doc_filter_chain,
         "doc_corpus_build": q_corpus_build,
@@ -5630,6 +5652,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_heavy_tokens": q_doc_heavy_tokens,
         # --- beyond the window: family siblings (all still SQL-backed,
         # verified by scripts/check_contract.py every round) ---
+        "doc_dup_verified": q_doc_dup_verified,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_canonical_dedup": q_doc_canonical_dedup,
         "gf_csv_roundtrip": q_csv_roundtrip,
@@ -5648,6 +5671,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_tabulate_area": q_tabulate_area,
         "gf_zonal_geometry": q_zonal_geometry,
         "gf_zone_neighbors": q_zone_neighbors,
+        "gf_cooccurrence": q_cooccurrence,
         "gf_quantile_classes": q_quantile_classes,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
@@ -6410,6 +6434,14 @@ def build_oracle_sql() -> dict[str, str]:
           ON (b.y = a.y + 1 AND b.x = a.x)
           OR (b.y = a.y AND b.x = a.x + 1)
         WHERE a.zone_id <> b.zone_id
+        GROUP BY 1, 2"""
+    sql["gf_cooccurrence"] = f"""
+        {species_cte}
+        SELECT a.species_code AS sa, b.species_code AS sb,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM p a JOIN p b
+          ON a.y = b.y AND a.x = b.x AND a.species_code < b.species_code
+        WHERE a.biomass > 0 AND b.biomass > 0
         GROUP BY 1, 2"""
     sql["gf_zonal_majority"] = f"""
         {species_cte},

@@ -235,3 +235,75 @@ def run_metrics(
 def metrics_to_pixels(result: rd.Dataset) -> rd.Dataset:
     """Result tiles → long (metric, y, x, value) rows (oracle/report path)."""
     return result.map_batches(explode_result_pixels, batch_format="pyarrow")
+
+
+def cooccurrence_matrix(
+    decoded: rd.Dataset, biomass_threshold: float = 0.0, n_buckets: int = 64
+) -> pd.DataFrame:
+    """Species CO-OCCURRENCE matrix — the community-ecology companion
+    of the A2/A3 frequency aggregates: for every unordered species pair
+    (sa < sb lexicographically) the global count of pixels where BOTH
+    layers exceed ``biomass_threshold``.
+
+    Shape: ONE keyed tile exchange co-locates a tile's species layers
+    (the same cell co-location the metric kernels use); the per-tile
+    combiner is a boolean outer product — one GEMM over the s×n_px
+    presence stack, no Python pair loop — and the s×s pair partials
+    fold in a tiny bucketed merge. Pairs that never co-occur are
+    omitted (matching the inner-join oracle).
+
+    No counterpart in the GridFIA reference (build brief: A-family
+    extension)."""
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_group_map
+
+    part_schema = pa.schema(
+        [("sa", pa.string()), ("sb", pa.string()), ("n_both", pa.int64())]
+    )
+    empty = pa.table(
+        {f.name: pa.array([], f.type) for f in part_schema}, schema=part_schema
+    ).to_pandas()
+
+    def per_tile(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group["status"] == "ok"]
+        if len(g) < 2:
+            return empty
+        order = np.argsort(g["species_code"].to_numpy(), kind="stable")
+        g = g.iloc[order]
+        codes = g["species_code"].tolist()
+        if len(set(codes)) != len(codes):
+            raise ValueError(
+                "cooccurrence_matrix: duplicate species layer in tile "
+                f"({g['tile_row'].iloc[0]}, {g['tile_col'].iloc[0]})"
+            )
+        P = np.stack(
+            [
+                np.frombuffer(p, dtype="<f4") > biomass_threshold
+                for p in g["pix"]
+            ]
+        ).astype(np.float64)
+        C = np.rint(P @ P.T).astype(np.int64)
+        iu, ju = np.triu_indices(len(codes), k=1)
+        n = C[iu, ju]
+        keep = n > 0
+        arr = np.asarray(codes, dtype=object)
+        return pd.DataFrame(
+            {"sa": arr[iu[keep]], "sb": arr[ju[keep]], "n_both": n[keep]}
+        )
+
+    parts = bucketed_group_map(
+        decoded,
+        ["tile_row", "tile_col"],
+        per_tile,
+        n_buckets=n_buckets,
+        out_schema=part_schema,
+    )
+    agg = bucketed_agg(
+        parts, ["sa", "sb"], {"n_both": ("n_both", "sum")}, n_buckets=16
+    ).to_pandas()  # bounded: one row per species pair
+    if len(agg) == 0:
+        return pd.DataFrame(
+            {"sa": pd.Series(dtype=str), "sb": pd.Series(dtype=str),
+             "n_both": pd.Series(dtype=np.int64)}
+        )
+    agg["n_both"] = agg["n_both"].astype(np.int64)
+    return agg.sort_values(["sa", "sb"]).reset_index(drop=True)
