@@ -601,6 +601,38 @@ def q_cost_allocation(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_cost_paths(sf_dir: str) -> pd.DataFrame:
+    """Least-cost paths (pipelines/costdist.cost_paths_tiles): the full
+    backlink walks from the 5 pinned destinations (corners + center)
+    over the +1.0-shifted raster, each round one batched tile gather —
+    vs the pin's sequential walk of the identical backlink field."""
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.pipelines.costdist import cost_paths_tiles
+
+    f = _fx()
+    n = int(f["meta"]["grid"]) * int(f["meta"]["tile"])
+
+    def shift(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["pix"] = [
+            (np.frombuffer(r["pix"], np.dtype(r["dtype"])) + 1.0).tobytes()
+            for _, r in b.iterrows()
+        ]
+        return out
+
+    dests = [
+        (i, y, x)
+        for i, (y, x) in enumerate(oracle_pins.alloc_path_destinations(n))
+    ]
+    out = cost_paths_tiles(
+        _total_biomass_result(f).map_batches(shift, batch_format="pandas"),
+        source_threshold=oracle_pins.ALLOC_SOURCE_THRESHOLD,
+        destinations=dests,
+        coarsen=4,
+    )
+    return out[["dest_id", "step", "y", "x"]].astype(np.int64)
+
+
 def q_temporal_trend(sf_dir: str) -> pd.DataFrame:
     """Per-pixel biomass trend over a deterministic 5-year stack
     (pipelines/temporal — synthetic dated stack with integer closed
@@ -5721,6 +5753,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_euclidean_allocation": q_euclidean_allocation,
         "gf_cost_backlink": q_cost_backlink,
         "gf_cost_allocation": q_cost_allocation,
+        "gf_cost_paths": q_cost_paths,
         "gf_local_moran": q_local_moran,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
@@ -6725,6 +6758,11 @@ def build_oracle_sql() -> dict[str, str]:
         f"SELECT y, x, alloc "
         f"FROM read_parquet('{_pins.ensure_allocpin()['expected']}') "
         f"ORDER BY y, x"
+    )
+    sql["gf_cost_paths"] = (
+        f"SELECT dest_id, step, y, x "
+        f"FROM read_parquet('{_pins.ensure_allocpin()['paths']}') "
+        f"ORDER BY dest_id, step"
     )
     sql["gf_sieve"] = (
         f"SELECT y, x, component "

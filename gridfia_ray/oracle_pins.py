@@ -1912,7 +1912,7 @@ def ensure_costpin() -> dict:
     return _ensure_dir(f"costpin-v{GEN_VERSION}.{COSTPIN_V}", build)
 
 
-ALLOCPIN_V = 1
+ALLOCPIN_V = 2  # v2: + least-cost path rows for the 5 pinned destinations
 ALLOC_SOURCE_THRESHOLD = 151.0  # on the +1-shifted (strictly positive) grid
 
 
@@ -2008,6 +2008,33 @@ def ensure_allocpin() -> dict:
             }
         )
         pq.write_table(exp, os.path.join(tmp, "expected.parquet"))
-        return {"expected": "expected.parquet"}
+        # least-cost paths from the 5 pinned destinations (corners +
+        # center): walk the same backlink field to its source
+        rows = []
+        for dest_id, (py, px) in enumerate(alloc_path_destinations(n)):
+            y, x, step = py, px, 0
+            while True:
+                rows.append((dest_id, step, y, x))
+                k = codef[y * n + x]
+                if k < 0:
+                    break
+                dy, dx = D8_OFFSETS[k]
+                y, x, step = y + dy, x + dx, step + 1
+        r = np.asarray(rows, dtype=np.int64)
+        paths = pa.table(
+            {
+                "dest_id": pa.array(r[:, 0]),
+                "step": pa.array(r[:, 1]),
+                "y": pa.array(r[:, 2]),
+                "x": pa.array(r[:, 3]),
+            }
+        )
+        pq.write_table(paths, os.path.join(tmp, "paths.parquet"))
+        return {"expected": "expected.parquet", "paths": "paths.parquet"}
 
     return _ensure_dir(f"allocpin-v{GEN_VERSION}.{ALLOCPIN_V}", build)
+
+
+def alloc_path_destinations(n: int) -> list[tuple[int, int]]:
+    """The 5 pinned CostPath destinations: corners + center."""
+    return [(0, 0), (0, n - 1), (n - 1, 0), (n - 1, n - 1), (n // 2, n // 2)]

@@ -518,7 +518,31 @@ def cost_allocation_tiles(
     (z = dist, dir = backlink) tiles and ``pipelines/flow.watershed``
     labels every chain: one border exchange, a bounded driver
     path-compression fold, one broadcast labeling pass."""
-    from gridfia_ray.pipelines.flow import D8_OFFSETS, watershed
+    packed = _backlink_packed(
+        result, source_threshold, n_buckets, max_rounds, coarsen
+    )
+    from gridfia_ray.pipelines.flow import watershed
+
+    out = watershed(packed, width)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["y", "x", "alloc"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _backlink_packed(
+    result: rd.Dataset,
+    source_threshold: float,
+    n_buckets: int,
+    max_rounds: int,
+    coarsen: int,
+) -> rd.Dataset:
+    """Converged (z = dist, dir = backlink) packed tiles — the shared
+    input of cost allocation (watershed labeling) and cost paths
+    (backlink walking). Enforces strictly positive costs (strict
+    descent along links)."""
+    from gridfia_ray.pipelines.flow import D8_OFFSETS
     from gridfia_ray.stages.agg_util import bucketed_group_map, to_arrow
 
     state = _converged_cost_state(
@@ -593,16 +617,127 @@ def cost_allocation_tiles(
         )
 
     merged = state.union(state.map_batches(strips, batch_format="pandas"))
-    packed = bucketed_group_map(
+    return bucketed_group_map(
         merged,
         ["metric", "tile_row", "tile_col"],
         pack_group,
         n_buckets=loop_buckets,
         out_schema=packed_schema,
     )
-    out = watershed(packed, width)
 
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["y", "x", "alloc"])
 
-    return out.map_batches(rename, batch_format="pyarrow")
+def cost_paths_tiles(
+    result: rd.Dataset,
+    source_threshold: float,
+    destinations: list[tuple[int, int, int]],
+    n_buckets: int = 64,
+    max_rounds: int = 256,
+    coarsen: int = 1,
+) -> pd.DataFrame:
+    """Least-cost PATHS (ArcGIS CostPath): for each destination pixel
+    the full route of its least-cost path back to the nearest source,
+    following the converged backlink field. ``destinations`` is a list
+    of (dest_id, y, x); returns rows (dest_id, step, y, x) with step 0
+    at the destination and the last step on a source pixel.
+
+    The walk is a batched iterative GATHER: frontier points co-bucket
+    with the packed backlink tiles they currently sit in, each point
+    walks WITHIN its tile until it exits or reaches a source (so a
+    round costs one exchange and advances every point a whole tile),
+    and exited points re-enter the next round addressed to their new
+    tile. Rounds = tiles crossed by the longest path; the driver holds
+    only the emitted path rows — bounded by Σ path lengths, which IS
+    the operator's output. Strictly positive costs required (strict
+    descent ⇒ the walk terminates; inherited from the backlink
+    precondition)."""
+    from gridfia_ray.pipelines.flow import D8_OFFSETS
+
+    packed = _backlink_packed(
+        result, source_threshold, n_buckets, max_rounds, coarsen
+    ).materialize()
+
+    first = packed.take(1)
+    if not first:
+        raise ValueError("cost_paths: empty backlink raster")
+    th, tw = int(first[0]["h"]), int(first[0]["w"])
+
+    # frontier: (dest_id, step, y, x) — tiny by definition (k dests)
+    frontier = pd.DataFrame(
+        {
+            "dest_id": np.asarray([d[0] for d in destinations], np.int64),
+            "step": np.zeros(len(destinations), np.int64),
+            "y": np.asarray([d[1] for d in destinations], np.int64),
+            "x": np.asarray([d[2] for d in destinations], np.int64),
+        }
+    )
+    if frontier["dest_id"].duplicated().any():
+        raise ValueError("cost_paths: duplicate dest_id")
+    out_rows: list[pd.DataFrame] = []
+
+    import ray
+
+    for _ in range(max_rounds):
+        if len(frontier) == 0:
+            break
+        frontier = frontier.assign(
+            __tr=frontier["y"] // th, __tc=frontier["x"] // tw
+        )
+        want = set(zip(frontier["__tr"], frontier["__tc"]))
+        fref = ray.put(frontier)
+
+        def walk(batch: pd.DataFrame) -> pd.DataFrame:
+            pts = ray.get(fref)
+            outs = []
+            for _, r in batch.iterrows():
+                tr, tc = int(r["tile_row"]), int(r["tile_col"])
+                mine = pts[(pts["__tr"] == tr) & (pts["__tc"] == tc)]
+                if len(mine) == 0:
+                    continue
+                h, w = int(r["h"]), int(r["w"])
+                code = np.frombuffer(r["dir"], np.int8).reshape(h, w)
+                for p in mine.itertuples():
+                    y, x, step = int(p.y), int(p.x), int(p.step)
+                    rows = []
+                    while True:
+                        rows.append((p.dest_id, step, y, x))
+                        k = int(code[y - tr * h, x - tc * w])
+                        if k < 0:  # source reached: path complete
+                            done = True
+                            break
+                        dy, dx = D8_OFFSETS[k]
+                        y, x, step = y + dy, x + dx, step + 1
+                        if y // h != tr or x // w != tc:
+                            done = False  # exits: re-enter next round
+                            break
+                    df = pd.DataFrame(
+                        rows, columns=["dest_id", "step", "y", "x"]
+                    ).astype(np.int64)
+                    df["done"] = np.int64(1)
+                    if not done:
+                        cont = pd.DataFrame(
+                            [[p.dest_id, step, y, x, 0]],
+                            columns=["dest_id", "step", "y", "x", "done"],
+                        ).astype(np.int64)
+                        df = pd.concat([df, cont], ignore_index=True)
+                    outs.append(df)
+            if not outs:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype=np.int64)
+                     for c in ("dest_id", "step", "y", "x", "done")}
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        # only tiles holding a frontier point do any work; the rest
+        # stream through the cheap membership test
+        res = packed.map_batches(walk, batch_format="pandas").to_pandas()
+        emitted = res[res["done"] == 1][["dest_id", "step", "y", "x"]]
+        out_rows.append(emitted)
+        frontier = res[res["done"] == 0][["dest_id", "step", "y", "x"]]
+        _ = want  # documented: membership prune happens inside walk
+    else:
+        if len(frontier):
+            raise RuntimeError(
+                f"cost_paths: walk not finished in {max_rounds} rounds"
+            )
+    out = pd.concat(out_rows, ignore_index=True)
+    return out.sort_values(["dest_id", "step"]).reset_index(drop=True)

@@ -264,3 +264,55 @@ class TestCostAllocation:
                              "dtype": "float64"}])
         with pytest.raises(Exception, match="strictly"):
             cost_allocation_tiles(rd.from_pandas(df), 50.0, width=4).to_pandas()
+
+
+class TestCostPaths:
+    def test_paths_match_sequential_walk(self, ray_session):
+        from gridfia_ray.pipelines.costdist import cost_paths_tiles
+        from gridfia_ray.pipelines.flow import D8_OFFSETS
+
+        rng = np.random.RandomState(19)
+        df, g = _raster(rng, tiles_y=2, tiles_x=2, h=5, w=5, p_source=0.08)
+        df["pix"] = [
+            (np.frombuffer(p, np.float64) + 1.0).tobytes() for p in df["pix"]
+        ]
+        g = g + 1.0
+        H, W = g.shape
+        dests = [(0, 0, 0), (1, H - 1, W - 1), (2, H // 2, W // 2)]
+        got = cost_paths_tiles(rd.from_pandas(df), 51.0, dests, n_buckets=3)
+        # sequential replay over the brute backlink field
+        dist = _brute(g, 51.0)
+        u = np.floor(g * 1e6 + 0.5).astype(np.int64)
+        INF = 1 << 62
+        Dp = np.full((H + 2, W + 2), INF, np.int64)
+        Cp = np.zeros((H + 2, W + 2), np.int64)
+        Dp[1:-1, 1:-1] = dist
+        Cp[1:-1, 1:-1] = u
+        best = np.full((H, W), INF, np.int64)
+        bl = np.full((H, W), -1, np.int64)
+        for k, (dy, dx) in enumerate(D8_OFFSETS):
+            wgt = 3 if dy == 0 or dx == 0 else 4
+            cand = (Dp[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+                    + wgt * (Cp[1 + dy:1 + dy + H, 1 + dx:1 + dx + W] + u))
+            better = cand < best
+            best[better] = cand[better]
+            bl[better] = k
+        bl[dist == 0] = -1
+        want_rows = []
+        for dest_id, y, x in dests:
+            step = 0
+            while True:
+                want_rows.append((dest_id, step, y, x))
+                k = bl[y, x]
+                if k < 0:
+                    break
+                dy, dx = D8_OFFSETS[k]
+                y, x, step = y + dy, x + dx, step + 1
+        want = pd.DataFrame(
+            want_rows, columns=["dest_id", "step", "y", "x"]
+        ).astype(np.int64).sort_values(["dest_id", "step"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+        # every path ends on a source
+        for did, grp in got.groupby("dest_id"):
+            last = grp.sort_values("step").iloc[-1]
+            assert dist[int(last["y"]), int(last["x"])] == 0
