@@ -398,6 +398,23 @@ def q_focal_tpi(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_glcm(sf_dir: str) -> pd.DataFrame:
+    """Haralick GLCM texture counts over the total-biomass raster
+    (pipelines/focal.glcm_counts_tiles): ordered gray-level pair counts
+    for the east/south offsets, 16 levels of 20 biomass units, cross-
+    tile pairs via the halo exchange — vs the quantized self-join
+    oracle."""
+    from gridfia_ray.pipelines.focal import glcm_counts_tiles
+
+    f = _fx()
+    out = glcm_counts_tiles(_total_biomass_result(f)).to_pandas()
+    out = out[["direction", "la", "lb", "n_pairs"]]
+    out["direction"] = out["direction"].astype(str)
+    for c in ("la", "lb", "n_pairs"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["direction", "la", "lb"]).reset_index(drop=True)
+
+
 def q_focal_curvature(sf_dir: str) -> pd.DataFrame:
     """Zevenbergen–Thorne general curvature of the total-biomass
     raster (pipelines/focal.focal_curvature_tiles — the exact
@@ -5762,6 +5779,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_warp_bilinear": q_warp_bilinear,
         "gf_focal_tpi": q_focal_tpi,
         "gf_focal_curvature": q_focal_curvature,
+        "gf_glcm": q_glcm,
         "gf_focal_median": q_focal_median,
         "gf_focal_majority": q_focal_majority,
         "gf_focal_aspect": q_focal_aspect,
@@ -6125,6 +6143,20 @@ def build_oracle_sql() -> dict[str, str]:
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x, a.v
         HAVING COUNT(*) = 9"""
+    sql["gf_glcm"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        lv AS (SELECT y, x, LEAST(v // 20000000, 15) AS l FROM u),
+        pr AS (
+          SELECT 'e' AS direction, a.l AS la, b.l AS lb
+          FROM lv a JOIN lv b ON b.y = a.y AND b.x = a.x + 1
+          UNION ALL
+          SELECT 's' AS direction, a.l AS la, b.l AS lb
+          FROM lv a JOIN lv b ON b.y = a.y + 1 AND b.x = a.x)
+        SELECT direction, CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pr GROUP BY 1, 2, 3"""
     sql["gf_focal_curvature"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),

@@ -633,3 +633,76 @@ def contour_segments_tiles(
         return {"ms_case": case.astype(np.int64), **out}, keep
 
     return _halo_pipeline(result, "contour_segments_tiles", window, empty, n_buckets)
+
+
+def glcm_counts_tiles(
+    result: rd.Dataset,
+    n_levels: int = 16,
+    level_width_u: int = 20_000_000,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Gray-Level Co-occurrence Matrix (Haralick texture analysis, the
+    remote-sensing staple): quantize the µ-scaled raster into
+    ``n_levels`` gray levels (``level = min(v_u // level_width_u,
+    n_levels−1)``) and count ordered adjacent-pixel level pairs for the
+    east (dy=0,dx=1) and south (dy=1,dx=0) offsets — the raw integer
+    GLCM from which contrast/homogeneity/energy derive. Cross-tile
+    adjacencies come through the same halo exchange as the focal
+    kernels; each tile folds to at most ``2·n_levels²`` partial rows
+    and one tiny keyed merge sums them. Returns rows
+    (metric, direction, la, lb, n_pairs) with direction 'e'/'s'."""
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_group_map
+
+    part_schema = pa.schema(
+        [("metric", pa.string()), ("direction", pa.string()),
+         ("la", pa.int64()), ("lb", pa.int64()), ("n_pairs", pa.int64())]
+    )
+    empty = pa.table(
+        {f.name: pa.array([], f.type) for f in part_schema}, schema=part_schema
+    ).to_pandas()
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        padded = strips_to_padded(group, "glcm_counts_tiles")
+        if padded is None:
+            return empty
+        vals, pres, h, w = padded
+        lev = np.minimum(vals // np.int64(level_width_u), n_levels - 1)
+        c = lev[1 : h + 1, 1 : w + 1]
+        cp = pres[1 : h + 1, 1 : w + 1]
+        frames = []
+        for name, dy, dx in (("e", 0, 1), ("s", 1, 0)):
+            nb = lev[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            nbp = pres[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            m = (cp == 1) & (nbp == 1)
+            if not m.any():
+                continue
+            key = c[m] * np.int64(n_levels) + nb[m]
+            uniq, cnt = np.unique(key, return_counts=True)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "metric": group["metric"].iloc[0],
+                        "direction": name,
+                        "la": uniq // n_levels,
+                        "lb": uniq % n_levels,
+                        "n_pairs": cnt.astype(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    parts = bucketed_group_map(
+        _halo_explode(result, "glcm_counts_tiles"),
+        ["metric", "tile_row", "tile_col"],
+        assemble,
+        n_buckets=n_buckets,
+        out_schema=part_schema,
+    )
+    return bucketed_agg(
+        parts,
+        ["metric", "direction", "la", "lb"],
+        {"n_pairs": ("n_pairs", "sum")},
+        n_buckets=16,
+    )

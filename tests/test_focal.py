@@ -338,3 +338,39 @@ class TestFocalCurvature:
                              "dtype": "float64"}])
         got = focal_curvature_tiles(rd.from_pandas(df)).to_pandas()
         assert (got["lap4_u"] == 0).all()
+
+
+class TestGlcm:
+    def test_matches_brute_force(self, ray_session):
+        from gridfia_ray.pipelines.focal import glcm_counts_tiles
+
+        rng = np.random.RandomState(22)
+        df, g = _raster(rng, tiles_y=2, tiles_x=2, h=5, w=5)
+        got = (glcm_counts_tiles(rd.from_pandas(df).repartition(3),
+                                 n_levels=4, level_width_u=15_000_000,
+                                 n_buckets=8)
+               .to_pandas().set_index(["direction", "la", "lb"])["n_pairs"])
+        u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+        lev = np.minimum(u // 15_000_000, 3)
+        want = {}
+        H, W = g.shape
+        for name, dy, dx in (("e", 0, 1), ("s", 1, 0)):
+            for y in range(H - dy):
+                for x in range(W - dx):
+                    k = (name, lev[y, x], lev[y + dy, x + dx])
+                    want[k] = want.get(k, 0) + 1
+        assert got.to_dict() == want
+        # totals: every interior adjacency counted exactly once
+        assert got.loc["e"].sum() == H * (W - 1)
+        assert got.loc["s"].sum() == (H - 1) * W
+
+    def test_partition_invariant(self, ray_session):
+        from gridfia_ray.pipelines.focal import glcm_counts_tiles
+
+        rng = np.random.RandomState(23)
+        df, _ = _raster(rng, tiles_y=2, tiles_x=3, h=4, w=4)
+        a = (glcm_counts_tiles(rd.from_pandas(df).repartition(2), n_buckets=4)
+             .to_pandas().sort_values(["direction", "la", "lb"]).reset_index(drop=True))
+        b = (glcm_counts_tiles(rd.from_pandas(df).repartition(6), n_buckets=16)
+             .to_pandas().sort_values(["direction", "la", "lb"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
