@@ -283,10 +283,21 @@ def _converged_cost_state(
     n_buckets: int,
     max_rounds: int,
     coarsen: int,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> rd.Dataset:
     """Run the superstep relaxation to the global fixpoint; returns the
     converged tile-state dataset (shared by the distance and backlink
-    surfaces)."""
+    surfaces).
+
+    With ``checkpoint_dir`` the loop is RESUMABLE (north rule): every
+    ``checkpoint_every``-th round's state writes atomically through
+    ``state.manifest.RunManifest`` (per-round lineage: round number +
+    changed-tile count), older round shards are pruned, and a rerun
+    picks up from the latest recorded round — or returns immediately
+    when the recorded state already converged. The relaxation is
+    monotone and deterministic, so resumed and uninterrupted runs are
+    bit-identical."""
     from gridfia_ray.stages.agg_util import bucketed_group_map
 
     thr_u = int(np.floor(source_threshold * 1_000_000 + 0.5))
@@ -335,13 +346,44 @@ def _converged_cost_state(
     # schema-less blocks that churn the executor's schema tracking
     loop_buckets = max(1, min(n_buckets, state.count() // 2 or 1))
 
+    manifest = None
+    start_round = 0
+    if checkpoint_dir is not None:
+        import shutil
+
+        from gridfia_ray.io import read_parquet_clean
+        from gridfia_ray.state.manifest import RunManifest
+
+        manifest = RunManifest(checkpoint_dir)
+        done = sorted(
+            (int(k.split("_")[1]) for k in manifest.completed()
+             if k.startswith("round_")),
+        )
+        if done:
+            latest = done[-1]
+            entry = manifest.partitions[f"round_{latest}"]
+            state = read_parquet_clean(
+                manifest.shard_dir(f"round_{latest}")
+            ).materialize()
+            if int(entry.get("changed", 1)) == 0:
+                return state  # recorded state already converged
+            start_round = latest + 1
+
+    def _checkpoint(rnd: int, st: rd.Dataset, changed: int) -> None:
+        manifest.write_shard(
+            f"round_{rnd}", st, extra={"round": rnd, "changed": changed}
+        )
+        for k in list(manifest.completed()):
+            if k.startswith("round_") and int(k.split("_")[1]) < rnd:
+                shutil.rmtree(manifest.shard_dir(k), ignore_errors=True)
+
     def strips(batch: pd.DataFrame) -> pa.Table:
         rows: list[dict] = []
         for _, r in batch.iterrows():
             rows.extend(_strip_rows(r))
         return to_arrow(pd.DataFrame(rows, columns=[f.name for f in _STATE]), _STATE)
 
-    for _ in range(max_rounds):
+    for rnd in range(start_round, max_rounds):
         merged = state.union(
             state.map_batches(strips, batch_format="pandas")
         )
@@ -352,7 +394,12 @@ def _converged_cost_state(
             n_buckets=loop_buckets,
             out_schema=_STATE,
         ).materialize()
-        if int(state.sum("changed") or 0) == 0:
+        changed = int(state.sum("changed") or 0)
+        if manifest is not None and (
+            rnd % checkpoint_every == 0 or changed == 0
+        ):
+            _checkpoint(rnd, state, changed)
+        if changed == 0:
             break
     else:
         raise RuntimeError(
@@ -367,6 +414,8 @@ def cost_distance_tiles(
     n_buckets: int = 64,
     max_rounds: int = 256,
     coarsen: int = 1,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> rd.Dataset:
     """Chamfer-3/4 integer cost distance over a result-tile dataset →
     rows (metric, y, x, cdist). Sources are pixels whose micro-scaled
@@ -376,7 +425,8 @@ def cost_distance_tiles(
     from gridfia_ray.stages.agg_util import to_arrow
 
     state = _converged_cost_state(
-        result, source_threshold, n_buckets, max_rounds, coarsen
+        result, source_threshold, n_buckets, max_rounds, coarsen,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
     )
 
     def explode(tbl: pa.Table) -> pa.Table:

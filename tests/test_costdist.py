@@ -316,3 +316,52 @@ class TestCostPaths:
         for did, grp in got.groupby("dest_id"):
             last = grp.sort_values("step").iloc[-1]
             assert dist[int(last["y"]), int(last["x"])] == 0
+
+
+class TestCostCheckpoint:
+    @staticmethod
+    def _corner_source_raster(tiles_y=2, tiles_x=3, h=4, w=4):
+        rows = []
+        for tr in range(tiles_y):
+            for tc in range(tiles_x):
+                arr = np.ones((h, w))
+                if tr == 0 and tc == 0:
+                    arr[0, 0] = 99.0
+                rows.append(
+                    {"metric": "m", "tile_row": tr, "tile_col": tc,
+                     "h": h, "w": w, "pix": arr.tobytes(),
+                     "dtype": "float64"}
+                )
+        return pd.DataFrame(rows)
+
+    def test_interrupt_then_resume_is_bit_identical(self, ray_session, tmp_path):
+        from gridfia_ray.pipelines.costdist import cost_distance_tiles
+
+        df = self._corner_source_raster()
+        full = (cost_distance_tiles(rd.from_pandas(df), 50.0, n_buckets=3)
+                .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        ck = str(tmp_path / "ck")
+        # a single-corner source across a 3-tile-wide grid needs >1
+        # superstep: max_rounds=1 dies mid-run, leaving round_0 recorded
+        with pytest.raises(RuntimeError, match="no convergence"):
+            cost_distance_tiles(
+                rd.from_pandas(df), 50.0, n_buckets=3,
+                max_rounds=1, checkpoint_dir=ck,
+            ).to_pandas()
+        import os
+        assert os.path.exists(os.path.join(ck, "manifest.json"))
+        resumed = (cost_distance_tiles(rd.from_pandas(df), 50.0, n_buckets=3,
+                                       checkpoint_dir=ck)
+                   .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(resumed, full)
+        # a further rerun takes the recorded-converged fast path
+        again = (cost_distance_tiles(rd.from_pandas(df), 50.0, n_buckets=3,
+                                     checkpoint_dir=ck)
+                 .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(again, full)
+        # only the latest round's shard remains on disk
+        import json
+        m = json.load(open(os.path.join(ck, "manifest.json")))
+        rounds = sorted(k for k in m["partitions"] if k.startswith("round_"))
+        dirs = [d for d in os.listdir(ck) if d.startswith("part=round_")]
+        assert len(dirs) == 1
