@@ -650,6 +650,40 @@ def q_cost_paths(sf_dir: str) -> pd.DataFrame:
     return out[["dest_id", "step", "y", "x"]].astype(np.int64)
 
 
+def q_cost_distance_src(sf_dir: str) -> pd.DataFrame:
+    """DECOUPLED-source cost distance (the ArcGIS two-raster form):
+    traversal costs = the total-biomass raster, sources = the species-
+    0131 PRESENCE raster (a separate layer co-keyed per tile in one
+    exchange; pipelines/costdist.cost_distance_tiles(sources=…)).
+    Oracle = the Dijkstra replay with the same decoupled source set
+    (oracle_pins.ensure_costsrcpin)."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.costdist import cost_distance_tiles
+
+    f = _fx()
+    presence = M.run_metrics(
+        f["tiles"],
+        registry.from_configs(
+            [{"name": "species_presence",
+              "parameters": {"species_code": "0131"}}]
+        ),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    out = cost_distance_tiles(
+        _total_biomass_result(f),
+        source_threshold=0.5,
+        sources=presence,
+        coarsen=4,
+    ).to_pandas()
+    res = out[["y", "x", "cdist"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_temporal_trend(sf_dir: str) -> pd.DataFrame:
     """Per-pixel biomass trend over a deterministic 5-year stack
     (pipelines/temporal — synthetic dated stack with integer closed
@@ -5771,6 +5805,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_cost_backlink": q_cost_backlink,
         "gf_cost_allocation": q_cost_allocation,
         "gf_cost_paths": q_cost_paths,
+        "gf_cost_distance_src": q_cost_distance_src,
         "gf_local_moran": q_local_moran,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
@@ -6789,6 +6824,11 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_cost_allocation"] = (
         f"SELECT y, x, alloc "
         f"FROM read_parquet('{_pins.ensure_allocpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_cost_distance_src"] = (
+        f"SELECT y, x, cdist "
+        f"FROM read_parquet('{_pins.ensure_costsrcpin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_cost_paths"] = (

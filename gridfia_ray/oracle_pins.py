@@ -2038,3 +2038,72 @@ def ensure_allocpin() -> dict:
 def alloc_path_destinations(n: int) -> list[tuple[int, int]]:
     """The 5 pinned CostPath destinations: corners + center."""
     return [(0, 0), (0, n - 1), (n - 1, 0), (n - 1, n - 1), (n // 2, n // 2)]
+
+
+COSTSRCPIN_V = 1
+
+
+def ensure_costsrcpin() -> dict:
+    """{'expected'} parquet for the DECOUPLED-source cost distance: the
+    same heapq Dijkstra as ensure_costpin (total-biomass traversal
+    costs), but sources = pixels where species 0131 is PRESENT
+    (biomass > 0) — the ArcGIS two-raster form (separate source and
+    cost layers)."""
+
+    def build(tmp: str) -> dict:
+        import heapq
+
+        from gridfia_ray import fixtures
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        grid = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        grid[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        sp = pix[(pix["species_code"] == "0131") & (pix["biomass"] > 0)]
+        src = np.zeros((n, n), dtype=bool)
+        src[sp["y"].to_numpy(), sp["x"].to_numpy()] = True
+        if not src.any():
+            raise RuntimeError("costsrcpin: species 0131 never present")
+        c = grid.ravel().tolist()
+        INF = 1 << 62
+        dist = [INF] * (n * n)
+        heap = [(0, int(lin)) for lin in np.nonzero(src.ravel())[0]]
+        for _, lin in heap:
+            dist[lin] = 0
+        heapq.heapify(heap)
+        nbrs = [(-1, -1, 4), (-1, 0, 3), (-1, 1, 4), (0, -1, 3),
+                (0, 1, 3), (1, -1, 4), (1, 0, 3), (1, 1, 4)]
+        while heap:
+            dd, lin = heapq.heappop(heap)
+            if dd > dist[lin]:
+                continue
+            y, x = divmod(lin, n)
+            cl = c[lin]
+            for dy, dx, wgt in nbrs:
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < n and 0 <= nx < n:
+                    nl = ny * n + nx
+                    nd = dd + wgt * (cl + c[nl])
+                    if nd < dist[nl]:
+                        dist[nl] = nd
+                        heapq.heappush(heap, (nd, nl))
+        ys, xs = np.mgrid[0:n, 0:n]
+        exp = pa.table(
+            {
+                "y": pa.array(ys.reshape(-1).astype(np.int64)),
+                "x": pa.array(xs.reshape(-1).astype(np.int64)),
+                "cdist": pa.array(np.asarray(dist, dtype=np.int64)),
+            }
+        )
+        pq.write_table(exp, os.path.join(tmp, "expected.parquet"))
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"costsrcpin-v{GEN_VERSION}.{COSTSRCPIN_V}", build)

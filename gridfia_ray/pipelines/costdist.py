@@ -285,6 +285,7 @@ def _converged_cost_state(
     coarsen: int,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
+    sources: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Run the superstep relaxation to the global fixpoint; returns the
     converged tile-state dataset (shared by the distance and backlink
@@ -302,42 +303,99 @@ def _converged_cost_state(
 
     thr_u = int(np.floor(source_threshold * 1_000_000 + 0.5))
 
-    def init(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, r in batch.iterrows():
-            h, w = int(r["h"]), int(r["w"])
-            arr = np.frombuffer(r["pix"], np.dtype(r["dtype"])).reshape(h, w)
-            u = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
-            if (u < 0).any():
-                raise ValueError(
-                    "cost_distance: negative traversal cost in tile "
-                    f"({r['tile_row']}, {r['tile_col']})"
-                )
-            src = u > thr_u
-            dist = np.where(src, np.int64(0), _INF)
-            out.append(
-                {
-                    "metric": r["metric"],
-                    "tile_row": int(r["tile_row"]),
-                    "tile_col": int(r["tile_col"]),
-                    "h": h,
-                    "w": w,
-                    "y0": int(r["tile_row"]) * h,
-                    "x0": int(r["tile_col"]) * w,
-                    "kind": 0,
-                    "side": -1,
-                    "cost": u.tobytes(),
-                    "dist": dist.tobytes(),
-                    "changed": int(src.sum()),
-                }
-            )
-        return pd.DataFrame(out)
+    def _u_arr(r: pd.Series) -> np.ndarray:
+        h, w = int(r["h"]), int(r["w"])
+        arr = np.frombuffer(r["pix"], np.dtype(r["dtype"])).reshape(h, w)
+        return np.floor(arr.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
 
+    def _state_row(r: pd.Series, u: np.ndarray, src: np.ndarray) -> dict:
+        h, w = int(r["h"]), int(r["w"])
+        if (u < 0).any():
+            raise ValueError(
+                "cost_distance: negative traversal cost in tile "
+                f"({r['tile_row']}, {r['tile_col']})"
+            )
+        dist = np.where(src, np.int64(0), _INF)
+        return {
+            "metric": r["metric"],
+            "tile_row": int(r["tile_row"]),
+            "tile_col": int(r["tile_col"]),
+            "h": h,
+            "w": w,
+            "y0": int(r["tile_row"]) * h,
+            "x0": int(r["tile_col"]) * w,
+            "kind": 0,
+            "side": -1,
+            "cost": u.tobytes(),
+            "dist": dist.tobytes(),
+            "changed": int(src.sum()),
+        }
+
+    from gridfia_ray.stages.agg_util import bucketed_group_map as _bgm
     from gridfia_ray.stages.agg_util import to_arrow
 
-    state = result.map_batches(
-        lambda b: to_arrow(init(b), _STATE), batch_format="pandas"
-    ).materialize()
+    if sources is None:
+        # sources = cost pixels above the threshold (the coupled form)
+        def init(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                [
+                    _state_row(r, u, u > thr_u)
+                    for _, r in batch.iterrows()
+                    for u in (_u_arr(r),)
+                ]
+            )
+
+        state = result.map_batches(
+            lambda b: to_arrow(init(b), _STATE), batch_format="pandas"
+        ).materialize()
+    else:
+        # decoupled SOURCE raster (the ArcGIS form): cost tiles co-key
+        # with source tiles on the tile address in one exchange; a tile
+        # with no source row simply has no zero-dist seeds. Source
+        # pixels are those whose µ-value exceeds the threshold.
+        def tag(side: str):
+            def fn(batch: pd.DataFrame) -> pd.DataFrame:
+                batch = batch.copy()
+                batch["__side"] = side
+                return batch[
+                    ["metric", "tile_row", "tile_col", "h", "w", "pix",
+                     "dtype", "__side"]
+                ]
+
+            return fn
+
+        def init_pair(group: pd.DataFrame) -> pd.DataFrame:
+            cost_rows = group[group["__side"] == "c"]
+            if len(cost_rows) == 0:
+                return pd.DataFrame({f.name: [] for f in _STATE})
+            if len(cost_rows) > 1:
+                raise ValueError(
+                    "cost_distance: duplicate cost tile at "
+                    f"({group['tile_row'].iloc[0]}, "
+                    f"{group['tile_col'].iloc[0]})"
+                )
+            r = cost_rows.iloc[0]
+            u = _u_arr(r)
+            src = np.zeros(u.shape, bool)
+            for _, sr in group[group["__side"] == "s"].iterrows():
+                if (int(sr["h"]), int(sr["w"])) != u.shape:
+                    raise ValueError(
+                        "cost_distance: source tile shape mismatches "
+                        "the cost tile"
+                    )
+                src |= _u_arr(sr) > thr_u
+            return pd.DataFrame([_state_row(r, u, src)])
+
+        both = result.map_batches(
+            tag("c"), batch_format="pandas"
+        ).union(sources.map_batches(tag("s"), batch_format="pandas"))
+        state = _bgm(
+            both,
+            ["tile_row", "tile_col"],
+            init_pair,
+            n_buckets=n_buckets,
+            out_schema=_STATE,
+        ).materialize()
     if int(state.sum("changed") or 0) == 0:
         raise ValueError("cost_distance: no source pixel above threshold")
     if coarsen > 1:
@@ -416,6 +474,7 @@ def cost_distance_tiles(
     coarsen: int = 1,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
+    sources: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Chamfer-3/4 integer cost distance over a result-tile dataset →
     rows (metric, y, x, cdist). Sources are pixels whose micro-scaled
@@ -427,6 +486,7 @@ def cost_distance_tiles(
     state = _converged_cost_state(
         result, source_threshold, n_buckets, max_rounds, coarsen,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        sources=sources,
     )
 
     def explode(tbl: pa.Table) -> pa.Table:

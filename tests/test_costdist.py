@@ -365,3 +365,73 @@ class TestCostCheckpoint:
         rounds = sorted(k for k in m["partitions"] if k.startswith("round_"))
         dirs = [d for d in os.listdir(ck) if d.startswith("part=round_")]
         assert len(dirs) == 1
+
+
+class TestDecoupledSources:
+    def test_separate_source_raster_matches_dijkstra(self, ray_session):
+        from gridfia_ray.pipelines.costdist import cost_distance_tiles
+
+        rng = np.random.RandomState(20)
+        df, g = _raster(rng, tiles_y=2, tiles_x=2, h=5, w=5, p_source=0.0)
+        # independent source layer: a handful of marked pixels
+        src_g = np.zeros_like(g)
+        src_g[1, 1] = src_g[8, 7] = 1.0
+        src_rows = []
+        h = w = 5
+        for tr in range(2):
+            for tc in range(2):
+                src_rows.append(
+                    {"metric": "src", "tile_row": tr, "tile_col": tc,
+                     "h": h, "w": w,
+                     "pix": src_g[tr*h:(tr+1)*h, tc*w:(tc+1)*w].tobytes(),
+                     "dtype": "float64"}
+                )
+        got = (cost_distance_tiles(
+                   rd.from_pandas(df), 0.5,
+                   sources=rd.from_pandas(pd.DataFrame(src_rows)),
+                   n_buckets=3)
+               .to_pandas().sort_values(["y", "x"]).reset_index(drop=True))
+        # brute Dijkstra with the same decoupled sources
+        import heapq
+        u = np.floor(g * 1e6 + 0.5).astype(np.int64)
+        H, W = g.shape
+        c = u.ravel().tolist()
+        INF = 1 << 62
+        dist = [INF] * (H * W)
+        heap = []
+        for (sy, sx) in ((1, 1), (8, 7)):
+            dist[sy * W + sx] = 0
+            heap.append((0, sy * W + sx))
+        heapq.heapify(heap)
+        nbrs = [(-1, -1, 4), (-1, 0, 3), (-1, 1, 4), (0, -1, 3),
+                (0, 1, 3), (1, -1, 4), (1, 0, 3), (1, 1, 4)]
+        while heap:
+            dd, lin = heapq.heappop(heap)
+            if dd > dist[lin]:
+                continue
+            y, x = divmod(lin, W)
+            for dy, dx, wgt in nbrs:
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < H and 0 <= nx < W:
+                    nl = ny * W + nx
+                    nd = dd + wgt * (c[lin] + c[nl])
+                    if nd < dist[nl]:
+                        dist[nl] = nd
+                        heapq.heappush(heap, (nd, nl))
+        want = np.asarray(dist, np.int64).reshape(H, W)
+        grid = np.full(g.shape, -1, np.int64)
+        grid[got["y"], got["x"]] = got["cdist"]
+        np.testing.assert_array_equal(grid, want)
+
+    def test_no_sources_in_layer_raises(self, ray_session):
+        from gridfia_ray.pipelines.costdist import cost_distance_tiles
+
+        rng = np.random.RandomState(21)
+        df, _ = _raster(rng, tiles_y=1, tiles_x=1, h=4, w=4, p_source=0.0)
+        src = df.copy()
+        src["metric"] = "src"
+        src["pix"] = [np.zeros((4, 4)).tobytes()]
+        with pytest.raises(Exception, match="no source pixel"):
+            cost_distance_tiles(
+                rd.from_pandas(df), 0.5, sources=rd.from_pandas(src)
+            ).to_pandas()
