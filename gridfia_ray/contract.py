@@ -415,6 +415,53 @@ def q_glcm(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["direction", "la", "lb"]).reset_index(drop=True)
 
 
+_CALC_EXPR = "(a - b) * 1000000 // (a + b + 1)"
+
+
+def _species_pct_result(f: dict, code: str):
+    from gridfia_ray.pipelines import metrics as M
+
+    return M.run_metrics(
+        f["tiles"],
+        registry.from_configs(
+            [{"name": "species_percentage",
+              "parameters": {"species_code": code}}]
+        ),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+
+
+def q_raster_calc(sf_dir: str) -> pd.DataFrame:
+    """Map-algebra raster calculator (pipelines/calc.raster_calc_tiles):
+    the normalized-difference index between the Dominant-Oak and
+    Common-Pine percentage rasters — (a−b)·10⁶ // (a+b+1) entirely in
+    µ-int64 — via one tile-address co-key exchange and a parsed (never
+    eval'd) AST. The oracle SQL is GENERATED from the same AST
+    (calc.expr_to_sql), so the two sides cannot drift."""
+    from gridfia_ray.pipelines.calc import raster_calc_tiles
+    from gridfia_ray.pipelines.metrics import metrics_to_pixels
+
+    f = _fx()
+    out = raster_calc_tiles(
+        _CALC_EXPR,
+        {"a": _species_pct_result(f, "0131"),
+         "b": _species_pct_result(f, "0110")},
+    )
+    pix = metrics_to_pixels(out).to_pandas()
+    res = pd.DataFrame(
+        {
+            "y": pix["y"].astype(np.int64),
+            "x": pix["x"].astype(np.int64),
+            "nd_u": pix["value"].astype(np.int64),
+        }
+    )
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_focal_curvature(sf_dir: str) -> pd.DataFrame:
     """Zevenbergen–Thorne general curvature of the total-biomass
     raster (pipelines/focal.focal_curvature_tiles — the exact
@@ -5815,6 +5862,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_focal_tpi": q_focal_tpi,
         "gf_focal_curvature": q_focal_curvature,
         "gf_glcm": q_glcm,
+        "gf_raster_calc": q_raster_calc,
         "gf_focal_median": q_focal_median,
         "gf_focal_majority": q_focal_majority,
         "gf_focal_aspect": q_focal_aspect,
@@ -6178,6 +6226,24 @@ def build_oracle_sql() -> dict[str, str]:
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x, a.v
         HAVING COUNT(*) = 9"""
+    from gridfia_ray.pipelines.calc import expr_to_sql, parse_expr
+
+    _pct = lambda code: _sql_s6(  # noqa: E731
+        f"CASE WHEN t.total > 0 THEN sp{code}.biomass/t.total*100.0 "
+        f"ELSE 0 END"
+    )
+    _nd = expr_to_sql(parse_expr(_CALC_EXPR), {"a": "pa", "b": "pb"})
+    sql["gf_raster_calc"] = f"""
+        {species_cte}, {tot_cte},
+        c AS (SELECT t.y, t.x, {_pct('0131')} AS pa, {_pct('0110')} AS pb
+              FROM tot t
+              JOIN p sp0131 ON sp0131.y = t.y AND sp0131.x = t.x
+                           AND sp0131.species_code = '0131'
+              JOIN p sp0110 ON sp0110.y = t.y AND sp0110.x = t.x
+                           AND sp0110.species_code = '0110')
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST({_nd} AS BIGINT) AS nd_u
+        FROM c"""
     sql["gf_glcm"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
