@@ -589,6 +589,26 @@ def q_euclidean_allocation(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_events_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Exact rolling-window anomaly flags (pipelines/events.
+    rolling_anomaly): per event type, each value tests beyond-3σ
+    against its preceding 20-row window with the z² test fully
+    cross-multiplied into int64 — no float σ on either side, so the
+    SQL ROWS-window oracle hash-matches every row."""
+    from gridfia_ray.pipelines.events import rolling_anomaly
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    out = rolling_anomaly(ev).to_pandas()
+    out = out[["event_type", "event_id", "v_milli", "n_window", "flagged"]]
+    out["event_type"] = out["event_type"].astype(str)
+    for c in ("event_id", "v_milli", "n_window", "flagged"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_cost_distance(sf_dir: str) -> pd.DataFrame:
     """Chamfer-3/4 integer cost distance (pipelines/costdist.
     cost_distance_tiles): minimum accumulated traversal cost from any
@@ -5802,6 +5822,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zonal_geometry": q_zonal_geometry,
         "gf_zone_neighbors": q_zone_neighbors,
         "gf_cooccurrence": q_cooccurrence,
+        "events_anomaly": q_events_anomaly,
         "gf_quantile_classes": q_quantile_classes,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
@@ -6877,6 +6898,22 @@ def build_oracle_sql() -> dict[str, str]:
         f"FROM read_parquet('{_pins.ensure_flowpin()['expected']}') "
         f"ORDER BY y, x"
     )
+    sql["events_anomaly"] = """
+        WITH e AS (SELECT event_type, ts, event_id,
+               CAST(FLOOR(value*1000 + 0.5) AS BIGINT) AS v
+               FROM events),
+        w AS (SELECT event_type, event_id, v,
+              CAST(COALESCE(SUM(v) OVER win, 0) AS BIGINT) AS s,
+              CAST(COALESCE(SUM(v*v) OVER win, 0) AS BIGINT) AS q,
+              CAST(COUNT(v) OVER win AS BIGINT) AS n
+              FROM e
+              WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, event_id, v AS v_milli, n AS n_window,
+          CAST(CASE WHEN n >= 2
+                     AND (n*v - s)*(n*v - s) > 9*(n*q - s*s)
+               THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM w"""
     sql["gf_cost_distance"] = (
         f"SELECT y, x, cdist "
         f"FROM read_parquet('{_pins.ensure_costpin()['expected']}') "

@@ -515,3 +515,68 @@ def gapfill_locf(
         per_bucket,
         n_buckets,
     )
+
+
+def rolling_anomaly(
+    events: rd.Dataset,
+    key: str = "event_type",
+    order_cols: list[str] | None = None,
+    value_col: str = "value",
+    window: int = 20,
+    k: int = 3,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """EXACT rolling-window outlier detection (the monitoring staple):
+    per key, ordered by ``order_cols`` (must uniquely order within a
+    key), each row's milli-scaled value v tests against the PRECEDING
+    ``window`` rows' moments; flagged iff
+
+        (n·v − S)² > k² · (n·Q − S²)       [n = actual preceding count]
+
+    — the z-score-beyond-k test with both the mean-division and σ
+    cross-multiplied away, so every comparison is int64-exact and the
+    SQL ``ROWS BETWEEN window PRECEDING AND 1 PRECEDING`` window oracle
+    reproduces it hash-for-hash (no float σ anywhere; float reductions
+    would drift between accumulation orders). Rows with fewer than 2
+    preceding values are never flagged. Returns the key/id columns plus
+    (v_milli, n_window, flagged).
+
+    One bucketed exchange + one vectorized rolling pass per bucket.
+    Bounds: rolling sums stay exact in float64 (S ≤ window·v_m ≪ 2⁵³)
+    before the int64 cast; the cross-multiplied test needs
+    window·v_m² ≪ 2⁶³/k² — true for milli-scaled values up to ~10⁶.
+    """
+    order_cols = order_cols or ["ts", "event_id"]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort").copy()
+        v = np.floor(g[value_col].to_numpy(np.float64) * 1000 + 0.5).astype(
+            np.int64
+        )
+        g["v_milli"] = v
+        prev = g.groupby(key, sort=False)["v_milli"].shift(1)
+        roll = prev.groupby(g[key], observed=True).rolling(
+            window, min_periods=1
+        )
+        S = roll.sum().reset_index(level=0, drop=True)
+        Q = (
+            (prev * prev)
+            .groupby(g[key], observed=True)
+            .rolling(window, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+        )
+        n = roll.count().reset_index(level=0, drop=True)
+        S = S.fillna(0).astype(np.int64)
+        Q = Q.fillna(0).astype(np.int64)
+        n = n.fillna(0).astype(np.int64)
+        lhs = (n * v - S) ** 2
+        rhs = np.int64(k * k) * (n * Q - S * S)
+        g["n_window"] = n
+        g["flagged"] = ((n >= 2) & (lhs > rhs)).astype(np.int64)
+        keep = [key, *order_cols, "v_milli", "n_window", "flagged"]
+        return g[[c for c in dict.fromkeys(keep)]]
+
+    from gridfia_ray.stages.agg_util import bucketed_bucket_map
+
+    return bucketed_bucket_map(events, [key], per_bucket, n_buckets)

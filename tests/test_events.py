@@ -572,3 +572,53 @@ class TestTimeToConvert:
     def test_same_instant_converts(self, ray_session):
         got = self._run([(3, "view", 10), (3, "purchase", 10)])
         assert got == {3: 0}
+
+
+class TestRollingAnomaly:
+    @staticmethod
+    def _events(vals, etype="a"):
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(len(vals), dtype=np.int64),
+                "ts": pd.to_datetime(np.arange(len(vals)), unit="s"),
+                "event_type": etype,
+                "value": np.asarray(vals, np.float64),
+            }
+        )
+
+    def test_planted_spike_flagged(self, ray_session):
+        from gridfia_ray.pipelines.events import rolling_anomaly
+
+        vals = [10.0 + 0.1 * (i % 5) for i in range(30)]
+        vals[25] = 500.0  # the spike
+        out = (rolling_anomaly(rd.from_pandas(self._events(vals)), n_buckets=2)
+               .to_pandas().set_index("event_id"))
+        assert out.loc[25, "flagged"] == 1
+        # steady rows are not flagged
+        assert out.loc[[5, 10, 20], "flagged"].sum() == 0
+        # too little history is never flagged
+        assert out.loc[[0, 1], "flagged"].sum() == 0
+
+    def test_matches_sequential_replay(self, ray_session):
+        from gridfia_ray.pipelines.events import rolling_anomaly
+
+        rng = np.random.RandomState(41)
+        df = pd.concat(
+            [self._events(rng.rand(40) * 100, "a"),
+             self._events(rng.rand(25) * 50, "b")],
+            ignore_index=True,
+        )
+        df["event_id"] = np.arange(len(df), dtype=np.int64)
+        out = (rolling_anomaly(rd.from_pandas(df), window=7, k=2, n_buckets=4)
+               .to_pandas().set_index("event_id"))
+        for etype, grp in df.groupby("event_type"):
+            grp = grp.sort_values(["ts", "event_id"])
+            hist = []
+            for r in grp.itertuples():
+                v = int(np.floor(r.value * 1000 + 0.5))
+                win = hist[-7:]
+                n, S, Q = len(win), sum(win), sum(x * x for x in win)
+                want = int(n >= 2 and (n * v - S) ** 2 > 4 * (n * Q - S * S))
+                assert out.loc[r.event_id, "flagged"] == want, r.event_id
+                assert out.loc[r.event_id, "n_window"] == n
+                hist.append(v)
