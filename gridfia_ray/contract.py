@@ -3368,6 +3368,19 @@ def q_doc_substr_dedup(sf_dir: str) -> pd.DataFrame:
 _SUBSTR_LEN = 10
 
 
+def q_doc_textrank(sf_dir: str) -> pd.DataFrame:
+    """TextRank keyword scores (text/textrank.textrank_scores —
+    Mihalcea & Tarau 2004): integer-exact PageRank over the word
+    co-occurrence graph, vs the unrolled 3-iteration SQL replay over
+    the identical graph construction."""
+    from gridfia_ray.text.textrank import textrank_scores
+
+    out = textrank_scores(_docs(sf_dir))
+    out["word"] = out["word"].astype(str)
+    out["rank_c"] = out["rank_c"].astype(np.int64)
+    return out
+
+
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     """Integer-exact quality counts (ratios derive from these)."""
     import re
@@ -5823,6 +5836,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_zone_neighbors": q_zone_neighbors,
         "gf_cooccurrence": q_cooccurrence,
         "events_anomaly": q_events_anomaly,
+        "doc_textrank": q_doc_textrank,
         "gf_quantile_classes": q_quantile_classes,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
@@ -8036,6 +8050,35 @@ def build_oracle_sql() -> dict[str, str]:
     )
     from gridfia_ray.pipelines.sampling import rate_threshold_hex as _rth
 
+    sql["doc_textrank"] = (
+        """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+                   FROM documents WHERE text IS NOT NULL),
+        pr0 AS (SELECT toks[i] a, toks[i+1] b
+                FROM t, LATERAL (SELECT unnest(range(1, len(toks))) i) _
+                WHERE len(toks) >= 2),
+        und AS (SELECT a, b FROM pr0 WHERE a <> b),
+        ew AS (SELECT DISTINCT a, b FROM
+                 (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)),
+        vocab AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) id FROM
+                    (SELECT DISTINCT a AS w FROM ew)),
+        edges AS (SELECT va.id src, vb.id dst
+                  FROM ew JOIN vocab va ON va.w = ew.a
+                          JOIN vocab vb ON vb.w = ew.b),
+        deg AS (SELECT src, COUNT(*) deg FROM edges GROUP BY 1),
+        n AS (SELECT COUNT(*) nn FROM deg),
+        r0 AS (SELECT src AS node,
+                      CAST(1000000000000 // nn AS BIGINT) r FROM deg, n),
+        """
+        + _pr_it.format(out="r1", prev="r0")
+        + ","
+        + _pr_it.format(out="r2", prev="r1")
+        + ","
+        + _pr_it.format(out="r3", prev="r2")
+        + """
+        SELECT vocab.w AS word, r3.r AS rank_c
+        FROM r3 JOIN vocab ON vocab.id = r3.node ORDER BY word"""
+    )
     sql["graph_triangles"] = f"""
         WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
         e0 AS (SELECT DISTINCT a.s u, b.s v
