@@ -3375,7 +3375,7 @@ def q_doc_textrank(sf_dir: str) -> pd.DataFrame:
     the identical graph construction."""
     from gridfia_ray.text.textrank import textrank_scores
 
-    out = textrank_scores(_docs(sf_dir))
+    out = textrank_scores(_docs(sf_dir), n_buckets=8)
     out["word"] = out["word"].astype(str)
     out["rank_c"] = out["rank_c"].astype(np.int64)
     return out
