@@ -3940,6 +3940,95 @@ def q_rel_quiet_customers(sf_dir: str) -> pd.DataFrame:
     return _semi_anti_customers(sf_dir, anti=True)
 
 
+def q_rel_wealthy_quiet(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22-shaped: per nation the count and total balance of
+    customers with NO URGENT order whose balance beats the
+    positive-balance average — the average test cross-multiplied into
+    int64 (bal·n > total), so no float division on either side. Anti
+    join via the byte-guarded broadcast path; (n, total) from one
+    combiner pass; final per-nation fold via one tiny bucketed
+    aggregate. (The synthetic corpus gives every customer at least one
+    order, so the classic no-order form is degenerate; the no-URGENT
+    form keeps the identical shape non-trivially populated.)"""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.joins import broadcast_semi_join
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype(np.int64),
+                "c_nationkey": b["c_nationkey"].astype(np.int64),
+                "bal": np.floor(
+                    b["c_acctbal"].to_numpy(np.float64) * 100 + 0.5
+                ).astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    stats = (
+        cust.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "n_pos": [int((b["bal"] > 0).sum())],
+                    "s_pos": [int(b.loc[b["bal"] > 0, "bal"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .aggregate(Sum("n_pos", alias_name="n"), Sum("s_pos", alias_name="t"))
+    )
+    n_pos, s_pos = int(stats["n"]), int(stats["t"])
+    orderers = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"c_custkey": b.loc[
+                b["o_orderpriority"] == "1-URGENT", "o_custkey"
+            ].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    quiet = broadcast_semi_join(cust, orderers, "c_custkey", anti=True)
+    wealthy = quiet.map_batches(
+        lambda b: b.loc[b["bal"] * n_pos > s_pos],
+        batch_format="pandas",
+    )
+    _empty_nat = pd.DataFrame(
+        {"c_nationkey": pd.Series(dtype=np.int64),
+         "n_cust": pd.Series(dtype=np.int64),
+         "total_c": pd.Series(dtype=np.int64)}
+    )
+
+    def nation_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "c_nationkey" not in b.columns:
+            return _empty_nat  # anti-join emits schema-less empties
+        return b.groupby("c_nationkey", as_index=False).agg(
+            n_cust=("bal", "size"), total_c=("bal", "sum")
+        )
+
+    out = bucketed_agg(
+        wealthy.map_batches(nation_partial, batch_format="pandas"),
+        ["c_nationkey"],
+        {"n_cust": ("n_cust", "sum"), "total_c": ("total_c", "sum")},
+        n_buckets=8,
+    ).to_pandas()  # bounded: one row per nation
+    if len(out) == 0:
+        return _empty_nat
+    out = out[["c_nationkey", "n_cust", "total_c"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
 def q_rel_rollup_pricing(sf_dir: str) -> pd.DataFrame:
     """ROLLUP aggregate (all grouping prefixes in ONE streaming pass):
     per (returnflag, linestatus), per returnflag, and grand total —
@@ -5837,6 +5926,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_cooccurrence": q_cooccurrence,
         "events_anomaly": q_events_anomaly,
         "doc_textrank": q_doc_textrank,
+        "rel_wealthy_quiet": q_rel_wealthy_quiet,
         "gf_quantile_classes": q_quantile_classes,
         "gf_getis_gstar": q_getis_gstar,
         "gf_zonal_percentiles": q_zonal_percentiles,
@@ -8116,6 +8206,22 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE w.dist < 3)
         SELECT node, CAST(MIN(dist) AS BIGINT) dist
         FROM walk GROUP BY node ORDER BY node"""
+    sql["rel_wealthy_quiet"] = """
+        WITH cb AS (SELECT c_custkey, c_nationkey,
+                    CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+                    FROM customer),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+                     CAST(SUM(bal) AS BIGINT) t
+              FROM cb WHERE bal > 0),
+        q AS (SELECT cb.c_nationkey, cb.bal FROM cb
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = cb.c_custkey
+                                  AND o.o_orderpriority = '1-URGENT'))
+        SELECT q.c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(q.bal) AS BIGINT) AS total_c
+        FROM q, s WHERE q.bal * s.n > s.t
+        GROUP BY 1"""
     sql["rel_sole_slow_supplier"] = """
         WITH ls AS (SELECT l_orderkey, l_suppkey,
                            MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) any_r
