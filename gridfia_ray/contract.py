@@ -1693,6 +1693,25 @@ def q_morans_i(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_geary_c(sf_dir: str) -> pd.DataFrame:
+    """Global Geary's C (the local-variation autocorrelation companion
+    to Moran's I) over per-tile mean biomass, queen contiguity — the
+    pair term folds through one message exchange, never as pairs."""
+    from gridfia_ray.pipelines.moran import geary_c
+
+    f = _fx()
+    r = geary_c(f["tiles"], f["spec"])
+    return pd.DataFrame(
+        [
+            {
+                "geary_c_u": int(s6(r["geary_c"])),
+                "n_tiles": np.int64(r["n_tiles"]),
+                "w_pairs": np.int64(r["w_pairs"]),
+            }
+        ]
+    )
+
+
 def q_percentiles(sf_dir: str) -> pd.DataFrame:
     """A5 analog: global value percentiles via the mergeable-histogram
     sketch (approximate by design → rows-only check; exactness is pinned
@@ -5979,6 +5998,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_cost_paths": q_cost_paths,
         "gf_cost_distance_src": q_cost_distance_src,
         "gf_local_moran": q_local_moran,
+        "gf_geary_c": q_geary_c,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
@@ -6809,6 +6829,19 @@ def build_oracle_sql() -> dict[str, str]:
                 AND NOT (a.tr = b.tr AND a.tc = b.tc), st),
         sq AS (SELECT SUM(POW(v - st.m, 2)) s FROM tm, st)
         SELECT {_sql_s6("(st.n * 1.0 / (SELECT COUNT(*) FROM pr)) * ((SELECT SUM(cr) FROM pr) / sq.s)")} AS morans_i_u,
+               CAST(st.n AS BIGINT) AS n_tiles,
+               CAST((SELECT COUNT(*) FROM pr) AS BIGINT) AS w_pairs
+        FROM st, sq"""
+    sql["gf_geary_c"] = f"""
+        WITH tm AS (SELECT y // {t} tr, x // {t} tc, AVG(biomass) v
+                    FROM read_parquet('{P}') WHERE species_code = '0000' GROUP BY 1, 2),
+        st AS (SELECT AVG(v) m, COUNT(*) n FROM tm),
+        pr AS (SELECT POW(a.v - b.v, 2) d2
+               FROM tm a JOIN tm b
+                 ON abs(a.tr - b.tr) <= 1 AND abs(a.tc - b.tc) <= 1
+                AND NOT (a.tr = b.tr AND a.tc = b.tc)),
+        sq AS (SELECT SUM(POW(v - st.m, 2)) s FROM tm, st)
+        SELECT {_sql_s6("((st.n - 1.0) / (2.0 * (SELECT COUNT(*) FROM pr))) * ((SELECT SUM(d2) FROM pr) / sq.s)")} AS geary_c_u,
                CAST(st.n AS BIGINT) AS n_tiles,
                CAST((SELECT COUNT(*) FROM pr) AS BIGINT) AS w_pairs
         FROM st, sq"""

@@ -188,3 +188,97 @@ def morans_i(tiles_path, spec: GridSpec) -> dict:
     cross, sq, w = float(parts["cross"]), float(parts["sq"]), float(parts["w"])
     i_val = (n / w) * (cross / sq) if w > 0 and sq > 0 else float("nan")
     return {"morans_i": i_val, "n_tiles": n, "w_pairs": int(w), "mean_value": mean}
+
+
+def geary_c(tiles_path, spec: GridSpec) -> dict:
+    """Global Geary's C over per-tile mean biomass, queen contiguity —
+    the local-variation companion to Moran's I (C < 1 ⇔ positive
+    autocorrelation). Same single-exchange message-passing shape as
+    :func:`morans_i`; the reference's esda delegation
+    (``statistical_analysis.py:619-665``) computed directly:
+
+      C = ((N−1) / (2W)) · Σ_ij w_ij (x_i − x_j)² / Σ_i (x_i − x̄)²
+
+    The pair term never materializes pairs: each tile's message to a
+    neighbor carries (x_j, x_j²) partials pre-summed per batch, and the
+    receiving cell folds Σ_j (x_i − x_j)² = w_i·x_i² − 2·x_i·Σx_j +
+    Σx_j² locally — O(cells) rows through the shuffle, not O(pairs)."""
+    from ray.data.aggregate import Count, Sum
+
+    values = _tile_values(tiles_path, spec).materialize()  # small: one row per tile
+    g = values.aggregate(Sum("value", alias_name="s"), Count(alias_name="n"))
+    n = int(g["n"])
+    mean = float(g["s"]) / n
+
+    # row schema for both legs: (cell_id, msg_sum, msg_sq, msg_w, own, has_own)
+    def messages(batch: pa.Table) -> pd.DataFrame:
+        trs = batch["tile_row"].to_numpy()
+        tcs = batch["tile_col"].to_numpy()
+        v = batch["value"].to_numpy()
+        to_cell, from_v = [], []
+        for dr, dc in _OFFSETS:
+            nr, nc = trs + dr, tcs + dc
+            ok = (nr >= 0) & (nc >= 0)
+            to_cell.append(morton_encode(nc[ok], nr[ok]))
+            from_v.append(v[ok])
+        df = pd.DataFrame(
+            {"cell_id": np.concatenate(to_cell), "v": np.concatenate(from_v)}
+        )
+        df["v2"] = df["v"] * df["v"]
+        g = df.groupby("cell_id", as_index=False).agg(
+            msg_sum=("v", "sum"), msg_sq=("v2", "sum"), msg_w=("v", "size")
+        )
+        g["msg_w"] = g["msg_w"].astype(np.int64)
+        g["own"] = 0.0
+        g["has_own"] = np.int8(0)
+        return g
+
+    def own(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cell_id": batch["cell_id"].to_numpy(),
+                "msg_sum": 0.0,
+                "msg_sq": 0.0,
+                "msg_w": np.int64(0),
+                "own": batch["value"].to_numpy(),
+                "has_own": np.int8(1),
+            }
+        )
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from gridfia_ray.stages.dedup_util import bucket_of
+
+        batch = batch.copy()
+        batch["__bucket"] = bucket_of(batch, ["cell_id"], 64)
+        return batch
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("cell_id", as_index=False).agg(
+            msg_sum=("msg_sum", "sum"), msg_sq=("msg_sq", "sum"),
+            msg_w=("msg_w", "sum"), own=("own", "sum"), has_own=("has_own", "max"),
+        )
+        g = g[g["has_own"] == 1]
+        x = g["own"].to_numpy()
+        w_i = g["msg_w"].to_numpy().astype(np.float64)
+        num = w_i * x * x - 2.0 * x * g["msg_sum"].to_numpy() + g["msg_sq"].to_numpy()
+        d = x - mean
+        return pd.DataFrame(
+            {
+                "num": [float(num.sum())],
+                "sq": [float((d * d).sum())],
+                "w": [int(g["msg_w"].sum())],
+            }
+        )
+
+    parts = (
+        values.map_batches(messages, batch_format="pyarrow")
+        .union(values.map_batches(own, batch_format="pyarrow"))
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .aggregate(Sum("num", alias_name="num"), Sum("sq", alias_name="sq"),
+                   Sum("w", alias_name="w"))
+    )
+    num, sq, w = float(parts["num"]), float(parts["sq"]), float(parts["w"])
+    c_val = ((n - 1) / (2.0 * w)) * (num / sq) if w > 0 and sq > 0 else float("nan")
+    return {"geary_c": c_val, "n_tiles": n, "w_pairs": int(w), "mean_value": mean}
