@@ -270,6 +270,36 @@ def q_focal_sum_3x3(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+_VARIOGRAM_LAGS = [1, 2, 4, 8]
+
+
+def q_semivariogram(sf_dir: str) -> pd.DataFrame:
+    """Axis-aligned experimental semivariogram of the total-biomass
+    raster at pixel lags 1/2/4/8 (pipelines/variogram.py): one
+    two-strip keyed exchange, pairs evaluated as shifted-array diffs
+    per tile, exact int64 hi/lo sum decomposition — bit-exact vs the
+    SQL self-join oracle computing the identical integer split."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.variogram import semivariogram_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    out = semivariogram_tiles(res, _VARIOGRAM_LAGS).to_pandas()[
+        ["direction", "lag", "n_pairs", "ss_hi", "ss_lo"]
+    ]
+    for c in ("lag", "n_pairs", "ss_hi", "ss_lo"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["direction", "lag"]).reset_index(drop=True)
+
+
 _CONTOUR_LEVEL = 45.0
 
 
@@ -5999,6 +6029,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_cost_distance_src": q_cost_distance_src,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
+        "gf_semivariogram": q_semivariogram,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
@@ -6238,6 +6269,25 @@ def build_oracle_sql() -> dict[str, str]:
           ON b.y BETWEEN a.y - 1 AND a.y + 1
          AND b.x BETWEEN a.x - 1 AND a.x + 1
         GROUP BY a.y, a.x"""
+    _vg_lags = ", ".join(f"({v})" for v in _VARIOGRAM_LAGS)
+    sql["gf_semivariogram"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        lags(lag) AS (VALUES {_vg_lags}),
+        pairs AS (
+          SELECT 'e' AS direction, l.lag, (b.v - a.v) * (b.v - a.v) AS d2
+          FROM u a CROSS JOIN lags l
+          JOIN u b ON b.y = a.y AND b.x = a.x + l.lag
+          UNION ALL
+          SELECT 's', l.lag, (b.v - a.v) * (b.v - a.v)
+          FROM u a CROSS JOIN lags l
+          JOIN u b ON b.x = a.x AND b.y = a.y + l.lag)
+        SELECT direction, CAST(lag AS BIGINT) AS lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(d2 // 4294967296) AS BIGINT) AS ss_hi,
+               CAST(SUM(d2 % 4294967296) AS BIGINT) AS ss_lo
+        FROM pairs GROUP BY 1, 2"""
     sql["gf_hist_equalize"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
