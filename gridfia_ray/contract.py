@@ -300,6 +300,31 @@ def q_semivariogram(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["direction", "lag"]).reset_index(drop=True)
 
 
+def q_focal_stats_5x5(sf_dir: str) -> pd.DataFrame:
+    """ArcGIS-style Focal Statistics with a 5×5 window (radius-2 halo
+    strips — the generalized exchange): exact window sum/count/min/max
+    of the µ-scaled total-biomass raster, bit-exact vs the SQL
+    self-join oracle; edge pixels aggregate present neighbors only."""
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.focal import focal_stats_tiles
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    cols = ["y", "x", "sum_u", "n_nbrs", "min_u", "max_u"]
+    out = focal_stats_tiles(res, radius=2).to_pandas()[cols]
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 _CONTOUR_LEVEL = 45.0
 
 
@@ -6030,6 +6055,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
+        "gf_focal_stats_5x5": q_focal_stats_5x5,
         "gf_tile_near_dup": q_tile_near_dup,
         "gf_sieve": q_sieve,
         "gf_augment_rot90": q_augment_rot90,
@@ -6268,6 +6294,19 @@ def build_oracle_sql() -> dict[str, str]:
         FROM u a JOIN u b
           ON b.y BETWEEN a.y - 1 AND a.y + 1
          AND b.x BETWEEN a.x - 1 AND a.x + 1
+        GROUP BY a.y, a.x"""
+    sql["gf_focal_stats_5x5"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
+        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
+               CAST(SUM(b.v) AS BIGINT) AS sum_u,
+               CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+               CAST(MIN(b.v) AS BIGINT) AS min_u,
+               CAST(MAX(b.v) AS BIGINT) AS max_u
+        FROM u a JOIN u b
+          ON b.y BETWEEN a.y - 2 AND a.y + 2
+         AND b.x BETWEEN a.x - 2 AND a.x + 2
         GROUP BY a.y, a.x"""
     _vg_lags = ", ".join(f"({v})" for v in _VARIOGRAM_LAGS)
     sql["gf_semivariogram"] = f"""

@@ -32,22 +32,24 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def _window_sums(padded: np.ndarray) -> np.ndarray:
-    """3×3 window sums over the interior of a padded 2-D array via
-    summed-area table — O(h·w), no Python loops."""
+def _window_sums(padded: np.ndarray, k: int = 3) -> np.ndarray:
+    """k×k window sums over the interior of a ``(h+k−1, w+k−1)``-padded
+    2-D array via summed-area table — O(h·w), no Python loops."""
     c = np.zeros((padded.shape[0] + 1, padded.shape[1] + 1), dtype=padded.dtype)
     np.cumsum(padded, axis=0, out=c[1:, 1:])
     np.cumsum(c[1:, 1:], axis=1, out=c[1:, 1:])
-    h, w = padded.shape[0] - 2, padded.shape[1] - 2
-    # sum of padded[i..i+2, j..j+2] for interior pixel (i, j)
-    return c[3 : 3 + h, 3 : 3 + w] - c[3 : 3 + h, : w] - c[:h, 3 : 3 + w] + c[:h, :w]
+    h, w = padded.shape[0] - (k - 1), padded.shape[1] - (k - 1)
+    # sum of padded[i..i+k-1, j..j+k-1] for interior pixel (i, j)
+    return c[k : k + h, k : k + w] - c[k : k + h, : w] - c[:h, k : k + w] + c[:h, :w]
 
 
 def _halo_explode(
-    result: rd.Dataset, op: str, allow_integer: bool = False
+    result: rd.Dataset, op: str, allow_integer: bool = False, radius: int = 1
 ) -> rd.Dataset:
     """Shared halo-exchange emit stage: every result tile → itself plus
-    8 border strips, micro-scaled int64, keyed to the receiving tile.
+    8 border strips of width ``radius``, micro-scaled int64, keyed to
+    the receiving tile (the exchange stays corpus + O(perimeter·radius)
+    bytes — a one-hop protocol, so ``radius`` must be ≤ the tile dims).
     ``allow_integer`` passes integer tiles through UNSCALED (categorical
     rasters — labels, dominant indices — where µ-scaling is meaningless
     and the arithmetic kernels' inflate-guard doesn't apply)."""
@@ -68,6 +70,11 @@ def _halo_explode(
                     f"{op}: tile ({tr}, {tc}) of {met!r} has "
                     f"status {status[i]!r} — a NaN-filled failed tile would "
                     f"poison its own and all 8 neighbors' windows"
+                )
+            if radius > h or radius > w:
+                raise ValueError(
+                    f"{op}: halo radius {radius} exceeds the {h}×{w} tile — "
+                    "the one-hop strip protocol needs radius <= tile size"
                 )
             src_dtype = np.dtype(batch["dtype"][i].as_py())
             if np.issubdtype(src_dtype, np.integer):
@@ -98,8 +105,12 @@ def _halo_explode(
                     nr, nc = tr + dy, tc + dx
                     if nr < 0 or nc < 0:
                         continue  # no tiles at negative indices
-                    rows = u if dy == 0 else (u[:1] if dy == -1 else u[-1:])
-                    strip = rows if dx == 0 else (rows[:, :1] if dx == -1 else rows[:, -1:])
+                    rows = u if dy == 0 else (u[:radius] if dy == -1 else u[-radius:])
+                    strip = (
+                        rows
+                        if dx == 0
+                        else (rows[:, :radius] if dx == -1 else rows[:, -radius:])
+                    )
                     mets.append(met)
                     trs.append(nr)
                     tcs.append(nc)
@@ -125,13 +136,13 @@ def _halo_explode(
 
 
 def strips_to_padded(
-    group: pd.DataFrame, op: str
+    group: pd.DataFrame, op: str, radius: int = 1
 ) -> "tuple[np.ndarray, np.ndarray, int, int] | None":
-    """Assemble one tile's strip group into padded ``(h+2, w+2)`` int64
-    value + presence arrays. Returns None when no center tile lives at
-    this address (strips addressed past the raster edge). Shared by the
-    per-pixel halo pipeline below and the packed flow-routing stage
-    (pipelines/flow.py)."""
+    """Assemble one tile's strip group into padded ``(h+2r, w+2r)``
+    int64 value + presence arrays. Returns None when no center tile
+    lives at this address (strips addressed past the raster edge).
+    Shared by the per-pixel halo pipeline below and the packed
+    flow-routing stage (pipelines/flow.py)."""
     center = (group["dy"] == 0) & (group["dx"] == 0)
     if not center.any():
         return None
@@ -150,16 +161,25 @@ def strips_to_padded(
             f"{group['tile_col'].iloc[0]}) — the halo protocol needs one"
         )
     h, w = int(hs[0]), int(ws[0])
-    vals = np.zeros((h + 2, w + 2), dtype=np.int64)
-    pres = np.zeros((h + 2, w + 2), dtype=np.int64)
+    rad = int(radius)
+    vals = np.zeros((h + 2 * rad, w + 2 * rad), dtype=np.int64)
+    pres = np.zeros((h + 2 * rad, w + 2 * rad), dtype=np.int64)
     for _, r in group.iterrows():
         dy, dx = int(r["dy"]), int(r["dx"])
         # the strip came FROM tile (target - (dy,dx)); it fills the
         # halo band on the side the source sits on
-        rs = slice(1, h + 1) if dy == 0 else (slice(h + 1, h + 2) if dy == -1 else slice(0, 1))
-        cs = slice(1, w + 1) if dx == 0 else (slice(w + 1, w + 2) if dx == -1 else slice(0, 1))
-        n_r = h if dy == 0 else 1
-        n_c = w if dx == 0 else 1
+        rs = (
+            slice(rad, h + rad)
+            if dy == 0
+            else (slice(h + rad, h + 2 * rad) if dy == -1 else slice(0, rad))
+        )
+        cs = (
+            slice(rad, w + rad)
+            if dx == 0
+            else (slice(w + rad, w + 2 * rad) if dx == -1 else slice(0, rad))
+        )
+        n_r = h if dy == 0 else rad
+        n_c = w if dx == 0 else rad
         strip = np.frombuffer(r["strip"], dtype=np.int64).reshape(n_r, n_c)
         vals[rs, cs] = strip
         pres[rs, cs] = 1
@@ -167,7 +187,8 @@ def strips_to_padded(
 
 
 def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
-                   n_buckets: int, allow_integer: bool = False) -> rd.Dataset:
+                   n_buckets: int, allow_integer: bool = False,
+                   radius: int = 1) -> rd.Dataset:
     """Shared halo-exchange pipeline: explode → one keyed exchange →
     per-tile padded assembly → ``window_fn(vals, pres, h, w) ->
     (cols, keep)`` where ``cols`` is a dict of h×w output arrays
@@ -182,7 +203,7 @@ def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
     wants_metric = "metric" in inspect.signature(window_fn).parameters
 
     def assemble(group: pd.DataFrame) -> pd.DataFrame:
-        padded = strips_to_padded(group, op)
+        padded = strips_to_padded(group, op, radius=radius)
         if padded is None:
             # strips addressed past the raster edge: no tile lives here
             return empty
@@ -219,7 +240,7 @@ def _halo_pipeline(result: rd.Dataset, op: str, window_fn, empty: pd.DataFrame,
         ]
     )
     return bucketed_group_map(
-        _halo_explode(result, op, allow_integer=allow_integer),
+        _halo_explode(result, op, allow_integer=allow_integer, radius=radius),
         ["metric", "tile_row", "tile_col"],
         assemble,
         n_buckets=n_buckets,
@@ -246,6 +267,50 @@ def focal_sum_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         return {"sum_u": _window_sums(vals), "n_nbrs": _window_sums(pres)}, None
 
     return _halo_pipeline(result, "focal_sum_tiles", window, empty, n_buckets)
+
+
+def focal_stats_tiles(
+    result: rd.Dataset, radius: int = 2, n_buckets: int = 64
+) -> rd.Dataset:
+    """ArcGIS-style Focal Statistics with an arbitrary square
+    ``(2r+1)×(2r+1)`` window — the generalization of the 3×3 family,
+    exercising the width-``r`` halo strips: per pixel the exact window
+    SUM (µ-scaled int64 via summed-area table), neighbor COUNT, MIN and
+    MAX over the neighbors that exist. Edge pixels aggregate over their
+    present neighbors only (the focal_sum edge policy; min/max mask
+    absent halo cells with ±int64 sentinels). One keyed exchange of
+    corpus + O(perimeter·r) bytes; r must be ≤ the tile dims (the
+    one-hop protocol — deeper windows at fixed tile size re-tile
+    first)."""
+    rad = int(radius)
+    if rad < 1:
+        raise ValueError("focal_stats_tiles: radius must be >= 1")
+    k = 2 * rad + 1
+    empty = pd.DataFrame(
+        {"metric": pd.Series(dtype=str),
+         "y": pd.Series(dtype=np.int64), "x": pd.Series(dtype=np.int64),
+         "sum_u": pd.Series(dtype=np.int64), "n_nbrs": pd.Series(dtype=np.int64),
+         "min_u": pd.Series(dtype=np.int64), "max_u": pd.Series(dtype=np.int64)}
+    )
+
+    def window(P, pres, h, w):
+        sums = _window_sums(P, k)
+        nbrs = _window_sums(pres, k)
+        lo = np.where(pres == 1, P, np.iinfo(np.int64).max)
+        hi = np.where(pres == 1, P, np.iinfo(np.int64).min)
+        mn = lo[:h, :w].copy()
+        mx = hi[:h, :w].copy()
+        for dy in range(k):
+            for dx in range(k):
+                if dy == 0 and dx == 0:
+                    continue
+                np.minimum(mn, lo[dy : dy + h, dx : dx + w], out=mn)
+                np.maximum(mx, hi[dy : dy + h, dx : dx + w], out=mx)
+        return {"sum_u": sums, "n_nbrs": nbrs, "min_u": mn, "max_u": mx}, None
+
+    return _halo_pipeline(
+        result, "focal_stats_tiles", window, empty, n_buckets, radius=rad
+    )
 
 
 def focal_median_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:

@@ -374,3 +374,32 @@ class TestGlcm:
         b = (glcm_counts_tiles(rd.from_pandas(df).repartition(6), n_buckets=16)
              .to_pandas().sort_values(["direction", "la", "lb"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestFocalStatsNxN:
+    def test_matches_brute_force_5x5(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_stats_tiles
+
+        rng = np.random.RandomState(7)
+        df, g = _raster(rng, tiles_y=3, tiles_x=3, h=6, w=6)
+        got = focal_stats_tiles(
+            rd.from_pandas(df).repartition(5), radius=2, n_buckets=8
+        ).to_pandas()
+        u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+        H, W = g.shape
+        assert len(got) == g.size
+        for _, r in got.iterrows():
+            y, x = int(r["y"]), int(r["x"])
+            win = u[max(y - 2, 0):min(y + 3, H), max(x - 2, 0):min(x + 3, W)]
+            assert int(r["sum_u"]) == int(win.sum()), (y, x)
+            assert int(r["n_nbrs"]) == win.size, (y, x)
+            assert int(r["min_u"]) == int(win.min()), (y, x)
+            assert int(r["max_u"]) == int(win.max()), (y, x)
+
+    def test_radius_exceeds_tile_raises(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_stats_tiles
+
+        rng = np.random.RandomState(8)
+        df, _ = _raster(rng, tiles_y=1, tiles_x=2, h=4, w=4)
+        with pytest.raises(Exception, match="radius"):
+            focal_stats_tiles(rd.from_pandas(df), radius=5).to_pandas()
