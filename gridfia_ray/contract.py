@@ -2852,6 +2852,20 @@ def q_doc_lm_perplexity(sf_dir: str) -> pd.DataFrame:
     return perplexity_scores(docs, ref_filter="en", ref_col="lang")
 
 
+def q_doc_nb_classifier(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes (text/nb.py): train per-language token
+    counts over the labeled corpus, score every ≥1-token document with
+    integer micro-nat log-probs, predict argmax (ties → smallest
+    class). Bit-exact vs the SQL oracle's identical arithmetic."""
+    from gridfia_ray.text.nb import nb_classify
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return nb_classify(docs, label_col="lang")
+
+
 _TFIDF_QUERY_IDS = [3, 17, 41]
 
 
@@ -6129,6 +6143,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_top_tokens_by_source": q_doc_top_tokens_by_source,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_lm_perplexity": q_doc_lm_perplexity,
+        "doc_nb_classifier": q_doc_nb_classifier,
         "doc_redact": q_doc_redact,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_job_shannon": q_job_shannon,
@@ -7454,6 +7469,32 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
                CAST(SUM(lp_c) AS BIGINT) lp_sum_c
         FROM sc GROUP BY 1 ORDER BY doc_id"""
+    sql["doc_nb_classifier"] = r"""
+        WITH toks AS (SELECT doc_id, lang,
+                             unnest(regexp_split_to_array(trim(text), '\s+')) tok
+                      FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        cnt AS (SELECT lang c, tok, COUNT(*) n FROM toks GROUP BY 1, 2),
+        tc AS (SELECT lang c, COUNT(*) t FROM toks GROUP BY 1),
+        nc AS (SELECT lang c, COUNT(DISTINCT doc_id) nd FROM toks GROUP BY 1),
+        na AS (SELECT COUNT(DISTINCT doc_id) n_all FROM toks),
+        vv AS (SELECT COUNT(DISTINCT tok) v FROM toks),
+        dt AS (SELECT doc_id, tok, COUNT(*) k FROM toks GROUP BY 1, 2),
+        body AS (SELECT dt.doc_id, tc.c,
+                        CAST(SUM(dt.k * CAST(FLOOR(1e6 * LN((COALESCE(cnt.n, 0) + 1.0)
+                                                            / (tc.t + vv.v))
+                                                   + 0.5) AS BIGINT)) AS BIGINT) s
+                 FROM dt CROSS JOIN tc CROSS JOIN vv
+                 LEFT JOIN cnt ON cnt.c = tc.c AND cnt.tok = dt.tok
+                 GROUP BY 1, 2),
+        tot AS (SELECT body.doc_id, body.c,
+                       body.s + CAST(FLOOR(1e6 * LN(nc.nd * 1.0 / na.n_all)
+                                           + 0.5) AS BIGINT) score_c
+                FROM body JOIN nc ON nc.c = body.c CROSS JOIN na),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score_c DESC, c) rn
+               FROM tot)
+        SELECT doc_id, c AS pred, CAST(score_c AS BIGINT) AS score_c
+        FROM rk WHERE rn = 1 ORDER BY doc_id"""
     _tq = ", ".join(str(q) for q in _TFIDF_QUERY_IDS)
     sql["doc_tfidf_topk"] = rf"""
         WITH toks AS (
