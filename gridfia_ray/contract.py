@@ -2866,6 +2866,20 @@ def q_doc_nb_classifier(sf_dir: str) -> pd.DataFrame:
     return nb_classify(docs, label_col="lang")
 
 
+def q_doc_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style importance weights (text/dsir.py): hashed-unigram
+    target/raw log-ratio per document (target = lang 'en'), integer
+    micro-nats, 4096 md5-prefix buckets. Model folds to 2×4096 ints,
+    broadcasts, scoring is a pure map — bit-exact vs the SQL oracle."""
+    from gridfia_ray.text.dsir import dsir_weights
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return dsir_weights(docs, target_filter="en", target_col="lang")
+
+
 _TFIDF_QUERY_IDS = [3, 17, 41]
 
 
@@ -6144,6 +6158,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "doc_nb_classifier": q_doc_nb_classifier,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "doc_redact": q_doc_redact,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_job_shannon": q_job_shannon,
@@ -7495,6 +7510,28 @@ def build_oracle_sql() -> dict[str, str]:
                FROM tot)
         SELECT doc_id, c AS pred, CAST(score_c AS BIGINT) AS score_c
         FROM rk WHERE rn = 1 ORDER BY doc_id"""
+    sql["doc_dsir_weights"] = r"""
+        WITH tk AS (SELECT doc_id, lang,
+                           substr(md5(unnest(regexp_split_to_array(trim(text),
+                                                                   '\s+'))),
+                                  1, 3) b
+                    FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        raw AS (SELECT b, COUNT(*) n FROM tk GROUP BY 1),
+        tgt AS (SELECT b, COUNT(*) n FROM tk WHERE lang = 'en' GROUP BY 1),
+        trw AS (SELECT COUNT(*) t FROM tk),
+        ttg AS (SELECT COUNT(*) t FROM tk WHERE lang = 'en'),
+        db AS (SELECT doc_id, b, COUNT(*) k FROM tk GROUP BY 1, 2)
+        SELECT db.doc_id,
+               CAST(SUM(db.k) AS BIGINT) n_toks,
+               CAST(SUM(db.k * (
+                   CAST(FLOOR(1e6 * LN((COALESCE(tg.n, 0) + 1.0)
+                                       / (ttg.t + 4096)) + 0.5) AS BIGINT)
+                 - CAST(FLOOR(1e6 * LN((rw.n + 1.0)
+                                       / (trw.t + 4096)) + 0.5) AS BIGINT)
+               )) AS BIGINT) w_c
+        FROM db CROSS JOIN trw CROSS JOIN ttg
+        JOIN raw rw USING (b) LEFT JOIN tgt tg USING (b)
+        GROUP BY 1 ORDER BY 1"""
     _tq = ", ".join(str(q) for q in _TFIDF_QUERY_IDS)
     sql["doc_tfidf_topk"] = rf"""
         WITH toks AS (
