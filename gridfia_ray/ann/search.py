@@ -202,6 +202,92 @@ def knn_graph(
     return embeddings.map_batches(block, batch_format="pyarrow", batch_size=1024)
 
 
+def hard_negatives(
+    embeddings: rd.Dataset,
+    k: int = 10,
+    *,
+    label_col: str = "label",
+    max_broadcast_bytes: int = 1 << 30,
+) -> rd.Dataset:
+    """Contrastive hard-negative MINING: for every vector, its ``k``
+    most-similar vectors with a DIFFERENT label — the standard
+    metric-learning / embedding-training data op (the negatives closest
+    to the anchor are the informative ones). Exact cosine, deterministic
+    (cosine desc, id asc) tie-break, same one-broadcast one-pass shape
+    as :func:`knn_graph` (the all-pairs math needs a worker-resident
+    reference; the IVF composition is the beyond-bound scale path).
+    Emits (vec_id, neg_id, rank, cosine); vectors whose label covers
+    the whole corpus emit no rows."""
+    import ray
+
+    embeddings = embeddings.select_columns(
+        ["vec_id", "embedding", label_col]
+    ).materialize()
+    n = embeddings.count()
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "neg_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    if n == 0:
+        return rd.from_arrow(empty)
+    first = embeddings.take_batch(1, batch_format="pyarrow")
+    d = _as_matrix(first["embedding"]).shape[1]
+    est = n * d * 8 + n * 16
+    if est > max_broadcast_bytes:
+        raise ValueError(
+            f"hard_negatives: corpus matrix ~{est >> 20} MiB exceeds "
+            f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB — compose "
+            "per-cell mining over an IVF partition (ann.ivf) at this scale"
+        )
+    ref_df = embeddings.to_pandas()
+    ids = ref_df["vec_id"].to_numpy(np.int64)
+    labs = ref_df[label_col].to_numpy(np.int64)
+    mat = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in ref_df["embedding"]])
+    )
+    ref = ray.put({"ids": ids, "labs": labs, "mat": mat})
+
+    def block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        r = ray.get(ref)
+        vecs = _normalize(_as_matrix(batch["embedding"]))
+        bids = batch["vec_id"].to_numpy()
+        blabs = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = vecs @ r["mat"].T  # (B, N)
+        sims[blabs[:, None] == r["labs"][None, :]] = -np.inf  # same-label mask
+        kk = min(k, sims.shape[1])
+        out_v, out_n, out_r, out_s = [], [], [], []
+        cand = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for bi in range(len(bids)):
+            c = cand[bi]
+            s = sims[bi, c]
+            ok = np.isfinite(s)
+            c, s = c[ok], s[ok]
+            order = np.lexsort((r["ids"][c], -s))
+            sel = c[order]
+            out_v.append(np.full(len(sel), bids[bi], np.int64))
+            out_n.append(r["ids"][sel])
+            out_r.append(np.arange(1, len(sel) + 1, dtype=np.int64))
+            out_s.append(sims[bi, sel])
+        if not out_v:
+            return empty
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "neg_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "rank": pa.array(np.concatenate(out_r), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(block, batch_format="pyarrow", batch_size=1024)
+
+
 def knn_graph_ivf(
     embeddings: rd.Dataset,
     k: int = 10,

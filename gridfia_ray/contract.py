@@ -3944,6 +3944,18 @@ def q_emb_knn_graph(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["vec_id", "rank"]).reset_index(drop=True)
 
 
+def q_emb_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Contrastive hard-negative mining (ann/search.hard_negatives):
+    every vector's 5 most-cosine-similar OTHER-label vectors, one
+    broadcast + one corpus pass. Compared on (vec_id, neg_id, rank)
+    vs the DuckDB label-filtered self-join."""
+    from gridfia_ray.ann.search import hard_negatives
+
+    out = hard_negatives(_embeddings(sf_dir), k=5).to_pandas()
+    df = out[["vec_id", "neg_id", "rank"]].astype(np.int64)
+    return df.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
 def q_emb_knn_graph_ivf(sf_dir: str) -> pd.DataFrame:
     """APPROXIMATE k-NN graph, the no-broadcast scale path (ann/search.
     knn_graph_ivf): k-means cells, home-cell indexing + nprobe query
@@ -6049,6 +6061,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_cdc_dedup_pinned": q_doc_cdc_dedup_pinned,
         "emb_pca_pinned": q_emb_pca_pinned,
         "emb_knn_graph": q_emb_knn_graph,
+        "emb_hard_negatives": q_emb_hard_negatives,
         "rel_outer_counts": q_rel_outer_counts,
         "rel_except_customers": q_rel_except_customers,
         "rel_pivot_status": q_rel_pivot_status,
@@ -7941,6 +7954,17 @@ def build_oracle_sql() -> dict[str, str]:
           (SELECT vec_id, nbr_id,
                   ROW_NUMBER() OVER (PARTITION BY vec_id
                                      ORDER BY sim DESC, nbr_id) rank
+           FROM s) WHERE rank <= 5
+        ORDER BY vec_id, rank"""
+    sql["emb_hard_negatives"] = """
+        WITH s AS (
+          SELECT a.vec_id, b.vec_id neg_id,
+                 list_cosine_similarity(a.embedding, b.embedding) sim
+          FROM embeddings a JOIN embeddings b ON a.label <> b.label)
+        SELECT vec_id, neg_id, rank FROM
+          (SELECT vec_id, neg_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, neg_id) rank
            FROM s) WHERE rank <= 5
         ORDER BY vec_id, rank"""
     sql["rel_urgent_customers"] = """

@@ -449,3 +449,49 @@ class TestKnnGraphIvf:
 
         with pytest.raises(ValueError, match="nprobe"):
             knn_graph_ivf(rd.from_pandas(self._corpus()), k=2, n_cells=4, nprobe=9)
+
+
+class TestHardNegatives:
+
+    def test_matches_brute_force(self, ray_session):
+        import pandas as pd
+
+        from gridfia_ray.ann.search import hard_negatives
+
+        rng = np.random.RandomState(11)
+        n, d, k = 90, 12, 4
+        m = rng.randn(n, d)
+        labs = rng.randint(0, 3, n)
+        df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                           "embedding": [v.astype(np.float32) for v in m],
+                           "label": labs.astype(np.int32)})
+        out = (
+            hard_negatives(rd.from_pandas(df).repartition(4), k=k)
+            .to_pandas()
+            .sort_values(["vec_id", "rank"])
+            .reset_index(drop=True)
+        )
+        norm32 = m.astype(np.float32).astype(np.float64)
+        norm32 = norm32 / np.linalg.norm(norm32, axis=1, keepdims=True)
+        sims = norm32 @ norm32.T
+        for i in range(n):
+            s = sims[i].copy()
+            s[labs == labs[i]] = -np.inf
+            order = np.lexsort((np.arange(n), -s))[:k]
+            got = out[out["vec_id"] == i]["neg_id"].tolist()
+            assert got == order.tolist(), i
+            # every mined negative really is other-label
+            assert all(labs[j] != labs[i] for j in got)
+
+    def test_single_label_emits_nothing(self, ray_session):
+        import pandas as pd
+
+        from gridfia_ray.ann.search import hard_negatives
+
+        rng = np.random.RandomState(12)
+        df = pd.DataFrame({"vec_id": np.arange(20, dtype=np.int64),
+                           "embedding": [v.astype(np.float32)
+                                         for v in rng.randn(20, 8)],
+                           "label": np.zeros(20, np.int32)})
+        out = hard_negatives(rd.from_pandas(df), k=3).to_pandas()
+        assert len(out) == 0
