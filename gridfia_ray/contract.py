@@ -5416,6 +5416,53 @@ def q_rel_returned_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_rel_large_orders(sf_dir: str) -> pd.DataFrame:
+    """Large-quantity orders (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds 250 — a HAVING SUM() > T over the full
+    orderkey keyspace (per-batch combiner → one bucketed keyed sum →
+    distributed filter), then one hash-shuffle join back to orders for
+    the attributes. Quantities in exact integer cents."""
+    from gridfia_ray.pipelines.joins import shuffle_hash_join
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def qty_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["qty_c"] = np.floor(batch["l_quantity"] * 100 + 0.5).astype(np.int64)
+        return batch.groupby("l_orderkey", as_index=False).agg(
+            qty_c=("qty_c", "sum")
+        )
+
+    sums = bucketed_agg(
+        li.map_batches(qty_partial, batch_format="pandas"),
+        ["l_orderkey"],
+        {"qty_c": ("qty_c", "sum")},
+        n_buckets=32,
+    )
+    import pyarrow.compute as pc
+
+    big = sums.map_batches(
+        lambda b: b.filter(pc.greater(b["qty_c"], 25_000)),
+        batch_format="pyarrow",
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    joined = shuffle_hash_join(
+        orders, big, on=["o_orderkey"], right_on=["l_orderkey"]
+    ).to_pandas()
+    joined["price_c"] = np.floor(
+        joined["o_totalprice"] * 100 + 0.5
+    ).astype(np.int64)
+    out = joined[["o_orderkey", "o_custkey", "qty_c", "price_c"]].astype(np.int64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_rel_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
     """Correlated-average subquery (TPC-H Q17 shape): for Brand#1
     parts, revenue of lines with quantity below 20% of that part's
@@ -6026,6 +6073,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "audio_spectrogram": q_audio_spectrogram,
         "rel_returned_orders": q_rel_returned_orders,
         "rel_small_qty_revenue": q_rel_small_qty_revenue,
+        "rel_large_orders": q_rel_large_orders,
         "rel_top_supplier": q_rel_top_supplier,
         "rel_sole_slow_supplier": q_rel_sole_slow_supplier,
         "graph_bfs": q_graph_bfs,
@@ -8307,6 +8355,15 @@ def build_oracle_sql() -> dict[str, str]:
         WHERE EXISTS (SELECT 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         GROUP BY o_orderpriority"""
+    sql["rel_large_orders"] = """
+        WITH s AS (SELECT l_orderkey,
+                          CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                               AS BIGINT) qty_c
+                   FROM lineitem GROUP BY 1 HAVING qty_c > 25000)
+        SELECT o.o_orderkey, o.o_custkey, s.qty_c,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) price_c
+        FROM orders o JOIN s ON s.l_orderkey = o.o_orderkey
+        ORDER BY o.o_orderkey"""
     sql["rel_small_qty_revenue"] = """
         WITH pa AS (
           SELECT l_partkey,
