@@ -1041,6 +1041,23 @@ def q_watershed(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_strahler(sf_dir: str) -> pd.DataFrame:
+    """Strahler stream order over the D8 flow forest
+    (pipelines/flow.strahler_order): tile-local descending-z passes +
+    cross-tile edge-order supersteps with an exact monotone stopping
+    rule. Oracle = the pinned flow replay's global descending-z
+    Strahler pass (oracle_pins.ensure_flowpin)."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.flow import flow_direction_packed, strahler_order
+
+    f = _fx()
+    packed = flow_direction_packed(_total_biomass_result(f))
+    out = strahler_order(packed).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_change_patches(sf_dir: str) -> pd.DataFrame:
     """Two-epoch change detection: the year-0→1 delta of the synthetic
     stack (pipelines/temporal.temporal_delta_tiles, |delta| mode)
@@ -6133,6 +6150,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_component_props": q_component_props,
         "gf_hillshade": q_hillshade,
         "gf_flow_accumulation": q_flow_accumulation,
+        "gf_strahler": q_strahler,
         "gf_temporal_composite": q_temporal_composite,
         "gf_change_patches": q_change_patches,
         "gf_distance_transform_l2": q_distance_transform_l2,
@@ -7212,6 +7230,11 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["gf_watershed"] = (
         f"SELECT y, x, basin "
+        f"FROM read_parquet('{_pins.ensure_flowpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_strahler"] = (
+        f"SELECT y, x, strahler "
         f"FROM read_parquet('{_pins.ensure_flowpin()['expected']}') "
         f"ORDER BY y, x"
     )

@@ -1734,7 +1734,7 @@ def ensure_normpin() -> dict:
     return _ensure_dir(f"normpin-v{GEN_VERSION}.{NORMPIN_V}", build)
 
 
-FLOWPIN_V = 2
+FLOWPIN_V = 3  # v3: + strahler (descending-z order pass over the forest)
 
 
 def ensure_flowpin() -> dict:
@@ -1800,6 +1800,25 @@ def ensure_flowpin() -> dict:
                 dy, dx = D8_OFFSETS[code]
                 y, x = divmod(lin, n)
                 basin[lin] = basin[(y + dy) * n + (x + dx)]
+        # Strahler: one more descending-z pass (headwaters order 1;
+        # M+1 iff >= 2 inflows carry the max incoming order M)
+        inmax = [0] * (n * n)
+        incnt = [0] * (n * n)
+        strahler = [0] * (n * n)
+        for lin in order.tolist():
+            o = 1 if inmax[lin] == 0 else inmax[lin] + (1 if incnt[lin] >= 2 else 0)
+            strahler[lin] = o
+            code = d8f[lin]
+            if code < 0:
+                continue
+            dy, dx = D8_OFFSETS[code]
+            y, x = divmod(lin, n)
+            c = (y + dy) * n + (x + dx)
+            if o > inmax[c]:
+                inmax[c] = o
+                incnt[c] = 1
+            elif o == inmax[c]:
+                incnt[c] += 1
         ys, xs = np.mgrid[0:n, 0:n]
         exp = pa.table(
             {
@@ -1808,6 +1827,7 @@ def ensure_flowpin() -> dict:
                 "dir": pa.array(d8.reshape(-1), pa.int64()),
                 "acc": pa.array(np.asarray(accl, dtype=np.int64), pa.int64()),
                 "basin": pa.array(np.asarray(basin, dtype=np.int64), pa.int64()),
+                "strahler": pa.array(np.asarray(strahler, dtype=np.int64), pa.int64()),
             }
         )
         pq.write_table(exp, os.path.join(tmp, "expected.parquet"))

@@ -276,6 +276,150 @@ def flow_accumulate(packed: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
     )
 
 
+def _strahler_solve(
+    z: np.ndarray,
+    d8: np.ndarray,
+    ext: dict,
+    tr: int,
+    tc: int,
+    emit_pixels: bool,
+):
+    """Tile-local Strahler pass. ``ext`` maps local (y, x) → (M, k):
+    the max external incoming order and how many external edges carry
+    it. Returns (strahler h×w int64 | None, out_rows) where out_rows
+    are the boundary-crossing edges [(target_tile_row, target_tile_col,
+    target_y, target_x, order)] — one row per crossing source cell."""
+    h, w = z.shape
+    n = h * w
+    down, cross_key = _downstream(z, d8, tr, tc)
+    inmax = [0] * n
+    incnt = [0] * n
+    for (ly, lx), (m, k) in ext.items():
+        inmax[ly * w + lx] = int(m)
+        incnt[ly * w + lx] = int(k)
+    order = np.argsort(-z.ravel(), kind="stable")
+    out: list[tuple[int, int, int, int, int]] = []
+    down_l = down.tolist()
+    strahler = [0] * n
+    for u in order.tolist():
+        o = 1 if inmax[u] == 0 else inmax[u] + (1 if incnt[u] >= 2 else 0)
+        strahler[u] = o
+        c = down_l[u]
+        if c >= 0:
+            if o > inmax[c]:
+                inmax[c] = o
+                incnt[c] = 1
+            elif o == inmax[c]:
+                incnt[c] += 1
+        elif c == -2:
+            a, b, cy, cx = cross_key[u]
+            out.append((a, b, cy, cx, o))
+    if not emit_pixels:
+        return None, out
+    return np.asarray(strahler, dtype=np.int64).reshape(h, w), out
+
+
+def _strahler_round_map(inorder_ref, emit_pixels: bool):
+    """One Strahler superstep over packed tiles. ``inorder_ref`` is a
+    ray.put of {(tile_row, tile_col): {(ly, lx): (M, k)}}."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inorder = ray.get(inorder_ref)
+        trs, tcs, tys, txs, orders = [], [], [], [], []
+        pys, pxs, pstr = [], [], []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            z = np.frombuffer(batch["z"][i].as_py(), dtype=np.int64).reshape(h, w)
+            d8 = np.frombuffer(batch["dir"][i].as_py(), dtype=np.int8).reshape(h, w)
+            ext = inorder.get((tr, tc), {})
+            st, rows = _strahler_solve(z, d8, ext, tr, tc, emit_pixels)
+            for a, b, c, d, o in rows:
+                trs.append(a)
+                tcs.append(b)
+                tys.append(c)
+                txs.append(d)
+                orders.append(o)
+            if emit_pixels:
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                pys.append((yy + tr * h).ravel())
+                pxs.append((xx + tc * w).ravel())
+                pstr.append(st.ravel())
+        if emit_pixels:
+            return pa.table(
+                {
+                    "y": pa.array(np.concatenate(pys) if pys else [], pa.int64()),
+                    "x": pa.array(np.concatenate(pxs) if pxs else [], pa.int64()),
+                    "strahler": pa.array(
+                        np.concatenate(pstr) if pstr else [], pa.int64()
+                    ),
+                }
+            )
+        return pa.table(
+            {
+                "tile_row": pa.array(trs, pa.int64()),
+                "tile_col": pa.array(tcs, pa.int64()),
+                "ty": pa.array(tys, pa.int64()),
+                "tx": pa.array(txs, pa.int64()),
+                "ord": pa.array(orders, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def strahler_order(packed: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
+    """Strahler stream order over the D8 flow forest (Strahler 1957;
+    the ArcGIS Stream Order tool's default method, applied to every
+    cell of the forest): headwater cells are order 1; a cell fed by
+    k ≥ 2 inflows of its maximum incoming order M gets M+1, else M.
+
+    Same superstep decomposition as :func:`flow_accumulate`: each round
+    re-runs the tile-local descending-z pass seeded with the known
+    external border in-orders and emits its boundary-crossing edge
+    orders (one row per crossing cell — a STATIC O(perimeter) set).
+    Edge orders are monotone nondecreasing round over round (raising an
+    input never lowers a Strahler value), so an unchanged edge-order
+    total is an exact stopping rule. Emits per-pixel (y, x, strahler)."""
+    packed = packed.materialize()
+    inorder: dict = {}
+    prev_total = -1
+    for _ in range(max_rounds):
+        edges = packed.map_batches(
+            _strahler_round_map(ray.put(inorder), emit_pixels=False),
+            batch_format="pyarrow",
+        ).to_pandas()
+        total = int(edges["ord"].sum()) if len(edges) else 0
+        if total == prev_total:
+            break
+        prev_total = total
+        nxt: dict = {}
+        if len(edges):
+            g = edges.groupby(["tile_row", "tile_col", "ty", "tx"])["ord"]
+            mx = g.max()
+            cnt = edges.groupby(
+                ["tile_row", "tile_col", "ty", "tx", "ord"]
+            ).size()
+            for (a, b, cy, cx), m in mx.items():
+                k = int(cnt.loc[(a, b, cy, cx, m)])
+                nxt.setdefault((int(a), int(b)), {})[(int(cy), int(cx))] = (
+                    int(m),
+                    k,
+                )
+        inorder = nxt
+    else:
+        raise RuntimeError(
+            f"strahler_order: cross-tile edge orders did not settle within "
+            f"{max_rounds} rounds — raise max_rounds"
+        )
+    return packed.map_batches(
+        _strahler_round_map(ray.put(inorder), emit_pixels=True),
+        batch_format="pyarrow",
+    )
+
+
 def _basin_solve(
     z: np.ndarray, d8: np.ndarray, tr: int, tc: int, width: int
 ) -> tuple[np.ndarray, list[tuple[int, int, int, int]]]:

@@ -243,3 +243,84 @@ class TestWatershed:
             for x in range(8):
                 if d8[y, x] < 0:
                     assert d.loc[(y, x), "basin"] == y * 8 + x
+
+
+def brute_strahler(g: np.ndarray) -> np.ndarray:
+    """Global descending-z Strahler replay over the brute D8 forest."""
+    d8, _ = brute_flow(g)
+    u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+    H, W = u.shape
+    inmax = np.zeros(H * W, np.int64)
+    incnt = np.zeros(H * W, np.int64)
+    st = np.zeros(H * W, np.int64)
+    order = np.argsort(-u.ravel(), kind="stable")
+    for lin in order.tolist():
+        y, x = divmod(lin, W)
+        o = 1 if inmax[lin] == 0 else inmax[lin] + (1 if incnt[lin] >= 2 else 0)
+        st[lin] = o
+        code = d8[y, x]
+        if code < 0:
+            continue
+        dy, dx = D8_OFFSETS[code]
+        c = (y + dy) * W + (x + dx)
+        if o > inmax[c]:
+            inmax[c] = o
+            incnt[c] = 1
+        elif o == inmax[c]:
+            incnt[c] += 1
+    return st.reshape(H, W)
+
+
+class TestStrahler:
+    def _run(self, g, th, tw, n_parts=4):
+        from gridfia_ray.pipelines.flow import strahler_order
+
+        df = _tiles_from_grid(g, th, tw)
+        packed = flow_direction_packed(
+            rd.from_pandas(df).repartition(n_parts), n_buckets=8
+        )
+        out = strahler_order(packed).to_pandas()
+        return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+    def test_east_plane_all_order_one_then_growth(self, ray_session):
+        # z decreases with x only: each row is one chain; a chain never
+        # has two inputs, so every cell is order 1
+        H = W = 12
+        g = (np.arange(W)[::-1] * 10.0)[None, :].repeat(H, axis=0)
+        out = self._run(g, 4, 4)
+        assert (out["strahler"] == 1).all()
+
+    def test_matches_brute_force_random(self, ray_session):
+        rng = np.random.RandomState(3)
+        g = rng.rand(16, 16) * 100
+        out = self._run(g, 4, 4)
+        want = brute_strahler(g)
+        got = out.set_index(["y", "x"])["strahler"]
+        for y in range(16):
+            for x in range(16):
+                assert got[(y, x)] == want[y, x], (y, x)
+
+    def test_confluence_bumps_order(self, ray_session):
+        # a V: two order-1 chains meet at a pit -> the pit is order 2
+        g = np.array(
+            [
+                [9.0, 1.0, 9.0, 9.0],
+                [8.0, 0.5, 8.0, 9.0],
+                [7.0, 0.2, 7.0, 9.0],
+                [9.0, 0.0, 9.0, 9.0],
+            ]
+        )
+        out = self._run(g, 2, 2, n_parts=2)
+        got = out.set_index(["y", "x"])["strahler"]
+        want = brute_strahler(g)
+        for y in range(4):
+            for x in range(4):
+                assert got[(y, x)] == want[y, x], (y, x)
+        assert want.max() >= 2
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(4)
+        g = rng.rand(12, 12) * 50
+        a = self._run(g, 4, 4, n_parts=1)
+        b = self._run(g, 6, 6, n_parts=5)
+        pd.testing.assert_frame_equal(a, b)
