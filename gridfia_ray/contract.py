@@ -2883,6 +2883,21 @@ def q_doc_nb_classifier(sf_dir: str) -> pd.DataFrame:
     return nb_classify(docs, label_col="lang")
 
 
+def q_doc_chi2_keywords(sf_dir: str) -> pd.DataFrame:
+    """χ² feature selection (text/chi2.py): top-10 tokens per source by
+    the 2×2 document-contingency chi-square, exact int64 cells, ONE
+    float64 division with the identical expression tree on both sides,
+    ranked on the quantized integer. One token-bucketed exchange +
+    grouped top-k."""
+    from gridfia_ray.text.chi2 import chi2_keywords
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return chi2_keywords(docs, k=10, label_col="source")
+
+
 def q_doc_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """DSIR-style importance weights (text/dsir.py): hashed-unigram
     target/raw log-ratio per document (target = lang 'en'), integer
@@ -6238,6 +6253,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "doc_nb_classifier": q_doc_nb_classifier,
         "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_chi2_keywords": q_doc_chi2_keywords,
         "doc_redact": q_doc_redact,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_job_shannon": q_job_shannon,
@@ -7594,6 +7610,40 @@ def build_oracle_sql() -> dict[str, str]:
                FROM tot)
         SELECT doc_id, c AS pred, CAST(score_c AS BIGINT) AS score_c
         FROM rk WHERE rn = 1 ORDER BY doc_id"""
+    sql["doc_chi2_keywords"] = r"""
+        WITH tk AS (SELECT DISTINCT doc_id, source,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) tok
+                    FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        a_t AS (SELECT source AS label, tok, CAST(COUNT(*) AS BIGINT) a
+               FROM tk GROUP BY 1, 2),
+        dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) dfv FROM tk GROUP BY 1),
+        nc AS (SELECT source AS label, CAST(COUNT(DISTINCT doc_id) AS BIGINT) n
+               FROM tk GROUP BY 1),
+        na AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) n FROM tk),
+        cells AS (SELECT a_t.label, a_t.tok, a_t.a,
+                         dft.dfv - a_t.a AS b,
+                         nc.n - a_t.a AS c2,
+                         (na.n - nc.n) - (dft.dfv - a_t.a) AS d,
+                         na.n AS n_all
+                  FROM a_t JOIN dft USING (tok) JOIN nc USING (label)
+                  CROSS JOIN na),
+        sc AS (SELECT label, tok, a,
+                      CASE WHEN CAST((a + b) * (c2 + d) AS DOUBLE)
+                                * CAST((a + c2) * (b + d) AS DOUBLE) > 0
+                           THEN CAST(FLOOR(
+                             (CAST(n_all AS DOUBLE)
+                              * (CAST(a * d - b * c2 AS DOUBLE)
+                                 * CAST(a * d - b * c2 AS DOUBLE)))
+                             / (CAST((a + b) * (c2 + d) AS DOUBLE)
+                                * CAST((a + c2) * (b + d) AS DOUBLE))
+                             * 1e6 + 0.5) AS BIGINT)
+                           ELSE 0 END chi2_u
+               FROM cells),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                            ORDER BY chi2_u DESC, tok) rank
+               FROM sc)
+        SELECT label, tok, CAST(rank AS BIGINT) rank, a, chi2_u
+        FROM rk WHERE rank <= 10 ORDER BY label, rank"""
     sql["doc_dsir_weights"] = r"""
         WITH tk AS (SELECT doc_id, lang,
                            substr(md5(unnest(regexp_split_to_array(trim(text),
