@@ -2883,6 +2883,25 @@ def q_doc_nb_classifier(sf_dir: str) -> pd.DataFrame:
     return nb_classify(docs, label_col="lang")
 
 
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+def q_doc_winnow(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprints (text/winnow.py — Schleimer et al. 2003):
+    md5 char-8-gram hashes, window-4 rightmost-min selection,
+    deduplicated (doc_id, pos, h) rows. Pure map per document —
+    bit-exact vs the SQL per-window replay."""
+    from gridfia_ray.text.winnow import winnow_fingerprints
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["pos"] = out["pos"].astype(np.int64)
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
 def q_doc_chi2_keywords(sf_dir: str) -> pd.DataFrame:
     """χ² feature selection (text/chi2.py): top-10 tokens per source by
     the 2×2 document-contingency chi-square, exact int64 cells, ONE
@@ -6254,6 +6273,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_nb_classifier": q_doc_nb_classifier,
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_chi2_keywords": q_doc_chi2_keywords,
+        "doc_winnow": q_doc_winnow,
         "doc_redact": q_doc_redact,
         "gf_s2_aggregate": q_s2_aggregate,
         "gf_job_shannon": q_job_shannon,
@@ -7610,6 +7630,28 @@ def build_oracle_sql() -> dict[str, str]:
                FROM tot)
         SELECT doc_id, c AS pred, CAST(score_c AS BIGINT) AS score_c
         FROM rk WHERE rn = 1 ORDER BY doc_id"""
+    sql["doc_winnow"] = f"""
+        WITH hs AS (
+          SELECT doc_id, i AS pos, md5(substr(text, i, {_WINNOW_K})) AS h
+          FROM documents,
+               UNNEST(generate_series(1, len(text) - {_WINNOW_K} + 1)) AS t(i)
+          WHERE len(text) >= {_WINNOW_K}),
+        mp AS (SELECT doc_id, MAX(pos) AS m FROM hs GROUP BY 1),
+        wins AS (SELECT hs.doc_id, hs.pos AS s
+                 FROM hs JOIN mp USING (doc_id)
+                 WHERE hs.pos <= GREATEST(mp.m - {_WINNOW_W - 1}, 1)),
+        wmin AS (SELECT w.doc_id, w.s, MIN(h.h) AS mn
+                 FROM wins w JOIN hs h
+                   ON h.doc_id = w.doc_id
+                  AND h.pos BETWEEN w.s AND w.s + {_WINNOW_W - 1}
+                 GROUP BY 1, 2),
+        sel AS (SELECT wm.doc_id, MAX(h.pos) AS pos, wm.mn AS h
+                FROM wmin wm JOIN hs h
+                  ON h.doc_id = wm.doc_id
+                 AND h.pos BETWEEN wm.s AND wm.s + {_WINNOW_W - 1}
+                 AND h.h = wm.mn
+                GROUP BY wm.doc_id, wm.s, wm.mn)
+        SELECT DISTINCT doc_id, pos, h FROM sel ORDER BY doc_id, pos"""
     sql["doc_chi2_keywords"] = r"""
         WITH tk AS (SELECT DISTINCT doc_id, source,
                            unnest(regexp_split_to_array(trim(text), '\s+')) tok
