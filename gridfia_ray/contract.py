@@ -1728,6 +1728,38 @@ def q_knn_idw(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
 
 
+def q_gf_kriging(sf_dir: str) -> pd.DataFrame:
+    """Ordinary kriging (pipelines/kriging.krige_points): the pinned
+    spherical variogram model, exact Z-order ring-expansion kNN(8)
+    neighborhoods over the broadcast plot table, deterministic
+    (distance, plot index) system order so the (k+1)² OK solve is a
+    pure function of (point, plots). Oracle = the sequential
+    brute-force-distance replay (oracle_pins.ensure_krigpin), bit-exact
+    at µ-scale."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.pipelines import kriging as KR
+    from gridfia_ray.pipelines.knn import load_plots
+
+    p = oracle_pins.ensure_krigpin()
+    spec = GridSpec(
+        origin_x=0.0, origin_y=0.0, px=oracle_pins.KRIG_PIN_CELL, tile=1
+    )
+    out = KR.krige_points(
+        rd.read_parquet(p["points"]),
+        load_plots(p["plots"]),
+        spec,
+        oracle_pins.krigpin_model(),
+        k=oracle_pins.KRIG_PIN_K,
+    ).to_pandas()
+    res = out[["point_id"]].astype(np.int64)
+    res["pred_u"] = s6(out["pred"])
+    res["var_u"] = s6(out["krig_var"])
+    res["k_used"] = out["k_used"].astype(np.int64)
+    return res.sort_values("point_id").reset_index(drop=True)
+
+
 def q_tile_dedup_exact(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -6193,6 +6225,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_cost_allocation": q_cost_allocation,
         "gf_cost_paths": q_cost_paths,
         "gf_cost_distance_src": q_cost_distance_src,
+        "gf_kriging": q_gf_kriging,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
@@ -7309,6 +7342,11 @@ def build_oracle_sql() -> dict[str, str]:
         f"SELECT y, x, cdist "
         f"FROM read_parquet('{_pins.ensure_costsrcpin()['expected']}') "
         f"ORDER BY y, x"
+    )
+    sql["gf_kriging"] = (
+        f"SELECT point_id, pred_u, var_u, k_used "
+        f"FROM read_parquet('{_pins.ensure_krigpin()['expected']}') "
+        f"ORDER BY point_id"
     )
     sql["gf_cost_paths"] = (
         f"SELECT dest_id, step, y, x "

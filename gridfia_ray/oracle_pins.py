@@ -2127,3 +2127,120 @@ def ensure_costsrcpin() -> dict:
         return {"expected": "expected.parquet"}
 
     return _ensure_dir(f"costsrcpin-v{GEN_VERSION}.{COSTSRCPIN_V}", build)
+
+
+KRIGPIN_V = 1
+
+
+def krigpin_model() -> dict:
+    """The pinned variogram model shared verbatim by the distributed
+    query and the sequential replay (the solve machinery differs; the
+    model must not). Parameters are in the plot field's natural units —
+    spherical with a range spanning ~⅓ of the 4096-unit domain."""
+    return {"model": "spherical", "nugget": 2.0, "psill": 380.0, "range": 1400.0}
+
+
+KRIG_PIN_K = 8
+KRIG_PIN_CELL = 256.0
+
+
+def krigpin_plots() -> dict:
+    """300 deterministic plots over [0, 4096)² with a smooth spatially
+    structured value (so the OK weights are non-trivial) — north-up
+    domain (origin at top-left, y downward like the tile grid)."""
+    rng = np.random.RandomState(7119)
+    x = rng.uniform(0.0, 4096.0, 300)
+    y = -rng.uniform(0.0, 4096.0, 300)  # north-up: world y ≤ origin_y=0
+    v = (
+        50.0
+        + 30.0 * np.sin(x / 700.0)
+        + 20.0 * np.cos(y / 900.0)
+        + rng.normal(0.0, 2.0, 300)
+    )
+    return {"x": x, "y": y, "value": v}
+
+
+def _replay_kriging(plots: dict, pts_x: np.ndarray, pts_y: np.ndarray) -> pa.Table:
+    """Brute-force sequential ordinary kriging: full distance scan +
+    stable (distance, plot index) top-k — independent of the pipeline's
+    Z-order ring expansion — then the identical deterministic (k+1)²
+    solve (same neighbor order ⇒ same matrix ⇒ same bits)."""
+    from gridfia_ray.pipelines.kriging import model_gamma
+
+    model = krigpin_model()
+    k = KRIG_PIN_K
+    px = np.asarray(plots["x"], np.float64)
+    py = np.asarray(plots["y"], np.float64)
+    pv = np.asarray(plots["value"], np.float64)
+    preds, vars_, kused = [], [], []
+    for qx, qy in zip(pts_x, pts_y):
+        d = np.sqrt((px - qx) ** 2 + (py - qy) ** 2)
+        order = np.lexsort((np.arange(d.size), d))[:k]
+        dk = d[order]
+        kk = order.size
+        dmat = np.sqrt(
+            (px[order][:, None] - px[order][None, :]) ** 2
+            + (py[order][:, None] - py[order][None, :]) ** 2
+        )
+        A = np.empty((kk + 1, kk + 1))
+        A[:kk, :kk] = model_gamma(dmat, model)
+        A[kk, :kk] = 1.0
+        A[:kk, kk] = 1.0
+        A[kk, kk] = 0.0
+        b = np.empty(kk + 1)
+        b[:kk] = model_gamma(dk, model)
+        b[kk] = 1.0
+        wl = np.linalg.solve(A, b)
+        preds.append(float(wl[:kk] @ pv[order]))
+        vars_.append(float(wl[:kk] @ b[:kk] + wl[kk]))
+        kused.append(kk)
+    u = 1_000_000
+    return pa.table(
+        {
+            "point_id": pa.array(np.arange(pts_x.size, dtype=np.int64)),
+            "pred_u": pa.array(
+                np.floor(np.asarray(preds) * u + 0.5).astype(np.int64)
+            ),
+            "var_u": pa.array(
+                np.floor(np.asarray(vars_) * u + 0.5).astype(np.int64)
+            ),
+            "k_used": pa.array(np.asarray(kused, dtype=np.int64)),
+        }
+    )
+
+
+def ensure_krigpin() -> dict:
+    """{'plots', 'points', 'expected'} parquet paths for ordinary
+    kriging (pipelines/kriging.py): a 20×20 prediction grid over the
+    plot domain, expected = the sequential brute-force replay."""
+
+    def build(tmp: str) -> dict:
+        plots = krigpin_plots()
+        pq.write_table(
+            pa.table({c: pa.array(v) for c, v in plots.items()}),
+            os.path.join(tmp, "plots.parquet"),
+        )
+        g = 20
+        step = 4096.0 / g
+        jj, ii = np.meshgrid(np.arange(g), np.arange(g))  # ii=row, jj=col
+        pts_x = (jj.reshape(-1) + 0.5) * step
+        pts_y = -(ii.reshape(-1) + 0.5) * step
+        pts = pa.table(
+            {
+                "point_id": pa.array(np.arange(g * g, dtype=np.int64)),
+                "x": pa.array(pts_x),
+                "y": pa.array(pts_y),
+            }
+        )
+        pq.write_table(pts, os.path.join(tmp, "points.parquet"))
+        pq.write_table(
+            _replay_kriging(plots, pts_x, pts_y),
+            os.path.join(tmp, "expected.parquet"),
+        )
+        return {
+            "plots": "plots.parquet",
+            "points": "points.parquet",
+            "expected": "expected.parquet",
+        }
+
+    return _ensure_dir(f"krigpin-v{GEN_VERSION}.{KRIGPIN_V}", build)
