@@ -4027,6 +4027,30 @@ def q_emb_knn_graph(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["vec_id", "rank"]).reset_index(drop=True)
 
 
+def q_emb_kcenter(sf_dir: str) -> pd.DataFrame:
+    """k-center greedy diversity selection (ann/diversity.
+    kcenter_select, Gonzalez farthest-first): m=24 maximally-spread
+    points over the pinned clustered embeddings, streaming per-block
+    winner folds with the lexicographic (mind DESC, vec_id ASC) rule.
+    Oracle = the sequential full-matrix replay
+    (oracle_pins.ensure_divpin), bit-exact selection order + µ-scaled
+    coverage radii."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.ann.diversity import kcenter_select
+
+    p = oracle_pins.ensure_divpin()
+    sel = kcenter_select(
+        rd.read_parquet(p["embeddings"]), oracle_pins.DIV_PIN_M,
+        metric="euclidean",
+    )
+    out = sel[["rank", "vec_id"]].astype(np.int64)
+    r2 = s6(sel["radius2"].fillna(-1e-6))
+    out["radius2_u"] = r2
+    return out.sort_values("rank").reset_index(drop=True)
+
+
 def q_emb_hard_negatives(sf_dir: str) -> pd.DataFrame:
     """Contrastive hard-negative mining (ann/search.hard_negatives):
     every vector's 5 most-cosine-similar OTHER-label vectors, one
@@ -6193,6 +6217,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "emb_pca_pinned": q_emb_pca_pinned,
         "emb_knn_graph": q_emb_knn_graph,
         "emb_hard_negatives": q_emb_hard_negatives,
+        "emb_kcenter": q_emb_kcenter,
         "rel_outer_counts": q_rel_outer_counts,
         "rel_except_customers": q_rel_except_customers,
         "rel_pivot_status": q_rel_pivot_status,
@@ -7342,6 +7367,11 @@ def build_oracle_sql() -> dict[str, str]:
         f"SELECT y, x, cdist "
         f"FROM read_parquet('{_pins.ensure_costsrcpin()['expected']}') "
         f"ORDER BY y, x"
+    )
+    sql["emb_kcenter"] = (
+        f"SELECT rank, vec_id, radius2_u "
+        f"FROM read_parquet('{_pins.ensure_divpin()['expected']}') "
+        f"ORDER BY rank"
     )
     sql["gf_kriging"] = (
         f"SELECT point_id, pred_u, var_u, k_used "

@@ -2244,3 +2244,73 @@ def ensure_krigpin() -> dict:
         }
 
     return _ensure_dir(f"krigpin-v{GEN_VERSION}.{KRIGPIN_V}", build)
+
+
+DIVPIN_V = 1
+DIV_PIN_M = 24
+
+
+def divpin_embeddings() -> tuple[np.ndarray, np.ndarray]:
+    """(ids int64, vecs f32 (1500, 24)): 8 deterministic gaussian
+    clusters of unequal spread — k-center greedy must hop clusters
+    before refining within one, so the selection order is a real test
+    of the global argmax fold."""
+    rng = np.random.RandomState(4242)
+    centers = rng.uniform(-5.0, 5.0, (8, 24))
+    asg = rng.randint(0, 8, 1500)
+    vecs = centers[asg] + rng.normal(0.0, 0.6 + 0.1 * asg[:, None], (1500, 24))
+    return np.arange(1500, dtype=np.int64), vecs.astype(np.float32)
+
+
+def _replay_kcenter(ids: np.ndarray, vecs: np.ndarray, m: int) -> pa.Table:
+    """Sequential farthest-first traversal on the full matrix —
+    independent of the streaming per-block winner fold; shares only the
+    per-point distance formula (ann/diversity._dist2, euclidean) so the
+    float bits match."""
+    from gridfia_ray.ann.diversity import _dist2
+
+    mat = np.asarray(vecs, dtype=np.float64)
+    seed_i = int(np.argmin(ids))
+    picks = [(0, int(ids[seed_i]), -1)]
+    mind = _dist2(mat, mat[seed_i], "euclidean")
+    for r in range(1, m):
+        top = mind.max()
+        cand = np.nonzero(mind == top)[0]
+        i = int(cand[np.argmin(ids[cand])])
+        picks.append(
+            (r, int(ids[i]), int(np.floor(float(mind[i]) * 1_000_000 + 0.5)))
+        )
+        mind = np.minimum(mind, _dist2(mat, mat[i], "euclidean"))
+    return pa.table(
+        {
+            "rank": pa.array([p[0] for p in picks], pa.int64()),
+            "vec_id": pa.array([p[1] for p in picks], pa.int64()),
+            "radius2_u": pa.array([p[2] for p in picks], pa.int64()),
+        }
+    )
+
+
+def ensure_divpin() -> dict:
+    """{'embeddings', 'expected'} parquet for k-center greedy diversity
+    selection (ann/diversity.kcenter_select, euclidean, m=24)."""
+
+    def build(tmp: str) -> dict:
+        ids, vecs = divpin_embeddings()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.array(
+                        list(vecs), pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            os.path.join(tmp, "embeddings.parquet"),
+        )
+        pq.write_table(
+            _replay_kcenter(ids, vecs, DIV_PIN_M),
+            os.path.join(tmp, "expected.parquet"),
+        )
+        return {"embeddings": "embeddings.parquet", "expected": "expected.parquet"}
+
+    return _ensure_dir(f"divpin-v{GEN_VERSION}.{DIVPIN_V}", build)
