@@ -5738,6 +5738,311 @@ def q_rel_sole_slow_supplier(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _dim_lookup(keys: np.ndarray, vals: np.ndarray):
+    """Sorted-key broadcast lookup: returns (hit_mask, values) closures
+    capture — the dimension-side pattern (supplier/customer × nation
+    fold on the driver, fact side streams through searchsorted)."""
+    order = np.argsort(keys)
+    sk, sv = keys[order], vals[order]
+
+    def look(k: np.ndarray):
+        pos = np.searchsorted(sk, k)
+        inb = pos < sk.size
+        hit = np.zeros(k.size, dtype=bool)
+        hit[inb] = sk[pos[inb]] == k[inb]
+        out = np.empty(k.size, dtype=sv.dtype)
+        out[hit] = sv[pos[hit]]
+        return hit, out
+
+    return look
+
+
+def q_rel_nation_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7-shaped bi-national shipping volume: revenue flowing
+    between NATION_1 suppliers and NATION_2 customers (both
+    directions) per ship year, 1996–1997. Supplier and customer fold
+    to broadcast key→nation lookups on the driver (dimension side);
+    the two slimmed FACT sides meet in ONE orderkey shuffle hash join;
+    a per-batch integer-cents combiner then a tiny bucketed sum. Bit
+    exact vs the 6-table SQL join (per-row FLOOR(×100) cents on both
+    sides)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import (
+        bucketed_agg,
+        bucketed_left_attach,
+        to_arrow,
+    )
+
+    tune_context()
+    li_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("supp_nation", pa.string()),
+            ("l_year", pa.int64()),
+            ("vol_c", pa.int64()),
+        ]
+    )
+    # right side keyed by the SAME column name for the co-bucketed attach
+    ord_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("cust_nation", pa.string())]
+    )
+    pair = ("NATION_1", "NATION_2")
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat[nat["n_name"].isin(pair)]
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    cus = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas().merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    sup_look = _dim_lookup(
+        sup["s_suppkey"].to_numpy(np.int64), sup["n_name"].to_numpy(object)
+    )
+    cus_look = _dim_lookup(
+        cus["c_custkey"].to_numpy(np.int64), cus["n_name"].to_numpy(object)
+    )
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+
+    def li_slim(batch: pd.DataFrame) -> pa.Table:
+        b = batch[
+            (batch["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (batch["l_shipdate"] < pd.Timestamp("1998-01-01"))
+        ]
+        hit, names = sup_look(b["l_suppkey"].to_numpy(np.int64))
+        b = b[hit]
+        return to_arrow(
+            pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                    "supp_nation": names[hit].astype(str),
+                    "l_year": b["l_shipdate"].dt.year.to_numpy(np.int64),
+                    "vol_c": np.floor(
+                        b["l_extendedprice"] * (1.0 - b["l_discount"]) * 100
+                        + 0.5
+                    ).to_numpy(np.int64),
+                }
+            ),
+            li_schema,
+        )
+
+    def ord_slim(batch: pd.DataFrame) -> pa.Table:
+        hit, names = cus_look(batch["o_custkey"].to_numpy(np.int64))
+        b = batch[hit]
+        return to_arrow(
+            pd.DataFrame(
+                {
+                    "l_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                    "cust_nation": names[hit].astype(str),
+                }
+            ),
+            ord_schema,
+        )
+
+    # co-bucketed attach, not Dataset.join: the nation filters leave
+    # hash partitions with zero blocks on one side, which aborts the
+    # pyarrow join inside Ray's aggregator (schema-less empty build)
+    j = bucketed_left_attach(
+        li.map_batches(li_slim, batch_format="pandas"),
+        orders.map_batches(ord_slim, batch_format="pandas"),
+        on=["l_orderkey"],
+        left_schema=li_schema,
+        right_schema=ord_schema,
+        n_buckets=32,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["cust_nation"].notna()]  # inner semantics
+        b = b[b["supp_nation"] != b["cust_nation"]]
+        b = b.assign(n_lines=np.int64(1))
+        return b.groupby(
+            ["supp_nation", "cust_nation", "l_year"], as_index=False
+        ).agg(vol_c=("vol_c", "sum"), n_lines=("n_lines", "sum"))
+
+    out = bucketed_agg(
+        j.map_batches(partial, batch_format="pandas"),
+        ["supp_nation", "cust_nation", "l_year"],
+        {"volume_c": ("vol_c", "sum"), "n_lines": ("n_lines", "sum")},
+        n_buckets=8,
+    ).to_pandas()
+    if len(out) == 0:  # zero-row to_pandas drops the columns entirely
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series(dtype=str),
+                "cust_nation": pd.Series(dtype=str),
+                "l_year": pd.Series(dtype=np.int64),
+                "volume_c": pd.Series(dtype=np.int64),
+                "n_lines": pd.Series(dtype=np.int64),
+            }
+        )
+    out = out.astype(
+        {"l_year": np.int64, "volume_c": np.int64, "n_lines": np.int64}
+    )
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"], ignore_index=True
+    )
+
+
+def q_rel_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8-shaped market share: NATION_7 suppliers' share of the
+    lineitem volume on orders placed 1996–1997 by ASIA-region
+    customers, per order year. Same dimension-broadcast + one orderkey
+    shuffle join shape as Q7; numerator/denominator fold as exact
+    int64 cents and the final share is ONE double division written
+    identically in the SQL oracle."""
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import (
+        bucketed_agg,
+        bucketed_left_attach,
+        to_arrow,
+    )
+
+    tune_context()
+    target = "NATION_7"
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).to_pandas()
+    asia = reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    cus = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).to_pandas().merge(
+        nat[nat["n_regionkey"] == asia], left_on="c_nationkey",
+        right_on="n_nationkey",
+    )
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas().merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    cus_keys = np.sort(cus["c_custkey"].to_numpy(np.int64))
+    sup_look = _dim_lookup(
+        sup["s_suppkey"].to_numpy(np.int64),
+        (sup["n_name"] == target).to_numpy(np.int64),
+    )
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    li_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("is_tgt", pa.int64()),
+            ("vol_c", pa.int64()),
+        ]
+    )
+    ord_schema = pa.schema([("l_orderkey", pa.int64()), ("o_year", pa.int64())])
+
+    def li_slim(batch: pd.DataFrame) -> pa.Table:
+        hit, is_tgt = sup_look(batch["l_suppkey"].to_numpy(np.int64))
+        b = batch[hit]  # every supplier has a nation row → all hit
+        return to_arrow(
+            pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                    "is_tgt": is_tgt[hit],
+                    "vol_c": np.floor(
+                        b["l_extendedprice"] * (1.0 - b["l_discount"]) * 100
+                        + 0.5
+                    ).to_numpy(np.int64),
+                }
+            ),
+            li_schema,
+        )
+
+    def ord_slim(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[
+            (batch["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (batch["o_orderdate"] < pd.Timestamp("1998-01-01"))
+        ]
+        k = b["o_custkey"].to_numpy(np.int64)
+        pos = np.searchsorted(cus_keys, k)
+        inb = pos < cus_keys.size
+        hit = np.zeros(k.size, dtype=bool)
+        hit[inb] = cus_keys[pos[inb]] == k[inb]
+        b = b[hit]
+        return to_arrow(
+            pd.DataFrame(
+                {
+                    "l_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                    "o_year": b["o_orderdate"].dt.year.to_numpy(np.int64),
+                }
+            ),
+            ord_schema,
+        )
+
+    j = bucketed_left_attach(
+        li.map_batches(li_slim, batch_format="pandas"),
+        orders.map_batches(ord_slim, batch_format="pandas"),
+        on=["l_orderkey"],
+        left_schema=li_schema,
+        right_schema=ord_schema,
+        n_buckets=32,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_year"].notna()]  # inner semantics
+        b = b.assign(
+            o_year=b["o_year"].astype(np.int64),
+            num_c=b["vol_c"] * b["is_tgt"],
+        )
+        g = b.groupby("o_year", as_index=False).agg(
+            num_c=("num_c", "sum"), den_c=("vol_c", "sum")
+        )
+        return to_arrow(
+            g.astype({"o_year": np.int64, "num_c": np.int64, "den_c": np.int64})
+        )
+
+    out = bucketed_agg(
+        j.map_batches(partial, batch_format="pandas"),
+        ["o_year"],
+        {"num_c": ("num_c", "sum"), "den_c": ("den_c", "sum")},
+        n_buckets=4,
+    ).to_pandas()
+    if len(out) == 0:  # zero-row to_pandas drops the columns entirely
+        return pd.DataFrame(
+            {
+                "o_year": pd.Series(dtype=np.int64),
+                "num_c": pd.Series(dtype=np.int64),
+                "den_c": pd.Series(dtype=np.int64),
+                "mkt_share_u": pd.Series(dtype=np.int64),
+            }
+        )
+    out = out.astype({"o_year": np.int64, "num_c": np.int64, "den_c": np.int64})
+    out["mkt_share_u"] = s6(
+        out["num_c"].to_numpy(np.float64) / out["den_c"].to_numpy(np.float64)
+    )
+    return out[["o_year", "num_c", "den_c", "mkt_share_u"]].sort_values(
+        "o_year", ignore_index=True
+    )
+
+
 def _trade_edges(sf_dir: str):
     """Mirrored customer↔supplier trade graph: distinct pairs from the
     orders ⋈ lineitem shuffle join, node ids namespaced 2·cust /
@@ -6183,6 +6488,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_large_orders": q_rel_large_orders,
         "rel_top_supplier": q_rel_top_supplier,
         "rel_sole_slow_supplier": q_rel_sole_slow_supplier,
+        "rel_nation_volume": q_rel_nation_volume,
+        "rel_market_share": q_rel_market_share,
         "graph_bfs": q_graph_bfs,
         "graph_triangles": q_graph_triangles,
         "gf_zonal_species": q_zonal_species,
@@ -8700,6 +9007,47 @@ def build_oracle_sql() -> dict[str, str]:
                  JOIN nation ON n_nationkey = s_nationkey
         WHERE n_name = 'NATION_3'
         ORDER BY numwait DESC, s_name LIMIT 100"""
+    sql["rel_nation_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0 - l_discount)*100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS volume_c,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    sql["rel_market_share"] = """
+        WITH v AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 CAST(FLOOR(l_extendedprice*(1.0 - l_discount)*100
+                            + 0.5) AS BIGINT) AS vol_c,
+                 CASE WHEN sn.n_name = 'NATION_7' THEN 1 ELSE 0 END AS is_tgt
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region   ON cn.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01'),
+        agg AS (SELECT o_year,
+                       CAST(SUM(vol_c * is_tgt) AS BIGINT) AS num_c,
+                       CAST(SUM(vol_c) AS BIGINT) AS den_c
+                FROM v GROUP BY o_year)
+        SELECT o_year, num_c, den_c,
+               CAST(FLOOR((CAST(num_c AS DOUBLE) / CAST(den_c AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) AS mkt_share_u
+        FROM agg ORDER BY o_year"""
     # events_asof_join: DuckDB's native ASOF JOIN is the independent
     # re-statement of pipelines/joins.asof_join (backward, inner,
     # allow-exact-match). The generator guarantees unique (user_id, ts)
