@@ -1728,6 +1728,29 @@ def q_knn_idw(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
 
 
+def q_gf_viewshed(sf_dir: str) -> pd.DataFrame:
+    """Bounded-radius viewshed (pipelines/viewshed.viewshed_tiles):
+    per-pixel count of the 11 pinned observers with unobstructed R3
+    line of sight (radius 16, eye +50 units) over the total-biomass
+    raster — radius-16 halo exchange, broadcast observer routing,
+    offset-space LOS floats. Oracle = the same los_visible kernel
+    applied sequentially to the full grid (oracle_pins.ensure_viewpin);
+    the exchange and routing are what the hash verifies."""
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.pipelines.viewshed import viewshed_tiles
+
+    f = _fx()
+    n = f["meta"]["grid"] * f["meta"]["tile"]
+    out = viewshed_tiles(
+        _total_biomass_result(f),
+        oracle_pins.viewpin_observers(n),
+        radius=oracle_pins.VIEW_RADIUS,
+        eye_add_u=oracle_pins.VIEW_EYE_U,
+    ).to_pandas()
+    res = out[["y", "x", "n_vis"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_gf_kriging(sf_dir: str) -> pd.DataFrame:
     """Ordinary kriging (pipelines/kriging.krige_points): the pinned
     spherical variogram model, exact Z-order ring-expansion kNN(8)
@@ -6558,6 +6581,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_cost_paths": q_cost_paths,
         "gf_cost_distance_src": q_cost_distance_src,
         "gf_kriging": q_gf_kriging,
+        "gf_viewshed": q_gf_viewshed,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
@@ -7673,6 +7697,11 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_cost_distance_src"] = (
         f"SELECT y, x, cdist "
         f"FROM read_parquet('{_pins.ensure_costsrcpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_viewshed"] = (
+        f"SELECT y, x, n_vis "
+        f"FROM read_parquet('{_pins.ensure_viewpin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["emb_kcenter"] = (

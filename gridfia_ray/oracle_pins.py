@@ -2314,3 +2314,64 @@ def ensure_divpin() -> dict:
         return {"embeddings": "embeddings.parquet", "expected": "expected.parquet"}
 
     return _ensure_dir(f"divpin-v{GEN_VERSION}.{DIVPIN_V}", build)
+
+
+VIEWPIN_V = 1
+VIEW_RADIUS = 16
+VIEW_EYE_U = 50_000_000.0  # 50 elevation units in the µ-scaled domain
+
+
+def viewpin_observers(n: int) -> np.ndarray:
+    """(m, 2) global (y, x) observer cells: a 3×3 interior lattice plus
+    two near-edge observers (exercise the clamped-support and
+    missing-strip paths)."""
+    base = [
+        (n // 6 + i * (n // 3), n // 6 + j * (n // 3))
+        for i in range(3)
+        for j in range(3)
+    ]
+    base += [(2, 2), (n - 3, n // 2)]
+    return np.asarray(base, dtype=np.int64)
+
+
+def ensure_viewpin() -> dict:
+    """{'expected'} parquet for the bounded-radius viewshed
+    (pipelines/viewshed.viewshed_tiles over the t2 total-biomass
+    raster): the SAME los_visible kernel applied sequentially to the
+    full µ-grid — what the pin verifies is the halo exchange and the
+    observer-to-tile routing."""
+
+    def build(tmp: str) -> dict:
+        from gridfia_ray import fixtures
+        from gridfia_ray.pipelines.viewshed import los_visible
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        grid = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        grid[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        E = grid.astype(np.float64)
+        count = np.zeros((n, n), dtype=np.int64)
+        for oy, ox in viewpin_observers(n):
+            count += los_visible(E, int(oy), int(ox), VIEW_RADIUS, VIEW_EYE_U)
+        ys, xs = np.mgrid[0:n, 0:n]
+        pq.write_table(
+            pa.table(
+                {
+                    "y": pa.array(ys.reshape(-1).astype(np.int64)),
+                    "x": pa.array(xs.reshape(-1).astype(np.int64)),
+                    "n_vis": pa.array(count.reshape(-1)),
+                }
+            ),
+            os.path.join(tmp, "expected.parquet"),
+        )
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"viewpin-v{GEN_VERSION}.{VIEWPIN_V}", build)
