@@ -1728,6 +1728,22 @@ def q_knn_idw(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
 
 
+def q_gf_fill_sinks(sf_dir: str) -> pd.DataFrame:
+    """Depression filling (pipelines/fill.fill_sinks_tiles): the
+    Planchon-Darboux least fixpoint via monotone halo-strip supersteps
+    over the total-biomass raster-as-DEM. Oracle = an INDEPENDENT
+    sequential Priority-Flood heap replay (oracle_pins.ensure_fillpin)
+    — int64-exact agreement of the filled surface and standing depth on
+    all 262,144 pixels."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.fill import fill_sinks_tiles
+
+    f = _fx()
+    out = fill_sinks_tiles(_total_biomass_result(f)).to_pandas()
+    res = out[["y", "x", "fill_u", "depth_u"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_gf_viewshed(sf_dir: str) -> pd.DataFrame:
     """Bounded-radius viewshed (pipelines/viewshed.viewshed_tiles):
     per-pixel count of the 11 pinned observers with unobstructed R3
@@ -6582,6 +6598,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_cost_distance_src": q_cost_distance_src,
         "gf_kriging": q_gf_kriging,
         "gf_viewshed": q_gf_viewshed,
+        "gf_fill_sinks": q_gf_fill_sinks,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
@@ -7697,6 +7714,11 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_cost_distance_src"] = (
         f"SELECT y, x, cdist "
         f"FROM read_parquet('{_pins.ensure_costsrcpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_fill_sinks"] = (
+        f"SELECT y, x, fill_u, depth_u "
+        f"FROM read_parquet('{_pins.ensure_fillpin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_viewshed"] = (

@@ -2375,3 +2375,75 @@ def ensure_viewpin() -> dict:
         return {"expected": "expected.parquet"}
 
     return _ensure_dir(f"viewpin-v{GEN_VERSION}.{VIEWPIN_V}", build)
+
+
+FILLPIN_V = 1
+
+
+def ensure_fillpin() -> dict:
+    """{'expected'} parquet for depression filling (pipelines/fill.
+    fill_sinks_tiles over the t2 total-biomass raster): an INDEPENDENT
+    sequential Priority-Flood (Barnes et al. 2014, heapq from the
+    border inward, W(n) = max(E(n), pop level)) — equal to the
+    Planchon-Darboux least fixpoint the distributed relaxation
+    computes; int64 arithmetic makes the agreement bit-exact."""
+
+    def build(tmp: str) -> dict:
+        import heapq
+
+        from gridfia_ray import fixtures
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        E = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        E[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        INF = 1 << 60
+        W = np.full((n, n), INF, dtype=np.int64)
+        visited = np.zeros((n, n), dtype=bool)
+        heap = []
+        for y in range(n):
+            for x in (0, n - 1):
+                W[y, x] = E[y, x]
+                heap.append((int(E[y, x]), y, x))
+        for x in range(1, n - 1):
+            for y in (0, n - 1):
+                W[y, x] = E[y, x]
+                heap.append((int(E[y, x]), y, x))
+        heapq.heapify(heap)
+        while heap:
+            wl, y, x = heapq.heappop(heap)
+            if visited[y, x]:
+                continue
+            visited[y, x] = True
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = y + dy, x + dx
+                    if (dy or dx) and 0 <= ny < n and 0 <= nx < n \
+                            and not visited[ny, nx]:
+                        cand = max(int(E[ny, nx]), wl)
+                        if cand < W[ny, nx]:
+                            W[ny, nx] = cand
+                            heapq.heappush(heap, (cand, ny, nx))
+        ys, xs = np.mgrid[0:n, 0:n]
+        pq.write_table(
+            pa.table(
+                {
+                    "y": pa.array(ys.reshape(-1).astype(np.int64)),
+                    "x": pa.array(xs.reshape(-1).astype(np.int64)),
+                    "fill_u": pa.array(W.reshape(-1)),
+                    "depth_u": pa.array((W - E).reshape(-1)),
+                }
+            ),
+            os.path.join(tmp, "expected.parquet"),
+        )
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"fillpin-v{GEN_VERSION}.{FILLPIN_V}", build)
