@@ -361,6 +361,22 @@ def run_bench() -> dict:
         timed("watershed", lambda: q_watershed(SF_DIR))
         timed("hist_equalize", lambda: q_hist_equalize(SF_DIR))
 
+        # terrain analysis (radius-16 LOS viewshed, Planchon-Darboux
+        # depression fill via coarsened halo supersteps), ordinary
+        # kriging over the broadcast plot table, and the k-center
+        # greedy coreset selection
+        from gridfia_ray.contract import (
+            q_emb_kcenter,
+            q_gf_fill_sinks,
+            q_gf_kriging,
+            q_gf_viewshed,
+        )
+
+        timed("viewshed", lambda: q_gf_viewshed(SF_DIR))
+        timed("fill_sinks", lambda: q_gf_fill_sinks(SF_DIR))
+        timed("kriging", lambda: q_gf_kriging(SF_DIR))
+        timed("emb_kcenter", lambda: q_emb_kcenter(SF_DIR))
+
     total = round(sum(timings.values()), 3)
     tile_secs = timings["zonal_stats"] + timings["metrics_fused"]
     result = {

@@ -4844,6 +4844,23 @@ def q_events_daily_uniques(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True)
 
 
+def q_events_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix between event types
+    (pipelines/events.event_transitions): one user-keyed exchange with
+    in-bucket (user, ts, id) ordering + vectorized shifts, a tiny
+    n_types² keyed merge, and the row-normalized probability as one
+    double division written identically in the LAG-window SQL oracle."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import event_transitions
+
+    tune_context()
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return event_transitions(ev)
+
+
 def q_events_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix (pipelines/events.retention_cohorts):
     users cohort by first active epoch week; (cohort, offset, n_users)
@@ -6571,6 +6588,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "events_retention": q_events_retention,
+        "events_transitions": q_events_transitions,
         "rel_correlation": q_rel_correlation,
         "doc_normalize_pinned": q_doc_normalize_pinned,
         "rel_zscore": q_rel_zscore,
@@ -8628,6 +8646,19 @@ def build_oracle_sql() -> dict[str, str]:
                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
                  * 1000000 + 0.5) AS BIGINT) AS r_u
         FROM m"""
+    sql["events_transitions"] = """
+        WITH s AS (SELECT LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS from_type,
+                          event_type AS to_type
+                   FROM events),
+        c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+              FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n,
+               CAST(FLOOR(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                          * 1000000 + 0.5) AS BIGINT) AS p_u
+        FROM c JOIN t USING (from_type) ORDER BY 1, 2"""
     sql["events_retention"] = """
         WITH uw AS (SELECT DISTINCT user_id,
                            epoch_us(ts) // 604800000000 AS week

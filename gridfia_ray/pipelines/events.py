@@ -580,3 +580,84 @@ def rolling_anomaly(
     from gridfia_ray.stages.agg_util import bucketed_bucket_map
 
     return bucketed_bucket_map(events, [key], per_bucket, n_buckets)
+
+
+def event_transitions(
+    events: rd.Dataset,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """First-order Markov transition counts between event types along
+    each user's time-ordered stream: one row per observed
+    ``(from_type, to_type)`` with the transition count and the
+    row-normalized probability ``p_u = s6(n / Σ_to n)`` — the
+    behavioral-analytics transition matrix (and the SQL
+    ``LAG(type) OVER (PARTITION BY user ORDER BY ts, id)`` shape).
+
+    Scale shape: ONE exchange keyed on the user (every user's rows
+    co-locate in one bucket; the bucket sorts its own users by
+    ``(user, ts, id)`` and takes vectorized shifts — adjacent pairs
+    never cross buckets), per-bucket pair counts, then a tiny keyed
+    merge bounded by ``n_types²`` rows; the probability division is a
+    driver-side pure function of the merged integer counts."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user": batch[user_col].to_numpy(np.int64),
+                # explicit µs: the Arrow source may be [ns] or [us]
+                "ts_us": batch[ts_col]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy(),
+                "eid": batch[id_col].to_numpy(np.int64),
+                "etype": batch[type_col].astype(str),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user", "ts_us", "eid"], kind="mergesort")
+        same = g["user"].to_numpy()[1:] == g["user"].to_numpy()[:-1]
+        frm = g["etype"].to_numpy()[:-1][same]
+        to = g["etype"].to_numpy()[1:][same]
+        out = pd.DataFrame({"from_type": frm, "to_type": to})
+        cnt = out.groupby(["from_type", "to_type"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "from_type": cnt["from_type"],
+                "to_type": cnt["to_type"],
+                "n": cnt["size"].astype(np.int64),
+            }
+        )
+
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_bucket_map
+
+    partials = bucketed_bucket_map(
+        events.map_batches(project, batch_format="pandas"),
+        ["user"],
+        per_bucket,
+        n_buckets=n_buckets,
+        coalesce=True,
+    )
+    out = bucketed_agg(
+        partials, ["from_type", "to_type"], {"n": ("n", "sum")}, n_buckets=4
+    ).to_pandas()  # bounded: n_types² rows
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "from_type": pd.Series(dtype=str),
+                "to_type": pd.Series(dtype=str),
+                "n": pd.Series(dtype=np.int64),
+                "p_u": pd.Series(dtype=np.int64),
+            }
+        )
+    out["n"] = out["n"].astype(np.int64)
+    tot = out.groupby("from_type")["n"].transform("sum")
+    out["p_u"] = np.floor(
+        out["n"].to_numpy(np.float64) / tot.to_numpy(np.float64) * 1_000_000
+        + 0.5
+    ).astype(np.int64)
+    return out.sort_values(["from_type", "to_type"], ignore_index=True)
