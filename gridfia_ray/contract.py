@@ -1744,6 +1744,29 @@ def q_gf_fill_sinks(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_gf_flow_filled(sf_dir: str) -> pd.DataFrame:
+    """Hydrologically-conditioned flow routing — the fill → route
+    composition real DEMs require (depressions break D8): ε=1
+    depression fill (pipelines/fill, halo supersteps, drainage
+    gradient) handed off as result tiles to flow_direction_packed →
+    flow_accumulate (halo direction exchange + superstep settling).
+    Oracle = an independent sequential Priority-Flood-ε then the
+    descending-z push replay on the filled surface
+    (oracle_pins.ensure_flowfillpin)."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.fill import fill_sinks_tiles
+    from gridfia_ray.pipelines.flow import flow_accumulate, flow_direction_packed
+
+    f = _fx()
+    filled = fill_sinks_tiles(
+        _total_biomass_result(f), as_result_tiles=True, eps_u=1
+    )
+    out = flow_accumulate(flow_direction_packed(filled)).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_gf_viewshed(sf_dir: str) -> pd.DataFrame:
     """Bounded-radius viewshed (pipelines/viewshed.viewshed_tiles):
     per-pixel count of the 11 pinned observers with unobstructed R3
@@ -6617,6 +6640,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_kriging": q_gf_kriging,
         "gf_viewshed": q_gf_viewshed,
         "gf_fill_sinks": q_gf_fill_sinks,
+        "gf_flow_filled": q_gf_flow_filled,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
@@ -7737,6 +7761,11 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_fill_sinks"] = (
         f"SELECT y, x, fill_u, depth_u "
         f"FROM read_parquet('{_pins.ensure_fillpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_flow_filled"] = (
+        f"SELECT y, x, dir, acc "
+        f"FROM read_parquet('{_pins.ensure_flowfillpin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_viewshed"] = (

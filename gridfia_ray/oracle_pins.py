@@ -2447,3 +2447,103 @@ def ensure_fillpin() -> dict:
         return {"expected": "expected.parquet"}
 
     return _ensure_dir(f"fillpin-v{GEN_VERSION}.{FILLPIN_V}", build)
+
+
+FLOWFILLPIN_V = 2  # v2: ε=1 Priority-Flood (drainage gradient, no flats)
+
+
+def ensure_flowfillpin() -> dict:
+    """{'expected'} parquet for hydrologically-conditioned D8 routing:
+    an INDEPENDENT sequential Priority-Flood-ε fill (Barnes et al.
+    2014 §4.2, ε = 1 µ-unit so every off-border cell keeps a strict
+    descent) then the flowpin direction/accumulation replay ON THE
+    FILLED surface — the composition gf_flow_filled must reproduce
+    through fill_sinks_tiles(as_result_tiles=True, eps_u=1) →
+    flow_direction_packed → flow_accumulate."""
+
+    def build(tmp: str) -> dict:
+        import heapq
+
+        from gridfia_ray import fixtures
+        from gridfia_ray.pipelines.flow import D8_OFFSETS
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        E = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        E[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        INF = 1 << 60
+        Wg = np.full((n, n), INF, dtype=np.int64)
+        visited = np.zeros((n, n), dtype=bool)
+        heap = []
+        for y in range(n):
+            for x in (0, n - 1):
+                Wg[y, x] = E[y, x]
+                heap.append((int(E[y, x]), y, x))
+        for x in range(1, n - 1):
+            for y in (0, n - 1):
+                Wg[y, x] = E[y, x]
+                heap.append((int(E[y, x]), y, x))
+        heapq.heapify(heap)
+        while heap:
+            wl, y, x = heapq.heappop(heap)
+            if visited[y, x]:
+                continue
+            visited[y, x] = True
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = y + dy, x + dx
+                    if (dy or dx) and 0 <= ny < n and 0 <= nx < n \
+                            and not visited[ny, nx]:
+                        cand = max(int(E[ny, nx]), wl + 1)  # ε = 1
+                        if cand < Wg[ny, nx]:
+                            Wg[ny, nx] = cand
+                            heapq.heappush(heap, (cand, ny, nx))
+        # the engine hands flow a float64-units tile re-µ-scaled by the
+        # flow stage — floor(fill_u·1e-6·1e6 + 0.5) == fill_u exactly
+        grid = Wg
+        best_drop = np.zeros((n, n), dtype=np.int64)
+        d8 = np.full((n, n), -1, dtype=np.int64)
+        pad = np.zeros((n + 2, n + 2), dtype=np.int64)
+        pad[1:-1, 1:-1] = grid
+        pres = np.zeros((n + 2, n + 2), dtype=np.int64)
+        pres[1:-1, 1:-1] = 1
+        for code, (dy, dx) in enumerate(D8_OFFSETS):
+            nz = pad[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n]
+            np_ = pres[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n]
+            drop = grid - nz
+            better = (np_ == 1) & (drop > 0) & (drop > best_drop)
+            best_drop[better] = drop[better]
+            d8[better] = code
+        acc = [0] * (n * n)
+        d8f = d8.ravel().tolist()
+        order = np.argsort(-grid.ravel(), kind="stable")
+        for lin in order.tolist():
+            code = d8f[lin]
+            if code < 0:
+                continue
+            dy, dx = D8_OFFSETS[code]
+            y, x = divmod(lin, n)
+            acc[(y + dy) * n + (x + dx)] += acc[lin] + 1
+        ys, xs = np.mgrid[0:n, 0:n]
+        pq.write_table(
+            pa.table(
+                {
+                    "y": pa.array(ys.reshape(-1), pa.int64()),
+                    "x": pa.array(xs.reshape(-1), pa.int64()),
+                    "dir": pa.array(d8.reshape(-1), pa.int64()),
+                    "acc": pa.array(np.asarray(acc, dtype=np.int64), pa.int64()),
+                }
+            ),
+            os.path.join(tmp, "expected.parquet"),
+        )
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"flowfillpin-v{GEN_VERSION}.{FILLPIN_V}.{FLOWFILLPIN_V}", build)

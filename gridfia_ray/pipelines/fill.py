@@ -50,6 +50,18 @@ from gridfia_ray.pipelines.costdist import (
     _strip_rows,
 )
 
+_TILE_SCHEMA = pa.schema(
+    [
+        ("metric", pa.string()),
+        ("tile_row", pa.int64()),
+        ("tile_col", pa.int64()),
+        ("h", pa.int64()),
+        ("w", pa.int64()),
+        ("pix", pa.binary()),
+        ("dtype", pa.string()),
+    ]
+)
+
 _OUT = pa.schema(
     [
         ("metric", pa.string()),
@@ -61,13 +73,19 @@ _OUT = pa.schema(
 )
 
 
-def _fill_local(W_p: np.ndarray, E_p: np.ndarray) -> None:
+def _fill_local(W_p: np.ndarray, E_p: np.ndarray, eps: int = 0) -> None:
     """Relax the PADDED water array in place to the tile-local least
-    fixpoint of ``W = max(E, min_nbr W)``; halo ring is read-only."""
+    fixpoint of ``W = max(E, min_nbr (W + eps))``; halo ring is
+    read-only. ``eps`` = 0 preserves flats (pure Planchon-Darboux);
+    ``eps`` = 1 µ-unit imposes the standard drainage gradient so D8 has
+    a strict descent everywhere off the border (Priority-Flood-ε)."""
     H, Wd = W_p.shape
+    eps = np.int64(eps)
 
     def _upd(y_sl, x_sl, cand) -> bool:
-        new = np.maximum(E_p[y_sl, x_sl], np.minimum(W_p[y_sl, x_sl], cand))
+        new = np.maximum(
+            E_p[y_sl, x_sl], np.minimum(W_p[y_sl, x_sl], cand + eps)
+        )
         ch = bool((new != W_p[y_sl, x_sl]).any())
         W_p[y_sl, x_sl] = new
         return ch
@@ -92,12 +110,12 @@ def _fill_local(W_p: np.ndarray, E_p: np.ndarray) -> None:
     raise RuntimeError("fill_sinks: tile-local relaxation did not converge")
 
 
-def _solve_group(group: pd.DataFrame) -> pd.DataFrame:
+def _solve_group(group: pd.DataFrame, eps: int = 0) -> pd.DataFrame:
     padded = _padded_from_group(group)
     if padded is None:
         return pd.DataFrame({f.name: [] for f in _STATE})
     r, h, w, water, water_p, elev_p = padded
-    _fill_local(water_p, elev_p)
+    _fill_local(water_p, elev_p, eps)
     new = water_p[1:-1, 1:-1]
     return pd.DataFrame(
         [
@@ -126,6 +144,8 @@ def fill_sinks_tiles(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     coarsen: int = 4,
+    as_result_tiles: bool = False,
+    eps_u: int = 0,
 ) -> rd.Dataset:
     """Depression-fill a result-tile dataset (``run_metrics`` schema) →
     long rows ``(metric, y, x, fill_u, depth_u)`` with ``fill_u`` the
@@ -139,7 +159,14 @@ def fill_sinks_tiles(
     length / tile size), much worse than the tile-graph diameter — so
     trading per-round local-solve work for rounds is the right deal
     (the local solve is alternating directional sweeps, one spiral turn
-    per sweep, all vectorized)."""
+    per sweep, all vectorized).
+
+    ``as_result_tiles`` returns the FILLED surface in the result-tile
+    schema instead of long pixel rows — the hydrology-conditioning
+    hand-off (fill → D8 routing): depressions break D8 directions, so
+    flow pipelines should consume ``fill_sinks_tiles(...,
+    as_result_tiles=True)`` rather than the raw DEM. Note the emitted
+    tiles keep the COARSENED super-tile dims."""
     from gridfia_ray.stages.agg_util import (
         bucketed_group_map,
         to_arrow,
@@ -232,7 +259,7 @@ def fill_sinks_tiles(
         state = bucketed_group_map(
             merged,
             ["metric", "tile_row", "tile_col"],
-            _solve_group,
+            lambda g: _solve_group(g, eps_u),
             n_buckets=loop_buckets,
             out_schema=_STATE,
         ).materialize()
@@ -261,6 +288,31 @@ def fill_sinks_tiles(
         raise RuntimeError(
             f"fill_sinks: no convergence in {max_rounds} supersteps"
         )
+
+    def emit_tiles(batch: pd.DataFrame) -> pa.Table:
+        rows = []
+        for _, r in batch.iterrows():
+            h, w = int(r["h"]), int(r["w"])
+            wl = np.frombuffer(r["dist"], np.int64).reshape(h, w)
+            rows.append(
+                {
+                    "metric": r["metric"],
+                    "tile_row": int(r["tile_row"]),
+                    "tile_col": int(r["tile_col"]),
+                    "h": h,
+                    "w": w,
+                    # µ int → float64 units; |x·10⁶ − fill_u| < 10⁻⁷ at
+                    # the domain bound, so downstream µ re-scaling
+                    # (floor(x·10⁶+0.5)) recovers fill_u exactly
+                    "pix": (wl.astype(np.float64) * 1e-6).tobytes(),
+                    "dtype": "float64",
+                }
+            )
+        return to_arrow(pd.DataFrame(rows, columns=list(_TILE_SCHEMA.names)),
+                        _TILE_SCHEMA)
+
+    if as_result_tiles:
+        return state.map_batches(emit_tiles, batch_format="pandas")
 
     def emit(batch: pd.DataFrame) -> pa.Table:
         frames = []

@@ -27,8 +27,8 @@ def _tiles(g, h, w, metric="m"):
     return pd.DataFrame(rows)
 
 
-def priority_flood(g):
-    """Independent sequential Priority-Flood on the µ-scaled grid."""
+def priority_flood(g, eps=0):
+    """Independent sequential Priority-Flood(-ε) on the µ-scaled grid."""
     E = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
     n1, n2 = E.shape
     INF = 1 << 60
@@ -54,7 +54,7 @@ def priority_flood(g):
                 ny, nx = y + dy, x + dx
                 if (dy or dx) and 0 <= ny < n1 and 0 <= nx < n2 \
                         and not vis[ny, nx]:
-                    c = max(int(E[ny, nx]), wl)
+                    c = max(int(E[ny, nx]), wl + eps)
                     if c < W[ny, nx]:
                         W[ny, nx] = c
                         heapq.heappush(heap, (c, ny, nx))
@@ -108,6 +108,39 @@ class TestFillSinks:
         ).to_pandas()
         m = got.set_index(["y", "x"])
         assert m["fill_u"][(7, 7)] == 2_000_000  # drains through the channel
+
+    def test_eps_gradient_matches_priority_flood_eps(self, ray_session):
+        rng = np.random.RandomState(6)
+        g = (rng.rand(32, 32) * 150).astype(np.float64)
+        got = fill_sinks_tiles(
+            rd.from_pandas(_tiles(g, 8, 8)), coarsen=2, eps_u=1
+        ).to_pandas()
+        _check(got, priority_flood(g, eps=1))
+        # ε=1 leaves no interior flats: every off-border cell has a
+        # strictly lower 8-neighbor on the filled surface
+        W = got.pivot(index="y", columns="x", values="fill_u").to_numpy()
+        pad = np.full((34, 34), np.iinfo(np.int64).max, np.int64)
+        pad[1:-1, 1:-1] = W
+        mins = np.min(
+            [pad[1 + dy:33 + dy, 1 + dx:33 + dx]
+             for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx],
+            axis=0,
+        )
+        assert (mins[1:-1, 1:-1] < W[1:-1, 1:-1]).all()
+
+    def test_as_result_tiles_roundtrip(self, ray_session):
+        rng = np.random.RandomState(7)
+        g = (rng.rand(24, 24) * 80).astype(np.float64)
+        tiles = fill_sinks_tiles(
+            rd.from_pandas(_tiles(g, 8, 8)), coarsen=1, as_result_tiles=True
+        ).to_pandas()
+        W = priority_flood(g)
+        for _, r in tiles.iterrows():
+            arr = np.frombuffer(r["pix"], np.float64).reshape(r["h"], r["w"])
+            u = np.floor(arr * 1_000_000 + 0.5).astype(np.int64)
+            tr, tc = int(r["tile_row"]), int(r["tile_col"])
+            h, w = int(r["h"]), int(r["w"])
+            assert (u == W[tr * h:(tr + 1) * h, tc * w:(tc + 1) * w]).all()
 
     def test_checkpoint_resume_returns_converged(self, ray_session, tmp_path):
         rng = np.random.RandomState(9)
