@@ -6494,7 +6494,20 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     incremental + substr in-window; the n-gram-Jaccard PPJoin query
     stays fully verified) — this also fixes a silent off-by-one that
     had left the 51-entry "window" cutting doc_heavy_tokens out of the
-    driver's recorded 50."""
+    driver's recorded 50.
+
+    Round-4 continuation swaps (same rule — every displaced family
+    keeps an in-window representative): gf_distance_transform →
+    gf_kriging (new geostatistics family: variogram-model OK solve;
+    proximity keeps gf_cost_distance), rel_urgent_customers →
+    rel_nation_volume (Q7-shaped 6-table join over the co-bucketed
+    attach; the semi-join family keeps rel_bloom_join), doc_mix →
+    gf_fill_sinks (new hydrologic-conditioning family: Planchon-
+    Darboux supersteps; corpus build keeps filter_chain +
+    corpus_build), doc_pack → emb_kcenter (new diversity-selection
+    family: farthest-first coreset). gf_viewshed, gf_flow_filled,
+    rel_market_share and events_transitions enter as fully-verified
+    siblings of in-window families."""
     qs: dict[str, Callable[[str], pd.DataFrame]] = {
         # --- driver window (50): one green row per operator family ---
         # raster metric kernels (M1-M15)
@@ -6522,7 +6535,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_morans_i": q_morans_i,
         "gf_cost_distance": q_cost_distance,
         "graph_pagerank": q_graph_pagerank,
-        "gf_distance_transform": q_distance_transform,
+        "gf_kriging": q_gf_kriging,
         "gf_temporal_trend": q_temporal_trend,
         "gf_percentiles_exact": q_percentiles_exact,
         "gf_tile_catalog": q_tile_catalog,
@@ -6531,7 +6544,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         # relational / windowed / temporal joins / resampling
         "rel_priority_lines": q_rel_priority_lines,
         "rel_bloom_join": q_rel_bloom_join,
-        "rel_urgent_customers": q_rel_urgent_customers,
+        "rel_nation_volume": q_rel_nation_volume,
         "rel_rollup_pricing": q_rel_rollup_pricing,
         "events_asof_join": q_events_asof_join,
         "events_error_window_join": q_events_error_window_join,
@@ -6548,8 +6561,8 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_decontaminate_ngram": q_doc_decontaminate_ngram,
         "doc_filter_chain": q_doc_filter_chain,
         "doc_corpus_build": q_corpus_build,
-        "doc_mix": q_doc_mix,
-        "doc_pack": q_doc_pack,
+        "gf_fill_sinks": q_gf_fill_sinks,
+        "emb_kcenter": q_emb_kcenter,
         # text analysis / sketches
         "doc_langid": q_doc_langid,
         "doc_quality": q_doc_quality,
@@ -6567,7 +6580,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "rel_large_orders": q_rel_large_orders,
         "rel_top_supplier": q_rel_top_supplier,
         "rel_sole_slow_supplier": q_rel_sole_slow_supplier,
-        "rel_nation_volume": q_rel_nation_volume,
+        "rel_urgent_customers": q_rel_urgent_customers,
         "rel_market_share": q_rel_market_share,
         "graph_bfs": q_graph_bfs,
         "graph_triangles": q_graph_triangles,
@@ -6603,7 +6616,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "emb_pca_pinned": q_emb_pca_pinned,
         "emb_knn_graph": q_emb_knn_graph,
         "emb_hard_negatives": q_emb_hard_negatives,
-        "emb_kcenter": q_emb_kcenter,
+        "doc_pack": q_doc_pack,
         "rel_outer_counts": q_rel_outer_counts,
         "rel_except_customers": q_rel_except_customers,
         "rel_pivot_status": q_rel_pivot_status,
@@ -6637,9 +6650,9 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_cost_allocation": q_cost_allocation,
         "gf_cost_paths": q_cost_paths,
         "gf_cost_distance_src": q_cost_distance_src,
-        "gf_kriging": q_gf_kriging,
+        "gf_distance_transform": q_distance_transform,
         "gf_viewshed": q_gf_viewshed,
-        "gf_fill_sinks": q_gf_fill_sinks,
+        "doc_mix": q_doc_mix,
         "gf_flow_filled": q_gf_flow_filled,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
