@@ -3672,12 +3672,24 @@ def q_doc_outlier_mad(sf_dir: str) -> pd.DataFrame:
         }
     )
 
-    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    from gridfia_ray.stages.agg_util import to_arrow
+
+    flag_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("n_chars", pa.int64())]
+    )
+
+    def flag(batch: pd.DataFrame) -> pa.Table:
         s = ray.get(ref)
         v = batch["n_chars"].to_numpy(np.float64)
         med = batch["source"].map(s["med"]).to_numpy(np.float64)
         mad = batch["source"].map(s["mad"]).to_numpy(np.float64)
-        return batch.loc[np.abs(v - med) > 3.0 * mad]
+        kept = batch.loc[np.abs(v - med) > 3.0 * mad]
+        # typed Arrow out: an all-filtered batch with an object 'source'
+        # column otherwise trips the executor's size estimator
+        return to_arrow(kept[["doc_id", "source", "n_chars"]], flag_schema)
 
     out = docs.map_batches(flag, batch_format="pandas").to_pandas()
     if len(out) == 0:

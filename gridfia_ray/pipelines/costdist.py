@@ -399,7 +399,10 @@ def _converged_cost_state(
     if int(state.sum("changed") or 0) == 0:
         raise ValueError("cost_distance: no source pixel above threshold")
     if coarsen > 1:
-        state = _coarsen_state(state, coarsen, n_buckets).materialize()
+        # buckets ≈ super-tile count: surplus empty sort partitions emit
+        # schema-less blocks that churn the executor's schema cache
+        cb = max(1, min(n_buckets, state.count() // (coarsen * coarsen)))
+        state = _coarsen_state(state, coarsen, cb).materialize()
     # fewer buckets than live tiles: empty sort partitions emit
     # schema-less blocks that churn the executor's schema tracking
     loop_buckets = max(1, min(n_buckets, state.count() // 2 or 1))

@@ -220,8 +220,13 @@ def fill_sinks_tiles(
     if coarsen > 1:
         from gridfia_ray.pipelines.costdist import _coarsen_state
 
-        state = _coarsen_state(state, coarsen, n_buckets).materialize()
-    loop_buckets = max(1, min(n_buckets, state.count() // 2 or 1))
+        # buckets ≈ super-tile count: surplus empty sort partitions emit
+        # schema-less blocks that churn the executor's schema cache
+        cb = max(1, min(n_buckets, state.count() // (coarsen * coarsen)))
+        state = _coarsen_state(state, coarsen, cb).materialize()
+    # ~4 groups per bucket: sparser bucketing leaves empty sort
+    # partitions (schema-less pandas blocks churning the executor)
+    loop_buckets = max(1, min(n_buckets, state.count() // 4))
 
     manifest = None
     start_round = 0
