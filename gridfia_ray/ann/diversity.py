@@ -134,6 +134,11 @@ def kcenter_select(
             ["mind", "vec_id"], ascending=[False, True]
         )
         w = winners.iloc[0]
+        if float(w["mind"]) == 0.0:
+            # every remaining point coincides with a selected center
+            # (duplicate embeddings): re-picking would emit duplicate
+            # vec_ids — the selection is complete at the distinct count
+            break
         picks.append((r, int(w["vec_id"]), float(w["mind"])))
         center = np.asarray(w["vec"], dtype=np.float64)
 

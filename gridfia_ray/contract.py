@@ -5954,13 +5954,28 @@ def q_rel_nation_volume(sf_dir: str) -> pd.DataFrame:
         n_buckets=32,
     )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    part_schema = pa.schema(
+        [
+            ("supp_nation", pa.string()),
+            ("cust_nation", pa.string()),
+            ("l_year", pa.int64()),
+            ("vol_c", pa.int64()),
+            ("n_lines", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
         b = batch[batch["cust_nation"].notna()]  # inner semantics
         b = b[b["supp_nation"] != b["cust_nation"]]
         b = b.assign(n_lines=np.int64(1))
-        return b.groupby(
+        g = b.groupby(
             ["supp_nation", "cust_nation", "l_year"], as_index=False
         ).agg(vol_c=("vol_c", "sum"), n_lines=("n_lines", "sum"))
+        # typed Arrow out: an all-filtered bucket with object nation
+        # columns would churn the executor's schema/size estimators
+        g = g.astype({"l_year": np.int64, "vol_c": np.int64,
+                      "n_lines": np.int64})
+        return to_arrow(g, part_schema)
 
     out = bucketed_agg(
         j.map_batches(partial, batch_format="pandas"),

@@ -2275,6 +2275,9 @@ def _replay_kcenter(ids: np.ndarray, vecs: np.ndarray, m: int) -> pa.Table:
     mind = _dist2(mat, mat[seed_i], "euclidean")
     for r in range(1, m):
         top = mind.max()
+        if top == 0.0:
+            break  # only duplicate embeddings remain (same rule as the
+            # pipeline: never emit duplicate vec_ids)
         cand = np.nonzero(mind == top)[0]
         i = int(cand[np.argmin(ids[cand])])
         picks.append(

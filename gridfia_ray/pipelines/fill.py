@@ -230,6 +230,7 @@ def fill_sinks_tiles(
 
     manifest = None
     start_round = 0
+    converged = False
     if checkpoint_dir is not None:
         from gridfia_ray.io import read_parquet_clean
         from gridfia_ray.state.manifest import RunManifest
@@ -248,8 +249,11 @@ def fill_sinks_tiles(
             ).materialize()
             start_round = latest + 1
             if int(entry.get("changed", 1)) == 0:
-                start_round = max_rounds  # already converged: skip loop
-    converged = start_round >= max_rounds and manifest is not None
+                converged = True  # recorded state already converged
+    # `converged` is NOT derived from start_round >= max_rounds:
+    # resuming a non-converged checkpoint past the round budget must
+    # still hit the no-convergence raise below, not silently emit a
+    # partial fill
 
     def strips(batch: pd.DataFrame) -> pa.Table:
         rows: list[dict] = []
@@ -260,6 +264,8 @@ def fill_sinks_tiles(
         )
 
     for rnd in range(start_round, max_rounds):
+        if converged:
+            break
         merged = state.union(state.map_batches(strips, batch_format="pandas"))
         state = bucketed_group_map(
             merged,
@@ -299,6 +305,14 @@ def fill_sinks_tiles(
         for _, r in batch.iterrows():
             h, w = int(r["h"]), int(r["w"])
             wl = np.frombuffer(r["dist"], np.int64).reshape(h, w)
+            if wl.max() >= (1 << 51):
+                # beyond ~2^51 the float64 transit (·1e-6 then
+                # floor(·1e6+0.5)) is off by ±1 µ-unit — refuse rather
+                # than silently corrupt the fill→D8 composition
+                raise ValueError(
+                    "fill_sinks: filled µ-elevation exceeds the exact "
+                    "float64 round-trip domain (2^51); rescale the DEM"
+                )
             rows.append(
                 {
                     "metric": r["metric"],

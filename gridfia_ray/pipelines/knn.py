@@ -70,8 +70,13 @@ class KnnActor:
             cand = np.nonzero(cheb <= r_final)[0]
             d2 = (self.px[cand] - qx) ** 2 + (self.py[cand] - qy) ** 2
             k = min(self.k, cand.size)
-        sel = np.argpartition(d2, k - 1)[:k]
-        return cand[sel], np.sqrt(d2[sel])
+        # deterministic k-set: (distance², plot index) lexicographic.
+        # argpartition would admit an ARBITRARY member of a tie group
+        # straddling the k-th boundary, diverging from the SQL oracle's
+        # ROW_NUMBER(ORDER BY d², plot_id) and the kriging replay's
+        # lowest-index rule on snapped/gridded plot coordinates.
+        order = np.lexsort((cand, d2))[:k]
+        return cand[order], np.sqrt(d2[order])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -35,6 +35,8 @@ def brute_kcenter(ids, vecs, m, metric="euclidean"):
     mind = DV._dist2(mat, mat[seed_i], metric)
     for r in range(1, min(m, len(ids))):
         top = mind.max()
+        if top == 0.0:
+            break  # duplicates only: selection complete (pipeline rule)
         cand = np.nonzero(mind == top)[0]
         i = int(cand[np.argmin(ids[cand])])
         picks.append((r, int(ids[i]), float(mind[i])))
@@ -70,6 +72,14 @@ class TestKCenter:
         got = DV.kcenter_select(_ds(ids, vecs), 50)
         assert len(got) == 6
         assert got["vec_id"].nunique() == 6
+
+    def test_duplicate_corpus_stops_at_distinct_count(self, ray_session):
+        base = np.array([[0.0, 0.0], [3.0, 0.0], [0.0, 4.0]], np.float32)
+        vecs = np.vstack([base, base, base])  # 9 rows, 3 distinct
+        ids = np.arange(9, dtype=np.int64)
+        got = DV.kcenter_select(_ds(ids, vecs), 7)
+        assert len(got) == 3
+        assert got["vec_id"].nunique() == 3
 
     def test_validation(self, ray_session):
         ids, vecs = _emb(n=5)
