@@ -1767,6 +1767,73 @@ def q_gf_flow_filled(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_gf_twi(sf_dir: str) -> pd.DataFrame:
+    """Topographic wetness index ln((acc+1)/max(tanβ, 10⁻³)) over the
+    ε-filled surface — the three-stage terrain composition: fill →
+    D8 accumulation (superstep settling) ∥ D8 drop geometry (one halo
+    exchange) → pixel-keyed co-bucketed attach → elementwise TWI (the
+    shared oracle_pins.twi_values formula). Oracle = the sequential
+    Priority-Flood-ε + push replay's twi_u column
+    (oracle_pins.ensure_flowfillpin)."""
+    import pyarrow as pa
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.pipelines.fill import fill_sinks_tiles
+    from gridfia_ray.pipelines.flow import (
+        d8_drops_tiles,
+        flow_accumulate,
+        flow_direction_packed,
+    )
+    from gridfia_ray.stages.agg_util import bucketed_left_attach, to_arrow
+
+    f = _fx()
+    filled = fill_sinks_tiles(
+        _total_biomass_result(f), as_result_tiles=True, eps_u=1
+    ).materialize()
+    acc = flow_accumulate(flow_direction_packed(filled))
+    drops = d8_drops_tiles(filled).map_batches(
+        lambda b: b.select(["y", "x", "drop_u", "diag"]),
+        batch_format="pyarrow",
+    )
+    left_schema = pa.schema(
+        [("y", pa.int64()), ("x", pa.int64()), ("dir", pa.int64()),
+         ("acc", pa.int64())]
+    )
+    right_schema = pa.schema(
+        [("y", pa.int64()), ("x", pa.int64()), ("drop_u", pa.int64()),
+         ("diag", pa.int64())]
+    )
+    j = bucketed_left_attach(
+        acc, drops, on=["y", "x"],
+        left_schema=left_schema, right_schema=right_schema, n_buckets=32,
+    )
+    out_schema = pa.schema(
+        [("y", pa.int64()), ("x", pa.int64()), ("twi_u", pa.int64())]
+    )
+
+    def twi_map(b: pd.DataFrame) -> pa.Table:
+        if b["drop_u"].isna().any():
+            raise ValueError("gf_twi: acc pixel missing its drop row")
+        twi = oracle_pins.twi_values(
+            b["acc"].to_numpy(np.float64),
+            b["drop_u"].to_numpy(np.float64),
+            b["diag"].to_numpy(np.float64),
+        )
+        return to_arrow(
+            pd.DataFrame(
+                {
+                    "y": b["y"].to_numpy(np.int64),
+                    "x": b["x"].to_numpy(np.int64),
+                    "twi_u": np.floor(twi * 1_000_000 + 0.5).astype(np.int64),
+                }
+            ),
+            out_schema,
+        )
+
+    out = j.map_batches(twi_map, batch_format="pandas").to_pandas()
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_gf_viewshed(sf_dir: str) -> pd.DataFrame:
     """Bounded-radius viewshed (pipelines/viewshed.viewshed_tiles):
     per-pixel count of the 11 pinned observers with unobstructed R3
@@ -6681,6 +6748,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_viewshed": q_gf_viewshed,
         "doc_mix": q_doc_mix,
         "gf_flow_filled": q_gf_flow_filled,
+        "gf_twi": q_gf_twi,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
@@ -7805,6 +7873,11 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sql["gf_flow_filled"] = (
         f"SELECT y, x, dir, acc "
+        f"FROM read_parquet('{_pins.ensure_flowfillpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_twi"] = (
+        f"SELECT y, x, twi_u "
         f"FROM read_parquet('{_pins.ensure_flowfillpin()['expected']}') "
         f"ORDER BY y, x"
     )

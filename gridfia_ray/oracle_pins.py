@@ -2452,7 +2452,20 @@ def ensure_fillpin() -> dict:
     return _ensure_dir(f"fillpin-v{GEN_VERSION}.{FILLPIN_V}", build)
 
 
-FLOWFILLPIN_V = 2  # v2: ε=1 Priority-Flood (drainage gradient, no flats)
+FLOWFILLPIN_V = 3  # v3: + drop/diag geometry and the TWI column
+TWI_TANB_FLOOR = 1e-3  # slope floor for pits (dir = -1, drop = 0)
+
+
+def twi_values(acc: np.ndarray, drop_u: np.ndarray, diag: np.ndarray) -> np.ndarray:
+    """ln((acc+1) / max(tanβ, floor)) with tanβ = µ-drop / unit D8
+    distance (pixel units; √2 on diagonals) — the ONE float formula the
+    distributed composition and the sequential replay share, elementwise
+    so the bits are independent of row order."""
+    dist = np.where(np.asarray(diag, np.float64) == 1.0, np.sqrt(2.0), 1.0)
+    tanb = np.maximum(
+        np.asarray(drop_u, np.float64) * 1e-6 / dist, TWI_TANB_FLOOR
+    )
+    return np.log((np.asarray(acc, np.float64) + 1.0) / tanb)
 
 
 def ensure_flowfillpin() -> dict:
@@ -2535,6 +2548,22 @@ def ensure_flowfillpin() -> dict:
             dy, dx = D8_OFFSETS[code]
             y, x = divmod(lin, n)
             acc[(y + dy) * n + (x + dx)] += acc[lin] + 1
+        # D8 receiver geometry + TWI on the filled surface (same
+        # shifted-array loop shape as the pipeline's d8_drops_tiles)
+        dropg = np.zeros((n, n), dtype=np.int64)
+        diagg = np.zeros((n, n), dtype=np.int64)
+        from gridfia_ray.pipelines.flow import D8_OFFSETS as _OFF
+
+        for code, (dy, dx) in enumerate(_OFF):
+            m = d8 == code
+            if not m.any():
+                continue
+            nz = pad[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n]
+            dropg[m] = grid[m] - nz[m]
+            diagg[m] = code % 2
+        acca = np.asarray(acc, dtype=np.int64)
+        twi = twi_values(acca, dropg.reshape(-1), diagg.reshape(-1))
+        twi_u = np.floor(twi * 1_000_000 + 0.5).astype(np.int64)
         ys, xs = np.mgrid[0:n, 0:n]
         pq.write_table(
             pa.table(
@@ -2542,7 +2571,10 @@ def ensure_flowfillpin() -> dict:
                     "y": pa.array(ys.reshape(-1), pa.int64()),
                     "x": pa.array(xs.reshape(-1), pa.int64()),
                     "dir": pa.array(d8.reshape(-1), pa.int64()),
-                    "acc": pa.array(np.asarray(acc, dtype=np.int64), pa.int64()),
+                    "acc": pa.array(acca, pa.int64()),
+                    "drop_u": pa.array(dropg.reshape(-1), pa.int64()),
+                    "diag": pa.array(diagg.reshape(-1), pa.int64()),
+                    "twi_u": pa.array(twi_u, pa.int64()),
                 }
             ),
             os.path.join(tmp, "expected.parquet"),

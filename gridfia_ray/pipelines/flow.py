@@ -636,3 +636,45 @@ def watershed(packed: rd.Dataset, width: int) -> rd.Dataset:
     return packed.map_batches(
         _label_map(ray.put(resolved), width), batch_format="pyarrow"
     )
+
+
+def d8_drops_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Per-pixel D8 receiver geometry: ``(metric, y, x, dir, drop_u,
+    diag)`` where ``drop_u`` is the µ-elevation fall to the D8 receiver
+    (0 at pits) and ``diag`` flags diagonal codes (unit distance √2) —
+    the slope term of the topographic wetness index, computed in the
+    SAME one-hop halo exchange as the direction field (dir here is
+    bit-identical to ``flow_direction_packed``'s: same
+    ``d8_directions`` on the same padded window)."""
+    from gridfia_ray.pipelines.focal import _halo_pipeline
+
+    empty = pd.DataFrame(
+        {
+            "metric": pd.Series(dtype=str),
+            "y": pd.Series(dtype=np.int64),
+            "x": pd.Series(dtype=np.int64),
+            "dir": pd.Series(dtype=np.int64),
+            "drop_u": pd.Series(dtype=np.int64),
+            "diag": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def window(vals, pres, h, w):
+        d8 = d8_directions(vals, pres, h, w)
+        center = vals[1 : h + 1, 1 : w + 1]
+        drop = np.zeros((h, w), np.int64)
+        diag = np.zeros((h, w), np.int64)
+        for code, (dy, dx) in enumerate(D8_OFFSETS):
+            m = d8 == code
+            if not m.any():
+                continue
+            nz = vals[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            drop[m] = center[m] - nz[m]
+            diag[m] = code % 2  # odd codes are the diagonals
+        return {
+            "dir": d8.astype(np.int64),
+            "drop_u": drop,
+            "diag": diag,
+        }, None
+
+    return _halo_pipeline(result, "d8_drops", window, empty, n_buckets)
