@@ -1775,62 +1775,12 @@ def q_gf_twi(sf_dir: str) -> pd.DataFrame:
     shared oracle_pins.twi_values formula). Oracle = the sequential
     Priority-Flood-ε + push replay's twi_u column
     (oracle_pins.ensure_flowfillpin)."""
-    import pyarrow as pa
-
-    from gridfia_ray import oracle_pins
-    from gridfia_ray.pipelines.fill import fill_sinks_tiles
-    from gridfia_ray.pipelines.flow import (
-        d8_drops_tiles,
-        flow_accumulate,
-        flow_direction_packed,
-    )
-    from gridfia_ray.stages.agg_util import bucketed_left_attach, to_arrow
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.flow import wetness_index_tiles
 
     f = _fx()
-    filled = fill_sinks_tiles(
-        _total_biomass_result(f), as_result_tiles=True, eps_u=1
-    ).materialize()
-    acc = flow_accumulate(flow_direction_packed(filled))
-    drops = d8_drops_tiles(filled).map_batches(
-        lambda b: b.select(["y", "x", "drop_u", "diag"]),
-        batch_format="pyarrow",
-    )
-    left_schema = pa.schema(
-        [("y", pa.int64()), ("x", pa.int64()), ("dir", pa.int64()),
-         ("acc", pa.int64())]
-    )
-    right_schema = pa.schema(
-        [("y", pa.int64()), ("x", pa.int64()), ("drop_u", pa.int64()),
-         ("diag", pa.int64())]
-    )
-    j = bucketed_left_attach(
-        acc, drops, on=["y", "x"],
-        left_schema=left_schema, right_schema=right_schema, n_buckets=32,
-    )
-    out_schema = pa.schema(
-        [("y", pa.int64()), ("x", pa.int64()), ("twi_u", pa.int64())]
-    )
-
-    def twi_map(b: pd.DataFrame) -> pa.Table:
-        if b["drop_u"].isna().any():
-            raise ValueError("gf_twi: acc pixel missing its drop row")
-        twi = oracle_pins.twi_values(
-            b["acc"].to_numpy(np.float64),
-            b["drop_u"].to_numpy(np.float64),
-            b["diag"].to_numpy(np.float64),
-        )
-        return to_arrow(
-            pd.DataFrame(
-                {
-                    "y": b["y"].to_numpy(np.int64),
-                    "x": b["x"].to_numpy(np.int64),
-                    "twi_u": np.floor(twi * 1_000_000 + 0.5).astype(np.int64),
-                }
-            ),
-            out_schema,
-        )
-
-    out = j.map_batches(twi_map, batch_format="pandas").to_pandas()
+    out = wetness_index_tiles(_total_biomass_result(f)).to_pandas()
+    out = out.astype({"y": np.int64, "x": np.int64, "twi_u": np.int64})
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 

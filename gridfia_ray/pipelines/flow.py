@@ -678,3 +678,76 @@ def d8_drops_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         }, None
 
     return _halo_pipeline(result, "d8_drops", window, empty, n_buckets)
+
+
+def wetness_index_tiles(
+    result: rd.Dataset,
+    n_buckets: int = 64,
+    fill_coarsen: int = 4,
+    checkpoint_dir: str | None = None,
+) -> rd.Dataset:
+    """Topographic wetness index ln((acc+1)/max(tanβ, 10⁻³)) — the
+    full terrain composition as one call: ε=1 depression fill
+    (hydrologic conditioning) → D8 accumulation (superstep settling)
+    ∥ D8 drop geometry (one halo exchange) → pixel-keyed co-bucketed
+    attach → elementwise TWI (``oracle_pins.twi_values``, the formula
+    shared with the sequential replay). Returns ``(y, x, twi_u)`` with
+    twi in µ-scaled pixel units (tanβ = µ-drop per unit D8 distance).
+
+    ``checkpoint_dir`` forwards to the fill superstep loop (the only
+    iterative stage) for mid-pipeline resume."""
+    from gridfia_ray.pipelines.fill import fill_sinks_tiles
+    from gridfia_ray.stages.agg_util import bucketed_left_attach, to_arrow
+
+    filled = fill_sinks_tiles(
+        result,
+        n_buckets=n_buckets,
+        coarsen=fill_coarsen,
+        as_result_tiles=True,
+        eps_u=1,
+        checkpoint_dir=checkpoint_dir,
+    ).materialize()
+    acc = flow_accumulate(flow_direction_packed(filled, n_buckets=n_buckets))
+    drops = d8_drops_tiles(filled, n_buckets=n_buckets).map_batches(
+        lambda b: b.select(["y", "x", "drop_u", "diag"]),
+        batch_format="pyarrow",
+    )
+    left_schema = pa.schema(
+        [("y", pa.int64()), ("x", pa.int64()), ("dir", pa.int64()),
+         ("acc", pa.int64())]
+    )
+    right_schema = pa.schema(
+        [("y", pa.int64()), ("x", pa.int64()), ("drop_u", pa.int64()),
+         ("diag", pa.int64())]
+    )
+    j = bucketed_left_attach(
+        acc, drops, on=["y", "x"],
+        left_schema=left_schema, right_schema=right_schema,
+        n_buckets=min(n_buckets, 32),
+    )
+    out_schema = pa.schema(
+        [("y", pa.int64()), ("x", pa.int64()), ("twi_u", pa.int64())]
+    )
+
+    def twi_map(b: pd.DataFrame) -> pa.Table:
+        from gridfia_ray.oracle_pins import twi_values
+
+        if b["drop_u"].isna().any():
+            raise ValueError("wetness_index: acc pixel missing its drop row")
+        twi = twi_values(
+            b["acc"].to_numpy(np.float64),
+            b["drop_u"].to_numpy(np.float64),
+            b["diag"].to_numpy(np.float64),
+        )
+        return to_arrow(
+            pd.DataFrame(
+                {
+                    "y": b["y"].to_numpy(np.int64),
+                    "x": b["x"].to_numpy(np.int64),
+                    "twi_u": np.floor(twi * 1_000_000 + 0.5).astype(np.int64),
+                }
+            ),
+            out_schema,
+        )
+
+    return j.map_batches(twi_map, batch_format="pandas")
