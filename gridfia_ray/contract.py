@@ -1784,6 +1784,23 @@ def q_gf_twi(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_gf_dinf_accumulation(sf_dir: str) -> pd.DataFrame:
+    """D∞ (Tarboton) flow: facet-steepest directions with proportional
+    two-receiver splits in 2^16-ths, catchment accumulated as exact
+    fixed-point int64 (floor (w·A)>>16 per push — order-independent, so
+    the tile-local solves + cross-tile superstep settling bit-match a
+    sequential full-grid push). Oracle = the pinned replay sharing only
+    the elementwise direction kernel (oracle_pins.ensure_dinfpin)."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.flow import dinf_accumulate, dinf_packed
+
+    f = _fx()
+    out = dinf_accumulate(dinf_packed(_total_biomass_result(f))).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_gf_viewshed(sf_dir: str) -> pd.DataFrame:
     """Bounded-radius viewshed (pipelines/viewshed.viewshed_tiles):
     per-pixel count of the 11 pinned observers with unobstructed R3
@@ -6699,6 +6716,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_mix": q_doc_mix,
         "gf_flow_filled": q_gf_flow_filled,
         "gf_twi": q_gf_twi,
+        "gf_dinf_accumulation": q_gf_dinf_accumulation,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
@@ -7824,6 +7842,11 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_flow_filled"] = (
         f"SELECT y, x, dir, acc "
         f"FROM read_parquet('{_pins.ensure_flowfillpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_dinf_accumulation"] = (
+        f"SELECT y, x, angle_u, acc_fp "
+        f"FROM read_parquet('{_pins.ensure_dinfpin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_twi"] = (

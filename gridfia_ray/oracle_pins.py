@@ -2582,3 +2582,75 @@ def ensure_flowfillpin() -> dict:
         return {"expected": "expected.parquet"}
 
     return _ensure_dir(f"flowfillpin-v{GEN_VERSION}.{FILLPIN_V}.{FLOWFILLPIN_V}", build)
+
+
+DINFPIN_V = 1
+
+
+def ensure_dinfpin() -> dict:
+    """{'expected'} parquet for D∞ (Tarboton) flow: directions via the
+    SAME elementwise dinf_directions kernel on the full padded grid
+    (sharing it is the point — facet math must match bit-for-bit), then
+    an independent sequential descending-z fixed-point push (floor
+    (w·A)>>16 per receiver) with no tiling/supersteps. What the pin
+    verifies is the packed exchange and the cross-tile settling."""
+
+    def build(tmp: str) -> dict:
+        from gridfia_ray import fixtures
+        from gridfia_ray.pipelines.flow import (
+            D8_OFFSETS,
+            DINF_SCALE,
+            DINF_W_ONE,
+            dinf_directions,
+        )
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        grid = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        grid[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        pad = np.zeros((n + 2, n + 2), dtype=np.int64)
+        pad[1:-1, 1:-1] = grid
+        pres = np.zeros((n + 2, n + 2), dtype=np.int64)
+        pres[1:-1, 1:-1] = 1
+        d1, d2, w1, ang = dinf_directions(pad, pres, n, n)
+        acc = [DINF_SCALE] * (n * n)
+        d1f = d1.ravel().tolist()
+        d2f = d2.ravel().tolist()
+        w1f = w1.ravel().tolist()
+        for lin in np.argsort(-grid.ravel(), kind="stable").tolist():
+            a = acc[lin]
+            y, x = divmod(lin, n)
+            for code, wgt in ((d1f[lin], w1f[lin]),
+                              (d2f[lin], DINF_W_ONE - w1f[lin])):
+                if code < 0 or wgt <= 0:
+                    continue
+                push = (wgt * a) >> 16
+                if push <= 0:
+                    continue
+                dy, dx = D8_OFFSETS[code]
+                acc[(y + dy) * n + (x + dx)] += push
+        ys, xs = np.mgrid[0:n, 0:n]
+        pq.write_table(
+            pa.table(
+                {
+                    "y": pa.array(ys.reshape(-1), pa.int64()),
+                    "x": pa.array(xs.reshape(-1), pa.int64()),
+                    "angle_u": pa.array(ang.reshape(-1), pa.int64()),
+                    "acc_fp": pa.array(
+                        np.asarray(acc, dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(tmp, "expected.parquet"),
+        )
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"dinfpin-v{GEN_VERSION}.{DINFPIN_V}", build)

@@ -751,3 +751,271 @@ def wetness_index_tiles(
         )
 
     return j.map_batches(twi_map, batch_format="pandas")
+
+
+# --- D-infinity (Tarboton 1997) --------------------------------------------
+
+#: fixed-point denominators: flow-split weights in 2^16ths, catchment
+#: area in 2^20ths of a cell. floor((w·A)>>16) keeps every push exact
+#: int64 and order-independent (A is final before it is pushed), so the
+#: distributed settling bit-matches the sequential replay.
+DINF_W_ONE = 1 << 16
+DINF_SCALE = 1 << 20
+
+# facet table: (cardinal D8 code, diagonal D8 code, base octant ac,
+# angle sign af) with global angle = ac·(π/2) + af·r, r ∈ [0, π/4]
+# measured from the cardinal edge toward the diagonal.
+# D8 codes: E=0, SE=1, S=2, SW=3, W=4, NW=5, N=6, NE=7.
+_DINF_FACETS = (
+    (0, 7, 0, 1),   # E  → NE
+    (6, 7, 1, -1),  # N  → NE
+    (6, 5, 1, 1),   # N  → NW
+    (4, 5, 2, -1),  # W  → NW
+    (4, 3, 2, 1),   # W  → SW
+    (2, 3, 3, -1),  # S  → SW
+    (2, 1, 3, 1),   # S  → SE
+    (0, 1, 4, -1),  # E  → SE
+)
+
+
+def dinf_directions(vals: np.ndarray, pres: np.ndarray, h: int, w: int):
+    """Tarboton D∞ over padded (h+2, w+2) µ-value/presence arrays →
+    ``(dir1, dir2, w1, angle_u)`` h×w arrays: the cardinal/diagonal D8
+    receiver pair of the steepest facet, the cardinal share ``w1`` in
+    2^16ths (w2 = 2^16 − w1; dir2 = −1 when the flow is purely
+    cardinal), and the flow angle in µ-radians (−1 at pits). Facets
+    need BOTH neighbors present; ties take the first facet in table
+    order (strict > — the D8 tie-break convention). Every operation is
+    elementwise, so the bits are identical between the tile-halo and
+    full-grid (replay) callers."""
+    z0 = vals[1 : h + 1, 1 : w + 1].astype(np.float64)
+    qtr = np.pi / 4.0
+    best_s = np.zeros((h, w), np.float64)
+    best_r = np.zeros((h, w), np.float64)
+    best_k = np.full((h, w), -1, np.int64)
+    for k, (c_code, d_code, _ac, _af) in enumerate(_DINF_FACETS):
+        cdy, cdx = D8_OFFSETS[c_code]
+        ddy, ddx = D8_OFFSETS[d_code]
+        zc = vals[1 + cdy : 1 + cdy + h, 1 + cdx : 1 + cdx + w].astype(np.float64)
+        zd = vals[1 + ddy : 1 + ddy + h, 1 + ddx : 1 + ddx + w].astype(np.float64)
+        ok = (
+            pres[1 + cdy : 1 + cdy + h, 1 + cdx : 1 + cdx + w] == 1
+        ) & (pres[1 + ddy : 1 + ddy + h, 1 + ddx : 1 + ddx + w] == 1)
+        s1 = z0 - zc
+        s2 = zc - zd
+        r = np.arctan2(s2, s1)
+        s = np.hypot(s1, s2)
+        low = r < 0.0
+        r = np.where(low, 0.0, r)
+        s = np.where(low, s1, s)
+        high = r > qtr
+        r = np.where(high, qtr, r)
+        s = np.where(high, (z0 - zd) / np.sqrt(2.0), s)
+        better = ok & (s > 0.0) & (s > best_s)
+        best_s = np.where(better, s, best_s)
+        best_r = np.where(better, r, best_r)
+        best_k = np.where(better, k, best_k)
+    dir1 = np.full((h, w), -1, np.int64)
+    dir2 = np.full((h, w), -1, np.int64)
+    w1 = np.zeros((h, w), np.int64)
+    angle_u = np.full((h, w), -1, np.int64)
+    for k, (c_code, d_code, ac, af) in enumerate(_DINF_FACETS):
+        m = best_k == k
+        if not m.any():
+            continue
+        wc = np.floor((1.0 - best_r[m] / qtr) * DINF_W_ONE + 0.5).astype(
+            np.int64
+        )
+        wc = np.clip(wc, 0, DINF_W_ONE)
+        dir1[m] = c_code
+        w1[m] = wc
+        # diagonal receiver only where it actually gets flow
+        dir2[m] = np.where(wc < DINF_W_ONE, d_code, -1)
+        ang = ac * (np.pi / 2.0) + af * best_r[m]
+        angle_u[m] = np.floor(ang * 1_000_000 + 0.5).astype(np.int64)
+    return dir1, dir2, w1, angle_u
+
+
+def dinf_packed(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """One halo exchange → packed per-tile D∞ rows (z, dir1, dir2, w1,
+    angle) — the D∞ twin of :func:`flow_direction_packed`."""
+    out_schema = pa.schema(
+        [
+            ("metric", pa.string()),
+            ("tile_row", pa.int64()),
+            ("tile_col", pa.int64()),
+            ("h", pa.int64()),
+            ("w", pa.int64()),
+            ("z", pa.binary()),
+            ("dir1", pa.binary()),
+            ("dir2", pa.binary()),
+            ("w1", pa.binary()),
+            ("angle", pa.binary()),
+        ]
+    )
+    empty = pa.table(
+        {f.name: pa.array([], f.type) for f in out_schema}, schema=out_schema
+    )
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        padded = strips_to_padded(group, "dinf_direction")
+        if padded is None:
+            return empty.to_pandas()
+        vals, pres, h, w = padded
+        d1, d2, w1, ang = dinf_directions(vals, pres, h, w)
+        return pd.DataFrame(
+            {
+                "metric": [group["metric"].iloc[0]],
+                "tile_row": [int(group["tile_row"].iloc[0])],
+                "tile_col": [int(group["tile_col"].iloc[0])],
+                "h": [h],
+                "w": [w],
+                "z": [vals[1 : h + 1, 1 : w + 1].tobytes()],
+                "dir1": [d1.astype(np.int8).tobytes()],
+                "dir2": [d2.astype(np.int8).tobytes()],
+                "w1": [w1.astype(np.int32).tobytes()],
+                "angle": [ang.tobytes()],
+            }
+        )
+
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    return bucketed_group_map(
+        _halo_explode(result, "dinf_direction"),
+        ["metric", "tile_row", "tile_col"],
+        assemble,
+        n_buckets=n_buckets,
+        out_schema=out_schema,
+    )
+
+
+def _dinf_local_solve(z, dir1, dir2, w1, ext, tr, tc, emit_pixels):
+    """Tile-local D∞ accumulation: descending-z push of fixed-point
+    catchment (A in 2^20ths of a cell, incl. the cell itself); each
+    receiver gets floor(w·A / 2^16). ``ext``: local (y, x) → external
+    int inflow. Returns (A h×w | None, crossing rows)."""
+    h, w = z.shape
+    n = h * w
+    down1, cross1 = _downstream(z, dir1, tr, tc)
+    down2, cross2 = _downstream(z, dir2, tr, tc)
+    acc = [DINF_SCALE] * n
+    for (ly, lx), k in ext.items():
+        acc[ly * w + lx] += int(k)
+    w1f = w1.ravel().tolist()
+    d1l, d2l = down1.tolist(), down2.tolist()
+    out: dict[tuple[int, int, int, int], int] = {}
+    order = np.argsort(-z.ravel(), kind="stable")
+    for u in order.tolist():
+        a = acc[u]
+        wc = w1f[u]
+        for dn, cross, wgt in ((d1l[u], cross1, wc), (d2l[u], cross2, DINF_W_ONE - wc)):
+            if wgt <= 0:
+                continue
+            push = (wgt * a) >> 16
+            if push <= 0:
+                continue
+            if dn >= 0:
+                acc[dn] += push
+            elif dn == -2:
+                key = cross1[u] if cross is cross1 else cross2[u]
+                out[key] = out.get(key, 0) + push
+    rows = [(a, b, c, d, m) for (a, b, c, d), m in out.items()]
+    if not emit_pixels:
+        return None, rows
+    return np.asarray(acc, dtype=np.int64).reshape(h, w), rows
+
+
+def _dinf_round_map(inflow_ref, emit_pixels: bool):
+    def fn(batch: pa.Table) -> pa.Table:
+        inflow = ray.get(inflow_ref)
+        trs, tcs, tys, txs, cnt = [], [], [], [], []
+        pys, pxs, pang, pacc = [], [], [], []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            z = np.frombuffer(batch["z"][i].as_py(), np.int64).reshape(h, w)
+            d1 = np.frombuffer(batch["dir1"][i].as_py(), np.int8).reshape(h, w)
+            d2 = np.frombuffer(batch["dir2"][i].as_py(), np.int8).reshape(h, w)
+            w1 = np.frombuffer(batch["w1"][i].as_py(), np.int32).reshape(h, w)
+            ang = np.frombuffer(batch["angle"][i].as_py(), np.int64).reshape(h, w)
+            ext = inflow.get((tr, tc), {})
+            acc, rows = _dinf_local_solve(
+                z, d1, d2, w1, ext, tr, tc, emit_pixels
+            )
+            for a, b, c, d, m in rows:
+                trs.append(a)
+                tcs.append(b)
+                tys.append(c)
+                txs.append(d)
+                cnt.append(m)
+            if emit_pixels:
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                pys.append((yy + tr * h).ravel())
+                pxs.append((xx + tc * w).ravel())
+                pang.append(ang.ravel())
+                pacc.append(acc.ravel())
+        if emit_pixels:
+            return pa.table(
+                {
+                    "y": pa.array(np.concatenate(pys) if pys else [], pa.int64()),
+                    "x": pa.array(np.concatenate(pxs) if pxs else [], pa.int64()),
+                    "angle_u": pa.array(
+                        np.concatenate(pang) if pang else [], pa.int64()
+                    ),
+                    "acc_fp": pa.array(
+                        np.concatenate(pacc) if pacc else [], pa.int64()
+                    ),
+                }
+            )
+        return pa.table(
+            {
+                "tile_row": pa.array(trs, pa.int64()),
+                "tile_col": pa.array(tcs, pa.int64()),
+                "ty": pa.array(tys, pa.int64()),
+                "tx": pa.array(txs, pa.int64()),
+                "count": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def dinf_accumulate(packed: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
+    """D∞ superstep loop to the exact fixed point (same cross-flow
+    fold protocol as :func:`flow_accumulate` — inflow totals are
+    monotone, settled ⇔ unchanged) → per-pixel ``(y, x, angle_u,
+    acc_fp)`` with ``acc_fp`` the total catchment including the cell
+    itself in 2^20ths of a cell (floor-rounded at every split, so mass
+    is conserved up to the documented floor loss)."""
+    packed = packed.materialize()
+    inflow: dict = {}
+    prev_total = -1
+    for _rnd in range(max_rounds):
+        flows = packed.map_batches(
+            _dinf_round_map(ray.put(inflow), emit_pixels=False),
+            batch_format="pyarrow",
+        ).to_pandas()
+        total = int(flows["count"].sum()) if len(flows) else 0
+        if total == prev_total:
+            break
+        prev_total = total
+        agg = flows.groupby(
+            ["tile_row", "tile_col", "ty", "tx"], as_index=False
+        )["count"].sum()
+        nxt: dict = {}
+        for r in agg.itertuples(index=False):
+            nxt.setdefault((int(r.tile_row), int(r.tile_col)), {})[
+                (int(r.ty), int(r.tx))
+            ] = int(r.count)
+        inflow = nxt
+    else:
+        raise RuntimeError(
+            f"dinf_accumulate: cross-tile flows did not settle within "
+            f"{max_rounds} rounds"
+        )
+    return packed.map_batches(
+        _dinf_round_map(ray.put(inflow), emit_pixels=True),
+        batch_format="pyarrow",
+    )
