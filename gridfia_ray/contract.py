@@ -1801,6 +1801,27 @@ def q_gf_dinf_accumulation(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_gf_flow_length(sf_dir: str) -> pd.DataFrame:
+    """Upstream D8 flow-path length (ArcGIS FlowLength) in exact
+    integer µ-cells — max-plus supersteps over the packed direction
+    tiles (pipelines/flow.flow_length_upstream). Oracle = the
+    sequential descending-z max-plus push replay
+    (oracle_pins.ensure_flowlenpin)."""
+    from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
+    from gridfia_ray.pipelines.flow import (
+        flow_direction_packed,
+        flow_length_upstream,
+    )
+
+    f = _fx()
+    out = flow_length_upstream(
+        flow_direction_packed(_total_biomass_result(f))
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_gf_viewshed(sf_dir: str) -> pd.DataFrame:
     """Bounded-radius viewshed (pipelines/viewshed.viewshed_tiles):
     per-pixel count of the 11 pinned observers with unobstructed R3
@@ -6717,6 +6738,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_flow_filled": q_gf_flow_filled,
         "gf_twi": q_gf_twi,
         "gf_dinf_accumulation": q_gf_dinf_accumulation,
+        "gf_flow_length": q_gf_flow_length,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
@@ -7842,6 +7864,11 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_flow_filled"] = (
         f"SELECT y, x, dir, acc "
         f"FROM read_parquet('{_pins.ensure_flowfillpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_flow_length"] = (
+        f"SELECT y, x, flen_u "
+        f"FROM read_parquet('{_pins.ensure_flowlenpin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_dinf_accumulation"] = (

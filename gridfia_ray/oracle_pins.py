@@ -2654,3 +2654,74 @@ def ensure_dinfpin() -> dict:
         return {"expected": "expected.parquet"}
 
     return _ensure_dir(f"dinfpin-v{GEN_VERSION}.{DINFPIN_V}", build)
+
+
+FLOWLENPIN_V = 1
+
+
+def ensure_flowlenpin() -> dict:
+    """{'expected'} parquet for upstream flow length: D8 directions via
+    the flowpin shifted-scan replay, then an independent sequential
+    descending-z max-plus push with the same integer step constants
+    (ortho 10⁶, diag 1414214 µ-cells)."""
+
+    def build(tmp: str) -> dict:
+        from gridfia_ray import fixtures
+        from gridfia_ray.pipelines.flow import (
+            D8_OFFSETS,
+            FLOWLEN_DIAG,
+            FLOWLEN_ORTH,
+        )
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        n = meta["grid"] * meta["tile"]
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        grid = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        grid[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        best_drop = np.zeros((n, n), dtype=np.int64)
+        d8 = np.full((n, n), -1, dtype=np.int64)
+        pad = np.zeros((n + 2, n + 2), dtype=np.int64)
+        pad[1:-1, 1:-1] = grid
+        pres = np.zeros((n + 2, n + 2), dtype=np.int64)
+        pres[1:-1, 1:-1] = 1
+        for code, (dy, dx) in enumerate(D8_OFFSETS):
+            nz = pad[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n]
+            np_ = pres[1 + dy : 1 + dy + n, 1 + dx : 1 + dx + n]
+            drop = grid - nz
+            better = (np_ == 1) & (drop > 0) & (drop > best_drop)
+            best_drop[better] = drop[better]
+            d8[better] = code
+        ln = [0] * (n * n)
+        d8f = d8.ravel().tolist()
+        for lin in np.argsort(-grid.ravel(), kind="stable").tolist():
+            code = d8f[lin]
+            if code < 0:
+                continue
+            step = FLOWLEN_DIAG if code % 2 == 1 else FLOWLEN_ORTH
+            dy, dx = D8_OFFSETS[code]
+            y, x = divmod(lin, n)
+            c = (y + dy) * n + (x + dx)
+            cand = ln[lin] + step
+            if cand > ln[c]:
+                ln[c] = cand
+        ys, xs = np.mgrid[0:n, 0:n]
+        pq.write_table(
+            pa.table(
+                {
+                    "y": pa.array(ys.reshape(-1), pa.int64()),
+                    "x": pa.array(xs.reshape(-1), pa.int64()),
+                    "flen_u": pa.array(np.asarray(ln, dtype=np.int64), pa.int64()),
+                }
+            ),
+            os.path.join(tmp, "expected.parquet"),
+        )
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"flowlenpin-v{GEN_VERSION}.{FLOWLENPIN_V}", build)

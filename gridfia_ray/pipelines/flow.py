@@ -1019,3 +1019,131 @@ def dinf_accumulate(packed: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
         _dinf_round_map(ray.put(inflow), emit_pixels=True),
         batch_format="pyarrow",
     )
+
+
+# --- flow length (ArcGIS FlowLength, upstream) ------------------------------
+
+#: exact integer step lengths in µ-cells (both sides share the
+#: constants; no float path lengths anywhere)
+FLOWLEN_ORTH = 1_000_000
+FLOWLEN_DIAG = 1_414_214  # round(√2 · 10⁶)
+
+
+def _flowlen_local_solve(z, d8, ext, tr, tc, emit_pixels):
+    """Tile-local longest-upstream-path: descending-z max-plus push
+    L[rcv] = max(L[rcv], L[u] + step(u)). ``ext``: local (y, x) →
+    incoming max from outside the tile."""
+    h, w = z.shape
+    n = h * w
+    down, cross_key = _downstream(z, d8, tr, tc)
+    ln = [0] * n
+    for (ly, lx), k in ext.items():
+        i = ly * w + lx
+        if int(k) > ln[i]:
+            ln[i] = int(k)
+    d8f = d8.ravel().tolist()
+    down_l = down.tolist()
+    out: dict[tuple[int, int, int, int], int] = {}
+    for u in np.argsort(-z.ravel(), kind="stable").tolist():
+        c = down_l[u]
+        if c == -1:
+            continue
+        step = FLOWLEN_DIAG if d8f[u] % 2 == 1 else FLOWLEN_ORTH
+        cand = ln[u] + step
+        if c >= 0:
+            if cand > ln[c]:
+                ln[c] = cand
+        else:  # boundary crossing
+            key = cross_key[u]
+            if cand > out.get(key, 0):
+                out[key] = cand
+    rows = [(a, b, c, d, m) for (a, b, c, d), m in out.items()]
+    if not emit_pixels:
+        return None, rows
+    return np.asarray(ln, dtype=np.int64).reshape(h, w), rows
+
+
+def _flowlen_round_map(inflow_ref, emit_pixels: bool):
+    def fn(batch: pa.Table) -> pa.Table:
+        inflow = ray.get(inflow_ref)
+        trs, tcs, tys, txs, cnt = [], [], [], [], []
+        pys, pxs, plen = [], [], []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            z = np.frombuffer(batch["z"][i].as_py(), np.int64).reshape(h, w)
+            d8 = np.frombuffer(batch["dir"][i].as_py(), np.int8).reshape(h, w)
+            ext = inflow.get((tr, tc), {})
+            ln, rows = _flowlen_local_solve(z, d8, ext, tr, tc, emit_pixels)
+            for a, b, c, d, m in rows:
+                trs.append(a)
+                tcs.append(b)
+                tys.append(c)
+                txs.append(d)
+                cnt.append(m)
+            if emit_pixels:
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                pys.append((yy + tr * h).ravel())
+                pxs.append((xx + tc * w).ravel())
+                plen.append(ln.ravel())
+        if emit_pixels:
+            return pa.table(
+                {
+                    "y": pa.array(np.concatenate(pys) if pys else [], pa.int64()),
+                    "x": pa.array(np.concatenate(pxs) if pxs else [], pa.int64()),
+                    "flen_u": pa.array(
+                        np.concatenate(plen) if plen else [], pa.int64()
+                    ),
+                }
+            )
+        return pa.table(
+            {
+                "tile_row": pa.array(trs, pa.int64()),
+                "tile_col": pa.array(tcs, pa.int64()),
+                "ty": pa.array(tys, pa.int64()),
+                "tx": pa.array(txs, pa.int64()),
+                "count": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def flow_length_upstream(packed: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
+    """Longest upstream D8 flow-path length per pixel in exact integer
+    µ-cells (ortho 10⁶, diag 1414214) — ArcGIS FlowLength (UPSTREAM)
+    over :func:`flow_direction_packed`'s tiles. Same superstep protocol
+    as accumulation; per-(target) cross maxima are monotone
+    non-decreasing, settled ⇔ the fold total is unchanged."""
+    packed = packed.materialize()
+    inflow: dict = {}
+    prev_total = -1
+    for _rnd in range(max_rounds):
+        flows = packed.map_batches(
+            _flowlen_round_map(ray.put(inflow), emit_pixels=False),
+            batch_format="pyarrow",
+        ).to_pandas()
+        total = int(flows["count"].sum()) if len(flows) else 0
+        if total == prev_total:
+            break
+        prev_total = total
+        agg = flows.groupby(
+            ["tile_row", "tile_col", "ty", "tx"], as_index=False
+        )["count"].max()
+        nxt: dict = {}
+        for r in agg.itertuples(index=False):
+            nxt.setdefault((int(r.tile_row), int(r.tile_col)), {})[
+                (int(r.ty), int(r.tx))
+            ] = int(r.count)
+        inflow = nxt
+    else:
+        raise RuntimeError(
+            f"flow_length_upstream: cross maxima did not settle within "
+            f"{max_rounds} rounds"
+        )
+    return packed.map_batches(
+        _flowlen_round_map(ray.put(inflow), emit_pixels=True),
+        batch_format="pyarrow",
+    )
