@@ -4951,6 +4951,23 @@ def q_events_transitions(sf_dir: str) -> pd.DataFrame:
     return event_transitions(ev)
 
 
+def q_events_top_paths(sf_dir: str) -> pd.DataFrame:
+    """Top user journeys (pipelines/events.top_paths): each user's
+    first-5 event-type path, counted across users, top-10 by
+    (count DESC, path ASC) — one user-keyed exchange with in-bucket
+    head-k, a distinct-path-bounded keyed merge, driver top-n. Exact
+    vs the ROW_NUMBER + ordered string_agg SQL oracle."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.events import top_paths
+
+    tune_context()
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return top_paths(ev, k_events=5, top_n=10)
+
+
 def q_events_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix (pipelines/events.retention_cohorts):
     users cohort by first active epoch week; (cohort, offset, n_users)
@@ -6707,6 +6724,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "events_retention": q_events_retention,
         "events_transitions": q_events_transitions,
+        "events_top_paths": q_events_top_paths,
         "rel_correlation": q_rel_correlation,
         "doc_normalize_pinned": q_doc_normalize_pinned,
         "rel_zscore": q_rel_zscore,
@@ -8801,6 +8819,18 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(FLOOR(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
                           * 1000000 + 0.5) AS BIGINT) AS p_u
         FROM c JOIN t USING (from_type) ORDER BY 1, 2"""
+    sql["events_top_paths"] = """
+        WITH r AS (SELECT user_id, event_type,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                   FROM events),
+        p AS (SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM r WHERE rn <= 5 GROUP BY user_id),
+        c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM p GROUP BY path)
+        SELECT path, n_users FROM c
+        ORDER BY n_users DESC, path LIMIT 10"""
     sql["events_retention"] = """
         WITH uw AS (SELECT DISTINCT user_id,
                            epoch_us(ts) // 604800000000 AS week

@@ -661,3 +661,77 @@ def event_transitions(
         + 0.5
     ).astype(np.int64)
     return out.sort_values(["from_type", "to_type"], ignore_index=True)
+
+
+def top_paths(
+    events: rd.Dataset,
+    k_events: int = 5,
+    top_n: int = 10,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Top user journeys (sequential path mining): each user's FIRST
+    ``k_events`` event types in time order join to a ``>``-separated
+    path string; paths count across users and the ``top_n`` most
+    common return, ties broken by path string ascending — the product
+    analytics "common journeys" query.
+
+    Scale shape: ONE exchange keyed on the user (a user's rows
+    co-locate; the bucket sorts its own users by (user, ts, id), takes
+    the per-user head-k with one vectorized cumcount mask, and emits
+    per-bucket path counts), then a tiny keyed merge bounded by the
+    distinct-path count, and a driver-side top-n on that merged table
+    (bounded: ≤ n_types^k_events rows, and in practice the distinct
+    paths actually observed)."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user": batch[user_col].to_numpy(np.int64),
+                "ts_us": batch[ts_col]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy(),
+                "eid": batch[id_col].to_numpy(np.int64),
+                "etype": batch[type_col].astype(str),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user", "ts_us", "eid"], kind="mergesort")
+        keep = g.groupby("user").cumcount() < k_events
+        h = g.loc[keep]
+        paths = h.groupby("user", sort=False)["etype"].agg(">".join)
+        cnt = paths.value_counts()
+        return pd.DataFrame(
+            {
+                "path": cnt.index.astype(str),
+                "n_users": cnt.to_numpy(np.int64),
+            }
+        )
+
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_bucket_map
+
+    partials = bucketed_bucket_map(
+        events.map_batches(project, batch_format="pandas"),
+        ["user"],
+        per_bucket,
+        n_buckets=n_buckets,
+        coalesce=True,
+    )
+    out = bucketed_agg(
+        partials, ["path"], {"n_users": ("n_users", "sum")}, n_buckets=8
+    ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"path": pd.Series(dtype=str),
+             "n_users": pd.Series(dtype=np.int64)}
+        )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out = out.sort_values(
+        ["n_users", "path"], ascending=[False, True], ignore_index=True
+    )
+    return out.head(top_n).reset_index(drop=True)

@@ -72,3 +72,43 @@ class TestTransitions:
         got = event_transitions(rd.from_pandas(df))
         assert len(got) == 0
         assert list(got.columns) == ["from_type", "to_type", "n", "p_u"]
+
+
+class TestTopPaths:
+    def test_matches_brute_force(self, ray_session):
+        from gridfia_ray.pipelines.events import top_paths
+
+        df = _events(n=500, users=40, seed=5)
+        got = top_paths(
+            rd.from_pandas(df).repartition(6), k_events=3, top_n=5,
+            n_buckets=4,
+        )
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        d = d[d.groupby("user_id").cumcount() < 3]
+        paths = d.groupby("user_id")["event_type"].agg(">".join)
+        cnt = paths.value_counts()
+        exp = (
+            pd.DataFrame({"path": cnt.index.astype(str),
+                          "n_users": cnt.to_numpy(np.int64)})
+            .sort_values(["n_users", "path"], ascending=[False, True],
+                         ignore_index=True)
+            .head(5)
+        )
+        assert got.equals(exp)
+
+    def test_short_streams_kept_whole(self, ray_session):
+        from gridfia_ray.pipelines.events import top_paths
+
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(3, dtype=np.int64),
+                "user_id": np.array([1, 1, 2], dtype=np.int64),
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-02", "2024-01-01"]
+                ),
+                "event_type": ["a", "b", "a"],
+            }
+        )
+        got = top_paths(rd.from_pandas(df), k_events=5, top_n=10)
+        assert set(got["path"]) == {"a>b", "a"}
+        assert got["n_users"].sum() == 2
