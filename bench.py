@@ -377,6 +377,16 @@ def run_bench() -> dict:
         timed("kriging", lambda: q_gf_kriging(SF_DIR))
         timed("emb_kcenter", lambda: q_emb_kcenter(SF_DIR))
 
+        # D∞ proportional routing + max-plus flow length (fixed-point
+        # superstep settles over the packed direction tiles)
+        from gridfia_ray.contract import (
+            q_gf_dinf_accumulation,
+            q_gf_flow_length,
+        )
+
+        timed("dinf_accumulation", lambda: q_gf_dinf_accumulation(SF_DIR))
+        timed("flow_length", lambda: q_gf_flow_length(SF_DIR))
+
     total = round(sum(timings.values()), 3)
     tile_secs = timings["zonal_stats"] + timings["metrics_fused"]
     result = {

@@ -3772,6 +3772,64 @@ def q_doc_compress_ratio(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility per detected language — Σ BPE-pre-tokens /
+    Σ whitespace words grouped by the stopword-profile language (the
+    tokenizer-evaluation staple: tokens per word by language). ONE
+    fused actor pass (LangId + both token counters + a per-batch
+    language combiner) then a tiny keyed merge bounded by the language
+    inventory; the ratio is one double division mirrored in SQL
+    (-1 sentinel for a zero-word group)."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.agg_util import bucketed_agg, to_arrow
+    from gridfia_ray.stages.worker_state import worker_cached
+    from gridfia_ray.text.ops import LangId, bpe_token_count, token_count
+
+    tune_context()
+    import pyarrow as pa
+
+    part_schema = pa.schema(
+        [("lang_pred", pa.string()), ("n_words", pa.int64()),
+         ("n_bpe", pa.int64())]
+    )
+
+    class _Fertility(LangId):
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            lang = super().__call__(batch)["lang_pred"]
+            g = pd.DataFrame(
+                {
+                    "lang_pred": lang,
+                    "n_words": token_count(batch)["n_tokens"].to_numpy(
+                        np.int64
+                    ),
+                    "n_bpe": bpe_token_count(batch)[
+                        "n_bpe_tokens"
+                    ].to_numpy(np.int64),
+                }
+            ).groupby("lang_pred", as_index=False).sum()
+            return to_arrow(g, part_schema)
+
+    parts = _docs(sf_dir).map_batches(
+        worker_cached(_Fertility), batch_format="pandas"
+    )
+    out = bucketed_agg(
+        parts, ["lang_pred"],
+        {"n_words": ("n_words", "sum"), "n_bpe": ("n_bpe", "sum")},
+        n_buckets=4,
+    ).to_pandas()
+    out = out.astype({"n_words": np.int64, "n_bpe": np.int64})
+    w = out["n_words"].to_numpy(np.float64)
+    b = out["n_bpe"].to_numpy(np.float64)
+    out["fertility_u"] = np.where(
+        out["n_words"].to_numpy() == 0,
+        np.int64(-1),
+        np.floor(b / np.where(w == 0, 1.0, w) * 1_000_000 + 0.5).astype(
+            np.int64
+        ),
+    ).astype(np.int64)
+    return out.sort_values("lang_pred", ignore_index=True)
+
+
 def q_doc_langid(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.stages.worker_state import worker_cached
     from gridfia_ray.text.ops import LangId
@@ -6725,6 +6783,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_retention": q_events_retention,
         "events_transitions": q_events_transitions,
         "events_top_paths": q_events_top_paths,
+        "doc_fertility": q_doc_fertility,
         "rel_correlation": q_rel_correlation,
         "doc_normalize_pinned": q_doc_normalize_pinned,
         "rel_zscore": q_rel_zscore,
@@ -8539,6 +8598,35 @@ def build_oracle_sql() -> dict[str, str]:
           WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
           ELSE 'und' END AS lang_pred
         FROM s"""
+    sql["doc_fertility"] = rf"""
+        WITH t AS (SELECT doc_id, text,
+                          regexp_extract_all(lower(text), '[a-z]+') toks
+                   FROM documents),
+        s AS (SELECT doc_id, text, {_score('en')} s_en, {_score('de')} s_de,
+                     {_score('fr')} s_fr, {_score('es')} s_es FROM t),
+        lang AS (SELECT doc_id, text, CASE
+          WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+          WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+          WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+          ELSE 'und' END AS lang_pred FROM s),
+        cnt AS (SELECT lang_pred,
+          CAST(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(text,
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s')) AS BIGINT)
+            AS n_bpe
+          FROM lang),
+        g AS (SELECT lang_pred, CAST(SUM(n_words) AS BIGINT) AS n_words,
+                     CAST(SUM(n_bpe) AS BIGINT) AS n_bpe
+              FROM cnt GROUP BY lang_pred)
+        SELECT lang_pred, n_words, n_bpe,
+               CASE WHEN n_words = 0 THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(FLOOR(CAST(n_bpe AS DOUBLE)
+                              / CAST(n_words AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT) END AS fertility_u
+        FROM g ORDER BY lang_pred"""
 
     # doc_near_dedup_incremental: the SQL side recomputes the 64-bit
     # SimHash from scratch — token Horner base-131 mod 2^64 + the
