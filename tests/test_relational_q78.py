@@ -61,3 +61,24 @@ class TestQ7Q8:
             "supp_nation", "cust_nation", "l_year", "volume_c", "n_lines",
         ]
         assert got["volume_c"].dtype == np.int64
+
+
+class TestFertility:
+    def test_matches_oracle_sf0001(self, ray_session):
+        import duckdb
+
+        from gridfia_ray.contract import build_oracle_sql, build_queries
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        got = build_queries()["doc_fertility"](sf)
+        exp = con.sql(build_oracle_sql()["doc_fertility"]).df()
+        assert len(got) == len(exp) > 0
+        for col in ["lang_pred", "n_words", "n_bpe", "fertility_u"]:
+            assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+        # fertility is tokens-per-word: >= 1e6 (a word is >= 1 pre-token)
+        assert (got.loc[got["n_words"] > 0, "fertility_u"] >= 1_000_000).all()
