@@ -15,8 +15,10 @@ selected center so far) carried WITH the data; each round broadcasts
 only the newest center (``ray.put``), one ``map_batches`` pass updates
 ``mind`` (``min(mind, d²(x, c))``), and per-block 1-row winners
 ``(max mind, min vec_id)`` fold on the driver (bounded: one row per
-block). m rounds ⇒ m streaming passes — the algorithm's inherent cost;
-each pass is a pure map, NO shuffle anywhere.
+block). m rounds ⇒ m distance-update passes (the algorithm's inherent
+cost) plus m winner scans — the latter over the just-MATERIALIZED
+state, so they read zero-copy Arrow from the object store and do no
+recompute; every pass is a pure map, NO shuffle anywhere.
 
 Determinism: the winner rule is lexicographic ``(mind DESC, vec_id
 ASC)`` over exactly-computed float64 distances; the per-point reduction
