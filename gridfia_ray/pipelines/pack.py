@@ -68,7 +68,12 @@ def pack_sequences(
 
             key = _splitmix64(key)
         shard = (key % np.uint64(n_shards)).astype(np.int32)
-        return batch.append_column("shard", pa.array(shard))
+        # strip pandas schema metadata (dict-valued) — the groupby's
+        # reduce stage hashes schemas for dedup and chokes on it
+        # ("Failed to hash the schemas: unhashable type: 'dict'")
+        return batch.replace_schema_metadata(None).append_column(
+            "shard", pa.array(shard)
+        )
 
     def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
