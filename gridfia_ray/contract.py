@@ -1780,7 +1780,10 @@ def q_gf_twi(sf_dir: str) -> pd.DataFrame:
 
     f = _fx()
     out = wetness_index_tiles(_total_biomass_result(f)).to_pandas()
-    out = out.astype({"y": np.int64, "x": np.int64, "twi_u": np.int64})
+    out = out.astype(
+        {"y": np.int64, "x": np.int64, "twi_u": np.int64,
+         "spi_u": np.int64}
+    )
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
@@ -7954,7 +7957,7 @@ def build_oracle_sql() -> dict[str, str]:
         f"ORDER BY y, x"
     )
     sql["gf_twi"] = (
-        f"SELECT y, x, twi_u "
+        f"SELECT y, x, twi_u, spi_u "
         f"FROM read_parquet('{_pins.ensure_flowfillpin()['expected']}') "
         f"ORDER BY y, x"
     )

@@ -2452,8 +2452,16 @@ def ensure_fillpin() -> dict:
     return _ensure_dir(f"fillpin-v{GEN_VERSION}.{FILLPIN_V}", build)
 
 
-FLOWFILLPIN_V = 3  # v3: + drop/diag geometry and the TWI column
+FLOWFILLPIN_V = 4  # v4: + the stream power index column
 TWI_TANB_FLOOR = 1e-3  # slope floor for pits (dir = -1, drop = 0)
+
+
+def spi_values(acc: np.ndarray, drop_u: np.ndarray, diag: np.ndarray) -> np.ndarray:
+    """Stream power index (a·tanβ, unclamped — 0 at pits): the erosion
+    companion of TWI, same shared elementwise contract."""
+    dist = np.where(np.asarray(diag, np.float64) == 1.0, np.sqrt(2.0), 1.0)
+    tanb = np.asarray(drop_u, np.float64) * 1e-6 / dist
+    return (np.asarray(acc, np.float64) + 1.0) * tanb
 
 
 def twi_values(acc: np.ndarray, drop_u: np.ndarray, diag: np.ndarray) -> np.ndarray:
@@ -2564,6 +2572,8 @@ def ensure_flowfillpin() -> dict:
         acca = np.asarray(acc, dtype=np.int64)
         twi = twi_values(acca, dropg.reshape(-1), diagg.reshape(-1))
         twi_u = np.floor(twi * 1_000_000 + 0.5).astype(np.int64)
+        spi = spi_values(acca, dropg.reshape(-1), diagg.reshape(-1))
+        spi_u = np.floor(spi * 1_000_000 + 0.5).astype(np.int64)
         ys, xs = np.mgrid[0:n, 0:n]
         pq.write_table(
             pa.table(
@@ -2575,6 +2585,7 @@ def ensure_flowfillpin() -> dict:
                     "drop_u": pa.array(dropg.reshape(-1), pa.int64()),
                     "diag": pa.array(diagg.reshape(-1), pa.int64()),
                     "twi_u": pa.array(twi_u, pa.int64()),
+                    "spi_u": pa.array(spi_u, pa.int64()),
                 }
             ),
             os.path.join(tmp, "expected.parquet"),

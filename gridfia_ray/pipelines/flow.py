@@ -691,8 +691,10 @@ def wetness_index_tiles(
     (hydrologic conditioning) → D8 accumulation (superstep settling)
     ∥ D8 drop geometry (one halo exchange) → pixel-keyed co-bucketed
     attach → elementwise TWI (``oracle_pins.twi_values``, the formula
-    shared with the sequential replay). Returns ``(y, x, twi_u)`` with
-    twi in µ-scaled pixel units (tanβ = µ-drop per unit D8 distance).
+    shared with the sequential replay). Returns ``(y, x, twi_u,
+    spi_u)`` — TWI plus the stream power index a·tanβ (erosion
+    potential; unclamped, 0 at pits) — in µ-scaled pixel units (tanβ =
+    µ-drop per unit D8 distance).
 
     ``checkpoint_dir`` forwards to the fill superstep loop (the only
     iterative stage) for mid-pipeline resume."""
@@ -726,25 +728,27 @@ def wetness_index_tiles(
         n_buckets=min(n_buckets, 32),
     )
     out_schema = pa.schema(
-        [("y", pa.int64()), ("x", pa.int64()), ("twi_u", pa.int64())]
+        [("y", pa.int64()), ("x", pa.int64()), ("twi_u", pa.int64()),
+         ("spi_u", pa.int64())]
     )
 
     def twi_map(b: pd.DataFrame) -> pa.Table:
-        from gridfia_ray.oracle_pins import twi_values
+        from gridfia_ray.oracle_pins import spi_values, twi_values
 
         if b["drop_u"].isna().any():
             raise ValueError("wetness_index: acc pixel missing its drop row")
-        twi = twi_values(
-            b["acc"].to_numpy(np.float64),
-            b["drop_u"].to_numpy(np.float64),
-            b["diag"].to_numpy(np.float64),
-        )
+        acc = b["acc"].to_numpy(np.float64)
+        drop = b["drop_u"].to_numpy(np.float64)
+        diag = b["diag"].to_numpy(np.float64)
+        twi = twi_values(acc, drop, diag)
+        spi = spi_values(acc, drop, diag)
         return to_arrow(
             pd.DataFrame(
                 {
                     "y": b["y"].to_numpy(np.int64),
                     "x": b["x"].to_numpy(np.int64),
                     "twi_u": np.floor(twi * 1_000_000 + 0.5).astype(np.int64),
+                    "spi_u": np.floor(spi * 1_000_000 + 0.5).astype(np.int64),
                 }
             ),
             out_schema,
