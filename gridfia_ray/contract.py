@@ -8589,17 +8589,20 @@ def build_oracle_sql() -> dict[str, str]:
         lst = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
         return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
 
+    # ONE tie-rule ladder shared by doc_langid and doc_fertility — a
+    # LangId rule change cannot desynchronize the two oracles
+    _LANG_CASE = """CASE
+          WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+          WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+          WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+          ELSE 'und' END"""
     sql["doc_langid"] = rf"""
         WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') toks
                    FROM documents),
         s AS (SELECT doc_id, {_score('en')} s_en, {_score('de')} s_de,
                      {_score('fr')} s_fr, {_score('es')} s_es FROM t)
-        SELECT doc_id, CASE
-          WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-          WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
-          WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
-          WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
-          ELSE 'und' END AS lang_pred
+        SELECT doc_id, {_LANG_CASE} AS lang_pred
         FROM s"""
     sql["doc_fertility"] = rf"""
         WITH t AS (SELECT doc_id, text,
@@ -8607,12 +8610,7 @@ def build_oracle_sql() -> dict[str, str]:
                    FROM documents),
         s AS (SELECT doc_id, text, {_score('en')} s_en, {_score('de')} s_de,
                      {_score('fr')} s_fr, {_score('es')} s_es FROM t),
-        lang AS (SELECT doc_id, text, CASE
-          WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-          WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
-          WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
-          WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
-          ELSE 'und' END AS lang_pred FROM s),
+        lang AS (SELECT doc_id, text, {_LANG_CASE} AS lang_pred FROM s),
         cnt AS (SELECT lang_pred,
           CAST(CASE WHEN trim(text) = '' THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\s+'))

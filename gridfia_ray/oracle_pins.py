@@ -2557,12 +2557,10 @@ def ensure_flowfillpin() -> dict:
             y, x = divmod(lin, n)
             acc[(y + dy) * n + (x + dx)] += acc[lin] + 1
         # D8 receiver geometry + TWI on the filled surface (same
-        # shifted-array loop shape as the pipeline's d8_drops_tiles)
+        # shifted-array loop shape as the pipeline's drop kernel)
         dropg = np.zeros((n, n), dtype=np.int64)
         diagg = np.zeros((n, n), dtype=np.int64)
-        from gridfia_ray.pipelines.flow import D8_OFFSETS as _OFF
-
-        for code, (dy, dx) in enumerate(_OFF):
+        for code, (dy, dx) in enumerate(D8_OFFSETS):
             m = d8 == code
             if not m.any():
                 continue
@@ -2595,7 +2593,7 @@ def ensure_flowfillpin() -> dict:
     return _ensure_dir(f"flowfillpin-v{GEN_VERSION}.{FILLPIN_V}.{FLOWFILLPIN_V}", build)
 
 
-DINFPIN_V = 1
+DINFPIN_V = 2  # v2: flow angle normalized into [0, 2π)
 
 
 def ensure_dinfpin() -> dict:

@@ -73,10 +73,29 @@ def d8_directions(vals: np.ndarray, pres: np.ndarray, h: int, w: int) -> np.ndar
     return best_dir
 
 
+def d8_receiver_drops(
+    vals: np.ndarray, pres: np.ndarray, h: int, w: int, d8: np.ndarray
+) -> np.ndarray:
+    """µ-elevation fall to each pixel's D8 receiver (0 at pits) from the
+    padded window — the slope term of TWI/SPI, computed where the halo
+    is already in hand (diagonal flag = dir code parity)."""
+    center = vals[1 : h + 1, 1 : w + 1]
+    drop = np.zeros((h, w), np.int64)
+    for code, (dy, dx) in enumerate(D8_OFFSETS):
+        m = d8 == code
+        if not m.any():
+            continue
+        nz = vals[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+        drop[m] = center[m] - nz[m]
+    return drop
+
+
 def flow_direction_packed(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     """One halo exchange → packed per-tile rows
-    (metric, tile_row, tile_col, h, w, z: int64 bytes, dir: int8 bytes).
-    The packed layout keeps the superstep loop shuffle-free."""
+    (metric, tile_row, tile_col, h, w, z: int64 bytes, dir: int8 bytes,
+    drop: int64 bytes — the receiver fall, carried so TWI/SPI never
+    need a second exchange). The packed layout keeps the superstep
+    loop shuffle-free."""
     out_schema = pa.schema(
         [
             ("metric", pa.string()),
@@ -86,6 +105,7 @@ def flow_direction_packed(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset
             ("w", pa.int64()),
             ("z", pa.binary()),
             ("dir", pa.binary()),
+            ("drop", pa.binary()),
         ]
     )
     empty = pa.table(
@@ -98,6 +118,7 @@ def flow_direction_packed(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset
             return empty.to_pandas()
         vals, pres, h, w = padded
         d8 = d8_directions(vals, pres, h, w)
+        drop = d8_receiver_drops(vals, pres, h, w, d8)
         return pd.DataFrame(
             {
                 "metric": [group["metric"].iloc[0]],
@@ -107,6 +128,7 @@ def flow_direction_packed(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset
                 "w": [w],
                 "z": [vals[1 : h + 1, 1 : w + 1].tobytes()],
                 "dir": [d8.tobytes()],
+                "drop": [drop.tobytes()],
             }
         )
 
@@ -638,46 +660,64 @@ def watershed(packed: rd.Dataset, width: int) -> rd.Dataset:
     )
 
 
+def drops_from_packed(packed: rd.Dataset) -> rd.Dataset:
+    """Unpack the drop geometry carried on the packed direction tiles →
+    per-pixel ``(metric, y, x, dir, drop_u, diag)`` rows (diag = D8
+    code parity). A pure map — the exchange already happened in
+    :func:`flow_direction_packed`."""
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        mets, pys, pxs, pdir, pdrop, pdiag = [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            d8 = np.frombuffer(batch["dir"][i].as_py(), np.int8).reshape(h, w)
+            drop = np.frombuffer(
+                batch["drop"][i].as_py(), np.int64
+            ).reshape(h, w)
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            n = h * w
+            mets.append(
+                np.full(n, batch["metric"][i].as_py(), dtype=object)
+            )
+            pys.append((yy + tr * h).ravel())
+            pxs.append((xx + tc * w).ravel())
+            pdir.append(d8.ravel().astype(np.int64))
+            pdrop.append(drop.ravel())
+            pdiag.append((d8.ravel().astype(np.int64) % 2 + 2) % 2)
+        if not pys:
+            return pa.table(
+                {
+                    "metric": pa.array([], pa.string()),
+                    "y": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "dir": pa.array([], pa.int64()),
+                    "drop_u": pa.array([], pa.int64()),
+                    "diag": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "metric": pa.array(np.concatenate(mets), pa.string()),
+                "y": pa.array(np.concatenate(pys), pa.int64()),
+                "x": pa.array(np.concatenate(pxs), pa.int64()),
+                "dir": pa.array(np.concatenate(pdir), pa.int64()),
+                "drop_u": pa.array(np.concatenate(pdrop), pa.int64()),
+                "diag": pa.array(np.concatenate(pdiag), pa.int64()),
+            }
+        )
+
+    return packed.map_batches(unpack, batch_format="pyarrow")
+
+
 def d8_drops_tiles(result: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
-    """Per-pixel D8 receiver geometry: ``(metric, y, x, dir, drop_u,
-    diag)`` where ``drop_u`` is the µ-elevation fall to the D8 receiver
-    (0 at pits) and ``diag`` flags diagonal codes (unit distance √2) —
-    the slope term of the topographic wetness index, computed in the
-    SAME one-hop halo exchange as the direction field (dir here is
-    bit-identical to ``flow_direction_packed``'s: same
-    ``d8_directions`` on the same padded window)."""
-    from gridfia_ray.pipelines.focal import _halo_pipeline
-
-    empty = pd.DataFrame(
-        {
-            "metric": pd.Series(dtype=str),
-            "y": pd.Series(dtype=np.int64),
-            "x": pd.Series(dtype=np.int64),
-            "dir": pd.Series(dtype=np.int64),
-            "drop_u": pd.Series(dtype=np.int64),
-            "diag": pd.Series(dtype=np.int64),
-        }
-    )
-
-    def window(vals, pres, h, w):
-        d8 = d8_directions(vals, pres, h, w)
-        center = vals[1 : h + 1, 1 : w + 1]
-        drop = np.zeros((h, w), np.int64)
-        diag = np.zeros((h, w), np.int64)
-        for code, (dy, dx) in enumerate(D8_OFFSETS):
-            m = d8 == code
-            if not m.any():
-                continue
-            nz = vals[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
-            drop[m] = center[m] - nz[m]
-            diag[m] = code % 2  # odd codes are the diagonals
-        return {
-            "dir": d8.astype(np.int64),
-            "drop_u": drop,
-            "diag": diag,
-        }, None
-
-    return _halo_pipeline(result, "d8_drops", window, empty, n_buckets)
+    """Per-pixel D8 receiver geometry ``(metric, y, x, dir, drop_u,
+    diag)`` — one halo exchange (via the fused
+    :func:`flow_direction_packed`, whose tiles carry the drop buffer)
+    then a pure unpack map."""
+    return drops_from_packed(flow_direction_packed(result, n_buckets))
 
 
 def wetness_index_tiles(
@@ -709,8 +749,11 @@ def wetness_index_tiles(
         eps_u=1,
         checkpoint_dir=checkpoint_dir,
     ).materialize()
-    acc = flow_accumulate(flow_direction_packed(filled, n_buckets=n_buckets))
-    drops = d8_drops_tiles(filled, n_buckets=n_buckets).map_batches(
+    # ONE direction exchange feeds both the superstep routing and the
+    # TWI slope term (the packed tiles carry the drop buffer)
+    packed = flow_direction_packed(filled, n_buckets=n_buckets).materialize()
+    acc = flow_accumulate(packed)
+    drops = drops_from_packed(packed).map_batches(
         lambda b: b.select(["y", "x", "drop_u", "diag"]),
         batch_format="pyarrow",
     )
@@ -836,6 +879,9 @@ def dinf_directions(vals: np.ndarray, pres: np.ndarray, h: int, w: int):
         # diagonal receiver only where it actually gets flow
         dir2[m] = np.where(wc < DINF_W_ONE, d_code, -1)
         ang = ac * (np.pi / 2.0) + af * best_r[m]
+        # facet 8 (E→SE) with r = 0 lands on exactly 2π — normalize to
+        # [0, 2π) so due-east flow has ONE encoding on every row
+        ang = np.where(ang >= 2.0 * np.pi, ang - 2.0 * np.pi, ang)
         angle_u[m] = np.floor(ang * 1_000_000 + 0.5).astype(np.int64)
     return dir1, dir2, w1, angle_u
 

@@ -7,13 +7,7 @@ import pytest
 import ray.data as rd
 
 from gridfia_ray.oracle_pins import TWI_TANB_FLOOR, twi_values
-from gridfia_ray.pipelines.fill import fill_sinks_tiles
-from gridfia_ray.pipelines.flow import (
-    D8_OFFSETS,
-    d8_drops_tiles,
-    flow_accumulate,
-    flow_direction_packed,
-)
+from gridfia_ray.pipelines.flow import D8_OFFSETS
 from tests.test_fill import _tiles, priority_flood
 
 
@@ -56,42 +50,23 @@ def sequential_twi(g):
 
 
 class TestTwi:
-    def test_matches_sequential(self, ray_session):
-        import pyarrow as pa
-
-        from gridfia_ray.oracle_pins import twi_values as tv
-        from gridfia_ray.stages.agg_util import bucketed_left_attach, to_arrow
+    def test_public_api_matches_sequential(self, ray_session):
+        from gridfia_ray.pipelines.flow import wetness_index_tiles
 
         rng = np.random.RandomState(12)
         g = (rng.rand(32, 32) * 120).astype(np.float64)
-        filled = fill_sinks_tiles(
-            rd.from_pandas(_tiles(g, 8, 8)), coarsen=2, eps_u=1,
-            as_result_tiles=True,
-        ).materialize()
-        acc = flow_accumulate(flow_direction_packed(filled, n_buckets=4))
-        drops = d8_drops_tiles(filled, n_buckets=4).map_batches(
-            lambda b: b.select(["y", "x", "drop_u", "diag"]),
-            batch_format="pyarrow",
-        )
-        ls = pa.schema([("y", pa.int64()), ("x", pa.int64()),
-                        ("dir", pa.int64()), ("acc", pa.int64())])
-        rs = pa.schema([("y", pa.int64()), ("x", pa.int64()),
-                        ("drop_u", pa.int64()), ("diag", pa.int64())])
-        j = bucketed_left_attach(acc, drops, on=["y", "x"],
-                                 left_schema=ls, right_schema=rs,
-                                 n_buckets=4).to_pandas()
-        assert not j["drop_u"].isna().any()
-        twi_u = np.floor(
-            tv(j["acc"].to_numpy(np.float64),
-               j["drop_u"].to_numpy(np.float64),
-               j["diag"].to_numpy(np.float64)) * 1_000_000 + 0.5
-        ).astype(np.int64)
-        got = pd.DataFrame({"y": j["y"], "x": j["x"], "twi_u": twi_u})
+        got = wetness_index_tiles(
+            rd.from_pandas(_tiles(g, 8, 8)), n_buckets=4, fill_coarsen=2
+        ).to_pandas()
+        assert list(got.columns) == ["y", "x", "twi_u", "spi_u"]
         want = sequential_twi(g)
         m = got.set_index(["y", "x"])["twi_u"]
         for y in range(32):
             for x in range(32):
                 assert m[(y, x)] == want[y, x], (y, x)
+        # SPI: 0 exactly at pits (zero drop), positive elsewhere
+        s = got.set_index(["y", "x"])["spi_u"]
+        assert (s >= 0).all()
 
     def test_formula_properties(self):
         # pits (drop 0) use the tanβ floor; steeper ⇒ drier; more
