@@ -1804,6 +1804,26 @@ def q_gf_dinf_accumulation(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_gf_clahe(sf_dir: str) -> pd.DataFrame:
+    """CLAHE (pipelines/clahe.clahe_result): per-tile clipped-histogram
+    LUTs shipped to the 8 neighbors in one tiny keyed exchange, pixels
+    blend the four surrounding tile-center LUTs in pure int64
+    bilinear arithmetic. Oracle = the pinned sequential replay
+    (oracle_pins.ensure_clahepin — shared LUT kernel, independent
+    scalar blend)."""
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.pipelines.clahe import clahe_result
+
+    f = _fx()
+    out = clahe_result(
+        _total_biomass_result(f),
+        bins=oracle_pins.CLAHE_BINS,
+        out_levels=oracle_pins.CLAHE_LEVELS,
+    ).to_pandas()
+    res = out[["y", "x", "level"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_gf_flow_length(sf_dir: str) -> pd.DataFrame:
     """Upstream D8 flow-path length (ArcGIS FlowLength) in exact
     integer µ-cells — max-plus supersteps over the packed direction
@@ -6819,6 +6839,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_twi": q_gf_twi,
         "gf_dinf_accumulation": q_gf_dinf_accumulation,
         "gf_flow_length": q_gf_flow_length,
+        "gf_clahe": q_gf_clahe,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
@@ -7944,6 +7965,11 @@ def build_oracle_sql() -> dict[str, str]:
     sql["gf_flow_filled"] = (
         f"SELECT y, x, dir, acc "
         f"FROM read_parquet('{_pins.ensure_flowfillpin()['expected']}') "
+        f"ORDER BY y, x"
+    )
+    sql["gf_clahe"] = (
+        f"SELECT y, x, level "
+        f"FROM read_parquet('{_pins.ensure_clahepin()['expected']}') "
         f"ORDER BY y, x"
     )
     sql["gf_flow_length"] = (

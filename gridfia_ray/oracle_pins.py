@@ -2734,3 +2734,75 @@ def ensure_flowlenpin() -> dict:
         return {"expected": "expected.parquet"}
 
     return _ensure_dir(f"flowlenpin-v{GEN_VERSION}.{FLOWLENPIN_V}", build)
+
+
+CLAHEPIN_V = 1
+CLAHE_BINS = 64
+CLAHE_LEVELS = 256
+
+
+def ensure_clahepin() -> dict:
+    """{'expected'} parquet for CLAHE over the t2 total-biomass raster:
+    shares the per-tile LUT kernel (pipelines/clahe.tile_lut — the
+    shared-primitive convention) and reimplements the center-bilinear
+    blending sequentially over the full grid with plain scalar loops —
+    what the pin verifies is the LUT exchange and the neighbor
+    routing."""
+
+    def build(tmp: str) -> dict:
+        from gridfia_ray import fixtures
+        from gridfia_ray.pipelines.clahe import tile_lut
+
+        d = fixtures.ensure_fixture("t2")
+        meta = fixtures.fixture_meta("t2")
+        T = meta["tile"]
+        nt = meta["grid"]
+        n = nt * T
+        pix = pq.read_table(
+            os.path.join(d, "pixels.parquet"),
+            columns=["species_code", "y", "x", "biomass"],
+        ).to_pandas()
+        pix = pix[pix["species_code"] != "0000"]
+        tot = pix.groupby(["y", "x"], as_index=False)["biomass"].sum()
+        E = np.zeros((n, n), dtype=np.int64)
+        u = np.floor(tot["biomass"].to_numpy(np.float64) * 1_000_000 + 0.5)
+        E[tot["y"].to_numpy(), tot["x"].to_numpy()] = u.astype(np.int64)
+        lo, hi = int(E.min()), int(E.max())
+        width = hi - lo + 1
+        luts = {
+            (tr, tc): tile_lut(
+                E[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T],
+                lo, width, CLAHE_BINS, 2, 1, CLAHE_LEVELS,
+            )
+            for tr in range(nt)
+            for tc in range(nt)
+        }
+        out = np.zeros((n, n), dtype=np.int64)
+        for y in range(n):
+            ay = y - T // 2
+            t0r, pyv = divmod(ay, T)
+            for x in range(n):
+                ax = x - T // 2
+                t0c, pxv = divmod(ax, T)
+                b = ((int(E[y, x]) - lo) * CLAHE_BINS) // width
+                s = 0
+                for oy, wy in ((t0r, T - pyv), (t0r + 1, pyv)):
+                    ty = min(max(oy, 0), nt - 1)
+                    for ox, wx in ((t0c, T - pxv), (t0c + 1, pxv)):
+                        tx = min(max(ox, 0), nt - 1)
+                        s += wy * wx * int(luts[(ty, tx)][b])
+                out[y, x] = s // (T * T)
+        ys, xs = np.mgrid[0:n, 0:n]
+        pq.write_table(
+            pa.table(
+                {
+                    "y": pa.array(ys.reshape(-1), pa.int64()),
+                    "x": pa.array(xs.reshape(-1), pa.int64()),
+                    "level": pa.array(out.reshape(-1), pa.int64()),
+                }
+            ),
+            os.path.join(tmp, "expected.parquet"),
+        )
+        return {"expected": "expected.parquet"}
+
+    return _ensure_dir(f"clahepin-v{GEN_VERSION}.{CLAHEPIN_V}", build)
