@@ -1804,6 +1804,20 @@ def q_gf_dinf_accumulation(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+def q_gf_unsharp(sf_dir: str) -> pd.DataFrame:
+    """Unsharp masking (focal.focal_unsharp_tiles): v + 3/2·(v − 3×3
+    focal mean) in one exact integer expression over the halo exchange;
+    bit-exact vs the windowed self-join SQL oracle (the floor division
+    is written as FLOOR on an exactly-representable double quotient on
+    both sides)."""
+    from gridfia_ray.pipelines.focal import focal_unsharp_tiles
+
+    f = _fx()
+    out = focal_unsharp_tiles(_total_biomass_result(f)).to_pandas()
+    res = out[["y", "x", "sharp_u"]].astype(np.int64)
+    return res.sort_values(["y", "x"]).reset_index(drop=True)
+
+
 def q_gf_clahe(sf_dir: str) -> pd.DataFrame:
     """CLAHE (pipelines/clahe.clahe_result): per-tile clipped-histogram
     LUTs shipped to the 8 neighbors in one tiny keyed exchange, pixels
@@ -6840,6 +6854,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_dinf_accumulation": q_gf_dinf_accumulation,
         "gf_flow_length": q_gf_flow_length,
         "gf_clahe": q_gf_clahe,
+        "gf_unsharp": q_gf_unsharp,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
@@ -7967,6 +7982,18 @@ def build_oracle_sql() -> dict[str, str]:
         f"FROM read_parquet('{_pins.ensure_flowfillpin()['expected']}') "
         f"ORDER BY y, x"
     )
+    sql["gf_unsharp"] = f"""
+        {species_cte},
+        tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
+        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
+               CAST(a.v + CAST(FLOOR(
+                   CAST(3 * (COUNT(*) * a.v - SUM(b.v)) AS DOUBLE)
+                   / (2 * COUNT(*))) AS BIGINT) AS BIGINT) AS sharp_u
+        FROM u a JOIN u b
+          ON b.y BETWEEN a.y - 1 AND a.y + 1
+         AND b.x BETWEEN a.x - 1 AND a.x + 1
+        GROUP BY a.y, a.x, a.v"""
     sql["gf_clahe"] = (
         f"SELECT y, x, level "
         f"FROM read_parquet('{_pins.ensure_clahepin()['expected']}') "

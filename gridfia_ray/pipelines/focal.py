@@ -771,3 +771,30 @@ def glcm_counts_tiles(
         {"n_pairs": ("n_pairs", "sum")},
         n_buckets=16,
     )
+
+
+def focal_unsharp_tiles(
+    result: rd.Dataset, k_num: int = 3, k_den: int = 2, n_buckets: int = 64
+) -> rd.Dataset:
+    """Unsharp masking (edge-boost sharpening): ``sharp = v +
+    k·(v − focal_mean)`` over the 3×3 window, folded into ONE exact
+    integer expression ``v + (k_num·(n·v − Σ)) // (k_den·n)`` so the
+    floor matches the SQL oracle's FLOOR on the (exactly-representable)
+    double quotient. Same single halo exchange as focal_sum."""
+    empty = pd.DataFrame(
+        {
+            "metric": pd.Series(dtype=str),
+            "y": pd.Series(dtype=np.int64),
+            "x": pd.Series(dtype=np.int64),
+            "sharp_u": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def window(vals, pres, h, w):
+        s = _window_sums(vals * pres)
+        n = _window_sums(pres)
+        v = vals[1 : h + 1, 1 : w + 1]
+        sharp = v + (k_num * (n * v - s)) // (k_den * n)
+        return {"sharp_u": sharp}, None
+
+    return _halo_pipeline(result, "focal_unsharp", window, empty, n_buckets)

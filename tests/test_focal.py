@@ -403,3 +403,34 @@ class TestFocalStatsNxN:
         df, _ = _raster(rng, tiles_y=1, tiles_x=2, h=4, w=4)
         with pytest.raises(Exception, match="radius"):
             focal_stats_tiles(rd.from_pandas(df), radius=5).to_pandas()
+
+
+class TestUnsharp:
+    def test_matches_brute_force(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_unsharp_tiles
+
+        rng = np.random.RandomState(9)
+        df, g = _raster(rng, tiles_y=2, tiles_x=2, h=6, w=6)
+        got = focal_unsharp_tiles(
+            rd.from_pandas(df).repartition(3), n_buckets=2
+        ).to_pandas()
+        u = np.floor(g * 1_000_000 + 0.5).astype(np.int64)
+        H, W = g.shape
+        m = got.set_index(["y", "x"])["sharp_u"]
+        for y in range(H):
+            for x in range(W):
+                ys = slice(max(y - 1, 0), min(y + 2, H))
+                xs = slice(max(x - 1, 0), min(x + 2, W))
+                s = int(u[ys, xs].sum())
+                n = int(u[ys, xs].size)
+                v = int(u[y, x])
+                want = v + (3 * (n * v - s)) // (2 * n)
+                assert m[(y, x)] == want, (y, x)
+
+    def test_flat_raster_unchanged(self, ray_session):
+        from gridfia_ray.pipelines.focal import focal_unsharp_tiles
+
+        df, _ = _raster(np.random.RandomState(1), tiles_y=1, tiles_x=1)
+        df["pix"] = [np.full((8, 8), 4.0).tobytes()]
+        got = focal_unsharp_tiles(rd.from_pandas(df)).to_pandas()
+        assert (got["sharp_u"] == 4_000_000).all()
