@@ -387,6 +387,12 @@ def run_bench() -> dict:
         timed("dinf_accumulation", lambda: q_gf_dinf_accumulation(SF_DIR))
         timed("flow_length", lambda: q_gf_flow_length(SF_DIR))
 
+        # tile-LUT CLAHE + integer unsharp masking
+        from gridfia_ray.contract import q_gf_clahe, q_gf_unsharp
+
+        timed("clahe", lambda: q_gf_clahe(SF_DIR))
+        timed("unsharp", lambda: q_gf_unsharp(SF_DIR))
+
     total = round(sum(timings.values()), 3)
     tile_secs = timings["zonal_stats"] + timings["metrics_fused"]
     result = {
