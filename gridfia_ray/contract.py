@@ -2923,6 +2923,37 @@ def q_doc_stratified(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def q_audio_resample(sf_dir: str) -> pd.DataFrame:
+    """Mixed-rate corpus normalization (stages/multimodal.
+    AudioResampleActor): 8 kHz clips pass through bit-identically,
+    16 kHz clips decimate 2:1 through the Q15 windowed-sinc integer
+    FIR (round-half-up shifts — no float path anywhere); the feature
+    row of each RESAMPLED clip hash-matches the pinned sequential twin
+    (oracle_pins.ensure_audpin resample_expected)."""
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.stages.multimodal import AudioResampleActor
+
+    tune_context()
+    clips = rd.read_parquet(oracle_pins.ensure_audpin()["clips"])
+    out = (
+        clips.map_batches(
+            AudioResampleActor, batch_format="pyarrow",
+            fn_constructor_kwargs=dict(target_rate=8000),
+            concurrency=(1, 4),
+        )
+        .drop_columns(["bytes"])
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    cols = ["clip_id", "n_samples", "rate", "duration_ms", "rms_u",
+            "peak_u", "zero_crossings"]
+    return out[cols].sort_values("clip_id", ignore_index=True)
+
+
 def q_audio_features(sf_dir: str) -> pd.DataFrame:
     """Audio-column pipeline end-to-end: WAV/PCM clips (pure-numpy RIFF
     codec — wav graduated from the stub list) through the distributed
@@ -6855,6 +6886,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "gf_flow_length": q_gf_flow_length,
         "gf_clahe": q_gf_clahe,
         "gf_unsharp": q_gf_unsharp,
+        "audio_resample": q_audio_resample,
         "gf_local_moran": q_local_moran,
         "gf_geary_c": q_geary_c,
         "gf_semivariogram": q_semivariogram,
@@ -7981,6 +8013,12 @@ def build_oracle_sql() -> dict[str, str]:
         f"SELECT y, x, dir, acc "
         f"FROM read_parquet('{_pins.ensure_flowfillpin()['expected']}') "
         f"ORDER BY y, x"
+    )
+    sql["audio_resample"] = (
+        f"SELECT clip_id, n_samples, rate, duration_ms, rms_u, peak_u, "
+        f"zero_crossings "
+        f"FROM read_parquet('{_pins.ensure_audpin()['resample_expected']}') "
+        f"ORDER BY clip_id"
     )
     sql["gf_unsharp"] = f"""
         {species_cte},

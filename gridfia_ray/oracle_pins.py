@@ -48,7 +48,7 @@ DOCPIN_V = 2
 # pipeline's train_size Lloyd-corpus sampling (code-review finding:
 # the v6 replay trained on the full corpus and matched only by luck).
 ANNPIN_V = 7
-AUDPIN_V = 3  # v3: + spectrogram_expected (integer STFT energies)
+AUDPIN_V = 4  # v4: + resample_expected (integer 2:1 decimation to 8 kHz)
 VIDPIN_V = 1
 GHLLPIN_V = 1
 DDQPIN_V = 1
@@ -670,8 +670,10 @@ def ensure_audpin() -> dict:
             spectrogram_tables,
         )
 
+        from gridfia_ray.stages.multimodal import decimate2_int16
+
         tables = spectrogram_tables()
-        ids, bufs, rows, specs = [], [], [], []
+        ids, bufs, rows, specs, rsrows = [], [], [], [], []
         for cid, x, rate in _audpin_clips():
             buf = encode_wav_pcm16(x, rate)
             ids.append(cid)
@@ -679,6 +681,19 @@ def ensure_audpin() -> dict:
             samples, r = decode_wav_pcm16(buf)
             rows.append({"clip_id": cid, **audio_features(samples, r)})
             specs.append({"clip_id": cid, **spectrogram_features(samples, tables)})
+            # sequential twin of the AudioResampleActor normalization:
+            # 8 kHz passthrough, 16 kHz → integer 2:1 decimation (the
+            # FIR kernel is the shared primitive)
+            i16 = np.rint(np.asarray(samples, np.float64) * 32768.0).astype(
+                np.int64
+            )
+            out = i16.astype(np.int16) if r == 8000 else decimate2_int16(i16)
+            rsrows.append(
+                {
+                    "clip_id": cid,
+                    **audio_features(out.astype(np.float64) / 32768.0, 8000),
+                }
+            )
         pq.write_table(
             pa.table(
                 {
@@ -700,10 +715,18 @@ def ensure_audpin() -> dict:
         pq.write_table(
             spec.sort_by("clip_id"), os.path.join(tmp, "spectrogram_expected.parquet")
         )
+        rs = pa.Table.from_pylist(rsrows).select(
+            ["clip_id", "n_samples", "rate", "duration_ms", "rms_u",
+             "peak_u", "zero_crossings"]
+        )
+        pq.write_table(
+            rs.sort_by("clip_id"), os.path.join(tmp, "resample_expected.parquet")
+        )
         return {
             "clips": "clips.parquet",
             "features_expected": "features_expected.parquet",
             "spectrogram_expected": "spectrogram_expected.parquet",
+            "resample_expected": "resample_expected.parquet",
         }
 
     return _ensure_dir(f"audpin-v{GEN_VERSION}.{AUDPIN_V}", build)

@@ -473,3 +473,90 @@ class AudioFeatureActor:
                 "status": pa.array(status, pa.string()),
             }
         )
+
+
+# --- integer audio resampling (2:1 decimation) ------------------------------
+
+_RS_TAPS_N = 31
+_RS_Q = 15  # Q15 tap quantization
+
+
+def resample_taps_q15() -> np.ndarray:
+    """31-tap Hamming-windowed sinc lowpass at half the input Nyquist
+    (the 2:1 anti-alias filter), unity-DC-normalized then quantized to
+    Q15 int64 — THE filter, shared by the distributed actor and the
+    sequential pin replay (module-level pure function of constants, so
+    the bits cannot drift)."""
+    m = (_RS_TAPS_N - 1) / 2.0
+    k = np.arange(_RS_TAPS_N) - m
+    h = 0.5 * np.sinc(k / 2.0) * np.hamming(_RS_TAPS_N)
+    h = h / h.sum()
+    return np.floor(h * (1 << _RS_Q) + 0.5).astype(np.int64)
+
+
+def decimate2_int16(i16: np.ndarray) -> np.ndarray:
+    """Exact integer 2:1 decimation: zero-padded Q15 FIR at even
+    positions, round-half-up via ``(acc + 2^14) >> 15`` (arithmetic
+    shift = floor on negatives — identical in any int64 runtime),
+    clipped to int16."""
+    taps = resample_taps_q15()
+    n = int(i16.size)
+    if n == 0:
+        return np.zeros(0, np.int16)
+    pad = _RS_TAPS_N // 2
+    xp = np.zeros(n + 2 * pad, np.int64)
+    xp[pad : pad + n] = i16.astype(np.int64)
+    n_out = (n + 1) // 2
+    idx = 2 * np.arange(n_out)[:, None] + np.arange(_RS_TAPS_N)[None, :]
+    acc = (xp[idx] * taps[None, :]).sum(axis=1)
+    out = (acc + (1 << (_RS_Q - 1))) >> _RS_Q
+    return np.clip(out, -32768, 32767).astype(np.int16)
+
+
+class AudioResampleActor:
+    """Normalize a mixed-rate WAV corpus to ``target_rate``: clips
+    already at the target pass through bit-identically; clips at
+    exactly 2× decimate through :func:`decimate2_int16`; any other
+    ratio raises (integer-exactness is the contract — arbitrary-ratio
+    polyphase would need float phases). Emits the resampled WAV bytes
+    plus the standard feature row of the result."""
+
+    def __init__(self, target_rate: int = 8000):
+        self.target = int(target_rate)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from gridfia_ray.codecs.wav import decode_wav_pcm16, encode_wav_pcm16
+
+        ids = batch["clip_id"].to_numpy()
+        bufs = batch["bytes"].to_pylist()
+        rows = []
+        out_bufs = []
+        for i in range(batch.num_rows):
+            x, rate = decode_wav_pcm16(bufs[i])
+            # decode yields exact multiples of 2^-15 — recover the
+            # int16 samples losslessly
+            i16 = np.rint(np.asarray(x, np.float64) * 32768.0).astype(
+                np.int64
+            )
+            if rate == self.target:
+                out = i16.astype(np.int16)
+            elif rate == 2 * self.target:
+                out = decimate2_int16(i16)
+            else:
+                raise ValueError(
+                    f"audio_resample: unsupported ratio {rate} → "
+                    f"{self.target} (integer 2:1 or passthrough only)"
+                )
+            out_bufs.append(
+                encode_wav_pcm16(out.astype(np.float64) / 32768.0, self.target)
+            )
+            rows.append(
+                {
+                    "clip_id": int(ids[i]),
+                    **audio_features(
+                        out.astype(np.float64) / 32768.0, self.target
+                    ),
+                }
+            )
+        t = pa.Table.from_pylist(rows)
+        return t.append_column("bytes", pa.array(out_bufs, pa.binary()))

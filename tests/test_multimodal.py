@@ -386,3 +386,63 @@ class TestSpectrogram:
             exp = spectrogram_features(samples)
             for k, v in exp.items():
                 assert out.loc[i, k] == v, (i, k)
+
+
+class TestAudioResample:
+    def test_filter_properties(self):
+        import numpy as np
+
+        from gridfia_ray.stages.multimodal import (
+            decimate2_int16,
+            resample_taps_q15,
+        )
+
+        taps = resample_taps_q15()
+        assert len(taps) == 31 and taps[15] == taps.max()
+        # DC preserved within quantization (Σtaps/2^15 ≈ 1)
+        x = np.full(2000, 12000, np.int16)
+        y = decimate2_int16(x)
+        assert len(y) == 1000
+        assert abs(int(y[100]) - 12000) <= 2
+        # sub-Nyquist tone survives; aliased band is crushed
+        t = np.arange(8000)
+        lo = (10000 * np.sin(2 * np.pi * 500 * t / 16000)).astype(np.int16)
+        hi = (10000 * np.sin(2 * np.pi * 7000 * t / 16000)).astype(np.int16)
+        lo_rms = float(np.sqrt((decimate2_int16(lo).astype(float) ** 2).mean()))
+        hi_rms = float(np.sqrt((decimate2_int16(hi).astype(float) ** 2).mean()))
+        assert lo_rms > 6500
+        assert hi_rms < 100
+
+    def test_actor_matches_pin_and_rejects_odd_ratio(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gridfia_ray import oracle_pins
+        from gridfia_ray.codecs.wav import encode_wav_pcm16
+        from gridfia_ray.contract import build_queries
+        from gridfia_ray.stages.multimodal import AudioResampleActor
+
+        got = build_queries()["audio_resample"]("unused")
+        import duckdb
+
+        exp = duckdb.sql(
+            "SELECT * FROM read_parquet('"
+            + oracle_pins.ensure_audpin()["resample_expected"]
+            + "') ORDER BY clip_id"
+        ).df()
+        for c in got.columns:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        assert (got["rate"] == 8000).all()
+        # unsupported ratio raises
+        buf = encode_wav_pcm16(np.zeros(100), 44100)
+        bad = rd.from_arrow(
+            pa.table({"clip_id": pa.array([0], pa.int64()),
+                      "bytes": pa.array([buf], pa.binary())})
+        )
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="unsupported ratio"):
+            bad.map_batches(
+                AudioResampleActor, batch_format="pyarrow", concurrency=1
+            ).materialize()
