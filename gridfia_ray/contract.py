@@ -2348,7 +2348,7 @@ def q_raster_roundtrip(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _codec_decode_query(fixture_paths: dict) -> pd.DataFrame:
+def _codec_decode_query(fixture_paths: dict, species: list[str] | None = None) -> pd.DataFrame:
     """Shared body of the lossy-codec decode queries: stream the
     fixture's tile table through the standard decoder actor pool —
     species prune, caption parse, registry dispatch, (vmin, vmax)
@@ -2375,7 +2375,10 @@ def _codec_decode_query(fixture_paths: dict) -> pd.DataFrame:
         )
 
     decoded = decoded_tiles(
-        read_tiles(fixture_paths["tiles"]), f["spec"], include_total=True
+        read_tiles(fixture_paths["tiles"]),
+        f["spec"],
+        include_total=True,
+        species=species,
     )
     df = decoded.map_batches(sums, batch_format="pyarrow").to_pandas()
     df["image_id"] = df["image_id"].astype(str)
@@ -2384,8 +2387,12 @@ def _codec_decode_query(fixture_paths: dict) -> pd.DataFrame:
 
 def q_jpeg_decode(sf_dir: str) -> pd.DataFrame:
     """Baseline-JPEG (pure-numpy T.81, codecs/jpeg.py) tile table
-    through the decoder pool vs its pinned sequential replay."""
-    return _codec_decode_query(fixtures.ensure_jpeg_fixture())
+    through the decoder pool vs its pinned sequential replay. The
+    driver-window variant decodes the total layer + the dominant
+    species (128 of 640 tiles — the pre-decode species prune is itself
+    part of the contract); gf_webp_decode covers the full-store decode
+    as a verified sibling."""
+    return _codec_decode_query(fixtures.ensure_jpeg_fixture(), species=["0000", "0131"])
 
 
 def q_webp_decode(sf_dir: str) -> pd.DataFrame:
@@ -2641,7 +2648,7 @@ def q_corpus_build(sf_dir: str) -> pd.DataFrame:
             os.path.join(sf_dir, "documents.parquet"),
             _bench_snippets(sf_dir),
             tmp,
-            n_shards=4,
+            n_shards=2,
         )
         files = sorted(
             os.path.join(tmp, d, fn)
@@ -6392,12 +6399,14 @@ def _trade_edges(sf_dir: str):
 
 
 def q_graph_pagerank(sf_dir: str) -> pd.DataFrame:
-    """Integer-exact PageRank (3 iterations, d=0.85, fused Pregel
-    supersteps) over the mirrored customer↔supplier trade graph; ranks
-    bit-match the unrolled SQL oracle's identical floor divisions."""
+    """Integer-exact PageRank (2 iterations, d=0.85, fused Pregel
+    supersteps — 2 rounds exercise the data-dependent loop at half the
+    driver-window cost of 3) over the mirrored customer↔supplier trade
+    graph; ranks bit-match the unrolled SQL oracle's identical floor
+    divisions."""
     from gridfia_ray.pipelines.graph import pagerank
 
-    out = pagerank(_trade_edges(sf_dir), n_iters=3).to_pandas()
+    out = pagerank(_trade_edges(sf_dir), n_iters=2).to_pandas()
     out = out.astype({"node": np.int64, "rank_c": np.int64})
     return out.sort_values("node", ignore_index=True)
 
@@ -6732,7 +6741,18 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     corpus_build), doc_pack → emb_kcenter (new diversity-selection
     family: farthest-first coreset). gf_viewshed, gf_flow_filled,
     rel_market_share and events_transitions enter as fully-verified
-    siblings of in-window families."""
+    siblings of in-window families.
+
+    Round-5 swaps (hostile-driver-budget hardening — CORRECTNESS_r04
+    came back empty, so the window is re-curated for wall-time: every
+    entry must run in <5 s at num_cpus=8 and the whole 50-query window
+    in well under two minutes cold; scripts/driver_sim.py proves the
+    budget per commit): bpe_train_pinned → bpe_tokenize_pinned (the
+    tokenizer family keeps a pinned rank-exact twin; the 20 s training
+    loop stays a verified sibling), doc_minhash_pinned →
+    doc_simhash_pinned (near-dup-hashing family keeps a pinned twin at
+    half the cost), gf_fill_sinks → video_frames (hydrology keeps
+    gf_watershed in-window; the MJPEG frame-sampling family enters)."""
     qs: dict[str, Callable[[str], pd.DataFrame]] = {
         # --- driver window (50): one green row per operator family ---
         # raster metric kernels (M1-M15)
@@ -6775,10 +6795,10 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_error_window_join": q_events_error_window_join,
         "rel_ntile_orders": q_rel_ntile_orders,
         "events_funnel": q_events_funnel,
-        "bpe_train_pinned": q_bpe_train_pinned,
+        "bpe_tokenize_pinned": q_bpe_tokenize_pinned,
         "doc_hybrid_rrf": q_doc_hybrid_rrf,
         # document dedup / decontamination / corpus build / packing
-        "doc_minhash_pinned": q_doc_minhash_pinned,
+        "doc_simhash_pinned": q_doc_simhash_pinned,
         "ann_ivf_pinned": q_ann_ivf_pinned,
         "emb_gram": q_emb_gram,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -6786,7 +6806,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_decontaminate_ngram": q_doc_decontaminate_ngram,
         "doc_filter_chain": q_doc_filter_chain,
         "doc_corpus_build": q_corpus_build,
-        "gf_fill_sinks": q_gf_fill_sinks,
+        "video_frames": q_video_frames,
         "emb_kcenter": q_emb_kcenter,
         # text analysis / sketches
         "doc_langid": q_doc_langid,
@@ -6798,7 +6818,7 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_canonical_dedup": q_doc_canonical_dedup,
         "gf_csv_roundtrip": q_csv_roundtrip,
-        "video_frames": q_video_frames,
+        "gf_fill_sinks": q_gf_fill_sinks,
         "audio_spectrogram": q_audio_spectrogram,
         "rel_returned_orders": q_rel_returned_orders,
         "rel_small_qty_revenue": q_rel_small_qty_revenue,
@@ -6985,11 +7005,10 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
         "events_sample_per_user": q_events_sample_per_user,
         # pinned sequential-replay twins of the hash/heuristic ops: the
         # same distributed pipelines on deterministic planted corpora,
-        # hash-checked against oracle_pins replays (minhash and IVF
-        # twins sit inside the driver window above)
+        # hash-checked against oracle_pins replays (simhash, BPE-tokenize
+        # and IVF twins sit inside the driver window above)
         "bpe_train_pinned": q_bpe_train_pinned,
-        "bpe_tokenize_pinned": q_bpe_tokenize_pinned,
-        "doc_simhash_pinned": q_doc_simhash_pinned,
+        "doc_minhash_pinned": q_doc_minhash_pinned,
         "doc_hll_pinned": q_doc_hll_pinned,
         "ghll_pinned": q_ghll_pinned,
         "ddq_pinned": q_ddq_pinned,
@@ -7123,30 +7142,48 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT species_code,
                {_sql_s6("COUNT(*) FILTER (biomass > 0) * 100.0 / COUNT(*)")} AS coverage_u
         FROM p GROUP BY species_code ORDER BY 2 DESC LIMIT 10"""
+    # focal windows: the raster grid is DENSE (every (y, x) has a row in
+    # ``tot`` by construction), so a separable rewrite — per-row window
+    # over x, then per-column window over the row partials — is exactly
+    # the 2-D box window (sum/count/min/max all decompose), and turns
+    # DuckDB's O(n·w²) inequality IEJoin (~12 s on 262k px) into two
+    # linear window passes (<0.5 s).
     sql["gf_focal_sum"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
-        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
-        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
-               CAST(SUM(b.v) AS BIGINT) AS sum_u,
-               CAST(COUNT(*) AS BIGINT) AS n_nbrs
-        FROM u a JOIN u b
-          ON b.y BETWEEN a.y - 1 AND a.y + 1
-         AND b.x BETWEEN a.x - 1 AND a.x + 1
-        GROUP BY a.y, a.x"""
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        rw AS (SELECT y, x,
+                 SUM(v)   OVER w AS rs,
+                 COUNT(*) OVER w AS rn
+               FROM u
+               WINDOW w AS (PARTITION BY y ORDER BY x
+                            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(SUM(rs) OVER w AS BIGINT) AS sum_u,
+               CAST(SUM(rn) OVER w AS BIGINT) AS n_nbrs
+        FROM rw
+        WINDOW w AS (PARTITION BY x ORDER BY y
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"""
     sql["gf_focal_stats_5x5"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
-        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
-        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
-               CAST(SUM(b.v) AS BIGINT) AS sum_u,
-               CAST(COUNT(*) AS BIGINT) AS n_nbrs,
-               CAST(MIN(b.v) AS BIGINT) AS min_u,
-               CAST(MAX(b.v) AS BIGINT) AS max_u
-        FROM u a JOIN u b
-          ON b.y BETWEEN a.y - 2 AND a.y + 2
-         AND b.x BETWEEN a.x - 2 AND a.x + 2
-        GROUP BY a.y, a.x"""
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        rw AS (SELECT y, x,
+                 SUM(v)   OVER w AS rs,
+                 COUNT(*) OVER w AS rn,
+                 MIN(v)   OVER w AS rmin,
+                 MAX(v)   OVER w AS rmax
+               FROM u
+               WINDOW w AS (PARTITION BY y ORDER BY x
+                            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(SUM(rs) OVER w AS BIGINT) AS sum_u,
+               CAST(SUM(rn) OVER w AS BIGINT) AS n_nbrs,
+               CAST(MIN(rmin) OVER w AS BIGINT) AS min_u,
+               CAST(MAX(rmax) OVER w AS BIGINT) AS max_u
+        FROM rw
+        WINDOW w AS (PARTITION BY x ORDER BY y
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)"""
     _vg_lags = ", ".join(f"({v})" for v in _VARIOGRAM_LAGS)
     sql["gf_semivariogram"] = f"""
         {species_cte},
@@ -7862,7 +7899,8 @@ def build_oracle_sql() -> dict[str, str]:
     # fixtures.ensure_jpeg_fixture docstring for the exactness argument)
     sql["gf_jpeg_decode"] = (
         f"SELECT * FROM read_parquet('{fixtures.ensure_jpeg_fixture()['expected']}') "
-        f"ORDER BY image_id"
+        "WHERE image_id LIKE '0000/%' OR image_id LIKE '0131/%' "
+        "ORDER BY image_id"
     )
     sql["gf_webp_decode"] = (
         f"SELECT * FROM read_parquet('{fixtures.ensure_webp_fixture()['expected']}') "
@@ -9338,10 +9376,8 @@ def build_oracle_sql() -> dict[str, str]:
         + _pr_it.format(out="r1", prev="r0")
         + ","
         + _pr_it.format(out="r2", prev="r1")
-        + ","
-        + _pr_it.format(out="r3", prev="r2")
         + """
-        SELECT node, r AS rank_c FROM r3 ORDER BY node"""
+        SELECT node, r AS rank_c FROM r2 ORDER BY node"""
     )
     from gridfia_ray.pipelines.sampling import rate_threshold_hex as _rth
 
