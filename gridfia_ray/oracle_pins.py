@@ -2152,7 +2152,7 @@ def ensure_costsrcpin() -> dict:
     return _ensure_dir(f"costsrcpin-v{GEN_VERSION}.{COSTSRCPIN_V}", build)
 
 
-KRIGPIN_V = 1
+KRIGPIN_V = 2
 
 
 def krigpin_model() -> dict:
@@ -2197,9 +2197,13 @@ def _replay_kriging(plots: dict, pts_x: np.ndarray, pts_y: np.ndarray) -> pa.Tab
     pv = np.asarray(plots["value"], np.float64)
     preds, vars_, kused = [], [], []
     for qx, qy in zip(pts_x, pts_y):
-        d = np.sqrt((px - qx) ** 2 + (py - qy) ** 2)
-        order = np.lexsort((np.arange(d.size), d))[:k]
-        dk = d[order]
+        # rank by SQUARED distance exactly like pipelines/knn.KnnActor:
+        # sqrt can collapse two distinct float64 d² values to equal
+        # doubles, and a tie straddling the k-th boundary would then
+        # pick a different neighbor set than the pipeline
+        d2 = (px - qx) ** 2 + (py - qy) ** 2
+        order = np.lexsort((np.arange(d2.size), d2))[:k]
+        dk = np.sqrt(d2[order])
         kk = order.size
         dmat = np.sqrt(
             (px[order][:, None] - px[order][None, :]) ** 2

@@ -304,6 +304,16 @@ def fill_sinks_tiles(
         rows = []
         for _, r in batch.iterrows():
             h, w = int(r["h"]), int(r["w"])
+            if int(r["y0"]) != int(r["tile_row"]) * h or int(r["x0"]) != int(r["tile_col"]) * w:
+                # downstream result-tile consumers (flow routing) compute
+                # global coords as tile_row*h — a ragged edge super-tile
+                # (tile grid not divisible by ``coarsen``) would silently
+                # shift its pixels; refuse like cost_allocation does
+                raise ValueError(
+                    "fill_sinks: as_result_tiles requires the coarsen "
+                    "factor to divide the tile grid (ragged super-tile "
+                    f"at ({int(r['tile_row'])}, {int(r['tile_col'])}))"
+                )
             wl = np.frombuffer(r["dist"], np.int64).reshape(h, w)
             if wl.max() >= (1 << 51):
                 # beyond ~2^51 the float64 transit (·1e-6 then
@@ -340,12 +350,15 @@ def fill_sinks_tiles(
             e = np.frombuffer(r["cost"], np.int64).reshape(h, w)
             wl = np.frombuffer(r["dist"], np.int64).reshape(h, w)
             yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            # global coords from the carried y0/x0, NOT tile_row*h: edge
+            # super-tiles are ragged when coarsen doesn't divide the
+            # tile grid, and tile_row*h would shift their pixels
             frames.append(
                 pd.DataFrame(
                     {
                         "metric": r["metric"],
-                        "y": (yy + int(r["tile_row"]) * h).ravel(),
-                        "x": (xx + int(r["tile_col"]) * w).ravel(),
+                        "y": (yy + int(r["y0"])).ravel(),
+                        "x": (xx + int(r["x0"])).ravel(),
                         "fill_u": wl.ravel(),
                         "depth_u": (wl - e).ravel(),
                     }

@@ -686,7 +686,10 @@ def drops_from_packed(packed: rd.Dataset) -> rd.Dataset:
             pxs.append((xx + tc * w).ravel())
             pdir.append(d8.ravel().astype(np.int64))
             pdrop.append(drop.ravel())
-            pdiag.append((d8.ravel().astype(np.int64) % 2 + 2) % 2)
+            # pits (dir < 0) have no outflow edge: diag is 0 by the
+            # pinned replay's convention, not (-1) % 2 == 1
+            d8f = d8.ravel().astype(np.int64)
+            pdiag.append(np.where(d8f >= 0, d8f % 2, 0))
         if not pys:
             return pa.table(
                 {

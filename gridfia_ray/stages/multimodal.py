@@ -533,11 +533,19 @@ class AudioResampleActor:
         out_bufs = []
         for i in range(batch.num_rows):
             x, rate = decode_wav_pcm16(bufs[i])
-            # decode yields exact multiples of 2^-15 — recover the
-            # int16 samples losslessly
-            i16 = np.rint(np.asarray(x, np.float64) * 32768.0).astype(
-                np.int64
-            )
+            # MONO-ONLY contract: decode_wav_pcm16 channel-MEANS stereo
+            # to half-integer samples, so "recover the int16 losslessly"
+            # only holds for mono input. Verify by round-trip instead of
+            # trusting the header: anything np.rint would re-quantize
+            # (round-half-even) is rejected, not silently altered.
+            xf = np.asarray(x, np.float64) * 32768.0
+            i16 = np.rint(xf).astype(np.int64)
+            if not np.array_equal(i16.astype(np.float64), xf):
+                raise ValueError(
+                    "audio_resample: samples are not exact int16 "
+                    "multiples (stereo downmix?) — the bit-identical "
+                    "passthrough contract is mono 16-bit PCM only"
+                )
             if rate == self.target:
                 out = i16.astype(np.int16)
             elif rate == 2 * self.target:
@@ -558,5 +566,18 @@ class AudioResampleActor:
                     ),
                 }
             )
-        t = pa.Table.from_pylist(rows)
+        schema = pa.schema(
+            [
+                ("clip_id", pa.int64()),
+                ("n_samples", pa.int64()),
+                ("rate", pa.int64()),
+                ("duration_ms", pa.int64()),
+                ("rms_u", pa.int64()),
+                ("peak_u", pa.int64()),
+                ("zero_crossings", pa.int64()),
+            ]
+        )
+        # explicit schema: from_pylist([]) on an empty batch would emit
+        # a COLUMNLESS table and break the appended-bytes layout
+        t = pa.Table.from_pylist(rows, schema=schema)
         return t.append_column("bytes", pa.array(out_bufs, pa.binary()))

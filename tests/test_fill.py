@@ -80,6 +80,31 @@ class TestFillSinks:
         assert len(got) == g.size
         _check(got, priority_flood(g))
 
+    def test_ragged_coarsen_emits_correct_coords(self, ray_session):
+        # 3×3 tile grid with coarsen=2 → edge super-tiles are RAGGED
+        # (y0 != tile_row * H); pixel coords must come from the carried
+        # y0/x0, not tile_row * h (r4 ADVICE regression)
+        rng = np.random.RandomState(11)
+        g = (rng.rand(36, 24) * 120).astype(np.float64)
+        got = fill_sinks_tiles(
+            rd.from_pandas(_tiles(g, 12, 8)).repartition(3),
+            n_buckets=4, coarsen=2,
+        ).to_pandas()
+        assert len(got) == g.size
+        assert sorted(map(tuple, got[["y", "x"]].values.tolist())) == [
+            (y, x) for y in range(36) for x in range(24)
+        ]
+        _check(got, priority_flood(g))
+
+    def test_ragged_coarsen_as_result_tiles_raises(self, ray_session):
+        rng = np.random.RandomState(12)
+        g = (rng.rand(36, 24) * 120).astype(np.float64)
+        with pytest.raises(Exception, match="ragged|divide"):
+            fill_sinks_tiles(
+                rd.from_pandas(_tiles(g, 12, 8)),
+                n_buckets=4, coarsen=2, as_result_tiles=True,
+            ).to_pandas()
+
     def test_flat_raster_unchanged(self, ray_session):
         g = np.full((16, 16), 3.5)
         got = fill_sinks_tiles(

@@ -105,6 +105,26 @@ class TestDirections:
         assert (d8 == -1).all()
 
 
+class TestDrops:
+    def test_pit_diag_is_zero(self, ray_session):
+        # pits carry dir = -1; the diag column must be 0 there (the
+        # pinned replay's convention), not (-1) % 2 == 1 (r4 ADVICE)
+        from gridfia_ray.pipelines.flow import d8_drops_tiles
+
+        g = np.full((8, 8), 5.0)
+        g[1:4, 1:4] = 9.0  # a bump draining outward; flats stay pits
+        out = d8_drops_tiles(
+            rd.from_pandas(_tiles_from_grid(g, 4, 4)), n_buckets=4
+        ).to_pandas()
+        pits = out[out["dir"] < 0]
+        assert len(pits) > 0
+        assert (pits["diag"] == 0).all()
+        flowing = out[out["dir"] >= 0]
+        np.testing.assert_array_equal(
+            flowing["diag"].to_numpy(), flowing["dir"].to_numpy() % 2
+        )
+
+
 class TestAccumulation:
     def test_east_plane_closed_form(self, ray_session):
         # single row flow: acc(y, x) = x (cells strictly west, same row)

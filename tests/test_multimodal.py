@@ -446,3 +446,42 @@ class TestAudioResample:
             bad.map_batches(
                 AudioResampleActor, batch_format="pyarrow", concurrency=1
             ).materialize()
+
+    def test_actor_rejects_stereo_downmix_and_types_empty_batch(self):
+        # stereo WAVs channel-mean to half-integer samples: the
+        # bit-identical passthrough contract is mono-only, so the actor
+        # must REJECT (not silently re-quantize via round-half-even)
+        import struct
+
+        import pyarrow as pa
+        import pytest as _pt
+
+        from gridfia_ray.stages.multimodal import AudioResampleActor
+
+        n = 64
+        left = np.full(n, 100, np.int16)
+        right = np.full(n, 101, np.int16)  # mean = 100.5 → half-integer
+        inter = np.empty(2 * n, np.int16)
+        inter[0::2], inter[1::2] = left, right
+        data = inter.tobytes()
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        actor = AudioResampleActor(target_rate=8000)
+        stereo = pa.table(
+            {"clip_id": pa.array([1], pa.int64()),
+             "bytes": pa.array([hdr + data], pa.binary())}
+        )
+        with _pt.raises(ValueError, match="mono"):
+            actor(stereo)
+        # zero-row batch keeps the full typed schema (from_pylist([])
+        # would otherwise be columnless and break append_column)
+        empty = stereo.slice(0, 0)
+        out = actor(empty)
+        assert out.num_rows == 0
+        assert out.column_names == [
+            "clip_id", "n_samples", "rate", "duration_ms",
+            "rms_u", "peak_u", "zero_crossings", "bytes",
+        ]
