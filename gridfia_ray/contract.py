@@ -848,19 +848,53 @@ def q_temporal_composite(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["y", "x"]).reset_index(drop=True)
 
 
+_MEMO: dict[tuple, object] = {}
+
+
+def _memo(key: tuple, build):
+    """Process-lifetime cache of shared derived DATASETS (driver-budget
+    hardening, r4 VERDICT #1b): dozens of q_* functions start from the
+    same decoded total-biomass raster, and a correctness sweep that
+    rebuilds it per query pays the decode+reduce pipeline ~40×. The
+    cached value is a ``materialize()``d Dataset (immutable; a few MB
+    in the object store at fixture scale), so every consumer branches
+    off the same blocks. Keyed by fixture path — a different fixture
+    (or GEN_VERSION bump → new path) misses naturally."""
+    if key not in _MEMO:
+        _MEMO[key] = build()
+    return _MEMO[key]
+
+
 def _total_biomass_result(f: dict):
     """Shared: the precise scaled total-biomass result tiles (input to
-    the raster-derivative queries below)."""
+    the raster-derivative queries below) — memoized per fixture."""
     from gridfia_ray.pipelines import metrics as M
 
-    return M.run_metrics(
-        f["tiles"],
-        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
-        f["spec"],
-        f["catalog"],
-        n_tiles_hint=f["meta"]["n_tiles"],
-        n_species_hint=f["meta"]["n_species"],
-        precise=True,
+    return _memo(
+        ("total_biomass_result", f["tiles"]),
+        lambda: M.run_metrics(
+            f["tiles"],
+            registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+            f["spec"],
+            f["catalog"],
+            n_tiles_hint=f["meta"]["n_tiles"],
+            n_species_hint=f["meta"]["n_species"],
+            precise=True,
+        ).materialize(),
+    )
+
+
+def _filled_eps1_result(f: dict):
+    """Shared: the ε=1 hydrologically-conditioned surface (fill
+    superstep loop run once; flow routing and TWI both branch off
+    it)."""
+    from gridfia_ray.pipelines.fill import fill_sinks_tiles
+
+    return _memo(
+        ("filled_eps1_result", f["tiles"]),
+        lambda: fill_sinks_tiles(
+            _total_biomass_result(f), as_result_tiles=True, eps_u=1
+        ).materialize(),
     )
 
 
@@ -1754,13 +1788,10 @@ def q_gf_flow_filled(sf_dir: str) -> pd.DataFrame:
     descending-z push replay on the filled surface
     (oracle_pins.ensure_flowfillpin)."""
     from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
-    from gridfia_ray.pipelines.fill import fill_sinks_tiles
     from gridfia_ray.pipelines.flow import flow_accumulate, flow_direction_packed
 
     f = _fx()
-    filled = fill_sinks_tiles(
-        _total_biomass_result(f), as_result_tiles=True, eps_u=1
-    )
+    filled = _filled_eps1_result(f)
     out = flow_accumulate(flow_direction_packed(filled)).to_pandas()
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
@@ -1779,7 +1810,9 @@ def q_gf_twi(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.flow import wetness_index_tiles
 
     f = _fx()
-    out = wetness_index_tiles(_total_biomass_result(f)).to_pandas()
+    out = wetness_index_tiles(
+        _total_biomass_result(f), prefilled=_filled_eps1_result(f)
+    ).to_pandas()
     out = out.astype(
         {"y": np.int64, "x": np.int64, "twi_u": np.int64,
          "spi_u": np.int64}

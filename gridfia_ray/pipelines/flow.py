@@ -728,6 +728,7 @@ def wetness_index_tiles(
     n_buckets: int = 64,
     fill_coarsen: int = 4,
     checkpoint_dir: str | None = None,
+    prefilled: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Topographic wetness index ln((acc+1)/max(tanβ, 10⁻³)) — the
     full terrain composition as one call: ε=1 depression fill
@@ -740,18 +741,27 @@ def wetness_index_tiles(
     µ-drop per unit D8 distance).
 
     ``checkpoint_dir`` forwards to the fill superstep loop (the only
-    iterative stage) for mid-pipeline resume."""
+    iterative stage) for mid-pipeline resume.
+
+    ``prefilled`` accepts an already ε=1-conditioned surface
+    (``fill_sinks_tiles(..., as_result_tiles=True, eps_u=1)``) so a
+    caller computing both routed flow AND wetness can pay the fill
+    superstep loop once; when given, ``result`` is ignored."""
     from gridfia_ray.pipelines.fill import fill_sinks_tiles
     from gridfia_ray.stages.agg_util import bucketed_left_attach, to_arrow
 
-    filled = fill_sinks_tiles(
-        result,
-        n_buckets=n_buckets,
-        coarsen=fill_coarsen,
-        as_result_tiles=True,
-        eps_u=1,
-        checkpoint_dir=checkpoint_dir,
-    ).materialize()
+    filled = (
+        prefilled
+        if prefilled is not None
+        else fill_sinks_tiles(
+            result,
+            n_buckets=n_buckets,
+            coarsen=fill_coarsen,
+            as_result_tiles=True,
+            eps_u=1,
+            checkpoint_dir=checkpoint_dir,
+        ).materialize()
+    )
     # ONE direction exchange feeds both the superstep routing and the
     # TWI slope term (the packed tiles carry the drop buffer)
     packed = flow_direction_packed(filled, n_buckets=n_buckets).materialize()
