@@ -898,6 +898,36 @@ def _filled_eps1_result(f: dict):
     )
 
 
+def _packed_filled_coarse(f: dict):
+    """Shared: the coarsened packed direction exchange over the ε=1
+    filled surface (one halo exchange + one coarsening exchange; the
+    routed-flow and TWI queries both settle over these tiles)."""
+    from gridfia_ray.pipelines.flow import (
+        coarsen_packed_tiles,
+        flow_direction_packed,
+        grid_divisor_factor,
+    )
+
+    def build():
+        packed = flow_direction_packed(_filled_eps1_result(f)).materialize()
+        return coarsen_packed_tiles(
+            packed, grid_divisor_factor(packed, 4)
+        ).materialize()
+
+    return _memo(("packed_filled_coarse", f["tiles"]), build)
+
+
+def _acc_filled_result(f: dict):
+    """Shared: the settled flow-accumulation rows over the conditioned
+    surface — the superstep loop runs once for routed-flow + TWI."""
+    from gridfia_ray.pipelines.flow import flow_accumulate
+
+    return _memo(
+        ("acc_filled_result", f["tiles"]),
+        lambda: flow_accumulate(_packed_filled_coarse(f)).materialize(),
+    )
+
+
 def q_connected_components(sf_dir: str) -> pd.DataFrame:
     """Distributed 4-connected patch labeling of biomass > threshold
     (pipelines/ccl.py: per-tile run union-find, O(perimeter) border
@@ -1788,11 +1818,9 @@ def q_gf_flow_filled(sf_dir: str) -> pd.DataFrame:
     descending-z push replay on the filled surface
     (oracle_pins.ensure_flowfillpin)."""
     from gridfia_ray import oracle_pins  # noqa: F401  (oracle pairing)
-    from gridfia_ray.pipelines.flow import flow_accumulate, flow_direction_packed
 
     f = _fx()
-    filled = _filled_eps1_result(f)
-    out = flow_accumulate(flow_direction_packed(filled)).to_pandas()
+    out = _acc_filled_result(f).to_pandas()
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["y", "x"]).reset_index(drop=True)
@@ -1811,7 +1839,9 @@ def q_gf_twi(sf_dir: str) -> pd.DataFrame:
 
     f = _fx()
     out = wetness_index_tiles(
-        _total_biomass_result(f), prefilled=_filled_eps1_result(f)
+        _total_biomass_result(f),
+        prepacked=_packed_filled_coarse(f),
+        preacc=_acc_filled_result(f),
     ).to_pandas()
     out = out.astype(
         {"y": np.int64, "x": np.int64, "twi_u": np.int64,

@@ -262,6 +262,106 @@ def _round_map(inflow_ref, emit_pixels: bool):
     return fn
 
 
+def coarsen_packed_tiles(
+    packed: rd.Dataset, factor: int, n_buckets: int = 16
+) -> rd.Dataset:
+    """Merge ``factor``×``factor`` packed flow tiles into super-tiles in
+    ONE keyed exchange before the settle loop.
+
+    Settle rounds scale with the max number of TILE-boundary crossings
+    on any flow path — on a hydrologically-conditioned (ε-filled)
+    surface drainage paths wind to the border, so crossings ≈ path
+    length / tile size and coarsening divides the round count by
+    ``factor`` at the price of ``factor``²-larger local solves (the
+    same deal as fill's ``_coarsen_state``; memory: superstep-round-
+    count lesson). Per-pixel D8 codes, z and drop buffers are
+    position-independent, so merging is pure placement — results are
+    bit-identical (accumulation is an exact topological fold at any
+    tiling; partition-invariance tests pin this).
+
+    Requires uniform (h, w) and every super-group to be a COMPLETE
+    ``factor``×``factor`` block (the emit step computes global coords
+    as tile_row·H, so a ragged edge super-tile would shift its pixels
+    — the exact bug fixed in fill's long-row emit): callers clamp
+    ``factor`` to a divisor of the tile grid, and assemble raises on
+    incomplete blocks rather than corrupt coordinates."""
+    if factor <= 1:
+        return packed
+    from gridfia_ray.stages.agg_util import bucketed_group_map
+
+    out_schema = pa.schema(
+        [
+            ("metric", pa.string()),
+            ("tile_row", pa.int64()),
+            ("tile_col", pa.int64()),
+            ("h", pa.int64()),
+            ("w", pa.int64()),
+            ("z", pa.binary()),
+            ("dir", pa.binary()),
+            ("drop", pa.binary()),
+        ]
+    )
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__sr"] = batch["tile_row"] // factor
+        batch["__sc"] = batch["tile_col"] // factor
+        return batch
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        h = int(group["h"].iloc[0])
+        w = int(group["w"].iloc[0])
+        if (group["h"] != h).any() or (group["w"] != w).any():
+            raise ValueError("coarsen_packed_tiles: non-uniform tile dims")
+        if len(group) != factor * factor:
+            raise ValueError(
+                "coarsen_packed_tiles: incomplete super-tile block "
+                f"({len(group)} of {factor * factor} tiles) — the factor "
+                "must divide the occupied tile grid"
+            )
+        H, W = factor * h, factor * w
+        z = np.empty((H, W), np.int64)
+        d8 = np.empty((H, W), np.int8)
+        drop = np.empty((H, W), np.int64)
+        for _, r in group.iterrows():
+            oy = (int(r["tile_row"]) % factor) * h
+            ox = (int(r["tile_col"]) % factor) * w
+            z[oy:oy + h, ox:ox + w] = np.frombuffer(r["z"], np.int64).reshape(h, w)
+            d8[oy:oy + h, ox:ox + w] = np.frombuffer(r["dir"], np.int8).reshape(h, w)
+            drop[oy:oy + h, ox:ox + w] = np.frombuffer(r["drop"], np.int64).reshape(h, w)
+        return pd.DataFrame(
+            {
+                "metric": [group["metric"].iloc[0]],
+                "tile_row": [int(group["__sr"].iloc[0])],
+                "tile_col": [int(group["__sc"].iloc[0])],
+                "h": [H],
+                "w": [W],
+                "z": [z.tobytes()],
+                "dir": [d8.tobytes()],
+                "drop": [drop.tobytes()],
+            }
+        )
+
+    return bucketed_group_map(
+        packed.map_batches(key, batch_format="pandas"),
+        ["metric", "__sr", "__sc"],
+        assemble,
+        n_buckets=n_buckets,
+        out_schema=out_schema,
+    )
+
+
+def grid_divisor_factor(packed: rd.Dataset, want: int) -> int:
+    """Largest factor ≤ ``want`` dividing BOTH occupied tile-grid dims
+    (two cheap max aggregates) — the safe coarsening clamp."""
+    nty = int(packed.max("tile_row") or 0) + 1
+    ntx = int(packed.max("tile_col") or 0) + 1
+    return max(
+        f for f in range(1, max(1, want) + 1)
+        if nty % f == 0 and ntx % f == 0
+    )
+
+
 def flow_accumulate(packed: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
     """Superstep loop to the exact fixed point, then one final pass
     emitting per-pixel (y, x, dir, acc). The cross-flow fold is the
@@ -278,6 +378,12 @@ def flow_accumulate(packed: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
         if total == prev_total:
             break
         prev_total = total
+        if len(flows) == 0:
+            # zero crossings (e.g. fully coarsened single tile): Ray's
+            # to_pandas() drops the columns of an empty result, so the
+            # groupby below would KeyError — there is nothing to fold
+            inflow = {}
+            continue
         agg = flows.groupby(
             ["tile_row", "tile_col", "ty", "tx"], as_index=False
         )["count"].sum()
@@ -729,6 +835,9 @@ def wetness_index_tiles(
     fill_coarsen: int = 4,
     checkpoint_dir: str | None = None,
     prefilled: rd.Dataset | None = None,
+    flow_coarsen: int = 4,
+    prepacked: rd.Dataset | None = None,
+    preacc: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Topographic wetness index ln((acc+1)/max(tanβ, 10⁻³)) — the
     full terrain composition as one call: ε=1 depression fill
@@ -746,7 +855,13 @@ def wetness_index_tiles(
     ``prefilled`` accepts an already ε=1-conditioned surface
     (``fill_sinks_tiles(..., as_result_tiles=True, eps_u=1)``) so a
     caller computing both routed flow AND wetness can pay the fill
-    superstep loop once; when given, ``result`` is ignored."""
+    superstep loop once; when given, ``result`` is ignored.
+    ``prepacked`` goes one further: an already packed (and optionally
+    coarsened) direction exchange shared with a flow_accumulate
+    caller — when given, both ``result`` and ``prefilled`` are
+    ignored. ``preacc`` (requires ``prepacked``) additionally reuses a
+    settled ``flow_accumulate(prepacked)`` result so the superstep
+    loop itself runs once across routed-flow + wetness consumers."""
     from gridfia_ray.pipelines.fill import fill_sinks_tiles
     from gridfia_ray.stages.agg_util import bucketed_left_attach, to_arrow
 
@@ -763,9 +878,20 @@ def wetness_index_tiles(
         ).materialize()
     )
     # ONE direction exchange feeds both the superstep routing and the
-    # TWI slope term (the packed tiles carry the drop buffer)
-    packed = flow_direction_packed(filled, n_buckets=n_buckets).materialize()
-    acc = flow_accumulate(packed)
+    # TWI slope term (the packed tiles carry the drop buffer); coarsen
+    # before the settle loop — the filled surface drains to the border,
+    # so rounds ≈ winding path length / tile size (clamped to a grid
+    # divisor; 1 = no-op on grids coarsening can't tile exactly)
+    if preacc is not None and prepacked is None:
+        raise ValueError("wetness_index_tiles: preacc requires prepacked")
+    if prepacked is not None:
+        packed = prepacked
+    else:
+        packed = flow_direction_packed(filled, n_buckets=n_buckets).materialize()
+        packed = coarsen_packed_tiles(
+            packed, grid_divisor_factor(packed, flow_coarsen)
+        ).materialize()
+    acc = preacc if preacc is not None else flow_accumulate(packed)
     drops = drops_from_packed(packed).map_batches(
         lambda b: b.select(["y", "x", "drop_u", "diag"]),
         batch_format="pyarrow",
@@ -1064,6 +1190,12 @@ def dinf_accumulate(packed: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
         if total == prev_total:
             break
         prev_total = total
+        if len(flows) == 0:
+            # zero crossings (e.g. fully coarsened single tile): Ray's
+            # to_pandas() drops the columns of an empty result, so the
+            # groupby below would KeyError — there is nothing to fold
+            inflow = {}
+            continue
         agg = flows.groupby(
             ["tile_row", "tile_col", "ty", "tx"], as_index=False
         )["count"].sum()
@@ -1192,6 +1324,12 @@ def flow_length_upstream(packed: rd.Dataset, max_rounds: int = 64) -> rd.Dataset
         if total == prev_total:
             break
         prev_total = total
+        if len(flows) == 0:
+            # zero crossings (e.g. fully coarsened single tile): Ray's
+            # to_pandas() drops the columns of an empty result, so the
+            # groupby below would KeyError — there is nothing to fold
+            inflow = {}
+            continue
         agg = flows.groupby(
             ["tile_row", "tile_col", "ty", "tx"], as_index=False
         )["count"].max()

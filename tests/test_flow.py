@@ -125,6 +125,65 @@ class TestDrops:
         )
 
 
+class TestCoarsenPacked:
+    def test_coarsened_accumulation_bit_matches(self, ray_session):
+        from gridfia_ray.pipelines.flow import (
+            coarsen_packed_tiles,
+            grid_divisor_factor,
+        )
+
+        rng = np.random.RandomState(21)
+        g = rng.rand(16, 16) * 90
+        packed = flow_direction_packed(
+            rd.from_pandas(_tiles_from_grid(g, 4, 4)).repartition(3),
+            n_buckets=8,
+        ).materialize()
+        base = (
+            flow_accumulate(packed)
+            .to_pandas()
+            .sort_values(["y", "x"])
+            .reset_index(drop=True)
+        )
+        f = grid_divisor_factor(packed, 4)
+        assert f == 4
+        coarse = (
+            flow_accumulate(coarsen_packed_tiles(packed, f))
+            .to_pandas()
+            .sort_values(["y", "x"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(base, coarse)
+
+    def test_grid_divisor_clamps(self, ray_session):
+        from gridfia_ray.pipelines.flow import (
+            coarsen_packed_tiles,
+            grid_divisor_factor,
+        )
+
+        g = np.tile((30.0 - np.arange(12)), (12, 1))
+        packed = flow_direction_packed(
+            rd.from_pandas(_tiles_from_grid(g, 4, 4)), n_buckets=4
+        ).materialize()
+        # 3×3 tile grid: 4 doesn't divide, 3 does
+        assert grid_divisor_factor(packed, 4) == 3
+        out = flow_accumulate(
+            coarsen_packed_tiles(packed, 3)
+        ).to_pandas()
+        assert len(out) == g.size
+
+    def test_incomplete_block_raises(self, ray_session):
+        from gridfia_ray.pipelines.flow import coarsen_packed_tiles
+
+        g = np.tile((30.0 - np.arange(8)), (8, 1))
+        df = _tiles_from_grid(g, 4, 4)
+        df = df[~((df["tile_row"] == 1) & (df["tile_col"] == 1))]
+        packed = flow_direction_packed(
+            rd.from_pandas(df), n_buckets=4
+        ).materialize()
+        with pytest.raises(Exception, match="incomplete"):
+            coarsen_packed_tiles(packed, 2).materialize()
+
+
 class TestAccumulation:
     def test_east_plane_closed_form(self, ray_session):
         # single row flow: acc(y, x) = x (cells strictly west, same row)
