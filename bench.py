@@ -140,7 +140,9 @@ def run_bench() -> dict:
 
     if BENCH_ONLY != "tiles":
         timed("tile_dedup_exact", lambda: D.exact_dedup(tiles).count())
-        plots = K.load_plots(os.path.join(bench_dir, "plots.parquet"))
+        # path form: each actor loads the plot table in __init__ from
+        # shared storage — no object-store ctor args (ray#53727)
+        plots = os.path.join(bench_dir, "plots.parquet")
         timed("knn_idw", lambda: K.knn_interpolate(tiles, plots, spec).count())
 
         # spatial autocorrelation (bucketed-reduce Moran's I, A8)

@@ -269,7 +269,7 @@ class GridFIARay:
     def knn(self, tiles_path: str, plots_path: str, k: int = 4, power: float = 2.0):
         from gridfia_ray.pipelines import knn as K
 
-        return K.knn_interpolate(tiles_path, K.load_plots(plots_path), self.spec, k, power)
+        return K.knn_interpolate(tiles_path, plots_path, self.spec, k, power)
 
     def identify_pixel(self, tiles_path: str, x: float, y: float, species_code: str) -> float:
         """S4 analog: point query — cell-id equality filter (prunes to

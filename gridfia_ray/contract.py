@@ -1785,7 +1785,7 @@ def q_knn_idw(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines import knn as K
 
     f = _fx()
-    kn = K.knn_interpolate(f["tiles"], K.load_plots(f["plots"]), f["spec"], k=4, power=2.0)
+    kn = K.knn_interpolate(f["tiles"], f["plots"], f["spec"], k=4, power=2.0)
     df = kn.to_pandas()
     out = df[["tile_row", "tile_col"]].astype(np.int64)
     out["knn_u"] = s6(df["knn_value"])
@@ -1957,7 +1957,6 @@ def q_gf_kriging(sf_dir: str) -> pd.DataFrame:
 
     from gridfia_ray import oracle_pins
     from gridfia_ray.pipelines import kriging as KR
-    from gridfia_ray.pipelines.knn import load_plots
 
     p = oracle_pins.ensure_krigpin()
     spec = GridSpec(
@@ -1965,7 +1964,7 @@ def q_gf_kriging(sf_dir: str) -> pd.DataFrame:
     )
     out = KR.krige_points(
         rd.read_parquet(p["points"]),
-        load_plots(p["plots"]),
+        p["plots"],
         spec,
         oracle_pins.krigpin_model(),
         k=oracle_pins.KRIG_PIN_K,

@@ -29,9 +29,20 @@ from gridfia_ray.stages.decode import species_prefilter
 
 
 class KnnActor:
-    """kNN/IDW scorer over a broadcast plot table."""
+    """kNN/IDW scorer over a broadcast plot table.
 
-    def __init__(self, plots: dict, spec: GridSpec, k: int = 4, power: float = 2.0):
+    ``plots`` may be a parquet PATH instead of an in-memory dict: each
+    actor then loads the table in ``__init__`` from shared storage.
+    Prefer the path form for pooled use — it keeps the constructor args
+    tiny (no object-store ref whose loss would break an actor restart,
+    ray#53727) and is the restart-safe broadcast pattern at cluster
+    scale."""
+
+    def __init__(
+        self, plots: dict | str, spec: GridSpec, k: int = 4, power: float = 2.0
+    ):
+        if isinstance(plots, str):
+            plots = load_plots(plots)
         self.k = int(k)
         self.power = float(power)
         self.cs = spec.cell_size
@@ -117,7 +128,7 @@ class KnnActor:
 
 
 def knn_interpolate(
-    tiles_path: str, plots: dict, spec: GridSpec, k: int = 4, power: float = 2.0
+    tiles_path: str, plots: dict | str, spec: GridSpec, k: int = 4, power: float = 2.0
 ) -> rd.Dataset:
     """One kNN/IDW row per tile position (distinct tiles via the '0000'
     layer — every tile position has exactly one total row). Per-species

@@ -177,7 +177,7 @@ class KrigingActor(KnnActor):
     ``(point_id, pred, krig_var, k_used)``.
     """
 
-    def __init__(self, plots: dict, spec: GridSpec, model: dict, k: int = 8):
+    def __init__(self, plots: dict | str, spec: GridSpec, model: dict, k: int = 8):
         super().__init__(plots, spec, k=k)
         if self.px.size:
             # duplicate plot locations make the OK matrix singular —
@@ -244,7 +244,7 @@ class KrigingActor(KnnActor):
 
 
 def krige_points(
-    points: rd.Dataset, plots: dict, spec: GridSpec, model: dict, k: int = 8
+    points: rd.Dataset, plots: dict | str, spec: GridSpec, model: dict, k: int = 8
 ) -> rd.Dataset:
     """Ordinary kriging of ``plots`` onto a streaming point dataset
     ``(point_id, x, y)`` — broadcast plots, no shuffle."""
@@ -295,7 +295,7 @@ class _TileCenterKriging(KrigingActor):
 
 
 def krige_tiles(
-    tiles_path, plots: dict, spec: GridSpec, model: dict, k: int = 8
+    tiles_path, plots: dict | str, spec: GridSpec, model: dict, k: int = 8
 ) -> rd.Dataset:
     """One kriged row per tile position (the '0000' total layer gives
     one row per position; per-species stores prune at the file level)."""
