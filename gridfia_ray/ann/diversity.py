@@ -9,16 +9,18 @@ near-duplicates OUT; k-center keeps maximally-spread points IN): select
 point, by repeatedly taking the point FARTHEST from the current
 selection.
 
-Scale shape: the selected set is tiny (``m`` rows) and the corpus
-streams. State is one float64 ``mind`` column (distance² to the nearest
-selected center so far) carried WITH the data; each round broadcasts
-only the newest center (``ray.put``), one ``map_batches`` pass updates
-``mind`` (``min(mind, d²(x, c))``), and per-block 1-row winners
-``(max mind, min vec_id)`` fold on the driver (bounded: one row per
-block). m rounds ⇒ m distance-update passes (the algorithm's inherent
-cost) plus m winner scans — the latter over the just-MATERIALIZED
-state, so they read zero-copy Arrow from the object store and do no
-recompute; every pass is a pure map, NO shuffle anywhere.
+Scale shape: the selected set is tiny (``m`` rows) and the corpus is
+SHARDED ONTO A STATEFUL ACTOR POOL for the loop (round-4 VERDICT #5:
+the previous per-round ``materialize()`` chain kept up to m
+object-store copies of the corpus+state alive in lineage). Each shard
+actor holds its (ids, matrix, mind) slice in heap memory; a round is
+one tiny RPC fan-out — the newest center in, a 1-row shard winner
+``(max mind, min vec_id)`` out — so per-round object-store traffic is
+O(m·dim) TOTAL and the store peak is the one-time init pass,
+independent of m. m rounds of per-shard distance updates remain the
+algorithm's inherent cost; there is NO shuffle anywhere. Partitioning
+assumption: corpus/K must fit a shard actor's heap — for corpora
+beyond that, raise K (actors), not rounds.
 
 Determinism: the winner rule is lexicographic ``(mind DESC, vec_id
 ASC)`` over exactly-computed float64 distances; the per-point reduction
@@ -73,78 +75,109 @@ def kcenter_select(
     if m < 1:
         raise ValueError("kcenter_select: m must be >= 1")
 
-    def init(batch: pa.Table) -> pa.Table:
+    from gridfia_ray.pipelines.common import cluster_cpus
+
+    def project(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _prep(_as_matrix(batch[vec_col]), metric)
         return pa.table(
             {
                 "vec_id": pa.array(ids),
                 "vec": pa.array(list(mat), pa.list_(pa.float64())),
-                "mind": pa.array(np.full(len(ids), np.inf)),
             }
         )
 
-    state = emb.map_batches(init, batch_format="pyarrow").materialize()
-
-    # deterministic seed: the smallest vec_id (per-block min → driver)
-    def block_seed(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
-        if ids.size == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.list_(pa.float64()))})
-        i = int(np.argmin(ids))
-        return batch.select(["vec_id", "vec"]).slice(i, 1)
-
-    seeds = state.map_batches(block_seed, batch_format="pyarrow").to_pandas()
-    if len(seeds) == 0:
+    # ONE init pass (ids + prepped float64 vectors), then the blocks are
+    # handed to shard actors by ref and the dataset is dropped — the
+    # loop never touches the object store again beyond m tiny RPCs
+    prepped = emb.map_batches(project, batch_format="pyarrow").materialize()
+    refs = prepped.to_arrow_refs()
+    n_total = prepped.count()
+    if n_total == 0:
         raise ValueError("kcenter_select: empty input")
-    seed = seeds.sort_values("vec_id").iloc[0]
-    n_total = state.count()
+    del prepped
 
-    picks = [(0, int(seed["vec_id"]), float("nan"))]
-    center = np.asarray(seed["vec"], dtype=np.float64)
+    k_shards = max(1, min(cluster_cpus(), len(refs)))
+    actors = [
+        _KcShard.remote(refs[i::k_shards], metric) for i in range(k_shards)
+    ]
+    try:
+        # deterministic seed: the smallest vec_id (per-shard min → driver)
+        seeds = [s for s in ray.get([a.seed.remote() for a in actors]) if s]
+        # actors have materialized their heap copies once seed() returns
+        # — drop the block refs so the store copy can be reclaimed
+        del refs
+        seed_id, seed_vec = min(seeds, key=lambda s: s[0])
 
-    for r in range(1, min(m, n_total)):
-        ref = ray.put(center)
-
-        def update(batch: pa.Table, _ref=ref) -> pa.Table:
-            c = ray.get(_ref)
-            mat = _as_matrix(batch["vec"])
-            d2 = _dist2(mat, c, metric)
-            mind = np.minimum(batch["mind"].to_numpy(), d2)
-            return pa.table(
-                {"vec_id": batch["vec_id"], "vec": batch["vec"],
-                 "mind": pa.array(mind)}
-            )
-
-        state = state.map_batches(update, batch_format="pyarrow").materialize()
-
-        def block_winner(batch: pa.Table) -> pa.Table:
-            ids = batch["vec_id"].to_numpy()
-            if ids.size == 0:
-                return batch.slice(0, 0)
-            mind = batch["mind"].to_numpy()
-            top = mind.max()
-            cand = np.nonzero(mind == top)[0]
-            i = int(cand[np.argmin(ids[cand])])
-            return batch.slice(i, 1)
-
-        winners = (
-            state.map_batches(block_winner, batch_format="pyarrow").to_pandas()
-        )
-        winners = winners.sort_values(
-            ["mind", "vec_id"], ascending=[False, True]
-        )
-        w = winners.iloc[0]
-        if float(w["mind"]) == 0.0:
-            # every remaining point coincides with a selected center
-            # (duplicate embeddings): re-picking would emit duplicate
-            # vec_ids — the selection is complete at the distinct count
-            break
-        picks.append((r, int(w["vec_id"]), float(w["mind"])))
-        center = np.asarray(w["vec"], dtype=np.float64)
+        picks = [(0, int(seed_id), float("nan"))]
+        center = list(seed_vec)
+        for r in range(1, min(m, n_total)):
+            wins = [
+                w
+                for w in ray.get(
+                    [a.update_and_winner.remote(center) for a in actors]
+                )
+                if w
+            ]
+            # global fold: (mind DESC, vec_id ASC) — identical to the
+            # previous per-block winner sort
+            wid, wmind, wvec = max(wins, key=lambda w: (w[1], -w[0]))
+            if wmind == 0.0:
+                # every remaining point coincides with a selected center
+                # (duplicate embeddings): re-picking would emit duplicate
+                # vec_ids — the selection is complete at the distinct count
+                break
+            picks.append((r, int(wid), float(wmind)))
+            center = wvec
+    finally:
+        for a in actors:
+            ray.kill(a)
 
     return pd.DataFrame(picks, columns=["rank", "vec_id", "radius2"])
+
+
+@ray.remote(num_cpus=1)
+class _KcShard:
+    """One corpus shard of the Gonzalez loop, resident in actor heap:
+    (ids, float64 matrix, mind). ``update_and_winner`` applies the
+    newest center (``mind ← min(mind, d²(x, c))`` — the shared
+    :func:`_dist2`, per-row reductions so bits are split-independent)
+    and returns this shard's 1-row winner ``(vec_id, mind, vec)`` under
+    the (mind DESC, vec_id ASC) rule."""
+
+    def __init__(self, refs: list, metric: str):
+        tables = ray.get(list(refs))
+        ids, mats = [], []
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            ids.append(t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+            mats.append(_as_matrix(t["vec"]))
+        self.ids = (
+            np.concatenate(ids) if ids else np.zeros(0, np.int64)
+        )
+        self.mat = (
+            np.concatenate(mats) if mats else np.zeros((0, 0), np.float64)
+        )
+        self.mind = np.full(self.ids.size, np.inf)
+        self.metric = metric
+
+    def seed(self):
+        if self.ids.size == 0:
+            return None
+        i = int(np.argmin(self.ids))
+        return int(self.ids[i]), self.mat[i].tolist()
+
+    def update_and_winner(self, center: list):
+        if self.ids.size == 0:
+            return None
+        c = np.asarray(center, np.float64)
+        d2 = _dist2(self.mat, c, self.metric)
+        self.mind = np.minimum(self.mind, d2)
+        top = self.mind.max()
+        cand = np.nonzero(self.mind == top)[0]
+        i = int(cand[np.argmin(self.ids[cand])])
+        return int(self.ids[i]), float(self.mind[i]), self.mat[i].tolist()
 
 
 def kcenter_assign(

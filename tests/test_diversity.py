@@ -115,3 +115,45 @@ class TestKCenter:
         exp = duckdb.sql(build_oracle_sql()["emb_kcenter"]).df()
         assert (got["vec_id"].to_numpy() == exp["vec_id"].to_numpy()).all()
         assert (got["radius2_u"].to_numpy() == exp["radius2_u"].to_numpy()).all()
+
+
+class TestKCenterMemory:
+    def test_store_peak_independent_of_m(self, ray_session):
+        # r4 VERDICT #5: the old loop materialized a full corpus+state
+        # copy per round (peak grew with m). The sharded-actor loop's
+        # object-store peak is the one-time init pass; a 6x-longer
+        # selection must not move it by more than a small constant.
+        import threading
+
+        import ray
+
+        ids, vecs = _emb(n=3000, d=32)
+        ds = _ds(ids, vecs)
+
+        def peak_during(m):
+            stop = threading.Event()
+            peak = [0.0]
+
+            def sample():
+                total = ray.cluster_resources().get("object_store_memory", 0.0)
+                while not stop.is_set():
+                    avail = ray.available_resources().get(
+                        "object_store_memory", total
+                    )
+                    peak[0] = max(peak[0], total - avail)
+                    stop.wait(0.01)
+
+            t = threading.Thread(target=sample)
+            t.start()
+            try:
+                out = DV.kcenter_select(ds, m)
+            finally:
+                stop.set()
+                t.join()
+            assert len(out) == m
+            return peak[0]
+
+        p4 = peak_during(4)
+        p24 = peak_during(24)
+        corpus_bytes = vecs.size * 8  # float64-prepped corpus
+        assert p24 <= p4 + 2 * corpus_bytes + (8 << 20), (p4, p24)
