@@ -1,0 +1,570 @@
+"""Shared contract helpers: fixture handles, scaled-integer discipline,
+memoized derived datasets, corpus/pin accessors.
+
+Split out of the former monolithic ``gridfia_ray/contract.py`` (round-5
+VERDICT #3); see ``gridfia_ray/contract/__init__.py`` for the package
+map. Query/oracle semantics are unchanged.
+"""
+
+from __future__ import annotations
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+from gridfia_ray import fixtures
+from gridfia_ray.io import read_parquet_clean
+from gridfia_ray.kernels.base import KernelContext
+from gridfia_ray.kernels.registry import registry
+from gridfia_ray.pipelines.common import GridSpec
+
+
+
+U = 1_000_000
+
+FIXTURE = "t2"
+
+def s6(x) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * U + 0.5).astype(np.int64)
+
+def _sql_s6(expr: str) -> str:
+    return f"CAST(FLOOR(({expr})*1000000 + 0.5) AS BIGINT)"
+
+def _fx() -> dict:
+    d = fixtures.ensure_fixture(FIXTURE)
+    meta = fixtures.fixture_meta(FIXTURE)
+    return {
+        "dir": d,
+        "tiles": os.path.join(d, "tiles"),
+        "tiles_dup": os.path.join(d, "tiles_dup.parquet"),
+        "pixels": os.path.join(d, "pixels.parquet"),
+        "pixel_zones": os.path.join(d, "pixel_zones.parquet"),
+        "warp_expected": os.path.join(d, "warp_expected.parquet"),
+        "percentiles_expected": os.path.join(d, "percentiles_expected.parquet"),
+        "zones": os.path.join(d, "zones.parquet"),
+        "plots": os.path.join(d, "plots.parquet"),
+        "meta": meta,
+        "spec": GridSpec.from_fixture_meta(meta),
+        "catalog": ["0000"]
+        + sorted(s["species_code"] for s in meta["species"] if s["species_code"] != "0000"),
+    }
+
+def _run_pixel_metric(cfgs: list[dict], ctx: KernelContext | None = None) -> pd.DataFrame:
+    from gridfia_ray.pipelines import metrics as M
+
+    f = _fx()
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs(cfgs),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+        ctx=ctx,
+    )
+    pix = M.metrics_to_pixels(res).to_pandas()
+    return pix.sort_values(["y", "x"]).reset_index(drop=True)
+
+def _pixel_metric_query(name: str, col: str, scaled: bool, params: dict | None = None,
+                        known_nonempty: bool = True):
+    def q(sf_dir: str) -> pd.DataFrame:
+        ctx = None
+        kern_cls = registry.get(name)
+        if kern_cls.needs_global == ("extent_has_biomass",) and known_nonempty:
+            # the only global this kernel needs is the any-biomass flag,
+            # true by construction for the seeded fixture → skip the pass
+            ctx = KernelContext(catalog=_fx()["catalog"], extent_has_biomass=True)
+        pix = _run_pixel_metric([{"name": name, "parameters": params or {}}], ctx=ctx)
+        out = pix[["y", "x"]].copy()
+        out[col] = s6(pix["value"]) if scaled else pix["value"].astype(np.int64)
+        return out
+
+    return q
+
+_VARIOGRAM_LAGS = [1, 2, 4, 8]
+
+_CONTOUR_LEVEL = 45.0
+
+_CALC_EXPR = "(a - b) * 1000000 // (a + b + 1)"
+
+def _species_pct_result(f: dict, code: str):
+    from gridfia_ray.pipelines import metrics as M
+
+    return M.run_metrics(
+        f["tiles"],
+        registry.from_configs(
+            [{"name": "species_percentage",
+              "parameters": {"species_code": code}}]
+        ),
+        f["spec"],
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+
+_MEMO: dict[tuple, object] = {}
+
+def _memo(key: tuple, build):
+    """Process-lifetime cache of shared derived DATASETS (driver-budget
+    hardening, r4 VERDICT #1b): dozens of q_* functions start from the
+    same decoded total-biomass raster, and a correctness sweep that
+    rebuilds it per query pays the decode+reduce pipeline ~40×. The
+    cached value is a ``materialize()``d Dataset (immutable; a few MB
+    in the object store at fixture scale), so every consumer branches
+    off the same blocks. Keyed by fixture path — a different fixture
+    (or GEN_VERSION bump → new path) misses naturally."""
+    if key not in _MEMO:
+        _MEMO[key] = build()
+    return _MEMO[key]
+
+def _total_biomass_result(f: dict):
+    """Shared: the precise scaled total-biomass result tiles (input to
+    the raster-derivative queries below) — memoized per fixture."""
+    from gridfia_ray.pipelines import metrics as M
+
+    return _memo(
+        ("total_biomass_result", f["tiles"]),
+        lambda: M.run_metrics(
+            f["tiles"],
+            registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+            f["spec"],
+            f["catalog"],
+            n_tiles_hint=f["meta"]["n_tiles"],
+            n_species_hint=f["meta"]["n_species"],
+            precise=True,
+        ).materialize(),
+    )
+
+def _filled_eps1_result(f: dict):
+    """Shared: the ε=1 hydrologically-conditioned surface (fill
+    superstep loop run once; flow routing and TWI both branch off
+    it)."""
+    from gridfia_ray.pipelines.fill import fill_sinks_tiles
+
+    return _memo(
+        ("filled_eps1_result", f["tiles"]),
+        lambda: fill_sinks_tiles(
+            _total_biomass_result(f), as_result_tiles=True, eps_u=1
+        ).materialize(),
+    )
+
+def _packed_filled_coarse(f: dict):
+    """Shared: the coarsened packed direction exchange over the ε=1
+    filled surface (one halo exchange + one coarsening exchange; the
+    routed-flow and TWI queries both settle over these tiles)."""
+    from gridfia_ray.pipelines.flow import (
+        coarsen_packed_tiles,
+        flow_direction_packed,
+        grid_divisor_factor,
+    )
+
+    def build():
+        packed = flow_direction_packed(_filled_eps1_result(f)).materialize()
+        return coarsen_packed_tiles(
+            packed, grid_divisor_factor(packed, 4)
+        ).materialize()
+
+    return _memo(("packed_filled_coarse", f["tiles"]), build)
+
+def _acc_filled_result(f: dict):
+    """Shared: the settled flow-accumulation rows over the conditioned
+    surface — the superstep loop runs once for routed-flow + TWI."""
+    from gridfia_ray.pipelines.flow import flow_accumulate
+
+    return _memo(
+        ("acc_filled_result", f["tiles"]),
+        lambda: flow_accumulate(_packed_filled_coarse(f)).materialize(),
+    )
+
+def _warp_query(resampling: str) -> pd.DataFrame:
+    """Shared body of the warp queries: reproject the total-biomass
+    raster from the store's Albers grid onto a Web Mercator grid via
+    the keyed gather + closed-form inverse transform, emitting a
+    deterministic per-dst-tile summary (n_valid, micro-scaled sum)."""
+    from gridfia_ray.geo.crs import transform_bbox
+    from gridfia_ray.pipelines import metrics as M
+    from gridfia_ray.pipelines.warp import warp_tiles
+
+    f = _fx()
+    spec = f["spec"]
+    res = M.run_metrics(
+        f["tiles"],
+        registry.from_configs([{"name": "total_biomass", "parameters": {}}]),
+        spec,
+        f["catalog"],
+        n_tiles_hint=f["meta"]["n_tiles"],
+        n_species_hint=f["meta"]["n_species"],
+        precise=True,
+    )
+    grid_n = int(f["meta"]["grid"])
+    ext = spec.tile * spec.px * grid_n
+    bbox = transform_bbox(
+        (spec.origin_x, spec.origin_y - ext, spec.origin_x + ext, spec.origin_y),
+        f["meta"]["crs"],
+        "EPSG:3857",
+    )
+    dst = GridSpec(origin_x=bbox[0], origin_y=bbox[3], px=40.0, tile=spec.tile)
+    out = warp_tiles(
+        res, spec, f["meta"]["crs"], dst, "EPSG:3857", resampling=resampling
+    ).to_pandas()
+    rows = []
+    for _, r in out.iterrows():
+        arr = np.frombuffer(r["pix"], np.float64)
+        finite = np.isfinite(arr)
+        rows.append(
+            (
+                int(r["tile_row"]),
+                int(r["tile_col"]),
+                int(finite.sum()),
+                int(s6(arr[finite]).sum()),
+            )
+        )
+    res_df = pd.DataFrame(rows, columns=["tile_row", "tile_col", "n_valid", "sum_u"])
+    for c in res_df.columns:
+        res_df[c] = res_df[c].astype(np.int64)
+    return res_df.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
+
+def _stats_roundtrip(sf_dir: str, prefix: str, write: str, read: str) -> pd.DataFrame:
+    """S17 tabular export end-to-end: the per-species occurrence stats
+    through a Ray-native text sink and back through the paired source —
+    exported integers must survive the text roundtrip and hash-match
+    the same independent SQL oracle as the direct plan."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    df = q_occurrence_stats(sf_dir)
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    try:
+        getattr(rd.from_pandas(df).repartition(2), write)(tmp)
+        back = getattr(rd, read)(tmp).to_pandas()
+        for c in ["present_px", "n_px", "sum_biomass_u", "max_biomass_u"]:
+            back[c] = back[c].astype(np.int64)
+        back["species_code"] = back["species_code"].astype(str).str.zfill(4)
+        return back.sort_values("species_code", ignore_index=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+_BBOX_PX = {"y0": 96, "y1": 288, "x0": 64, "x1": 224}  # spans tile borders
+
+def _codec_decode_query(fixture_paths: dict, species: list[str] | None = None) -> pd.DataFrame:
+    """Shared body of the lossy-codec decode queries: stream the
+    fixture's tile table through the standard decoder actor pool —
+    species prune, caption parse, registry dispatch, (vmin, vmax)
+    dequantization — and emit per-tile micro-scaled sums of the DECODED
+    floats. The codecs are lossy but deterministic, so the distributed
+    pool must reproduce the fixture's pinned sequential replay
+    bit-exactly."""
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+
+    f = _fx()
+
+    def sums(batch):
+        import pyarrow as pa
+
+        out = []
+        for buf in batch["pix"].to_pylist():
+            vals = np.frombuffer(buf, dtype="<f4").astype(np.float64)
+            out.append(int(s6(vals).sum()))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "sum_u": pa.array(out, pa.int64()),
+            }
+        )
+
+    decoded = decoded_tiles(
+        read_tiles(fixture_paths["tiles"]),
+        f["spec"],
+        include_total=True,
+        species=species,
+    )
+    df = decoded.map_batches(sums, batch_format="pyarrow").to_pandas()
+    df["image_id"] = df["image_id"].astype(str)
+    return df.sort_values("image_id", ignore_index=True)
+
+def _store_species_sums(store: str, spec: GridSpec) -> pd.DataFrame:
+    """Distributed per-species (n_tiles, s6 pixel sum) over a tile
+    store: per-batch combiner partials (bounded by species × batches),
+    tiny driver fold — the shared verification reducer for the store
+    lifecycle roundtrips (gf_ingest_cube / gf_store_append)."""
+    from gridfia_ray.pipelines.common import decoded_tiles, read_tiles
+
+    def partial(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        codes, sums, tiles_n = [], [], []
+        for code in pc.unique(batch["species_code"]).to_pylist():
+            sub = batch.filter(pc.equal(batch["species_code"], code))
+            tot = 0
+            for buf in sub["pix"].to_pylist():
+                vals = np.frombuffer(buf, dtype="<f4").astype(np.float64)
+                tot += int(s6(vals).sum())
+            codes.append(code)
+            sums.append(tot)
+            tiles_n.append(sub.num_rows)
+        return pa.table(
+            {
+                "species_code": pa.array(codes, pa.string()),
+                "n_tiles": pa.array(tiles_n, pa.int64()),
+                "sum_u": pa.array(sums, pa.int64()),
+            }
+        )
+
+    decoded = decoded_tiles(read_tiles(store), spec, include_total=True)
+    parts = decoded.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("species_code", as_index=False)[["n_tiles", "sum_u"]]
+        .sum()
+        .astype({"n_tiles": np.int64, "sum_u": np.int64})
+    )
+    return out.sort_values("species_code", ignore_index=True)
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
+
+_MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+
+_MIX_DEFAULT = 0.1
+
+_TFIDF_QUERY_IDS = [3, 17, 41]
+
+def _split_docs_at(docs, threshold: int):
+    """(doc_id < threshold, doc_id >= threshold) halves, split at the
+    Arrow level — pandas filters here produced empty object-column
+    blocks that tripped the executor's size estimator on every poll."""
+    import pyarrow.compute as pc
+
+    first = docs.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], threshold)), batch_format="pyarrow"
+    )
+    second = docs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], threshold)),
+        batch_format="pyarrow",
+    )
+    return first, second
+
+def _bench_snippets(sf_dir: str) -> list[str]:
+    """Deterministic stand-in benchmark: every 97th doc contributes a
+    48-char snippet (chars 21..68, 1-indexed) — same derivation as the
+    SQL oracle's ``snip`` CTE, so containment is exactly comparable."""
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    import pyarrow as pa
+
+    src = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    rows = src.map_batches(
+        # Arrow out: empty pandas blocks with an object column trip the
+        # executor's size estimator on every poll
+        lambda b: pa.table(
+            {"s": pa.array(
+                b.loc[(b["doc_id"] % 97 == 0) & (b["text"].str.len() >= 68), "text"]
+                .str[20:68].tolist(),
+                pa.string(),
+            )}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    return rows["s"].tolist()
+
+_SUBSTR_LEN = 10
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+
+_ANN_QUERY_IDS = [0, 1, 2]
+
+def _query_vectors(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas().set_index("vec_id")
+    return np.stack(df.loc[_ANN_QUERY_IDS, "embedding"].to_numpy())
+
+def _pin_docs():
+    import ray.data as rd
+
+    from gridfia_ray import oracle_pins
+    from gridfia_ray.context import tune_context
+
+    tune_context()
+    return rd.read_parquet(oracle_pins.ensure_docpin()["documents"])
+
+def _semi_anti_customers(sf_dir: str, anti: bool) -> pd.DataFrame:
+    import ray.data as rd
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.joins import broadcast_semi_join
+
+    tune_context()
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    )
+    urgent = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"c_custkey": b.loc[b["o_orderpriority"] == "1-URGENT", "o_custkey"]}
+        ),
+        batch_format="pandas",
+    )
+    out = broadcast_semi_join(cust, urgent, "c_custkey", anti=anti).to_pandas()
+    res = pd.DataFrame(
+        {
+            "c_custkey": out["c_custkey"].astype(np.int64),
+            "acctbal_c": np.floor(out["c_acctbal"].to_numpy(np.float64) * 100 + 0.5).astype(
+                np.int64
+            ),
+        }
+    )
+    return res.sort_values("c_custkey").reset_index(drop=True)
+
+def _dim_lookup(keys: np.ndarray, vals: np.ndarray):
+    """Sorted-key broadcast lookup: returns (hit_mask, values) closures
+    capture — the dimension-side pattern (supplier/customer × nation
+    fold on the driver, fact side streams through searchsorted)."""
+    order = np.argsort(keys)
+    sk, sv = keys[order], vals[order]
+
+    def look(k: np.ndarray):
+        pos = np.searchsorted(sk, k)
+        inb = pos < sk.size
+        hit = np.zeros(k.size, dtype=bool)
+        hit[inb] = sk[pos[inb]] == k[inb]
+        out = np.empty(k.size, dtype=sv.dtype)
+        out[hit] = sv[pos[hit]]
+        return hit, out
+
+    return look
+
+def _trade_edges(sf_dir: str):
+    """Mirrored customer↔supplier trade graph: distinct pairs from the
+    orders ⋈ lineitem shuffle join, node ids namespaced 2·cust /
+    2·supp+1, one directed edge each way."""
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.joins import shuffle_hash_join
+    from gridfia_ray.stages.agg_util import bucketed_agg
+
+    tune_context()
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    j = shuffle_hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[["o_custkey", "l_suppkey"]].drop_duplicates()
+        g["one"] = np.int64(1)
+        return g
+
+    pairs = bucketed_agg(
+        j.map_batches(pair_partial, batch_format="pandas"),
+        ["o_custkey", "l_suppkey"],
+        {"one": ("one", "max")},
+        n_buckets=16,
+    )
+
+    import pyarrow as pa
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([2 * c, 2 * s + 1]), pa.int64()),
+                "dst": pa.array(np.concatenate([2 * s + 1, 2 * c]), pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(mirror, batch_format="pyarrow")
+
+_TRI_RATE = 0.2
+
+_CC_RATE = 0.02
+
+def _co_supply_edges(sf_dir: str, rate: float):
+    """Distinct canonical supplier co-supply pairs (u < v share a
+    part), DOULION-sparsified at ``rate`` by the md5 rank shared
+    verbatim with the SQL oracles. Returns a Dataset[u, v]."""
+    import pyarrow as pa
+
+    from gridfia_ray.context import tune_context
+    from gridfia_ray.pipelines.sampling import md5_rank, rate_threshold_hex
+    from gridfia_ray.stages.agg_util import bucketed_agg, bucketed_bucket_map
+
+    tune_context()
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
+    )
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.drop_duplicates()
+        g["one"] = np.int64(1)
+        return g
+
+    ps = bucketed_agg(
+        li.map_batches(pair_partial, batch_format="pandas"),
+        ["l_partkey", "l_suppkey"],
+        {"one": ("one", "max")},
+        n_buckets=16,
+    )
+
+    def co_supply(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("l_partkey", sort=False):
+            s = np.sort(grp["l_suppkey"].to_numpy(np.int64))
+            if len(s) < 2:
+                continue
+            ii, jj = np.triu_indices(len(s), k=1)
+            outs.append(pd.DataFrame({"u": s[ii], "v": s[jj]}))
+        if not outs:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64),
+                 "one": pd.Series(dtype=np.int64)}
+            )
+        out = pd.concat(outs, ignore_index=True).drop_duplicates()
+        out["one"] = np.int64(1)
+        return out
+
+    pair_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("one", pa.int64())])
+    pairs = bucketed_bucket_map(
+        ps, ["l_partkey"], co_supply, n_buckets=16, out_schema=pair_schema
+    )
+    edges = bucketed_agg(pairs, ["u", "v"], {"one": ("one", "max")}, n_buckets=16)
+
+    thr = rate_threshold_hex(rate)
+
+    def sparsify(batch: pd.DataFrame) -> pd.DataFrame:
+        r = md5_rank([batch["u"], batch["v"]]).str[:8]
+        return batch.loc[(r < thr).to_numpy(), ["u", "v"]]
+
+    return edges.map_batches(sparsify, batch_format="pandas")
+
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+__all__ = ['U', 'FIXTURE', 's6', '_sql_s6', '_fx', '_run_pixel_metric', '_pixel_metric_query', '_VARIOGRAM_LAGS', '_CONTOUR_LEVEL', '_CALC_EXPR', '_species_pct_result', '_MEMO', '_memo', '_total_biomass_result', '_filled_eps1_result', '_packed_filled_coarse', '_acc_filled_result', '_warp_query', '_stats_roundtrip', '_BBOX_PX', '_codec_decode_query', '_store_species_sums', '_docs', '_MIX_RATES', '_MIX_DEFAULT', '_TFIDF_QUERY_IDS', '_split_docs_at', '_bench_snippets', '_SUBSTR_LEN', '_embeddings', '_ANN_QUERY_IDS', '_query_vectors', '_pin_docs', '_semi_anti_customers', '_dim_lookup', '_trade_edges', '_TRI_RATE', '_CC_RATE', '_co_supply_edges', '_WINNOW_K', '_WINNOW_W', 's6', '_sql_s6']

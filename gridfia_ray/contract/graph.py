@@ -1,0 +1,73 @@
+"""Graph analytics over the mirrored trade graph: PageRank, BFS,
+triangles, components.
+
+Split out of the former monolithic ``gridfia_ray/contract.py`` (round-5
+VERDICT #3); see ``gridfia_ray/contract/__init__.py`` for the package
+map. Query/oracle semantics are unchanged.
+"""
+
+from __future__ import annotations
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+from gridfia_ray import fixtures
+from gridfia_ray.io import read_parquet_clean
+from gridfia_ray.kernels.base import KernelContext
+from gridfia_ray.kernels.registry import registry
+from gridfia_ray.pipelines.common import GridSpec
+from gridfia_ray.contract._shared import *  # noqa: F401,F403
+
+
+def q_graph_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact PageRank (2 iterations, d=0.85, fused Pregel
+    supersteps — 2 rounds exercise the data-dependent loop at half the
+    driver-window cost of 3) over the mirrored customer↔supplier trade
+    graph; ranks bit-match the unrolled SQL oracle's identical floor
+    divisions."""
+    from gridfia_ray.pipelines.graph import pagerank
+
+    out = pagerank(_trade_edges(sf_dir), n_iters=2).to_pandas()
+    out = out.astype({"node": np.int64, "rank_c": np.int64})
+    return out.sort_values("node", ignore_index=True)
+
+def q_graph_bfs(sf_dir: str) -> pd.DataFrame:
+    """Single-source BFS: the 3-hop neighborhood of customer 1 (node 2)
+    over the mirrored trade graph — frontier supersteps (expand +
+    exact settle) with the depth bound exercising the data-dependent
+    loop; exact vs the recursive-CTE shortest-hop oracle."""
+    from gridfia_ray.pipelines.graph import bfs_distances
+
+    out = bfs_distances(_trade_edges(sf_dir), source=2, max_depth=3).to_pandas()
+    out = out.astype({"node": np.int64, "dist": np.int64})
+    return out.sort_values("node", ignore_index=True)
+
+def q_graph_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count over the hash-sparsified supplier co-supply
+    graph (DOULION-style deterministic edge sampling — md5 rank shared
+    verbatim with the oracle — over distinct supplier pairs sharing a
+    part). Degree-oriented node-iterator: wedge volume is Σ outdeg²
+    with outdeg = O(√m) regardless of hub skew."""
+    from gridfia_ray.pipelines.graph import triangle_count
+
+    n = triangle_count(_co_supply_edges(sf_dir, _TRI_RATE))
+    return pd.DataFrame({"n_triangles": np.asarray([n], np.int64)})
+
+def q_graph_components(sf_dir: str) -> pd.DataFrame:
+    """Weakly connected components of the co-supply graph sparsified to
+    2% (sparse enough to fragment into many components): iterative
+    hash-min label propagation — the shared Pregel machinery behind
+    duplicate clustering — vs the recursive-CTE min-label closure
+    oracle. Component id = min supplier key of the component."""
+    from gridfia_ray.pipelines.graph import connected_components
+
+    out = connected_components(
+        _co_supply_edges(sf_dir, _CC_RATE), src="u", dst="v", n_buckets=16
+    ).to_pandas()
+    out = out.astype({"node": np.int64, "component": np.int64})
+    return out.sort_values("node", ignore_index=True)
