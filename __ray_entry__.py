@@ -39,7 +39,14 @@ def entry() -> Any:
 
     tune_context()
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    quality = docs.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 2))
+    # worker-cached task mode: same build-once-per-worker regex state as
+    # the actor pool, without the ~2 s pool spin-up — entry() is the
+    # driver's smoke probe and must stay fast cold
+    from gridfia_ray.stages.worker_state import worker_cached
+
+    quality = docs.map_batches(
+        worker_cached(QualityScorer), batch_format="pandas"
+    )
     n_docs = quality.count()
 
     d = fixtures.ensure_fixture("t1")

@@ -522,7 +522,7 @@ def _co_supply_edges(sf_dir: str, rate: float):
     )
 
     def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.drop_duplicates()
+        g = batch.drop_duplicates().copy()
         g["one"] = np.int64(1)
         return g
 

@@ -626,6 +626,12 @@ def dup_clusters_distributed(
         ),
         batch_format="pandas",
     ).materialize()
+    # size buckets to live rows: the loop pays ~n_buckets sort-partition
+    # tasks per exchange per round, so 64 buckets on a 100-edge graph
+    # multiplies pure overhead by the diameter (superstep-round-count
+    # lesson); ~64 edge rows per bucket keeps tasks meaningful while
+    # preserving the configured width for genuinely large graphs
+    n_buckets = max(1, min(n_buckets, int(edges.count()) // 64 or 1))
 
     # init = min(node, neighbors): the edge row (src, dst) contributes
     # both candidates to src's label, so the setup exchange performs the

@@ -266,6 +266,32 @@ def bfs_distances(
     max_iters: int = 10_000,
     max_depth: int | None = None,
 ) -> rd.Dataset:
+    """Hop distances from ``source`` — the shard-actor superstep path
+    (stages/pregel): edges are partitioned ONCE onto resident actors
+    and each round moves only frontier-message refs, vs the exchange
+    path's two full-table shuffles per round (~10× on the contract
+    trade graph). Requires every reachable node to appear as a ``src``
+    (mirror the edges for undirected semantics — the same contract as
+    :func:`bfs_distances_exchange`, which is kept as the
+    shuffle-machinery reference implementation and parity-tested)."""
+    from gridfia_ray.stages.pregel import PregelGraph
+
+    g = PregelGraph(edges, n_buckets=min(n_buckets, 8), src=src, dst=dst)
+    try:
+        return g.bfs(source, max_depth=max_depth, max_iters=max_iters).materialize()
+    finally:
+        g.close()
+
+
+def bfs_distances_exchange(
+    edges: rd.Dataset,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 16,
+    max_iters: int = 10_000,
+    max_depth: int | None = None,
+) -> rd.Dataset:
     """Hop distances from ``source`` over a directed edge table —
     (node, dist) for every REACHABLE node (the source itself at 0), or
     for the ``max_depth``-hop neighborhood when a depth bound is given
@@ -643,30 +669,33 @@ def connected_components(
     component) for every node with at least one edge, component = the
     minimum node id of its component.
 
-    Thin graph-surface wrapper over the shared iterative hash-min label
-    propagation (:func:`gridfia_ray.dedup.docs.dup_clusters_distributed`
-    — the Pregel algorithm is identical for duplicate-pair clustering
-    and general WCC, so there is exactly one implementation). Edge
-    direction is ignored (the propagation mirrors every edge); node ids
-    must be non-negative int64 (the underlying label stream uses -1 as
-    its message sentinel). Raises rather than returning unconverged
-    labels when the graph diameter exceeds ``max_iters``."""
-    from gridfia_ray.dedup.docs import dup_clusters_distributed
+    Runs the shard-actor hash-min superstep (stages/pregel): the
+    mirrored edge table is partitioned ONCE onto resident actors and
+    each round moves only changed-label message refs — vs two
+    full-table shuffles per round on the exchange path
+    (:func:`gridfia_ray.dedup.docs.dup_clusters_distributed`, which
+    remains the dataset-machinery implementation used by the document
+    dedup surface and as the parity reference). Edge direction is
+    ignored (edges are mirrored here); node ids must be non-negative
+    int64. Raises rather than returning unconverged labels when the
+    graph diameter exceeds ``max_iters``."""
+    from gridfia_ray.stages.pregel import PregelGraph
 
-    pairs = edges.map_batches(
+    mirrored = edges.map_batches(
         lambda b, s=src, d=dst: pd.DataFrame(
-            {"a": b[s].to_numpy(np.int64), "b": b[d].to_numpy(np.int64)}
-        ),
-        batch_format="pandas",
-    )
-    return dup_clusters_distributed(
-        pairs, n_buckets=n_buckets, max_iters=max_iters
-    ).map_batches(
-        lambda b: pd.DataFrame(
             {
-                "node": b["doc_id"].to_numpy(np.int64),
-                "component": b["cluster_rep"].to_numpy(np.int64),
+                "src": np.concatenate(
+                    [b[s].to_numpy(np.int64), b[d].to_numpy(np.int64)]
+                ),
+                "dst": np.concatenate(
+                    [b[d].to_numpy(np.int64), b[s].to_numpy(np.int64)]
+                ),
             }
         ),
         batch_format="pandas",
     )
+    g = PregelGraph(mirrored, n_buckets=min(n_buckets, 8))
+    try:
+        return g.components(max_iters=max_iters).materialize()
+    finally:
+        g.close()
