@@ -85,6 +85,40 @@ def pagerank(
     dst: str = "dst",
     n_buckets: int = 16,
 ) -> rd.Dataset:
+    """Integer-exact PageRank on the shard-actor superstep path
+    (stages/pregel): the edge table is partitioned once onto resident
+    actors and each round exchanges only per-dst pre-summed
+    contribution refs. Bit-identical to
+    :func:`pagerank_exchange` (the dataset-machinery reference, kept
+    and parity-tested) and to the unrolled SQL oracle — the per-edge
+    floor divisions and int64 sums are the same expressions, and
+    integer addition is order-independent. Same validation contract:
+    every node needs an out- AND in-edge (mirror undirected graphs);
+    dangling mass or massless sources raise."""
+    from gridfia_ray.stages.pregel import PregelGraph
+
+    if not (0 < damping_pct < 100):
+        raise ValueError("pagerank: damping_pct must be in (0, 100)")
+    if n_iters < 1:
+        raise ValueError("pagerank: n_iters must be >= 1")
+    g = PregelGraph(edges, n_buckets=min(n_buckets, 8), src=src, dst=dst)
+    try:
+        return g.pagerank(
+            n_iters=n_iters, damping_pct=damping_pct, scale=scale
+        ).materialize()
+    finally:
+        g.close()
+
+
+def pagerank_exchange(
+    edges: rd.Dataset,
+    n_iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 16,
+) -> rd.Dataset:
     """Integer-exact PageRank over a distinct directed edge table.
 
     Every participating node must have both an out-edge and an in-edge

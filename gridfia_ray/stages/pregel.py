@@ -65,19 +65,26 @@ def _split_block(block: pa.Table, n_buckets: int, src: str, dst: str):
     if block.num_rows == 0 or src not in block.column_names:
         # zero-row blocks from pandas stages arrive COLUMNLESS (the
         # known empty-block schema drop) — nothing to split
-        empty = pa.table(
-            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-        )
+        z = np.zeros(0, np.int64)
+        empty = (pa.table({"src": pa.array(z), "dst": pa.array(z)}), z)
         return [empty] * n_buckets if n_buckets > 1 else empty
     s = block[src].to_numpy(zero_copy_only=False).astype(np.int64)
     d = block[dst].to_numpy(zero_copy_only=False).astype(np.int64)
     if (s < 0).any() or (d < 0).any():
         raise ValueError("pregel: node ids must be non-negative int64")
     b = _bucket_ids(s, n_buckets)
+    # a dst that never appears as a src (a SINK on a directed graph)
+    # still needs an owner for its state: register every dst with its
+    # hash-owner bucket alongside the src-partitioned edges
+    du = np.unique(d)
+    db = _bucket_ids(du, n_buckets)
     out = []
     for k in range(n_buckets):
         m = b == k
-        out.append(pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])}))
+        out.append(
+            (pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])}),
+             du[db == k])
+        )
     return out if n_buckets > 1 else out[0]
 
 
@@ -86,7 +93,9 @@ class _GraphShard:
     """One bucket's edges + owned-node state, resident for the loop."""
 
     def __init__(self, edge_refs: list, n_buckets: int, bucket: int):
-        tables = [t for t in ray.get(list(edge_refs)) if t.num_rows]
+        parts = ray.get(list(edge_refs))
+        tables = [t for t, _ in parts if t.num_rows]
+        regs = [r for _, r in parts if r.size]
         if tables:
             src = np.concatenate(
                 [t["src"].to_numpy(zero_copy_only=False) for t in tables]
@@ -100,7 +109,14 @@ class _GraphShard:
         order = np.argsort(src, kind="stable")
         self.src = src[order]
         self.dst = dst[order]
-        self.nodes = np.unique(self.src)  # owned = appears as src here
+        # owned = sources partitioned here (bucket(src) == bucket) plus
+        # hash-owned sink registrations (dsts with no out-edges land on
+        # their id's hash bucket so their state lives somewhere)
+        self.nodes = np.unique(
+            np.concatenate([self.src] + regs)
+            if regs
+            else self.src
+        )
         self.n_buckets = n_buckets
         self.bucket = bucket
         self.state: np.ndarray | None = None
@@ -151,10 +167,18 @@ class _GraphShard:
         if self.nodes.size == 0:
             self.state = np.zeros(0, np.int64)
             return [None] * self.n_buckets
-        init = pd.DataFrame({"node": self.src, "val": self.dst}).groupby(
-            "node", as_index=False
-        )["val"].min()
-        self.state = np.minimum(self.nodes, init["val"].to_numpy(np.int64))
+        # labels start at the node id; sources additionally take their
+        # min out-neighbor (aligned by position — owned nodes may
+        # include hash-registered sinks with no out-edges)
+        self.state = self.nodes.copy()
+        if self.src.size:
+            init = pd.DataFrame({"node": self.src, "val": self.dst}).groupby(
+                "node", as_index=False
+            )["val"].min()
+            pos = np.searchsorted(self.nodes, init["node"].to_numpy(np.int64))
+            self.state[pos] = np.minimum(
+                self.state[pos], init["val"].to_numpy(np.int64)
+            )
         srcs, dsts = self._out_edges_of(self.nodes)
         pos = np.searchsorted(self.nodes, srcs)
         return self._route(dsts, self.state[pos])
@@ -239,6 +263,94 @@ class _GraphShard:
         spos = np.searchsorted(frontier, srcs)
         return int(improved.sum()), self._route(dsts, fr_dist[spos] + 1)
 
+    # -- integer-exact PageRank --------------------------------------------
+
+    def pr_init(self) -> int:
+        """Per-owned-node out-degree; returns the local node count for
+        the driver's global N fold."""
+        lo = np.searchsorted(self.src, self.nodes, side="left")
+        hi = np.searchsorted(self.src, self.nodes, side="right")
+        self.deg = hi - lo
+        return int(self.nodes.size)
+
+    def _pr_route(self, ranks: np.ndarray, damping_pct: int) -> list:
+        """Per-edge contribution (d·r_src)//(100·deg_src), pre-summed
+        per dst locally before routing (the combiner: shard-to-shard
+        volume is bounded by distinct dsts, not edges)."""
+        pos = np.searchsorted(self.nodes, self.src)
+        c = (damping_pct * ranks[pos]) // (100 * self.deg[pos])
+        df = pd.DataFrame({"node": self.dst, "val": c}).groupby(
+            "node", as_index=False
+        )["val"].sum()
+        return self._route(
+            df["node"].to_numpy(np.int64), df["val"].to_numpy(np.int64)
+        )
+
+    def pr_first(self, init_r: int, damping_pct: int) -> list:
+        if self.nodes.size == 0:
+            return [None] * self.n_buckets
+        ranks = np.full(self.nodes.size, np.int64(init_r))
+        return self._pr_route(ranks, damping_pct)
+
+    def _pr_fold(self, msg_refs: list) -> np.ndarray:
+        tables = [t for t in ray.get([r for r in msg_refs if r is not None])
+                  if t.num_rows]
+        if tables:
+            df = pa.concat_tables(tables).to_pandas().groupby(
+                "node", as_index=False
+            )["val"].sum()
+            node = df["node"].to_numpy(np.int64)
+            if self.nodes.size == 0:
+                raise ValueError(
+                    "pagerank: rank mass addressed to node(s) with no "
+                    f"out-edges (e.g. {int(node[0])})"
+                    " — mirror the graph or drop dangling nodes"
+                )
+            pos = np.searchsorted(self.nodes, node)
+            pos_c = np.minimum(pos, self.nodes.size - 1)
+            # dangling = mass sent to a node with no out-edges: either
+            # unowned entirely, or a hash-registered SINK (deg == 0)
+            dangling = (
+                (pos >= self.nodes.size)
+                | (self.nodes[pos_c] != node)
+                | (self.deg[pos_c] == 0)
+            )
+            if dangling.any():
+                raise ValueError(
+                    "pagerank: rank mass addressed to node(s) with no "
+                    f"out-edges (e.g. {int(node[dangling][0])})"
+                    " — mirror the graph or drop dangling nodes"
+                )
+            sums = np.zeros(self.nodes.size, np.int64)
+            sums[pos] = df["val"].to_numpy(np.int64)
+            got = np.zeros(self.nodes.size, bool)
+            got[pos] = True
+        else:
+            sums = np.zeros(self.nodes.size, np.int64)
+            got = np.zeros(self.nodes.size, bool)
+        if self.nodes.size and not got.all():
+            raise ValueError(
+                "pagerank: edge source received no rank mass — every "
+                "node needs an in-edge (mirror the graph)"
+            )
+        return sums
+
+    def pr_step(self, msg_refs: list, tele: int, damping_pct: int
+                ) -> tuple[int, list]:
+        sums = self._pr_fold(msg_refs)
+        if self.nodes.size == 0:
+            return 0, [None] * self.n_buckets
+        return 1, self._pr_route(sums + np.int64(tele), damping_pct)
+
+    def pr_result(self, msg_refs: list, tele: int) -> pa.Table:
+        sums = self._pr_fold(msg_refs)
+        return pa.table(
+            {
+                "node": pa.array(self.nodes),
+                "rank_c": pa.array(sums + np.int64(tele)),
+            }
+        )
+
     def bfs_result(self) -> pa.Table:
         inf = np.iinfo(np.int64).max
         m = (
@@ -311,6 +423,44 @@ class PregelGraph:
         inits = ray.get([a.cc_init.remote() for a in self.actors])
         self._loop(inits, "cc_step", max_iters)
         refs = [a.cc_result.remote() for a in self.actors]
+        ray.wait(refs, num_returns=len(refs))
+        return rd.from_arrow_refs(refs)
+
+    def pagerank(self, n_iters: int = 3, damping_pct: int = 85,
+                 scale: int = 10**12) -> rd.Dataset:
+        """Integer-exact PageRank, bit-matching the exchange
+        implementation (pipelines/graph.pagerank) and its unrolled SQL
+        oracle: r₀ = scale//N; message = (d·r)//(100·deg); rank =
+        Σmessages + ((100−d)·scale)//(100·N). Requires every node to
+        have both an out- and in-edge (mirror undirected graphs) — the
+        dangling / no-mass validations raise identically."""
+        if not (0 < damping_pct < 100):
+            raise ValueError("pagerank: damping_pct must be in (0, 100)")
+        if n_iters < 1:
+            raise ValueError("pagerank: n_iters must be >= 1")
+        counts = ray.get([a.pr_init.remote() for a in self.actors])
+        n_nodes = sum(counts)
+        if n_nodes == 0:
+            raise ValueError("pagerank: empty edge table")
+        init_r = scale // n_nodes
+        tele = ((100 - damping_pct) * scale) // (100 * n_nodes)
+        outs = ray.get(
+            [a.pr_first.remote(init_r, damping_pct) for a in self.actors]
+        )
+        for _ in range(n_iters - 1):
+            mail = [[row[b] for row in outs] for b in range(self.n_buckets)]
+            stepped = ray.get(
+                [
+                    a.pr_step.remote(mail[b], tele, damping_pct)
+                    for b, a in enumerate(self.actors)
+                ]
+            )
+            outs = [s[1] for s in stepped]
+        mail = [[row[b] for row in outs] for b in range(self.n_buckets)]
+        refs = [
+            a.pr_result.remote(mail[b], tele)
+            for b, a in enumerate(self.actors)
+        ]
         ray.wait(refs, num_returns=len(refs))
         return rd.from_arrow_refs(refs)
 

@@ -244,3 +244,43 @@ class TestConnectedComponents:
     def test_partition_invariant(self, ray_session):
         pairs = [(0, 1), (1, 2), (7, 8), (8, 9), (9, 7), (42, 43)]
         assert self._cc(pairs, parts=1) == self._cc(pairs, parts=7)
+
+
+class TestPregelExchangeParity:
+    """The shard-actor superstep path must bit-match the Ray-Data
+    exchange path (kept as the reference implementation)."""
+
+    def _pairs(self):
+        rng = __import__("numpy").random.RandomState(5)
+        es = set()
+        while len(es) < 60:
+            u, v = rng.randint(0, 40, 2)
+            if u != v:
+                es.add((min(u, v), max(u, v)))
+        return sorted(es)
+
+    def test_pagerank_parity(self, ray_session):
+        from gridfia_ray.pipelines.graph import pagerank, pagerank_exchange
+
+        # pagerank requires a mirrored graph (every node needs an out-
+        # AND in-edge) — same contract on both paths
+        mirrored = self._pairs() + [(v, u) for u, v in self._pairs()]
+        e = _edges(mirrored, parts=3)
+        a = pagerank(e, n_iters=4, n_buckets=5).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        b = pagerank_exchange(e, n_iters=4, n_buckets=5).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
+
+    def test_bfs_parity(self, ray_session):
+        from gridfia_ray.pipelines.graph import (
+            bfs_distances,
+            bfs_distances_exchange,
+        )
+
+        e = _edges(self._pairs(), parts=3)
+        a = bfs_distances(e, source=0, max_depth=4).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        b = bfs_distances_exchange(e, source=0, max_depth=4).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
