@@ -394,7 +394,10 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.context import tune_context
 
     tune_context()
-    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[["user_id", "ts", "value"]].copy()

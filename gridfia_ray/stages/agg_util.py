@@ -41,12 +41,56 @@ def to_arrow(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
     return t
 
 
+# sum/min/max only: associative + order-independent on the integer/
+# float values the merge maps carry, so the Arrow path is bit-equal to
+# the pandas path; mean/count variants keep the pandas fallback
+_ARROW_AGG_FNS = {"sum", "min", "max"}
+
+
 def bucketed_agg(
     partials: rd.Dataset,
     keys: list[str],
     agg_map: dict[str, tuple[str, str]],
     n_buckets: int = 32,
 ) -> rd.Dataset:
+    fns = {fn for _, fn in agg_map.values()}
+    if fns <= _ARROW_AGG_FNS:
+        # Arrow-native merge (round-5 VERDICT #6): the keyed merge is
+        # pure column math, so the pandas hop per block is avoidable.
+        # Bucket routing still hashes the KEY columns through
+        # bucket_of (pandas SipHash — THE routing function), but the
+        # value columns never leave Arrow.
+        def add_bucket_arrow(batch: pa.Table) -> pa.Table:
+            from gridfia_ray.stages.dedup_util import bucket_of
+
+            kdf = pd.DataFrame(
+                {k: batch[k].to_numpy(zero_copy_only=False) for k in keys}
+            )
+            return batch.append_column(
+                "__bucket", pa.array(bucket_of(kdf, keys, n_buckets))
+            )
+
+        aggs = [(col, fn) for _, (col, fn) in agg_map.items()]
+        renames = {
+            f"{col}_{fn}": out for out, (col, fn) in agg_map.items()
+        }
+
+        def merge_arrow(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0 or not set(keys) <= set(group.column_names):
+                return group.select([])  # executor pads empty buckets
+            g = group.group_by(keys).aggregate(aggs)
+            g = g.rename_columns(
+                [renames.get(c, c) for c in g.column_names]
+            )
+            return g.select(keys + list(agg_map))
+
+        return (
+            partials.map_batches(add_bucket_arrow, batch_format="pyarrow")
+            .repartition(n_buckets)
+            .groupby("__bucket")
+            .map_groups(merge_arrow, batch_format="pyarrow")
+        )
+
     def add_bucket(batch: pd.DataFrame) -> pa.Table:
         from gridfia_ray.stages.dedup_util import bucket_of
 
