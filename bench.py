@@ -395,6 +395,18 @@ def run_bench() -> dict:
         timed("clahe", lambda: q_gf_clahe(SF_DIR))
         timed("unsharp", lambda: q_gf_unsharp(SF_DIR))
 
+        # shard-actor Pregel supersteps (edges resident; rounds move
+        # only message refs) over the mirrored trade graph
+        from gridfia_ray.contract import (
+            q_graph_bfs,
+            q_graph_components,
+            q_graph_pagerank,
+        )
+
+        timed("graph_pagerank", lambda: q_graph_pagerank(SF_DIR))
+        timed("graph_bfs", lambda: q_graph_bfs(SF_DIR))
+        timed("graph_components", lambda: q_graph_components(SF_DIR))
+
     total = round(sum(timings.values()), 3)
     tile_secs = timings["zonal_stats"] + timings["metrics_fused"]
     result = {
