@@ -4,8 +4,6 @@ preamble locals are recomputed per part."""
 
 from __future__ import annotations
 
-from __future__ import annotations
-
 import os
 from typing import Callable
 

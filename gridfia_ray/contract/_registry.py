@@ -3,8 +3,6 @@ build_oracle_sql (composed from the two oracle parts)."""
 
 from __future__ import annotations
 
-from __future__ import annotations
-
 import os
 from typing import Callable
 

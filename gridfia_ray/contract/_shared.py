@@ -8,8 +8,6 @@ map. Query/oracle semantics are unchanged.
 
 from __future__ import annotations
 
-from __future__ import annotations
-
 import os
 from typing import Callable
 
@@ -239,6 +237,8 @@ def _stats_roundtrip(sf_dir: str, prefix: str, write: str, read: str) -> pd.Data
     import tempfile
 
     import ray.data as rd
+
+    from gridfia_ray.contract.gf_zonal import q_occurrence_stats
 
     df = q_occurrence_stats(sf_dir)
     tmp = tempfile.mkdtemp(prefix=prefix)

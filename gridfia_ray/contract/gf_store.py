@@ -9,8 +9,6 @@ map. Query/oracle semantics are unchanged.
 
 from __future__ import annotations
 
-from __future__ import annotations
-
 import os
 from typing import Callable
 
@@ -45,6 +43,7 @@ def q_ipc_roundtrip(sf_dir: str) -> pd.DataFrame:
 
     import ray.data as rd
 
+    from gridfia_ray.contract.gf_zonal import q_occurrence_stats
     from gridfia_ray.io import read_ipc, write_ipc
 
     df = q_occurrence_stats(sf_dir)

@@ -8,8 +8,6 @@ map. Query/oracle semantics are unchanged.
 
 from __future__ import annotations
 
-from __future__ import annotations
-
 import os
 from typing import Callable
 
