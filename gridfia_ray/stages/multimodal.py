@@ -12,6 +12,14 @@ VARIANT still needing an external library — lossy-VP8 webp — raises
 ``NotImplementedError`` at decode and surfaces as a ``stub:webp`` row,
 and ``fake=True`` still produces deterministic pseudo-frames so
 downstream plumbing is testable without building containers.
+
+Lossy-VP8 is declared a PERMANENT stub (round-5 decision, r4 VERDICT
+#8): a correct VP8 intra decoder needs the boolean arithmetic coder,
+probability-tree-coded modes, 16 predictors, and the normative loop
+filter — re-implementing libwebp is out of scope and easy to get
+subtly wrong. The row-status contract (never a task failure; sibling
+rows decode) is pinned in
+tests/test_multimodal.py::TestLossyWebpPermanentStub.
 """
 
 from __future__ import annotations

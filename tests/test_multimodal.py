@@ -485,3 +485,55 @@ class TestAudioResample:
             "clip_id", "n_samples", "rate", "duration_ms",
             "rms_u", "peak_u", "zero_crossings", "bytes",
         ]
+
+
+class TestLossyWebpPermanentStub:
+    """Contract for the ONE declared-permanent stub (r4 VERDICT #8):
+    lossy-VP8 webp genuinely requires libwebp (boolean-coded
+    inter/intra prediction), which is not in this environment. The
+    pipeline contract is: such payloads surface as per-row
+    ``stub:webp`` status through the media decode pool — never a task
+    failure — while sibling rows in the same batch decode normally."""
+
+    def test_vp8_lossy_rows_flag_not_fail(self, ray_session):
+        import struct
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gridfia_ray.codecs.webp import encode_webp_gray
+
+        # a syntactically valid RIFF/WEBP container with a lossy 'VP8 '
+        # chunk, and a REAL VP8L sibling that must still decode
+        fake_vp8 = b"\x00" * 26
+        lossy = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fake_vp8)) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", len(fake_vp8)) + fake_vp8
+        )
+        img = np.arange(64, dtype=np.float32).reshape(8, 8) % 255
+        lossless = encode_webp_gray(img)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "image_id": pa.array(["lossy", "lossless"]),
+                    "bytes": pa.array([lossy, lossless], pa.binary()),
+                    "fmt": pa.array(["webp", "webp"]),
+                    "h": pa.array([0, 8], pa.int32()),
+                    "w": pa.array([0, 8], pa.int32()),
+                }
+            )
+        )
+        out = (
+            ds.map_batches(
+                ExternalMediaDecoder, batch_format="pyarrow", concurrency=1
+            )
+            .to_pandas()
+            .set_index("image_id")
+        )
+        assert out.loc["lossy", "status"] == "stub:webp"
+        assert out.loc["lossy", "h"] == 0
+        assert out.loc["lossless", "status"] == "ok"
+        got = np.frombuffer(
+            out.loc["lossless", "pix"], dtype="<f4"
+        ).reshape(8, 8)
+        np.testing.assert_array_equal(got, img)
