@@ -462,7 +462,15 @@ def _dim_lookup(keys: np.ndarray, vals: np.ndarray):
 def _trade_edges(sf_dir: str):
     """Mirrored customer↔supplier trade graph: distinct pairs from the
     orders ⋈ lineitem shuffle join, node ids namespaced 2·cust /
-    2·supp+1, one directed edge each way."""
+    2·supp+1, one directed edge each way. Memoized per sf_dir — the
+    PageRank and BFS queries walk the same graph."""
+    return _memo(
+        ("trade_edges", sf_dir),
+        lambda: _trade_edges_build(sf_dir).materialize(),
+    )
+
+
+def _trade_edges_build(sf_dir: str):
     from gridfia_ray.context import tune_context
     from gridfia_ray.pipelines.joins import shuffle_hash_join
     from gridfia_ray.stages.agg_util import bucketed_agg
@@ -509,7 +517,15 @@ _CC_RATE = 0.02
 def _co_supply_edges(sf_dir: str, rate: float):
     """Distinct canonical supplier co-supply pairs (u < v share a
     part), DOULION-sparsified at ``rate`` by the md5 rank shared
-    verbatim with the SQL oracles. Returns a Dataset[u, v]."""
+    verbatim with the SQL oracles. Returns a Dataset[u, v]. Memoized
+    per (sf_dir, rate)."""
+    return _memo(
+        ("co_supply_edges", sf_dir, rate),
+        lambda: _co_supply_edges_build(sf_dir, rate).materialize(),
+    )
+
+
+def _co_supply_edges_build(sf_dir: str, rate: float):
     import pyarrow as pa
 
     from gridfia_ray.context import tune_context
