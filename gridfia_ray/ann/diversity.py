@@ -97,7 +97,14 @@ def kcenter_select(
         raise ValueError("kcenter_select: empty input")
     del prepped
 
-    k_shards = max(1, min(cluster_cpus(), len(refs)))
+    # size shards to the DATA, not the CPU count: each shard is an
+    # actor spawn (~0.5 s), and the per-round fan-out cost scales with
+    # shard count — a few thousand vectors want one or two shards, a
+    # billion want hundreds (bounded by cpu count here)
+    k_shards = max(
+        1,
+        min(cluster_cpus(), len(refs), (n_total + 65_535) // 65_536),
+    )
     actors = [
         _KcShard.remote(refs[i::k_shards], metric) for i in range(k_shards)
     ]
