@@ -383,7 +383,52 @@ def build_queries() -> dict[str, Callable[[str], pd.DataFrame]]:
     return qs
 
 
+def _prewarm_pins() -> None:
+    """Build every pinned-oracle fixture IN PARALLEL as Ray tasks
+    before the SQL strings are assembled (driver-budget hardening: a
+    cold cache paid ~50 s of sequential single-threaded pin builds
+    inside build_oracle_sql; the builders are independent and their
+    cache writes are atomic tmp+rename, so concurrent builds are safe
+    — worst case a loser discards its copy). No-op when warm (each
+    task hits the _COMPLETE marker)."""
+    import inspect
+
+    import ray
+
+    from gridfia_ray import fixtures as _fixt
+    from gridfia_ray import oracle_pins as _pins
+
+    if not ray.is_initialized():  # plain-python caller: build inline
+        return
+
+    @ray.remote(num_cpus=1)
+    def _warm(mod_name: str, fn_name: str, args: tuple) -> None:
+        import importlib
+
+        getattr(importlib.import_module(mod_name), fn_name)(*args)
+
+    jobs = [
+        ("gridfia_ray.fixtures", "ensure_fixture", ("t2",)),
+        ("gridfia_ray.fixtures", "ensure_fixture", ("t1",)),
+        ("gridfia_ray.fixtures", "ensure_jpeg_fixture", ()),
+        ("gridfia_ray.fixtures", "ensure_webp_fixture", ()),
+    ]
+    for name, fn in inspect.getmembers(_pins, inspect.isfunction):
+        if not name.startswith("ensure_"):
+            continue
+        sig = inspect.signature(fn)
+        if all(
+            p.default is not inspect.Parameter.empty
+            for p in sig.parameters.values()
+        ):
+            jobs.append(("gridfia_ray.oracle_pins", name, ()))
+    # t2 first: several pin builders read the fixture tables
+    ray.get(_warm.remote(*jobs[0]))
+    ray.get([_warm.remote(*j) for j in jobs[1:]])
+
+
 def build_oracle_sql() -> dict[str, str]:
+    _prewarm_pins()
     f = _fx()
     sql: dict[str, str] = {}
     add_oracles_a(sql, f)

@@ -485,7 +485,7 @@ def _trade_edges_build(sf_dir: str):
     j = shuffle_hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
 
     def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch[["o_custkey", "l_suppkey"]].drop_duplicates()
+        g = batch[["o_custkey", "l_suppkey"]].drop_duplicates().copy()
         g["one"] = np.int64(1)
         return g
 

@@ -51,12 +51,29 @@ def shuffle_hash_join(
     Use only when neither side fits in a worker (otherwise broadcast —
     ``contract.py`` rel_top_customers pattern — avoids the all-to-all).
     ``num_partitions`` defaults to ~2 blocks per CPU so no aggregator
-    actor holds more than ~1/(2·cpus) of the data.
+    actor holds more than ~1/(2·cpus) of the data — CLAMPED by cluster
+    memory: Ray's hash-shuffle reserves ~1.75 GiB per aggregator actor
+    up front, and 2·32 = 64 aggregators on a 32-CPU/88-GiB node demand
+    112 GiB and STALL the join indefinitely (reproduced on a 60k-row
+    input; the round-4 driver window died at exactly this shape). The
+    clamp keeps the reservation under ~40% of cluster memory.
     """
+    import ray as _ray
+
     from gridfia_ray.pipelines.common import cluster_cpus
 
     if num_partitions is None:
         num_partitions = max(8, 2 * cluster_cpus())
+        try:
+            mem_gib = float(
+                _ray.cluster_resources().get("memory", 0.0)
+            ) / (1 << 30)
+        except Exception:
+            mem_gib = 0.0
+        if mem_gib:
+            num_partitions = max(
+                8, min(num_partitions, int(mem_gib * 0.4 / 1.75))
+            )
 
     def strip_meta(b: pa.Table) -> pa.Table:
         # parquet written by pandas embeds a dict-valued 'pandas' schema
