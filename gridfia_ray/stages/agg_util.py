@@ -63,6 +63,11 @@ def bucketed_agg(
         def add_bucket_arrow(batch: pa.Table) -> pa.Table:
             from gridfia_ray.stages.dedup_util import bucket_of
 
+            # strip the 'pandas' schema metadata Ray attaches when it
+            # converts a pandas block: its DICT value makes pa.Schema
+            # unhashable and every later repartition/unify logs the
+            # "Failed to hash the schemas" fallback (metadata-only op)
+            batch = batch.replace_schema_metadata(None)
             kdf = pd.DataFrame(
                 {k: batch[k].to_numpy(zero_copy_only=False) for k in keys}
             )
