@@ -723,7 +723,12 @@ def q_doc_substr_dedup(sf_dir: str) -> pd.DataFrame:
     the SQL window-replay oracle."""
     from gridfia_ray.text.substr import substr_dedup_docs
 
-    out = substr_dedup_docs(_docs(sf_dir), min_len=_SUBSTR_LEN).to_pandas()
+    # 16 buckets at sf scale: result is bucket-count invariant (pinned
+    # by the partition-invariance tests); 64 nearly-empty sort
+    # partitions per exchange are pure task overhead in the window
+    out = substr_dedup_docs(
+        _docs(sf_dir), min_len=_SUBSTR_LEN, n_buckets=16
+    ).to_pandas()
     out = out[["doc_id", "n_tokens", "n_removed", "text_clean"]]
     for c in ("doc_id", "n_tokens", "n_removed"):
         out[c] = out[c].astype(np.int64)
