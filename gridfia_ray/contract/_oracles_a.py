@@ -240,13 +240,18 @@ def add_oracles_a(sql: dict, f: dict) -> None:
     sql["gf_focal_median"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
-        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
-        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
-               CAST(quantile_disc(b.v, 0.5) AS BIGINT) AS med_u
-        FROM u a JOIN u b
-          ON b.y BETWEEN a.y - 1 AND a.y + 1
-         AND b.x BETWEEN a.x - 1 AND a.x + 1
-        GROUP BY a.y, a.x HAVING COUNT(*) = 9"""
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        -- reverse-shift window: every source pixel CONTRIBUTES to its
+        -- 9 shifted targets, then one group-by — no join at all
+        -- (DuckDB planned the BETWEEN box join as an O(n·w²) IEJoin;
+        -- out-of-grid / border targets never reach the count-9 gate)
+        offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                         (1,-1),(1,0),(1,1)),
+        nb AS (SELECT b.y - o.dy AS y, b.x - o.dx AS x, b.v AS v
+               FROM u b CROSS JOIN offs o)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(quantile_disc(v, 0.5) AS BIGINT) AS med_u
+        FROM nb GROUP BY y, x HAVING COUNT(*) = 9"""
     sql["gf_downsample_majority"] = f"""
         {species_cte},
         r AS (SELECT y, x, species_code,
@@ -280,10 +285,10 @@ def add_oracles_a(sql: dict, f: dict) -> None:
         u AS (SELECT r.y, r.x,
                 CAST(CASE WHEN r.mx > 0 THEN c.ci ELSE 0 END AS BIGINT) v
               FROM r JOIN cat c USING (species_code) WHERE r.rn = 1),
-        c2 AS (SELECT a.y AS y, a.x AS x, b.v, COUNT(*) cnt
-               FROM u a JOIN u b
-                 ON b.y BETWEEN a.y - 1 AND a.y + 1
-                AND b.x BETWEEN a.x - 1 AND a.x + 1
+        offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                         (1,-1),(1,0),(1,1)),
+        c2 AS (SELECT b.y - o.dy AS y, b.x - o.dx AS x, b.v, COUNT(*) cnt
+               FROM u b CROSS JOIN offs o
                GROUP BY 1, 2, 3),
         t AS (SELECT y, x, SUM(cnt) tot FROM c2 GROUP BY 1, 2),
         w AS (SELECT c2.y, c2.x, c2.v,
@@ -313,14 +318,15 @@ def add_oracles_a(sql: dict, f: dict) -> None:
     sql["gf_focal_tpi"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
-        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                         (1,-1),(1,0),(1,1)),
+        nb AS (SELECT b.y - o.dy AS y, b.x - o.dx AS x,
+                      SUM(b.v) AS sv, COUNT(*) AS c
+               FROM u b CROSS JOIN offs o GROUP BY 1, 2)
         SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
-               CAST(9 * a.v - SUM(b.v) AS BIGINT) AS tpi9_u
-        FROM u a JOIN u b
-          ON b.y BETWEEN a.y - 1 AND a.y + 1
-         AND b.x BETWEEN a.x - 1 AND a.x + 1
-        GROUP BY a.y, a.x, a.v
-        HAVING COUNT(*) = 9"""
+               CAST(9 * a.v - nb.sv AS BIGINT) AS tpi9_u
+        FROM u a JOIN nb USING (y, x) WHERE nb.c = 9"""
     from gridfia_ray.pipelines.calc import expr_to_sql, parse_expr
 
     _pct = lambda code: _sql_s6(  # noqa: E731
@@ -356,31 +362,31 @@ def add_oracles_a(sql: dict, f: dict) -> None:
     sql["gf_focal_curvature"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
-        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
-        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
-               CAST(SUM(b.v * (CASE
-                   WHEN abs(b.y - a.y) + abs(b.x - a.x) = 1 THEN 1
-                   WHEN b.y = a.y AND b.x = a.x THEN -4
-                   ELSE 0 END)) AS BIGINT) AS lap4_u
-        FROM u a JOIN u b
-          ON b.y BETWEEN a.y - 1 AND a.y + 1
-         AND b.x BETWEEN a.x - 1 AND a.x + 1
-        GROUP BY a.y, a.x
-        HAVING COUNT(*) = 9"""
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                         (1,-1),(1,0),(1,1)),
+        nb AS (SELECT b.y - o.dy AS y, b.x - o.dx AS x,
+                      SUM(b.v * (CASE
+                        WHEN abs(o.dy) + abs(o.dx) = 1 THEN 1
+                        WHEN o.dy = 0 AND o.dx = 0 THEN -4
+                        ELSE 0 END)) AS lap,
+                      COUNT(*) AS c
+               FROM u b CROSS JOIN offs o GROUP BY 1, 2)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(lap AS BIGINT) AS lap4_u
+        FROM nb WHERE c = 9"""
     sql["gf_focal_aspect"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
         u0 AS (SELECT y, x, {_sql_s6('total')} AS val FROM tot),
-        g AS (SELECT a.y, a.x,
-               -CAST(SUM(b.val * (b.x - a.x) * (2 - abs(b.y - a.y))) AS BIGINT)
-                 AS u,
-               CAST(SUM(b.val * (b.y - a.y) * (2 - abs(b.x - a.x))) AS BIGINT)
-                 AS v
-              FROM u0 a JOIN u0 b
-                ON b.y BETWEEN a.y - 1 AND a.y + 1
-               AND b.x BETWEEN a.x - 1 AND a.x + 1
-              GROUP BY a.y, a.x
-              HAVING COUNT(*) = 9)
+        offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                         (1,-1),(1,0),(1,1)),
+        g0 AS (SELECT b.y - o.dy AS y, b.x - o.dx AS x,
+                -CAST(SUM(b.val * o.dx * (2 - abs(o.dy))) AS BIGINT) AS u,
+                CAST(SUM(b.val * o.dy * (2 - abs(o.dx))) AS BIGINT) AS v,
+                COUNT(*) AS c
+               FROM u0 b CROSS JOIN offs o GROUP BY 1, 2),
+        g AS (SELECT y, x, u, v FROM g0 WHERE c = 9)
         SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
                CAST(CASE
                  WHEN u = 0 AND v = 0 THEN -1
@@ -396,17 +402,18 @@ def add_oracles_a(sql: dict, f: dict) -> None:
     sql["gf_focal_gradient"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
-        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
-        SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
-               CAST(SUM(b.v * (b.x - a.x) * (2 - abs(b.y - a.y))) AS BIGINT)
-                 AS ddx_u,
-               CAST(SUM(b.v * (b.y - a.y) * (2 - abs(b.x - a.x))) AS BIGINT)
-                 AS ddy_u
-        FROM u a JOIN u b
-          ON b.y BETWEEN a.y - 1 AND a.y + 1
-         AND b.x BETWEEN a.x - 1 AND a.x + 1
-        GROUP BY a.y, a.x
-        HAVING COUNT(*) = 9"""
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                         (1,-1),(1,0),(1,1)),
+        nb AS (SELECT b.y - o.dy AS y, b.x - o.dx AS x,
+                      SUM(b.v * o.dx * (2 - abs(o.dy))) AS ddx,
+                      SUM(b.v * o.dy * (2 - abs(o.dx))) AS ddy,
+                      COUNT(*) AS c
+               FROM u b CROSS JOIN offs o GROUP BY 1, 2)
+        SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(ddx AS BIGINT) AS ddx_u,
+               CAST(ddy AS BIGINT) AS ddy_u
+        FROM nb WHERE c = 9"""
     # local autocorrelation: every per-pixel building block is an exact
     # BIGINT/HUGEINT; the single float division mirrors the pipeline's
     # IEEE expression tree term for term (pipelines/local_stats.py),
@@ -417,12 +424,13 @@ def add_oracles_a(sql: dict, f: dict) -> None:
         u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
         g AS (SELECT COUNT(*) AS n, SUM(v) AS s,
                      SUM(CAST(v AS HUGEINT) * v) AS ssq FROM u),
-        nb AS (SELECT a.y, a.x, a.v, SUM(b.v) AS sn, COUNT(*) AS c
-               FROM u a JOIN u b
-                 ON b.y BETWEEN a.y - 1 AND a.y + 1
-                AND b.x BETWEEN a.x - 1 AND a.x + 1
-                AND NOT (b.y = a.y AND b.x = a.x)
-               GROUP BY a.y, a.x, a.v),
+        offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                         (1,-1),(1,0),(1,1)),
+        nb0 AS (SELECT b.y - o.dy AS y, b.x - o.dx AS x,
+                       SUM(b.v) AS sn, COUNT(*) AS c
+                FROM u b CROSS JOIN offs o GROUP BY 1, 2),
+        nb AS (SELECT a.y, a.x, a.v, nb0.sn, nb0.c
+               FROM u a JOIN nb0 USING (y, x)),
         d AS (SELECT nb.y, nb.x,
                      g.n * nb.v - g.s AS dev,
                      g.n * nb.sn - nb.c * g.s AS nbrdev,
@@ -446,11 +454,13 @@ def add_oracles_a(sql: dict, f: dict) -> None:
         u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
         g AS (SELECT COUNT(*) AS n, SUM(v) AS s,
                      SUM(CAST(v AS HUGEINT) * v) AS ssq FROM u),
-        nb AS (SELECT a.y, a.x, SUM(b.v) AS sw, COUNT(*) AS w
-               FROM u a JOIN u b
-                 ON b.y BETWEEN a.y - 1 AND a.y + 1
-                AND b.x BETWEEN a.x - 1 AND a.x + 1
-               GROUP BY a.y, a.x),
+        offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                         (1,-1),(1,0),(1,1)),
+        nb0 AS (SELECT b.y - o.dy AS y, b.x - o.dx AS x,
+                       SUM(b.v) AS sw, COUNT(*) AS w
+                FROM u b CROSS JOIN offs o GROUP BY 1, 2),
+        nb AS (SELECT a.y, a.x, nb0.sw, nb0.w
+               FROM u a JOIN nb0 USING (y, x)),
         d AS (SELECT nb.y, nb.x,
                      g.n * nb.sw - nb.w * g.s AS num,
                      g.n * g.ssq - CAST(g.s AS HUGEINT) * g.s AS a,
@@ -1046,15 +1056,17 @@ def add_oracles_a(sql: dict, f: dict) -> None:
     sql["gf_unsharp"] = f"""
         {species_cte},
         tot AS (SELECT y, x, SUM(biomass) AS total FROM p GROUP BY y, x),
-        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot)
+        u AS (SELECT y, x, {_sql_s6('total')} AS v FROM tot),
+        offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                         (1,-1),(1,0),(1,1)),
+        nb AS (SELECT b.y - o.dy AS y, b.x - o.dx AS x,
+                      SUM(b.v) AS sv, COUNT(*) AS c
+               FROM u b CROSS JOIN offs o GROUP BY 1, 2)
         SELECT CAST(a.y AS BIGINT) AS y, CAST(a.x AS BIGINT) AS x,
                CAST(a.v + CAST(FLOOR(
-                   CAST(3 * (COUNT(*) * a.v - SUM(b.v)) AS DOUBLE)
-                   / (2 * COUNT(*))) AS BIGINT) AS BIGINT) AS sharp_u
-        FROM u a JOIN u b
-          ON b.y BETWEEN a.y - 1 AND a.y + 1
-         AND b.x BETWEEN a.x - 1 AND a.x + 1
-        GROUP BY a.y, a.x, a.v"""
+                   CAST(3 * (nb.c * a.v - nb.sv) AS DOUBLE)
+                   / (2 * nb.c)) AS BIGINT) AS BIGINT) AS sharp_u
+        FROM u a JOIN nb USING (y, x)"""
     sql["gf_clahe"] = (
         f"SELECT y, x, level "
         f"FROM read_parquet('{_pins.ensure_clahepin()['expected']}') "
