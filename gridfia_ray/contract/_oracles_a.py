@@ -682,14 +682,14 @@ def add_oracles_a(sql: dict, f: dict) -> None:
     sql["gf_zonal_geometry"] = f"""
         WITH z AS (SELECT y, x, MIN(zone_id) AS zone_id
                    FROM read_parquet('{PZ}') GROUP BY y, x),
-        e AS (SELECT a.y, a.x, a.zone_id,
-              (SELECT COUNT(*) FROM z b
-               WHERE b.zone_id = a.zone_id AND (
-                 (b.y = a.y + 1 AND b.x = a.x) OR
-                 (b.y = a.y - 1 AND b.x = a.x) OR
-                 (b.y = a.y AND b.x = a.x + 1) OR
-                 (b.y = a.y AND b.x = a.x - 1))) AS same
-              FROM z a)
+        -- reverse-shift same-zone neighbor counts (the correlated
+        -- OR'd subquery was a per-row scan, 13s on 262k px)
+        offs(dy, dx) AS (VALUES (1,0),(-1,0),(0,1),(0,-1)),
+        c AS (SELECT b.y - o.dy AS y, b.x - o.dx AS x, b.zone_id,
+                     COUNT(*) AS same
+              FROM z b CROSS JOIN offs o GROUP BY 1, 2, 3),
+        e AS (SELECT a.y, a.x, a.zone_id, COALESCE(c.same, 0) AS same
+              FROM z a LEFT JOIN c USING (y, x, zone_id))
         SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_px,
                CAST(SUM(y) AS BIGINT) AS sum_y,
                CAST(SUM(x) AS BIGINT) AS sum_x,
@@ -698,13 +698,18 @@ def add_oracles_a(sql: dict, f: dict) -> None:
     sql["gf_zone_neighbors"] = f"""
         WITH z AS (SELECT y, x, MIN(zone_id) AS zone_id
                    FROM read_parquet('{PZ}') GROUP BY y, x)
-        SELECT LEAST(a.zone_id, b.zone_id) AS zone_a,
-               GREATEST(a.zone_id, b.zone_id) AS zone_b,
+        -- two equality joins UNION ALL'd: the OR'd join condition
+        -- forced a nested-loop plan (24s on 262k px)
+        , e AS (
+          SELECT a.zone_id AS za, b.zone_id AS zb
+          FROM z a JOIN z b ON b.y = a.y + 1 AND b.x = a.x
+          UNION ALL
+          SELECT a.zone_id, b.zone_id
+          FROM z a JOIN z b ON b.y = a.y AND b.x = a.x + 1)
+        SELECT LEAST(za, zb) AS zone_a,
+               GREATEST(za, zb) AS zone_b,
                CAST(COUNT(*) AS BIGINT) AS shared_edges
-        FROM z a JOIN z b
-          ON (b.y = a.y + 1 AND b.x = a.x)
-          OR (b.y = a.y AND b.x = a.x + 1)
-        WHERE a.zone_id <> b.zone_id
+        FROM e WHERE za <> zb
         GROUP BY 1, 2"""
     sql["gf_cooccurrence"] = f"""
         {species_cte}
