@@ -126,6 +126,14 @@ def main():
         for name, fn in todo:
             run_one(name, fn)
     else:
+        # pre-import the lazily-loaded IO stacks: two threads racing the
+        # same first import can observe a half-initialized module
+        # (seen: ImportError on fsspec.implementations.http mid-sweep)
+        try:
+            import fsspec.implementations.http  # noqa: F401
+            import pyarrow.fs  # noqa: F401
+        except Exception:
+            pass
         it = iter(todo)
         it_lock = threading.Lock()
 
