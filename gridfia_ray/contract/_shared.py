@@ -285,6 +285,7 @@ def _codec_decode_query(fixture_paths: dict, species: list[str] | None = None) -
         f["spec"],
         include_total=True,
         species=species,
+        task_mode=True,
     )
     df = decoded.map_batches(sums, batch_format="pyarrow").to_pandas()
     df["image_id"] = df["image_id"].astype(str)

@@ -55,7 +55,9 @@ def q_species_dominance(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.metrics import dominance_stats
 
     f = _fx()
-    decoded = decoded_tiles(read_tiles(f["tiles"]), f["spec"], include_total=False)
+    decoded = decoded_tiles(
+        read_tiles(f["tiles"]), f["spec"], include_total=False, task_mode=True
+    )
     dom = dominance_stats(decoded, f["catalog"]).set_index("species_code")
     species = [c for c in f["catalog"] if c != "0000"]
     dom = dom.reindex(species, fill_value=0)  # cat_index 0 = 'none', not a species
@@ -69,7 +71,9 @@ def q_occurrence_stats(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.metrics import occurrence_stats
 
     f = _fx()
-    decoded = decoded_tiles(read_tiles(f["tiles"]), f["spec"], include_total=False)
+    decoded = decoded_tiles(
+        read_tiles(f["tiles"]), f["spec"], include_total=False, task_mode=True
+    )
     occ = occurrence_stats(decoded)
     out = occ[["species_code"]].copy()
     out["present_px"] = occ["present_px"].astype(np.int64)
@@ -355,7 +359,9 @@ def q_percentiles_exact(sf_dir: str) -> pd.DataFrame:
     from gridfia_ray.pipelines.percentiles import percentiles_exact
 
     f = _fx()
-    decoded = decoded_tiles(read_tiles(f["tiles"]), f["spec"], include_total=False)
+    decoded = decoded_tiles(
+        read_tiles(f["tiles"]), f["spec"], include_total=False, task_mode=True
+    )
     qs = [2.0, 50.0, 98.0]
     # cache=True: decode once, stream object-store blocks through the
     # 3-4 refinement passes (decode dominates at fixture scale)

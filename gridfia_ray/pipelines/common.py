@@ -86,12 +86,20 @@ def decoded_tiles(
     clamp_negative: bool = False,
     batch_size: int = 256,
     concurrency=None,
+    task_mode: bool = False,
 ) -> rd.Dataset:
     """tiles → pre-decode species prune → decoder actor pool.
 
     ``clamp_negative`` is the reference's ingest nodata clean (M20,
     ``gridfia/examples/utils.py:320-322``): negative sentinel pixels
-    become 0 before any kernel sees them."""
+    become 0 before any kernel sees them.
+
+    ``task_mode=True`` runs the decoder as worker-cached TASKS
+    (stages/worker_state) instead of an actor pool: identical per-row
+    decode, no ~1-2 s pool spin-up per pipeline execution — the right
+    call for interactive/driver-window runs of short pipelines; keep
+    the actor pool (default) for long-running decode stages where pool
+    backpressure and restart semantics matter."""
     if species is not None:
         tiles = tiles.map_batches(
             species_prefilter(codes_keep=species), batch_format="pyarrow"
@@ -100,17 +108,27 @@ def decoded_tiles(
         tiles = tiles.map_batches(
             species_prefilter(codes_drop=["0000"]), batch_format="pyarrow"
         )
+    kwargs = dict(
+        origin_x=spec.origin_x,
+        origin_y=spec.origin_y,
+        cell_size=spec.cell_size,
+        verify_phash=verify_phash,
+        clamp_negative=clamp_negative,
+    )
+    if task_mode:
+        from gridfia_ray.stages.worker_state import worker_cached
+
+        return tiles.map_batches(
+            worker_cached(DecoderActor, **kwargs),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+        )
     if concurrency is None:
         concurrency = (1, max(2, cluster_cpus() // 2))
     return tiles.map_batches(
         DecoderActor,
-        fn_constructor_kwargs=dict(
-            origin_x=spec.origin_x,
-            origin_y=spec.origin_y,
-            cell_size=spec.cell_size,
-            verify_phash=verify_phash,
-            clamp_negative=clamp_negative,
-        ),
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
